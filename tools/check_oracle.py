@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 gate: for each query output parquet in
+outDir, run the oracle SQL in DuckDB over the sf tables, sort columns by
+name, sort rows, and compare values exactly (with a small float report)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    if only and name not in only: continue
+    path = f"{out_dir}/{name}"
+    if not os.path.isdir(path):
+        print(f"{name}: MISSING spark output"); fails += 1; continue
+    try:
+        spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{path}/*.parquet")],
+                             ignore_index=True)
+        duck_df = con.sql(sql).df()
+    except Exception as e:
+        print(f"{name}: ERROR {e}"); fails += 1; continue
+    s, d = normalize(spark_df), normalize(duck_df)
+    if list(s.columns) != list(d.columns):
+        print(f"{name}: SCHEMA MISMATCH spark={list(s.columns)} duck={list(d.columns)}")
+        fails += 1; continue
+    if len(s) != len(d):
+        print(f"{name}: ROWCOUNT {len(s)} vs {len(d)}"); fails += 1; continue
+    ok = True
+    for c in s.columns:
+        sv, dv = s[c].values, d[c].values
+        if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
+            sv2 = pd.to_numeric(s[c]).values.astype(float)
+            dv2 = pd.to_numeric(d[c]).values.astype(float)
+            same = (sv2 == dv2) | (np.isnan(sv2) & np.isnan(dv2))
+            if not same.all():
+                i = np.argmin(same)
+                diff = np.nanmax(np.abs(sv2 - dv2))
+                print(f"{name}: FLOAT col {c}: {int((~same).sum())}/{len(sv2)} differ, "
+                      f"max|d|={diff:.3e}, e.g. {sv2[i]!r} vs {dv2[i]!r}")
+                ok = False
+        else:
+            sv2 = s[c].astype(str).values; dv2 = d[c].astype(str).values
+            same = sv2 == dv2
+            if not same.all():
+                i = np.argmin(same)
+                print(f"{name}: VAL col {c}: {int((~same).sum())}/{len(sv2)} differ, "
+                      f"e.g. {sv2[i]!r} vs {dv2[i]!r}")
+                ok = False
+    print(f"{name}: {'OK' if ok else 'FAIL'} rows={len(s)}")
+    fails += 0 if ok else 1
+print("RESULT:", "ALL OK" if fails == 0 else f"{fails} FAILURES")
