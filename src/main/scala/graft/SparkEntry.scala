@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Solar
+import graft.operators.{Dedup, Multimodal, Similarity, Solar, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7.
@@ -87,6 +87,60 @@ object SparkEntry {
           from_json(col("props"), StructType(Seq(StructField("k", LongType))))
             .getField("k").as("k"))
         .withColumn("props_json", to_json(struct(col("k"))))),
+
+    // ------------------------------------------------------------------
+    // Training-data-pipeline extensions (SURVEY.md §2.14 / §7 phase 3)
+    // ------------------------------------------------------------------
+
+    // exact dedup: content-fingerprint groups with canonical survivor
+    "q10_dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+
+    // MinHash + LSH banding candidates, verified with exact Jaccard
+    "q11_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.5)),
+
+    // 16-bit SimHash near-dup pairs (hamming <= 3) in a doc_id window
+    "q12_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 3, idWindow = 50)),
+
+    // exact word-3-gram Jaccard pairs in a doc_id window
+    "q13_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.windowedJaccardPairs(Tables.documents(s, dir), idWindow = 25, threshold = 0.2)),
+
+    // embedding-space near-duplicates (cosine >= 0.35) in a vec_id window
+    "q14_dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.35, idWindow = 100)),
+
+    // exact brute-force cosine top-10 for query vectors vec_id < 8
+    "q15_ann_topk_brute" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < 8), k = 10)
+    }),
+
+    // IVF-style ANN: probe only the query's cell (label = coarse quantizer)
+    "q16_ann_ivf_label" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // stopword-dictionary language identification
+    "q17_text_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+
+    // length/punctuation/stopword quality scoring
+    "q18_text_quality" -> ((s, dir) => TextAnalysis.quality(Tables.documents(s, dir))),
+
+    // whitespace + BPE-ish regex token counting
+    "q19_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+
+    // canonical-text md5 fingerprint + 60-bit integer projection
+    "q20_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    // multimodal: opaque binary payload + typed metadata projection
+    "q21_multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("n_bytes"),
+          lower(substring(hex(col("payload")), 1, 16)).as("header"))),
   )
 
   // ---------------------------------------------------------------------
@@ -127,6 +181,87 @@ object SparkEntry {
       |  FROM module_agg m JOIN panel_final2 p
       |    ON m.w_start = p.w_start AND m.panel = p.panel)
       |""".stripMargin
+
+  /** Shared document CTEs: tokenization and word-3-gram shingles, mirroring
+    * [[TextAnalysis.tokens]] / [[Dedup.shingles]]. DuckDB `range(a, b)` is
+    * end-exclusive and empty when b <= a, matching the Spark `when` guard.
+    */
+  private val docCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+      |         string_split(lower(text), ' ') AS ltoks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+      |  FROM toks)
+      |""".stripMargin
+
+  /** Normalized-text fingerprint, mirroring [[TextAnalysis.normalized]]
+    * (DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+    * global-by-default behavior).
+    */
+  private val fpSql =
+    "md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))"
+
+  /** SQL array literal for a stopword dictionary. */
+  private def dictSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def stopCountSql(toksExpr: String, dict: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> list_contains(${dictSql(dict)}, t)))"
+
+  /** MinHash signature + LSH band CTEs mirroring [[Dedup.minhashSignature]]
+    * / [[Dedup.lshBands]] (bands unrolled as a UNION ALL).
+    */
+  private val lshCtes: String = {
+    val bandSelects = (0 until Dedup.LshBands).map { b =>
+      val idx = (1 to Dedup.LshRows).map(r => s"sig[${b * Dedup.LshRows + r}]")
+      s"SELECT doc_id, $b AS band_idx, md5(${idx.mkString(" || '|' || ")}) AS band_hash FROM sig"
+    }
+    s"""sig AS (
+       |  SELECT doc_id, list_transform(range(0, ${Dedup.MinhashK}),
+       |           j -> list_min(list_transform(sh, s -> md5(j::VARCHAR || '|' || s)))) AS sig
+       |  FROM sh WHERE len(sh) > 0),
+       |bands AS (
+       |${bandSelects.mkString("  ", "\n  UNION ALL ", "")}),
+       |""".stripMargin
+  }
+
+  /** Exact-Jaccard SQL over two distinct-shingle list expressions,
+    * mirroring [[Dedup.jaccard]] (list_intersect, like array_intersect,
+    * dedups — inputs are distinct already).
+    */
+  private def jaccardSql(a: String, b: String): String = {
+    val inter = s"len(list_intersect($a, $b))"
+    s"round($inter / (len($a) + len($b) - $inter), 4)"
+  }
+
+  /** 16-bit SimHash SQL mirroring [[Dedup.simhash]]: per-token 16-bit hash
+    * from the first 4 md5 hex digits, sign-of-votes per bit.
+    */
+  private val simhashCtes: String = {
+    val bits = (0 until Dedup.SimhashBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    s"""hashes AS (
+       |  SELECT doc_id, list_transform(ltoks,
+       |           t -> (('0x' || substr(md5(t), 1, 4))::INT)) AS hs
+       |  FROM toks WHERE len(ltoks) > 0),
+       |simhash_t AS (
+       |  SELECT doc_id, CAST(${bits.mkString(" + ")} AS BIGINT) AS simhash
+       |  FROM hashes),
+       |""".stripMargin
+  }
+
+  /** Double-precision cosine SQL over two float-list expressions (widened
+    * to double), mirroring [[Similarity.cosine]].
+    */
+  private def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x) + 1), i -> ($x[i]::DOUBLE) * ($y[i]::DOUBLE)))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
 
   private val moduleOutSql =
     "w_start, panel, module, m_cnt, round(m_sum_power, 4) AS m_sum_power, m_avg_power"
@@ -170,5 +305,124 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
         |       '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS props_json
         |FROM events""".stripMargin,
+
+    "q10_dedup_exact" ->
+      s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+         |FROM (SELECT doc_id, $fpSql AS fp FROM documents) GROUP BY fp""".stripMargin,
+
+    "q11_dedup_minhash_lsh" ->
+      (docCtes.stripSuffix("\n") + ",\n" + lshCtes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh)
+           |SELECT id_a, id_b, ${jaccardSql("a.dsh", "b.dsh")} AS jaccard
+           |FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |           JOIN shd b ON cands.id_b = b.doc_id
+           |WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5""".stripMargin),
+
+    "q12_dedup_simhash" ->
+      (docCtes.stripSuffix("\n") + ",\n" + simhashCtes +
+        """pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          |  FROM simhash_t a JOIN simhash_t b
+          |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50)
+          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin),
+
+    "q13_dedup_ngram_jaccard" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        s"""shd AS (
+           |  SELECT doc_id, list_distinct(sh) AS dsh FROM sh WHERE len(list_distinct(sh)) > 0)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       ${jaccardSql("a.dsh", "b.dsh")} AS jaccard
+           |FROM shd a JOIN shd b
+           |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+           |WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.2""".stripMargin),
+
+    "q14_dedup_embedding_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 100
+         |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35""".stripMargin,
+
+    "q15_ann_topk_brute" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id
+         |           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "q16_ann_ivf_label" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q JOIN embeddings c
+         |    ON c.label = q.label AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY q_id
+         |           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q17_text_lang_id" -> {
+      val scores = TextAnalysis.StopwordDicts.map { case (l, d) =>
+        s"${stopCountSql("ltoks", d)} AS score_$l"
+      }
+      val langs = TextAnalysis.StopwordDicts.map(_._1)
+      val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val pred = langs.map(l => s"WHEN score_$l = $m AND $m > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      docCtes +
+        s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+           |       $pred AS pred_lang
+           |FROM (SELECT doc_id, ${scores.mkString(", ")} FROM toks)""".stripMargin
+    },
+
+    "q18_text_quality" -> {
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      docCtes +
+        s"""SELECT doc_id, n_chars_m, n_words, n_punct, n_stop,
+           |       round(n_punct / n_chars_m, 4) AS punct_ratio,
+           |       round(n_stop / n_words, 4) AS stop_ratio,
+           |       round(0.4 * least(n_words / 100.0, 1.0)
+           |           + 0.3 * (1.0 - n_punct / n_chars_m)
+           |           + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality
+           |FROM (SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
+           |        len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+           |        $stop AS n_stop
+           |      FROM toks)""".stripMargin
+    },
+
+    "q19_token_count" ->
+      (docCtes +
+        s"""SELECT doc_id, len(toks) AS ws_tokens,
+           |       len(regexp_extract_all(lower(text), '${TextAnalysis.TokenPattern}')) AS re_tokens
+           |FROM toks""".stripMargin),
+
+    "q20_text_fingerprint" ->
+      s"""SELECT doc_id, $fpSql AS fp,
+         |       (('0x' || substr($fpSql, 1, 15))::BIGINT) AS fp64
+         |FROM documents""".stripMargin,
+
+    "q21_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |       octet_length(text::BLOB) AS n_bytes,
+        |       lower(substr(hex(text::BLOB), 1, 16)) AS header
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table: exact, MinHash+LSH,
+  * SimHash, and windowed n-gram Jaccard. Embedding-space near-dup lives in
+  * [[Similarity]].
+  *
+  * Scale design (100 TB posture):
+  *  - Signatures (minhash / simhash / fingerprints) are pure projections —
+  *    no shuffle, fused into the scan by whole-stage codegen.
+  *  - The only shuffles are the LSH band-bucket join and the final
+  *    group/distinct — both on compact keys (16-32 byte hashes), never on
+  *    document text.
+  *  - LSH candidate pairs are generated per band bucket; a pathological
+  *    bucket (all-identical boilerplate docs) would quadratically explode,
+  *    so [[lshCandidates]] caps bucket size (drop buckets larger than
+  *    `maxBucket` — standard practice for web-scale near-dedup; the judge
+  *    of a capped bucket is that its docs are trivially dupes anyway).
+  *  - md5 is the hash everywhere because the DuckDB oracle can replay it
+  *    bit-for-bit; swapping in xxhash64 is a one-line change for prod.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the smallest doc_id.
+    * Output one row per distinct content with its duplicate count.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    TextAnalysis.fingerprint(docs)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Word 3-gram shingles of the single-space tokenization (empty array for
+    * docs shorter than 3 tokens).
+    */
+  def shingles(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: k independent permutations simulated by prefixing
+    * the shingle with the permutation index before hashing; the signature
+    * entry is the lexicographic min of the md5 hex digests (uniform under
+    * md5, portable to the oracle).
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(sh, s => md5(concat(j.cast("string"), lit("|"), s)))))
+
+  val MinhashK = 12
+  val LshBands = 4
+  val LshRows = 3 // k = bands * rows
+
+  /** (doc_id, band_idx, band_hash) — one row per doc per band; docs sharing
+    * a band hash are near-dup candidates.
+    */
+  def lshBands(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        minhashSignature(col("sh"), MinhashK).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
+          md5(concat_ws("|", slice(col("sig"), b * LshRows + 1, lit(LshRows)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one LSH band,
+    * from buckets of at most `maxBucket` docs (see object doc).
+    */
+  def lshCandidates(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val bands = lshBands(docs)
+    val capped = bands
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+    val b = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for two ALREADY-DISTINCT shingle arrays.
+    * `array_intersect` is a single hash-set pass (vs the O(n²)
+    * interpreted-lambda filter+contains formulation, which stalled the
+    * nested-loop join when Catalyst inlined it into the join condition);
+    * |A∪B| = |A|+|B|−|A∩B|.
+    */
+  def jaccard(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB))
+    inter / (size(shA) + size(shB) - inter)
+  }
+
+  /** MinHash LSH near-dup detection with exact-Jaccard verification of the
+    * candidates (the classic two-phase LSH dedup): candidates from band
+    * collisions, then keep pairs with true Jaccard >= threshold.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("dsh"))
+    val cands = lshCandidates(docs)
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("dsh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("dsh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs Jaccard within a doc_id window, via an inverted index on
+    * shingles: explode → self-equi-join on the shingle → count matches per
+    * pair. No nested-loop join, no per-pair array scans — the shuffle is on
+    * compact shingle keys and every stage is codegen'd. Pairs with zero
+    * overlap never materialize (their Jaccard is 0 < threshold by
+    * definition). This is also the 100 TB shape: an all-pairs similarity
+    * join distributes by posting list, with hot shingles (stop-shingle
+    * skew) handled by dropping ultra-frequent shingles — not needed at
+    * test scale.
+    */
+  def windowedJaccardPairs(docs: DataFrame, idWindow: Int, threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") &&
+        col("b.doc_id") > col("a.doc_id") &&
+        col("b.doc_id") <= col("a.doc_id") + idWindow)
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a"))), "id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  val SimhashBits = 16
+
+  /** 16-bit SimHash over whitespace tokens: per-token hash from the first 4
+    * md5 hex digits; each bit of the fingerprint is the sign of the
+    * +1/−1 vote sum across tokens.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    val hashes = transform(toks,
+      t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
+    val withH = docs.select(col("doc_id"), hashes.as("hs"))
+      .filter(size(col("hs")) > 0)
+    val bits = (0 until SimhashBits).map { j =>
+      val votes = aggregate(col("hs"), lit(0),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1)) * 2 - 1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    withH.select(col("doc_id"), bits.reduce(_ + _).cast("long").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxHamming within a doc_id
+    * window (at scale, candidates come from hash-prefix bucketing instead
+    * of the id window; the verification predicate is identical).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int, idWindow: Int): DataFrame = {
+    val s = simhash(docs)
+    val a = s.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = s.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + idWindow)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

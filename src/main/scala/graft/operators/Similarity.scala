@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.vec_cosine
+
+/** Similarity search over the `embeddings` table (`vec_id`,
+  * `embedding array<float>`, `label`).
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline. The
+  *    (small) query set is broadcast so the big side streams through one
+  *    scan with no shuffle of the corpus; ranking shuffles only
+  *    (query, candidate, score) triples.
+  *  - [[ivfTopK]]: IVF-style cell-probed ANN — each vector is assigned to a
+  *    coarse cell (here the pre-assigned `label`; in prod a k-means
+  *    quantizer), and a query only scores vectors in its own cell. This is
+  *    the 100 TB path: the corpus is hash-partitioned (or bucketed) by
+  *    cell, the query→cell map broadcasts, and each executor scans only
+  *    its cells' vectors.
+  *
+  * Scores come from [[graft.functions.VectorDot]] — a codegen'd Catalyst
+  * expression (Spark's higher-order array lambdas are interpreted and were
+  * the bottleneck) that widens float elements to double and accumulates
+  * sequentially, matching the oracle's `list_sum(list_transform(...))`
+  * fold. Ranking uses (round(cos, 6) DESC, vec_id) so ordering is
+  * deterministic under floating-point jitter.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector (default: the full corpus is
+    * the candidate set, self-match excluded).
+    */
+  def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val c = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val scored = c.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        vec_cosine(col("q_emb"), col("emb")).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF-style ANN: only candidates in the query's cell are scored. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("label").as("q_label"), col("embedding").as("q_emb")))
+    val c = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").as("emb"))
+    val scored = c.join(q,
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        vec_cosine(col("q_emb"), col("emb")).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding-space near-duplicate pairs: cosine >= threshold within a
+    * vec_id window (bounded all-pairs; at scale candidates come from
+    * [[ivfTopK]]-style cell bucketing or LSH instead of the id window).
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, idWindow: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+    val a = v.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + idWindow)
+      .select(col("id_a"), col("id_b"),
+        round(vec_cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

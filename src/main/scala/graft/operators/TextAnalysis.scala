@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: language-ID, quality scoring, token counting, content
+  * fingerprinting.
+  *
+  * Design rules:
+  *  - Everything is a narrow, codegen-friendly projection built from
+  *    `org.apache.spark.sql.functions` (no UDFs, no shuffles): at 100 TB
+  *    these run at scan speed and whole-stage-codegen fuses them with the
+  *    parquet reader.
+  *  - Every computation is expressible in identical portable SQL so the
+  *    DuckDB oracle can replay it bit-for-bit (md5 as the portable hash;
+  *    regexes restricted to a dialect-neutral subset).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space split (not "\\s+") so DuckDB's
+    * string_split matches Java's split exactly, including empty tokens.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Character classes for the BPE-ish token regex — runs of letters, runs
+    * of digits, or a single other non-space symbol. Dialect-neutral (no
+    * escapes) so Java regex and DuckDB RE2 agree.
+    */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  // --- language identification (stopword-dictionary heuristic) ----------
+
+  /** Small public stopword dictionaries; score = number of whitespace
+    * tokens found in each language's list, prediction = argmax with a fixed
+    * priority tie-break, "und" (undetermined) when no list matches.
+    */
+  val StopwordDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+  )
+
+  private def stopwordCount(toks: Column, dict: Seq[String]): Column = {
+    val set = array(dict.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** doc_id, per-language scores, predicted language. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = docs.select(
+      Seq(col("doc_id")) ++ StopwordDicts.map { case (l, d) =>
+        stopwordCount(toks, d).as(s"score_$l")
+      }: _*)
+    val langs = StopwordDicts.map(_._1)
+    // argmax with fixed priority order: first language whose score equals
+    // the max; "und" when all scores are zero.
+    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
+    val pred = langs.foldRight(lit("und"): Column) { (l, e) =>
+      when(col(s"score_$l") === maxScore && maxScore > 0, lit(l)).otherwise(e)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  // --- quality scoring --------------------------------------------------
+
+  /** Length/punctuation/stopword-ratio quality heuristic, all ratios kept
+    * as explicit columns so downstream filters can push into the scan.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val txt = lower(col("text"))
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(toks).as("n_words"),
+      size(regexp_extract_all(txt, lit("[^a-z0-9 ]"), lit(0))).as("n_punct"),
+      stopwordCount(tokens(txt), StopwordDicts.head._2).as("n_stop"))
+      .withColumn("punct_ratio", round(col("n_punct") / col("n_chars_m"), 4))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_words"), 4))
+      .withColumn("quality", round(
+        lit(0.4) * least(col("n_words") / lit(100.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("n_punct") / col("n_chars_m")) +
+          lit(0.3) * least(col("n_stop") / col("n_words") * 5.0, lit(1.0)), 4))
+  }
+
+  /** Whitespace token count + BPE-ish regex token count. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0)))
+        .as("re_tokens"))
+
+  // --- fingerprinting ---------------------------------------------------
+
+  /** Canonical text: lower-cased, runs of spaces collapsed, trimmed. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), " +", " "))
+
+  /** Content fingerprint: md5 of the normalized text plus a 60-bit integer
+    * projection of it (for compact dedup keys / bucketing at scale).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(normalized(col("text"))).as("fp"),
+      conv(substring(md5(normalized(col("text"))), 1, 15), 16, 10)
+        .cast("long").as("fp64"))
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression ⇄ Column bridge. Spark 4 routes Column construction through
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`; this shim (inside the sql package tree, the standard
+  * pattern for Spark extension libraries) re-exports the two conversions
+  * graft's custom Catalyst expressions need.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
