@@ -1,0 +1,166 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text kernels for the dedup operators.
+  *
+  * Why custom expressions instead of `transform`/`aggregate` higher-order
+  * functions: Spark HOF lambdas are interpreted, and ProjectCollapse
+  * inlines the child expression into the lambda body — so
+  * `transform(seq, i -> concat(split(text)[i], ...))` re-splits the
+  * document for EVERY array element (profiled: 300+ `split` calls per doc,
+  * 100× slowdown). A custom expression evaluates its child exactly once
+  * and makes one pass. These are per-document (not per-element) kernels,
+  * so CodegenFallback costs one virtual call per row — negligible.
+  *
+  * Hash parity: everything is md5-hex-lowercase over UTF-8 bytes, matching
+  * both Spark's `md5(...)` and DuckDB's `md5(...)` so oracles replay
+  * bit-for-bit.
+  */
+object TextKernels {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** First 16 bits of md5, matching `('0x' || substr(md5(t),1,4))::INT`. */
+  def md5Prefix16(bytes: Array[Byte]): Int = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+  }
+}
+
+/** Word n-gram shingles of the single-space tokenization: one split, one
+  * pass. Equivalent to (but ~100× faster than)
+  * `transform(sequence(1, size(toks)-n+1), i -> concat_ws(' ', toks[i-1+0..n-1]))`.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j).toString)
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle array: k simulated permutations, entry
+  * j = lexicographic min over shingles of md5Hex(j + "|" + shingle).
+  * Single pass over k×|shingles|; null for empty input (no shingles → no
+  * signature, filtered upstream).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val prefix = j.toString + "|"
+      var best: String = null
+      var i = 0
+      while (i < m) {
+        val h = TextKernels.md5Hex(
+          (prefix + arr.getUTF8String(i).toString).getBytes("UTF-8"))
+        if (best == null || h.compareTo(best) < 0) best = h
+        i += 1
+      }
+      out(j) = UTF8String.fromString(best)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 16-bit SimHash over a token array: per-token 16-bit hash from the md5
+  * prefix, fingerprint bit j = sign of the +1/−1 vote sum. Null for empty
+  * input.
+  */
+case class SimHash16(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < m) {
+      val h = TextKernels.md5Prefix16(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 16) {
+        votes(j) += ((h >> j) & 1) * 2 - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  def word_shingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  def min_hash_sig(shingles: Column, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), k))
+
+  def sim_hash16(tokens: Column): Column =
+    Bridge.column(SimHash16(Bridge.expression(tokens)))
+}

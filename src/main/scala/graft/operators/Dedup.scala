@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions.{min_hash_sig, sim_hash16, word_shingles}
+
 /** Deduplication operators over the `documents` table: exact, MinHash+LSH,
   * SimHash, and windowed n-gram Jaccard. Embedding-space near-dup lives in
   * [[Similarity]].
@@ -32,25 +34,18 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Word 3-gram shingles of the single-space tokenization (empty array for
-    * docs shorter than 3 tokens).
+    * docs shorter than 3 tokens). Single-pass custom kernel — see
+    * [[graft.functions.WordShingles]] for why HOFs were 100× slower here.
     */
-  def shingles(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column): Column = word_shingles(text, 3)
 
   /** MinHash signature: k independent permutations simulated by prefixing
     * the shingle with the permutation index before hashing; the signature
     * entry is the lexicographic min of the md5 hex digests (uniform under
-    * md5, portable to the oracle).
+    * md5, portable to the oracle). Single-pass kernel
+    * ([[graft.functions.MinHashSig]]).
     */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(sh, s => md5(concat(j.cast("string"), lit("|"), s)))))
+  def minhashSignature(sh: Column, k: Int): Column = min_hash_sig(sh, k)
 
   val MinhashK = 12
   val LshBands = 4
@@ -76,12 +71,15 @@ object Dedup {
     */
   def lshCandidates(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val bands = lshBands(docs)
+    // persisted: both sides of the self-join consume it, and recomputing
+    // would re-run the minhash signatures twice
     val capped = bands
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val b = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -153,19 +151,10 @@ object Dedup {
     * md5 hex digits; each bit of the fingerprint is the sign of the
     * +1/−1 vote sum across tokens.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col("text")))
-    val hashes = transform(toks,
-      t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
-    val withH = docs.select(col("doc_id"), hashes.as("hs"))
-      .filter(size(col("hs")) > 0)
-    val bits = (0 until SimhashBits).map { j =>
-      val votes = aggregate(col("hs"), lit(0),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1)) * 2 - 1))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    withH.select(col("doc_id"), bits.reduce(_ + _).cast("long").as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      sim_hash16(TextAnalysis.tokens(lower(col("text")))).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: hamming distance <= maxHamming within a doc_id
     * window (at scale, candidates come from hash-prefix bucketing instead
