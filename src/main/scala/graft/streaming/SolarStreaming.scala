@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.operators.Solar
+
+/** Streaming build of the reference topology: Kafka JSON in → 30 s
+  * tumbling-window aggregates → grouped z-score anomalies → Kafka JSON out
+  * (`SolarConsumer.java:94-196`), on Structured Streaming.
+  *
+  * Semantics mapping (SURVEY.md §2 rows 1, 8, 18):
+  *  - `suppress(untilTimeLimit(30 s, unbounded()))` (`SolarConsumer
+  *    .java:114,129,156`) → watermark + append output mode: a window's
+  *    aggregate is emitted exactly once, when the event-time watermark
+  *    passes its end. This is the *intended* semantics — the reference
+  *    depends on panel aggregates being final before the joins (§3.3).
+  *  - The reference's 24 h default retention for late data → explicit
+  *    watermark delay (late records past it are dropped; divergence
+  *    documented in SURVEY §4.3).
+  *  - Kafka repartition topics → shuffles inside one job; the forced
+  *    stream duplication at `SolarConsumer.java:136-138` is unnecessary —
+  *    a DataFrame feeds any number of consumers.
+  *
+  * Topology shape: the per-module windowed aggregate is the only stateful
+  * streaming operator; everything downstream (panel re-agg, variance,
+  * joins, z-filter) runs per micro-batch on *finalized* windows inside
+  * `foreachBatch`, reusing the batch [[Solar]] stages verbatim. This is
+  * correct because append mode emits all module aggregates of a window in
+  * the same micro-batch (finalization is watermark-driven), so each batch
+  * is self-contained per window — the same barrier the reference encodes
+  * with suppression. It also keeps checkpoint state minimal at scale: one
+  * state store keyed by (window, panel, module) instead of five.
+  */
+object SolarStreaming {
+
+  /** Kafka JSON value schema (`SolarModuleData.java:21-26`, FIXTURES.md §1). */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("power", DoubleType),
+    StructField("name", StringType),
+    StructField("panel", StringType)))
+
+  /** Kafka source (SURVEY §2 row 1): subscribe and decode. The event time
+    * is the Kafka record timestamp, as in the reference (default timestamp
+    * extractor, `SolarConsumer.java:110`).
+    */
+  def fromKafka(spark: SparkSession, bootstrapServers: String,
+                topic: String = "solar-module-raw"): DataFrame =
+    decode(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .load())
+
+  /** JSON decode + re-key projection (rows 2-3): bytes → typed columns.
+    * PERMISSIVE by design: corrupt records become nulls and are filtered,
+    * instead of killing the stream like the reference's serde
+    * (`JsonPojoDeserializer.java:46-49`).
+    */
+  def decode(kafka: DataFrame): DataFrame =
+    kafka
+      .select(from_json(col("value").cast("string"), RawSchema).as("r"),
+        col("timestamp").as("ts"))
+      .select(col("ts"), col("r.panel").as("panel"),
+        col("r.name").as("module"), col("r.power").as("power"))
+      .filter(col("panel").isNotNull && col("module").isNotNull &&
+        col("power").isNotNull)
+
+  /** Stateful stage: watermarked per-module tumbling-window aggregate
+    * (rows 5-8). In append mode this emits each (window, panel, module)
+    * exactly once, after the watermark passes the window end.
+    */
+  def moduleAggStream(normalized: DataFrame,
+                      windowDuration: String = Solar.WindowDuration,
+                      watermarkDelay: String = "30 seconds"): DataFrame =
+    normalized
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"),
+        col("panel"), col("module"))
+      .agg(
+        count(lit(1)).as("m_cnt"),
+        sum(col("power")).as("m_sum_power"),
+        round(avg(col("power")), 1).as("m_avg_power"))
+      .select(col("w.start").cast("long").as("w_start"),
+        col("panel"), col("module"),
+        col("m_cnt"), col("m_sum_power"), col("m_avg_power"))
+
+  /** Finalized module aggregates → anomalies, batch stages reused verbatim
+    * (rows 10-16). Runs inside foreachBatch on append-mode output.
+    */
+  def batchAnomalies(moduleAgg: DataFrame): DataFrame = {
+    val p = Solar.panelAgg(moduleAgg)
+    val pf = Solar.panelFinal(Solar.joinPanelModule(moduleAgg, p))
+    Solar.anomalies(Solar.joinModulePanel(moduleAgg, pf))
+  }
+
+  /** Full streaming pipeline: normalized stream → anomaly micro-batches
+    * delivered to `sink`. The sink receives the flat anomaly rows; use
+    * [[encodeAnomalies]] + a Kafka writer inside it for wire parity.
+    */
+  def startAnomalyQuery(normalized: DataFrame, checkpointDir: String)
+                       (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    moduleAggStream(normalized)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(batchAnomalies(batch), id)
+      }
+      .start()
+
+  /** JSON encode (row 17): nested `SolarModuleAggregatorJoiner` wire shape
+    * (`SolarModuleAggregatorJoiner.java:21-29`, FIXTURES.md §1) — module
+    * fields flat, panel aggregate nested; key = panel name
+    * (`SolarConsumer.java:187-188`).
+    */
+  def encodeAnomalies(anomalies: DataFrame): DataFrame =
+    anomalies.select(
+      col("panel").as("key"),
+      to_json(struct(
+        col("module").as("moduleName"),
+        col("panel").as("panelName"),
+        col("m_cnt").as("count"),
+        col("m_sum_power").as("sumPower"),
+        col("m_avg_power").as("avgPower"),
+        struct(
+          col("panel").as("panelName"),
+          col("p_cnt").as("count"),
+          col("p_sum_power").as("sumPower"),
+          col("p_avg_power").as("avgPower"),
+          col("squares_sum").as("squaresSum"),
+          col("variance"),
+          col("deviance")).as("solarPanelAggregator"))).as("value"))
+
+  /** Kafka sink (row 18): exactly-once via checkpointing — a strict
+    * upgrade over the reference's at-least-once (`SolarConsumer
+    * .java:203-212` sets no EOS config).
+    */
+  def toKafka(encoded: DataFrame, bootstrapServers: String,
+              topic: String = "solar-module-anomalies",
+              checkpointDir: String): StreamingQuery =
+    encoded.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

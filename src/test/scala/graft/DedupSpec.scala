@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = base.replace("today", "tomorrow")   // one word differs
+  private val unrelated = "completely different content with no shared phrases at all whatsoever"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base)  // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the smallest id") {
+    val out = Dedup.exact(docs).select("keep_id", "dup_cnt")
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))          // identical -> jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("windowed jaccard: identical pair scores 1.0, near pair in (0,1)") {
+    val out = Dedup.windowedJaccardPairs(docs, idWindow = 10, threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 4L)) === 1.0)
+    assert(out((1L, 2L)) > 0.2 && out((1L, 2L)) < 1.0)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs have hamming 0, near dups small hamming") {
+    val out = Dedup.simhashNearDups(docs, maxHamming = 3, idWindow = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((1L, 4L)) === 0)
+    assert(out.get((1L, 2L)).forall(_ <= 3))  // near dup usually collides
+  }
+
+  test("embedding near-dup pairs: parallel vectors score 1.0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f, 0.0f), 0),   // same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearDupPairs(vecs, threshold = 0.9, idWindow = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

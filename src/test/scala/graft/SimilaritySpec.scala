@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(0.5f, 0.5f), 1),
+    (4L, Array(-1.0f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("vec_dot matches an explicit double fold") {
+    val d = vecs.filter($"vec_id" === 1)
+      .select(vec_dot(col("embedding"), col("embedding"))).as[Double].head()
+    val expected = 0.9f.toDouble * 0.9f.toDouble + 0.1f.toDouble * 0.1f.toDouble
+    assert(d === expected)
+  }
+
+  test("vec_cosine of identical vectors is 1, orthogonal 0, opposite -1") {
+    val one = Seq((Array(0.6f, 0.8f), Array(0.6f, 0.8f))).toDF("a", "b")
+      .select(vec_cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-12)
+    val zero = Seq((Array(1.0f, 0.0f), Array(0.0f, 2.0f))).toDF("a", "b")
+      .select(vec_cosine(col("a"), col("b"))).as[Double].head()
+    assert(zero === 0.0)
+    val neg = Seq((Array(1.0f, 0.0f), Array(-3.0f, 0.0f))).toDF("a", "b")
+      .select(vec_cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(neg + 1.0) < 1e-12)
+  }
+
+  test("bruteTopK ranks by cosine desc with vec_id tie-break, excludes self") {
+    val out = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    // cosines vs (1,0): v1 ~0.994, v3 ~0.707, v2 0.0, v4 -1.0
+    assert(out === Seq(1L, 3L, 2L, 4L))
+  }
+
+  test("ivfTopK only scores the query's own cell") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0), k = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out === Set(1L, 4L))   // label 0 cell only, self excluded
+  }
+}

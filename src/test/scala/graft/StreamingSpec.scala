@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Solar
+import graft.streaming.SolarStreaming
+
+/** Streaming-semantics tests (SURVEY.md §5.3): window finalization under
+  * the watermark, late-record drop, and batch/stream equivalence.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def newInput(): (MemoryStream[(Timestamp, String, String, Double)], DataFrame) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String, Double)]
+    (input, input.toDF().toDF("ts", "panel", "module", "power"))
+  }
+
+  test("append mode emits a window exactly once, after the watermark passes it") {
+    val (input, df) = newInput()
+    val name = s"module_agg_${System.nanoTime()}"
+    val query = SolarStreaming.moduleAggStream(df)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:05"), "p1", "m1", 10.0))
+      query.processAllAvailable()
+      assert(spark.table(name).count() === 0) // window still open
+
+      // event at 00:01:10 moves the watermark to 00:00:40 > window end 00:00:30
+      input.addData((ts("2024-01-01 00:01:10"), "p1", "m1", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table(name).select("w_start", "m_sum_power")
+        .as[(Long, Double)].collect().toSet
+      assert(rows === Set((1704067200L, 10.0))) // 2024-01-01T00:00:00Z epoch
+    } finally query.stop()
+  }
+
+  test("late records beyond the watermark are dropped") {
+    val (input, df) = newInput()
+    val name = s"late_${System.nanoTime()}"
+    val query = SolarStreaming.moduleAggStream(df)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:05"), "p1", "m1", 10.0))
+      input.addData((ts("2024-01-01 00:02:00"), "p1", "m1", 1.0)) // advances watermark past w0
+      query.processAllAvailable()
+      // this record's window [00:00:00, 00:00:30) is already finalized
+      input.addData((ts("2024-01-01 00:00:07"), "p1", "m1", 99.0))
+      // push the watermark further so any (incorrect) re-emission would flush
+      input.addData((ts("2024-01-01 00:05:00"), "p1", "m1", 1.0))
+      query.processAllAvailable()
+      val w0 = spark.table(name).filter($"w_start" === 1704067200L)
+        .select("m_sum_power").as[Double].collect().toSeq
+      assert(w0 === Seq(10.0)) // late 99.0 never merged, window emitted once
+    } finally query.stop()
+  }
+
+  test("streaming anomaly pipeline matches the batch pipeline on the same input") {
+    val data = Seq(
+      (ts("2024-01-01 00:00:01"), "p1", "1", 10.0),
+      (ts("2024-01-01 00:00:02"), "p1", "2", 10.0),
+      (ts("2024-01-01 00:00:03"), "p1", "3", 40.0),
+      (ts("2024-01-01 00:00:04"), "p2", "1", 5.0),
+      (ts("2024-01-01 00:00:14"), "p2", "2", 7.0))
+
+    // batch reference: same rows through the batch stages
+    val batchEvents = data.toDF("ts", "event_type", "user_id", "value")
+    val expected = Solar.pipeline(batchEvents)
+      .select("w_start", "panel", "module").as[(Long, String, String)]
+      .collect().toSet
+
+    val (input, df) = newInput()
+    val got = mutable.Set[(Long, String, String)]()
+    val query = SolarStreaming.startAnomalyQuery(df,
+      s"/tmp/graft_ckpt_${System.nanoTime()}") { (anoms, _) =>
+      got ++= anoms.select("w_start", "panel", "module")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    }
+    try {
+      input.addData(data: _*)
+      input.addData((ts("2024-01-01 00:05:00"), "p9", "m9", 1.0)) // close all windows
+      query.processAllAvailable()
+      assert(got.toSet === expected)
+    } finally query.stop()
+  }
+
+  test("decode parses the reference wire format and filters corrupt records") {
+    val kafka = Seq(
+      ("""{"power": 52.4, "name": "module-3", "panel": "panel-A"}""", ts("2024-01-01 00:00:01")),
+      ("""not json at all""", ts("2024-01-01 00:00:02")),
+      (null.asInstanceOf[String], ts("2024-01-01 00:00:03"))
+    ).toDF("value", "timestamp")
+    val out = SolarStreaming.decode(kafka)
+    val rows = out.select("panel", "module", "power")
+      .as[(String, String, Double)].collect().toSeq
+    assert(rows === Seq(("panel-A", "module-3", 52.4)))
+  }
+
+  test("encodeAnomalies produces the nested joiner wire shape keyed by panel") {
+    val anom = Seq((1704067200L, "panel-A", "module-3", 2L, 733.1, 52.4,
+      3L, 4000.2, 500.0, 131072.5, 16384.1, 128.0))
+      .toDF("w_start", "panel", "module", "m_cnt", "m_sum_power", "m_avg_power",
+        "p_cnt", "p_sum_power", "p_avg_power", "squares_sum", "variance", "deviance")
+    val Row(key: String, value: String) =
+      SolarStreaming.encodeAnomalies(anom).head()
+    assert(key === "panel-A")
+    assert(value.contains(""""moduleName":"module-3""""))
+    assert(value.contains(""""solarPanelAggregator":{"""))
+    assert(value.contains(""""deviance":128.0"""))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.TextAnalysis
+
+class TextKernelsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("word_shingles builds 3-grams; short/empty docs yield empty arrays") {
+    val df = Seq("a b c d", "a b", "", "x y z").toDF("text")
+      .select(word_shingles(col("text"), 3).as("sh"))
+    assert(df.as[Seq[String]].collect().toSeq === Seq(
+      Seq("a b c", "b c d"), Seq(), Seq(), Seq("x y z")))
+  }
+
+  test("word_shingles matches the HOF formulation (incl. double spaces)") {
+    val docs = Seq("the quick brown fox", "a  b c", "one two three four five").toDF("text")
+    val kernel = docs.select(word_shingles(col("text"), 3).as("sh"))
+    val hof = docs.select(
+      when(size(split(col("text"), " ")) >= 3,
+        transform(sequence(lit(1), size(split(col("text"), " ")) - 2), i =>
+          concat_ws(" ",
+            element_at(split(col("text"), " "), i),
+            element_at(split(col("text"), " "), i + 1),
+            element_at(split(col("text"), " "), i + 2))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+    assert(kernel.as[Seq[String]].collect().toSeq === hof.as[Seq[String]].collect().toSeq)
+  }
+
+  test("min_hash_sig = per-permutation min of md5(j|shingle)") {
+    val sh = Seq("aa bb cc", "bb cc dd")
+    val df = Seq("aa bb cc dd").toDF("text")
+      .select(min_hash_sig(word_shingles(col("text"), 3), 3).as("sig"))
+    val sig = df.as[Seq[String]].head()
+    val expected = (0 until 3).map(j => sh.map(s => md5hex(s"$j|$s")).min)
+    assert(sig === expected)
+  }
+
+  test("sim_hash16: single token equals its own 16-bit md5 prefix") {
+    // one token: every bit votes +1/-1 by the token hash bit -> simhash = hash
+    val df = Seq("hello").toDF("text")
+      .select(sim_hash16(split(col("text"), " ")).as("s"))
+    val h = Integer.parseInt(md5hex("hello").substring(0, 4), 16)
+    assert(df.as[Long].head() === h.toLong)
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val df = Seq(("A  b C", 1L), ("a b c", 2L)).toDF("text", "doc_id")
+    val fps = TextAnalysis.fingerprint(df).select("fp").as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) === md5hex("a b c"))
+  }
+
+  test("langId picks the dominant stopword dictionary, und when none match") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "el que la y en un"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "und")
+  }
+}
