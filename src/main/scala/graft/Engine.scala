@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions.{MinHashSig, SimHash16, VectorDot, WordShingles}
+
+/** Session wiring for the graft engine.
+  *
+  * [[GraftExtensions]] registers the custom Catalyst expressions with the
+  * function registry so SQL users can call them
+  * (`SELECT vec_dot(a.embedding, b.embedding) ...`) — plug in with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or through
+  * [[Engine.builder]].
+  *
+  * [[Engine.builder]] carries the cluster-posture defaults; everything here
+  * is sized for "1000 executors reading 100 TB" and merely harmless on
+  * local[32]:
+  *  - AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+  *    so one static `shuffle.partitions` setting survives both 60 k-row
+  *    tests and 100 TB runs.
+  *  - RocksDB state store for streaming aggregations: state size at scale
+  *    (|windows × panels × modules|) exceeds executor heap; RocksDB spills
+  *    to local disk and checkpoints incrementally.
+  *  - UTC session timezone pinned: window boundaries must not depend on
+  *    cluster locale.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft.functions", null, name, usage, "")
+
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - double dot product of two numeric arrays"),
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - word n-gram shingles"),
+      (es: Seq[Expression]) => WordShingles(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("min_hash_sig"),
+      info("min_hash_sig", "min_hash_sig(shingles, k) - md5 minhash signature"),
+      (es: Seq[Expression]) => MinHashSig(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("sim_hash16"),
+      info("sim_hash16", "sim_hash16(tokens) - 16-bit simhash fingerprint"),
+      (es: Seq[Expression]) => SimHash16(es(0))))
+  }
+}
+
+object Engine {
+
+  /** Cluster-posture session builder (see class doc). `master` defaults to
+    * whatever the environment provides (spark-submit / tests set it).
+    */
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}

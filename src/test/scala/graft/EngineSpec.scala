@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingDedup
+
+/** GraftExtensions SQL registration (the shared test session is built with
+  * Engine.builder, so the extensions are installed) + streaming dedup
+  * semantics.
+  */
+class EngineSpec extends SparkSpecBase {
+
+  test("custom expressions are callable from SQL via GraftExtensions") {
+    val dot = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot === 11.0)
+    val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+    val sig = spark.sql("SELECT min_hash_sig(word_shingles('a b c d', 3), 4) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sig.length === 4)
+    assert(spark.sql("SELECT sim_hash16(split('a b', ' ')) AS s")
+      .collect().head.getLong(0) >= 0L)
+  }
+
+  test("dropDuplicatesWithinWatermark drops dupes of the same fingerprint") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val name = s"dedup_${System.nanoTime()}"
+    val q = StreamingDedup.dedupWithinWatermark(df, "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:01"), 1L, "same text"),
+        (ts("2024-01-01 00:00:02"), 2L, "same  TEXT"),  // same after normalize
+        (ts("2024-01-01 00:00:03"), 3L, "other text"))
+      q.processAllAvailable()
+      val ids = spark.table(name).select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L))
+    } finally q.stop()
+  }
+}
