@@ -1,0 +1,107 @@
+package graft
+
+import java.math.RoundingMode
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Solar
+
+/** Property tests (SURVEY.md §5.4): the engine's windowed aggregates,
+  * rounded-mean variance, and z-filter match a direct Scala computation of
+  * the reference semantics (`SolarModuleAggregator.java:32-41`,
+  * `SolarPanelAggregator.java:45-59`, `SolarConsumer.java:198-201`) on
+  * random inputs.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Base = 1704067200L // 2024-01-01T00:00:00Z
+
+  private case class Ev(off: Int, panel: String, module: String, power: Double)
+
+  private val genEv: Gen[Ev] = for {
+    off <- Gen.choose(0, 120)
+    panel <- Gen.oneOf("p1", "p2", "p3")
+    module <- Gen.oneOf("1", "2", "3", "4")
+    power <- Gen.chooseNum(-100.0, 100.0)
+  } yield Ev(off, panel, module, power)
+
+  private val genEvents: Gen[List[Ev]] = Gen.nonEmptyListOf(genEv)
+
+  private def toDf(evs: List[Ev]) =
+    evs.map(e => (new Timestamp((Base + e.off) * 1000L), e.panel, e.module.toLong, e.power))
+      .toDF("ts", "event_type", "user_id", "value")
+
+  private def round1(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(1, RoundingMode.HALF_UP).doubleValue()
+
+  /** Reference fold, computed directly: (w,panel,module) → (cnt, sum). */
+  private def refModuleAgg(evs: List[Ev]): Map[(Long, String, String), (Long, Double)] =
+    evs.groupBy(e => (Base + e.off - (Base + e.off) % 30, e.panel, e.module))
+      .map { case (k, g) => k -> (g.size.toLong, g.map(_.power).sum) }
+
+  private def approx(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15).withMaxSize(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("windowed module aggregate equals the floor(ts/30) reference fold") {
+    check(Prop.forAll(genEvents) { evs =>
+      val got = Solar.moduleAgg(toDf(evs))
+        .select("w_start", "panel", "module", "m_cnt", "m_sum_power")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) ->
+          (r.getLong(3), r.getDouble(4))).toMap
+      val ref = refModuleAgg(evs)
+      got.keySet == ref.keySet && ref.forall { case (k, (cnt, sum)) =>
+        got(k)._1 == cnt && approx(got(k)._2, sum)
+      }
+    })
+  }
+
+  test("variance/deviance equal the reference's rounded-mean computation") {
+    check(Prop.forAll(genEvents) { evs =>
+      val m = refModuleAgg(evs) // (w, panel, module) -> (cnt, sum)
+      val ref = m.groupBy { case ((w, p, _), _) => (w, p) }.map { case ((w, p), g) =>
+        val sums = g.values.map(_._2).toList
+        val avgR = round1(sums.sum / sums.size)
+        val squares = sums.map(s => math.pow(s - avgR, 2)).sum
+        val variance = squares / sums.size
+        (w, p) -> (variance, round1(math.sqrt(variance)))
+      }
+      val st = Solar.stages(toDf(evs))
+      val got = st.panelStats.select("w_start", "panel", "variance", "deviance")
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      st.module.unpersist()
+      got.keySet == ref.keySet && ref.forall { case (k, (v, d)) =>
+        approx(got(k)._1, v) && got(k)._2 == d
+      }
+    })
+  }
+
+  test("anomaly verdicts match Java double z-score semantics (Inf/NaN edges)") {
+    check(Prop.forAll(genEvents) { evs =>
+      val m = refModuleAgg(evs)
+      val verdicts = m.groupBy { case ((w, p, _), _) => (w, p) }.flatMap {
+        case ((w, p), g) =>
+          val sums = g.map { case ((_, _, mod), (_, s)) => mod -> s }
+          val avgR = round1(sums.values.sum / sums.size)
+          val squares = sums.values.map(s => math.pow(s - avgR, 2)).sum
+          val deviance = round1(math.sqrt(squares / sums.size))
+          sums.collect {
+            // the reference's exact predicate, Java double division:
+            case (mod, s) if math.abs(s - avgR) / deviance > Solar.Z => (w, p, mod)
+          }
+      }.toSet
+      val got = Solar.pipeline(toDf(evs))
+        .select("w_start", "panel", "module")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      got == verdicts
+    })
+  }
+}
