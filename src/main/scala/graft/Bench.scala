@@ -21,8 +21,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.headOption.foreach { warm =>
-      try SparkEntry.queries(warm)(spark, sfDir).count()
+    // Warm every query's code path once on the smallest scale factor:
+    // profiled cold-JVM runs spent 10-40× the steady-state time in JIT +
+    // whole-stage-codegen compilation (q11: 26 s cold vs 0.6 s warm), which
+    // would be charged to whichever query ran first. Data at the measured
+    // SF stays cold; only code warms.
+    val warmDir = {
+      val d = new java.io.File("/root/testdata/sf0.001")
+      if (d.isDirectory) d.getPath else sfDir
+    }
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
 

@@ -28,11 +28,20 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  def md5Hex(bytes: Array[Byte]): String = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
-    val out = new Array[Char](32)
+  /** Thread-local digest: `MessageDigest.getInstance` does a provider
+    * lookup per call, which dominates when hashing millions of shingles
+    * (k perms × shingles × docs). `digest()` resets the instance.
+    */
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def md5Bytes(bytes: Array[Byte]): Array[Byte] = md5.get().digest(bytes)
+
+  def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](2 * d.length)
     var i = 0
-    while (i < 16) {
+    while (i < d.length) {
       out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
       out(2 * i + 1) = hexDigits(d(i) & 0xf)
       i += 1
@@ -40,9 +49,11 @@ object TextKernels {
     new String(out)
   }
 
+  def md5Hex(bytes: Array[Byte]): String = toHex(md5Bytes(bytes))
+
   /** First 16 bits of md5, matching `('0x' || substr(md5(t),1,4))::INT`. */
   def md5Prefix16(bytes: Array[Byte]): Int = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val d = md5Bytes(bytes)
     ((d(0) & 0xff) << 8) | (d(1) & 0xff)
   }
 }
@@ -95,15 +106,25 @@ case class MinHashSig(child: Expression, k: Int)
     val arr = input.asInstanceOf[ArrayData]
     val m = arr.numElements()
     if (m == 0) return null
+    // materialize shingle bytes once; reuse across the k permutations
+    val shingleBytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      shingleBytes(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
     val out = new Array[Any](k)
     var j = 0
     while (j < k) {
-      val prefix = j.toString + "|"
+      val prefix = (j.toString + "|").getBytes("UTF-8")
       var best: String = null
-      var i = 0
+      i = 0
       while (i < m) {
-        val h = TextKernels.md5Hex(
-          (prefix + arr.getUTF8String(i).toString).getBytes("UTF-8"))
+        val s = shingleBytes(i)
+        val buf = new Array[Byte](prefix.length + s.length)
+        System.arraycopy(prefix, 0, buf, 0, prefix.length)
+        System.arraycopy(s, 0, buf, prefix.length, s.length)
+        val h = TextKernels.md5Hex(buf)
         if (best == null || h.compareTo(best) < 0) best = h
         i += 1
       }
