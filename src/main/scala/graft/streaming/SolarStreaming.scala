@@ -87,6 +87,31 @@ object SolarStreaming {
         col("panel"), col("module"),
         col("m_cnt"), col("m_sum_power"), col("m_avg_power"))
 
+  /** Fully-streaming two-level aggregation (rows 5-11 without leaving the
+    * streaming engine): module windows chained into panel windows via
+    * window-on-window grouping — Spark's multiple-stateful-operator support
+    * propagates the watermark through both state stores, so the panel
+    * aggregate still emits exactly once per finalized window. The reference
+    * needed a repartition topic + second state store + suppression for
+    * this hop (`SolarConsumer.java:122-130`); here it is a second shuffle
+    * and a chained window.
+    */
+  def panelAggStream(normalized: DataFrame,
+                     windowDuration: String = Solar.WindowDuration,
+                     watermarkDelay: String = "30 seconds"): DataFrame =
+    normalized
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"),
+        col("panel"), col("module"))
+      .agg(sum(col("power")).as("m_sum_power"))
+      .groupBy(window(col("w"), windowDuration).as("pw"), col("panel"))
+      .agg(
+        count(lit(1)).as("p_cnt"),
+        sum(col("m_sum_power")).as("p_sum_power"),
+        round(avg(col("m_sum_power")), 1).as("p_avg_power"))
+      .select(col("pw.start").cast("long").as("w_start"), col("panel"),
+        col("p_cnt"), col("p_sum_power"), col("p_avg_power"))
+
   /** Finalized module aggregates → anomalies, batch stages reused verbatim
     * (rows 10-16). Runs inside foreachBatch on append-mode output.
     */

@@ -93,6 +93,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("chained window-on-window panel aggregate emits once per finalized window") {
+    val (input, df) = newInput()
+    val name = s"panel_${System.nanoTime()}"
+    val query = SolarStreaming.panelAggStream(df)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:01"), "p1", "m1", 10.0),
+        (ts("2024-01-01 00:00:02"), "p1", "m2", 30.0))
+      query.processAllAvailable()
+      assert(spark.table(name).count() === 0) // both levels still open
+      // advance watermark past the window end for both stateful operators
+      input.addData((ts("2024-01-01 00:02:30"), "p1", "m1", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table(name)
+        .select("w_start", "panel", "p_cnt", "p_sum_power", "p_avg_power")
+        .as[(Long, String, Long, Double, Double)].collect().toSet
+      assert(rows === Set((1704067200L, "p1", 2L, 40.0, 20.0)))
+    } finally query.stop()
+  }
+
   test("decode parses the reference wire format and filters corrupt records") {
     val kafka = Seq(
       ("""{"power": 52.4, "name": "module-3", "panel": "panel-A"}""", ts("2024-01-01 00:00:01")),
