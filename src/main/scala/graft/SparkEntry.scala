@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Multimodal, Similarity, Solar, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, Solar, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7.
@@ -141,6 +141,29 @@ object SparkEntry {
         .select(col("media_id"), col("kind"),
           length(col("payload")).as("n_bytes"),
           lower(substring(hex(col("payload")), 1, 16)).as("header"))),
+
+    // ------------------------------------------------------------------
+    // Relational surface beyond the reference (SURVEY.md §2.13 classes)
+    // ------------------------------------------------------------------
+
+    // ranking window + top-k per group (WindowGroupLimit at scale)
+    "q22_topk_revenue" -> ((s, dir) =>
+      Relational.topKRevenue(Tables.lineitem(s, dir), k = 3)),
+
+    // anti join (NOT EXISTS, selective build side)
+    "q23_anti_join" -> ((s, dir) =>
+      Relational.customersWithoutOrders(Tables.customer(s, dir),
+        Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0))),
+
+    // semi join (EXISTS) + aggregate
+    "q24_semi_join" -> ((s, dir) =>
+      Relational.activeCustomersBySegment(Tables.customer(s, dir), Tables.orders(s, dir))),
+
+    // rollup grouping sets in one Expand pass
+    "q25_rollup" -> ((s, dir) => Relational.rollupTotals(Tables.lineitem(s, dir))),
+
+    // exact distinct aggregates
+    "q26_distinct_agg" -> ((s, dir) => Relational.distinctCounts(Tables.lineitem(s, dir))),
   )
 
   // ---------------------------------------------------------------------
@@ -424,5 +447,37 @@ object SparkEntry {
         |       octet_length(text::BLOB) AS n_bytes,
         |       lower(substr(hex(text::BLOB), 1, 16)) AS header
         |FROM documents""".stripMargin,
+
+    "q22_topk_revenue" ->
+      """WITH rev AS (
+        |  SELECT l_returnflag, l_orderkey,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY revenue DESC, l_orderkey ASC) AS INTEGER) AS rank
+        |  FROM rev)
+        |SELECT l_returnflag, l_orderkey, revenue, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q23_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+
+    "q24_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_active FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q25_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q26_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational operators with no instance in the reference
+  * (SURVEY.md §2.13) — ranking windows, top-k, semi/anti joins, grouping
+  * sets, distinct aggregates — provided over the TPC-H-ish tables so a
+  * user of this engine gets the full relational surface, not just the
+  * reference's topology.
+  *
+  * Scale notes: top-k-per-group goes through `row_number` over a
+  * partitioned window, which Spark executes with `WindowGroupLimit`
+  * (partial top-k before the shuffle — no full sort of the fact table);
+  * semi/anti joins broadcast the key side when small; rollup is one pass
+  * (Expand + partial aggregation), not one job per grouping set.
+  */
+object Relational {
+
+  /** Top-k orders by revenue within each return flag: ranking window +
+    * limit-per-group (rank pushdown at scale).
+    */
+  def topKRevenue(lineitem: DataFrame, k: Int): DataFrame = {
+    val rev = lineitem
+      .groupBy(col("l_returnflag"), col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+    rev.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Customers with no orders: anti join (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** Customers with at least one order: semi join (EXISTS), counted per
+    * market segment.
+    */
+  def activeCustomersBySegment(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_active"))
+
+  /** Quantity/price totals by (returnflag, linestatus) with ROLLUP
+    * subtotals and grand total — one Expand pass, not one job per set.
+    */
+  def rollupTotals(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"))
+
+  /** Exact distinct aggregates per group (count distinct parts/suppliers
+    * per return flag).
+    */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+}
