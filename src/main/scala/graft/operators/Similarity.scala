@@ -66,6 +66,53 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column, for building
+    * real IVF cells (instead of the pre-assigned `label`).
+    *
+    * Division of labor mirrors MLlib: centroids live on the driver (k×dim
+    * doubles — tiny) and broadcast into the assignment expression each
+    * iteration; assignments and centroid recomputation are fully
+    * distributed (argmin over k literal centroids via [[graft.functions
+    * .VectorDot]], then posexplode + groupBy(cell, dim) mean). Seeded by
+    * the k lowest vec_ids, so results are reproducible run to run.
+    *
+    * Returns (vec_id, cell). Use with [[ivfTopK]] by joining the cell back
+    * as the `label` column.
+    */
+  def kmeansCells(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    var centroids: Array[Seq[Double]] = v.orderBy(col("vec_id")).limit(k)
+      .select(col("emb")).collect().map(_.getSeq[Double](0))
+
+    def assigned: DataFrame = {
+      // dist_j ∝ |c_j|² − 2·(emb·c_j); argmin via lexicographic array_min
+      // over struct(dist, cell) — deterministic tie-break on cell id
+      val scored = centroids.zipWithIndex.map { case (c, j) =>
+        val cLit = typedlit(c)
+        struct((lit(c.map(x => x * x).sum) -
+          lit(2.0) * graft.functions.VectorFunctions.vec_dot(col("emb"), cLit))
+          .as("dist"), lit(j).as("cell"))
+      }
+      v.select(col("vec_id"), col("emb"),
+        array_min(array(scored: _*)).getField("cell").as("cell"))
+    }
+
+    for (_ <- 1 to iters) {
+      val means = assigned
+        .select(col("cell"), posexplode(col("emb")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"), col("ms.m").as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.indices
+        .map(j => means.getOrElse(j, centroids(j))).toArray
+    }
+    assigned.select(col("vec_id"), col("cell"))
+  }
+
   /** Embedding-space near-duplicate pairs: cosine >= threshold within a
     * vec_id window (bounded all-pairs; at scale candidates come from
     * [[ivfTopK]]-style cell bucketing or LSH instead of the id window).
