@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, Solar, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, Solar, TextAnalysis, Windows}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7.
@@ -164,6 +164,12 @@ object SparkEntry {
 
     // exact distinct aggregates
     "q26_distinct_agg" -> ((s, dir) => Relational.distinctCounts(Tables.lineitem(s, dir))),
+
+    // hopping/sliding windows (60s window, 30s slide) over events
+    "q27_sliding_window" -> ((s, dir) => Windows.slidingAgg(Tables.events(s, dir))),
+
+    // session windows (1h inactivity gap) per user over events
+    "q28_session_window" -> ((s, dir) => Windows.sessionAgg(Tables.events(s, dir))),
   )
 
   // ---------------------------------------------------------------------
@@ -479,5 +485,33 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // each event belongs to exactly two 60s/30s windows: the 30s-aligned
+    // bucket it falls in and the one before it
+    "q27_sliding_window" ->
+      """WITH expanded AS (
+        |  SELECT event_type AS panel, value,
+        |         unnest([CAST(floor(epoch(ts)/30)*30 AS BIGINT) - 30,
+        |                 CAST(floor(epoch(ts)/30)*30 AS BIGINT)]) AS w_start
+        |  FROM events)
+        |SELECT w_start, panel, count(*) AS cnt, round(sum(value), 4) AS sum_power
+        |FROM expanded GROUP BY 1, 2""".stripMargin,
+
+    // gaps-and-islands: a new session starts when the per-user gap from the
+    // previous event exceeds 1h; end = last event + gap (Spark semantics)
+    "q28_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, value, epoch_us(ts) AS t,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |                OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |              >= 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT min(t) AS s_start, max(t) + 3600000000 AS s_end, user_id,
+        |       count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
   )
 }

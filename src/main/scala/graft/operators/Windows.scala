@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Window shapes beyond the reference's tumbling windows (SURVEY.md §2.13:
+  * Kafka Streams offers sliding/hopping and session windows; the reference
+  * uses none — provided here for engine completeness).
+  *
+  * Both are single-shuffle streaming-capable aggregations: `window(ts, w,
+  * slide)` expands each event to its w/slide windows before the shuffle
+  * (map-side, no extra pass), and `session_window` merges per-key sessions
+  * inside the aggregation state.
+  */
+object Windows {
+
+  /** Hopping/sliding-window aggregate: overlapping windows of `windowDur`
+    * sliding by `slideDur`, per panel.
+    */
+  def slidingAgg(events: DataFrame,
+                 windowDur: String = "60 seconds",
+                 slideDur: String = "30 seconds"): DataFrame =
+    Solar.normalize(events)
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"), col("panel"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("power")), 4).as("sum_power"))
+      .select(col("w.start").cast("long").as("w_start"), col("panel"),
+        col("cnt"), col("sum_power"))
+
+  /** Session-window aggregate: per-user sessions closed after `gap` of
+    * inactivity; session end = last event + gap (Spark semantics).
+    */
+  def sessionAgg(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("s_start"),
+        unix_micros(col("w.end")).as("s_end"),
+        col("user_id"), col("cnt"), col("sum_value"))
+}
