@@ -35,11 +35,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    spark.catalog.clearCache() // drop warmup-run persists before timing
+
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // each query persists its own intermediates; drop them so later
+      // queries aren't charged for earlier queries' cache pressure
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
