@@ -10,6 +10,7 @@ object TestSpark {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .getOrCreate()
 }
 

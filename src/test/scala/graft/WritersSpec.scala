@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{Tables, Writers}
+
+class WritersSpec extends SparkSpecBase {
+
+  test("date partitioning prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_part_").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    Writers.writeEventsPartitioned(events, dir)
+
+    val pruned = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("event_date") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("event_date"))
+    assert(pruned.count() > 0)
+  }
+
+  test("same-bucketing join runs with no shuffle on either side") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val or = Tables.orders(spark, "/root/testdata/sf0.001")
+    // unique names: the warehouse dir outlives the in-memory catalog, so a
+    // rerun would otherwise hit locationAlreadyExists on CREATE
+    val t1 = s"li_bucketed_${System.nanoTime()}"
+    val t2 = s"or_bucketed_${System.nanoTime()}"
+    Writers.writeBucketed(li.select("l_orderkey", "l_quantity"), t1, "l_orderkey", 8)
+    Writers.writeBucketed(or.select("o_orderkey", "o_totalprice"), t2, "o_orderkey", 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(t1)
+        .join(spark.table(t2),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === 6000) // every lineitem matches its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
