@@ -1,0 +1,118 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector: deterministic solar-telemetry simulator —
+  * the batch twin of the producer feeding the reference's
+  * `solar-module-raw` topic (records shaped per `SolarModuleData
+  * .java:21-26`: panel, module name, power; event time attached).
+  *
+  * `spark.read.format("solar-sim").option("panels", 4)
+  * .option("modules", 8).option("readingsPerModule", 100).load()`
+  *
+  * Connector surface demonstrated: TableProvider → Table → ScanBuilder →
+  * Batch with one InputPartition PER PANEL (the natural parallelism unit:
+  * at scale each executor streams its panels independently, no shuffle to
+  * produce), and a PartitionReader generating rows in InternalRow form
+  * (no driver-side materialization — 10⁹ rows cost the same driver memory
+  * as 10).
+  *
+  * Determinism: power readings are a pure function of (panel, module,
+  * reading index) via a splitmix64-style hash, so tests and reruns are
+  * reproducible without any stored data.
+  */
+class SolarSimSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "solar-sim"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SolarSimSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SolarSimTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SolarSimSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false),
+    StructField("panel", StringType, nullable = false),
+    StructField("module", StringType, nullable = false),
+    StructField("power", DoubleType, nullable = false)))
+
+  /** splitmix64 finalizer → uniform double in [0, 200). */
+  def powerAt(panel: Int, module: Int, reading: Int): Double = {
+    var z = panel.toLong * 1000003L + module.toLong * 10007L + reading.toLong
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z = z ^ (z >>> 33)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 200.0
+  }
+}
+
+private[v2] class SolarSimTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "solar_sim"
+  override def schema(): StructType = SolarSimSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new SolarSimScan(
+      panels = options.getInt("panels", 2),
+      modules = options.getInt("modules", 4),
+      readingsPerModule = options.getInt("readingsPerModule", 100),
+      startEpochSec = options.getLong("startEpochSec", 1704067200L),
+      periodSec = options.getLong("periodSec", 10L))
+}
+
+private[v2] case class SolarSimScan(panels: Int, modules: Int,
+    readingsPerModule: Int, startEpochSec: Long, periodSec: Long)
+    extends ScanBuilder with Scan with Batch {
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = SolarSimSource.Schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until panels).map(p => SolarPanelPartition(p): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SolarSimReaderFactory(modules, readingsPerModule, startEpochSec, periodSec)
+}
+
+private[v2] case class SolarPanelPartition(panel: Int) extends InputPartition
+
+private[v2] case class SolarSimReaderFactory(modules: Int, readings: Int,
+    startEpochSec: Long, periodSec: Long) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SolarPanelPartition].panel
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      private val total = modules * readings
+
+      override def next(): Boolean = { i += 1; i < total }
+
+      override def get(): InternalRow = {
+        val m = i % modules
+        val r = i / modules
+        InternalRow(
+          (startEpochSec + r * periodSec) * 1000000L, // TimestampType = epoch micros
+          UTF8String.fromString(s"panel-$p"),
+          UTF8String.fromString(s"module-$m"),
+          SolarSimSource.powerAt(p, m, r))
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}
