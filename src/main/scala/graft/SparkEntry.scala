@@ -170,6 +170,13 @@ object SparkEntry {
 
     // session windows (1h inactivity gap) per user over events
     "q28_session_window" -> ((s, dir) => Windows.sessionAgg(Tables.events(s, dir))),
+
+    // exact continuous quantiles (median / p95) per group
+    "q29_quantiles" -> ((s, dir) => Relational.quantiles(Tables.lineitem(s, dir))),
+
+    // set operation: EXCEPT over customer key sets
+    "q30_set_ops" -> ((s, dir) =>
+      Relational.exclusivelyHighValueCustomers(Tables.orders(s, dir), threshold = 250000.0)),
   )
 
   // ---------------------------------------------------------------------
@@ -513,5 +520,17 @@ object SparkEntry {
         |SELECT min(t) AS s_start, max(t) + 3600000000 AS s_end, user_id,
         |       count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    "q29_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |       round(quantile_cont(l_discount, 0.5), 4) AS p50_disc
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q30_set_ops" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice <= 250000.0""".stripMargin,
   )
 }

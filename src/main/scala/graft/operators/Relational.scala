@@ -66,4 +66,26 @@ object Relational {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
+
+  /** Exact continuous quantiles per group (median / p95, linear
+    * interpolation — same definition as the oracle's quantile_cont).
+    */
+  def quantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
+        round(percentile(col("l_discount"), lit(0.5)), 4).as("p50_disc"))
+
+  /** Set operation: customers who ONLY place orders above the threshold —
+    * EXCEPT (distinct by definition) over the two key sets.
+    */
+  def exclusivelyHighValueCustomers(orders: DataFrame, threshold: Double): DataFrame = {
+    val high = orders.filter(col("o_totalprice") > threshold)
+      .select(col("o_custkey").as("custkey"))
+    val low = orders.filter(col("o_totalprice") <= threshold)
+      .select(col("o_custkey").as("custkey"))
+    high.except(low)
+  }
 }
