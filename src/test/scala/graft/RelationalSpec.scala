@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Relational, Windows}
+
+class RelationalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("topKRevenue keeps k per group ordered by revenue with id tie-break") {
+    val li = Seq(
+      ("A", 1L, 100.0, 0.0), ("A", 2L, 200.0, 0.0), ("A", 3L, 150.0, 0.0),
+      ("A", 4L, 50.0, 0.0), ("R", 9L, 10.0, 0.5)
+    ).toDF("l_returnflag", "l_orderkey", "l_extendedprice", "l_discount")
+    val out = Relational.topKRevenue(li, k = 2)
+      .select("l_returnflag", "l_orderkey", "rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(out === Set(("A", 2L, 1), ("A", 3L, 2), ("R", 9L, 1)))
+  }
+
+  test("semi/anti joins partition the customer set") {
+    val c = Seq((1L, "S1"), (2L, "S1"), (3L, "S2")).toDF("c_custkey", "c_mktsegment")
+    val o = Seq((10L, 1L)).toDF("o_orderkey", "o_custkey")
+    val anti = Relational.customersWithoutOrders(c, o)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(anti === Set(2L, 3L))
+    val semi = Relational.activeCustomersBySegment(c, o)
+      .as[(String, Long)].collect().toSet
+    assert(semi === Set(("S1", 1L)))
+  }
+
+  test("rollup emits detail, subtotal, and grand-total rows") {
+    val li = Seq(("A", "F", 1.0, 10.0), ("A", "O", 2.0, 20.0), ("R", "F", 3.0, 30.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val rows = Relational.rollupTotals(li).collect()
+    assert(rows.length === 3 + 2 + 1) // details + per-flag subtotals + total
+    val grand = rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getDouble(3) === 6.0)
+  }
+
+  test("except keeps only exclusively-high-value customers") {
+    val o = Seq((1L, 100.0), (1L, 400.0), (2L, 500.0), (3L, 50.0))
+      .toDF("o_custkey", "o_totalprice")
+    val out = Relational.exclusivelyHighValueCustomers(o, threshold = 250.0)
+      .as[Long].collect().toSet
+    assert(out === Set(2L)) // 1 has a low order too, 3 has none high
+  }
+
+  test("sliding windows assign each event to exactly two 60s/30s windows") {
+    val ev = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:40"), "p1", 1L, 5.0))
+      .toDF("ts", "event_type", "user_id", "value")
+    val w = Windows.slidingAgg(ev).select("w_start").as[Long].collect().sorted
+    // event epoch 1704067240 -> windows starting 00:00:00 and 00:00:30
+    assert(w.toSeq === Seq(1704067200L, 1704067230L))
+  }
+
+  test("session windows split on the inactivity gap") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (ts("2024-01-01 00:00:00"), "x", 1L, 1.0),
+      (ts("2024-01-01 00:30:00"), "x", 1L, 2.0),  // same session (gap 30m < 1h)
+      (ts("2024-01-01 02:00:00"), "x", 1L, 3.0))  // new session (gap 90m)
+      .toDF("ts", "event_type", "user_id", "value")
+    val out = Windows.sessionAgg(ev).select("cnt", "sum_value")
+      .as[(Long, Double)].collect().toSet
+    assert(out === Set((2L, 3.0), (1L, 3.0)))
+  }
+}
