@@ -39,18 +39,28 @@ object Bench {
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // each query persists its own intermediates; drop them so later
       // queries aren't charged for earlier queries' cache pressure
       spark.catalog.clearCache()
-      name -> dt
+      // a crashed query must not masquerade as a fast success
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total sums successful queries only (-1.0 failure markers excluded)
+    val total = results.map(_._2.max(0.0)).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: the JSON goes to bare stdout
+    // (build.sbt sets run/outputStrategy := StdoutOutput so sbt adds no
+    // "[info] " prefix) AND to a file.
+    val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

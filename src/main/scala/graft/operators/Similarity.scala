@@ -99,10 +99,14 @@ object Similarity {
     }
 
     for (_ <- 1 to iters) {
+      // means rounded to 6 decimals: parallel partial-sum order makes the
+      // raw avg nondeterministic in the last bits; rounding pins the
+      // centroids so an oracle replay (sequential sums) lands on the exact
+      // same values and the argmin assignment is bit-reproducible
       val means = assigned
         .select(col("cell"), posexplode(col("emb")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg(round(avg(col("col")), 6).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
         .select(col("cell"), col("ms.m").as("centroid"))
@@ -114,8 +118,8 @@ object Similarity {
   }
 
   /** Embedding-space near-duplicate pairs: cosine >= threshold within a
-    * vec_id window (bounded all-pairs; at scale candidates come from
-    * [[ivfTopK]]-style cell bucketing or LSH instead of the id window).
+    * vec_id window. Correctness demo only — the id-window predicate is
+    * non-equi (nested-loop join); the scale path is [[cellNearDupPairs]].
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double, idWindow: Int): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("embedding").as("emb"))
@@ -125,5 +129,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(vec_cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding near-dup detection at scale: candidates from coarse cells.
+    *
+    * `cells` is (vec_id, cell) — typically [[kmeansCells]] output. The
+    * candidate set is an equi-self-join on the cell id, so the plan is
+    * shuffle-by-cell + hash join: no nested loop, no cross product, and at
+    * 100 TB the corpus partitions by cell with each executor scoring only
+    * its own cells' pairs. Like any IVF-style method this trades recall at
+    * cell boundaries for the equi-join shape (pairs straddling two cells
+    * are not candidates); multi-probe or soft assignment buys recall back
+    * without changing the plan. Verification predicate (exact cosine >=
+    * threshold) is identical to [[nearDupPairs]].
+    */
+  def cellNearDupPairs(embeddings: DataFrame, cells: DataFrame,
+                       threshold: Double): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+      .join(cells, "vec_id")
+    val a = v.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = v.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        round(vec_cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** IVF ANN over LEARNED cells: [[kmeansCells]] assignments replace the
+    * pre-assigned `label` column, closing the "ANN index build" loop
+    * (build the coarse quantizer, assign, probe).
+    */
+  def ivfTopKKmeans(embeddings: DataFrame, queryIds: DataFrame => DataFrame,
+                    k: Int, kCells: Int, iters: Int): DataFrame = {
+    val cells = kmeansCells(embeddings, kCells, iters)
+    val labeled = embeddings.drop("label")
+      .join(cells, "vec_id")
+      .withColumnRenamed("cell", "label")
+    ivfTopK(labeled, queryIds(labeled), k)
   }
 }

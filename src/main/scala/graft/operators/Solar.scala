@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB posture):
   *  - One shuffle on (window, panel, module) feeds the whole DAG; the panel
   *    aggregate is a second, much smaller shuffle on (window, panel).
-  *  - Both joins broadcast the panel side: panel cardinality is orders of
-  *    magnitude below module-window cardinality, so the big moduleAgg
-  *    side never re-shuffles for the join.
+  *  - Neither join carries a broadcast hint: (window × panel) cardinality
+  *    grows with the time range, so a forced broadcast would fail outright
+  *    on a year-long run. Stats + AQE broadcast the panel side when it
+  *    fits; otherwise both sides are already hash-partitioned on the join
+  *    keys by their aggregations, so no extra shuffle of the big side.
   *  - Kafka Streams needed a repartition *topic* (produce + re-consume
   *    through the broker) for every re-key; here each is one Exchange, and
   *    map-side partial aggregation collapses records before the wire.
@@ -89,11 +91,16 @@ object Solar {
 
   /** Windowed inner join #1 (`SolarConsumer.java:142-147`): each panel
     * aggregate paired with each of its module aggregates on the exact
-    * (window, panel) key. The panel side is broadcast: at any scale the
-    * panel-window cardinality is ~1/|modules| of the module side.
+    * (window, panel) key. No broadcast hint: (window × panel) cardinality
+    * grows linearly with the time range, so an unconditional broadcast
+    * would OOM a year-long 100 TB run outright — stats + AQE pick
+    * broadcast-hash when the panel side actually fits and fall back to a
+    * shuffled hash join when it doesn't. Both sides are already partitioned
+    * by the grouping keys, so the sort-merge/shuffle fallback reuses the
+    * aggregation exchange instead of re-shuffling the raw table.
     */
   def joinPanelModule(moduleAgg: DataFrame, panelAgg: DataFrame): DataFrame =
-    moduleAgg.join(broadcast(panelAgg), Seq("w_start", "panel"))
+    moduleAgg.join(panelAgg, Seq("w_start", "panel"))
 
   /** Variance re-aggregation (`SolarConsumer.java:150-157`, fold body
     * `SolarPanelAggregator.java:45-59`): population variance of module sums
@@ -112,10 +119,11 @@ object Solar {
       .withColumn("deviance", round(sqrt(col("variance")), 1))
 
   /** Windowed inner join #2 (`SolarConsumer.java:165-173`): tag every module
-    * aggregate with its panel's final stats. Panel side broadcast again.
+    * aggregate with its panel's final stats. Same no-hint rationale as
+    * [[joinPanelModule]].
     */
   def joinModulePanel(moduleAgg: DataFrame, panelFinal: DataFrame): DataFrame =
-    moduleAgg.join(broadcast(panelFinal), Seq("w_start", "panel"))
+    moduleAgg.join(panelFinal, Seq("w_start", "panel"))
 
   /** Z-score anomaly filter + window-unwrap projection
     * (`SolarConsumer.java:186-188,198-201`), division-free (see object doc).

@@ -73,17 +73,22 @@ object TextAnalysis {
   def quality(docs: DataFrame): DataFrame = {
     val txt = lower(col("text"))
     val toks = tokens(col("text"))
+    // Zero-length guard: for an empty document 0/0 would be NaN in Spark
+    // but NULL in DuckDB (x/0 → NULL there) — divide by NULLIF(n,0) in both
+    // engines so both yield NULL and the hash gate can't diverge.
+    // n_words needs no guard: split("", " ") is [""], so n_words >= 1.
+    val charsNz = when(col("n_chars_m") > 0, col("n_chars_m"))
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars_m"),
       size(toks).as("n_words"),
       size(regexp_extract_all(txt, lit("[^a-z0-9 ]"), lit(0))).as("n_punct"),
       stopwordCount(tokens(txt), StopwordDicts.head._2).as("n_stop"))
-      .withColumn("punct_ratio", round(col("n_punct") / col("n_chars_m"), 4))
+      .withColumn("punct_ratio", round(col("n_punct") / charsNz, 4))
       .withColumn("stop_ratio", round(col("n_stop") / col("n_words"), 4))
       .withColumn("quality", round(
         lit(0.4) * least(col("n_words") / lit(100.0), lit(1.0)) +
-          lit(0.3) * (lit(1.0) - col("n_punct") / col("n_chars_m")) +
+          lit(0.3) * (lit(1.0) - col("n_punct") / charsNz) +
           lit(0.3) * least(col("n_stop") / col("n_words") * 5.0, lit(1.0)), 4))
   }
 

@@ -55,18 +55,43 @@ object SolarStreaming {
       .load())
 
   /** JSON decode + re-key projection (rows 2-3): bytes → typed columns.
-    * PERMISSIVE by design: corrupt records become nulls and are filtered,
-    * instead of killing the stream like the reference's serde
-    * (`JsonPojoDeserializer.java:46-49`).
+    *
+    * `mode` picks the malformed-record policy (SURVEY §1.3):
+    *  - `PERMISSIVE` (default): corrupt records become nulls and are
+    *    filtered out — strictly more robust than the reference.
+    *  - `FAILFAST`: a malformed payload throws and kills the query —
+    *    exact parity with the reference's serde, which throws
+    *    `SerializationException` and kills the stream thread
+    *    (`JsonPojoDeserializer.java:46-49`).
+    * For dead-letter routing instead of dropping, use [[decodeRouted]].
     */
-  def decode(kafka: DataFrame): DataFrame =
+  def decode(kafka: DataFrame, mode: String = "PERMISSIVE"): DataFrame =
     kafka
-      .select(from_json(col("value").cast("string"), RawSchema).as("r"),
+      .select(from_json(col("value").cast("string"), RawSchema,
+          Map("mode" -> mode)).as("r"),
         col("timestamp").as("ts"))
       .select(col("ts"), col("r.panel").as("panel"),
         col("r.name").as("module"), col("r.power").as("power"))
       .filter(col("panel").isNotNull && col("module").isNotNull &&
         col("power").isNotNull)
+
+  /** Decode with corrupt-record routing (the dead-letter upgrade neither
+    * PERMISSIVE-drop nor FAILFAST offers): adds an `is_corrupt` flag plus
+    * the raw payload, so callers can split the stream — good records to
+    * the pipeline, corrupt ones to a quarantine sink — without a second
+    * parse. A record is corrupt when JSON parsing failed or any required
+    * field is missing/null (the reference's POJO would have thrown).
+    */
+  def decodeRouted(kafka: DataFrame): DataFrame =
+    kafka
+      .select(col("value").cast("string").as("raw"),
+        col("timestamp").as("ts"))
+      .select(col("ts"), col("raw"),
+        from_json(col("raw"), RawSchema).as("r"))
+      .select(col("ts"), col("raw"), col("r.panel").as("panel"),
+        col("r.name").as("module"), col("r.power").as("power"))
+      .withColumn("is_corrupt",
+        col("panel").isNull || col("module").isNull || col("power").isNull)
 
   /** Stateful stage: watermarked per-module tumbling-window aggregate
     * (rows 5-8). In append mode this emits each (window, panel, module)
@@ -111,6 +136,51 @@ object SolarStreaming {
         round(avg(col("m_sum_power")), 1).as("p_avg_power"))
       .select(col("pw.start").cast("long").as("w_start"), col("panel"),
         col("p_cnt"), col("p_sum_power"), col("p_avg_power"))
+
+  /** TRUE watermarked stream-stream join — the literal twin of the
+    * reference's windowed join #1 (`SolarConsumer.java:142-147`), running
+    * inside the streaming engine (state-store backed), not in foreachBatch:
+    * both sides are watermarked streaming aggregations over the same
+    * normalized input, joined on the (window, panel) equi-key. Kafka
+    * Streams' `JoinWindows.of(30 s)` tolerance is vacuous here because the
+    * window key already pins the exact window (SURVEY §2 row 12).
+    *
+    * Uses Spark's multiple-stateful-operator support (3.4+): two windowed
+    * aggregations feed a stream-stream join in append mode; joining on the
+    * `window` struct column lets the engine propagate the watermark through
+    * both state stores and evict join state as windows finalize — so state
+    * is bounded by the watermark delay, not the stream length. The
+    * foreachBatch path ([[startAnomalyQuery]]) remains the recommended
+    * deployment (one state store instead of three); this operator is the
+    * parity witness for users porting the reference topology join-for-join.
+    */
+  def streamStreamJoin(normalized: DataFrame,
+                       windowDuration: String = Solar.WindowDuration,
+                       watermarkDelay: String = "30 seconds"): DataFrame = {
+    val m = normalized
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"),
+        col("panel"), col("module"))
+      .agg(
+        count(lit(1)).as("m_cnt"),
+        sum(col("power")).as("m_sum_power"),
+        round(avg(col("power")), 1).as("m_avg_power"))
+    val p = normalized
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"),
+        col("panel"), col("module"))
+      .agg(sum(col("power")).as("ms"))
+      .groupBy(window(col("w"), windowDuration).as("w"), col("panel"))
+      .agg(
+        count(lit(1)).as("p_cnt"),
+        sum(col("ms")).as("p_sum_power"),
+        round(avg(col("ms")), 1).as("p_avg_power"))
+    m.join(p, Seq("w", "panel"))
+      .select(col("w").getField("start").cast("long").as("w_start"),
+        col("panel"), col("module"),
+        col("m_cnt"), col("m_sum_power"), col("m_avg_power"),
+        col("p_cnt"), col("p_sum_power"), col("p_avg_power"))
+  }
 
   /** Finalized module aggregates → anomalies, batch stages reused verbatim
     * (rows 10-16). Runs inside foreachBatch on append-mode output.

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.{Dedup, Similarity}
 
 class DedupSpec extends SparkSpecBase {
@@ -40,6 +42,22 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(out((1L, 4L)) === 0)
     assert(out.get((1L, 2L)).forall(_ <= 3))  // near dup usually collides
+  }
+
+  test("bucketed simhash equals brute-force all-pairs (pigeonhole is lossless)") {
+    // hamming <= 3 over 4 blocks of 4 bits: any qualifying pair agrees on
+    // >= 1 block, so bucketing must lose NOTHING vs the full cross product
+    val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s = Dedup.simhash(real)
+    val brute = s.as("a").join(s.as("b"), $"b.doc_id" > $"a.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+      .filter($"hamming" <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val bucketed = Dedup.simhashBucketedNearDups(real, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bucketed === brute)
+    assert(brute.nonEmpty) // fixture actually exercises the path
   }
 
   test("embedding near-dup pairs: parallel vectors score 1.0") {

@@ -1,0 +1,31 @@
+package graft
+
+/** Scale-shape assertions on the gated query plans (VERDICT r1 item 3):
+  * the solar join chain and the round-2 bucketed candidate generators must
+  * contain no BroadcastNestedLoopJoin and no CartesianProduct — those are
+  * the O(n²) shapes that kill a 100 TB run even when small-SF correctness
+  * is green. (q12/q13/q14 keep their documented id-window NLJ as
+  * correctness demos; their scale twins are q31/q32.)
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val scaleShaped = Seq(
+    "q04_join_panel_module", "q06_join_module_panel",
+    "q07_anomaly_filter", "q08_flagship_anomalies",
+    "q11_dedup_minhash_lsh",
+    "q31_dedup_simhash_bucketed", "q32_dedup_embedding_cells",
+    "q33_ann_ivf_kmeans")
+
+  for (name <- scaleShaped)
+    test(s"$name plan has no nested-loop join and no cartesian product") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"BroadcastNestedLoopJoin in plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"CartesianProduct in plan:\n$plan")
+      spark.catalog.clearCache()
+    }
+}

@@ -52,6 +52,13 @@ class RelationalSpec extends SparkSpecBase {
     assert(w.toSeq === Seq(1704067200L, 1704067230L))
   }
 
+  test("approx quantiles land within tolerance of exact (flags all 1)") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val out = Relational.approxQuantiles(li)
+      .select("p50_ok", "p95_ok").as[(Int, Int)].collect()
+    assert(out.nonEmpty && out.forall { case (a, b) => a === 1 && b === 1 })
+  }
+
   test("session windows split on the inactivity gap") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

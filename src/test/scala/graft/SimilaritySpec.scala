@@ -47,4 +47,30 @@ class SimilaritySpec extends SparkSpecBase {
       .select("vec_id").as[Long].collect().toSet
     assert(out === Set(1L, 4L))   // label 0 cell only, self excluded
   }
+
+  test("cellNearDupPairs = all-pairs cosine restricted to same cell") {
+    val cells = Seq((0L, 0), (1L, 0), (2L, 1), (3L, 1), (4L, 0)).toDF("vec_id", "cell")
+    val out = Similarity.cellNearDupPairs(vecs, cells, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // same-cell qualifying pair: (0,1) cos~0.994; (3 vs 2) cos~0.707 < 0.9;
+    // (0,4) cos=-1; cross-cell (1,3) cos~0.78 is NOT a candidate
+    assert(out === Set((0L, 1L)))
+  }
+
+  test("kmeans cells feed ivfTopK end-to-end on real embeddings") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cells = Similarity.kmeansCells(e, k = SparkEntry.KmeansK,
+      iters = SparkEntry.KmeansIters)
+    val n = e.count()
+    assert(cells.count() === n)                      // every vector assigned
+    val k = cells.select("cell").distinct().count()
+    assert(k > 1 && k <= SparkEntry.KmeansK)         // non-degenerate quantizer
+    val out = Similarity.ivfTopKKmeans(e, l => l.filter($"vec_id" < 3),
+      k = 3, kCells = SparkEntry.KmeansK, iters = SparkEntry.KmeansIters)
+    assert(out.count() > 0)
+    // per-query ranks are 1..k and candidates come from the query's cell
+    val ranks = out.groupBy($"q_id").agg(max($"rank").as("mx"), count(lit(1)).as("n"))
+      .select("mx", "n").as[(Int, Long)].collect()
+    assert(ranks.forall { case (mx, cnt) => mx.toLong === cnt && cnt <= 3 })
+  }
 }

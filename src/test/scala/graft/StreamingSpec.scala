@@ -126,6 +126,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows === Seq(("panel-A", "module-3", 52.4)))
   }
 
+  test("decode FAILFAST kills the query on malformed JSON, like the reference serde") {
+    val bad = Seq(
+      ("""{"power": 1.0, "name": "m", "panel": "p"}""", ts("2024-01-01 00:00:01")),
+      ("""{not json""", ts("2024-01-01 00:00:02"))
+    ).toDF("value", "timestamp")
+    // parity with JsonPojoDeserializer.java:46-49: malformed payload throws
+    assertThrows[org.apache.spark.SparkException] {
+      SolarStreaming.decode(bad, mode = "FAILFAST").collect()
+    }
+    // and a clean stream decodes fine under FAILFAST
+    val good = Seq(
+      ("""{"power": 1.5, "name": "m", "panel": "p"}""", ts("2024-01-01 00:00:01"))
+    ).toDF("value", "timestamp")
+    assert(SolarStreaming.decode(good, mode = "FAILFAST")
+      .select("power").as[Double].collect().toSeq === Seq(1.5))
+  }
+
+  test("decodeRouted splits good records from corrupt ones without dropping either") {
+    val kafka = Seq(
+      ("""{"power": 52.4, "name": "module-3", "panel": "panel-A"}""", ts("2024-01-01 00:00:01")),
+      ("""not json at all""", ts("2024-01-01 00:00:02")),
+      ("""{"power": 1.0, "name": null, "panel": "panel-B"}""", ts("2024-01-01 00:00:03"))
+    ).toDF("value", "timestamp")
+    val routed = SolarStreaming.decodeRouted(kafka)
+    val good = routed.filter(!$"is_corrupt")
+      .select("panel", "module", "power").as[(String, String, Double)].collect().toSeq
+    assert(good === Seq(("panel-A", "module-3", 52.4)))
+    // corrupt rows keep their raw payload for the quarantine sink
+    val corrupt = routed.filter($"is_corrupt").select("raw").as[String].collect().toSet
+    assert(corrupt === Set("not json at all",
+      """{"power": 1.0, "name": null, "panel": "panel-B"}"""))
+  }
+
   test("encodeAnomalies produces the nested joiner wire shape keyed by panel") {
     val anom = Seq((1704067200L, "panel-A", "module-3", 2L, 733.1, 52.4,
       3L, 4000.2, 500.0, 131072.5, 16384.1, 128.0))

@@ -30,9 +30,14 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(path):
         print(f"{name}: MISSING spark output"); fails += 1; continue
     try:
-        spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{path}/*.parquet")],
+        # arrow-backed dtypes keep SQL NULL (isna=True) distinct from float
+        # NaN (a value, isna=False) — the driver's hash gate distinguishes
+        # them, so a plain-float read that conflates both would pass locally
+        # on a real NULL-vs-NaN divergence.
+        spark_df = pd.concat([pd.read_parquet(p, dtype_backend="pyarrow")
+                              for p in glob.glob(f"{path}/*.parquet")],
                              ignore_index=True)
-        duck_df = con.sql(sql).df()
+        duck_df = con.sql(sql).arrow().to_pandas(types_mapper=pd.ArrowDtype)
     except Exception as e:
         print(f"{name}: ERROR {e}"); fails += 1; continue
     s, d = normalize(spark_df), normalize(duck_df)
@@ -43,10 +48,18 @@ for name, sql in sorted(oracle.items()):
         print(f"{name}: ROWCOUNT {len(s)} vs {len(d)}"); fails += 1; continue
     ok = True
     for c in s.columns:
-        sv, dv = s[c].values, d[c].values
-        if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
-            sv2 = pd.to_numeric(s[c]).values.astype(float)
-            dv2 = pd.to_numeric(d[c]).values.astype(float)
+        if pd.api.types.is_float_dtype(s[c].dtype) or pd.api.types.is_float_dtype(d[c].dtype):
+            s_null, d_null = s[c].isna().to_numpy(bool), d[c].isna().to_numpy(bool)
+            if (s_null != d_null).any():
+                i = int(np.argmax(s_null != d_null))
+                print(f"{name}: NULL-MASK col {c}: {int((s_null != d_null).sum())}"
+                      f"/{len(s_null)} differ (NULL vs value/NaN), e.g. row {i}: "
+                      f"spark={s[c].iloc[i]!r} duck={d[c].iloc[i]!r}")
+                ok = False
+                continue
+            # masks agree → safe to map NULL→NaN on both sides uniformly
+            sv2 = s[c].to_numpy(dtype=float, na_value=np.nan)
+            dv2 = d[c].to_numpy(dtype=float, na_value=np.nan)
             same = (sv2 == dv2) | (np.isnan(sv2) & np.isnan(dv2))
             if not same.all():
                 i = np.argmin(same)
