@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, Solar, TextAnalysis, Windows}
+import graft.operators.{AsOf, Dedup, Multimodal, Relational, Similarity, Solar, TextAnalysis, Windows}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7.
@@ -206,6 +206,23 @@ object SparkEntry {
     // in-band tolerance flags (oracle expects 1s)
     "q34_quantiles_approx" -> ((s, dir) =>
       Relational.approxQuantiles(Tables.lineitem(s, dir))),
+
+    // as-of (point-in-time) join: trades ⋈ most-recent-quote per user via
+    // the union + ordered-window rewrite (one shuffle, no range NLJ)
+    "q35_asof_join" -> ((s, dir) =>
+      AsOf.tradesWithLatestQuote(Tables.events(s, dir))
+        .filter(col("q_id").isNotNull)),
+
+    // HLL++ approximate distinct (scale path of exact q26), in-band flag
+    "q36_distinct_approx" -> ((s, dir) =>
+      Relational.approxDistinct(Tables.lineitem(s, dir))),
+
+    // CUBE grouping sets (completes rollup/cube family)
+    "q37_cube" -> ((s, dir) => Relational.cubeTotals(Tables.lineitem(s, dir))),
+
+    // INTERSECT set operation (completes EXCEPT from q30)
+    "q38_intersect" -> ((s, dir) =>
+      Relational.mixedValueCustomers(Tables.orders(s, dir), threshold = 250000.0)),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -674,5 +691,44 @@ object SparkEntry {
         |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
         |       1 AS p50_ok, 1 AS p95_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // mirrors AsOf.asOfJoin's union + ordered-window rewrite stage for
+    // stage (same tie semantics: equal-time quotes visible, max q_id wins)
+    "q35_asof_join" ->
+      """WITH base AS (
+        |  SELECT event_id, epoch_us(ts) AS t, user_id, value FROM events),
+        |u AS (
+        |  SELECT user_id, t, 1 AS side, NULL::BIGINT AS ord,
+        |         event_id, round(value, 4) AS value,
+        |         NULL::BIGINT AS q_id, NULL::DOUBLE AS q_value
+        |  FROM base WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT user_id, t, 0 AS side, event_id AS ord,
+        |         NULL::BIGINT, NULL::DOUBLE, event_id, round(value, 4)
+        |  FROM base WHERE event_id % 2 = 1),
+        |j AS (
+        |  SELECT event_id, user_id, t, value, side,
+        |         last_value(q_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |           ORDER BY t, side, ord ROWS UNBOUNDED PRECEDING) AS a_q_id,
+        |         last_value(q_value IGNORE NULLS) OVER (PARTITION BY user_id
+        |           ORDER BY t, side, ord ROWS UNBOUNDED PRECEDING) AS a_q_value
+        |  FROM u)
+        |SELECT event_id, user_id, t, value, a_q_id AS q_id, a_q_value AS q_value
+        |FROM j WHERE side = 1 AND a_q_id IS NOT NULL""".stripMargin,
+
+    // exact distinct counts checked exactly; HLL asserts in-band
+    "q36_distinct_approx" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, 1 AS hll_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q37_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q38_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice <= 250000.0""".stripMargin,
   )
 }

@@ -115,4 +115,43 @@ object Relational {
       .select(col("o_custkey").as("custkey"))
     high.except(low)
   }
+
+  /** Set operation: customers with BOTH high and low orders — INTERSECT
+    * over the two key sets (EXCEPT's sibling, same one-shuffle shape).
+    */
+  def mixedValueCustomers(orders: DataFrame, threshold: Double): DataFrame = {
+    val high = orders.filter(col("o_totalprice") > threshold)
+      .select(col("o_custkey").as("custkey"))
+    val low = orders.filter(col("o_totalprice") <= threshold)
+      .select(col("o_custkey").as("custkey"))
+    high.intersect(low)
+  }
+
+  /** CUBE grouping sets (all four of {flag}×{status} subtotals in one
+    * Expand pass) — completes the grouping-sets family next to
+    * [[rollupTotals]].
+    */
+  def cubeTotals(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+
+  /** HLL++ approximate distinct counts — the 100 TB path for
+    * [[distinctCounts]]: exact count-distinct shuffles every distinct key;
+    * the HLL sketch is fixed-size (relativeSD=0.05 → ~1.5 KB) and merges
+    * map-side. Gated like [[approxQuantiles]]: exact counts are
+    * oracle-checked, the sketch asserts itself in-band via a flag the
+    * oracle expects to be 1.
+    */
+  def approxDistinct(lineitem: DataFrame, relTol: Double = 0.15): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("a_parts"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("a_parts") - col("n_parts")) <= lit(relTol) * col("n_parts"))
+          .cast("int").as("hll_ok"))
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** As-of join semantics: most-recent-right-row-per-left-row, `<=` time
+  * inclusion, deterministic equal-time tie-break, null for no-match, and
+  * the no-NLJ plan shape.
+  */
+class AsOfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // left: (key, t, name); right: (key, t, ord, px)
+  private def left = Seq(
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 5L, "l0"), ("b", 10L, "l3")
+  ).toDF("k", "t", "name")
+  private def right = Seq(
+    ("a", 8L, 1L, 100.0), ("a", 10L, 2L, 110.0), ("a", 10L, 3L, 120.0),
+    ("a", 15L, 4L, 130.0), ("b", 99L, 5L, 140.0)
+  ).toDF("k", "t", "ord", "px")
+
+  test("asOfJoin attaches the most recent right row, <= inclusive, max-ord tie-break") {
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "t", "ord", Seq("ord", "px"))
+      .select("name", "ord", "px").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out === Set(
+      ("l0", None, None),               // t=5: no quote yet
+      ("l1", Some(3L), Some(120.0)),    // t=10: equal-time quotes visible, ord 3 wins
+      ("l2", Some(4L), Some(130.0)),    // t=20: latest is t=15
+      ("l3", None, None)))              // b: quote only at t=99 > 10
+  }
+
+  test("asOfJoin plan is shuffle+window, not a nested-loop range join") {
+    val plan = AsOf.asOfJoin(left, right, Seq("k"), "t", "ord", Seq("px"))
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range-join NLJ shape in plan:\n$plan")
+    assert(plan.contains("Window"), s"expected Window operator:\n$plan")
+  }
+
+  test("tradesWithLatestQuote matches a per-row reference on real events") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val base = ev.select(col("event_id"), unix_micros(col("ts")).as("t"),
+      col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val quotes = base.filter(_._1 % 2 == 1)
+    def expectedFor(uid: Long, t: Long): Option[(Long, Double)] = {
+      val c = quotes.filter(q => q._3 == uid && q._2 <= t)
+      if (c.isEmpty) None
+      // max by (t, q_id) — same tie semantics as the operator
+      else { val m = c.maxBy(q => (q._2, q._1)); Some((m._1, math.rint(m._4 * 1e4) / 1e4)) }
+    }
+    val got = AsOf.tradesWithLatestQuote(ev)
+      .filter(col("q_id").isNotNull)
+      .select("event_id", "user_id", "t", "q_id", "q_value").collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getDouble(4)))).toMap
+    val trades = base.filter(_._1 % 2 == 0)
+    val expected = trades.flatMap(tr => expectedFor(tr._3, tr._2).map(tr._1 -> _)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+}

@@ -52,6 +52,33 @@ class RelationalSpec extends SparkSpecBase {
     assert(w.toSeq === Seq(1704067200L, 1704067230L))
   }
 
+  test("approx distinct lands within tolerance of exact (flags all 1)") {
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val out = Relational.approxDistinct(li).select("hll_ok").as[Int].collect()
+    assert(out.nonEmpty && out.forall(_ === 1))
+  }
+
+  test("cube emits all four grouping sets") {
+    val li = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("R", "F", 3.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val out = Relational.cubeTotals(li)
+      .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out.contains((None, None, 3L, 6.0)))            // grand total
+    assert(out.contains((Some("A"), None, 2L, 3.0)))       // by flag
+    assert(out.contains((None, Some("F"), 2L, 4.0)))       // by status (cube-only)
+    assert(out.contains((Some("A"), Some("O"), 1L, 2.0)))  // full detail
+  }
+
+  test("intersect finds customers present in both order-value classes") {
+    val o = Seq((1L, 100.0), (1L, 400.0), (2L, 500.0), (3L, 50.0))
+      .toDF("o_custkey", "o_totalprice")
+    val out = Relational.mixedValueCustomers(o, threshold = 250.0)
+      .as[Long].collect().toSet
+    assert(out === Set(1L)) // only customer 1 has both high and low orders
+  }
+
   test("approx quantiles land within tolerance of exact (flags all 1)") {
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val out = Relational.approxQuantiles(li)
