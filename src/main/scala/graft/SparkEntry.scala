@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AsOf, Dedup, Multimodal, Relational, Similarity, Solar, TextAnalysis, Windows}
+import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Relational, Similarity, Skew, Solar, TextAnalysis, Windows}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7.
@@ -223,6 +223,25 @@ object SparkEntry {
     // INTERSECT set operation (completes EXCEPT from q30)
     "q38_intersect" -> ((s, dir) =>
       Relational.mixedValueCustomers(Tables.orders(s, dir), threshold = 250000.0)),
+
+    // interval join: error→purchase-within-1h proximity pairs via
+    // bin-bucketed equi-join (no non-equi NLJ; see RangeJoin scaladoc)
+    "q39_range_join" -> ((s, dir) =>
+      RangeJoin.proximityPairs(Tables.events(s, dir),
+        typeA = "error", typeB = "purchase", tolSec = 3600)),
+
+    // salted skew join: result must be IDENTICAL to the plain join (only
+    // the partitioning changes) — the oracle is the unsalted join
+    "q40_salted_join" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
+        dim, "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+    }),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -730,5 +749,19 @@ object SparkEntry {
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice <= 250000.0""".stripMargin,
+
+    "q39_range_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON b.user_id = a.user_id
+        | AND a.event_type = 'error' AND b.event_type = 'purchase'
+        | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 3600000000""".stripMargin,
+
+    "q40_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval / time-proximity join — the other range-shaped operator class
+  * (next to [[AsOf]]) with no Spark built-in: pair rows of two streams
+  * whose event times fall within a tolerance of each other.
+  *
+  * Scale shape: the naive predicate `abs(t_b - t_a) <= tol` is non-equi →
+  * BroadcastNestedLoopJoin. The standard rewrite buckets time into
+  * tol-width bins and replicates the right side into its bin ± 1: any
+  * qualifying pair must then share a (key, bin) cell, so candidates are an
+  * equi-join and the exact predicate only verifies. 3× replication of one
+  * side buys an all-equi shuffle plan — the same trick as the simhash
+  * block buckets (q31), applied to continuous time instead of hamming
+  * space. Each qualifying pair lands in exactly one shared bin (the right
+  * row's three bins are distinct), so no dedup pass is needed.
+  */
+object RangeJoin {
+
+  /** Pairs of (typeA, typeB) events of the same user within `tolSec` of
+    * each other, via the bin-bucketed equi-join. dt_us = t_b − t_a (signed
+    * microseconds).
+    */
+  def proximityPairs(events: DataFrame, typeA: String, typeB: String,
+                     tolSec: Long): DataFrame = {
+    val tol = tolSec * 1000000L
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("user_id"), col("event_id").as("id_a"),
+        unix_micros(col("ts")).as("t_a"))
+      .withColumn("bin", expr(s"t_a div ${tol}L"))
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("user_id"), col("event_id").as("id_b"),
+        unix_micros(col("ts")).as("t_b"))
+      .withColumn("bin0", expr(s"t_b div ${tol}L"))
+      .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"), col("bin0") + 1)))
+      .drop("bin0")
+    a.join(b, Seq("user_id", "bin"))
+      .filter(abs(col("t_b") - col("t_a")) <= tol)
+      .select(col("id_a"), col("id_b"), col("user_id"),
+        (col("t_b") - col("t_a")).as("dt_us"))
+  }
+}

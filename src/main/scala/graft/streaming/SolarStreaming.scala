@@ -182,6 +182,62 @@ object SolarStreaming {
         col("p_cnt"), col("p_sum_power"), col("p_avg_power"))
   }
 
+  /** The ENTIRE reference topology as chained stateful streaming operators
+    * — no foreachBatch anywhere: module agg and panel agg (each watermarked)
+    * → stream-stream join #1 → windowed variance re-aggregation →
+    * stream-stream join #2 → z-filter. Every hop the reference built from
+    * repartition topics + RocksDB stores + suppression
+    * (`SolarConsumer.java:94-196`) is here a shuffle + state store with the
+    * watermark propagated through all five stateful operators (Spark's
+    * multiple-stateful-operator support); every window emits exactly once.
+    *
+    * State cost is ~3× [[startAnomalyQuery]]'s single-store design (the
+    * module aggregate is computed by two independent subplans and the join
+    * buffers both sides), which is why foreachBatch stays the recommended
+    * deployment — but this is the full in-engine twin for users porting
+    * the topology operator for operator.
+    */
+  def anomalyPipelineStream(normalized: DataFrame,
+                            windowDuration: String = Solar.WindowDuration,
+                            watermarkDelay: String = "30 seconds",
+                            z: Double = Solar.Z): DataFrame = {
+    def moduleAggW = normalized
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"),
+        col("panel"), col("module"))
+      .agg(
+        count(lit(1)).as("m_cnt"),
+        sum(col("power")).as("m_sum_power"),
+        round(avg(col("power")), 1).as("m_avg_power"))
+    val panelAggW = normalized
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration).as("w"),
+        col("panel"), col("module"))
+      .agg(sum(col("power")).as("ms"))
+      .groupBy(window(col("w"), windowDuration).as("w"), col("panel"))
+      .agg(
+        count(lit(1)).as("p_cnt"),
+        sum(col("ms")).as("p_sum_power"),
+        round(avg(col("ms")), 1).as("p_avg_power"))
+    val j1 = moduleAggW.join(panelAggW, Seq("w", "panel"))
+    val panelFinalW = j1
+      .groupBy(window(col("w"), windowDuration).as("w"), col("panel"))
+      .agg(
+        count(lit(1)).as("p_cnt"),
+        max(col("p_sum_power")).as("p_sum_power"),
+        max(col("p_avg_power")).as("p_avg_power"),
+        sum(pow(col("m_sum_power") - col("p_avg_power"), 2)).as("squares_sum"))
+      .withColumn("variance", col("squares_sum") / col("p_cnt"))
+      .withColumn("deviance", round(sqrt(col("variance")), 1))
+    moduleAggW.join(panelFinalW, Seq("w", "panel"))
+      .filter(abs(col("m_sum_power") - col("p_avg_power")) > lit(z) * col("deviance"))
+      .select(col("w").getField("start").cast("long").as("w_start"),
+        col("panel"), col("module"),
+        col("m_cnt"), col("m_sum_power"), col("m_avg_power"),
+        col("p_cnt"), col("p_sum_power"), col("p_avg_power"),
+        col("squares_sum"), col("variance"), col("deviance"))
+  }
+
   /** Finalized module aggregates → anomalies, batch stages reused verbatim
     * (rows 10-16). Runs inside foreachBatch on append-mode output.
     */

@@ -39,6 +39,23 @@ class AsOfSpec extends SparkSpecBase {
     assert(plan.contains("Window"), s"expected Window operator:\n$plan")
   }
 
+  test("bin-bucketed proximity join equals the brute-force interval join") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val got = graft.operators.RangeJoin
+      .proximityPairs(ev, "error", "purchase", tolSec = 3600)
+      .select("id_a", "id_b", "dt_us").as[(Long, Long, Long)].collect().toSet
+    val base = ev.select(col("event_id"), unix_micros(col("ts")).as("t"),
+      col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val as = base.filter(_._4 == "error"); val bs = base.filter(_._4 == "purchase")
+    val expected = (for {
+      a <- as; b <- bs
+      if a._3 == b._3 && math.abs(b._2 - a._2) <= 3600000000L
+    } yield (a._1, b._1, b._2 - a._2)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("tradesWithLatestQuote matches a per-row reference on real events") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val base = ev.select(col("event_id"), unix_micros(col("ts")).as("t"),

@@ -62,6 +62,37 @@ class StreamStreamJoinSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("fully in-engine streaming pipeline matches the batch pipeline") {
+    // module-heavy fixture so the z-filter actually selects rows
+    val data = Seq(
+      (ts("2024-01-01 00:00:01"), "p1", "m1", 10.0),
+      (ts("2024-01-01 00:00:02"), "p1", "m2", 10.0),
+      (ts("2024-01-01 00:00:03"), "p1", "m3", 40.0),
+      (ts("2024-01-01 00:00:04"), "p2", "m1", 5.0),
+      (ts("2024-01-01 00:00:14"), "p2", "m2", 7.0),
+      (ts("2024-01-01 00:00:35"), "p1", "m1", 3.0),
+      (ts("2024-01-01 00:00:36"), "p1", "m2", 30.0))
+    val expected = Solar.pipeline(data.toDF("ts", "event_type", "user_id", "value"))
+      .select("w_start", "panel", "module", "m_sum_power", "deviance")
+      .as[(Long, String, String, Double, Double)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val (input, df) = newInput()
+    val name = s"full_${System.nanoTime()}"
+    val query = SolarStreaming.anomalyPipelineStream(df)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(data: _*)
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 00:10:00"), "p9", "m9", 1.0)) // close windows
+      query.processAllAvailable()
+      val got = spark.table(name)
+        .select("w_start", "panel", "module", "m_sum_power", "deviance")
+        .as[(Long, String, String, Double, Double)].collect().toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("joined rows emit only after the watermark finalizes both sides") {
     val (input, df) = newInput()
     val name = s"ssj_emit_${System.nanoTime()}"
