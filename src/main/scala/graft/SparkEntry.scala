@@ -230,6 +230,9 @@ object SparkEntry {
       RangeJoin.proximityPairs(Tables.events(s, dir),
         typeA = "error", typeB = "purchase", tolSec = 3600)),
 
+    // PIVOT with a static value list (one aggregation pass)
+    "q41_pivot" -> ((s, dir) => Relational.pivotQuantities(Tables.lineitem(s, dir))),
+
     // salted skew join: result must be IDENTICAL to the plain join (only
     // the partitioning changes) — the oracle is the unsalted join
     "q40_salted_join" -> ((s, dir) => {
@@ -763,5 +766,12 @@ object SparkEntry {
         |       round(sum(o_totalprice), 4) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // pivot = conditional aggregation with a static value list
+    "q41_pivot" ->
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+        |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 }

@@ -138,6 +138,19 @@ object Relational {
         count(lit(1)).as("n_rows"),
         round(sum(col("l_quantity")), 4).as("sum_qty"))
 
+  /** PIVOT: per-linestatus quantity columns per return flag, with an
+    * explicit value list so the output schema is static (dynamic pivot
+    * would need a discovery pass — an extra job at 100 TB; a fixed value
+    * list keeps it one aggregation).
+    */
+  def pivotQuantities(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 4))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+
   /** HLL++ approximate distinct counts — the 100 TB path for
     * [[distinctCounts]]: exact count-distinct shuffles every distinct key;
     * the HLL sketch is fixed-size (relativeSD=0.05 → ~1.5 KB) and merges
