@@ -233,6 +233,11 @@ object SparkEntry {
     // PIVOT with a static value list (one aggregation pass)
     "q41_pivot" -> ((s, dir) => Relational.pivotQuantities(Tables.lineitem(s, dir))),
 
+    // global ORDER BY + LIMIT (TakeOrderedAndProject: per-partition heaps,
+    // no full sort/shuffle)
+    "q42_global_topn" -> ((s, dir) =>
+      Relational.globalTopOrders(Tables.orders(s, dir), n = 20)),
+
     // salted skew join: result must be IDENTICAL to the plain join (only
     // the partitioning changes) — the oracle is the unsalted join
     "q40_salted_join" -> ((s, dir) => {
@@ -773,5 +778,9 @@ object SparkEntry {
         |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
         |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q42_global_topn" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM orders ORDER BY round(o_totalprice, 4) DESC, o_orderkey ASC LIMIT 20""".stripMargin,
   )
 }

@@ -138,6 +138,17 @@ object Relational {
         count(lit(1)).as("n_rows"),
         round(sum(col("l_quantity")), 4).as("sum_qty"))
 
+  /** Global top-N: ORDER BY + LIMIT executes as TakeOrderedAndProject —
+    * each partition keeps a local N-row heap and only those heaps travel
+    * to the driver, so there is NO full sort and NO full shuffle of the
+    * table at any scale. Tie-broken on the key for determinism.
+    */
+  def globalTopOrders(orders: DataFrame, n: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(n)
+
   /** PIVOT: per-linestatus quantity columns per return flag, with an
     * explicit value list so the output schema is static (dynamic pivot
     * would need a discovery pass — an extra job at 100 TB; a fixed value

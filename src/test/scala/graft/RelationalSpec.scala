@@ -52,6 +52,14 @@ class RelationalSpec extends SparkSpecBase {
     assert(w.toSeq === Seq(1704067200L, 1704067230L))
   }
 
+  test("global top-n plans as TakeOrderedAndProject and orders correctly") {
+    val o = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val df = Relational.globalTopOrders(o, 5)
+    assert(df.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
+    val prices = df.select("o_totalprice").as[Double].collect()
+    assert(prices.length === 5 && prices.sameElements(prices.sortBy(-_)))
+  }
+
   test("approx distinct lands within tolerance of exact (flags all 1)") {
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val out = Relational.approxDistinct(li).select("hll_ok").as[Int].collect()
