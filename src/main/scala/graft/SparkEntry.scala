@@ -250,6 +250,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 4).as("sum_price"))
     }),
+
+    // LEFT OUTER join + aggregate (null-extension semantics)
+    "q43_outer_join" -> ((s, dir) =>
+      Relational.customerOrderTotals(Tables.customer(s, dir), Tables.orders(s, dir))),
+
+    // collect_list with pinned ordering, rendered engine-portably
+    "q44_collect_csv" -> ((s, dir) => Relational.orderPricesCsv(Tables.orders(s, dir))),
+
+    // analytic window functions: running sum, lag, ntile
+    "q45_window_analytics" -> ((s, dir) =>
+      Relational.orderRunningStats(Tables.orders(s, dir))),
+
+    // date scalar functions: year/month extraction + aggregate
+    "q46_dates" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -782,5 +796,32 @@ object SparkEntry {
     "q42_global_topn" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
         |FROM orders ORDER BY round(o_totalprice, 4) DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q43_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       coalesce(round(sum(o_totalprice), 4), 0.0) AS sum_price
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q44_collect_csv" ->
+      """SELECT o_custkey,
+        |       string_agg(CAST(round(o_totalprice) AS BIGINT), ','
+        |         ORDER BY CAST(round(o_totalprice) AS BIGINT)) AS prices_csv
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q45_window_analytics" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+        |       round(sum(round(o_totalprice, 4)) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING), 4) AS running_total,
+        |       coalesce(lag(round(o_totalprice, 4), 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderkey), 0.0) AS prev_price,
+        |       CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INTEGER)
+        |         AS quartile
+        |FROM orders""".stripMargin,
+
+    "q46_dates" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
   )
 }

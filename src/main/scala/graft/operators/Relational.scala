@@ -138,6 +138,56 @@ object Relational {
         count(lit(1)).as("n_rows"),
         round(sum(col("l_quantity")), 4).as("sum_qty"))
 
+  /** LEFT OUTER join + aggregate: every customer with their order count
+    * and total, zero/0.0 for customers with no orders (count skips the
+    * null-extended rows; the sum is coalesced identically in the oracle).
+    */
+  def customerOrderTotals(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(round(sum(col("o_totalprice")), 4), lit(0.0)).as("sum_price"))
+
+  /** collect_list + deterministic ordering: per-customer CSV of rounded
+    * order prices. collect_list's arrival order is nondeterministic, so
+    * sort_array pins it; values are rounded to integer longs so the
+    * string rendering is engine-portable.
+    */
+  def orderPricesCsv(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(array_join(
+        sort_array(collect_list(round(col("o_totalprice")).cast("long"))), ",")
+        .as("prices_csv"))
+
+  /** Analytic window functions over a running frame: per-customer running
+    * total, previous-order price (lag), and quartile bucket (ntile) in
+    * order-key order — the ranking/analytic/frame classes SURVEY §2.13
+    * lists as absent from the reference.
+    */
+  def orderRunningStats(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("price"))
+      .withColumn("running_total", round(sum(col("price")).over(running), 4))
+      .withColumn("prev_price", coalesce(lag(col("price"), 1).over(w), lit(0.0)))
+      .withColumn("quartile", ntile(4).over(w))
+  }
+
+  /** Date/time scalar functions: order counts per (year, month) — the
+    * date-function class (extract/trunc) absent from the reference.
+    */
+  def ordersByMonth(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+
   /** Global top-N: ORDER BY + LIMIT executes as TakeOrderedAndProject —
     * each partition keeps a local N-row heap and only those heaps travel
     * to the driver, so there is NO full sort and NO full shuffle of the

@@ -52,6 +52,31 @@ class RelationalSpec extends SparkSpecBase {
     assert(w.toSeq === Seq(1704067200L, 1704067230L))
   }
 
+  test("outer join keeps customers with no orders at count 0 / sum 0.0") {
+    val c = Seq((1L, "x"), (2L, "y")).toDF("c_custkey", "c_name")
+    val o = Seq((10L, 1L, 100.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Relational.customerOrderTotals(c, o)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 1L, 100.0), (2L, 0L, 0.0)))
+  }
+
+  test("collect csv pins ordering regardless of arrival order") {
+    val o = Seq((1L, 1L, 300.4), (2L, 1L, 100.6), (3L, 1L, 200.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Relational.orderPricesCsv(o).as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "101,200,300"))) // rounded longs, ascending
+  }
+
+  test("running window stats: cumulative sum, lag with 0 default, quartiles") {
+    val o = Seq((1L, 9L, 10.0), (2L, 9L, 20.0), (3L, 9L, 30.0), (4L, 9L, 40.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val out = Relational.orderRunningStats(o)
+      .select("o_orderkey", "running_total", "prev_price", "quartile")
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 10.0, 0.0, 1), (2L, 30.0, 10.0, 2),
+      (3L, 60.0, 20.0, 3), (4L, 100.0, 30.0, 4)))
+  }
+
   test("global top-n plans as TakeOrderedAndProject and orders correctly") {
     val o = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
     val df = Relational.globalTopOrders(o, 5)
