@@ -285,6 +285,22 @@ object SolarStreaming {
           col("variance"),
           col("deviance")).as("solarPanelAggregator"))).as("value"))
 
+  /** Observability taps (SURVEY §2 row 4): the reference peppers the
+    * topology with five log-everything foreach stages
+    * (`SolarConsumer.java:102-104,117-119,131-133,159-161,175-182`) — a
+    * per-record side effect on the hot path. The Spark-native analog is
+    * `Dataset.observe`: named aggregate metrics computed INLINE with the
+    * plan (accumulator-backed — no second scan, no action, no per-record
+    * logging cost), surfaced per micro-batch in
+    * `StreamingQueryProgress.observedMetrics(name)` and to
+    * `QueryExecutionListener` in batch. Attach one per stage to mirror the
+    * reference's five taps without its overhead.
+    */
+  def observed(df: DataFrame, name: String): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(col("power")).as("sum_power"))
+
   /** Kafka sink (row 18): exactly-once via checkpointing — a strict
     * upgrade over the reference's at-least-once (`SolarConsumer
     * .java:203-212` sets no EOS config).

@@ -126,6 +126,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows === Seq(("panel-A", "module-3", 52.4)))
   }
 
+  test("observe surfaces per-micro-batch metrics without a second scan") {
+    val (input, df) = newInput()
+    val name = s"obs_${System.nanoTime()}"
+    val query = SolarStreaming.moduleAggStream(SolarStreaming.observed(df, "raw_tap"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:01"), "p1", "m1", 10.0),
+        (ts("2024-01-01 00:00:02"), "p1", "m2", 30.0))
+      query.processAllAvailable()
+      // processAllAvailable runs a trailing empty batch — read the tap
+      // from the batch that actually consumed the input
+      val m = query.recentProgress.filter(_.numInputRows > 0).flatMap(p =>
+        Option(p.observedMetrics.get("raw_tap"))).last
+      assert(m.getAs[Long]("n_rows") === 2L)
+      assert(m.getAs[Double]("sum_power") === 40.0)
+    } finally query.stop()
+  }
+
   test("decode FAILFAST kills the query on malformed JSON, like the reference serde") {
     val bad = Seq(
       ("""{"power": 1.0, "name": "m", "panel": "p"}""", ts("2024-01-01 00:00:01")),
