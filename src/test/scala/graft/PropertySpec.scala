@@ -84,6 +84,33 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("as-of join matches brute force on random data with time collisions") {
+    // small time domain forces equal-time ties; the property pins the
+    // <=-inclusive, max-tiebreak semantics of AsOf.asOfJoin
+    case class R(k: String, t: Long, id: Long)
+    val genRows: Gen[(List[R], List[R])] = for {
+      n <- Gen.choose(1, 25); m <- Gen.choose(1, 25)
+      lks <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 12L)))
+      rks <- Gen.listOfN(m, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 12L)))
+    } yield (
+      lks.zipWithIndex.map { case ((k, t), i) => R(k, t, i.toLong) },
+      rks.zipWithIndex.map { case ((k, t), i) => R(k, t, 1000L + i) })
+    check(Prop.forAll(genRows) { case (ls, rs) =>
+      val left = ls.map(r => (r.k, r.t, r.id)).toDF("k", "t", "lid")
+      val right = rs.map(r => (r.k, r.t, r.id, r.id * 10.0)).toDF("k", "t", "rid", "px")
+      val got = graft.operators.AsOf
+        .asOfJoin(left, right, Seq("k"), "t", "rid", Seq("rid", "px"))
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val expected = ls.map { l =>
+        val c = rs.filter(r => r.k == l.k && r.t <= l.t)
+        l.id -> (if (c.isEmpty) None
+                 else Some(c.maxBy(r => (r.t, r.id)).id))
+      }.toMap
+      got == expected
+    })
+  }
+
   test("anomaly verdicts match Java double z-score semantics (Inf/NaN edges)") {
     check(Prop.forAll(genEvents) { evs =>
       val m = refModuleAgg(evs)
