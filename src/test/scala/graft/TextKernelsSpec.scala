@@ -59,6 +59,20 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(fps(0) === md5hex("a b c"))
   }
 
+  test("quality of an empty document is NULL, never NaN (division guard)") {
+    // 0/0 would be NaN in Spark but NULL in DuckDB — the NULLIF-style
+    // guard must make both engines produce NULL (ADVICE r1, q18 gate risk)
+    val df = Seq((1L, ""), (2L, "real text here")).toDF("doc_id", "text")
+    val out = TextAnalysis.quality(df)
+      .select("doc_id", "punct_ratio", "quality").collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) === ((true, true)))   // NULL, not NaN
+    assert(out(2L) === ((false, false)))
+    val vals = TextAnalysis.quality(df).filter($"doc_id" === 2)
+      .select("quality").as[Double].head()
+    assert(!vals.isNaN)
+  }
+
   test("langId picks the dominant stopword dictionary, und when none match") {
     val df = Seq(
       (1L, "the cat and the dog"),
