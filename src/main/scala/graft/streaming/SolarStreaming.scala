@@ -182,6 +182,41 @@ object SolarStreaming {
         col("p_cnt"), col("p_sum_power"), col("p_avg_power"))
   }
 
+  /** Time-interval stream-stream join — the literal semantics of Kafka
+    * Streams' `JoinWindows.of(30 s)` (`SolarConsumer.java:57,142-147`):
+    * pair records of two streams whose event times are within a tolerance,
+    * not records sharing a window key. In the reference topology the
+    * window key pins the join exactly, making the ±30 s tolerance vacuous
+    * ([[streamStreamJoin]]); this operator is the general form for when it
+    * is NOT vacuous. Spark derives a state watermark from the time-range
+    * condition, so each side's join state is evicted once the other
+    * side's watermark passes `ts ± tol` — state is bounded by
+    * (watermark delay + tolerance), never by stream length.
+    *
+    * Demo instance: same-panel co-occurrence — each reading paired with
+    * every other module's reading on the same panel within the tolerance
+    * (module ordering excludes self/duplicate pairs).
+    */
+  def coReadingsStream(normalized: DataFrame, tolSec: Int = 30,
+                       watermarkDelay: String = "30 seconds"): DataFrame = {
+    val l = normalized
+      .select(col("ts").as("l_ts"), col("panel"),
+        col("module").as("l_module"), col("power").as("l_power"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = normalized
+      .select(col("ts").as("r_ts"), col("panel").as("r_panel"),
+        col("module").as("r_module"), col("power").as("r_power"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r, expr(
+      s"""panel = r_panel AND l_module < r_module AND
+         |r_ts BETWEEN l_ts - INTERVAL $tolSec SECONDS
+         |         AND l_ts + INTERVAL $tolSec SECONDS""".stripMargin))
+      .select(unix_micros(col("l_ts")).as("l_t"), col("panel"),
+        col("l_module"), col("r_module"),
+        unix_micros(col("r_ts")).as("r_t"),
+        col("l_power"), col("r_power"))
+  }
+
   /** The ENTIRE reference topology as chained stateful streaming operators
     * — no foreachBatch anywhere: module agg and panel agg (each watermarked)
     * → stream-stream join #1 → windowed variance re-aggregation →

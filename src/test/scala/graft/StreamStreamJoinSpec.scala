@@ -93,6 +93,32 @@ class StreamStreamJoinSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("time-interval stream-stream join matches the batch range join") {
+    val rows = Seq(
+      (ts("2024-01-01 00:00:01"), "p1", "m1", 1.0),
+      (ts("2024-01-01 00:00:20"), "p1", "m2", 2.0),  // within 30s of m1
+      (ts("2024-01-01 00:01:10"), "p1", "m3", 3.0),  // beyond 30s of both
+      (ts("2024-01-01 00:00:05"), "p2", "m1", 4.0)) // other panel
+    val batch = rows.toDF("ts", "panel", "module", "power")
+    val expected = SolarStreaming.coReadingsStream(batch)
+      .select("panel", "l_module", "r_module")
+      .as[(String, String, String)].collect().toSet
+    assert(expected === Set(("p1", "m1", "m2"))) // sanity of the fixture
+
+    val (input, df) = newInput()
+    val name = s"ivj_${System.nanoTime()}"
+    val query = SolarStreaming.coReadingsStream(df)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      input.addData((ts("2024-01-01 00:10:00"), "p9", "m9", 0.0)) // advance watermark
+      query.processAllAvailable()
+      val got = spark.table(name).select("panel", "l_module", "r_module")
+        .as[(String, String, String)].collect().toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
+
   test("joined rows emit only after the watermark finalizes both sides") {
     val (input, df) = newInput()
     val name = s"ssj_emit_${System.nanoTime()}"
