@@ -264,6 +264,20 @@ object SparkEntry {
 
     // date scalar functions: year/month extraction + aggregate
     "q46_dates" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
+
+    // SQL surface end-to-end: the same engine through spark.sql, including
+    // a GraftExtensions-registered custom expression (sim_hash16) — proves
+    // SQL users get bit-identical results to the DataFrame API
+    "q47_sql_surface" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id, sim_hash16(split(lower(text), ' ')) AS simhash
+              |FROM documents_v""".stripMargin)
+        .filter(col("simhash").isNotNull)
+    }),
+
+    // lateral view / explode: per-document top-3 tokens by frequency
+    "q48_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(Tables.documents(s, dir), k = 3)),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -823,5 +837,19 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    // same simhash math as q12/q31, reached through the SQL surface
+    "q47_sql_surface" ->
+      (docCtes.stripSuffix("\n") + ",\n" + simhashCtes.stripSuffix(",\n") + "\n" +
+        "SELECT doc_id, simhash FROM simhash_t"),
+
+    "q48_top_tokens" ->
+      """WITH toks2 AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS n FROM toks2 GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY n DESC, tok ASC) AS INTEGER) AS rn FROM cnt)
+        |SELECT doc_id, tok, n, rn FROM r WHERE rn <= 3""".stripMargin,
   )
 }

@@ -100,6 +100,23 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0)))
         .as("re_tokens"))
 
+  /** Per-document top-k tokens by frequency: explode (lateral view) →
+    * count per (doc, token) → ranking window with deterministic token
+    * tie-break. The explode fans out |tokens| rows but the very next
+    * aggregation collapses them with map-side partial combine, so the
+    * shuffled volume is distinct (doc, token) pairs, not token instances.
+    */
+  def topTokens(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("n").desc, col("tok").asc)
+    docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Canonical text: lower-cased, runs of spaces collapsed, trimmed. */
