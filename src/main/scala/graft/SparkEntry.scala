@@ -278,6 +278,15 @@ object SparkEntry {
     // lateral view / explode: per-document top-3 tokens by frequency
     "q48_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), k = 3)),
+
+    // RANGE-frame analytic window: trailing-1h by event time (tie-safe)
+    "q49_range_frame" -> ((s, dir) =>
+      Windows.trailingHourStats(Tables.events(s, dir))),
+
+    // scalar string-function battery (upper/substr/reverse/translate/
+    // concat_ws/lpad)
+    "q50_string_funcs" -> ((s, dir) =>
+      TextAnalysis.stringFunctions(Tables.documents(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -851,5 +860,23 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |  ORDER BY n DESC, tok ASC) AS INTEGER) AS rn FROM cnt)
         |SELECT doc_id, tok, n, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "q49_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS t,
+        |       count(*) OVER w AS n_trailing,
+        |       round(sum(value) OVER w, 4) AS sum_trailing
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q50_string_funcs" ->
+      """SELECT doc_id,
+        |       upper(substr(text, 1, 12)) AS head_upper,
+        |       reverse(substr(text, 1, 8)) AS head_rev,
+        |       length(replace(replace(replace(replace(replace(text,
+        |         'a',''),'e',''),'i',''),'o',''),'u','')) AS n_consonant_chars,
+        |       'doc' || '|' || doc_id || '|' || length(text) AS tagged,
+        |       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id
+        |FROM documents""".stripMargin,
   )
 }

@@ -117,6 +117,21 @@ object TextAnalysis {
       .filter(col("rn") <= k)
   }
 
+  /** Scalar string-function battery over the documents table — the
+    * string-function class the reference never touches (its only string
+    * work is whole-record JSON). Every function here is a codegen'd
+    * built-in with a bit-identical DuckDB twin.
+    */
+  def stringFunctions(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 12)).as("head_upper"),
+      reverse(substring(col("text"), 1, 8)).as("head_rev"),
+      length(translate(col("text"), "aeiou", "")).as("n_consonant_chars"),
+      concat_ws("|", lit("doc"), col("doc_id"),
+        length(col("text"))).as("tagged"),
+      lpad(col("doc_id").cast("string"), 8, "0").as("padded_id"))
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Canonical text: lower-cased, runs of spaces collapsed, trimmed. */

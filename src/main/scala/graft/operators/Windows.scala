@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Window shapes beyond the reference's tumbling windows (SURVEY.md §2.13:
@@ -36,4 +37,22 @@ object Windows {
       .select(unix_micros(col("w.start")).as("s_start"),
         unix_micros(col("w.end")).as("s_end"),
         col("user_id"), col("cnt"), col("sum_value"))
+
+  /** RANGE-frame analytic window: per-user trailing-1h moving sum/count by
+    * EVENT TIME (value-based frame), vs the row-count frames of
+    * `Relational.orderRunningStats`. Range frames are tie-safe by
+    * construction — all rows sharing the order key are peers and enter the
+    * frame together, so no tie-break column is needed for determinism.
+    */
+  def trailingHourStats(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-hourUs, 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing", round(sum(col("value")).over(w), 4))
+      .drop("value")
+  }
 }
