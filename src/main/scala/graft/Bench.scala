@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every `SparkEntry` query against
@@ -30,9 +32,12 @@ object Bench {
       val d = new java.io.File("/root/testdata/sf0.001")
       if (d.isDirectory) d.getPath else sfDir
     }
+    // NonFatal only: an OutOfMemoryError/LinkageError poisons the JVM, so
+    // letting it propagate (aborting the run) beats reporting unreliable
+    // timings for every query after it
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     }
 
     spark.catalog.clearCache() // drop warmup-run persists before timing
@@ -40,7 +45,7 @@ object Bench {
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
+      catch { case NonFatal(_) => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // each query persists its own intermediates; drop them so later
       // queries aren't charged for earlier queries' cache pressure
@@ -59,7 +64,7 @@ object Bench {
     val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case NonFatal(_) => () } // stdout line below is the fallback
     println(line)
     spark.stop()
   }

@@ -418,8 +418,11 @@ object SparkEntry {
     * Bit-reproducibility: the assignment distance `|c|² − 2·(emb·c)` uses
     * the same sequential left-to-right folds on both engines (the q15/q16
     * gates already prove list_sum(list_transform(...)) ≡ VectorDot), and
-    * centroid means are rounded to 6 decimals on both sides so parallel
-    * partial-sum order in Spark's avg cannot leak into the argmin. Assumes
+    * centroid means are computed as a sequential fold over SORTED values in
+    * both engines (list_sum(list_sort(list(v))) here ≡ aggregate(array_sort
+    * (collect_list(v))) in Spark) — the pre-rounding doubles are therefore
+    * bit-identical, and the round(·, 6) is belt-and-braces rather than the
+    * sole defense against partial-sum ordering. Assumes
     * every cell stays non-empty (holds for the seeded testdata; Spark's
     * getOrElse fallback for an empty cell has no SQL twin here).
     */
@@ -437,7 +440,8 @@ object SparkEntry {
     def means(name: String, a: String) =
       s"""$name AS (
          |  SELECT cell, list(m ORDER BY pos) AS c FROM (
-         |    SELECT a.cell, p.pos, round(avg(a.emb[p.pos]), 6) AS m
+         |    SELECT a.cell, p.pos,
+         |           round(list_sum(list_sort(list(a.emb[p.pos]))) / count(*), 6) AS m
          |    FROM $a a CROSS JOIN (SELECT unnest(range(1, ${EmbDim + 1})) AS pos) p
          |    GROUP BY a.cell, p.pos)
          |  GROUP BY cell)""".stripMargin

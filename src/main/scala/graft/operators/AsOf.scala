@@ -32,28 +32,36 @@ object AsOf {
     * tie-break among equal-time right rows) and the `payload` columns to
     * attach. Returns every left row with the payload of its most recent
     * right match (nulls when no right row precedes it).
+    *
+    * The payload travels as ONE struct through `last(_, ignoreNulls)` —
+    * per-column `last` would let a right row carrying a NULL in one field
+    * emit a row mixing fields from two different right rows. Row-level
+    * atomicity: all payload fields always come from the same right row,
+    * even when individual fields are NULL.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                time: String, rightOrder: String, payload: Seq[String]): DataFrame = {
     val ordType = right.schema(rightOrder).dataType
     val leftType = StructType(left.schema.fields)
+    val payloadType = StructType(payload.map(p => right.schema(p)))
     val lU = left.select(
       keys.map(col) ++ Seq(col(time).as("_t"), lit(1).as("_side"),
         lit(null).cast(ordType).as("_ord"),
-        struct(left.columns.map(col).toSeq: _*).as("_l")) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        struct(left.columns.map(col).toSeq: _*).as("_l"),
+        lit(null).cast(payloadType).as("_p")): _*)
     val rU = right.select(
       keys.map(col) ++ Seq(col(time).as("_t"), lit(0).as("_side"),
         col(rightOrder).as("_ord"),
-        lit(null).cast(leftType).as("_l")) ++ payload.map(col): _*)
+        lit(null).cast(leftType).as("_l"),
+        struct(payload.map(col): _*).as("_p")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc, col("_ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lU.unionByName(rU)
-      .select(Seq(col("_side"), col("_l")) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .select(col("_side"), col("_l"),
+        last(col("_p"), ignoreNulls = true).over(w).as("_p"))
       .filter(col("_side") === 1)
-      .select(Seq(col("_l.*")) ++ payload.map(col): _*)
+      .select(Seq(col("_l.*")) ++ payload.map(p => col(s"_p.$p").as(p)): _*)
   }
 
   /** Concrete instance over the events table: even event_ids are "trades",

@@ -99,14 +99,24 @@ object Similarity {
     }
 
     for (_ <- 1 to iters) {
-      // means rounded to 6 decimals: parallel partial-sum order makes the
-      // raw avg nondeterministic in the last bits; rounding pins the
-      // centroids so an oracle replay (sequential sums) lands on the exact
-      // same values and the argmin assignment is bit-reproducible
+      // Deterministic centroid mean: values are collected per (cell, dim),
+      // SORTED, and summed by a sequential left-to-right fold — the exact
+      // same IEEE addition sequence an oracle replay performs
+      // (list_sum(list_sort(list(v)))), so the pre-rounding double is
+      // bit-identical in both engines and round(·, 6) cannot straddle a
+      // rounding boundary (with plain avg, Spark's parallel partial-sum
+      // order could land on the opposite side of the boundary from a
+      // sequential oracle sum). collect_list buffers one cell-dim's values
+      // in memory — fine for an index BUILD, which at 100 TB runs on a
+      // bounded training sample anyway (standard IVF practice); the
+      // scale-critical assignment path stays fully distributed.
       val means = assigned
         .select(col("cell"), posexplode(col("emb")))
         .groupBy(col("cell"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("m"))
+        .agg(collect_list(col("col")).as("vs"))
+        .select(col("cell"), col("pos"),
+          round(aggregate(array_sort(col("vs")), lit(0.0d), (a, x) => a + x)
+            / size(col("vs")), 6).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
         .select(col("cell"), col("ms.m").as("centroid"))

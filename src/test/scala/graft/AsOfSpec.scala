@@ -31,6 +31,20 @@ class AsOfSpec extends SparkSpecBase {
       ("l3", None, None)))              // b: quote only at t=99 > 10
   }
 
+  test("asOfJoin payload is row-atomic: a NULL field never mixes right rows") {
+    // newest quote (ord=2) carries a NULL px; the left row must see
+    // (ord=2, px=NULL) — NOT ord from the newest row and px from the older
+    val r = Seq(
+      ("a", 8L, Some(1L), Some(100.0)),
+      ("a", 10L, Some(2L), None)
+    ).toDF("k", "t", "ord", "px")
+    val out = AsOf.asOfJoin(Seq(("a", 20L, "l1")).toDF("k", "t", "name"),
+      r, Seq("k"), "t", "ord", Seq("ord", "px"))
+      .select("name", "ord", "px").collect().map(row =>
+        (row.getString(0), Option(row.get(1)), Option(row.get(2)))).toSet
+    assert(out === Set(("l1", Some(2L), None)))
+  }
+
   test("asOfJoin plan is shuffle+window, not a nested-loop range join") {
     val plan = AsOf.asOfJoin(left, right, Seq("k"), "t", "ord", Seq("px"))
       .queryExecution.sparkPlan.toString
