@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{MinHashSig, SimHash16, VectorDot, WordShingles}
+import graft.functions.{MinHashSig, SimHash16, SimHash64, VectorDot, WordShingles}
 
 /** Session wiring for the graft engine.
   *
@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sim_hash16"),
       info("sim_hash16", "sim_hash16(tokens) - 16-bit simhash fingerprint"),
       (es: Seq[Expression]) => SimHash16(es(0))))
+    ext.injectFunction((FunctionIdentifier("sim_hash64"),
+      info("sim_hash64", "sim_hash64(tokens) - 64-bit simhash fingerprint"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
   }
 }
 

@@ -99,7 +99,7 @@ object SparkEntry {
     "q11_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.5)),
 
-    // 16-bit SimHash near-dup pairs (hamming <= 3) in a doc_id window
+    // 64-bit SimHash near-dup pairs (hamming <= 3) in a doc_id window
     "q12_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 3, idWindow = 50)),
 
@@ -183,7 +183,7 @@ object SparkEntry {
     // ------------------------------------------------------------------
 
     // simhash near-dup via hash-block bucketing: equi-join candidates
-    // (pigeonhole over 4-bit blocks), same hamming verification as q12
+    // (pigeonhole over 16-bit blocks), same hamming verification as q12
     "q31_dedup_simhash_bucketed" -> ((s, dir) =>
       Dedup.simhashBucketedNearDups(Tables.documents(s, dir), maxHamming = 3)),
 
@@ -461,6 +461,32 @@ object SparkEntry {
       .mkString("WITH ", ",\n", "\n")
   }
 
+  /** 64-bit SimHash SQL mirroring [[Dedup.simhash]] / [[graft.functions
+    * .SimHash64]]: the per-token 64-bit md5 prefix is carried as two 32-bit
+    * halves (`('0x' || substr(md5(t),1,8))::BIGINT` = bits 63..32,
+    * `substr(..,9,8)` = bits 31..0) because a full 16-hex-digit literal can
+    * overflow signed BIGINT; bit j of the fingerprint reads the matching
+    * half. The bit-63 weight (−2^63) makes DuckDB promote the sum to
+    * HUGEINT, so the outer CAST back to BIGINT restores the two's-
+    * complement long that Spark produces.
+    */
+  private val simhash64Ctes: String = {
+    val bits = (0 until 64).map { j =>
+      val src = if (j >= 32) s"h >> ${j - 32}" else s"h >> $j"
+      val half = if (j >= 32) "hhi" else "hlo"
+      s"(CASE WHEN list_sum(list_transform($half, h -> (($src) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    s"""hashes AS (
+       |  SELECT doc_id,
+       |         list_transform(ltoks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hhi,
+       |         list_transform(ltoks, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS hlo
+       |  FROM toks WHERE len(ltoks) > 0),
+       |simhash_t AS (
+       |  SELECT doc_id, CAST(${bits.mkString(" + ")} AS BIGINT) AS simhash
+       |  FROM hashes),
+       |""".stripMargin
+  }
+
   /** Double-precision cosine SQL over two float-list expressions (widened
     * to double), mirroring [[Similarity.cosine]].
     */
@@ -534,7 +560,7 @@ object SparkEntry {
            |WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5""".stripMargin),
 
     "q12_dedup_simhash" ->
-      (docCtes.stripSuffix("\n") + ",\n" + simhashCtes +
+      (docCtes.stripSuffix("\n") + ",\n" + simhash64Ctes +
         """pairs AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
@@ -707,13 +733,15 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice <= 250000.0""".stripMargin,
 
-    // hash-block bucketing (4 blocks of 4 bits): any pair with hamming <= 3
-    // agrees exactly on >= 1 block — candidates are an equi-join
+    // hash-block bucketing (4 blocks of 16 bits): any pair with hamming <= 3
+    // agrees exactly on >= 1 block — candidates are an equi-join. Arithmetic
+    // >> then & mask reads the same 16 bits in both engines regardless of
+    // the fingerprint's sign bit.
     "q31_dedup_simhash_bucketed" ->
-      (docCtes.stripSuffix("\n") + ",\n" + simhashCtes +
+      (docCtes.stripSuffix("\n") + ",\n" + simhash64Ctes +
         """blocks AS (
           |  SELECT doc_id, simhash, p.block_idx,
-          |         (simhash >> (p.block_idx * 4)) & 15 AS block_val
+          |         (simhash >> (p.block_idx * 16)) & 65535 AS block_val
           |  FROM simhash_t CROSS JOIN (SELECT unnest(range(0, 4)) AS block_idx) p)
           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming

@@ -56,6 +56,23 @@ object TextKernels {
     val d = md5Bytes(bytes)
     ((d(0) & 0xff) << 8) | (d(1) & 0xff)
   }
+
+  /** First 64 bits of md5 as a big-endian long — the high 32 bits match
+    * `('0x' || substr(md5(t),1,8))::BIGINT` and the low 32 bits
+    * `('0x' || substr(md5(t),9,8))::BIGINT`, so a DuckDB oracle can replay
+    * bit j as `(hi >> (j-32)) & 1` / `(lo >> j) & 1` without ever building
+    * the (possibly sign-overflowing) 64-bit literal from hex.
+    */
+  def md5Prefix64(bytes: Array[Byte]): Long = {
+    val d = md5Bytes(bytes)
+    var out = 0L
+    var i = 0
+    while (i < 8) {
+      out = (out << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    out
+  }
 }
 
 /** Word n-gram shingles of the single-space tokenization: one split, one
@@ -175,6 +192,48 @@ case class SimHash16(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over a token array: per-token hash = first 8 md5 bytes
+  * (big-endian), fingerprint bit j = sign of the +1/−1 vote sum. Null for
+  * empty input. Bit 63 set makes the long negative — callers treat the
+  * fingerprint as a bit pattern (xor/bit_count/block masks), where sign is
+  * irrelevant. The production-width twin of [[SimHash16]]: 16-bit blocks
+  * give 65,536 buckets per block index in the Manku pigeonhole layout
+  * instead of 16, which is what makes bucketed near-dedup sub-quadratic
+  * at 100 TB.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = TextKernels.md5Prefix64(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (((h >>> j) & 1L).toInt * 2) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
@@ -184,4 +243,7 @@ object TextFunctions {
 
   def sim_hash16(tokens: Column): Column =
     Bridge.column(SimHash16(Bridge.expression(tokens)))
+
+  def sim_hash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
 }

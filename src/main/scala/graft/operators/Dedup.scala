@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{min_hash_sig, sim_hash16, word_shingles}
+import graft.functions.TextFunctions.{min_hash_sig, sim_hash64, word_shingles}
 
 /** Deduplication operators over the `documents` table: exact, MinHash+LSH,
   * SimHash, and windowed n-gram Jaccard. Embedding-space near-dup lives in
@@ -148,15 +148,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  val SimhashBits = 16
+  val SimhashBits = 64
 
-  /** 16-bit SimHash over whitespace tokens: per-token hash from the first 4
-    * md5 hex digits; each bit of the fingerprint is the sign of the
-    * +1/−1 vote sum across tokens.
+  /** 64-bit SimHash over whitespace tokens: per-token hash from the first 8
+    * md5 bytes; each bit of the fingerprint is the sign of the +1/−1 vote
+    * sum across tokens. 64 bits (vs the earlier 16) is the production
+    * width: hamming <= 3 pairs are genuine near-dups rather than prefix
+    * collisions, and the pigeonhole blocks in [[simhashBucketedNearDups]]
+    * get 65,536 buckets each instead of 16.
     */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      sim_hash16(TextAnalysis.tokens(lower(col("text")))).as("simhash"))
+      sim_hash64(TextAnalysis.tokens(lower(col("text")))).as("simhash"))
       .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs: hamming distance <= maxHamming within a doc_id
@@ -183,15 +186,16 @@ object Dedup {
     * unchanged from [[simhashNearDups]]. This is the standard web-scale
     * simhash dedup layout (Manku et al., WWW'07): at 100 TB the table is
     * hash-partitioned by block value, every stage is an equi-shuffle, and
-    * no nested-loop join exists in the plan. With 16-bit fingerprints the
-    * 4-bit blocks give only 16 buckets per block index — production would
-    * use a 64-bit simhash (16-bit blocks); the plan shape is identical.
+    * no nested-loop join exists in the plan. With the 64-bit fingerprint
+    * and maxHamming=3 each of the 4 blocks is 16 bits → 65,536 buckets per
+    * block index, so bucket sizes shrink as ~n/65,536 per block and the
+    * candidate set stays sub-quadratic at corpus scale.
     */
   def simhashBucketedNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     require(SimhashBits % blocks == 0, s"$SimhashBits bits not divisible into $blocks blocks")
     val blockBits = SimhashBits / blocks
-    val mask = (1 << blockBits) - 1
+    val mask = (1L << blockBits) - 1
     val s = simhash(docs)
     val keyed = s.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until blocks).map(b =>

@@ -45,7 +45,7 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("bucketed simhash equals brute-force all-pairs (pigeonhole is lossless)") {
-    // hamming <= 3 over 4 blocks of 4 bits: any qualifying pair agrees on
+    // hamming <= 3 over 4 blocks of 16 bits: any qualifying pair agrees on
     // >= 1 block, so bucketing must lose NOTHING vs the full cross product
     val real = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val s = Dedup.simhash(real)

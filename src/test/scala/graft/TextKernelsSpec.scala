@@ -52,6 +52,24 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(df.as[Long].head() === h.toLong)
   }
 
+  test("sim_hash64: single token equals its own 64-bit md5 prefix") {
+    val df = Seq("hello").toDF("text")
+      .select(sim_hash64(split(col("text"), " ")).as("s"))
+    val h = java.lang.Long.parseUnsignedLong(md5hex("hello").substring(0, 16), 16)
+    assert(df.as[Long].head() === h)
+  }
+
+  test("sim_hash64 high/low halves match the 32-bit md5-prefix oracle split") {
+    // the DuckDB oracle reads bit j>=32 from ('0x'||substr(md5,1,8))::BIGINT
+    // and bit j<32 from substr(md5,9,8) — verify the kernel's bit layout
+    val s = Seq("world").toDF("text")
+      .select(sim_hash64(split(col("text"), " ")).as("s")).as[Long].head()
+    val hi = java.lang.Long.parseLong(md5hex("world").substring(0, 8), 16)
+    val lo = java.lang.Long.parseLong(md5hex("world").substring(8, 16), 16)
+    assert((s >>> 32) === hi)
+    assert((s & 0xffffffffL) === lo)
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(("A  b C", 1L), ("a b c", 2L)).toDF("text", "doc_id")
     val fps = TextAnalysis.fingerprint(df).select("fp").as[String].collect()
