@@ -287,11 +287,20 @@ object SparkEntry {
     // concat_ws/lpad)
     "q50_string_funcs" -> ((s, dir) =>
       TextAnalysis.stringFunctions(Tables.documents(s, dir))),
+
+    // multi-probe IVF ANN: each query scores its top-2 nearest cells,
+    // recovering recall lost at cell boundaries with the same equi-join
+    // plan shape as q33 (see SimilaritySpec recall assertion)
+    "q51_ann_ivf_multiprobe" -> ((s, dir) =>
+      Similarity.ivfTopKMultiProbe(Tables.embeddings(s, dir),
+        e => e.filter(col("vec_id") < 8),
+        k = 5, kCells = KmeansK, iters = KmeansIters, nProbe = 2)),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
   val KmeansK = 4
   val KmeansIters = 2
+  private val KmeansTrainN = operators.Similarity.DefaultTrainN
   private val EmbDim = 64
 
   // ---------------------------------------------------------------------
@@ -412,8 +421,10 @@ object SparkEntry {
   }
 
   /** DuckDB replay of [[Similarity.kmeansCells]] (k = [[KmeansK]], iters =
-    * [[KmeansIters]]), one CTE pair (assign, means) per Lloyd iteration,
-    * ending in `cells(vec_id, cell)`.
+    * [[KmeansIters]], training sample = the [[KmeansTrainN]] lowest
+    * vec_ids), one CTE pair (assign, means) per Lloyd iteration over the
+    * `vt` sample, then one final full-corpus assignment ending in
+    * `cells(vec_id, cell)`.
     *
     * Bit-reproducibility: the assignment distance `|c|² − 2·(emb·c)` uses
     * the same sequential left-to-right folds on both engines (the q15/q16
@@ -422,12 +433,15 @@ object SparkEntry {
     * both engines (list_sum(list_sort(list(v))) here ≡ aggregate(array_sort
     * (collect_list(v))) in Spark) — the pre-rounding doubles are therefore
     * bit-identical, and the round(·, 6) is belt-and-braces rather than the
-    * sole defense against partial-sum ordering. Assumes
-    * every cell stays non-empty (holds for the seeded testdata; Spark's
-    * getOrElse fallback for an empty cell has no SQL twin here).
+    * sole defense against partial-sum ordering. The mean's divisor is
+    * count(emb[pos]) — null-skipping, exactly like Spark's
+    * size(collect_list) — though both engines also assume non-NULL
+    * embedding elements (a NULL would diverge the sorted folds first).
+    * Assumes every cell stays non-empty during training (holds for the
+    * seeded testdata; Spark's getOrElse fallback has no SQL twin here).
     */
   private def kmeansCtes: String = {
-    def assign(name: String, c: String) =
+    def assign(name: String, src: String, c: String) =
       s"""$name AS (
          |  SELECT vec_id, emb, cell FROM (
          |    SELECT v.vec_id, v.emb, cc.cell,
@@ -436,27 +450,29 @@ object SparkEntry {
          |             - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
          |                              i -> v.emb[i] * cc.c[i])),
          |             cc.cell) AS rn
-         |    FROM v CROSS JOIN $c cc) WHERE rn = 1)""".stripMargin
+         |    FROM $src v CROSS JOIN $c cc) WHERE rn = 1)""".stripMargin
     def means(name: String, a: String) =
       s"""$name AS (
          |  SELECT cell, list(m ORDER BY pos) AS c FROM (
          |    SELECT a.cell, p.pos,
-         |           round(list_sum(list_sort(list(a.emb[p.pos]))) / count(*), 6) AS m
+         |           round(list_sum(list_sort(list(a.emb[p.pos]))) / count(a.emb[p.pos]), 6) AS m
          |    FROM $a a CROSS JOIN (SELECT unnest(range(1, ${EmbDim + 1})) AS pos) p
          |    GROUP BY a.cell, p.pos)
          |  GROUP BY cell)""".stripMargin
     val iterCtes = (1 to KmeansIters).flatMap(i => Seq(
-      assign(s"a$i", if (i == 1) "c0" else s"c${i - 1}"),
+      assign(s"a$i", "vt", if (i == 1) "c0" else s"c${i - 1}"),
       means(s"c$i", s"a$i")))
     (Seq(
       s"""v AS (
          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
          |  FROM embeddings)""".stripMargin,
+      s"""vt AS (
+         |  SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT $KmeansTrainN)""".stripMargin,
       s"""c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS c
-         |  FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT $KmeansK))""".stripMargin)
+         |  FROM (SELECT vec_id, emb FROM vt ORDER BY vec_id LIMIT $KmeansK))""".stripMargin)
       ++ iterCtes
-      :+ assign("cells_a", s"c$KmeansIters")
+      :+ assign("cells_a", "v", s"c$KmeansIters")
       :+ "cells AS (SELECT vec_id, cell FROM cells_a)")
       .mkString("WITH ", ",\n", "\n")
   }
@@ -900,6 +916,34 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // same kmeans replay as q32/q33 plus a probe ranking: each query's top-2
+    // cells by the same |c|^2 - 2*(emb.c) distance and (dist, cell) tie-break
+    "q51_ann_ivf_multiprobe" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""qprobe AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, cc.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |             list_sum(list_transform(cc.c, x -> x*x))
+           |             - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+           |                              i -> v.emb[i] * cc.c[i])),
+           |             cc.cell) AS rn
+           |    FROM v CROSS JOIN c$KmeansIters cc WHERE v.vec_id < 8) WHERE rn <= 2),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q
+           |  JOIN qprobe qp ON qp.vec_id = q.vec_id
+           |  JOIN cells cc ON cc.cell = qp.cell
+           |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT q_id, vec_id, cos,
+           |         ROW_NUMBER() OVER (PARTITION BY q_id
+           |           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 5""".stripMargin),
 
     "q50_string_funcs" ->
       """SELECT doc_id,

@@ -66,35 +66,64 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Default Lloyd training-sample bound for [[kmeansCells]]. */
+  val DefaultTrainN = 256
+
   /** Deterministic Lloyd's k-means over the embedding column, for building
     * real IVF cells (instead of the pre-assigned `label`).
     *
     * Division of labor mirrors MLlib: centroids live on the driver (k×dim
     * doubles — tiny) and broadcast into the assignment expression each
-    * iteration; assignments and centroid recomputation are fully
-    * distributed (argmin over k literal centroids via [[graft.functions
-    * .VectorDot]], then posexplode + groupBy(cell, dim) mean). Seeded by
-    * the k lowest vec_ids, so results are reproducible run to run.
+    * iteration; assignments are fully distributed (argmin over k literal
+    * centroids via [[graft.functions.VectorDot]]). Seeded by the k lowest
+    * vec_ids, so results are reproducible run to run.
     *
-    * Returns (vec_id, cell). Use with [[ivfTopK]] by joining the cell back
-    * as the `label` column.
+    * The Lloyd iterations train on a BOUNDED deterministic sample — the
+    * `trainN` lowest vec_ids, the same rule as the seeding — and only the
+    * final assignment touches the full corpus. That is standard IVF
+    * practice (a coarse quantizer needs a representative sample, not the
+    * corpus) and it is what makes the build memory-safe at 100 TB: the
+    * per-(cell, dim) `collect_list` in the centroid step buffers at most
+    * `trainN` doubles by construction, instead of an unbounded corpus
+    * cell. Assumes embedding elements are non-NULL (both engines' folds
+    * would diverge on NULLs; the oracle's count() mirrors collect_list's
+    * null-skipping regardless).
+    *
+    * Returns (vec_id, cell) for the FULL corpus. Use with [[ivfTopK]] by
+    * joining the cell back as the `label` column.
     */
-  def kmeansCells(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCells(embeddings: DataFrame, k: Int, iters: Int,
+                  trainN: Int = DefaultTrainN): DataFrame =
+    kmeansFit(embeddings, k, iters, trainN).cells
+
+  /** A fitted coarse quantizer: the k×dim centroid matrix (driver-side,
+    * tiny — it broadcasts into assignment/probe expressions) and the full
+    * corpus assignment (vec_id, cell).
+    */
+  case class KmeansModel(centroids: Array[Seq[Double]], cells: DataFrame)
+
+  /** [[kmeansCells]], but keeping the centroids so callers can rank cells
+    * per query (multi-probe) instead of only reading the argmin assignment.
+    */
+  def kmeansFit(embeddings: DataFrame, k: Int, iters: Int,
+                trainN: Int = DefaultTrainN): KmeansModel = {
     val v = embeddings
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
-    var centroids: Array[Seq[Double]] = v.orderBy(col("vec_id")).limit(k)
+    val train = v.orderBy(col("vec_id")).limit(trainN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[Seq[Double]] = train.limit(k)
       .select(col("emb")).collect().map(_.getSeq[Double](0))
 
-    def assigned: DataFrame = {
-      // dist_j ∝ |c_j|² − 2·(emb·c_j); argmin via lexicographic array_min
-      // over struct(dist, cell) — deterministic tie-break on cell id
+    // dist_j ∝ |c_j|² − 2·(emb·c_j); argmin via lexicographic array_min
+    // over struct(dist, cell) — deterministic tie-break on cell id
+    def assign(df: DataFrame): DataFrame = {
       val scored = centroids.zipWithIndex.map { case (c, j) =>
         val cLit = typedlit(c)
         struct((lit(c.map(x => x * x).sum) -
           lit(2.0) * graft.functions.VectorFunctions.vec_dot(col("emb"), cLit))
           .as("dist"), lit(j).as("cell"))
       }
-      v.select(col("vec_id"), col("emb"),
+      df.select(col("vec_id"), col("emb"),
         array_min(array(scored: _*)).getField("cell").as("cell"))
     }
 
@@ -106,11 +135,8 @@ object Similarity {
       // bit-identical in both engines and round(·, 6) cannot straddle a
       // rounding boundary (with plain avg, Spark's parallel partial-sum
       // order could land on the opposite side of the boundary from a
-      // sequential oracle sum). collect_list buffers one cell-dim's values
-      // in memory — fine for an index BUILD, which at 100 TB runs on a
-      // bounded training sample anyway (standard IVF practice); the
-      // scale-critical assignment path stays fully distributed.
-      val means = assigned
+      // sequential oracle sum).
+      val means = assign(train)
         .select(col("cell"), posexplode(col("emb")))
         .groupBy(col("cell"), col("pos"))
         .agg(collect_list(col("col")).as("vs"))
@@ -124,7 +150,54 @@ object Similarity {
       centroids = centroids.indices
         .map(j => means.getOrElse(j, centroids(j))).toArray
     }
-    assigned.select(col("vec_id"), col("cell"))
+    // training is finished (driven eagerly by the collects above); the
+    // returned plan depends only on v + centroid literals, so the sample
+    // cache can be released before the caller's action
+    train.unpersist()
+    KmeansModel(centroids, assign(v).select(col("vec_id"), col("cell")))
+  }
+
+  /** The `nProbe` nearest cells for each input vector, ranked by the same
+    * `|c|² − 2·(emb·c)` distance and (dist, cell) tie-break as the argmin
+    * assignment — probe 1 is always the vector's own cell.
+    */
+  def probeCells(vectors: DataFrame, centroids: Array[Seq[Double]],
+                 nProbe: Int): DataFrame = {
+    val v = vectors
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      struct((lit(c.map(x => x * x).sum) -
+        lit(2.0) * graft.functions.VectorFunctions.vec_dot(col("emb"), typedlit(c)))
+        .as("dist"), lit(j).as("cell"))
+    }
+    v.select(col("vec_id"),
+        explode(slice(array_sort(array(scored: _*)), 1, nProbe)).as("probe"))
+      .select(col("vec_id"), col("probe.cell").as("cell"))
+  }
+
+  /** Multi-probe IVF ANN over learned k-means cells: each query scores the
+    * candidates in its `nProbe` nearest cells instead of only its own,
+    * buying back the recall a single-probe IVF loses at cell boundaries.
+    * The plan shape is unchanged from [[ivfTopK]] — (query, cell) pairs
+    * broadcast, the corpus is equi-joined on its one assigned cell, so at
+    * 100 TB the corpus still partitions by cell and nothing non-equi ever
+    * enters the join; multi-probe only multiplies the broadcast side by
+    * nProbe.
+    */
+  def ivfTopKMultiProbe(embeddings: DataFrame, queryFilter: DataFrame => DataFrame,
+                        k: Int, kCells: Int, iters: Int, nProbe: Int): DataFrame = {
+    val model = kmeansFit(embeddings, kCells, iters)
+    val c = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+      .join(model.cells, "vec_id")
+    val q = queryFilter(embeddings)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qp = probeCells(queryFilter(embeddings), model.centroids, nProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val scored = c.join(broadcast(qp.join(q, "q_id")), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        vec_cosine(col("q_emb"), col("emb")).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-space near-duplicate pairs: cosine >= threshold within a

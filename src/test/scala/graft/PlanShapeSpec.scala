@@ -16,7 +16,8 @@ class PlanShapeSpec extends SparkSpecBase {
     "q07_anomaly_filter", "q08_flagship_anomalies",
     "q11_dedup_minhash_lsh",
     "q31_dedup_simhash_bucketed", "q32_dedup_embedding_cells",
-    "q33_ann_ivf_kmeans", "q35_asof_join", "q39_range_join", "q40_salted_join")
+    "q33_ann_ivf_kmeans", "q35_asof_join", "q39_range_join", "q40_salted_join",
+    "q51_ann_ivf_multiprobe")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {

@@ -57,6 +57,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out === Set((0L, 1L)))
   }
 
+  test("multi-probe IVF recall >= single-probe recall vs brute-force truth") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteTopK(e, e.filter($"vec_id" < 8), k = 5))
+    val single = pairs(Similarity.ivfTopKKmeans(e, l => l.filter($"vec_id" < 8),
+      k = 5, kCells = SparkEntry.KmeansK, iters = SparkEntry.KmeansIters))
+    val multi = pairs(Similarity.ivfTopKMultiProbe(e, v => v.filter($"vec_id" < 8),
+      k = 5, kCells = SparkEntry.KmeansK, iters = SparkEntry.KmeansIters, nProbe = 2))
+    val recallSingle = (single & truth).size.toDouble / truth.size
+    val recallMulti = (multi & truth).size.toDouble / truth.size
+    assert(recallMulti >= recallSingle)   // probing 2 cells can only add recall
+    assert(single.subsetOf(multi) || recallMulti >= recallSingle)
+    assert(recallMulti > 0.0)
+  }
+
+  test("probeCells ranks the vector's own cell first") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Similarity.kmeansFit(e, k = SparkEntry.KmeansK,
+      iters = SparkEntry.KmeansIters)
+    val own = model.cells.filter($"vec_id" < 8)
+      .as[(Long, Int)].collect().toMap
+    // probe rank 1 (first element of the sorted slice) = argmin assignment
+    val firstProbe = Similarity.probeCells(e.filter($"vec_id" < 8),
+        model.centroids, nProbe = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(firstProbe === own)
+  }
+
   test("kmeans cells feed ivfTopK end-to-end on real embeddings") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cells = Similarity.kmeansCells(e, k = SparkEntry.KmeansK,
