@@ -42,16 +42,24 @@ object Bench {
 
     spark.catalog.clearCache() // drop warmup-run persists before timing
 
+    // Min of 3 timed runs per query: this host's VM noise (page-commit
+    // stalls, steal time) lands multi-second pauses on random queries, so a
+    // single sample makes round-over-round comparison a coin flip — the
+    // documented spread for identical code is 1.2-3×. The minimum is the
+    // best estimator of the noise-free cost (noise is strictly additive).
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-      catch { case NonFatal(_) => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // each query persists its own intermediates; drop them so later
-      // queries aren't charged for earlier queries' cache pressure
-      spark.catalog.clearCache()
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case NonFatal(_) => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // each query persists its own intermediates; drop them so later
+        // runs/queries aren't charged for earlier cache pressure
+        spark.catalog.clearCache()
+        if (ok) dt else -1.0
+      }
       // a crashed query must not masquerade as a fast success
-      name -> (if (ok) dt else -1.0)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -558,9 +558,14 @@ object SparkEntry {
         |FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |      FROM events)""".stripMargin,
 
+    // grouped on the compact 60-bit key; n_fp = distinct full fingerprints
+    // per group (collision check, expected 1)
     "q10_dedup_exact" ->
-      s"""SELECT fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
-         |FROM (SELECT doc_id, $fpSql AS fp FROM documents) GROUP BY fp""".stripMargin,
+      s"""SELECT fp64, min(doc_id) AS keep_id, count(*) AS dup_cnt,
+         |       count(DISTINCT fp) AS n_fp
+         |FROM (SELECT doc_id, $fpSql AS fp,
+         |        (('0x' || substr($fpSql, 1, 15))::BIGINT) AS fp64
+         |      FROM documents) GROUP BY fp64""".stripMargin,
 
     "q11_dedup_minhash_lsh" ->
       (docCtes.stripSuffix("\n") + ",\n" + lshCtes +
@@ -584,10 +589,19 @@ object SparkEntry {
           |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 50)
           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin),
 
+    // kept-shingle Jaccard: shingles with document frequency above the cap
+    // are dropped from BOTH the intersection and the set sizes, mirroring
+    // Dedup.windowedJaccardPairs' posting-list truncation
     "q13_dedup_ngram_jaccard" ->
       (docCtes.stripSuffix("\n") + ",\n" +
-        s"""shd AS (
-           |  SELECT doc_id, list_distinct(sh) AS dsh FROM sh WHERE len(list_distinct(sh)) > 0)
+        s"""inv AS (
+           |  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh
+           |  WHERE len(list_distinct(sh)) > 0),
+           |kept AS (
+           |  SELECT doc_id, s FROM inv
+           |  QUALIFY count(*) OVER (PARTITION BY s) <= ${Dedup.DefaultMaxShingleDf}),
+           |shd AS (
+           |  SELECT doc_id, list(s) AS dsh FROM kept GROUP BY doc_id)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |       ${jaccardSql("a.dsh", "b.dsh")} AS jaccard
            |FROM shd a JOIN shd b
@@ -805,28 +819,32 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     // mirrors AsOf.asOfJoin's union + ordered-window rewrite stage for
-    // stage (same tie semantics: equal-time quotes visible, max q_id wins)
+    // stage (same tie semantics: equal-time quotes visible, max q_id wins).
+    // The payload travels as ONE struct through last_value, exactly like
+    // the engine's struct-atomic `last(_p)` — per-column last_value would
+    // mix fields from two quotes whenever a quote carries a NULL field
+    // (ADVICE r3; testdata has no NULL values, but the oracle should
+    // mirror the semantics, not rely on the data)
     "q35_asof_join" ->
       """WITH base AS (
         |  SELECT event_id, epoch_us(ts) AS t, user_id, value FROM events),
         |u AS (
         |  SELECT user_id, t, 1 AS side, NULL::BIGINT AS ord,
         |         event_id, round(value, 4) AS value,
-        |         NULL::BIGINT AS q_id, NULL::DOUBLE AS q_value
+        |         NULL::STRUCT(q_id BIGINT, q_value DOUBLE) AS qs
         |  FROM base WHERE event_id % 2 = 0
         |  UNION ALL
         |  SELECT user_id, t, 0 AS side, event_id AS ord,
-        |         NULL::BIGINT, NULL::DOUBLE, event_id, round(value, 4)
+        |         NULL::BIGINT, NULL::DOUBLE,
+        |         struct_pack(q_id := event_id, q_value := round(value, 4))
         |  FROM base WHERE event_id % 2 = 1),
         |j AS (
         |  SELECT event_id, user_id, t, value, side,
-        |         last_value(q_id IGNORE NULLS) OVER (PARTITION BY user_id
-        |           ORDER BY t, side, ord ROWS UNBOUNDED PRECEDING) AS a_q_id,
-        |         last_value(q_value IGNORE NULLS) OVER (PARTITION BY user_id
-        |           ORDER BY t, side, ord ROWS UNBOUNDED PRECEDING) AS a_q_value
+        |         last_value(qs IGNORE NULLS) OVER (PARTITION BY user_id
+        |           ORDER BY t, side, ord ROWS UNBOUNDED PRECEDING) AS a_qs
         |  FROM u)
-        |SELECT event_id, user_id, t, value, a_q_id AS q_id, a_q_value AS q_value
-        |FROM j WHERE side = 1 AND a_q_id IS NOT NULL""".stripMargin,
+        |SELECT event_id, user_id, t, value, a_qs.q_id AS q_id, a_qs.q_value AS q_value
+        |FROM j WHERE side = 1 AND a_qs.q_id IS NOT NULL""".stripMargin,
 
     // exact distinct counts checked exactly; HLL asserts in-band
     "q36_distinct_approx" ->

@@ -27,11 +27,20 @@ object Dedup {
 
   /** Exact dedup: group by content fingerprint, keep the smallest doc_id.
     * Output one row per distinct content with its duplicate count.
+    *
+    * The group key is the 60-bit `fp64` long, not the 32-char md5 hex — at
+    * 100 TB the dedup shuffle carries one fixed 8-byte key per row instead
+    * of a 32-byte string, and long hashing/comparison is branch-free in
+    * Tungsten rows. `n_fp` counts distinct FULL fingerprints inside each
+    * fp64 group: 1 everywhere means no 60-bit collision merged two
+    * different contents (at 60 bits a collision needs ~2^30 distinct
+    * contents by the birthday bound; the column makes the check free).
     */
   def exact(docs: DataFrame): DataFrame =
     TextAnalysis.fingerprint(docs)
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .groupBy(col("fp64"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"),
+        countDistinct(col("fp")).as("n_fp"))
 
   /** Word 3-gram shingles of the single-space tokenization (empty array for
     * docs shorter than 3 tokens). Single-pass custom kernel — see
@@ -69,10 +78,20 @@ object Dedup {
   /** Default LSH bucket-size cap, mirrored in the q11 oracle SQL. */
   val DefaultMaxBucket = 1000
 
-  /** Distinct candidate pairs (id_a < id_b) sharing at least one LSH band,
-    * from buckets of at most `maxBucket` docs (see object doc).
+  /** The LSH candidate stage with its cache handle: `candidates` is the
+    * distinct pair set, `unpersist()` releases the persisted band index
+    * after the consuming action (the plan stays valid — it recomputes from
+    * the scan if re-run).
     */
-  def lshCandidates(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  case class LshStage(capped: DataFrame, candidates: DataFrame) {
+    def unpersist(): Unit = { capped.unpersist(); () }
+  }
+
+  /** Candidate-pair stage (id_a < id_b sharing at least one LSH band, from
+    * buckets of at most `maxBucket` docs — see object doc), with an
+    * explicit cache handle.
+    */
+  def lshStage(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): LshStage = {
     val bands = lshBands(docs)
     // persisted: both sides of the self-join consume it, and recomputing
     // would re-run the minhash signatures twice
@@ -85,11 +104,20 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val b = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    LshStage(capped,
+      a.join(b, Seq("band_idx", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct())
   }
+
+  /** Distinct candidate pairs sharing at least one LSH band. The internal
+    * band index stays cached for the session unless the caller releases it
+    * ([[lshStage]] exposes the handle) or clears the session cache between
+    * queries, as Bench/Verify do.
+    */
+  def lshCandidates(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshStage(docs, maxBucket).candidates
 
   /** Exact Jaccard for two ALREADY-DISTINCT shingle arrays.
     * `array_intersect` is a single hash-set pass (vs the O(n²)
@@ -118,22 +146,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Default hot-shingle document-frequency cap for
+    * [[windowedJaccardPairs]], mirrored in the q13 oracle SQL.
+    */
+  val DefaultMaxShingleDf = 5
+
   /** All-pairs Jaccard within a doc_id window, via an inverted index on
     * shingles: explode → self-equi-join on the shingle → count matches per
     * pair. No nested-loop join, no per-pair array scans — the shuffle is on
     * compact shingle keys and every stage is codegen'd. Pairs with zero
     * overlap never materialize (their Jaccard is 0 < threshold by
-    * definition). This is also the 100 TB shape: an all-pairs similarity
-    * join distributes by posting list, with hot shingles (stop-shingle
-    * skew) handled by dropping ultra-frequent shingles — not needed at
-    * test scale.
+    * definition).
+    *
+    * Stop-shingle skew: a shingle appearing in d documents contributes
+    * O(d²) join rows, so one boilerplate phrase ("all rights reserved")
+    * would dominate the whole job at corpus scale. Shingles with document
+    * frequency above `maxDf` are dropped from the index BEFORE the
+    * self-join, and the Jaccard is computed over the kept-shingle sets on
+    * both sides (sizes and intersections alike) — the standard posting-
+    * list truncation for all-pairs similarity joins. A hot shingle carries
+    * ~no similarity signal (it matches everything), so the capped Jaccard
+    * is the better near-dup measure as well as the scalable one. This is
+    * the 100 TB shape: distribute by posting list, bound the largest list.
     */
-  def windowedJaccardPairs(docs: DataFrame, idWindow: Int, threshold: Double): DataFrame = {
+  def windowedJaccardPairs(docs: DataFrame, idWindow: Int, threshold: Double,
+                           maxDf: Int = DefaultMaxShingleDf): DataFrame = {
     val sh = docs
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    // document frequency via a window over the posting list — the same
+    // shuffle-by-shingle the self-join needs anyway
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") &&
         col("b.doc_id") > col("a.doc_id") &&

@@ -91,10 +91,21 @@ object Relational {
     * fails on heavy tails where one rank step is a large value step): the
     * approx value must lie within the exact quantile envelope
     * [percentile(p−δ), percentile(p+δ)], δ = `rankMargin`/`accuracy`.
-    * Margin analysis: GK bounds rank error by 1/accuracy; δ uses a 10×
-    * safety factor on that bound, so the flag is guaranteed true by the
-    * sketch's contract for ANY value distribution — it only trips if the
-    * sketch implementation itself breaks its bound.
+    *
+    * Margin analysis, by group size n (ADVICE r3):
+    *  - n ≤ accuracy/2: below the 1/(2ε) compression threshold the sketch
+    *    never compresses — it stores every value and returns an element at
+    *    the exact target rank. But the interpolated envelope can then be
+    *    NARROWER than one rank step (δ·(n−1) < 1), so the envelope test is
+    *    vacuous noise, not a guarantee; the flag short-circuits to 1 in
+    *    this provably-exact regime instead of interpolating spurious
+    *    alarms.
+    *  - n > accuracy/2: the envelope spans δ·(n−1) > rankMargin/2 − δ ≥ 4
+    *    rank steps, comfortably wider than both the GK bound (εn ranks,
+    *    10× safety via `rankMargin`) and the ±1-rank interpolation slack,
+    *    so the flag is guaranteed true by the sketch's contract for ANY
+    *    value distribution — it only trips if the implementation breaks
+    *    its bound.
     */
   def approxQuantiles(lineitem: DataFrame, accuracy: Int = 10000,
                       rankMargin: Int = 10): DataFrame = {
@@ -102,6 +113,7 @@ object Relational {
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
+        count(lit(1)).as("n"),
         round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_price"),
         round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("a50"),
@@ -111,9 +123,11 @@ object Relational {
         percentile(col("l_extendedprice"), lit(0.95 - d)).as("lo95"),
         percentile(col("l_extendedprice"), lit(0.95 + d)).as("hi95"))
       .select(col("l_returnflag"), col("p50_price"), col("p95_price"),
-        (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+        (col("n") <= lit(accuracy / 2) ||
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")))
           .cast("int").as("p50_ok"),
-        (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
+        (col("n") <= lit(accuracy / 2) ||
+          (col("a95") >= col("lo95") && col("a95") <= col("hi95")))
           .cast("int").as("p95_ok"))
   }
 

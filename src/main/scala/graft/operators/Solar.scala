@@ -145,7 +145,16 @@ object Solar {
     * MEMORY_AND_DISK spills gracefully when the aggregate exceeds memory.
     */
   case class Stages(module: DataFrame, panel: DataFrame,
-                    panelStats: DataFrame, joined: DataFrame)
+                    panelStats: DataFrame, joined: DataFrame) {
+    /** Release the shared module-aggregate cache. Call after the action
+      * that consumes the stage outputs; the plans stay valid afterwards
+      * (they recompute from the scan if re-run). Without an explicit
+      * release the cache lives for the session — callers that run many
+      * pipelines per session (Bench, Verify) must either call this or
+      * `spark.catalog.clearCache()` between queries.
+      */
+    def unpersist(): Unit = { module.unpersist(); () }
+  }
 
   def stages(events: DataFrame, windowDuration: String = WindowDuration): Stages = {
     val m = moduleAgg(events, windowDuration)
