@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AsOf, Dedup, Multimodal, RangeJoin, Relational, Similarity, Skew, Solar, TextAnalysis, Windows}
+import graft.operators.{AsOf, Curation, Dedup, Multimodal, RangeJoin, Relational, Similarity, Skew, Solar, TextAnalysis, Windows}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7.
@@ -295,6 +295,28 @@ object SparkEntry {
       Similarity.ivfTopKMultiProbe(Tables.embeddings(s, dir),
         e => e.filter(col("vec_id") < 8),
         k = 5, kCells = KmeansK, iters = KmeansIters, nProbe = 2)),
+
+    // dedup-cluster extraction: connected components over the LSH-verified
+    // near-dup pairs (iterative min-label propagation; oracle replays the
+    // fixpoint with a recursive CTE)
+    "q52_dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.5))),
+
+    // end-to-end curation: language filter + quality floor + exact-dedup
+    // canonical survivor, fused into one scan + one fp64 shuffle
+    "q53_curation_pipeline" -> ((s, dir) =>
+      Curation.curate(Tables.documents(s, dir), lang = "en", minQuality = 0.5)),
+
+    // deterministic stratified sampling: md5-bucket coin per doc, 10% for
+    // the dominant language, 50% for the rest (training-mix rebalance)
+    "q54_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(Tables.documents(s, dir),
+        rates = Map("en" -> 10), defaultPct = 50)),
+
+    // int8 embedding quantization with in-band reconstruction-error bound
+    "q55_embedding_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -934,6 +956,110 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // minhash-LSH pairs (the q11 chain) as edges, then the connected-
+    // component fixpoint as a recursive CTE: reach = transitive closure,
+    // cluster = min reachable id — the same unique fixpoint the engine's
+    // min-label propagation converges to
+    "q52_dedup_clusters" ->
+      (docCtes.stripSuffix("\n").replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" + lshCtes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+           |nd AS (
+           |  SELECT id_a, id_b
+           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |             JOIN shd b ON cands.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM nd
+           |  UNION ALL SELECT id_b, id_a FROM nd),
+           |walk(id, reach) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+           |SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id""".stripMargin),
+
+    // one-pass enrichment (quality + language + fingerprint), survivor
+    // window over fp64, then the language/quality filters — mirrors
+    // Curation.curate stage for stage
+    "q53_curation_pipeline" -> {
+      val langs = TextAnalysis.StopwordDicts.map(_._1)
+      val scores = TextAnalysis.StopwordDicts.map { case (l, d) =>
+        s"${stopCountSql("ltoks", d)} AS score_$l"
+      }
+      val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val pred = langs.map(l => s"WHEN score_$l = $m AND $m > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""enr0 AS (
+           |  SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
+           |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+           |         ${stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)} AS n_stop,
+           |         ${scores.mkString(",\n         ")},
+           |         (('0x' || substr($fpSql, 1, 15))::BIGINT) AS fp64
+           |  FROM toks),
+           |enr AS (
+           |  SELECT doc_id, fp64, n_words,
+           |         round(0.4 * least(n_words / 100.0, 1.0)
+           |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
+           |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality,
+           |         $pred AS pred_lang
+           |  FROM enr0),
+           |kept AS (
+           |  SELECT doc_id, pred_lang, quality, n_words,
+           |         count(*) OVER (PARTITION BY fp64) AS dup_cnt,
+           |         min(doc_id) OVER (PARTITION BY fp64) AS keep_id
+           |  FROM enr)
+           |SELECT doc_id, pred_lang, quality, n_words, dup_cnt
+           |FROM kept WHERE doc_id = keep_id AND pred_lang = 'en' AND quality >= 0.5""".stripMargin
+    },
+
+    // md5-bucket sampling coin, per-language rate
+    "q54_stratified_sample" -> {
+      val langs = TextAnalysis.StopwordDicts.map(_._1)
+      val scores = TextAnalysis.StopwordDicts.map { case (l, d) =>
+        s"${stopCountSql("ltoks", d)} AS score_$l"
+      }
+      val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val pred = langs.map(l => s"WHEN score_$l = $m AND $m > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""scored AS (SELECT doc_id, ${scores.mkString(", ")} FROM toks),
+           |p AS (SELECT doc_id, $pred AS pred_lang FROM scored)
+           |SELECT doc_id, pred_lang, bucket FROM (
+           |  SELECT doc_id, pred_lang,
+           |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS bucket
+           |  FROM p)
+           |WHERE bucket < CASE WHEN pred_lang = 'en' THEN 10 ELSE 50 END""".stripMargin
+    },
+
+    // element-wise / order-free math only (max, not sum), so every double
+    // is bit-identical to the Spark side; floor(x+0.5) is the portable
+    // half-up (round() tie behavior differs between engines)
+    "q55_embedding_quantize" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+         |  FROM embeddings),
+         |a AS (
+         |  SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS amax
+         |  FROM e),
+         |qz AS (
+         |  SELECT vec_id, emb, amax,
+         |         list_transform(emb, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)) AS q
+         |  FROM a WHERE amax > 0.0),
+         |err AS (
+         |  SELECT vec_id, amax, q,
+         |         list_max(list_transform(range(1, ${EmbDim + 1}),
+         |           i -> abs(emb[i] - q[i] / (127.0 / amax)))) AS max_err
+         |  FROM qz)
+         |SELECT vec_id, round(amax, 6) AS amax, CAST(list_sum(q) AS BIGINT) AS q_sum,
+         |       round(max_err, 6) AS max_err,
+         |       CAST(max_err <= (0.5 + 1e-9) / (127.0 / amax) AS INT) AS err_ok
+         |FROM err""".stripMargin,
 
     // same kmeans replay as q32/q33 plus a probe ranking: each query's top-2
     // cells by the same |c|^2 - 2*(emb.c) distance and (dist, cell) tie-break

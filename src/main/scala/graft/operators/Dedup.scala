@@ -196,6 +196,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs: every document that appears
+    * in at least one pair, labeled with the smallest doc_id reachable
+    * through chains of pairs — the "dedup cluster" a curation pipeline
+    * keeps one survivor from (near-duplicate is not transitive, but
+    * cluster-and-keep-one is the standard policy precisely because chains
+    * of pairwise near-dups are the same boilerplate family).
+    *
+    * Algorithm: iterative min-label propagation — `label(v) := min(label
+    * (v), min over neighbors u of label(u))` repeated to the (unique)
+    * fixpoint, detected by a changed-label count per round. Each round is
+    * one equi-shuffle join of the edge list with the label table; rounds
+    * needed = cluster diameter, and near-dup clusters are shallow (a dup
+    * of a dup of X is itself a near-dup of X), so 2-4 rounds in practice.
+    * For adversarially deep graphs the large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14)
+    * halves the diameter per round with the same join shape — the swap is
+    * local to this method. The returned label table is left cached (it IS
+    * the result and the fixpoint loop consumed it); callers release it
+    * with the session cache like every other query intermediate.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .persist(MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl").as("src_lbl")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_lbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist(MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old_lbl")), "id")
+        .filter(col("lbl") < col("old_lbl")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   val SimhashBits = 64
 
   /** 64-bit SimHash over whitespace tokens: per-token hash from the first 8

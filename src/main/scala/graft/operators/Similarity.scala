@@ -239,6 +239,37 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * path for vector corpora at scale (4× smaller than float32, 8× smaller
+    * than the float64 compute type; IVF+int8 is the standard compressed
+    * layout). Per vector: `scale = 127 / max|x|`, `q_i = floor(x_i * scale
+    * + 0.5)` (explicit half-up — `round()` tie behavior differs between
+    * engines, `floor(x + 0.5)` does not), and the reconstruction error
+    * `max|x_i − q_i/scale|`, which is ≤ 0.5/scale by construction; the
+    * `err_ok` flag asserts that bound in-band (with one ulp of slack).
+    * Everything is element-wise or order-free (max, not sum), so the
+    * doubles are bit-identical under any parallelism and the DuckDB
+    * oracle replays them exactly. Zero vectors are excluded (scale would
+    * divide by zero; L2-normalized corpora have none).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    embeddings
+      .select(col("vec_id"), emb.as("emb"))
+      .withColumn("amax", array_max(transform(col("emb"), x => abs(x))))
+      .filter(col("amax") > 0.0)
+      .withColumn("q", transform(col("emb"),
+        x => floor(x * (lit(127.0) / col("amax")) + lit(0.5)).cast("long")))
+      .withColumn("max_err", array_max(zip_with(col("emb"), col("q"),
+        (x, qi) => abs(x - qi / (lit(127.0) / col("amax"))))))
+      .select(col("vec_id"),
+        round(col("amax"), 6).as("amax"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        round(col("max_err"), 6).as("max_err"),
+        (col("max_err") <= (lit(0.5) + lit(1e-9)) / (lit(127.0) / col("amax")))
+          .cast("int").as("err_ok"))
+  }
+
   /** IVF ANN over LEARNED cells: [[kmeansCells]] assignments replace the
     * pre-assigned `label` column, closing the "ANN index build" loop
     * (build the coarse quantizer, assign, probe).

@@ -43,10 +43,44 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
   )
 
-  private def stopwordCount(toks: Column, dict: Seq[String]): Column = {
+  private[operators] def stopwordCount(toks: Column, dict: Seq[String]): Column = {
     val set = array(dict.map(lit): _*)
     size(filter(toks, t => array_contains(set, t)))
   }
+
+  /** The predicted language as a single expression — the same argmax +
+    * fixed-priority tie-break as [[langId]], for callers that fuse
+    * language-ID into a wider one-pass projection ([[Curation]]).
+    */
+  def predLang(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = StopwordDicts.map { case (l, d) => l -> stopwordCount(toks, d) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), e) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(e)
+    }
+  }
+
+  /** The rounded quality score as a single expression — identical math to
+    * [[quality]]'s `quality` column, for one-pass fusion ([[Curation]]).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val charsNz = when(nChars > 0, nChars)
+    val nWords = size(tokens(text))
+    val nPunct = size(regexp_extract_all(lower(text), lit("[^a-z0-9 ]"), lit(0)))
+    val nStop = stopwordCount(tokens(lower(text)), StopwordDicts.head._2)
+    round(
+      lit(0.4) * least(nWords / lit(100.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - nPunct / charsNz) +
+        lit(0.3) * least(nStop / nWords * 5.0, lit(1.0)), 4)
+  }
+
+  /** The 60-bit content-fingerprint long as a single expression (the
+    * `fp64` column of [[fingerprint]]).
+    */
+  def fp64Expr(text: Column): Column =
+    conv(substring(md5(normalized(text)), 1, 15), 16, 10).cast("long")
 
   /** doc_id, per-language scores, predicted language. */
   def langId(docs: DataFrame): DataFrame = {
@@ -145,6 +179,5 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       md5(normalized(col("text"))).as("fp"),
-      conv(substring(md5(normalized(col("text"))), 1, 15), 16, 10)
-        .cast("long").as("fp64"))
+      fp64Expr(col("text")).as("fp64"))
 }

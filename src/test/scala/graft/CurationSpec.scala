@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, TextAnalysis}
+
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val good = "the cat and the dog play in the house with the ball " * 3
+  private def docs = Seq(
+    (1L, good),                       // en, high quality
+    (2L, good),                       // exact dup of 1 -> dropped (survivor=1)
+    (3L, "el que la y en un mar"),    // es -> language-filtered
+    (4L, "zz qq ww !!!! ???? ####"),  // und + punctuation-heavy -> filtered
+    (5L, "the of and to in is that it for a " * 4) // en, stopword-rich
+  ).toDF("doc_id", "text")
+
+  test("curate keeps canonical en survivors above the quality floor") {
+    val out = Curation.curate(docs, lang = "en", minQuality = 0.5)
+      .select("doc_id", "dup_cnt").as[(Long, Long)].collect().toMap
+    assert(out.keySet === Set(1L, 5L))   // 2 deduped away, 3 wrong lang, 4 junk
+    assert(out(1L) === 2L)               // survivor carries its group size
+    assert(out(5L) === 1L)
+  }
+
+  test("curate survivor choice is independent of filter order") {
+    // doc 2 (the dup) differs from doc 1 only by id; survivor must be the
+    // smaller id even though both pass the filters
+    val flipped = Seq((9L, good), (6L, good)).toDF("doc_id", "text")
+    val out = Curation.curate(flipped, "en", 0.0).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(out === Seq(6L))
+  }
+
+  test("quality/predLang expression helpers agree with the operator columns") {
+    val viaOps = TextAnalysis.quality(docs).select(col("doc_id"), col("quality"))
+      .join(TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")), "doc_id")
+    val viaExprs = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.predLang(col("text")).as("pred_lang"))
+    assert(viaOps.collect().toSet === viaExprs.collect().toSet)
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val many = (0L until 400L).map(i => (i, if (i % 2 == 0) good else "el que la y en un"))
+      .toDF("doc_id", "text")
+    val s1 = Curation.stratifiedSample(many, Map("en" -> 10), defaultPct = 50)
+    val s2 = Curation.stratifiedSample(many, Map("en" -> 10), defaultPct = 50)
+    val r1 = s1.select("doc_id").as[Long].collect().toSet
+    assert(r1 === s2.select("doc_id").as[Long].collect().toSet) // reproducible
+    val byLang = s1.groupBy("pred_lang").count().as[(String, Long)].collect().toMap
+    // 200 docs per stratum: en at ~10% and es at ~50% (md5 buckets are
+    // uniform; allow generous slack for the 200-doc sample)
+    assert(byLang("en") > 5 && byLang("en") < 40)
+    assert(byLang("es") > 70 && byLang("es") < 130)
+    // every sampled doc's bucket is under its stratum's rate
+    val bad = s1.filter(
+      (col("pred_lang") === "en" && col("bucket") >= 10) ||
+        (col("pred_lang") =!= "en" && col("bucket") >= 50)).count()
+    assert(bad === 0L)
+  }
+}

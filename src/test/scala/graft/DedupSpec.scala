@@ -60,6 +60,23 @@ class DedupSpec extends SparkSpecBase {
     assert(brute.nonEmpty) // fixture actually exercises the path
   }
 
+  test("nearDupClusters: chains merge into one component with min-id label") {
+    // edges 1-2, 2-5 chain; 7-8 separate; labels = min reachable id
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L))
+    spark.catalog.clearCache()
+  }
+
+  test("nearDupClusters converges on a long path (diameter > 2)") {
+    // path 10-11-12-13-14: min label must propagate the full diameter
+    val pairs = (10L to 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out === (10L to 14L).map(_ -> 10L).toMap)
+    spark.catalog.clearCache()
+  }
+
   test("embedding near-dup pairs: parallel vectors score 1.0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),

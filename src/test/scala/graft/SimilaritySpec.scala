@@ -86,6 +86,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(firstProbe === own)
   }
 
+  test("quantizeInt8: error bound holds and codes reconstruct the direction") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.quantizeInt8(e)
+    assert(out.count() === e.count())                 // L2-normalized: no zero vectors
+    assert(out.filter($"err_ok" === 0).count() === 0) // 0.5/scale bound everywhere
+    // max_err <= 0.5 * amax / 127 numerically
+    val viol = out.filter($"max_err" > $"amax" * 0.5 / 127.0 + 1e-6).count()
+    assert(viol === 0)
+  }
+
+  test("quantizeInt8 codes fit int8 range") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val emb = transform(col("embedding"), x => x.cast("double"))
+    val amax = array_max(transform(emb, x => abs(x)))
+    val codes = e.select(explode(transform(emb,
+      x => floor(x * (lit(127.0) / amax) + lit(0.5)).cast("long"))).as("c"))
+    assert(codes.filter($"c" > 127 || $"c" < -128).count() === 0)
+  }
+
   test("kmeans cells feed ivfTopK end-to-end on real embeddings") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cells = Similarity.kmeansCells(e, k = SparkEntry.KmeansK,
