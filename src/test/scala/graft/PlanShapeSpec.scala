@@ -29,4 +29,34 @@ class PlanShapeSpec extends SparkSpecBase {
         s"CartesianProduct in plan:\n$plan")
       spark.catalog.clearCache()
     }
+
+  // The one-pass claims in Curation/Similarity docs, pinned as plan-shape
+  // assertions: exchange count == shuffles, scan count == corpus passes.
+  private def shape(name: String): (Int, Int) = {
+    // executedPlan (not sparkPlan): exchanges are inserted by
+    // EnsureRequirements during preparation
+    val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    (exchanges, scans)
+  }
+
+  test("q53 curation is one corpus scan + one shuffle") {
+    val (exchanges, scans) = shape("q53_curation_pipeline")
+    assert(exchanges === 1, "curation must shuffle exactly once (fp64 window)")
+    assert(scans === 1, "curation must scan the corpus exactly once")
+    spark.catalog.clearCache()
+  }
+
+  test("q54 stratified sampling is scan-only (no shuffle)") {
+    val (exchanges, scans) = shape("q54_stratified_sample")
+    assert(exchanges === 0)
+    assert(scans === 1)
+  }
+
+  test("q55 quantization is scan-only (no shuffle)") {
+    val (exchanges, scans) = shape("q55_embedding_quantize")
+    assert(exchanges === 0)
+    assert(scans === 1)
+  }
 }
