@@ -234,6 +234,140 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** All stopword-dictionary scores in one pass over the token array:
+  * result[d] = number of tokens contained in dicts(d). Replaces the
+  * `size(filter(toks, t -> array_contains(dict, t)))` formulation, whose
+  * interpreted per-element lambda costs |toks| × Σ|dict| comparisons per
+  * document (measured: language-ID dominated the 1 M-doc curation probe at
+  * ~40 s); here each token is |dicts| hash-set probes. Null for null
+  * input; null tokens count for no dictionary.
+  */
+case class StopwordScores(child: Expression, dicts: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    dicts.map { d =>
+      val s = new java.util.HashSet[UTF8String](d.size * 2)
+      d.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var d = 0
+        while (d < sets.length) {
+          if (sets(d).contains(t)) counts(d) += 1
+          d += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.length)
+    var d = 0
+    while (d < counts.length) { out(d) = counts(d); d += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Language prediction in ONE pass over the token array: argmax stopword
+  * score with first-in-order tie-break, "und" when every score is zero —
+  * the single-expression form of the `CASE WHEN score_l = max THEN l`
+  * chain, evaluated once per row instead of once per score reference
+  * (interpreted expressions get no common-subexpression elimination, so
+  * the chain re-ran the scoring per branch).
+  */
+case class LangPredict(child: Expression, dicts: Seq[Seq[String]],
+                       langs: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(dicts.length == langs.length)
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    dicts.map { d =>
+      val s = new java.util.HashSet[UTF8String](d.size * 2)
+      d.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+  @transient private lazy val langStrs: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var d = 0
+        while (d < sets.length) {
+          if (sets(d).contains(t)) counts(d) += 1
+          d += 1
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var max = 0
+    var d = 0
+    while (d < counts.length) {
+      if (counts(d) > max) { max = counts(d); best = d }
+      d += 1
+    }
+    if (best < 0) und else langStrs(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of codepoints NOT in [a-z0-9 ] — the single-pass twin of
+  * `size(regexp_extract_all(lowered, '[^a-z0-9 ]', 0))`, which costs ~34 µs
+  * per 300-char document (regex engine + one match object per punctuation
+  * character; measured as 34 s of the 1 M-doc curation probe's 38 s).
+  * Every non-ASCII codepoint is outside the allowed set by definition, so
+  * multibyte sequences count as one without decoding. Callers pass the
+  * LOWERCASED text, exactly like the regex form.
+  */
+case class PunctCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var i = 0
+    var n = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b < 0x80) {
+        if (!((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == ' ')) n += 1
+        i += 1
+      } else {
+        n += 1 // one non-ASCII codepoint == one [^a-z0-9 ] match
+        i += (if (b >= 0xf0) 4 else if (b >= 0xe0) 3 else 2)
+      }
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
@@ -246,4 +380,14 @@ object TextFunctions {
 
   def sim_hash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def stopword_scores(tokens: Column, dicts: Seq[Seq[String]]): Column =
+    Bridge.column(StopwordScores(Bridge.expression(tokens), dicts))
+
+  def lang_predict(tokens: Column, dicts: Seq[Seq[String]],
+                   langs: Seq[String]): Column =
+    Bridge.column(LangPredict(Bridge.expression(tokens), dicts, langs))
+
+  def punct_count(loweredText: Column): Column =
+    Bridge.column(PunctCount(Bridge.expression(loweredText)))
 }

@@ -43,23 +43,26 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
   )
 
-  private[operators] def stopwordCount(toks: Column, dict: Seq[String]): Column = {
-    val set = array(dict.map(lit): _*)
-    size(filter(toks, t => array_contains(set, t)))
-  }
+  /** Single-dictionary count through the one-pass kernel (see
+    * [[graft.functions.StopwordScores]] — the HOF `filter`+`array_contains`
+    * formulation cost |toks|×|dict| interpreted comparisons per document).
+    */
+  private[operators] def stopwordCount(toks: Column, dict: Seq[String]): Column =
+    graft.functions.TextFunctions.stopword_scores(toks, Seq(dict)).getItem(0)
+
+  /** All [[StopwordDicts]] scores in one token pass, in dictionary order. */
+  private def allScores(toks: Column): Column =
+    graft.functions.TextFunctions.stopword_scores(toks, StopwordDicts.map(_._2))
 
   /** The predicted language as a single expression — the same argmax +
-    * fixed-priority tie-break as [[langId]], for callers that fuse
-    * language-ID into a wider one-pass projection ([[Curation]]).
+    * fixed-priority tie-break as [[langId]]'s CASE chain, but ONE kernel
+    * evaluation per row ([[graft.functions.LangPredict]]): interpreted
+    * expressions get no common-subexpression elimination, so the CASE form
+    * re-ran the scoring once per branch reference.
     */
-  def predLang(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scores = StopwordDicts.map { case (l, d) => l -> stopwordCount(toks, d) }
-    val maxScore = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und"): Column) { case ((l, s), e) =>
-      when(s === maxScore && maxScore > 0, lit(l)).otherwise(e)
-    }
-  }
+  def predLang(text: Column): Column =
+    graft.functions.TextFunctions.lang_predict(tokens(lower(text)),
+      StopwordDicts.map(_._2), StopwordDicts.map(_._1))
 
   /** The rounded quality score as a single expression — identical math to
     * [[quality]]'s `quality` column, for one-pass fusion ([[Curation]]).
@@ -68,7 +71,7 @@ object TextAnalysis {
     val nChars = length(text)
     val charsNz = when(nChars > 0, nChars)
     val nWords = size(tokens(text))
-    val nPunct = size(regexp_extract_all(lower(text), lit("[^a-z0-9 ]"), lit(0)))
+    val nPunct = graft.functions.TextFunctions.punct_count(lower(text))
     val nStop = stopwordCount(tokens(lower(text)), StopwordDicts.head._2)
     round(
       lit(0.4) * least(nWords / lit(100.0), lit(1.0)) +
@@ -82,21 +85,18 @@ object TextAnalysis {
   def fp64Expr(text: Column): Column =
     conv(substring(md5(normalized(text)), 1, 15), 16, 10).cast("long")
 
-  /** doc_id, per-language scores, predicted language. */
+  /** doc_id, per-language scores, predicted language (argmax with fixed
+    * priority order, "und" when all scores are zero — the prediction is
+    * one [[graft.functions.LangPredict]] pass, see [[predLang]]).
+    */
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(lower(col("text")))
-    val scored = docs.select(
-      Seq(col("doc_id")) ++ StopwordDicts.map { case (l, d) =>
-        stopwordCount(toks, d).as(s"score_$l")
-      }: _*)
-    val langs = StopwordDicts.map(_._1)
-    // argmax with fixed priority order: first language whose score equals
-    // the max; "und" when all scores are zero.
-    val maxScore = greatest(langs.map(l => col(s"score_$l")): _*)
-    val pred = langs.foldRight(lit("und"): Column) { (l, e) =>
-      when(col(s"score_$l") === maxScore && maxScore > 0, lit(l)).otherwise(e)
-    }
-    scored.withColumn("pred_lang", pred)
+    val scoresArr = allScores(toks)
+    docs.select(
+      Seq(col("doc_id")) ++
+        StopwordDicts.zipWithIndex.map { case ((l, _), i) =>
+          scoresArr.getItem(i).as(s"score_$l")
+        } :+ predLang(col("text")).as("pred_lang"): _*)
   }
 
   // --- quality scoring --------------------------------------------------
@@ -116,7 +116,7 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).as("n_chars_m"),
       size(toks).as("n_words"),
-      size(regexp_extract_all(txt, lit("[^a-z0-9 ]"), lit(0))).as("n_punct"),
+      graft.functions.TextFunctions.punct_count(txt).as("n_punct"),
       stopwordCount(tokens(txt), StopwordDicts.head._2).as("n_stop"))
       .withColumn("punct_ratio", round(col("n_punct") / charsNz, 4))
       .withColumn("stop_ratio", round(col("n_stop") / col("n_words"), 4))

@@ -70,6 +70,29 @@ class TextKernelsSpec extends SparkSpecBase {
     assert((s & 0xffffffffL) === lo)
   }
 
+  test("punct_count matches the regexp_extract_all formulation incl. unicode") {
+    val samples = Seq("hello, world!", "abc 123", "", "¿qué? 的是不 ok!",
+      "UPPER was lowered", "a.b,c;d:e", "tabs\tand\nnewlines", "émigré café")
+    val df = samples.toDF("text")
+    val kernel = df.select(punct_count(lower(col("text"))).as("n")).as[Int].collect()
+    val regex = df.select(
+      size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9 ]"), lit(0))).as("n"))
+      .as[Int].collect()
+    assert(kernel.toSeq === regex.toSeq)
+  }
+
+  test("stopword_scores matches the filter+array_contains formulation") {
+    val dicts = TextAnalysis.StopwordDicts.map(_._2)
+    val df = Seq("the cat and the dog", "el que la y en un", "", "zzz qqq").toDF("text")
+    val kernel = df.select(stopword_scores(split(lower(col("text")), " "), dicts).as("s"))
+      .as[Seq[Int]].collect()
+    val hof = df.select(array(dicts.map(d =>
+      size(filter(split(lower(col("text")), " "),
+        t => array_contains(array(d.map(lit): _*), t)))): _*).as("s"))
+      .as[Seq[Int]].collect()
+    assert(kernel.toSeq === hof.toSeq)
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(("A  b C", 1L), ("a b c", 2L)).toDF("text", "doc_id")
     val fps = TextAnalysis.fingerprint(df).select("fp").as[String].collect()
