@@ -317,6 +317,34 @@ object SparkEntry {
     // int8 embedding quantization with in-band reconstruction-error bound
     "q55_embedding_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+
+    // bag-semantics set ops: EXCEPT ALL / INTERSECT ALL multiset counts
+    "q56_bag_set_ops" -> ((s, dir) =>
+      Relational.bagSetOps(Tables.orders(s, dir), threshold = 250000.0)),
+
+    // correlated scalar + EXISTS subqueries through the SQL surface
+    // (Catalyst decorrelates both into joins — no per-row re-execution)
+    "q57_correlated_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+              |  (SELECT c_mktsegment FROM customer_v c
+              |   WHERE c.c_custkey = o.o_custkey) AS seg,
+              |  CAST(EXISTS(SELECT 1 FROM lineitem_v l
+              |              WHERE l.l_orderkey = o.o_orderkey
+              |                AND l.l_quantity >= 45) AS INT) AS has_bulk
+              |FROM orders_v o""".stripMargin)
+    }),
+
+    // statistical aggregates gated on exact integer moments; native
+    // stddev_samp/corr asserted in-band
+    "q58_stats_agg" -> ((s, dir) =>
+      Relational.statsAggregates(Tables.lineitem(s, dir))),
+
+    // nested-JSON encode/decode round trip (struct + array)
+    "q59_json_nested" -> ((s, dir) =>
+      Relational.jsonNestedRoundtrip(Tables.orders(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1060,6 +1088,55 @@ object SparkEntry {
          |       round(max_err, 6) AS max_err,
          |       CAST(max_err <= (0.5 + 1e-9) / (127.0 / amax) AS INT) AS err_ok
          |FROM err""".stripMargin,
+
+    "q56_bag_set_ops" ->
+      """WITH high AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0),
+        |low AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice <= 250000.0),
+        |ex AS (SELECT custkey, count(*) AS n_except
+        |       FROM (SELECT * FROM high EXCEPT ALL SELECT * FROM low) GROUP BY 1),
+        |ia AS (SELECT custkey, count(*) AS n_intersect
+        |       FROM (SELECT * FROM high INTERSECT ALL SELECT * FROM low) GROUP BY 1)
+        |SELECT coalesce(ex.custkey, ia.custkey) AS custkey,
+        |       coalesce(n_except, 0) AS n_except,
+        |       coalesce(n_intersect, 0) AS n_intersect
+        |FROM ex FULL OUTER JOIN ia ON ex.custkey = ia.custkey""".stripMargin,
+
+    "q57_correlated_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+        |  (SELECT c_mktsegment FROM customer c
+        |   WHERE c.c_custkey = o.o_custkey) AS seg,
+        |  CAST(EXISTS(SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 45) AS INT) AS has_bulk
+        |FROM orders o""".stripMargin,
+
+    // identical formula text over exact integer moments (see
+    // Relational.statsAggregates) — the derived values are bit-identical
+    // across engines; the native-implementation flags are asserted in-band
+    "q58_stats_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |         sum(l_quantity) AS sum_q,
+        |         sum(l_quantity * l_quantity) AS sum_qq,
+        |         sum(d) AS sum_d, sum(d * d) AS sum_dd,
+        |         sum(l_quantity * d) AS sum_qd
+        |  FROM (SELECT l_returnflag, l_quantity,
+        |          CAST(CAST(round(l_discount * 100) AS BIGINT) AS DOUBLE) AS d
+        |        FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round(sqrt((n * sum_qq - sum_q * sum_q) / (n * (n - 1.0))), 6) AS sd_qty,
+        |  round((n * sum_qd - sum_q * sum_d) /
+        |        (sqrt(n * sum_qq - sum_q * sum_q) * sqrt(n * sum_dd - sum_d * sum_d)), 6)
+        |    AS corr_qty_disc,
+        |  1 AS sd_ok, 1 AS corr_ok
+        |FROM m""".stripMargin,
+
+    // the oracle is the identity — encode->decode must lose nothing
+    "q59_json_nested" ->
+      """SELECT o_orderkey, o_custkey AS ck, round(o_totalprice, 4) AS tp,
+        |       o_custkey AS arr1
+        |FROM orders""".stripMargin,
 
     // same kmeans replay as q32/q33 plus a probe ranking: each query's top-2
     // cells by the same |c|^2 - 2*(emb.c) distance and (dist, cell) tie-break

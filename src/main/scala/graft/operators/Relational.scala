@@ -238,6 +238,87 @@ object Relational {
       .withColumnRenamed("F", "qty_f")
       .withColumnRenamed("O", "qty_o")
 
+  /** Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL): per
+    * customer, how many high-value orders exceed their low-value order
+    * count (multiset difference) and how many are matched 1:1 by one
+    * (multiset intersection). Spark plans both as aggregate-and-replicate
+    * (Generate over per-key counts) — one shuffle each, no join of the raw
+    * tables.
+    */
+  def bagSetOps(orders: DataFrame, threshold: Double): DataFrame = {
+    val high = orders.filter(col("o_totalprice") > threshold)
+      .select(col("o_custkey").as("custkey"))
+    val low = orders.filter(col("o_totalprice") <= threshold)
+      .select(col("o_custkey").as("custkey"))
+    val ex = high.exceptAll(low).groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n_except"))
+    val ia = high.intersectAll(low).groupBy(col("custkey"))
+      .agg(count(lit(1)).as("n_intersect"))
+    ex.join(ia, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+  }
+
+  /** Statistical aggregates over exact integer moments. `l_quantity` and
+    * `l_discount*100` are integer-valued, so Σx, Σx², Σxy are EXACT in
+    * doubles (≪ 2^53) and the derived stddev/corr — computed by the same
+    * explicit formula text in both engines — are bit-identical, which no
+    * cross-engine pair of native one-pass implementations guarantees
+    * (Welford-style update order differs). Spark's native `stddev_samp` /
+    * `corr` are then asserted in-band against the exact-moment values
+    * (flags the oracle expects to be 1), gating the native implementations
+    * without exposing their last-ulp noise to the hash.
+    */
+  def statsAggregates(lineitem: DataFrame): DataFrame = {
+    val q = col("l_quantity")
+    val d = round(col("l_discount") * 100).cast("long").cast("double")
+    val agged = lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(q).as("sum_q"), sum(q * q).as("sum_qq"),
+        sum(d).as("sum_d"), sum(d * d).as("sum_dd"),
+        sum(q * d).as("sum_qd"),
+        stddev_samp(q).as("native_sd"),
+        corr(q, d).as("native_corr"))
+    val sdExact = sqrt((col("n") * col("sum_qq") - col("sum_q") * col("sum_q"))
+      / (col("n") * (col("n") - lit(1.0))))
+    val corrExact = (col("n") * col("sum_qd") - col("sum_q") * col("sum_d")) /
+      (sqrt(col("n") * col("sum_qq") - col("sum_q") * col("sum_q")) *
+        sqrt(col("n") * col("sum_dd") - col("sum_d") * col("sum_d")))
+    agged.select(col("l_returnflag"),
+      col("n").cast("long").as("n_rows"),
+      round(sdExact, 6).as("sd_qty"),
+      round(corrExact, 6).as("corr_qty_disc"),
+      (abs(col("native_sd") - sdExact) <= lit(1e-9) * sdExact)
+        .cast("int").as("sd_ok"),
+      (abs(col("native_corr") - corrExact) <= lit(1e-9)).cast("int").as("corr_ok"))
+  }
+
+  /** Nested-JSON round trip: build a nested document (struct + array) with
+    * `to_json`, read it back with `from_json` + `get_json_object`, and
+    * emit the extracted values — the oracle is the identity (the plain
+    * source columns), so the gate proves encode→decode loses nothing.
+    * JSON stays a wire format: nothing downstream parses strings twice.
+    */
+  def jsonNestedRoundtrip(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val js = to_json(struct(
+      col("o_custkey").as("ck"),
+      struct(round(col("o_totalprice"), 4).as("tp")).as("n"),
+      array(col("o_orderkey"), col("o_custkey")).as("arr")))
+    val schema = StructType(Seq(
+      StructField("ck", LongType),
+      StructField("n", StructType(Seq(StructField("tp", DoubleType)))),
+      StructField("arr", ArrayType(LongType))))
+    orders.select(col("o_orderkey"), js.as("js"))
+      .select(col("o_orderkey"),
+        get_json_object(col("js"), "$.ck").cast("long").as("ck"),
+        from_json(col("js"), schema).getField("n").getField("tp").as("tp"),
+        from_json(col("js"), schema).getField("arr").getItem(1).as("arr1"))
+  }
+
   /** HLL++ approximate distinct counts — the 100 TB path for
     * [[distinctCounts]]: exact count-distinct shuffles every distinct key;
     * the HLL sketch is fixed-size (relativeSD=0.05 → ~1.5 KB) and merges

@@ -182,6 +182,18 @@ object SolarStreaming {
         col("p_cnt"), col("p_sum_power"), col("p_avg_power"))
   }
 
+  /** Stream-static dimension join: enrich the live reading stream with a
+    * static (batch) dimension table on the panel key — the join class
+    * between stateless projection and stateful stream-stream join. No
+    * state store at all: the static side is re-resolved per micro-batch
+    * (so a dim table refreshed in place is picked up on the next batch)
+    * and broadcasts when small, which is the 100 TB deployment shape —
+    * dimension broadcast, stream never shuffles.
+    */
+  def enrichStream(normalized: DataFrame, panelDim: DataFrame): DataFrame =
+    normalized.join(
+      org.apache.spark.sql.functions.broadcast(panelDim), Seq("panel"))
+
   /** Time-interval stream-stream join — the literal semantics of Kafka
     * Streams' `JoinWindows.of(30 s)` (`SolarConsumer.java:57,142-147`):
     * pair records of two streams whose event times are within a tolerance,

@@ -44,6 +44,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stream-static join enriches the stream without a state store") {
+    val (input, df) = newInput()
+    val dim = Seq(("p1", "site-A"), ("p2", "site-B")).toDF("panel", "site")
+    val name = s"enrich_${System.nanoTime()}"
+    val query = SolarStreaming.enrichStream(df, dim)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:05"), "p1", "m1", 10.0),
+        (ts("2024-01-01 00:00:06"), "p2", "m2", 20.0),
+        (ts("2024-01-01 00:00:07"), "p9", "m3", 30.0)) // no dim row -> dropped
+      query.processAllAvailable()
+      val rows = spark.table(name).select("panel", "module", "site")
+        .as[(String, String, String)].collect().toSet
+      assert(rows === Set(("p1", "m1", "site-A"), ("p2", "m2", "site-B")))
+      assert(query.lastProgress.stateOperators.isEmpty ||
+        query.recentProgress.forall(_.stateOperators.forall(_.numRowsTotal == 0)))
+    } finally query.stop()
+  }
+
   test("late records beyond the watermark are dropped") {
     val (input, df) = newInput()
     val name = s"late_${System.nanoTime()}"
