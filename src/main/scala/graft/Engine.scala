@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{MinHashSig, SimHash16, SimHash64, VectorDot, WordShingles}
+import graft.functions.{LangPredict, MinHashSig, PunctCount, SimHash16, SimHash64, StopwordScores, VectorDot, WordShingles}
 
 /** Session wiring for the graft engine.
   *
@@ -49,6 +49,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sim_hash64"),
       info("sim_hash64", "sim_hash64(tokens) - 64-bit simhash fingerprint"),
       (es: Seq[Expression]) => SimHash64(es(0))))
+    ext.injectFunction((FunctionIdentifier("punct_count"),
+      info("punct_count", "punct_count(lowered_text) - codepoints outside [a-z0-9 ]"),
+      (es: Seq[Expression]) => PunctCount(es(0))))
+    // the SQL forms bind the engine's standard dictionaries — a SQL user
+    // gets the same language model the DataFrame operators use
+    ext.injectFunction((FunctionIdentifier("lang_predict"),
+      info("lang_predict", "lang_predict(tokens) - argmax stopword language, 'und' if none"),
+      (es: Seq[Expression]) => LangPredict(es(0),
+        graft.operators.TextAnalysis.StopwordDicts.map(_._2),
+        graft.operators.TextAnalysis.StopwordDicts.map(_._1))))
+    ext.injectFunction((FunctionIdentifier("stopword_scores"),
+      info("stopword_scores", "stopword_scores(tokens) - per-dictionary stopword counts"),
+      (es: Seq[Expression]) => StopwordScores(es(0),
+        graft.operators.TextAnalysis.StopwordDicts.map(_._2))))
   }
 }
 

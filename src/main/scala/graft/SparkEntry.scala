@@ -266,11 +266,14 @@ object SparkEntry {
     "q46_dates" -> ((s, dir) => Relational.ordersByMonth(Tables.orders(s, dir))),
 
     // SQL surface end-to-end: the same engine through spark.sql, including
-    // a GraftExtensions-registered custom expression (sim_hash16) — proves
-    // SQL users get bit-identical results to the DataFrame API
+    // GraftExtensions-registered custom expressions (sim_hash16,
+    // lang_predict, punct_count) — proves SQL users get bit-identical
+    // results to the DataFrame API
     "q47_sql_surface" -> ((s, dir) => {
       Tables.documents(s, dir).createOrReplaceTempView("documents_v")
-      s.sql("""SELECT doc_id, sim_hash16(split(lower(text), ' ')) AS simhash
+      s.sql("""SELECT doc_id, sim_hash16(split(lower(text), ' ')) AS simhash,
+              |       lang_predict(split(lower(text), ' ')) AS pred_lang,
+              |       punct_count(lower(text)) AS n_punct
               |FROM documents_v""".stripMargin)
         .filter(col("simhash").isNotNull)
     }),
@@ -963,10 +966,26 @@ object SparkEntry {
         |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
 
-    // same simhash math as q12/q31, reached through the SQL surface
-    "q47_sql_surface" ->
-      (docCtes.stripSuffix("\n") + ",\n" + simhashCtes.stripSuffix(",\n") + "\n" +
-        "SELECT doc_id, simhash FROM simhash_t"),
+    // same simhash/lang/punct math as the DataFrame gates, reached through
+    // the SQL surface (registered kernels)
+    "q47_sql_surface" -> {
+      val langs = TextAnalysis.StopwordDicts.map(_._1)
+      val scores = TextAnalysis.StopwordDicts.map { case (l, d) =>
+        s"${stopCountSql("ltoks", d)} AS score_$l"
+      }
+      val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      val pred = langs.map(l => s"WHEN score_$l = $m AND $m > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      docCtes.stripSuffix("\n") + ",\n" + simhashCtes +
+        s"""scored AS (SELECT doc_id, ${scores.mkString(", ")} FROM toks),
+           |pl AS (SELECT doc_id, $pred AS pred_lang FROM scored),
+           |pc AS (SELECT doc_id,
+           |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct
+           |       FROM toks)
+           |SELECT s.doc_id, s.simhash, pl.pred_lang, pc.n_punct
+           |FROM simhash_t s JOIN pl ON pl.doc_id = s.doc_id
+           |                 JOIN pc ON pc.doc_id = s.doc_id""".stripMargin
+    },
 
     "q48_top_tokens" ->
       """WITH toks2 AS (

@@ -24,6 +24,14 @@ class EngineSpec extends SparkSpecBase {
     assert(sig.length === 4)
     assert(spark.sql("SELECT sim_hash16(split('a b', ' ')) AS s")
       .collect().head.getLong(0) >= 0L)
+    assert(spark.sql("SELECT sim_hash64(split('a b', ' ')) AS s")
+      .collect().head.get(0) != null)
+    assert(spark.sql("SELECT punct_count('hello, world!') AS n")
+      .collect().head.getInt(0) === 2)
+    assert(spark.sql("SELECT lang_predict(split('the cat and the dog', ' ')) AS l")
+      .collect().head.getString(0) === "en")
+    assert(spark.sql("SELECT stopword_scores(split('the el', ' ')) AS s")
+      .collect().head.getSeq[Int](0).take(2) === Seq(1, 1))
   }
 
   test("dropDuplicatesWithinWatermark drops dupes of the same fingerprint") {
