@@ -348,6 +348,11 @@ object SparkEntry {
     // nested-JSON encode/decode round trip (struct + array)
     "q59_json_nested" -> ((s, dir) =>
       Relational.jsonNestedRoundtrip(Tables.orders(s, dir))),
+
+    // corpus length distribution via the custom TypedImperativeAggregate
+    // (exact integer histogram, map-side partial aggregation)
+    "q60_length_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(Tables.documents(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -423,6 +428,20 @@ object SparkEntry {
 
   private def stopCountSql(toksExpr: String, dict: Seq[String]): String =
     s"len(list_filter($toksExpr, t -> list_contains(${dictSql(dict)}, t)))"
+
+  /** Per-language score select-list + argmax CASE, shared by every oracle
+    * that replays [[TextAnalysis.predLang]] (q17/q47/q53/q54/q60).
+    */
+  private lazy val langScoreSqls: Seq[String] =
+    TextAnalysis.StopwordDicts.map { case (l, d) =>
+      s"${stopCountSql("ltoks", d)} AS score_$l"
+    }
+  private lazy val predLangCaseSql: String = {
+    val langs = TextAnalysis.StopwordDicts.map(_._1)
+    val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    langs.map(l => s"WHEN score_$l = $m AND $m > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
 
   /** MinHash signature + LSH band CTEs mirroring [[Dedup.minhashSignature]]
     * / [[Dedup.lshBands]] (bands unrolled as a UNION ALL).
@@ -698,17 +717,11 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q17_text_lang_id" -> {
-      val scores = TextAnalysis.StopwordDicts.map { case (l, d) =>
-        s"${stopCountSql("ltoks", d)} AS score_$l"
-      }
       val langs = TextAnalysis.StopwordDicts.map(_._1)
-      val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
-      val pred = langs.map(l => s"WHEN score_$l = $m AND $m > 0 THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'und' END")
       docCtes +
         s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
-           |       $pred AS pred_lang
-           |FROM (SELECT doc_id, ${scores.mkString(", ")} FROM toks)""".stripMargin
+           |       $predLangCaseSql AS pred_lang
+           |FROM (SELECT doc_id, ${langScoreSqls.mkString(", ")} FROM toks)""".stripMargin
     },
 
     "q18_text_quality" -> {
@@ -969,16 +982,9 @@ object SparkEntry {
     // same simhash/lang/punct math as the DataFrame gates, reached through
     // the SQL surface (registered kernels)
     "q47_sql_surface" -> {
-      val langs = TextAnalysis.StopwordDicts.map(_._1)
-      val scores = TextAnalysis.StopwordDicts.map { case (l, d) =>
-        s"${stopCountSql("ltoks", d)} AS score_$l"
-      }
-      val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
-      val pred = langs.map(l => s"WHEN score_$l = $m AND $m > 0 THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'und' END")
       docCtes.stripSuffix("\n") + ",\n" + simhashCtes +
-        s"""scored AS (SELECT doc_id, ${scores.mkString(", ")} FROM toks),
-           |pl AS (SELECT doc_id, $pred AS pred_lang FROM scored),
+        s"""scored AS (SELECT doc_id, ${langScoreSqls.mkString(", ")} FROM toks),
+           |pl AS (SELECT doc_id, $predLangCaseSql AS pred_lang FROM scored),
            |pc AS (SELECT doc_id,
            |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct
            |       FROM toks)
@@ -1034,19 +1040,12 @@ object SparkEntry {
     // window over fp64, then the language/quality filters — mirrors
     // Curation.curate stage for stage
     "q53_curation_pipeline" -> {
-      val langs = TextAnalysis.StopwordDicts.map(_._1)
-      val scores = TextAnalysis.StopwordDicts.map { case (l, d) =>
-        s"${stopCountSql("ltoks", d)} AS score_$l"
-      }
-      val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
-      val pred = langs.map(l => s"WHEN score_$l = $m AND $m > 0 THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'und' END")
       docCtes.stripSuffix("\n") + ",\n" +
         s"""enr0 AS (
            |  SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
            |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
            |         ${stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)} AS n_stop,
-           |         ${scores.mkString(",\n         ")},
+           |         ${langScoreSqls.mkString(",\n         ")},
            |         (('0x' || substr($fpSql, 1, 15))::BIGINT) AS fp64
            |  FROM toks),
            |enr AS (
@@ -1054,7 +1053,7 @@ object SparkEntry {
            |         round(0.4 * least(n_words / 100.0, 1.0)
            |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
            |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality,
-           |         $pred AS pred_lang
+           |         $predLangCaseSql AS pred_lang
            |  FROM enr0),
            |kept AS (
            |  SELECT doc_id, pred_lang, quality, n_words,
@@ -1067,16 +1066,9 @@ object SparkEntry {
 
     // md5-bucket sampling coin, per-language rate
     "q54_stratified_sample" -> {
-      val langs = TextAnalysis.StopwordDicts.map(_._1)
-      val scores = TextAnalysis.StopwordDicts.map { case (l, d) =>
-        s"${stopCountSql("ltoks", d)} AS score_$l"
-      }
-      val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
-      val pred = langs.map(l => s"WHEN score_$l = $m AND $m > 0 THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'und' END")
       docCtes.stripSuffix("\n") + ",\n" +
-        s"""scored AS (SELECT doc_id, ${scores.mkString(", ")} FROM toks),
-           |p AS (SELECT doc_id, $pred AS pred_lang FROM scored)
+        s"""scored AS (SELECT doc_id, ${langScoreSqls.mkString(", ")} FROM toks),
+           |p AS (SELECT doc_id, $predLangCaseSql AS pred_lang FROM scored)
            |SELECT doc_id, pred_lang, bucket FROM (
            |  SELECT doc_id, pred_lang,
            |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS bucket
@@ -1150,6 +1142,24 @@ object SparkEntry {
         |    AS corr_qty_disc,
         |  1 AS sd_ok, 1 AS corr_ok
         |FROM m""".stripMargin,
+
+    // replay of HistogramAgg's bucket math (floor division, last bucket
+    // open, negatives clamped — n_words >= 1 here so no clamp case) with
+    // zero buckets restored via a lang x bucket grid
+    "q60_length_histogram" -> {
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""scored AS (SELECT doc_id, len(toks) AS n_words,
+           |             ${langScoreSqls.mkString(", ")} FROM toks),
+           |p AS (SELECT $predLangCaseSql AS pred_lang, n_words FROM scored),
+           |b AS (SELECT pred_lang, least(n_words // 10, 7) AS bucket, count(*) AS cnt
+           |      FROM p GROUP BY 1, 2),
+           |grid AS (SELECT pred_lang, unnest(range(0, 8)) AS bucket
+           |         FROM (SELECT DISTINCT pred_lang FROM p))
+           |SELECT g.pred_lang, CAST(g.bucket AS INT) AS bucket,
+           |       coalesce(b.cnt, 0) AS cnt
+           |FROM grid g LEFT JOIN b
+           |  ON b.pred_lang = g.pred_lang AND b.bucket = g.bucket""".stripMargin
+    },
 
     // the oracle is the identity — encode->decode must lose nothing
     "q59_json_nested" ->

@@ -166,6 +166,24 @@ object TextAnalysis {
         length(col("text"))).as("tagged"),
       lpad(col("doc_id").cast("string"), 8, "0").as("padded_id"))
 
+  /** Token-count histogram per predicted language — the corpus length
+    * distribution every training-data pipeline reports. One scan, one
+    * shuffle of `8·nBuckets`-byte partial buffers per (lang) group
+    * ([[graft.functions.HistogramAgg]], a custom TypedImperativeAggregate
+    * with map-side partial aggregation); the histogram array is exploded
+    * to (bucket, cnt) rows for a portable output shape.
+    */
+  def lengthHistogram(docs: DataFrame, nBuckets: Int = 8, width: Long = 10): DataFrame =
+    docs
+      .select(predLang(col("text")).as("pred_lang"),
+        size(tokens(col("text"))).as("n_words"))
+      .groupBy(col("pred_lang"))
+      .agg(graft.functions.AggFunctions.histogram_agg(col("n_words"), nBuckets, width)
+        .as("hist"))
+      .select(col("pred_lang"), posexplode(col("hist")))
+      .withColumnRenamed("pos", "bucket")
+      .withColumnRenamed("col", "cnt")
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Canonical text: lower-cased, runs of spaces collapsed, trimmed. */

@@ -93,6 +93,30 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(kernel.toSeq === hof.toSeq)
   }
 
+  test("histogram_agg buckets with clamp at both ends, exact counts") {
+    import graft.functions.AggFunctions.histogram_agg
+    // buckets of 10: [-5 -> 0][0 -> 0][9 -> 0][10 -> 1][39 -> 3][40,99 -> 3(last)]
+    val df = Seq(-5L, 0L, 9L, 10L, 39L, 40L, 99L).toDF("x")
+    val hist = df.agg(histogram_agg(col("x"), 4, 10).as("h"))
+      .as[Seq[Long]].head()
+    assert(hist === Seq(3L, 1L, 0L, 3L))
+  }
+
+  test("histogram_agg merges partial buffers across partitions exactly") {
+    import graft.functions.AggFunctions.histogram_agg
+    val df = spark.range(0, 1000, 1, 16) // 16 partitions force merges
+      .select((col("id") % 80).as("x"))
+    val hist = df.agg(histogram_agg(col("x"), 8, 10).as("h"))
+      .as[Seq[Long]].head()
+    // 12 full cycles of 80 + 40 extra: residues 0..39 appear 13x, 40..79 12x
+    assert(hist === Seq(130L, 130L, 130L, 130L, 120L, 120L, 120L, 120L))
+    // grouped path: per-group buffers stay independent
+    val grouped = df.withColumn("g", col("x") % 2)
+      .groupBy("g").agg(histogram_agg(col("x"), 8, 10).as("h"))
+      .orderBy("g").as[(Long, Seq[Long])].collect()
+    assert(grouped.map(_._2.sum).toSeq === Seq(500L, 500L))
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(("A  b C", 1L), ("a b c", 2L)).toDF("text", "doc_id")
     val fps = TextAnalysis.fingerprint(df).select("fp").as[String].collect()
