@@ -353,6 +353,14 @@ object SparkEntry {
     // (exact integer histogram, map-side partial aggregation)
     "q60_length_histogram" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(Tables.documents(s, dir))),
+
+    // ranking-function battery under real ties (coarse price buckets)
+    "q61_rank_battery" -> ((s, dir) =>
+      Relational.rankFunctions(Tables.orders(s, dir))),
+
+    // fixed-size deterministic per-language sample (hash-priority top-k)
+    "q62_fixed_sample" -> ((s, dir) =>
+      Curation.fixedSizeSample(Tables.documents(s, dir), k = 5)),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1159,6 +1167,28 @@ object SparkEntry {
            |       coalesce(b.cnt, 0) AS cnt
            |FROM grid g LEFT JOIN b
            |  ON b.pred_lang = g.pred_lang AND b.bucket = g.bucket""".stripMargin
+    },
+
+    "q61_rank_battery" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr,
+        |       CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket_price,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       round(percent_rank() OVER w, 6) AS prnk,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY year(o_orderdate)
+        |             ORDER BY CAST(floor(o_totalprice / 10000) AS BIGINT))""".stripMargin,
+
+    "q62_fixed_sample" -> {
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""scored AS (SELECT doc_id, ${langScoreSqls.mkString(", ")} FROM toks),
+           |p AS (SELECT doc_id, $predLangCaseSql AS pred_lang FROM scored),
+           |r AS (SELECT doc_id, pred_lang,
+           |        CAST(row_number() OVER (PARTITION BY pred_lang
+           |          ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS INT) AS rn
+           |      FROM p)
+           |SELECT doc_id, pred_lang, rn FROM r WHERE rn <= 5""".stripMargin
     },
 
     // the oracle is the identity — encode->decode must lose nothing

@@ -58,6 +58,22 @@ object Curation {
     * same key stay aligned), and engine-portable for the oracle. One
     * projection + filter, no shuffle at all.
     */
+  /** Fixed-size deterministic sample per stratum: the k documents with
+    * the smallest md5(doc_id) in each predicted language — the "show me
+    * k examples per slice" primitive. Hash-priority selection is a
+    * single-pass distributed reservoir: Spark executes the ranking window
+    * as WindowGroupLimit (per-partition top-k heaps before the shuffle),
+    * so the full stratum never sorts.
+    */
+  def fixedSizeSample(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.select(col("doc_id"),
+        TextAnalysis.predLang(col("text")).as("pred_lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
                        defaultPct: Int): DataFrame = {
     val pct = rates.foldLeft(lit(defaultPct)) { case (e, (l, p)) =>

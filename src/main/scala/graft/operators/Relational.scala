@@ -319,6 +319,27 @@ object Relational {
         from_json(col("js"), schema).getField("arr").getItem(1).as("arr1"))
   }
 
+  /** Ranking-function battery over a window WITH real ties (the order key
+    * is a coarse price bucket): rank / dense_rank / percent_rank /
+    * cume_dist all have order-independent values under ties, so the gate
+    * pins Spark's tie semantics against the oracle's, not just the happy
+    * unique-key path. percent_rank = (rank−1)/(n−1) and cume_dist =
+    * peers≤/n are exact small rationals — identical doubles both engines.
+    */
+  def rankFunctions(orders: DataFrame): DataFrame = {
+    val bucket = floor(col("o_totalprice") / 10000).cast("long")
+    val w = Window.partitionBy(year(col("o_orderdate")).as("yr"))
+      .orderBy(bucket)
+    orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      bucket.as("bucket_price"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      round(percent_rank().over(w), 6).as("prnk"),
+      round(cume_dist().over(w), 6).as("cdist"))
+  }
+
   /** HLL++ approximate distinct counts — the 100 TB path for
     * [[distinctCounts]]: exact count-distinct shuffles every distinct key;
     * the HLL sketch is fixed-size (relativeSD=0.05 → ~1.5 KB) and merges

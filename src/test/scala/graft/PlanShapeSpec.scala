@@ -17,7 +17,7 @@ class PlanShapeSpec extends SparkSpecBase {
     "q11_dedup_minhash_lsh",
     "q31_dedup_simhash_bucketed", "q32_dedup_embedding_cells",
     "q33_ann_ivf_kmeans", "q35_asof_join", "q39_range_join", "q40_salted_join",
-    "q51_ann_ivf_multiprobe")
+    "q51_ann_ivf_multiprobe", "q56_bag_set_ops", "q57_correlated_subquery")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {
