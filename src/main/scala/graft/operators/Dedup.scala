@@ -231,13 +231,14 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("lbl").as("src_lbl")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_lbl")).as("nbr_lbl"))
+      // old label travels inside `next` so the convergence check is a
+      // filter over the freshly-materialized cache, not a second join
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("old_lbl"))
         .persist(MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("old_lbl")), "id")
-        .filter(col("lbl") < col("old_lbl")).count()
+      changed = next.filter(col("lbl") < col("old_lbl")).count()
       labels.unpersist()
       labels = next
     }
