@@ -361,6 +361,18 @@ object SparkEntry {
     // fixed-size deterministic per-language sample (hash-priority top-k)
     "q62_fixed_sample" -> ((s, dir) =>
       Curation.fixedSizeSample(Tables.documents(s, dir), k = 5)),
+
+    // UNPIVOT: pivot -> melt round trip reproduces the grouped aggregate
+    "q63_unpivot" -> ((s, dir) =>
+      Relational.unpivotQuantities(Tables.lineitem(s, dir))),
+
+    // MapType round trip (map_from_arrays / element_at / map_keys)
+    "q64_map_roundtrip" -> ((s, dir) =>
+      Relational.mapRoundtrip(Tables.orders(s, dir))),
+
+    // array higher-order functions (filter/exists/transform/fold)
+    "q65_array_functions" -> ((s, dir) =>
+      Similarity.arrayFunctions(Tables.embeddings(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1190,6 +1202,37 @@ object SparkEntry {
            |      FROM p)
            |SELECT doc_id, pred_lang, rn FROM r WHERE rn <= 5""".stripMargin
     },
+
+    // long form of the q41 pivot: the round trip must reproduce the
+    // grouped aggregate. Spark unpivot RETAINS null measure cells
+    // (verified empirically + RelationalSpec), so the UNION ALL branches
+    // carry them too instead of filtering — no coincidental agreement on
+    // all-combos-present data
+    "q63_unpivot" ->
+      """WITH pv AS (
+        |  SELECT l_returnflag,
+        |         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f,
+        |         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'F' AS l_linestatus, qty_f AS sum_qty FROM pv
+        |UNION ALL
+        |SELECT l_returnflag, 'O' AS l_linestatus, qty_o AS sum_qty FROM pv""".stripMargin,
+
+    // identity oracle: the map layer must lose nothing
+    "q64_map_roundtrip" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS price, o_custkey AS cust,
+        |       'price,cust' AS keys_csv, 2 AS n_entries
+        |FROM orders""".stripMargin,
+
+    "q65_array_functions" ->
+      """SELECT vec_id,
+        |       len(list_filter(list_transform(embedding, x -> x::DOUBLE), x -> x > 0)) AS n_pos,
+        |       CAST(len(list_filter(list_transform(embedding, x -> x::DOUBLE),
+        |                            x -> abs(x) > 0.3)) > 0 AS INT) AS any_big,
+        |       round(list_sum(list_transform(list_transform(embedding, x -> x::DOUBLE),
+        |                                     x -> abs(x))), 4) AS l1_norm,
+        |       round((list_transform(embedding, x -> x::DOUBLE))[1], 4) AS first_dim
+        |FROM embeddings""".stripMargin,
 
     // the oracle is the identity — encode->decode must lose nothing
     "q59_json_nested" ->

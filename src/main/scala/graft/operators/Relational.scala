@@ -340,6 +340,33 @@ object Relational {
       round(cume_dist().over(w), 6).as("cdist"))
   }
 
+  /** UNPIVOT (melt): the pivoted per-status quantity columns back to long
+    * form — one Expand pass, the inverse of [[pivotQuantities]]. The
+    * round trip (pivot → unpivot) is the gate: it must reproduce the
+    * grouped aggregate exactly.
+    */
+  def unpivotQuantities(lineitem: DataFrame): DataFrame =
+    pivotQuantities(lineitem)
+      .select(col("l_returnflag"), col("qty_f").as("F"), col("qty_o").as("O"))
+      .unpivot(Array(col("l_returnflag")), Array(col("F"), col("O")),
+        "l_linestatus", "sum_qty")
+
+  /** MapType end-to-end: build a map from arrays, read it back with
+    * element_at / map_keys / size — identity-oracled like the JSON round
+    * trip, proving the map layer loses nothing.
+    */
+  def mapRoundtrip(orders: DataFrame): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("price"), lit("cust")),
+      array(round(col("o_totalprice"), 4), col("o_custkey").cast("double")))
+    orders.select(col("o_orderkey"), m.as("m"))
+      .select(col("o_orderkey"),
+        element_at(col("m"), "price").as("price"),
+        element_at(col("m"), "cust").cast("long").as("cust"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        size(col("m")).as("n_entries"))
+  }
+
   /** HLL++ approximate distinct counts — the 100 TB path for
     * [[distinctCounts]]: exact count-distinct shuffles every distinct key;
     * the HLL sketch is fixed-size (relativeSD=0.05 → ~1.5 KB) and merges

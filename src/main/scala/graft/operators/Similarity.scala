@@ -270,6 +270,24 @@ object Similarity {
           .cast("int").as("err_ok"))
   }
 
+  /** Array higher-order-function battery over the embedding column:
+    * filter / exists / transform / sequential-fold aggregate, each with a
+    * DuckDB list-function twin. Interpreted lambdas are fine here — the
+    * per-element work is trivial and nothing re-evaluates a child per
+    * element (the [[graft.functions]] kernels exist for the cases where
+    * that trap bites).
+    */
+  def arrayFunctions(embeddings: DataFrame): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    embeddings.select(
+      col("vec_id"),
+      size(filter(embD, x => x > 0)).as("n_pos"),
+      exists(embD, x => abs(x) > 0.3).cast("int").as("any_big"),
+      round(aggregate(transform(embD, x => abs(x)), lit(0.0d), (a, x) => a + x), 4)
+        .as("l1_norm"),
+      round(element_at(slice(embD, 1, 4), 1), 4).as("first_dim"))
+  }
+
   /** IVF ANN over LEARNED cells: [[kmeansCells]] assignments replace the
     * pre-assigned `label` column, closing the "ANN index build" loop
     * (build the coarse quantizer, assign, probe).

@@ -85,6 +85,20 @@ class RelationalSpec extends SparkSpecBase {
     assert(prices.length === 5 && prices.sameElements(prices.sortBy(-_)))
   }
 
+  test("unpivot retains NULL measure cells (pinned: q63 oracle mirrors this)") {
+    import spark.implicits._
+    // flag B never ships status O -> its pivoted qty_o is NULL; the
+    // unpivoted long form must still carry the (B, O, NULL) row
+    val li = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 3.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val out = Relational.unpivotQuantities(li)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out === Set(
+      ("A", "F", Some(1.0)), ("A", "O", Some(2.0)),
+      ("B", "F", Some(3.0)), ("B", "O", None)))
+  }
+
   test("approx distinct lands within tolerance of exact (flags all 1)") {
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val out = Relational.approxDistinct(li).select("hll_ok").as[Int].collect()
