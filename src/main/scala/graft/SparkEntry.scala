@@ -373,6 +373,11 @@ object SparkEntry {
     // array higher-order functions (filter/exists/transform/fold)
     "q65_array_functions" -> ((s, dir) =>
       Similarity.arrayFunctions(Tables.embeddings(s, dir))),
+
+    // heavy hitters: exact top-k tokens probed against a Count-Min sketch
+    // (custom mergeable sketch aggregate); CMS one-sided bound in-band
+    "q66_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1233,6 +1238,15 @@ object SparkEntry {
         |                                     x -> abs(x))), 4) AS l1_norm,
         |       round((list_transform(embedding, x -> x::DOUBLE))[1], 4) AS first_dim
         |FROM embeddings""".stripMargin,
+
+    // exact top-k is oracle-checked exactly; the CMS flags assert the
+    // sketch's never-underestimate / bounded-overestimate contract
+    "q66_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS exact_cnt FROM t GROUP BY 1)
+        |SELECT tok, exact_cnt, 1 AS lower_ok, 1 AS upper_ok
+        |FROM c ORDER BY exact_cnt DESC, tok LIMIT 10""".stripMargin,
 
     // the oracle is the identity — encode->decode must lose nothing
     "q59_json_nested" ->

@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -82,6 +83,129 @@ case class HistogramAgg(
     copy(child = newChild)
 }
 
+/** FNV-1a 64-bit over UTF-8 bytes with a per-row seed — the row hashes of
+  * [[CountMinAgg]]/[[CmsQuery]]. Cheap (no allocation), and parity is a
+  * non-issue: the oracle never replays the sketch, it checks the sketch's
+  * guarantees via exact counts.
+  */
+private[functions] object Fnv {
+  def hash(bytes: Array[Byte], seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** Count-Min sketch aggregate over a string column: `depth × width` long
+  * counters, row d bumps counter `fnv(key, d) mod width`. Merge is
+  * element-wise add, so like [[HistogramAgg]] the sketch is EXACTLY
+  * deterministic under any partial-aggregation order (integer buffers) —
+  * the custom-SKETCH aggregate class next to Spark's built-in HLL/GK.
+  * The estimate (min over rows, [[CmsQuery]]) never underestimates and
+  * overestimates by at most εN with probability 1−δ (ε = e/width,
+  * δ = e^−depth; Cormode & Muthukrishnan 2005) — the property the q66
+  * gate asserts in-band against exact counts. At 100 TB the shuffle
+  * carries one fixed 8·depth·width-byte buffer per group instead of the
+  * key stream: the heavy-hitters primitive for token/domain/url counts.
+  */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  require(depth > 0 && width > 0)
+
+  override def prettyName: String = "count_min_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      var d = 0
+      while (d < depth) {
+        val idx = ((Fnv.hash(bytes, d.toLong) % width) + width) % width
+        buf(d * width + idx.toInt) += 1
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](buf.length)
+    var i = 0
+    while (i < buf.length) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+}
+
+/** Point query against a [[CountMinAgg]] sketch: min over the depth rows
+  * of the counter each hash selects. Scalar expression so the sketch can
+  * broadcast (one small array literal/column) and be probed per candidate
+  * key without re-aggregating.
+  */
+case class CmsQuery(sketch: Expression, key: Expression, depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def left: Expression = sketch
+  override def right: Expression = key
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(sk: Any, k: Any): Any = {
+    val arr = sk.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bytes = k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val idx = ((Fnv.hash(bytes, d.toLong) % width) + width) % width
+      val c = arr.getLong(d * width + idx.toInt)
+      if (c < best) best = c
+      d += 1
+    }
+    best
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(sketch = newLeft, key = newRight)
+}
+
 object AggFunctions {
   /** Histogram of a long-valued column: `nBuckets` buckets of `width`,
     * last bucket open-ended, negatives clamped into bucket 0.
@@ -90,4 +214,15 @@ object AggFunctions {
     Bridge.column(
       HistogramAgg(Bridge.expression(c.cast("long")), nBuckets, width)
         .toAggregateExpression())
+
+  /** Count-Min sketch of a string column (depth × width counters). */
+  def count_min_agg(c: Column, depth: Int, width: Int): Column =
+    Bridge.column(
+      CountMinAgg(Bridge.expression(c.cast("string")), depth, width)
+        .toAggregateExpression())
+
+  /** Point estimate from a [[count_min_agg]] sketch. */
+  def cms_query(sketch: Column, key: Column, depth: Int, width: Int): Column =
+    Bridge.column(CmsQuery(Bridge.expression(sketch),
+      Bridge.expression(key.cast("string")), depth, width))
 }

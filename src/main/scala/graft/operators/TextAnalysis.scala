@@ -184,6 +184,33 @@ object TextAnalysis {
       .withColumnRenamed("pos", "bucket")
       .withColumnRenamed("col", "cnt")
 
+  /** Heavy hitters with Count-Min verification: the k most frequent
+    * tokens by exact count (global TakeOrdered — per-partition heaps, no
+    * full sort), each probed against a [[graft.functions.CountMinAgg]]
+    * sketch of the whole token stream. The in-band flags assert the
+    * sketch's contract: a CMS estimate never underestimates, and
+    * overestimates by at most ~εN (here 3N/width — generous vs the e/width
+    * expectation). The sketch aggregates map-side into one fixed
+    * `8·depth·width`-byte buffer and broadcasts back for the probes — the
+    * 100 TB heavy-hitters shape (the exact per-token groupBy here is the
+    * verification baseline, not the scale path).
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 10,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    import graft.functions.AggFunctions.{cms_query, count_min_agg}
+    val toks = docs.select(explode(tokens(lower(col("text")))).as("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(k)
+    val sketch = toks.agg(count_min_agg(col("tok"), depth, width).as("sk"),
+      count(lit(1)).as("n_total"))
+    val est = cms_query(col("sk"), col("tok"), depth, width)
+    top.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_cnt"),
+        (est >= col("exact_cnt")).cast("int").as("lower_ok"),
+        (est <= col("exact_cnt") + lit(3.0) * col("n_total") / lit(width))
+          .cast("int").as("upper_ok"))
+  }
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Canonical text: lower-cased, runs of spaces collapsed, trimmed. */

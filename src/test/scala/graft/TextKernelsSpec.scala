@@ -117,6 +117,23 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(grouped.map(_._2.sum).toSeq === Seq(500L, 500L))
   }
 
+  test("count-min sketch never underestimates and is exact without collisions") {
+    import graft.functions.AggFunctions.{cms_query, count_min_agg}
+    val toks = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val df = toks.toDF("tok").repartition(4) // force partial-buffer merges
+    val sk = df.agg(count_min_agg(col("tok"), 4, 64).as("sk"))
+    val est = sk.select(
+      cms_query(col("sk"), lit("a"), 4, 64).as("a"),
+      cms_query(col("sk"), lit("b"), 4, 64).as("b"),
+      cms_query(col("sk"), lit("c"), 4, 64).as("c"),
+      cms_query(col("sk"), lit("zz"), 4, 64).as("zz"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(est._1 >= 7 && est._2 >= 3 && est._3 >= 1) // never underestimate
+    assert(est._1 <= 11 && est._2 <= 11 && est._4 <= 11) // bounded by N
+    // 3 keys in a 4x64 sketch: some row is collision-free -> min is exact
+    assert(est === ((7L, 3L, 1L, 0L)))
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(("A  b C", 1L), ("a b c", 2L)).toDF("text", "doc_id")
     val fps = TextAnalysis.fingerprint(df).select("fp").as[String].collect()
