@@ -111,6 +111,40 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("simhash64 pigeonhole: hamming<=3 pairs always share a 16-bit block") {
+    // the invariant q31's bucketing depends on — losing it would silently
+    // drop pairs at any scale
+    val genDoc: Gen[List[String]] = Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+    check(Prop.forAll(Gen.listOfN(12, genDoc)) { docLists =>
+      val df = docLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val fps = graft.operators.Dedup.simhash(df)
+        .as[(Long, Long)].collect().toMap
+      fps.values.toList.combinations(2).forall { case List(a, b) =>
+        val h = java.lang.Long.bitCount(a ^ b)
+        h > 3 || (0 until 4).exists(bi => ((a >> (bi * 16)) & 0xffff) == ((b >> (bi * 16)) & 0xffff))
+      }
+    })
+  }
+
+  test("punct_count equals the regex formulation on random unicode strings") {
+    import org.apache.spark.sql.functions._
+    val genStr: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '!', ',', '.', '?', '¿', '的', 'é', '\t', '\n')))
+      .map(_.mkString)
+    check(Prop.forAll(Gen.listOfN(20, genStr)) { strs =>
+      val df = strs.toDF("text")
+      val kernel = df.select(
+        graft.functions.TextFunctions.punct_count(lower(col("text"))).as("n"))
+        .as[Int].collect().toSeq
+      val regex = df.select(
+        size(regexp_extract_all(lower(col("text")), lit("[^a-z0-9 ]"), lit(0))).as("n"))
+        .as[Int].collect().toSeq
+      kernel == regex
+    })
+  }
+
   test("anomaly verdicts match Java double z-score semantics (Inf/NaN edges)") {
     check(Prop.forAll(genEvents) { evs =>
       val m = refModuleAgg(evs)
