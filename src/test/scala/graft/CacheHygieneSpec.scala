@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, Solar}
+import graft.operators.{Dedup, Similarity, Solar, TextAnalysis}
 
 /** The two operators that persist shared intermediates (Solar.stages'
   * module aggregate, Dedup's LSH band index) must release them through
@@ -9,10 +9,15 @@ import graft.operators.{Dedup, Similarity, Solar}
   */
 class CacheHygieneSpec extends SparkSpecBase {
 
-  private def cachedCount = spark.sparkContext.getPersistentRDDs.size
+  // Relative to a per-test baseline: suites share one SparkContext, and a
+  // prior suite may legitimately hold a nearDupClusters checkpoint (those
+  // are released via Dedup.releaseClusters, not clearCache).
+  private var baseline = 0
+  private def cachedCount = spark.sparkContext.getPersistentRDDs.size - baseline
 
   test("Solar.stages cache is released by Stages.unpersist") {
     spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
     val st = Solar.stages(graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
     st.joined.count()
     assert(cachedCount > 0)          // the shared module aggregate is cached
@@ -22,6 +27,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("Dedup LSH band cache is released by LshStage.unpersist") {
     spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
     val stage = Dedup.lshStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     stage.candidates.count()
@@ -30,8 +36,20 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("heavyHitters shared token explode is released by the stage handle") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stage = TextAnalysis.heavyHittersStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    stage.result.count()
+    assert(cachedCount > 0)          // the shared token explode is cached
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("kmeansFit leaves no cached RDDs behind (training sample released)") {
     spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     Similarity.kmeansFit(e, k = 2, iters = 1).cells.count()
     assert(cachedCount === 0)        // the train-sample persist is scoped

@@ -63,17 +63,42 @@ class DedupSpec extends SparkSpecBase {
   test("nearDupClusters: chains merge into one component with min-id label") {
     // edges 1-2, 2-5 chain; 7-8 separate; labels = min reachable id
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("id_a", "id_b")
-    val out = Dedup.nearDupClusters(pairs)
-      .as[(Long, Long)].collect().toMap
+    val clusters = Dedup.nearDupClusters(pairs)
+    val out = clusters.as[(Long, Long)].collect().toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L))
+    Dedup.releaseClusters(clusters)
+    spark.catalog.clearCache()
+  }
+
+  test("nearDupClusters: deep chain (diameter 12) completes with flat plans") {
+    // Adversarially deep graph (VERDICT r4 #2): a 13-node path needs 12
+    // label-propagation rounds. With per-round localCheckpoint the result
+    // plan must be a flat checkpoint leaf — NOT a 12-round join chain —
+    // and the per-round checkpoints must not accumulate in the block
+    // manager (each round releases its predecessor).
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = (100L to 111L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(pairs)
+    assert(out.as[(Long, Long)].collect().toMap ===
+      (100L to 112L).map(_ -> 100L).toMap)
+    val planDepth = out.queryExecution.optimizedPlan.toString
+      .linesIterator.size
+    assert(planDepth < 10, s"lineage not truncated: $planDepth-line plan")
+    // only the final label table's checkpoint may remain cached beyond
+    // what previous tests left in the session
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "per-round checkpoints leaked")
+    Dedup.releaseClusters(out)
     spark.catalog.clearCache()
   }
 
   test("nearDupClusters converges on a long path (diameter > 2)") {
     // path 10-11-12-13-14: min label must propagate the full diameter
     val pairs = (10L to 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
-    assert(out === (10L to 14L).map(_ -> 10L).toMap)
+    val clusters = Dedup.nearDupClusters(pairs)
+    assert(clusters.as[(Long, Long)].collect().toMap ===
+      (10L to 14L).map(_ -> 10L).toMap)
+    Dedup.releaseClusters(clusters)
     spark.catalog.clearCache()
   }
 

@@ -4,7 +4,7 @@ package graft
   * the solar join chain and the round-2 bucketed candidate generators must
   * contain no BroadcastNestedLoopJoin and no CartesianProduct — those are
   * the O(n²) shapes that kill a 100 TB run even when small-SF correctness
-  * is green. (q12/q13/q14 keep their documented id-window NLJ as
+  * is green. (q12/q14 keep their documented id-window NLJ as
   * correctness demos; their scale twins are q31/q32.)
   */
 class PlanShapeSpec extends SparkSpecBase {
@@ -14,7 +14,7 @@ class PlanShapeSpec extends SparkSpecBase {
   private val scaleShaped = Seq(
     "q04_join_panel_module", "q06_join_module_panel",
     "q07_anomaly_filter", "q08_flagship_anomalies",
-    "q11_dedup_minhash_lsh",
+    "q11_dedup_minhash_lsh", "q13_dedup_ngram_jaccard",
     "q31_dedup_simhash_bucketed", "q32_dedup_embedding_cells",
     "q33_ann_ivf_kmeans", "q35_asof_join", "q39_range_join", "q40_salted_join",
     "q51_ann_ivf_multiprobe", "q56_bag_set_ops", "q57_correlated_subquery")
@@ -58,5 +58,38 @@ class PlanShapeSpec extends SparkSpecBase {
     val (exchanges, scans) = shape("q55_embedding_quantize")
     assert(exchanges === 0)
     assert(scans === 1)
+  }
+
+  // Two plan-shape claims previously made only in docs (VERDICT r4 #7):
+  // global ORDER BY + LIMIT must run as per-partition heaps, and the
+  // fixed-size stratum sample must rank through per-partition group
+  // limits, not a full stratum sort.
+
+  test("q42 global top-n executes as TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q42_global_topn")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in plan:\n$plan")
+  }
+
+  test("q62 fixed-size sample executes through WindowGroupLimit") {
+    val plan = SparkEntry.queries("q62_fixed_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in plan:\n$plan")
+  }
+
+  // q13's final stats joins must not hard-code a broadcast of the
+  // per-document sizes table (VERDICT r4 #1): at sf the optimizer may
+  // legitimately CHOOSE broadcast, so the assertion is on the logical
+  // plan carrying no user hint, via the analyzed plan's hint nodes.
+  test("q13 carries no user broadcast hint on per-document tables") {
+    val analyzed = SparkEntry.queries("q13_dedup_ngram_jaccard")(spark, sfDir)
+      .queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      case r: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => r
+    }
+    assert(hints.isEmpty, s"unexpected join hints: $hints")
   }
 }
