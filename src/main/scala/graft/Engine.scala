@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{LangPredict, MinHashSig, PunctCount, SimHash16, SimHash64, StopwordScores, VectorDot, WordShingles}
+import graft.functions.{CmsQuery, CountMinAgg, HistogramAgg, LangPredict, MinHashSig, PunctCount, SimHash16, SimHash64, StopwordScores, VectorDot, WordShingles}
 
 /** Session wiring for the graft engine.
   *
@@ -63,6 +63,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("stopword_scores", "stopword_scores(tokens) - per-dictionary stopword counts"),
       (es: Seq[Expression]) => StopwordScores(es(0),
         graft.operators.TextAnalysis.StopwordDicts.map(_._2))))
+
+    // Custom AGGREGATES (+ the sketch probe), so the SQL surface matches
+    // the DataFrame surface (VERDICT r4 #4). A bare AggregateFunction
+    // returned from a builder is wrapped in AggregateExpression by the
+    // analyzer, exactly like the built-in registry entries. The size
+    // parameters must be literals (eval'd at resolution); children are
+    // cast to the buffer types the aggregates expect, mirroring
+    // AggFunctions' Column-side casts.
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{LongType, StringType}
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    ext.injectFunction((FunctionIdentifier("histogram_agg"),
+      info("histogram_agg",
+        "histogram_agg(x, nBuckets, width) - exact integer histogram (array of bucket counts)"),
+      (es: Seq[Expression]) => HistogramAgg(Cast(es(0), LongType),
+        intArg(es(1)), es(2).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((FunctionIdentifier("count_min_agg"),
+      info("count_min_agg",
+        "count_min_agg(key, depth, width) - Count-Min sketch (depth x width counters)"),
+      (es: Seq[Expression]) => CountMinAgg(Cast(es(0), StringType),
+        intArg(es(1)), intArg(es(2)))))
+    ext.injectFunction((FunctionIdentifier("cms_query"),
+      info("cms_query",
+        "cms_query(sketch, key, depth, width) - point estimate from a count_min_agg sketch"),
+      (es: Seq[Expression]) => CmsQuery(es(0), Cast(es(1), StringType),
+        intArg(es(2)), intArg(es(3)))))
   }
 }
 

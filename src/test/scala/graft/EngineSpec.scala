@@ -34,6 +34,19 @@ class EngineSpec extends SparkSpecBase {
       .collect().head.getSeq[Int](0).take(2) === Seq(1, 1))
   }
 
+  test("custom aggregates are callable from SQL via GraftExtensions") {
+    import spark.implicits._
+    Seq(1L, 5L, 25L, 93L).toDF("x").createOrReplaceTempView("hx")
+    val hist = spark.sql("SELECT histogram_agg(x, 4, 10) AS h FROM hx")
+      .collect().head.getSeq[Long](0)
+    assert(hist === Seq(2L, 0L, 1L, 1L)) // 1,5 -> b0; 25 -> b2; 93 clamps to b3
+    val est = spark.sql(
+      """SELECT cms_query(count_min_agg(t, 4, 64), 'a', 4, 64) AS e
+        |FROM (SELECT explode(array('a', 'a', 'b')) AS t)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(est >= 2L) // CMS never underestimates
+  }
+
   test("dropDuplicatesWithinWatermark drops dupes of the same fingerprint") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
