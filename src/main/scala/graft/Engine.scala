@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CmsQuery, CountMinAgg, HistogramAgg, LangPredict, MinHashSig, PunctCount, SimHash16, SimHash64, StopwordScores, VectorDot, WordShingles}
+import graft.functions.{CmsQuery, CountMinAgg, HistogramAgg, LangPredict, MinHashSig, ParseMedia, PunctCount, SimHash16, SimHash64, StopwordScores, VectorDot, WordShingles}
 
 /** Session wiring for the graft engine.
   *
@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("stopword_scores", "stopword_scores(tokens) - per-dictionary stopword counts"),
       (es: Seq[Expression]) => StopwordScores(es(0),
         graft.operators.TextAnalysis.StopwordDicts.map(_._2))))
+
+    ext.injectFunction((FunctionIdentifier("parse_media"),
+      info("parse_media",
+        "parse_media(payload) - media header metadata struct (png/jpeg/wav)"),
+      (es: Seq[Expression]) => ParseMedia(es(0))))
 
     // Custom AGGREGATES (+ the sketch probe), so the SQL surface matches
     // the DataFrame surface (VERDICT r4 #4). A bare AggregateFunction

@@ -408,6 +408,15 @@ object SparkEntry {
               |FROM g CROSS JOIN sk
               |LATERAL VIEW posexplode(g.hist) b AS bucket, cnt""".stripMargin)
     }),
+
+    // multimodal metadata decode: REAL header parsing (PNG IHDR, JPEG SOF
+    // marker walk, WAV fmt chunk — graft.functions.MediaHeaders) over
+    // spec-conformant payloads whose geometry/sample rate is a closed
+    // form of doc_id; the oracle verifies the construct → parse round
+    // trip against the closed form
+    "q68_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeMeta(
+        Multimodal.syntheticMedia(Tables.documents(s, dir)))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1287,6 +1296,28 @@ object SparkEntry {
            |FROM grid g LEFT JOIN b
            |  ON b.pred_lang = g.pred_lang AND b.bucket = g.bucket""".stripMargin
     },
+
+    // closed-form replay of syntheticMedia's construction: the Spark side
+    // must RECOVER these values by parsing the header bytes it built
+    "q68_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |            WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS kind,
+        |       CASE WHEN doc_id % 3 = 0 THEN 29
+        |            WHEN doc_id % 3 = 1 THEN 39 ELSE 36 END AS n_bytes,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |            WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 640 + 1
+        |                 WHEN doc_id % 3 = 1 THEN doc_id % 1024 + 1
+        |            END AS INT) AS width,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 480 + 1
+        |                 WHEN doc_id % 3 = 1 THEN doc_id % 768 + 1
+        |            END AS INT) AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN
+        |              [8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 AS INT) + 1]
+        |            END AS INT) AS sample_rate,
+        |       CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 8 END AS INT) AS bit_depth
+        |FROM documents""".stripMargin,
 
     // exact top-k is oracle-checked exactly; the CMS flags assert the
     // sketch's never-underestimate / bounded-overestimate contract

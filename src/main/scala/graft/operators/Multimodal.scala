@@ -1,32 +1,26 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
-  * `binary` columns with typed metadata, and run per-record feature
-  * extraction through a batched partition-level decode.
+import graft.functions.MediaFunctions.parse_media
+
+/** Multimodal-column operators: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata, and metadata extraction is
+  * REAL pure-JVM header parsing ([[graft.functions.MediaHeaders]] — PNG
+  * IHDR dimensions, JPEG SOF marker walk, WAV fmt sample rate) as a
+  * Catalyst expression. No codec library is involved: container headers
+  * are plain byte layouts, so the decode-to-pixels step is the only thing
+  * a production deployment still plugs in (as another expression or a
+  * `mapInPandas`-style batch stage over the same binary column).
   *
-  * The decode itself is STUBBED (no image/audio codecs in this
-  * environment): [[DecodeStub.decode]] derives deterministic fake features
-  * from the bytes. Everything around it — schema, binary columns,
-  * partition-level batching, feature struct shape — is the real Spark
-  * plumbing a production decoder would drop into (replace the stub body
-  * with the codec call; the plan shape does not change).
-  *
-  * Scale notes: decode is a narrow mapPartitions (no shuffle); payload
-  * columns stay binary end-to-end (never stringified); metadata-only
-  * queries never touch the payload column thanks to parquet column
-  * pruning — that's the entire point of splitting metadata from payload.
+  * Scale notes: header parsing is a narrow per-row projection (no
+  * shuffle); payload columns stay binary end-to-end (never stringified);
+  * metadata-only queries never touch the payload column thanks to parquet
+  * column pruning — that's the entire point of splitting metadata from
+  * payload.
   */
 object Multimodal {
-
-  /** A multimodal record: opaque payload + typed metadata. */
-  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
-
-  /** Deterministic fake features standing in for a real decoder. */
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-                           header: String, checksum: Long)
 
   /** Build a media table from the documents table (text bytes standing in
     * for encoded payloads — the driver testdata ships no real media).
@@ -37,26 +31,66 @@ object Multimodal {
       when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("kind"),
       col("text").cast("binary").as("payload"))
 
-  object DecodeStub {
-    /** STUB — stands in for e.g. JPEG decode + feature extraction. Real
-      * implementation would decode `payload` and emit embedding/shape
-      * features; this derives deterministic values from the raw bytes so
-      * tests can assert the plumbing end-to-end.
-      */
-    def decode(r: MediaRecord): MediaFeatures = {
-      val n = r.payload.length
-      val header = r.payload.take(8).map(b => f"$b%02x").mkString
-      val checksum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) & 0x7fffffffL)
-      MediaFeatures(r.media_id, r.kind, n, header, checksum)
-    }
+  private def hex8(c: Column) = lpad(hex(c), 8, "0")
+  private def hex4(c: Column) = lpad(hex(c), 4, "0")
+  /** Little-endian byte order of a u32, as hex (WAV fields are LE). */
+  private def le32hex(c: Column) = {
+    val h = hex8(c)
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2),
+      substring(h, 1, 2))
   }
 
-  /** Batched decode: one stub call per record, amortized per partition —
-    * the Scala analog of `mapInPandas` (partition-at-a-time, no
-    * per-row planning overhead).
+  /** Synthetic media table carrying REAL file headers: each payload is a
+    * spec-conformant PNG signature+IHDR, JFIF APP0+SOF0 prefix, or
+    * RIFF/WAVE fmt header, built from codegen'd builtins
+    * (`unhex`/`concat`/`lpad`/`hex`) with the geometry/sample-rate a
+    * closed form of `doc_id` — so the construct → [[decodeMeta]] round
+    * trip is verifiable by an oracle that computes the closed form
+    * directly (q68). The testdata ships no real media files; real headers
+    * built byte-for-byte to the container specs are the next best
+    * gate-able thing.
     */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map(DecodeStub.decode))
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    // PNG: signature + IHDR(len 13): width, height (u32 BE), bit depth 8,
+    // color type 6 (RGBA), compression/filter/interlace 0
+    val png = concat(
+      lit("89504E470D0A1A0A0000000D49484452"),
+      hex8(id % 640 + 1), hex8(id % 480 + 1), lit("0806000000"))
+    // JPEG: SOI + JFIF APP0(len 16) + SOF0(len 17): precision 8,
+    // height/width (u16 BE), 3 components
+    val jpeg = concat(
+      lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+      hex4(id % 768 + 1), hex4(id % 1024 + 1), lit("03011100021101031101"))
+    // WAV: RIFF/WAVE + fmt(len 16): PCM, 2 channels, sample rate and
+    // byte rate (u32 LE), block align 4, 16 bits/sample
+    val rate = element_at(
+      array(lit(8000L), lit(16000L), lit(22050L), lit(44100L), lit(48000L)),
+      (id % 5 + 1).cast("int"))
+    val wav = concat(
+      lit("524946462400000057415645666D742010000000" + "0100" + "0200"),
+      le32hex(rate), le32hex(rate * 4), lit("04001000"))
+    docs.select(
+      id.as("media_id"),
+      when(id % 3 === 0, lit("png"))
+        .when(id % 3 === 1, lit("jpeg"))
+        .otherwise(lit("wav")).as("kind"),
+      unhex(when(id % 3 === 0, png).when(id % 3 === 1, jpeg).otherwise(wav))
+        .as("payload"))
   }
+
+  /** Metadata decode: `parse_media` over the binary payload, flattened to
+    * typed columns. One narrow projection — fuses with the scan; malformed
+    * payloads yield `format = 'unknown'` + nulls, never an error.
+    */
+  def decodeMeta(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).as("n_bytes"),
+        parse_media(col("payload")).as("m"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("m.format").as("format"), col("m.width").as("width"),
+        col("m.height").as("height"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bit_depth").as("bit_depth"))
 }
