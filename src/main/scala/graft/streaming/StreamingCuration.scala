@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming twin of the batch curation layer
+  * ([[graft.operators.Curation.curate]], q53): the same single-pass
+  * kernel projections (language prediction, quality score, fp64
+  * fingerprint) composed with watermark-bounded streaming dedup and the
+  * language/quality filters.
+  *
+  * Survivor semantics: batch curate keeps the min-doc_id row per content
+  * fingerprint; a stream can only keep the FIRST-ARRIVING row per
+  * fingerprint (append mode cannot retract an already-emitted survivor
+  * when a smaller id arrives later). For id-ordered ingestion the two
+  * coincide — the spec pins that equivalence. `dup_cnt` has no
+  * append-mode analog for the same reason: the group size is not final
+  * until the watermark passes the fingerprint.
+  *
+  * State posture at 100 TB: dedup state is keyed by the 8-byte fp64
+  * (never the document text) and evicted once the watermark passes it —
+  * bounded state on unbounded input. Everything else is a stateless
+  * projection that fuses into the micro-batch scan; the dedup happens
+  * BEFORE the filters so the survivor choice is independent of filter
+  * configuration, exactly like the batch operator.
+  */
+object StreamingCuration {
+
+  /** Enrichment projection shared with the batch operator: one kernel
+    * pass per document, no shuffle.
+    */
+  def enriched(docsStream: DataFrame): DataFrame =
+    docsStream.select(
+      col("ts"), col("doc_id"),
+      TextAnalysis.predLang(col("text")).as("pred_lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      size(TextAnalysis.tokens(col("text"))).as("n_words"),
+      TextAnalysis.fp64Expr(col("text")).as("fp64"))
+
+  /** Curated stream: first-arrival survivor per content fingerprint
+    * (state bounded by the watermark), restricted to `lang` at or above
+    * the quality floor — the streaming form of q53's columns minus
+    * dup_cnt.
+    */
+  def curateStream(docsStream: DataFrame, lang: String, minQuality: Double,
+                   watermarkDelay: String = "10 minutes"): DataFrame =
+    enriched(docsStream)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp64")
+      .filter(col("pred_lang") === lang && col("quality") >= minQuality)
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_words"))
+}
