@@ -417,6 +417,22 @@ object SparkEntry {
     "q68_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(
         Multimodal.syntheticMedia(Tables.documents(s, dir)))),
+
+    // bloom-filter join pre-filter: fixed-size OR-merged bit array over
+    // the selective side's keys, broadcast probe at the big side's scan;
+    // the no-false-negative contract asserted in-band on every row
+    "q69_bloom_join_filter" -> ((s, dir) =>
+      Relational.bloomSemiFilter(Tables.customer(s, dir),
+        Tables.orders(s, dir), threshold = 300000.0)),
+
+    // Gopher-style repetition quality signals (dup-word fraction,
+    // top-bigram fraction) — the curation layer's repetition filters
+    "q70_repetition_signals" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, dir))),
+
+    // TF-IDF top-3 terms per document (tf·ln(N/df), deterministic ties)
+    "q71_tfidf_topterms" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), k = 3)),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1318,6 +1334,57 @@ object SparkEntry {
         |            END AS INT) AS sample_rate,
         |       CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 8 END AS INT) AS bit_depth
         |FROM documents""".stripMargin,
+
+    // the exact semi-join bit is oracle-checked exactly; the bloom's
+    // no-false-negative contract is the in-band flag (false positives
+    // are allowed by the contract and rate-checked in the spec instead)
+    "q69_bloom_join_filter" ->
+      """SELECT c_custkey,
+        |       CAST(EXISTS(SELECT 1 FROM orders o
+        |                   WHERE o.o_custkey = c.c_custkey
+        |                     AND o.o_totalprice > 300000.0) AS INT) AS is_member,
+        |       1 AS no_false_neg
+        |FROM customer c""".stripMargin,
+
+    // bigram construction mirrors word_shingles(n=2) over the lowered
+    // single-space tokens; docs with < 2 tokens carry NULL fraction
+    "q70_repetition_signals" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        """bg AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(ltoks)),
+          |           i -> ltoks[i] || ' ' || ltoks[i+1])) AS b
+          |  FROM toks WHERE len(ltoks) >= 2),
+          |bgc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+          |bga AS (SELECT doc_id, max(n) AS top_n,
+          |               CAST(sum(n) AS BIGINT) AS total_bg
+          |        FROM bgc GROUP BY 1)
+          |SELECT t.doc_id, len(ltoks) AS n_words,
+          |       round(1.0 - len(list_distinct(ltoks)) / len(ltoks), 4)
+          |         AS dup_word_frac,
+          |       round(bga.top_n / CAST(bga.total_bg AS DOUBLE), 4)
+          |         AS top_bigram_frac
+          |FROM toks t LEFT JOIN bga ON bga.doc_id = t.doc_id""".stripMargin),
+
+    // same integer tf/df/N on both sides; the ln/division formula text is
+    // identical and the rank orders by round(raw, 6) with a term
+    // tie-break, the q15 pattern for cross-engine double ordering
+    "q71_tfidf_topterms" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |         tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)) AS raw
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, tok, tf, df, round(raw, 4) AS tfidf,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY round(raw, 6) DESC, tok ASC) AS INT) AS rn
+        |  FROM sc)
+        |SELECT doc_id, tok, tf, df, tfidf, rn FROM r WHERE rn <= 3""".stripMargin,
 
     // exact top-k is oracle-checked exactly; the CMS flags assert the
     // sketch's never-underestimate / bounded-overestimate contract

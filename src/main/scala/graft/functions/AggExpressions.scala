@@ -206,6 +206,114 @@ case class CmsQuery(sketch: Expression, key: Expression, depth: Int, width: Int)
     copy(sketch = newLeft, key = newRight)
 }
 
+/** Bloom filter aggregate over a string-castable column: `numBits` bits
+  * (stored as longs), each row sets `numHashes` bit positions derived
+  * from [[Fnv]] with seeds 0..k-1. Merge is bitwise OR — idempotent,
+  * commutative, associative — so like the other integer-buffer sketches
+  * the result is EXACTLY deterministic under any partial-aggregation
+  * order or duplication. Membership probes ([[BloomMightContain]]) have
+  * NO false negatives ever; false positives at rate ~(1-e^(-kn/m))^k.
+  *
+  * The 100 TB use is join pre-filtering: build the filter over the
+  * small/selective side's keys (one fixed m/8-byte buffer, map-side
+  * combined), broadcast it, and drop non-matching rows of the big side AT
+  * THE SCAN — before the shuffle the actual join would pay. Spark's own
+  * runtime row-level filtering does this under AQE; this expression makes
+  * the primitive available explicitly (cross-query, cross-engine, or
+  * persisted to reuse).
+  */
+case class BloomAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  require(numBits > 0 && numBits % 64 == 0 && numHashes > 0)
+
+  override def prettyName: String = "bloom_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+      var k = 0
+      while (k < numHashes) {
+        val bit = (((Fnv.hash(bytes, k.toLong) % numBits) + numBits) % numBits).toInt
+        buf(bit >> 6) |= (1L << (bit & 63))
+        k += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](buf.length)
+    var i = 0
+    while (i < buf.length) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+}
+
+/** Membership probe against a [[BloomAgg]] filter: true iff ALL
+  * `numHashes` bit positions for the key are set. Scalar expression so
+  * the (small, fixed-size) filter broadcasts and probes run per row at
+  * the scan.
+  */
+case class BloomMightContain(bloom: Expression, key: Expression,
+                             numBits: Int, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def left: Expression = bloom
+  override def right: Expression = key
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(bf: Any, k: Any): Any = {
+    val arr = bf.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bytes = k.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0
+    while (h < numHashes) {
+      val bit = (((Fnv.hash(bytes, h.toLong) % numBits) + numBits) % numBits).toInt
+      if ((arr.getLong(bit >> 6) & (1L << (bit & 63))) == 0L) return false
+      h += 1
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(bloom = newLeft, key = newRight)
+}
+
 object AggFunctions {
   /** Histogram of a long-valued column: `nBuckets` buckets of `width`,
     * last bucket open-ended, negatives clamped into bucket 0.
@@ -225,4 +333,20 @@ object AggFunctions {
   def cms_query(sketch: Column, key: Column, depth: Int, width: Int): Column =
     Bridge.column(CmsQuery(Bridge.expression(sketch),
       Bridge.expression(key.cast("string")), depth, width))
+
+  /** Bloom filter of a string-castable key column (`numBits` bits,
+    * `numHashes` probes per key).
+    */
+  def bloom_agg(c: Column, numBits: Int, numHashes: Int): Column =
+    Bridge.column(
+      BloomAgg(Bridge.expression(c.cast("string")), numBits, numHashes)
+        .toAggregateExpression())
+
+  /** Membership probe against a [[bloom_agg]] filter (no false
+    * negatives; false positives at the sized rate).
+    */
+  def bloom_might_contain(bloom: Column, key: Column,
+                          numBits: Int, numHashes: Int): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(bloom),
+      Bridge.expression(key.cast("string")), numBits, numHashes))
 }

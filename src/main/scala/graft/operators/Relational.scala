@@ -389,4 +389,37 @@ object Relational {
       .select(col("l_returnflag"), col("n_parts"),
         (abs(col("a_parts") - col("n_parts")) <= lit(relTol) * col("n_parts"))
           .cast("int").as("hll_ok"))
+
+  /** Bloom-filter join pre-filter ([[graft.functions.BloomAgg]]): build a
+    * bloom over the selective side's join keys (one fixed `numBits/8`-byte
+    * buffer, map-side OR-merged), broadcast it, and probe the big side's
+    * rows AT THE SCAN — rows that cannot join are dropped before the
+    * shuffle the real join would pay. This is the explicit form of
+    * runtime row-level filtering: at 100 TB the probe side never shuffles
+    * its non-matching majority.
+    *
+    * The gate asserts the filter's contract in-band: `is_member` is the
+    * exact semi-join bit (oracle-checked exactly), and `no_false_neg`
+    * must be 1 on every row — a bloom NEVER misses a true member, for any
+    * data, any merge order, any scale. (False positives are expected and
+    * sized by numBits/numHashes; the spec checks the rate separately.)
+    */
+  def bloomSemiFilter(customer: DataFrame, orders: DataFrame, threshold: Double,
+                      numBits: Int = 4096, numHashes: Int = 3): DataFrame = {
+    import graft.functions.AggFunctions.{bloom_agg, bloom_might_contain}
+    val hiKeys = orders.filter(col("o_totalprice") > threshold)
+      .select(col("o_custkey"))
+    // one row: safe to broadcast by construction (like the CMS sketch)
+    val bloom = hiKeys.agg(bloom_agg(col("o_custkey"), numBits, numHashes).as("bf"))
+    val members = hiKeys.distinct()
+      .select(col("o_custkey").as("c_custkey"), lit(1).as("is_member"))
+    val might = bloom_might_contain(col("bf"), col("c_custkey"), numBits, numHashes)
+    customer.select(col("c_custkey"))
+      .join(members, Seq("c_custkey"), "left")
+      .na.fill(0, Seq("is_member"))
+      .crossJoin(broadcast(bloom))
+      .select(col("c_custkey"), col("is_member"),
+        when(col("is_member") === 1, might.cast("int"))
+          .otherwise(lit(1)).as("no_false_neg"))
+  }
 }

@@ -236,6 +236,61 @@ object TextAnalysis {
                    depth: Int = 4, width: Int = 1024): DataFrame =
     heavyHittersStage(docs, k, depth, width).result
 
+  /** Gopher-style repetition signals per document: duplicate-word
+    * fraction (1 − distinct/total words) and top-bigram fraction (share
+    * of the most frequent word 2-gram among all 2-grams) — the
+    * repetition filters LLM curation pipelines run alongside [[quality]]
+    * (Rae et al. 2021, appendix A1.1). The word stats are a pure
+    * projection (scan-fused); the bigram stats are one explode whose very
+    * next aggregate collapses it with map-side combine, so the shuffle
+    * carries distinct (doc, bigram) pairs, then a per-doc rollup.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val ltoks = tokens(lower(col("text")))
+    val base = docs.select(col("doc_id"),
+      size(ltoks).as("n_words"),
+      round(lit(1.0) - size(array_distinct(ltoks)) / size(ltoks), 4)
+        .as("dup_word_frac"))
+    val bgStats = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .word_shingles(lower(col("text")), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("total_bg"))
+    // left join: docs with < 2 tokens have no bigrams -> null fraction
+    base.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        round(col("top_n") / col("total_bg"), 4).as("top_bigram_frac"))
+  }
+
+  /** TF-IDF top-k terms per document: tf = in-document term count, df =
+    * number of documents containing the term, score = tf · ln(N/df),
+    * ranked per document with a deterministic term tie-break. One token
+    * explode collapsed immediately by the (doc, term) aggregate; df is a
+    * SECOND-level aggregate over those distinct pairs (never the raw
+    * token stream); the corpus size broadcasts as a one-row aggregate.
+    * The ranking executes as WindowGroupLimit (per-partition top-k heaps).
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tokd = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("tok"))
+    val tf = tokd.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(round(col("raw"), 6).desc, col("tok").asc)
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n)) // one row by construction
+      .withColumn("raw", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("tfidf", round(col("raw"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("tfidf"), col("rn"))
+  }
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Canonical text: lower-cased, runs of spaces collapsed, trimmed. */

@@ -134,6 +134,28 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(est === ((7L, 3L, 1L, 0L)))
   }
 
+  test("bloom filter: no false negatives, merge-order independent, sized fp rate") {
+    import graft.functions.AggFunctions.{bloom_agg, bloom_might_contain}
+    val keys = (0L until 200L).map(i => s"key_$i")
+    val df = keys.toDF("k").repartition(8) // force partial-buffer OR merges
+    val bf = df.agg(bloom_agg(col("k"), 4096, 3).as("bf"))
+    // every inserted key must probe true (the bloom contract)
+    val members = keys.toDF("k").crossJoin(bf)
+      .select(bloom_might_contain(col("bf"), col("k"), 4096, 3))
+      .as[Boolean].collect()
+    assert(members.forall(identity))
+    // OR merge is order-free: single-partition build = 8-partition build
+    val bf1 = keys.toDF("k").coalesce(1)
+      .agg(bloom_agg(col("k"), 4096, 3).as("bf")).as[Seq[Long]].head()
+    assert(bf.as[Seq[Long]].head() === bf1)
+    // false-positive rate for 200 keys / 4096 bits / 3 hashes is ~0.5%;
+    // 1000 non-member probes should see only a handful
+    val fps = (1000L until 2000L).map(i => s"other_$i").toDF("k").crossJoin(bf)
+      .select(bloom_might_contain(col("bf"), col("k"), 4096, 3))
+      .as[Boolean].collect().count(identity)
+    assert(fps < 50, s"false-positive rate too high: $fps/1000")
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val df = Seq(("A  b C", 1L), ("a b c", 2L)).toDF("text", "doc_id")
     val fps = TextAnalysis.fingerprint(df).select("fp").as[String].collect()
