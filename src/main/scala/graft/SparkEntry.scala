@@ -433,6 +433,17 @@ object SparkEntry {
     // TF-IDF top-3 terms per document (tf·ln(N/df), deterministic ties)
     "q71_tfidf_topterms" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), k = 3)),
+
+    // explicit GROUPING SETS (non-rollup set list) with grouping_id
+    "q72_grouping_sets" -> ((s, dir) =>
+      Relational.groupingSetsTotals(Tables.lineitem(s, dir))),
+
+    // int8-quantized ANN: integer dot products on quantized vectors,
+    // rescaled — bit-identical cross-engine, no tie-break scaffolding
+    "q73_ann_quantized" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 8), k = 10)
+    }),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1334,6 +1345,54 @@ object SparkEntry {
         |            END AS INT) AS sample_rate,
         |       CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 8 END AS INT) AS bit_depth
         |FROM documents""".stripMargin,
+
+    // gid replayed as a CASE over the aggregated-away keys (Spark
+    // grouping_id: bit per grouping column, first = most significant;
+    // the data has no NULL flag/status, so IS NULL means aggregated)
+    "q72_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(CASE WHEN l_returnflag IS NOT NULL
+        |                  AND l_linestatus IS NOT NULL THEN 0
+        |                 WHEN l_returnflag IS NULL
+        |                  AND l_linestatus IS NOT NULL THEN 2
+        |                 ELSE 3 END AS BIGINT) AS gid,
+        |       count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())""".stripMargin,
+
+    // the quantization replay is q55's (floor(x*scale + 0.5), bit-exact
+    // scales); the dot product is INTEGER-valued so list_sum is exact
+    // under any order, and the rescale multiplies in the same association
+    "q73_ann_quantized" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+         |  FROM embeddings),
+         |a AS (
+         |  SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS amax
+         |  FROM e),
+         |qz AS (
+         |  SELECT vec_id, amax,
+         |         list_transform(emb, x -> floor(x * (127.0 / amax) + 0.5)) AS q
+         |  FROM a WHERE amax > 0.0),
+         |sc AS (
+         |  SELECT qq.vec_id AS q_id, c.vec_id AS vec_id,
+         |         list_sum(list_transform(range(1, ${EmbDim + 1}),
+         |           i -> qq.q[i] * c.q[i])) AS idot,
+         |         qq.amax AS q_amax, c.amax AS amax
+         |  FROM qz qq JOIN qz c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id < 8),
+         |sc2 AS (
+         |  SELECT q_id, vec_id, idot,
+         |         idot * (q_amax / 127.0) * (amax / 127.0) AS qcos
+         |  FROM sc),
+         |r AS (
+         |  SELECT q_id, vec_id, CAST(idot AS BIGINT) AS q_dot, qcos,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY round(qcos, 6) DESC, vec_id ASC) AS INT) AS rank
+         |  FROM sc2)
+         |SELECT q_id, vec_id, rank, q_dot, round(qcos, 4) AS qcos
+         |FROM r WHERE rank <= 10""".stripMargin,
 
     // the exact semi-join bit is oracle-checked exactly; the bloom's
     // no-false-negative contract is the in-band flag (false positives

@@ -390,6 +390,22 @@ object Relational {
         (abs(col("a_parts") - col("n_parts")) <= lit(relTol) * col("n_parts"))
           .cast("int").as("hll_ok"))
 
+  /** Explicit GROUPING SETS — the general form behind rollup (q25) and
+    * cube (q37): the set list ((flag, status), (status), ()) is NOT a
+    * rollup prefix chain, and `grouping_id()` disambiguates
+    * aggregated-away NULLs from data NULLs (bit per grouping column,
+    * first column most significant). Still ONE Expand pass + one
+    * aggregate, like the rollup/cube specializations.
+    */
+  def groupingSetsTotals(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+
   /** Bloom-filter join pre-filter ([[graft.functions.BloomAgg]]): build a
     * bloom over the selective side's join keys (one fixed `numBits/8`-byte
     * buffer, map-side OR-merged), broadcast it, and probe the big side's

@@ -270,6 +270,51 @@ object Similarity {
           .cast("int").as("err_ok"))
   }
 
+  /** Int8-quantized brute-force top-k — the compute side of the
+    * compressed-corpus layout ([[quantizeInt8]] is the storage side).
+    * Scores are integer dot products of the quantized vectors — exact in
+    * doubles (|q_i| ≤ 127, so a 64-dim dot is < 2²¹) — rescaled by the
+    * two per-vector scales. Every arithmetic step is order-free or a
+    * sequential fold, so scores are BIT-IDENTICAL cross-engine: a
+    * quantized ANN hash-gates exactly where float ANN needs round-6
+    * tie-break scaffolding. At scale the corpus side carries 1 byte per
+    * element instead of 4 (the scan and shuffle shrink 4×); recall loss
+    * vs [[bruteTopK]] is the quantization tradeoff, bounded by the q55
+    * reconstruction-error gate.
+    */
+  def quantizedTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def qz(df: DataFrame): DataFrame = {
+      val emb = transform(col("embedding"), x => x.cast("double"))
+      df.select(col("vec_id"), emb.as("emb"))
+        .withColumn("amax", array_max(transform(col("emb"), x => abs(x))))
+        .filter(col("amax") > 0.0)
+        .select(col("vec_id"),
+          // floor yields BIGINT; the dot kernel takes float/double arrays,
+          // and int8-range values are exact as doubles anyway
+          transform(col("emb"),
+            x => floor(x * (lit(127.0) / col("amax")) + lit(0.5))
+              .cast("double")).as("q"),
+          col("amax"))
+    }
+    val c = qz(embeddings)
+    val q = broadcast(qz(queries).select(col("vec_id").as("q_id"),
+      col("q").as("qq"), col("amax").as("q_amax")))
+    val scored = c.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorFunctions.vec_dot(col("qq"), col("q")).as("idot"),
+        col("q_amax"), col("amax"))
+      .withColumn("qcos",
+        col("idot") * (col("q_amax") / lit(127.0)) * (col("amax") / lit(127.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(round(col("qcos"), 6).desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        col("idot").cast("long").as("q_dot"), round(col("qcos"), 4).as("qcos"))
+  }
+
   /** Array higher-order-function battery over the embedding column:
     * filter / exists / transform / sequential-fold aggregate, each with a
     * DuckDB list-function twin. Interpreted lambdas are fine here — the

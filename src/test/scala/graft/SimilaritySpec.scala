@@ -105,6 +105,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(codes.filter($"c" > 127 || $"c" < -128).count() === 0)
   }
 
+  test("quantizedTopK: integer dot products exact, rescale recovers the score") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.5f, 0.5f), 0),
+      (3L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizedTopK(vecs, vecs.filter($"vec_id" === 1), k = 2)
+      .orderBy($"rank").collect()
+    // query (1,0) -> q=(127,0); vec 2 (0.5,0.5) -> q=(127,127): dot 16129;
+    // vec 3 (0,1) -> q=(0,127): dot 0
+    assert(out.map(r => (r.getLong(1), r.getLong(3))).toSeq ===
+      Seq((2L, 16129L), (3L, 0L)))
+    // rescale is exact here: 16129 * (1/127) * (0.5/127) = 0.5 = true dot
+    assert(out(0).getDouble(4) === 0.5)
+  }
+
+  test("quantizedTopK approximates exact cosine ranking on real embeddings") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 4)
+    val exact = Similarity.bruteTopK(e, q, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(e, q, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // int8 on 64-dim normalized vectors: overlap must dominate (the
+    // quantization step is ~amax/127 per element)
+    val overlap = exact.intersect(quant).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"quantized recall too low: $overlap")
+  }
+
   test("kmeans cells feed ivfTopK end-to-end on real embeddings") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cells = Similarity.kmeansCells(e, k = SparkEntry.KmeansK,
