@@ -444,6 +444,26 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.quantizedTopK(e, e.filter(col("vec_id") < 8), k = 10)
     }),
+
+    // benchmark decontamination (GPT-3 appendix-C shape): train docs
+    // scored by the fraction of their distinct 5-grams appearing in the
+    // held-out split; both sides collapse to 60-bit gram fingerprints
+    // before the equi-join
+    "q74_contamination" -> ((s, dir) =>
+      Curation.contaminationCheck(Tables.documents(s, dir),
+        benchSource = "src0")),
+
+    // PII redaction over deterministic synthetic payloads (the corpus
+    // itself is word salad, so the gate constructs emails/phones/IPs from
+    // doc_id closed forms and the oracle replays the construction)
+    "q75_pii_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(
+        TextAnalysis.withSyntheticPii(Tables.documents(s, dir)))),
+
+    // temperature-based (alpha=0.5) domain rebalancing: sqrt-weighted
+    // per-language acceptance percentages over the content-hash coin
+    "q78_temperature_resample" -> ((s, dir) =>
+      Curation.temperatureResample(Tables.documents(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1393,6 +1413,91 @@ object SparkEntry {
          |  FROM sc2)
          |SELECT q_id, vec_id, rank, q_dot, round(qcos, 4) AS qcos
          |FROM r WHERE rank <= 10""".stripMargin,
+
+    // distinct-5-gram fingerprints both sides (same 60-bit md5-prefix
+    // key as the Spark side), LEFT JOIN against the held-out split's
+    // distinct grams, per-doc rollup; sub-n-word docs carry NULL frac
+    "q74_contamination" ->
+      """WITH lt AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS lt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(range(1, len(lt) - 3),
+        |           i -> lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2] || ' ' ||
+        |                lt[i+3] || ' ' || lt[i+4]))) AS g
+        |  FROM lt),
+        |gh AS (SELECT doc_id, source,
+        |              ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+        |       FROM g),
+        |bench AS (SELECT DISTINCT gh FROM gh WHERE source = 'src0'),
+        |stats AS (
+        |  SELECT t.doc_id, count(*) AS n_grams,
+        |         CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_hit
+        |  FROM gh t LEFT JOIN bench b ON b.gh = t.gh
+        |  WHERE t.source <> 'src0'
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+        |       coalesce(s.n_hit, 0) AS n_hit,
+        |       CASE WHEN s.n_grams > 0
+        |            THEN round(s.n_hit / CAST(s.n_grams AS DOUBLE), 4)
+        |       END AS contam_frac,
+        |       CAST(CASE WHEN s.n_grams > 0
+        |                  AND round(s.n_hit / CAST(s.n_grams AS DOUBLE), 4)
+        |                      >= 0.2
+        |                 THEN 1 ELSE 0 END AS INT) AS flagged
+        |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+        |WHERE d.source <> 'src0'""".stripMargin,
+
+    // the oracle replays withSyntheticPii's construction, then applies
+    // the same ordered pattern list (counts on PRE-redaction text;
+    // DuckDB regexp_replace needs the explicit 'g' flag)
+    "q75_pii_redact" -> {
+      val mk =
+        """substr(text, 1, 40) || ' reach u' || doc_id || '@mail' ||
+          |           (doc_id % 10) || '.org or 555-' ||
+          |           lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+          |           ' at 10.' || (doc_id % 256) || '.' ||
+          |           ((doc_id * 7) % 256) || '.' ||
+          |           ((doc_id * 13) % 256) || ' end'""".stripMargin
+      val pats = TextAnalysis.PiiPatterns
+      val red = pats.foldLeft("text") { case (e, (p, r)) =>
+        s"regexp_replace($e, '$p', '$r', 'g')"
+      }
+      val counts = pats.map { case (p, r) =>
+        val nm = "n_" + r.stripPrefix("<").stripSuffix(">").toLowerCase
+        s"len(regexp_extract_all(text, '$p')) AS $nm"
+      }.mkString(",\n        |       ")
+      s"""WITH s AS (
+         |  SELECT doc_id, $mk AS text
+         |  FROM documents)
+         |SELECT doc_id, $red AS red_text,
+         |       $counts
+         |FROM s""".stripMargin
+    },
+
+    // sqrt(n_l) is IEEE-exact both engines; the share is rounded to 6
+    // decimals before flooring so aggregation-order last-ulp jitter in
+    // sum_sqrt cannot flip the floor; the hash-bucket coin is q54's
+    "q78_temperature_resample" ->
+      """WITH byl AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(sqrt(n_l)) AS sum_sqrt,
+        |               CAST(sum(n_l) AS BIGINT) AS n_total
+        |        FROM byl),
+        |probs AS (
+        |  SELECT lang, n_l,
+        |         least(100, CAST(floor(round(
+        |           50.0 * n_total / (sum_sqrt * sqrt(n_l)), 6)) AS INT))
+        |           AS accept_pct
+        |  FROM byl CROSS JOIN tot)
+        |SELECT d.doc_id, d.lang,
+        |       ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT % 100
+        |         AS bucket,
+        |       p.accept_pct, p.n_l
+        |FROM documents d JOIN probs p ON p.lang = d.lang
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT % 100
+        |      < p.accept_pct""".stripMargin,
 
     // the exact semi-join bit is oracle-checked exactly; the bloom's
     // no-false-negative contract is the in-band flag (false positives

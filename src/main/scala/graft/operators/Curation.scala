@@ -85,4 +85,84 @@ object Curation {
         hashBucket(col("doc_id")).as("bucket"))
       .filter(col("bucket") < pct)
   }
+
+  /** Benchmark-contamination check (the GPT-3 appendix-C decontamination
+    * shape): every training document is scored by the fraction of its
+    * distinct word n-grams that also appear in a held-out benchmark split
+    * (here: the documents whose `source` equals `benchSource`).
+    *
+    * Scale design: both sides collapse to DISTINCT n-gram fingerprints
+    * before the join — a 60-bit md5 projection of the gram, so the shuffle
+    * carries 8-byte keys instead of n-word strings (the portable-hash trick
+    * [[TextAnalysis.fp64Expr]] uses for whole documents; md5 keeps the
+    * DuckDB oracle bit-identical, a production pipeline would use
+    * xxhash64). The join is a plain equi-join on that key — partitioned,
+    * no NLJ — and the per-document rollup is the immediate next aggregate,
+    * so shuffled volume is distinct (doc, gram) pairs. Documents shorter
+    * than `n` words carry a NULL fraction (no grams to test) and are never
+    * flagged.
+    */
+  def contaminationCheck(docs: DataFrame, benchSource: String, n: Int = 5,
+                         flagThreshold: Double = 0.2): DataFrame = {
+    def grams(d: DataFrame) = d.select(
+      col("doc_id"),
+      explode(array_distinct(graft.functions.TextFunctions
+        .word_shingles(lower(col("text")), n))).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    val bench = grams(docs.filter(col("source") === benchSource))
+      .select(col("gh")).distinct()
+    val train = docs.filter(col("source") =!= benchSource)
+    val stats = grams(train)
+      .join(bench.withColumn("hit", lit(1)), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+    train.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams") > 0,
+          round(col("n_hit") / col("n_grams"), 4)).as("contam_frac"))
+      .withColumn("flagged",
+        when(col("contam_frac") >= flagThreshold, 1).otherwise(0))
+  }
+
+  /** Temperature-based domain rebalancing (the multilingual-pretraining
+    * sampling rule, alpha = 0.5): stratum l with n_l documents gets target
+    * share w_l = sqrt(n_l) / Σ sqrt(n_m) — upsampling small domains,
+    * flattening large ones — and the corpus is downsampled to
+    * `targetFrac`·N documents distributed by those weights. The per-domain
+    * acceptance percentage caps at 100 (this operator never duplicates
+    * rows; true upsampling of tiny domains would need an explode side).
+    *
+    * The accept decision reuses the [[hashBucket]] content-hash coin
+    * (deterministic, rerun-stable, engine-portable). sqrt (not a general
+    * pow) keeps alpha=0.5 IEEE-exact in both engines, and the percentage
+    * is rounded to 6 decimals before flooring so a last-ulp difference in
+    * the cross-engine Σ sqrt(n_m) aggregation order cannot flip the floor.
+    *
+    * One corpus scan for the counts (a #domains-row aggregate), one for
+    * the filter; the probabilities join back by domain — a relation of
+    * #domains rows that AQE broadcasts from stats, no hint needed.
+    */
+  def temperatureResample(docs: DataFrame, targetFrac: Double = 0.5): DataFrame = {
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val tot = byLang.agg(sum(sqrt(col("n_l"))).as("sum_sqrt"),
+      sum(col("n_l")).as("n_total"))
+    val probs = byLang
+      .crossJoin(broadcast(tot)) // one row by construction: global aggregate
+      .select(col("lang"), col("n_l"),
+        least(lit(100), floor(round(
+          lit(100.0 * targetFrac) * col("n_total") /
+            (col("sum_sqrt") * sqrt(col("n_l"))), 6)).cast("int")
+        ).as("accept_pct"))
+    docs.select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id")).as("bucket"))
+      .join(probs, "lang")
+      .filter(col("bucket") < col("accept_pct"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("accept_pct"), col("n_l"))
+  }
 }

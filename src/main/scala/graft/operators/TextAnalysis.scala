@@ -291,6 +291,58 @@ object TextAnalysis {
         col("tfidf"), col("rn"))
   }
 
+  // --- PII redaction ------------------------------------------------------
+
+  /** Dialect-neutral PII patterns (character classes + bounded quantifiers
+    * only, so Java regex and DuckDB RE2 agree; `[.]` instead of `\\.` to
+    * stay escape-free). Ordered list: replacements apply in sequence, and
+    * the patterns are mutually exclusive by construction (an email never
+    * contains a bare IP once its domain is consumed, the NANP test prefix
+    * never contains dots).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._]+@[a-z0-9]+[.][a-z]+" -> "<EMAIL>",
+    "555-[0-9]{4}" -> "<PHONE>",
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}" -> "<IP>")
+
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before anything leaves curation: emails, (NANP test-exchange) phone
+    * numbers, and IPv4 literals replaced by typed placeholder tokens, with
+    * per-class match counts kept as columns so downstream audits can
+    * aggregate leakage rates without re-scanning text.
+    *
+    * Pure projection: regex replace + extract fuse into the corpus scan
+    * (zero shuffle, scan-speed at 100 TB). Counts are computed on the
+    * PRE-redaction text; replacements chain in [[PiiPatterns]] order.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val red = PiiPatterns.foldLeft(col("text")) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    val counts = PiiPatterns.map { case (pat, rep) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .as("n_" + rep.stripPrefix("<").stripSuffix(">").toLowerCase)
+    }
+    docs.select(Seq(col("doc_id"), red.as("red_text")) ++ counts: _*)
+  }
+
+  /** Deterministic PII-bearing fixture: the corpus text salted with an
+    * email, a phone, and an IPv4 whose digits are closed forms of doc_id —
+    * the `documents` table itself is word-salad with no PII, so the gate
+    * constructs payloads the same way [[Multimodal.syntheticMedia]] builds
+    * header bytes, and the oracle replays the construction.
+    */
+  def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      substring(col("text"), 1, 40),
+      lit(" reach u"), col("doc_id"), lit("@mail"), col("doc_id") % 10,
+      lit(".org or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" at 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+      lit("."), ((col("doc_id") * 13) % 256).cast("string"),
+      lit(" end")).as("text"))
+
   // --- fingerprinting ---------------------------------------------------
 
   /** Canonical text: lower-cased, runs of spaces collapsed, trimmed. */

@@ -114,4 +114,50 @@ class CurationSpec extends SparkSpecBase {
         (col("pred_lang") =!= "en" && col("bucket") >= 50)).count()
     assert(bad === 0L)
   }
+
+  test("contaminationCheck scores train docs by held-out 5-gram overlap") {
+    val df = Seq(
+      (1L, "a b c d e f g", "bench"),       // 3 grams in the held-out set
+      (2L, "a b c d e f g", "train"),       // identical -> frac 1.0, flagged
+      (3L, "h i j k l m n", "train"),       // disjoint -> frac 0.0
+      (4L, "a b c d e x y z w v", "train"), // 1 of 6 grams -> 0.1667
+      (5L, "x y", "train")                  // < 5 words -> NULL frac
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.contaminationCheck(df, benchSource = "bench")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getInt(4))))
+      .toMap
+    assert(out.keySet === Set(2L, 3L, 4L, 5L)) // bench split excluded
+    assert(out(2L) === ((3L, 3L, Some(1.0), 1)))
+    assert(out(3L) === ((3L, 0L, Some(0.0), 0)))
+    assert(out(4L) === ((6L, 1L, Some(0.1667), 0)))
+    assert(out(5L) === ((0L, 0L, None, 0)))
+  }
+
+  test("temperatureResample flattens domain shares toward sqrt weights") {
+    // 3 langs with 640 / 160 / 10 docs: sqrt weights 0.8/0.4/0.1 of
+    // sum_sqrt -> per-doc acceptance rises as the domain shrinks
+    val docs = ((0 until 640).map(i => (i.toLong, "en")) ++
+      (1000 until 1160).map(i => (i.toLong, "de")) ++
+      (2000 until 2010).map(i => (i.toLong, "zh")))
+      .toDF("doc_id", "lang")
+    val out = Curation.temperatureResample(docs, targetFrac = 0.5)
+    val pct = out.select("lang", "accept_pct").distinct()
+      .as[(String, Int)].collect().toMap
+    // exact closed forms: sum_sqrt = sqrt(640)+sqrt(160)+sqrt(10),
+    // accept_pct(l) = min(100, floor(50 * 810 / (sum_sqrt * sqrt(n_l))))
+    val sumSqrt = math.sqrt(640) + math.sqrt(160) + math.sqrt(10)
+    def expect(n: Int): Int =
+      math.min(100, math.floor(BigDecimal(50.0 * 810 / (sumSqrt * math.sqrt(n)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toInt)
+    assert(pct("en") === expect(640))
+    assert(pct("de") === expect(160))
+    assert(pct("zh") === expect(10))
+    assert(pct("zh") === 100)           // tiny domain caps at full keep
+    assert(pct("en") < pct("de"))       // monotone in 1/sqrt(n_l)
+    // the coin respects the percentage and never duplicates rows
+    assert(out.filter(col("bucket") >= col("accept_pct")).count() === 0L)
+    assert(out.select("doc_id").distinct().count() === out.count())
+  }
 }

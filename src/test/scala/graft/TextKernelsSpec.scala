@@ -188,4 +188,38 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(out(2L) === "es")
     assert(out(3L) === "und")
   }
+
+  test("redactPii replaces each class and counts on pre-redaction text") {
+    val df = Seq(
+      (1L, "write to bob.smith@example.org or call 555-0147 from 10.1.2.3"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.com c.d@e.net one ip 192.168.0.1")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df)
+      .select("doc_id", "red_text", "n_email", "n_phone", "n_ip")
+      .as[(Long, String, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "write to <EMAIL> or call <PHONE> from <IP>")
+    assert((out(1L)._3, out(1L)._4, out(1L)._5) === ((1, 1, 1)))
+    assert(out(2L)._2 === "no pii here at all") // untouched
+    assert((out(2L)._3, out(2L)._4, out(2L)._5) === ((0, 0, 0)))
+    assert(out(3L)._2 === "two mails <EMAIL> <EMAIL> one ip <IP>")
+    assert((out(3L)._3, out(3L)._4, out(3L)._5) === ((2, 0, 1)))
+  }
+
+  test("redactPii classes are mutually exclusive (email domain is not an IP)") {
+    // the email is consumed whole by the first pattern; its dotted domain
+    // must not additionally count or redact as an IP
+    val df = Seq((1L, "mail me1.a2@host99.info now")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df)
+      .select("red_text", "n_email", "n_ip").as[(String, Int, Int)].head()
+    assert(r === (("mail <EMAIL> now", 1, 0)))
+  }
+
+  test("withSyntheticPii payloads carry exactly one of each class") {
+    val docs = Seq((7L, "x " * 60), (123L, "y " * 60)).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(TextAnalysis.withSyntheticPii(docs))
+      .select("n_email", "n_phone", "n_ip").as[(Int, Int, Int)].collect()
+    assert(out.forall(_ === ((1, 1, 1))))
+  }
 }
