@@ -460,6 +460,17 @@ object SparkEntry {
       TextAnalysis.redactPii(
         TextAnalysis.withSyntheticPii(Tables.documents(s, dir)))),
 
+    // fixed-size token chunking via the single-pass WordChunks kernel +
+    // posexplode — scan-fused, chunk ordinal free from the explode
+    "q76_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), chunkSize = 32)),
+
+    // concat-and-slice sequence packing: per-shard running token count
+    // sliced at context boundaries (global order would serialize; the
+    // shard window keeps it one parallel shuffle)
+    "q77_sequence_packing" -> ((s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir), ctxTokens = 256)),
+
     // temperature-based (alpha=0.5) domain rebalancing: sqrt-weighted
     // per-language acceptance percentages over the content-hash coin
     "q78_temperature_resample" -> ((s, dir) =>
@@ -1476,6 +1487,47 @@ object SparkEntry {
          |       $counts
          |FROM s""".stripMargin
     },
+
+    // DuckDB zips parallel unnests in one SELECT, giving the chunk
+    // ordinal and text in lockstep; list_slice is end-inclusive so the
+    // window is [i*32+1, (i+1)*32]
+    "q76_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INT)))
+        |           AS chunk_idx,
+        |         unnest(list_transform(
+        |           range(0, CAST(ceil(len(toks) / 32.0) AS INT)),
+        |           i -> array_to_string(
+        |                  list_slice(toks, i*32 + 1, (i+1)*32), ' ')))
+        |           AS chunk_text
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+        |       len(string_split(chunk_text, ' ')) AS n_tokens
+        |FROM c""".stripMargin,
+
+    // same shard window, same integer arithmetic; ROWS ... 1 PRECEDING
+    // is the exclusive running sum, coalesced to 0 for each shard's
+    // first document
+    "q77_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (
+        |           PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_before,
+        |       CAST(floor(cum_before / 256.0) AS BIGINT) AS seq_id,
+        |       cum_before % 256 AS offset,
+        |       CAST(cum_before % 256 + n_tokens > 256 AS INT)
+        |         AS spans_boundary
+        |FROM c""".stripMargin,
 
     // sqrt(n_l) is IEEE-exact both engines; the share is rounded to 6
     // decimals before flooring so aggregation-order last-ulp jitter in

@@ -109,6 +109,43 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Fixed-size word chunks of the single-space tokenization: chunk i is
+  * tokens [i·n, (i+1)·n) space-joined; the last chunk may be shorter, and
+  * a document with no tokens yields one empty chunk (split("") == [""]).
+  * Single pass, one output element per n input tokens — the scan-fused
+  * chunking primitive (the HOF slice/array_join formulation re-evaluates
+  * the split per chunk; see WordShingles).
+  */
+case class WordChunks(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "chunk size must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    val nChunks = (toks.length + n - 1) / n
+    val out = new Array[Any](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val sb = new java.lang.StringBuilder
+      var j = i * n
+      val end = math.min(j + n, toks.length)
+      while (j < end) {
+        if (j > i * n) sb.append(' ')
+        sb.append(toks(j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature over a shingle array: k simulated permutations, entry
   * j = lexicographic min over shingles of md5Hex(j + "|" + shingle).
   * Single pass over k×|shingles|; null for empty input (no shingles → no
@@ -371,6 +408,9 @@ case class PunctCount(child: Expression)
 object TextFunctions {
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  def word_chunks(text: Column, n: Int): Column =
+    Bridge.column(WordChunks(Bridge.expression(text), n))
 
   def min_hash_sig(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))

@@ -129,6 +129,34 @@ object Curation {
         when(col("contam_frac") >= flagThreshold, 1).otherwise(0))
   }
 
+  /** Sequence packing (the concat-and-slice pretraining shape): documents
+    * are laid end-to-end in deterministic (doc_id) order within each
+    * shard and sliced into fixed-capacity context windows; each document
+    * reports the sequence it starts in, its token offset there, and
+    * whether it spills across the boundary into the next sequence.
+    *
+    * Scale design: a GLOBAL concat order would serialize the corpus
+    * through one partition, so packing is per-shard (here: per `lang`,
+    * the natural pretraining unit — any hash shard works), making the
+    * running sum an ordinary partitioned window: one shuffle on the
+    * shard key, parallel across shards, executors stream each shard
+    * once. All arithmetic is integer (token counts < 2^53), so the
+    * result is bit-stable under any execution order.
+    */
+  def packSequences(docs: DataFrame, ctxTokens: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"),
+        floor(col("cum_before") / ctxTokens).cast("long").as("seq_id"),
+        (col("cum_before") % ctxTokens).as("offset"),
+        (col("cum_before") % ctxTokens + col("n_tokens") > ctxTokens)
+          .cast("int").as("spans_boundary"))
+  }
+
   /** Temperature-based domain rebalancing (the multilingual-pretraining
     * sampling rule, alpha = 0.5): stratum l with n_l documents gets target
     * share w_l = sqrt(n_l) / Σ sqrt(n_m) — upsampling small domains,

@@ -134,6 +134,24 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col("text")), lit(TokenPattern), lit(0)))
         .as("re_tokens"))
 
+  /** Fixed-size token chunking — the pretraining segmentation primitive:
+    * each document becomes ceil(n_words / chunkSize) rows, chunk i
+    * carrying tokens [i·chunkSize, (i+1)·chunkSize) rejoined as text
+    * (the last chunk may be shorter; chunk boundaries never split a
+    * token). The chunk array is built by the single-pass
+    * [[graft.functions.WordChunks]] kernel and fans out via posexplode,
+    * so the whole operator is scan-fused: zero shuffles, output volume =
+    * input token volume, and chunk_idx arrives for free as the explode
+    * ordinal (no window function, no sort).
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions
+          .word_chunks(col("text"), chunkSize)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        size(tokens(col("col"))).as("n_tokens"))
+
   /** Per-document top-k tokens by frequency: explode (lateral view) →
     * count per (doc, token) → ranking window with deterministic token
     * tie-break. The explode fans out |tokens| rows but the very next

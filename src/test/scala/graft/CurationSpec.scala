@@ -135,6 +135,28 @@ class CurationSpec extends SparkSpecBase {
     assert(out(5L) === ((0L, 0L, None, 0)))
   }
 
+  test("packSequences lays shards end-to-end and flags boundary spills") {
+    // en shard: 100+200+100 tokens at ctx=256 -> doc 2 starts at offset
+    // 100 and spills into seq 1; doc 3 starts in seq 1 at offset 44
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val docs = Seq(
+      (1L, "en", words(100)), (2L, "en", words(200)), (3L, "en", words(100)),
+      (10L, "de", words(300))).toDF("doc_id", "lang", "text")
+    val out = Curation.packSequences(docs, ctxTokens = 256)
+      .select("doc_id", "cum_before", "seq_id", "offset", "spans_boundary")
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 0L, 0L, 0L, 0)))
+    assert(out(2L) === ((2L, 100L, 0L, 100L, 1)))   // 100+200 > 256
+    assert(out(3L) === ((3L, 300L, 1L, 44L, 0)))    // 300 = 256 + 44
+    assert(out(10L) === ((10L, 0L, 0L, 0L, 1)))     // shards independent
+    // invariant: seq_id * ctx + offset reconstructs the running position
+    val bad = Curation.packSequences(docs, 256)
+      .filter(col("seq_id") * 256 + col("offset") =!= col("cum_before"))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("temperatureResample flattens domain shares toward sqrt weights") {
     // 3 langs with 640 / 160 / 10 docs: sqrt weights 0.8/0.4/0.1 of
     // sum_sqrt -> per-doc acceptance rises as the domain shrinks

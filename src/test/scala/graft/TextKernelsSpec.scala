@@ -189,6 +189,28 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(out(3L) === "und")
   }
 
+  test("word_chunks slices at token boundaries and reconstructs losslessly") {
+    val df = Seq("a b c d e", "a b", "", "x  y z").toDF("text")
+      .select(col("text"), word_chunks(col("text"), 2).as("ch"))
+    val rows = df.select("ch").as[Seq[String]].collect().toSeq
+    assert(rows === Seq(
+      Seq("a b", "c d", "e"), Seq("a b"), Seq(""), Seq("x ", "y z")))
+    // joining the chunks back with single spaces is the identity — token
+    // boundaries (including empty tokens from runs of spaces) survive
+    val recon = df.select((array_join(col("ch"), " ") === col("text"))
+      .as("ok")).as[Boolean].collect()
+    assert(recon.forall(identity))
+  }
+
+  test("chunkDocuments: full chunks except the last, token counts add up") {
+    val text = (1 to 71).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunkDocuments(
+      Seq((1L, text)).toDF("doc_id", "text"), chunkSize = 32)
+      .select("chunk_idx", "n_tokens").as[(Int, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(out.map(_._2).toSeq === Seq(32, 32, 7))
+  }
+
   test("redactPii replaces each class and counts on pre-redaction text") {
     val df = Seq(
       (1L, "write to bob.smith@example.org or call 555-0147 from 10.1.2.3"),
