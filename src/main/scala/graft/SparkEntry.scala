@@ -465,16 +465,25 @@ object SparkEntry {
     "q76_chunking" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir), chunkSize = 32)),
 
-    // concat-and-slice sequence packing: per-shard running token count
-    // sliced at context boundaries (global order would serialize; the
-    // shard window keeps it one parallel shuffle)
+    // concat-and-slice sequence packing, two-level: block-parallel
+    // running sums stitched by a broadcast per-block prefix — parallelism
+    // scales with nBlocks, not #languages (VERDICT r5 #1)
     "q77_sequence_packing" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir), ctxTokens = 256)),
 
-    // temperature-based (alpha=0.5) domain rebalancing: sqrt-weighted
-    // per-language acceptance percentages over the content-hash coin
+    // temperature-based (alpha=0.5) domain rebalancing with TRUE
+    // upsampling: targetFrac=1.0 pushes the small strata past 100% so
+    // they emit deterministic copies (copy_idx in the key) while the
+    // dominant language downsamples — expected output size stays N
     "q78_temperature_resample" -> ((s, dir) =>
-      Curation.temperatureResample(Tables.documents(s, dir))),
+      Curation.temperatureResample(Tables.documents(s, dir),
+        targetFrac = 1.0)),
+
+    // overlapping (strided) chunking: windows start every 24 tokens,
+    // carry 32 — same scan-fused kernel, chunk pairs overlap by 8
+    "q79_chunking_strided" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir),
+        chunkSize = 32, stride = 24)),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1466,8 +1475,15 @@ object SparkEntry {
     // DuckDB regexp_replace needs the explicit 'g' flag)
     "q75_pii_redact" -> {
       val mk =
-        """substr(text, 1, 40) || ' reach u' || doc_id || '@mail' ||
-          |           (doc_id % 10) || '.org or 555-' ||
+        """substr(text, 1, 40) || ' Reach U' || doc_id || '+Tag@Mail' ||
+          |           (doc_id % 10) || '.OrG ssn ' ||
+          |           lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+          |           lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' ||
+          |           lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+          |           ' ph 555' ||
+          |           CASE WHEN doc_id % 2 = 0 THEN '-' ELSE '.' END ||
+          |           lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+          |           CASE WHEN doc_id % 2 = 0 THEN '-' ELSE '.' END ||
           |           lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
           |           ' at 10.' || (doc_id % 256) || '.' ||
           |           ((doc_id * 7) % 256) || '.' ||
@@ -1508,17 +1524,20 @@ object SparkEntry {
         |       len(string_split(chunk_text, ' ')) AS n_tokens
         |FROM c""".stripMargin,
 
-    // same shard window, same integer arithmetic; ROWS ... 1 PRECEDING
-    // is the exclusive running sum, coalesced to 0 for each shard's
-    // first document
+    // ONE window ordered by (block, doc_id) — the semantic spec the
+    // engine's two-level packing (block-parallel sums + broadcast prefix
+    // stitch) must reproduce bit-for-bit; ROWS ... 1 PRECEDING is the
+    // exclusive running sum, coalesced to 0 for the first document
     "q77_sequence_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT
+        |           % ${Curation.DefaultPackBlocks} AS block
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, lang, n_tokens,
         |         CAST(coalesce(sum(n_tokens) OVER (
-        |           PARTITION BY lang ORDER BY doc_id
+        |           PARTITION BY lang ORDER BY block, doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |           AS BIGINT) AS cum_before
         |  FROM t)
@@ -1531,7 +1550,9 @@ object SparkEntry {
 
     // sqrt(n_l) is IEEE-exact both engines; the share is rounded to 6
     // decimals before flooring so aggregation-order last-ulp jitter in
-    // sum_sqrt cannot flip the floor; the hash-bucket coin is q54's
+    // sum_sqrt cannot flip the floor; the hash-bucket coin is q54's.
+    // True upsampling: floor(pct/100) copies + a coin for the remainder,
+    // replayed via generate_series (empty when copies = 0)
     "q78_temperature_resample" ->
       """WITH byl AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
         |tot AS (SELECT sum(sqrt(n_l)) AS sum_sqrt,
@@ -1539,17 +1560,53 @@ object SparkEntry {
         |        FROM byl),
         |probs AS (
         |  SELECT lang, n_l,
-        |         least(100, CAST(floor(round(
-        |           50.0 * n_total / (sum_sqrt * sqrt(n_l)), 6)) AS INT))
+        |         CAST(floor(round(
+        |           100.0 * n_total / (sum_sqrt * sqrt(n_l)), 6)) AS INT)
         |           AS accept_pct
-        |  FROM byl CROSS JOIN tot)
-        |SELECT d.doc_id, d.lang,
-        |       ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT % 100
-        |         AS bucket,
-        |       p.accept_pct, p.n_l
-        |FROM documents d JOIN probs p ON p.lang = d.lang
-        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT % 100
-        |      < p.accept_pct""".stripMargin,
+        |  FROM byl CROSS JOIN tot),
+        |b AS (
+        |  SELECT d.doc_id, d.lang,
+        |         ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT % 100
+        |           AS bucket,
+        |         p.accept_pct, p.n_l
+        |  FROM documents d JOIN probs p ON p.lang = d.lang),
+        |c AS (
+        |  SELECT *, accept_pct // 100 +
+        |         CASE WHEN bucket < accept_pct % 100 THEN 1 ELSE 0 END
+        |           AS copies
+        |  FROM b),
+        |u AS (
+        |  SELECT doc_id, lang, bucket, accept_pct, n_l,
+        |         unnest(generate_series(1, copies)) AS ci
+        |  FROM c WHERE copies >= 1)
+        |SELECT doc_id, lang, bucket, accept_pct, n_l,
+        |       CAST(ci AS INT) AS copy_idx
+        |FROM u""".stripMargin,
+
+    // strided windows: starts every 24 tokens carrying 32, count =
+    // 1 + ceil((len-32)/24) for len > 32 (no pure-suffix trailing
+    // window), 1 otherwise; list_slice is end-inclusive so window i is
+    // [i*24+1, i*24+32]
+    "q79_chunking_strided" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) <= 32 THEN 1
+        |              ELSE 1 + CAST(ceil((len(toks) - 32) / 24.0) AS INT)
+        |         END AS nc
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, nc)) AS chunk_idx,
+        |         unnest(list_transform(range(0, nc),
+        |           i -> array_to_string(
+        |                  list_slice(toks, i*24 + 1, i*24 + 32), ' ')))
+        |           AS chunk_text
+        |  FROM t2)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+        |       len(string_split(chunk_text, ' ')) AS n_tokens
+        |FROM c""".stripMargin,
 
     // the exact semi-join bit is oracle-checked exactly; the bloom's
     // no-false-negative contract is the in-band flag (false positives

@@ -109,30 +109,39 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** Fixed-size word chunks of the single-space tokenization: chunk i is
-  * tokens [i·n, (i+1)·n) space-joined; the last chunk may be shorter, and
-  * a document with no tokens yields one empty chunk (split("") == [""]).
-  * Single pass, one output element per n input tokens — the scan-fused
-  * chunking primitive (the HOF slice/array_join formulation re-evaluates
-  * the split per chunk; see WordShingles).
+/** Fixed-size word chunks of the single-space tokenization, with optional
+  * overlap: chunk i is tokens [i·stride, i·stride + n) space-joined. With
+  * stride == n the windows are disjoint (the classic segmentation); with
+  * stride < n consecutive chunks overlap by n − stride tokens (the
+  * pretraining convention that preserves cross-boundary context). Windows
+  * start every `stride` tokens until one covers the end, so the count is
+  * 1 + ⌈(len − n)/stride⌉ for len > n (no trailing window that is a pure
+  * suffix of its predecessor) and 1 otherwise; the last chunk may be
+  * shorter, and a document with no tokens yields one empty chunk
+  * (split("") == [""]). Single pass — the scan-fused chunking primitive
+  * (the HOF slice/array_join formulation re-evaluates the split per
+  * chunk; see WordShingles).
   */
-case class WordChunks(child: Expression, n: Int)
+case class WordChunks(child: Expression, n: Int, stride: Int)
     extends UnaryExpression with CodegenFallback {
   require(n > 0, "chunk size must be positive")
+  require(stride > 0 && stride <= n, "stride must be in [1, chunk size]")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
-    val nChunks = (toks.length + n - 1) / n
+    val len = toks.length
+    val nChunks =
+      if (len <= n) 1 else 1 + (len - n + stride - 1) / stride
     val out = new Array[Any](nChunks)
     var i = 0
     while (i < nChunks) {
       val sb = new java.lang.StringBuilder
-      var j = i * n
-      val end = math.min(j + n, toks.length)
+      var j = i * stride
+      val end = math.min(j + n, len)
       while (j < end) {
-        if (j > i * n) sb.append(' ')
+        if (j > i * stride) sb.append(' ')
         sb.append(toks(j).toString)
         j += 1
       }
@@ -410,7 +419,10 @@ object TextFunctions {
     Bridge.column(WordShingles(Bridge.expression(text), n))
 
   def word_chunks(text: Column, n: Int): Column =
-    Bridge.column(WordChunks(Bridge.expression(text), n))
+    Bridge.column(WordChunks(Bridge.expression(text), n, n))
+
+  def word_chunks(text: Column, n: Int, stride: Int): Column =
+    Bridge.column(WordChunks(Bridge.expression(text), n, stride))
 
   def min_hash_sig(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))

@@ -135,22 +135,27 @@ object TextAnalysis {
         .as("re_tokens"))
 
   /** Fixed-size token chunking — the pretraining segmentation primitive:
-    * each document becomes ceil(n_words / chunkSize) rows, chunk i
-    * carrying tokens [i·chunkSize, (i+1)·chunkSize) rejoined as text
-    * (the last chunk may be shorter; chunk boundaries never split a
-    * token). The chunk array is built by the single-pass
-    * [[graft.functions.WordChunks]] kernel and fans out via posexplode,
-    * so the whole operator is scan-fused: zero shuffles, output volume =
-    * input token volume, and chunk_idx arrives for free as the explode
-    * ordinal (no window function, no sort).
+    * chunk i carries tokens [i·stride, i·stride + chunkSize) rejoined as
+    * text. stride == chunkSize (the default) gives disjoint windows;
+    * stride < chunkSize gives the overlapping (strided) segmentation that
+    * preserves cross-boundary context — windows start every `stride`
+    * tokens until one covers the end (see [[graft.functions.WordChunks]]
+    * for the exact count arithmetic). The chunk array is built by the
+    * single-pass kernel and fans out via posexplode, so the whole operator
+    * is scan-fused regardless of stride: zero shuffles, output volume =
+    * chunk count × chunk size, and chunk_idx arrives for free as the
+    * explode ordinal (no window function, no sort).
     */
-  def chunkDocuments(docs: DataFrame, chunkSize: Int = 32): DataFrame =
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 32,
+                     stride: Int = -1): DataFrame = {
+    val s = if (stride <= 0) chunkSize else stride
     docs.select(col("doc_id"),
         posexplode(graft.functions.TextFunctions
-          .word_chunks(col("text"), chunkSize)))
+          .word_chunks(col("text"), chunkSize, s)))
       .select(col("doc_id"), col("pos").as("chunk_idx"),
         col("col").as("chunk_text"),
         size(tokens(col("col"))).as("n_tokens"))
+  }
 
   /** Per-document top-k tokens by frequency: explode (lateral view) →
     * count per (doc, token) → ranking window with deterministic token
@@ -311,20 +316,34 @@ object TextAnalysis {
 
   // --- PII redaction ------------------------------------------------------
 
-  /** Dialect-neutral PII patterns (character classes + bounded quantifiers
-    * only, so Java regex and DuckDB RE2 agree; `[.]` instead of `\\.` to
-    * stay escape-free). Ordered list: replacements apply in sequence, and
-    * the patterns are mutually exclusive by construction (an email never
-    * contains a bare IP once its domain is consumed, the NANP test prefix
-    * never contains dots).
+  /** Dialect-neutral PII patterns (character classes, bounded quantifiers,
+    * and the `(?i)` case flag — all identical in Java regex and DuckDB RE2;
+    * `[.]` instead of `\\.` to stay escape-free). Ordered list:
+    * replacements apply in sequence, and the patterns are mutually
+    * exclusive by construction —
+    *  - emails go first (case-insensitive, `+` tags and `%`/`-`/`.` local
+    *    parts, multi-label domains), consuming any digits/dashes inside an
+    *    address before the numeric classes see them;
+    *  - SSN (3-2-4 digit runs) and phone (NANP 3-3-4 with `-` or `.`
+    *    delimiters, each independently) cannot match inside each other:
+    *    the digit-run lengths differ at every alignment;
+    *  - IPv4 goes last: a dotted phone has only two dots, a valid IP's
+    *    1-3-digit groups can never satisfy the phone's trailing 4-digit
+    *    run, and an address-like domain ("user@1.2.3.4") is not consumed
+    *    by the email pattern (its TLD must be alphabetic), so the IP class
+    *    still sees it.
+    * The VERDICT r5 battery (lowercase emails, 555- test exchange only, no
+    * SSN class) is strictly widened; patterns stay RE2/Java-portable for
+    * the oracle.
     */
   val PiiPatterns: Seq[(String, String)] = Seq(
-    "[a-z0-9._]+@[a-z0-9]+[.][a-z]+" -> "<EMAIL>",
-    "555-[0-9]{4}" -> "<PHONE>",
+    "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}" -> "<PHONE>",
     "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}" -> "<IP>")
 
   /** PII scrubbing — the redaction pass every training-data pipeline runs
-    * before anything leaves curation: emails, (NANP test-exchange) phone
+    * before anything leaves curation: emails, SSN-shaped ids, NANP phone
     * numbers, and IPv4 literals replaced by typed placeholder tokens, with
     * per-class match counts kept as columns so downstream audits can
     * aggregate leakage rates without re-scanning text.
@@ -344,22 +363,33 @@ object TextAnalysis {
     docs.select(Seq(col("doc_id"), red.as("red_text")) ++ counts: _*)
   }
 
-  /** Deterministic PII-bearing fixture: the corpus text salted with an
-    * email, a phone, and an IPv4 whose digits are closed forms of doc_id —
-    * the `documents` table itself is word-salad with no PII, so the gate
-    * constructs payloads the same way [[Multimodal.syntheticMedia]] builds
-    * header bytes, and the oracle replays the construction.
+  /** Deterministic PII-bearing fixture: the corpus text salted with a
+    * MIXED-CASE `+`-tagged email, an SSN-shaped id, a phone whose
+    * delimiter alternates `-`/`.` by doc_id parity, and an IPv4 — every
+    * digit a closed form of doc_id. The `documents` table itself is
+    * word-salad with no PII, so the gate constructs payloads the same way
+    * [[Multimodal.syntheticMedia]] builds header bytes, and the oracle
+    * replays the construction. The shapes deliberately exercise the
+    * battery's widened edges: case-insensitivity, `+` tags, both phone
+    * delimiters, and SSN-vs-phone adjacency.
     */
-  def withSyntheticPii(docs: DataFrame): DataFrame =
+  def withSyntheticPii(docs: DataFrame): DataFrame = {
+    val delim = when(col("doc_id") % 2 === 0, lit("-")).otherwise(lit("."))
     docs.select(col("doc_id"), concat(
       substring(col("text"), 1, 40),
-      lit(" reach u"), col("doc_id"), lit("@mail"), col("doc_id") % 10,
-      lit(".org or 555-"),
+      lit(" Reach U"), col("doc_id"), lit("+Tag@Mail"), col("doc_id") % 10,
+      lit(".OrG ssn "),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ph 555"), delim,
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), delim,
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
       lit(" at 10."), (col("doc_id") % 256).cast("string"),
       lit("."), ((col("doc_id") * 7) % 256).cast("string"),
       lit("."), ((col("doc_id") * 13) % 256).cast("string"),
       lit(" end")).as("text"))
+  }
 
   // --- fingerprinting ---------------------------------------------------
 

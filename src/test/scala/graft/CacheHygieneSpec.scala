@@ -47,6 +47,17 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("packStage shared token-count projection is released by the handle") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stage = graft.operators.Curation.packStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    stage.result.count()
+    assert(cachedCount > 0)          // the shared (n_tokens, block) projection
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("kmeansFit leaves no cached RDDs behind (training sample released)") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size

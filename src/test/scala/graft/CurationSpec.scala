@@ -136,13 +136,15 @@ class CurationSpec extends SparkSpecBase {
   }
 
   test("packSequences lays shards end-to-end and flags boundary spills") {
-    // en shard: 100+200+100 tokens at ctx=256 -> doc 2 starts at offset
-    // 100 and spills into seq 1; doc 3 starts in seq 1 at offset 44
+    // nBlocks = 1 degenerates to pure doc_id order within each lang, so
+    // the closed-form expectations are direct: en shard 100+200+100
+    // tokens at ctx=256 -> doc 2 starts at offset 100 and spills into
+    // seq 1; doc 3 starts in seq 1 at offset 44
     def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
     val docs = Seq(
       (1L, "en", words(100)), (2L, "en", words(200)), (3L, "en", words(100)),
       (10L, "de", words(300))).toDF("doc_id", "lang", "text")
-    val out = Curation.packSequences(docs, ctxTokens = 256)
+    val out = Curation.packSequences(docs, ctxTokens = 256, nBlocks = 1)
       .select("doc_id", "cum_before", "seq_id", "offset", "spans_boundary")
       .as[(Long, Long, Long, Long, Int)].collect()
       .map(r => r._1 -> r).toMap
@@ -155,11 +157,42 @@ class CurationSpec extends SparkSpecBase {
       .filter(col("seq_id") * 256 + col("offset") =!= col("cum_before"))
       .count()
     assert(bad === 0L)
+    spark.catalog.clearCache() // packStage's shared projection
+  }
+
+  test("two-level packing is bit-identical to one (block, doc_id) window") {
+    // the distributed form (block-parallel running sums + broadcast
+    // prefix stitch) must reproduce the semantic spec — a single window
+    // ordered by (block, doc_id) within each lang — exactly
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 300L).map(i =>
+        (i, if (i % 3 == 0) "en" else "de",
+          (1 to (i % 37).toInt + 1).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val twoLevel = Curation.packSequences(docs, ctxTokens = 64)
+      .collect().map(_.toSeq).toSet
+    val block = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("int") % Curation.DefaultPackBlocks).as("block")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("block"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val reference = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"), block)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"),
+        floor(col("cum_before") / 64).cast("long").as("seq_id"),
+        (col("cum_before") % 64).as("offset"),
+        (col("cum_before") % 64 + col("n_tokens") > 64)
+          .cast("int").as("spans_boundary"))
+      .collect().map(_.toSeq).toSet
+    assert(twoLevel === reference)
+    spark.catalog.clearCache()
   }
 
   test("temperatureResample flattens domain shares toward sqrt weights") {
-    // 3 langs with 640 / 160 / 10 docs: sqrt weights 0.8/0.4/0.1 of
-    // sum_sqrt -> per-doc acceptance rises as the domain shrinks
+    // 3 langs with 640 / 160 / 10 docs: sqrt weights -> per-doc
+    // acceptance rises as the domain shrinks, crossing 100% for zh
     val docs = ((0 until 640).map(i => (i.toLong, "en")) ++
       (1000 until 1160).map(i => (i.toLong, "de")) ++
       (2000 until 2010).map(i => (i.toLong, "zh")))
@@ -168,18 +201,45 @@ class CurationSpec extends SparkSpecBase {
     val pct = out.select("lang", "accept_pct").distinct()
       .as[(String, Int)].collect().toMap
     // exact closed forms: sum_sqrt = sqrt(640)+sqrt(160)+sqrt(10),
-    // accept_pct(l) = min(100, floor(50 * 810 / (sum_sqrt * sqrt(n_l))))
+    // accept_pct(l) = floor(50 * 810 / (sum_sqrt * sqrt(n_l))) — no cap
     val sumSqrt = math.sqrt(640) + math.sqrt(160) + math.sqrt(10)
     def expect(n: Int): Int =
-      math.min(100, math.floor(BigDecimal(50.0 * 810 / (sumSqrt * math.sqrt(n)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toInt)
+      math.floor(BigDecimal(50.0 * 810 / (sumSqrt * math.sqrt(n)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toInt
     assert(pct("en") === expect(640))
     assert(pct("de") === expect(160))
     assert(pct("zh") === expect(10))
-    assert(pct("zh") === 100)           // tiny domain caps at full keep
+    assert(pct("zh") > 100)             // tiny domain upsamples past 100%
     assert(pct("en") < pct("de"))       // monotone in 1/sqrt(n_l)
-    // the coin respects the percentage and never duplicates rows
-    assert(out.filter(col("bucket") >= col("accept_pct")).count() === 0L)
-    assert(out.select("doc_id").distinct().count() === out.count())
+  }
+
+  test("temperatureResample upsamples small strata with dense copy indexes") {
+    val docs = ((0 until 640).map(i => (i.toLong, "en")) ++
+      (1000 until 1160).map(i => (i.toLong, "de")) ++
+      (2000 until 2010).map(i => (i.toLong, "zh")))
+      .toDF("doc_id", "lang")
+    val out = Curation.temperatureResample(docs, targetFrac = 0.5)
+    // zh: accept_pct > 300 -> every doc emits >= 3 copies; OUTPUT EXCEEDS
+    // INPUT (the true-upsampling contract, VERDICT r5 #5)
+    val zh = out.filter(col("lang") === "zh")
+    assert(zh.count() >= 30L)
+    assert(zh.select("doc_id").distinct().count() === 10L)
+    // per doc: copies = floor(pct/100) + coin, copy_idx dense 1..copies
+    val perDoc = zh.groupBy("doc_id", "accept_pct", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("copy_idx")).as("lo"), max(col("copy_idx")).as("hi"))
+    val badIdx = perDoc.filter(col("lo") =!= 1 || col("hi") =!= col("n") ||
+      col("n") =!= floor(col("accept_pct") / 100).cast("int")
+        + when(col("bucket") < col("accept_pct") % 100, 1).otherwise(0))
+    assert(badIdx.count() === 0L)
+    // en downsamples: never duplicated, coin respected
+    val en = out.filter(col("lang") === "en")
+    assert(en.count() === en.select("doc_id").distinct().count())
+    assert(en.filter(col("bucket") >= col("accept_pct")).count() === 0L)
+    assert(en.count() < 640L)
+    // deterministic: a second run is identical
+    val again = Curation.temperatureResample(docs, targetFrac = 0.5)
+    assert(out.collect().map(_.toSeq).toSet ===
+      again.collect().map(_.toSeq).toSet)
   }
 }

@@ -92,4 +92,32 @@ class PlanShapeSpec extends SparkSpecBase {
     }
     assert(hints.isEmpty, s"unexpected join hints: $hints")
   }
+
+  // q77's running sum must shard by (lang, block), never by lang alone
+  // (VERDICT r5 #1): a lang-only window caps parallelism at #languages and
+  // serializes the dominant language through one task. The pin reads the
+  // physical Window operators' partition specs — the big per-document
+  // window must carry BOTH keys; only the #langs×#blocks block-offset
+  // window may be lang-only.
+  test("q77 per-document window partitions by (lang, block), not lang alone") {
+    // string form: AQE wraps the physical plan, so operator collect()
+    // sees only AdaptiveSparkPlanExec. The per-document window is the one
+    // whose spec ORDERS by doc_id; it must PARTITION by lang AND block
+    // (the lang-only window is the #langs×#blocks offset stitch).
+    val plan = SparkEntry.queries("q77_sequence_packing")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(windowLines.nonEmpty, s"expected Window operators:\n$plan")
+    val perDoc = windowLines.filter(_.contains("doc_id#"))
+    assert(perDoc.nonEmpty, s"no doc_id-ordered window:\n$plan")
+    assert(perDoc.forall(l =>
+      l.contains("windowspecdefinition(lang#") && l.contains("block#")),
+      s"per-document window not sharded by (lang, block):\n$perDoc")
+    // and the shuffle feeding it carries both keys
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(lang#") && l.contains("block#")),
+      s"no (lang, block) hash exchange:\n$plan")
+    spark.catalog.clearCache()
+  }
 }

@@ -211,22 +211,72 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(out.map(_._2).toSeq === Seq(32, 32, 7))
   }
 
+  test("word_chunks with stride overlaps windows and still covers the end") {
+    // 10 tokens, size 4, stride 3: windows [0,4) [3,7) [6,10) — the last
+    // window is the first that reaches the end, no pure-suffix trailer
+    val df = Seq("a b c d e f g h i j").toDF("text")
+      .select(word_chunks(col("text"), 4, 3).as("ch"))
+    assert(df.as[Seq[String]].head() ===
+      Seq("a b c d", "d e f g", "g h i j"))
+    // docs shorter than the window: exactly one chunk whatever the stride
+    val short = Seq("a b").toDF("text")
+      .select(word_chunks(col("text"), 4, 1).as("ch"))
+    assert(short.as[Seq[String]].head() === Seq("a b"))
+  }
+
+  test("chunkDocuments strided: starts stride apart, overlap = size - stride") {
+    val text = (1 to 71).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunkDocuments(
+      Seq((1L, text)).toDF("doc_id", "text"), chunkSize = 32, stride = 24)
+      .select("chunk_idx", "chunk_text", "n_tokens")
+      .as[(Int, String, Int)].collect().sortBy(_._1)
+    // 71 tokens: windows [0,32) [24,56) [48,71) — 1 + ceil((71-32)/24) = 3
+    assert(out.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(out.map(_._3).toSeq === Seq(32, 32, 23))
+    assert(out(1)._2.startsWith("w25 ")) // second window starts at token 24
+    assert(out(2)._2.endsWith(" w71"))   // last window reaches the end
+  }
+
   test("redactPii replaces each class and counts on pre-redaction text") {
     val df = Seq(
-      (1L, "write to bob.smith@example.org or call 555-0147 from 10.1.2.3"),
+      (1L, "write to Bob.Smith+w@Example.org or call 555-014-7890 from 10.1.2.3"),
       (2L, "no pii here at all"),
-      (3L, "two mails a@b.com c.d@e.net one ip 192.168.0.1")
+      (3L, "two mails a@b.com c.d@e.net one ip 192.168.0.1 ssn 123-45-6789"),
+      (4L, "dotted phone 555.867.5309 is not an ip")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(df)
-      .select("doc_id", "red_text", "n_email", "n_phone", "n_ip")
-      .as[(Long, String, Int, Int, Int)].collect()
+      .select("doc_id", "red_text", "n_email", "n_ssn", "n_phone", "n_ip")
+      .as[(Long, String, Int, Int, Int, Int)].collect()
       .map(r => r._1 -> r).toMap
     assert(out(1L)._2 === "write to <EMAIL> or call <PHONE> from <IP>")
-    assert((out(1L)._3, out(1L)._4, out(1L)._5) === ((1, 1, 1)))
+    assert((out(1L)._3, out(1L)._4, out(1L)._5, out(1L)._6) === ((1, 0, 1, 1)))
     assert(out(2L)._2 === "no pii here at all") // untouched
-    assert((out(2L)._3, out(2L)._4, out(2L)._5) === ((0, 0, 0)))
-    assert(out(3L)._2 === "two mails <EMAIL> <EMAIL> one ip <IP>")
-    assert((out(3L)._3, out(3L)._4, out(3L)._5) === ((2, 0, 1)))
+    assert((out(2L)._3, out(2L)._4, out(2L)._5, out(2L)._6) === ((0, 0, 0, 0)))
+    assert(out(3L)._2 === "two mails <EMAIL> <EMAIL> one ip <IP> ssn <SSN>")
+    assert((out(3L)._3, out(3L)._4, out(3L)._5, out(3L)._6) === ((2, 1, 0, 1)))
+    assert(out(4L)._2 === "dotted phone <PHONE> is not an ip")
+    assert((out(4L)._3, out(4L)._4, out(4L)._5, out(4L)._6) === ((0, 0, 1, 0)))
+  }
+
+  test("redactPii adversarial edges: case, + tags, delimiters, adjacency") {
+    val df = Seq(
+      (1L, "UPPER.CASE+tag@MAIL.ORG shouts"),                // case-insensitive
+      (2L, "ssn 078-05-1120 then phone 650-555-1234 apart"), // 3-2-4 vs 3-3-4
+      (3L, "ip 8.8.8.8 vs dotted phone 555.123.4567 both"),  // dots disambiguate
+      (4L, "multi-label user%x@sub.domain-y.co.uk works")    // %, -, nested domain
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df)
+      .select("doc_id", "red_text", "n_email", "n_ssn", "n_phone", "n_ip")
+      .as[(Long, String, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "<EMAIL> shouts")
+    assert(out(1L)._3 === 1)
+    assert(out(2L)._2 === "ssn <SSN> then phone <PHONE> apart")
+    assert((out(2L)._4, out(2L)._5) === ((1, 1)))
+    assert(out(3L)._2 === "ip <IP> vs dotted phone <PHONE> both")
+    assert((out(3L)._5, out(3L)._6) === ((1, 1)))
+    assert(out(4L)._2 === "multi-label <EMAIL> works")
+    assert(out(4L)._3 === 1)
   }
 
   test("redactPii classes are mutually exclusive (email domain is not an IP)") {
@@ -239,9 +289,11 @@ class TextKernelsSpec extends SparkSpecBase {
   }
 
   test("withSyntheticPii payloads carry exactly one of each class") {
-    val docs = Seq((7L, "x " * 60), (123L, "y " * 60)).toDF("doc_id", "text")
+    // odd and even ids: both phone delimiter variants exercised
+    val docs = Seq((7L, "x " * 60), (122L, "y " * 60)).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(TextAnalysis.withSyntheticPii(docs))
-      .select("n_email", "n_phone", "n_ip").as[(Int, Int, Int)].collect()
-    assert(out.forall(_ === ((1, 1, 1))))
+      .select("n_email", "n_ssn", "n_phone", "n_ip")
+      .as[(Int, Int, Int, Int)].collect()
+    assert(out.forall(_ === ((1, 1, 1, 1))))
   }
 }
