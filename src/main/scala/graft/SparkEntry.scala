@@ -484,6 +484,22 @@ object SparkEntry {
     "q79_chunking_strided" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, dir),
         chunkSize = 32, stride = 24)),
+
+    // token-budget selection: whole quality buckets above the cutoff,
+    // running sum only inside the boundary bucket — never a global sort
+    "q80_token_budget_select" -> ((s, dir) =>
+      Curation.tokenBudgetSelect(Tables.documents(s, dir),
+        budgetTokens = 10000L)),
+
+    // deterministic epoch shuffle: per-epoch md5 priority, parallel
+    // per-shard ranks — reproducible data-loader order without rand()
+    "q81_epoch_shuffle" -> ((s, dir) =>
+      Curation.epochShuffle(Tables.documents(s, dir), epoch = 3, nShards = 8)),
+
+    // CCNet/C4-style boilerplate chunk removal + ordered reassembly
+    "q82_boilerplate_removal" -> ((s, dir) =>
+      Dedup.removeBoilerplate(Tables.documents(s, dir),
+        chunkTokens = 16, maxDf = 1)),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1607,6 +1623,87 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
         |       len(string_split(chunk_text, ' ')) AS n_tokens
         |FROM c""".stripMargin,
+
+    // same quality formula as q53 (established bit-exact), bucket totals
+    // + descending prefix over the <=101-row bucket relation, running sum
+    // confined to the boundary bucket — mirrors budgetStage branch for
+    // branch (whole UNION ALL boundary)
+    "q80_token_budget_select" -> {
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""enr0 AS (
+           |  SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
+           |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+           |         ${stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)} AS n_stop
+           |  FROM toks),
+           |enr AS (
+           |  SELECT doc_id, n_words AS n_tokens,
+           |         round(0.4 * least(n_words / 100.0, 1.0)
+           |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
+           |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS q
+           |  FROM enr0),
+           |e2 AS (SELECT doc_id, n_tokens, q, CAST(floor(q * 100) AS INT) AS qb
+           |       FROM enr WHERE q IS NOT NULL),
+           |b AS (SELECT qb, CAST(sum(n_tokens) AS BIGINT) AS b_tokens
+           |      FROM e2 GROUP BY 1),
+           |bc AS (SELECT qb, b_tokens,
+           |              CAST(coalesce(sum(b_tokens) OVER (ORDER BY qb DESC
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |                AS BIGINT) AS cum_before
+           |       FROM b),
+           |j AS (SELECT e2.doc_id, e2.q, e2.qb, e2.n_tokens,
+           |             bc.b_tokens, bc.cum_before
+           |      FROM e2 JOIN bc ON bc.qb = e2.qb),
+           |bnd AS (
+           |  SELECT doc_id, q, qb, n_tokens FROM (
+           |    SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY qb
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
+           |    FROM j WHERE cum_before < 10000 AND cum_before + b_tokens > 10000)
+           |  WHERE cum_before + cum_in + n_tokens <= 10000)
+           |SELECT doc_id, q, qb, n_tokens FROM j
+           |WHERE cum_before + b_tokens <= 10000
+           |UNION ALL SELECT * FROM bnd""".stripMargin
+    },
+
+    // epoch-salted md5 priority: same hash, same shard projection, same
+    // (h, doc_id) rank order
+    "q81_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('3|' || doc_id::VARCHAR) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |             ('0x' || substr(h, 1, 4))::INT % 8 AS shard FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |         AS INT) AS pos
+        |FROM s""".stripMargin,
+
+    // chunk construction mirrors word_chunks(lower(text), 16); occurrence
+    // window over the SAME 60-bit fingerprint the engine shuffles on;
+    // ordered string_agg replays the sorted-collect reassembly, coalesced
+    // to '' when every chunk was boilerplate
+    "q82_boilerplate_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(ceil(len(toks) / 16.0) AS INT))) AS pos,
+        |         unnest(list_transform(
+        |           range(0, CAST(ceil(len(toks) / 16.0) AS INT)),
+        |           i -> array_to_string(
+        |                  list_slice(toks, i*16 + 1, (i+1)*16), ' ')))
+        |           AS chunk
+        |  FROM t),
+        |d AS (
+        |  SELECT doc_id, pos, chunk,
+        |         count(*) OVER (PARTITION BY
+        |           ('0x' || substr(md5(chunk), 1, 15))::BIGINT) AS df
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_removed,
+        |       coalesce(string_agg(chunk, ' ' ORDER BY pos)
+        |         FILTER (WHERE df <= 1), '') AS clean_text
+        |FROM d GROUP BY 1""".stripMargin,
 
     // the exact semi-join bit is oracle-checked exactly; the bloom's
     // no-false-negative contract is the in-band flag (false positives

@@ -368,6 +368,42 @@ object Dedup {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(false))
 
+  /** Boilerplate removal at chunk granularity — the CCNet/C4-style
+    * paragraph-dedup pass (Wenzek et al. 2020; Raffel et al. 2020 §2.2):
+    * fixed `chunkTokens`-token chunks of the lowered text whose content
+    * occurs more than `maxDf` times corpus-wide are dropped from every
+    * document, and the cleaned text is the surviving chunks rejoined in
+    * order. (The classic pass counts paragraphs; this variant counts
+    * occurrences — a chunk repeated within one document is boilerplate
+    * too, and instance counts need no distinct pass.)
+    *
+    * Scale shape: one scan (the [[graft.functions.WordChunks]] explode),
+    * one shuffle on the 60-bit chunk fingerprint for the occurrence
+    * window — the same posting-list layout as [[windowedJaccardPairs]],
+    * minus the self-join — then one shuffle back on doc_id for the
+    * ordered reassembly (sorted collect over the per-doc chunk array,
+    * like the q44 rendering). No join, no distinct, 8-byte window keys.
+    */
+  def removeBoilerplate(docs: DataFrame, chunkTokens: Int = 16,
+                        maxDf: Int = 1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions
+          .word_chunks(lower(col("text")), chunkTokens)))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("ch"))
+      .withColumn("df", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") > maxDf, 1).otherwise(0)).as("n_removed"),
+        // kept chunks rejoined in pos order; the interpreted transform
+        // runs once per DOCUMENT over its small chunk array (not the
+        // per-token HOF trap), and empty survivors render as ""
+        array_join(transform(array_sort(collect_list(
+          when(col("df") <= maxDf, struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+  }
+
   val SimhashBits = 64
 
   /** 64-bit SimHash over whitespace tokens: per-token hash from the first 8

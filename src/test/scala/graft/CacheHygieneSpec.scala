@@ -58,6 +58,17 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("budgetStage shared scored projection is released by the handle") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stage = graft.operators.Curation.budgetStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"), 5000L)
+    stage.result.count()
+    assert(cachedCount > 0)
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("kmeansFit leaves no cached RDDs behind (training sample released)") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size

@@ -190,6 +190,47 @@ class CurationSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("tokenBudgetSelect: whole better buckets + boundary-bucket prefix") {
+    // three exact quality tiers: all-stopword docs (q=1.0, qb=100),
+    // no-stopword 100-token docs (q=0.7, qb=70), 50-token docs (qb=50)
+    val high = ("the of and to in is that it for a " * 10).trim // 100 toks
+    val mid = (1 to 100).map(_ => "zz").mkString(" ")
+    val low = (1 to 50).map(_ => "zz").mkString(" ")
+    val docs = ((1L to 4L).map((_, high)) ++ (11L to 14L).map((_, mid)) ++
+      (21L to 24L).map((_, low))).toDF("doc_id", "text")
+    // budget 600: the qb=100 bucket (400 tokens) is taken whole; qb=70 is
+    // the boundary — docs 11, 12 fit (500, 600), 13 would overflow; qb=50
+    // starts past the budget entirely
+    val out = Curation.tokenBudgetSelect(docs, budgetTokens = 600L)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 3L, 4L, 11L, 12L))
+    val total = out.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(total === 600L)
+    // deterministic
+    val again = Curation.tokenBudgetSelect(docs, budgetTokens = 600L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === ids)
+    spark.catalog.clearCache() // budgetStage's shared projection
+  }
+
+  test("epochShuffle: dense per-shard ranks, reproducible, epoch-sensitive") {
+    val docs = (0L until 100L).map(Tuple1(_)).toDF("doc_id")
+    val e1 = Curation.epochShuffle(docs, epoch = 1, nShards = 4)
+    // every document exactly once
+    assert(e1.count() === 100L)
+    assert(e1.select("doc_id").distinct().count() === 100L)
+    // positions are dense 1..|shard| within every shard
+    val badRank = e1.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"),
+        max(col("pos")).as("hi"), countDistinct(col("pos")).as("d"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("d") =!= col("n"))
+    assert(badRank.count() === 0L)
+    // reruns of the same epoch are identical; a different epoch is not
+    val r1 = e1.collect().map(_.toSeq).toSet
+    assert(r1 === Curation.epochShuffle(docs, 1, 4).collect().map(_.toSeq).toSet)
+    assert(r1 !== Curation.epochShuffle(docs, 2, 4).collect().map(_.toSeq).toSet)
+  }
+
   test("temperatureResample flattens domain shares toward sqrt weights") {
     // 3 langs with 640 / 160 / 10 docs: sqrt weights -> per-doc
     // acceptance rises as the domain shrinks, crossing 100% for zh

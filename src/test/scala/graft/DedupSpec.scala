@@ -138,6 +138,25 @@ class DedupSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("removeBoilerplate drops repeated chunks, reassembles in order") {
+    val docs = Seq(
+      (1L, "a b x y"), // chunks "a b" (shared -> dropped), "x y"
+      (2L, "a b p q"),
+      (3L, "m n")      // unique, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, chunkTokens = 2, maxDf = 1)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 1L, "x y")))
+    assert(out(2L) === ((2L, 2L, 1L, "p q")))
+    assert(out(3L) === ((3L, 1L, 0L, "m n")))
+    // instance counting: repetition WITHIN one document is boilerplate
+    // too, and an all-boilerplate document renders as the empty string
+    val rep = Dedup.removeBoilerplate(
+      Seq((4L, "a b a b")).toDF("doc_id", "text"), chunkTokens = 2, maxDf = 1)
+      .as[(Long, Long, Long, String)].head()
+    assert(rep === ((4L, 2L, 2L, "")))
+  }
+
   test("embedding near-dup pairs: parallel vectors score 1.0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
