@@ -17,7 +17,8 @@ class PlanShapeSpec extends SparkSpecBase {
     "q11_dedup_minhash_lsh", "q13_dedup_ngram_jaccard",
     "q31_dedup_simhash_bucketed", "q32_dedup_embedding_cells",
     "q33_ann_ivf_kmeans", "q35_asof_join", "q39_range_join", "q40_salted_join",
-    "q51_ann_ivf_multiprobe", "q56_bag_set_ops", "q57_correlated_subquery")
+    "q51_ann_ivf_multiprobe", "q56_bag_set_ops", "q57_correlated_subquery",
+    "q80_token_budget_select", "q81_epoch_shuffle", "q82_boilerplate_removal")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {
