@@ -157,6 +157,21 @@ class DedupSpec extends SparkSpecBase {
     assert(rep === ((4L, 2L, 2L, "")))
   }
 
+  test("removeBoilerplate with a permissive cap is the identity transform") {
+    // nothing reaches the df cap -> clean_text must reconstruct the
+    // lowered text exactly (chunk boundaries never lose or reorder tokens)
+    val docs = Seq((1L, "The QUICK brown fox jumps over the lazy dog now"),
+      (2L, "a"), (3L, "x  y")).toDF("doc_id", "text") // incl. double space
+    val out = Dedup.removeBoilerplate(docs, chunkTokens = 3, maxDf = 1000)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val in = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, (_, removed, clean)) <- out) {
+      assert(removed === 0L)
+      assert(clean === in(id).toLowerCase)
+    }
+  }
+
   test("embedding near-dup pairs: parallel vectors score 1.0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
