@@ -6,16 +6,24 @@ import org.apache.spark.sql.functions._
 
 /** Training-data curation operators: the composition layer a large-scale
   * LLM-data pipeline runs after the per-document analyses — language +
-  * quality filtering with exact-dedup survivor selection, and
-  * deterministic stratified sampling to rebalance the language mix.
+  * quality filtering with exact-dedup survivor selection, deterministic
+  * sampling (stratified, fixed-size, temperature-weighted with true
+  * upsampling, token-budget), benchmark decontamination, sequence
+  * packing, and epoch shuffling.
   *
-  * Scale design: both operators are ONE projection over the corpus scan
-  * (pred_lang, quality, fingerprint all fuse into whole-stage codegen —
-  * see [[TextAnalysis.predLang]]/[[TextAnalysis.qualityScore]]) plus, for
-  * [[curate]], a single shuffle on the 8-byte fp64 fingerprint for the
-  * survivor window. Joining the three analysis operators' outputs by
-  * doc_id instead would scan and shuffle the corpus three times for the
-  * same answer.
+  * Scale design rules shared by everything here:
+  *  - analyses fuse into the corpus scan (pred_lang, quality, fingerprint
+  *    are whole-stage-codegen projections — see [[TextAnalysis.predLang]]
+  *    /[[TextAnalysis.qualityScore]]); [[curate]] adds exactly one
+  *    shuffle on the 8-byte fp64 fingerprint for the survivor window —
+  *    joining the analysis operators' outputs by doc_id instead would
+  *    scan and shuffle the corpus three times for the same answer;
+  *  - every sampling coin is a content hash ([[hashBucket]]):
+  *    deterministic, rerun/retry-stable, joinable, engine-portable;
+  *  - per-group stats relations are #groups-sized aggregates that
+  *    broadcast back (safe by construction), never corpus-sized;
+  *  - running sums shard two-level ((key, hash-block) windows + a
+  *    broadcast prefix stitch) instead of serializing a global order.
   */
 object Curation {
 

@@ -73,6 +73,21 @@ object ProbeRound6 {
       Curation.temperatureResample(docs, targetFrac = 1.0)
         .filter(col("copy_idx") >= 1).count())
 
+    // token-budget selection: whole buckets + boundary-bucket window
+    time("token_budget_select_1m") {
+      val st = Curation.budgetStage(docs, budgetTokens = 25000000L) // ~half
+      val n = st.result.filter(col("qb") >= 0).count()
+      st.unpersist(); n
+    }
+    // deterministic epoch shuffle: 32 shards, per-shard ranks
+    time("epoch_shuffle_1m")(
+      Curation.epochShuffle(docs, epoch = 3, nShards = 32)
+        .filter(col("pos") >= 1).count())
+    // boilerplate chunk removal: occurrence window + ordered reassembly
+    time("boilerplate_removal_1m")(
+      Dedup.removeBoilerplate(docs)
+        .filter(length(col("clean_text")) >= 0).count())
+
     // log-diameter connected components, wide: 1000 paths x diameter 99
     // (min-label paid ~99 rounds here; stars must stay <= ceil(log2 99)+2)
     time("cc_star_1000x100") {

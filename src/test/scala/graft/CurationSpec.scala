@@ -190,6 +190,34 @@ class CurationSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("redactPii + strided chunking run unchanged as streaming projections") {
+    // both operators are stateless scan-fused projections (custom kernel
+    // + posexplode, no window/agg), so the SAME code must run on a stream
+    // with zero state and batch-identical output
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunkDocuments(
+        TextAnalysis.redactPii(TextAnalysis.withSyntheticPii(df))
+          .withColumnRenamed("red_text", "text"), chunkSize = 8, stride = 6)
+    val input = MemoryStream[(Long, String)]
+    val name = s"pii_chunks_${System.nanoTime()}"
+    val q = pipeline(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, ("w " * 30).trim), (2L, ("v " * 10).trim))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect().map(_.toSeq).toSet
+      val batch = pipeline(rows.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0)) // stateless
+    } finally q.stop()
+  }
+
   test("tokenBudgetSelect: whole better buckets + boundary-bucket prefix") {
     // three exact quality tiers: all-stopword docs (q=1.0, qb=100),
     // no-stopword 100-token docs (q=0.7, qb=70), 50-token docs (qb=50)
@@ -210,6 +238,9 @@ class CurationSpec extends SparkSpecBase {
     val again = Curation.tokenBudgetSelect(docs, budgetTokens = 600L)
       .select("doc_id").as[Long].collect().toSet
     assert(again === ids)
+    // budget edges: zero selects nothing, a huge budget selects everything
+    assert(Curation.tokenBudgetSelect(docs, 0L).count() === 0L)
+    assert(Curation.tokenBudgetSelect(docs, 1000000L).count() === 12L)
     spark.catalog.clearCache() // budgetStage's shared projection
   }
 
