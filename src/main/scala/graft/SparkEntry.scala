@@ -1665,22 +1665,25 @@ object SparkEntry {
            |UNION ALL SELECT * FROM bnd""".stripMargin
     },
 
-    // epoch-salted md5 priority: same hash, same shard projection, same
-    // (h, doc_id) rank order
+    // epoch-salted md5 priority. ONE rank ordered by (block, h, doc_id)
+    // — the semantic spec the engine's two-level ranking (block-parallel
+    // row_numbers + broadcast prefix-count stitch) must reproduce exactly
     "q81_epoch_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id, md5('3|' || doc_id::VARCHAR) AS h FROM documents),
         |s AS (SELECT doc_id, h,
-        |             ('0x' || substr(h, 1, 4))::INT % 8 AS shard FROM h)
+        |             ('0x' || substr(h, 1, 4))::INT % 8 AS shard,
+        |             ('0x' || substr(h, 5, 4))::INT % 16 AS block FROM h)
         |SELECT doc_id, shard,
-        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
-        |         AS INT) AS pos
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |         ORDER BY block, h, doc_id) AS INT) AS pos
         |FROM s""".stripMargin,
 
-    // chunk construction mirrors word_chunks(lower(text), 16); occurrence
-    // window over the SAME 60-bit fingerprint the engine shuffles on;
-    // ordered string_agg replays the sorted-collect reassembly, coalesced
-    // to '' when every chunk was boilerplate
+    // chunk construction mirrors word_chunks(lower(text), 16); the df
+    // window here is semantically the engine's groupBy+join occurrence
+    // count over the SAME 60-bit fingerprint (DuckDB has no skew concern
+    // at oracle scale); ordered string_agg replays the sorted-collect
+    // reassembly, coalesced to '' when every chunk was boilerplate
     "q82_boilerplate_removal" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
         |           FROM documents),

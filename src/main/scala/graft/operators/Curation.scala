@@ -295,19 +295,42 @@ object Curation {
     * order; any rerun of the same epoch replays them bit-for-bit (retried
     * tasks and exactly-once sinks see identical rows).
     *
-    * Scale: one shuffle on the shard key, then per-shard sorts run in
-    * parallel (rank windows over ~corpus/nShards slices) — no global
-    * sort, no driver state. Size nShards to the data-loader worker count.
+    * Scale — two-level ranking (the [[packStage]] pattern): a plain
+    * per-shard `row_number` would sort each shard through ONE task, and
+    * nShards is sized to data-loader workers, not the cluster. So ranks
+    * are computed per (shard, block) — block from the next md5 digits —
+    * and stitched with a broadcast #shards×nBlocks prefix-count
+    * aggregate: pos = ranks of earlier blocks + rank within the block.
+    * That equals a single rank ordered by (block, h, doc_id) — blocks are
+    * hash digits, so the permutation is exactly as "shuffled" — while
+    * every sort runs over ~corpus/(nShards·nBlocks) rows in parallel.
     */
-  def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int = 8): DataFrame = {
+  def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int = 8,
+                   nBlocks: Int = 16): DataFrame = {
     val h = md5(concat(lit(epoch.toString), lit("|"),
       col("doc_id").cast("string")))
-    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), h.as("h"))
+    // base is doc_id-only (no text): the count branch below re-reads one
+    // pruned parquet column + re-hashes — cheaper than caching it
+    val base = docs.select(col("doc_id"), h.as("h"))
       .withColumn("shard",
-        (conv(substring(col("h"), 1, 4), 16, 10).cast("int") % nShards))
-      .withColumn("pos", row_number().over(w))
-      .select(col("doc_id"), col("shard"), col("pos"))
+        conv(substring(col("h"), 1, 4), 16, 10).cast("int") % nShards)
+      .withColumn("block",
+        conv(substring(col("h"), 5, 4), 16, 10).cast("int") % nBlocks)
+    val wIn = Window.partitionBy(col("shard"), col("block"))
+      .orderBy(col("h"), col("doc_id"))
+    val wBlk = Window.partitionBy(col("shard")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // broadcast is safe by construction: nShards × nBlocks rows
+    val offsets = base.groupBy(col("shard"), col("block"))
+      .agg(count(lit(1)).as("blk_n"))
+      .withColumn("blk_before",
+        coalesce(sum(col("blk_n")).over(wBlk), lit(0L)))
+      .select(col("shard"), col("block"), col("blk_before"))
+    base
+      .withColumn("rank_in_block", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("shard", "block"))
+      .select(col("doc_id"), col("shard"),
+        (col("blk_before") + col("rank_in_block")).cast("int").as("pos"))
   }
 
   /** Temperature-based domain rebalancing (the multilingual-pretraining

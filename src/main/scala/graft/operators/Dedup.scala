@@ -368,6 +368,14 @@ object Dedup {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(false))
 
+  /** The boilerplate-removal stage with its cache handle (the
+    * [[graft.operators.TextAnalysis.HeavyHittersStage]] pattern — both
+    * persist a corpus-wide explode that two aggregates consume).
+    */
+  case class BoilerplateStage(chunks: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { chunks.unpersist(); () }
+  }
+
   /** Boilerplate removal at chunk granularity — the CCNet/C4-style
     * paragraph-dedup pass (Wenzek et al. 2020; Raffel et al. 2020 §2.2):
     * fixed `chunkTokens`-token chunks of the lowered text whose content
@@ -377,22 +385,29 @@ object Dedup {
     * occurrences — a chunk repeated within one document is boilerplate
     * too, and instance counts need no distinct pass.)
     *
-    * Scale shape: one scan (the [[graft.functions.WordChunks]] explode),
-    * one shuffle on the 60-bit chunk fingerprint for the occurrence
-    * window — the same posting-list layout as [[windowedJaccardPairs]],
-    * minus the self-join — then one shuffle back on doc_id for the
-    * ordered reassembly (sorted collect over the per-doc chunk array,
-    * like the q44 rendering). No join, no distinct, 8-byte window keys.
+    * Scale shape: one scan ([[graft.functions.WordChunks]] explode,
+    * persisted — the count branch and the join branch both consume it),
+    * occurrence counts via groupBy on the 60-bit chunk fingerprint, an
+    * equi-join back, then one shuffle on doc_id for the ordered
+    * reassembly (sorted collect over the per-doc chunk array, like the
+    * q44 rendering). The counts are deliberately an AGGREGATE + join, not
+    * a `count over (partition by ch)` window: a window sends every
+    * instance of a hot chunk into ONE task's buffer, and hot chunks are
+    * this operator's TARGET input (real boilerplate occurs billions of
+    * times); the aggregate combines map-side so no task ever holds a hot
+    * key's instances, and the join back is AQE-skew-splittable. 8-byte
+    * shuffle keys throughout.
     */
-  def removeBoilerplate(docs: DataFrame, chunkTokens: Int = 16,
-                        maxDf: Int = 1): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))
-    docs.select(col("doc_id"),
+  def boilerplateStage(docs: DataFrame, chunkTokens: Int = 16,
+                       maxDf: Int = 1): BoilerplateStage = {
+    val chunks = docs.select(col("doc_id"),
         posexplode(graft.functions.TextFunctions
           .word_chunks(lower(col("text")), chunkTokens)))
       .select(col("doc_id"), col("pos"), col("col").as("chunk"),
         conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("ch"))
-      .withColumn("df", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = chunks.groupBy(col("ch")).agg(count(lit(1)).as("df"))
+    val result = chunks.join(df, "ch")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("df") > maxDf, 1).otherwise(0)).as("n_removed"),
@@ -402,7 +417,15 @@ object Dedup {
         array_join(transform(array_sort(collect_list(
           when(col("df") <= maxDf, struct(col("pos"), col("chunk"))))),
           x => x.getField("chunk")), " ").as("clean_text"))
+    BoilerplateStage(chunks, result)
   }
+
+  /** [[boilerplateStage]]'s result; release the shared chunk explode via
+    * the handle or the session cache, as Bench/Verify do.
+    */
+  def removeBoilerplate(docs: DataFrame, chunkTokens: Int = 16,
+                        maxDf: Int = 1): DataFrame =
+    boilerplateStage(docs, chunkTokens, maxDf).result
 
   val SimhashBits = 64
 

@@ -69,6 +69,17 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("boilerplateStage shared chunk explode is released by the handle") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stage = Dedup.boilerplateStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    stage.result.count()
+    assert(cachedCount > 0)
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("kmeansFit leaves no cached RDDs behind (training sample released)") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size
