@@ -500,6 +500,14 @@ object SparkEntry {
     "q82_boilerplate_removal" -> ((s, dir) =>
       Dedup.removeBoilerplate(Tables.documents(s, dir),
         chunkTokens = 16, maxDf = 1)),
+
+    // substring-level exact dedup: strided 16-token span fingerprints,
+    // per-doc fraction of spans shared with another document (Lee et al.
+    // ACL'22 re-expressed as parallel span fingerprints, not a suffix
+    // array)
+    "q83_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir),
+        spanTokens = 16, stride = 8, maxDupFrac = 0.5)),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1811,5 +1819,37 @@ object SparkEntry {
         |       'doc' || '|' || doc_id || '|' || length(text) AS tagged,
         |       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id
         |FROM documents""".stripMargin,
+
+    // span construction mirrors word_chunks(lower(text), 16, 8); DISTINCT
+    // pairs replay the engine's first aggregate, so the df count(*) is a
+    // document count on both sides
+    "q83_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |t2 AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) <= 16 THEN 1
+        |              ELSE 1 + CAST(ceil((len(toks) - 16) / 8.0) AS INT)
+        |         END AS nc
+        |  FROM t),
+        |sp AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(0, nc),
+        |           i -> array_to_string(
+        |                  list_slice(toks, i*8 + 1, i*8 + 16), ' ')))
+        |           AS span
+        |  FROM t2),
+        |p AS (SELECT DISTINCT doc_id,
+        |        ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_fp
+        |      FROM sp),
+        |d AS (SELECT span_fp, count(*) AS span_df FROM p GROUP BY 1)
+        |SELECT p.doc_id, count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS dup_spans,
+        |       round(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END)
+        |             / count(*), 4) AS dup_frac,
+        |       CAST(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END)
+        |            / count(*) <= 0.5 AS INT) AS keep
+        |FROM p JOIN d USING (span_fp) GROUP BY 1""".stripMargin,
   )
 }

@@ -492,4 +492,71 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several blocks
   }
+
+  /** The span-dedup stage with its cache handle (the [[BoilerplateStage]]
+    * pattern — the per-doc span set is consumed by both the df aggregate
+    * and the join back).
+    */
+  case class SpanDedupStage(spans: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { spans.unpersist(); () }
+  }
+
+  /** Substring-level exact dedup (Lee et al., ACL'22 "Deduplicating
+    * Training Data Makes Language Models Better"): instead of whole-doc
+    * fingerprints, fixed `spanTokens`-token spans starting every `stride`
+    * tokens are fingerprinted, and a document is scored by the fraction of
+    * its distinct spans that also occur in ANOTHER document. Templated /
+    * mirrored text that whole-doc dedup misses (one edited sentence defeats
+    * fp64) shows up here as a high `dup_frac`; `keep` flags documents at or
+    * under `maxDupFrac`.
+    *
+    * This is the scalable Spark re-expression of the paper's suffix-array
+    * pass: a suffix array is a single global sorted structure (inherently
+    * one-machine), while strided span fingerprints are embarrassingly
+    * parallel and catch the same cross-document repetitions at span
+    * granularity — stride ≤ spanTokens/2 guarantees any duplicated run of
+    * ≥ 2·spanTokens tokens shares at least one aligned span.
+    *
+    * Scale shape: ONE corpus scan ([[graft.functions.WordChunks]] explode,
+    * fingerprinted to the 60-bit long BEFORE any shuffle so no span text
+    * ever moves), collapsed to distinct (doc_id, span_fp) pairs by the
+    * first aggregate (map-side combine), persisted — the document-frequency
+    * aggregate and the join back both consume it. df counts rows of the
+    * already-distinct pairs, so it needs no distinct pass of its own, and
+    * a boilerplate span occurring in billions of documents combines
+    * map-side instead of flooding one task (same reasoning as
+    * [[boilerplateStage]]'s aggregate-not-window choice). The join back is
+    * an 8-byte equi-join, AQE-skew-splittable; the final per-doc rollup
+    * shuffles doc_id. No window functions, no sorts, no text in any
+    * exchange.
+    */
+  def spanDedupStage(docs: DataFrame, spanTokens: Int = 16, stride: Int = 8,
+                     maxDupFrac: Double = 0.5): SpanDedupStage = {
+    val spans = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .word_chunks(lower(col("text")), spanTokens, stride)).as("span"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("span_fp"))
+      .groupBy(col("doc_id"), col("span_fp")).agg(count(lit(1)).as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document frequency per span: pairs are distinct by construction, so
+    // count(*) IS the doc count — no countDistinct shuffle
+    val df = spans.groupBy(col("span_fp")).agg(count(lit(1)).as("span_df"))
+    val result = spans.join(df, "span_fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") > 1, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans") / col("n_spans"), 4).as("dup_frac"),
+        (col("dup_spans") / col("n_spans") <= maxDupFrac)
+          .cast("int").as("keep"))
+    SpanDedupStage(spans, result)
+  }
+
+  /** [[spanDedupStage]]'s result; release the shared span pairs via the
+    * handle or the session cache, as Bench/Verify do.
+    */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 16, stride: Int = 8,
+                maxDupFrac: Double = 0.5): DataFrame =
+    spanDedupStage(docs, spanTokens, stride, maxDupFrac).result
 }

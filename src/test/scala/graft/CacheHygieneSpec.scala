@@ -80,6 +80,17 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("spanDedupStage shared span pairs are released by the handle") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stage = Dedup.spanDedupStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    stage.result.count()
+    assert(cachedCount > 0)          // the shared distinct (doc, span_fp) set
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("kmeansFit leaves no cached RDDs behind (training sample released)") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size

@@ -172,6 +172,31 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("spanDedup scores cross-document span sharing, not whole-doc equality") {
+    // spans of 2 tokens, stride 1: doc 1/2 share "c d" (and more) but are
+    // not identical — whole-doc fp64 misses them, span dedup must not
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "z b c d e"),    // one edited token, rest shared
+      (3L, "p q r s t")     // fully unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, spanTokens = 2, stride = 1, maxDupFrac = 0.5)
+      .select("doc_id", "n_spans", "dup_spans", "keep")
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    // doc 1 spans: "a b","b c","c d","d e" -> 3 of 4 shared with doc 2
+    assert(out(1L) === ((1L, 4L, 3L, 0)))
+    assert(out(2L) === ((2L, 4L, 3L, 0)))
+    assert(out(3L) === ((3L, 4L, 0L, 1)))
+  }
+
+  test("spanDedup counts documents, not occurrences, for span df") {
+    // "a b" occurs twice inside doc 1 but in no other doc: df must stay 1
+    val docs = Seq((1L, "a b a b"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, spanTokens = 2, stride = 2)
+      .select("doc_id", "dup_spans").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("embedding near-dup pairs: parallel vectors score 1.0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
