@@ -508,6 +508,11 @@ object SparkEntry {
     "q83_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir),
         spanTokens = 16, stride = 8, maxDupFrac = 0.5)),
+
+    // CCNet-style perplexity scoring under a corpus-trained unigram LM
+    // (train + score in one job; one scan, 8-byte fingerprint joins)
+    "q84_lm_perplexity" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -1851,5 +1856,29 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END)
         |            / count(*) <= 0.5 AS INT) AS keep
         |FROM p JOIN d USING (span_fp) GROUP BY 1""".stripMargin,
+
+    // same tf/cnt/N/V integers on both sides; the Laplace-smoothed
+    // -ln((cnt+1)/(N+V)) formula text is identical, outputs rounded at 4
+    // (the q71 cross-engine double discipline)
+    "q84_lm_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id,
+        |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tok_fp,
+        |         count(*) AS k
+        |       FROM tk GROUP BY 1, 2),
+        |c AS (SELECT tok_fp, CAST(sum(k) AS BIGINT) AS cnt
+        |      FROM tf GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM c)
+        |SELECT tf.doc_id, CAST(sum(tf.k) AS BIGINT) AS n_tokens,
+        |       round(sum(tf.k * -ln((c.cnt + 1)
+        |                            / CAST(t.n + t.v AS DOUBLE)))
+        |             / sum(tf.k), 4) AS avg_nll,
+        |       round(exp(sum(tf.k * -ln((c.cnt + 1)
+        |                                / CAST(t.n + t.v AS DOUBLE)))
+        |                 / sum(tf.k)), 4) AS ppl
+        |FROM tf JOIN c USING (tok_fp) CROSS JOIN t
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -405,4 +405,60 @@ object TextAnalysis {
       col("doc_id"),
       md5(normalized(col("text"))).as("fp"),
       fp64Expr(col("text")).as("fp64"))
+
+  /** The LM-scoring stage with its cache handle (the [[HeavyHittersStage]]
+    * pattern — the per-doc term-frequency pairs are consumed by both the
+    * vocabulary-count aggregate and the scoring join).
+    */
+  case class LmScoreStage(tf: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { tf.unpersist(); () }
+  }
+
+  /** Perplexity scoring under a corpus-trained unigram LM — the
+    * statistical-LM quality filter of the CCNet pipeline (Wenzek et al.,
+    * LREC 2020 filter with KenLM; here the LM is a self-trained unigram
+    * model with Laplace smoothing, so training and scoring are one
+    * distributed job with no external model artifact). Per document:
+    * token count, average negative log-likelihood
+    * `−Σ k·ln((cnt+1)/(N+V)) / Σ k`, and perplexity `e^avg_nll`.
+    * Low-perplexity outliers are boilerplate/templated text,
+    * high-perplexity outliers are noise — downstream filters band on
+    * `ppl`.
+    *
+    * Scale shape: ONE corpus scan — the token explode collapses to
+    * distinct (doc_id, tok_fp) term frequencies by the very next
+    * map-side-combining aggregate and persists; the unigram counts re-fold
+    * those SAME pairs per 60-bit token fingerprint (the corpus is never
+    * exploded twice, and no token string enters any exchange). The model
+    * totals (N, V) are a one-row aggregate — broadcast safe by
+    * construction. Scoring joins pairs to counts on the 8-byte
+    * fingerprint (AQE-skew-splittable — stopword fingerprints are hot)
+    * and rolls up per doc_id.
+    */
+  def lmScoreStage(docs: DataFrame): LmScoreStage = {
+    val tf = docs.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tok_fp"))
+      .groupBy(col("doc_id"), col("tok_fp")).agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = tf.groupBy(col("tok_fp")).agg(sum(col("k")).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val nll = col("k") *
+      -log((col("cnt") + lit(1)) / (col("n") + col("v")).cast("double"))
+    val result = tf.join(counts, "tok_fp")
+      // one-row model-totals relation — broadcast safe by construction
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"), sum(nll).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll_sum") / col("n_tokens"), 4).as("avg_nll"),
+        round(exp(col("nll_sum") / col("n_tokens")), 4).as("ppl"))
+    LmScoreStage(tf, result)
+  }
+
+  /** [[lmScoreStage]]'s result; release the shared term-frequency pairs
+    * via the handle or the session cache, as Bench/Verify do.
+    */
+  def lmScore(docs: DataFrame): DataFrame = lmScoreStage(docs).result
 }

@@ -80,6 +80,17 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("lmScoreStage shared term-frequency pairs are released by the handle") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stage = TextAnalysis.lmScoreStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    stage.result.count()
+    assert(cachedCount > 0)          // the shared (doc, tok_fp, k) pairs
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("spanDedupStage shared span pairs are released by the handle") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size

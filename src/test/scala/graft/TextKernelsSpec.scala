@@ -296,4 +296,28 @@ class TextKernelsSpec extends SparkSpecBase {
       .as[(Int, Int, Int, Int)].collect()
     assert(out.forall(_ === ((1, 1, 1, 1))))
   }
+
+  test("lmScore: Laplace-smoothed unigram math is exact on a tiny corpus") {
+    // corpus tokens: a a b | c  ->  N=4, V=3, p(a)=3/7, p(b)=p(c)=2/7
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs)
+      .select("doc_id", "n_tokens", "avg_nll", "ppl")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val nll1 = (2 * -math.log(3.0 / 7) + -math.log(2.0 / 7)) / 3
+    assert(out(1L) === ((1L, 3L,
+      BigDecimal(nll1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(math.exp(nll1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // single token c: ppl = 1/p(c) = 7/2 exactly
+    assert(out(2L)._4 === 3.5)
+  }
+
+  test("lmScore ranks templated text below novel text") {
+    // doc 3 repeats the corpus's dominant tokens; doc 4 is all-rare
+    val docs = Seq(
+      (3L, "the the the the the the"),
+      (4L, "zq xw vv kj pq mn")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(out(3L) < out(4L))
+  }
 }
