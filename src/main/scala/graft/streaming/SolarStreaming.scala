@@ -112,6 +112,23 @@ object SolarStreaming {
         col("panel"), col("module"),
         col("m_cnt"), col("m_sum_power"), col("m_avg_power"))
 
+  /** Streaming twin of [[graft.operators.Windows.sessionAgg]]: per-user
+    * session windows (gap-merged in the aggregation state store), append
+    * mode — a session emits exactly once, after the watermark passes
+    * `last event + gap` so no future event can extend it. Identical
+    * output columns to the batch form; the batch/stream equivalence is
+    * pinned in StreamingSpec.
+    */
+  def sessionAggStream(events: DataFrame, gap: String = "1 hour",
+                       watermarkDelay: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("s_start"),
+        unix_micros(col("w.end")).as("s_end"),
+        col("user_id"), col("cnt"), col("sum_value"))
+
   /** Fully-streaming two-level aggregation (rows 5-11 without leaving the
     * streaming engine): module windows chained into panel windows via
     * window-on-window grouping — Spark's multiple-stateful-operator support

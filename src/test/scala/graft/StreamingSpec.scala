@@ -25,6 +25,39 @@ class StreamingSpec extends SparkSpecBase {
     (input, input.toDF().toDF("ts", "panel", "module", "power"))
   }
 
+  test("streaming session windows merge across micro-batches and match batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val name = s"sessions_${System.nanoTime()}"
+    val query = graft.streaming.SolarStreaming
+      .sessionAggStream(df, gap = "60 seconds", watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // two events 40s apart (same session, delivered in different
+      // micro-batches), then a third after a >60s gap
+      val rows = Seq(
+        (ts("2024-01-01 00:00:00"), 1L, 10.0),
+        (ts("2024-01-01 00:00:40"), 1L, 5.0),
+        (ts("2024-01-01 00:05:00"), 1L, 2.0))
+      input.addData(rows(0)); query.processAllAvailable()
+      input.addData(rows(1)); query.processAllAvailable()
+      assert(spark.table(name).count() === 0)    // session still open
+      input.addData(rows(2)); query.processAllAvailable()
+      // watermark 00:04:50 > first session end 00:01:40 -> emits once
+      val emitted = spark.table(name)
+        .select("s_start", "s_end", "user_id", "cnt", "sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val batch = graft.operators.Windows
+        .sessionAgg(rows.toDF("ts", "user_id", "value"), gap = "60 seconds")
+        .select("s_start", "s_end", "user_id", "cnt", "sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+        .filter(_._2 <= Timestamp.valueOf("2024-01-01 00:04:50").getTime * 1000)
+      assert(emitted === batch)                  // finalized sessions agree
+      assert(emitted.map(_._4) === Set(2L))      // the 40s-apart pair merged
+    } finally query.stop()
+  }
+
   test("append mode emits a window exactly once, after the watermark passes it") {
     val (input, df) = newInput()
     val name = s"module_agg_${System.nanoTime()}"
