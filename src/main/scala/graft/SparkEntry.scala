@@ -513,6 +513,14 @@ object SparkEntry {
     // (train + score in one job; one scan, 8-byte fingerprint joins)
     "q84_lm_perplexity" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir))),
+
+    // signed-random-projection LSH: angular near-dup candidates from
+    // 8-bit signature bands (equi-join, never all-pairs), exact-cosine
+    // verified — the third near-dup family (MinHash = set overlap,
+    // SimHash = token multiset, SRP = raw-embedding angle)
+    "q85_srp_lsh" -> ((s, dir) =>
+      Similarity.srpBucketedNearDups(Tables.embeddings(s, dir),
+        threshold = 0.35)),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -738,6 +746,14 @@ object SparkEntry {
   /** Double-precision cosine SQL over two float-list expressions (widened
     * to double), mirroring [[Similarity.cosine]].
     */
+  /** [[operators.Similarity.srpPlanes]] rendered as DuckDB VALUES rows —
+    * the oracle scores against the exact constants the engine uses.
+    */
+  private def srpPlanesSql: String =
+    operators.Similarity.srpPlanes.zipWithIndex.map { case (pl, b) =>
+      s"  ($b, [${pl.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
+    }.mkString(",\n")
+
   private def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, len($x) + 1), i -> ($x[i]::DOUBLE) * ($y[i]::DOUBLE)))"
@@ -1880,5 +1896,36 @@ object SparkEntry {
         |                 / sum(tf.k)), 4) AS ppl
         |FROM tf JOIN c USING (tok_fp) CROSS JOIN t
         |GROUP BY 1""".stripMargin,
+
+    // the plane literals are the SAME compile-time constants the engine
+    // projects against (Similarity.srpPlanes); ±1 entries keep every
+    // product a sign-flip of the float element, and both engines fold the
+    // dot in index order, so each signature bit matches exactly
+    "q85_srp_lsh" ->
+      s"""WITH p AS (SELECT * FROM (VALUES
+         |$srpPlanesSql) AS t(bit, pl)),
+         |d AS (
+         |  SELECT v.vec_id, p.bit,
+         |         list_sum(list_transform(range(1, ${Similarity.SrpDim + 1}),
+         |           i -> (v.embedding[i]::DOUBLE) * p.pl[i])) AS dt
+         |  FROM embeddings v CROSS JOIN p),
+         |bands AS (
+         |  SELECT vec_id, bit // ${Similarity.SrpBits / Similarity.SrpBands}
+         |           AS band_idx,
+         |         CAST(sum(CASE WHEN dt >= 0 THEN 1 ELSE 0 END
+         |           * (1 << (bit % ${Similarity.SrpBits / Similarity.SrpBands})))
+         |           AS INTEGER) AS band_val
+         |  FROM d GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND b.vec_id > a.vec_id)
+         |SELECT id_a, id_b,
+         |       round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM cand
+         |JOIN embeddings a ON a.vec_id = cand.id_a
+         |JOIN embeddings b ON b.vec_id = cand.id_b
+         |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35""".stripMargin,
   )
 }

@@ -345,4 +345,73 @@ object Similarity {
       .withColumnRenamed("cell", "label")
     ivfTopK(labeled, queryIds(labeled), k)
   }
+
+  // --- signed-random-projection LSH (angular / cosine family) -----------
+
+  val SrpBits = 16
+  val SrpBands = 2
+  val SrpDim = 64
+  private val SrpBandBits = SrpBits / SrpBands
+
+  /** Deterministic Rademacher hyperplanes: entry (bit, dim) is ±1 from the
+    * md5 parity of "srp:bit:dim". Rademacher entries are the standard
+    * database-side substitute for Gaussian planes (Achlioptas, JCSS 2003:
+    * same JL/angular guarantees in expectation) and make the projections
+    * exact-arithmetic: each product is a sign-flip of the float element,
+    * so engines agree bit-for-bit as long as they fold in index order,
+    * which [[graft.functions.VectorDot]] and DuckDB's
+    * `list_sum(list_transform(...))` both do. The matrix is a compile-time
+    * constant — the oracle SQL inlines the same literals.
+    */
+  lazy val srpPlanes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(SrpBits, SrpDim) { (b, d) =>
+      if (md.digest(s"srp:$b:$d".getBytes("UTF-8"))(0) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** SRP-LSH near-dup pairs — the third near-dup family next to
+    * MinHash/LSH (set overlap) and SimHash (token multiset): candidates
+    * bucket by ANGLE of the raw embedding. Each vector gets a
+    * [[SrpBits]]-bit signature (bit b = sign of the dot with hyperplane
+    * b); a pair within angle θ agrees on each bit with probability
+    * 1 − θ/π (Charikar, STOC'02), so near-parallel vectors collide in a
+    * whole [[SrpBandBits]]-bit band with high probability and random
+    * pairs with probability 2^−[[SrpBandBits]].
+    *
+    * Scale shape: identical to [[Dedup.simhashBucketedNearDups]] — the
+    * signature is a pure projection (16 codegen'd [[graft.functions
+    * .VectorDot]]s against literal planes, fused into the scan), the
+    * candidate step is an equi-join on (band_idx, band_val), and exact
+    * cosine verifies only bucket-mates. No nested loop, no cross product;
+    * the corpus hash-partitions by band value at 100 TB. A pair may
+    * collide in both bands → distinct at the end (q12's discipline).
+    */
+  def srpBucketedNearDups(embeddings: DataFrame,
+                          threshold: Double = 0.35): DataFrame = {
+    val bits: Seq[Column] = (0 until SrpBits).map { b =>
+      (graft.functions.VectorFunctions
+        .vec_dot(col("embedding"), typedlit(srpPlanes(b))) >= 0).cast("int")
+    }
+    val bands: Seq[Column] = (0 until SrpBands).map { bd =>
+      (0 until SrpBandBits).map(i => bits(bd * SrpBandBits + i) * lit(1 << i))
+        .reduce(_ + _).as(s"band$bd")
+    }
+    val keyed = embeddings
+      .select(col("vec_id") +: col("embedding") +: bands: _*)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until SrpBands).map(bd => col(s"band$bd")): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val a = keyed.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = keyed.select(col("band_idx"), col("band_val"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        round(vec_cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
 }

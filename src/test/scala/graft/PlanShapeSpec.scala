@@ -18,10 +18,12 @@ class PlanShapeSpec extends SparkSpecBase {
     "q31_dedup_simhash_bucketed", "q32_dedup_embedding_cells",
     "q33_ann_ivf_kmeans", "q35_asof_join", "q39_range_join", "q40_salted_join",
     "q51_ann_ivf_multiprobe", "q56_bag_set_ops", "q57_correlated_subquery",
-    // q71 is NOT here: its one-row crossJoin(broadcast(N)) is a documented
-    // safe-by-construction BroadcastNestedLoopJoin (global-aggregate side)
+    // q71/q84 are NOT here: their one-row crossJoin(broadcast(totals)) is
+    // a documented safe-by-construction BroadcastNestedLoopJoin
+    // (global-aggregate side)
     "q74_contamination",
-    "q80_token_budget_select", "q81_epoch_shuffle", "q82_boilerplate_removal")
+    "q80_token_budget_select", "q81_epoch_shuffle", "q82_boilerplate_removal",
+    "q83_span_dedup", "q85_srp_lsh")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {

@@ -149,4 +149,28 @@ class SimilaritySpec extends SparkSpecBase {
       .select("mx", "n").as[(Int, Long)].collect()
     assert(ranks.forall { case (mx, cnt) => mx.toLong === cnt && cnt <= 3 })
   }
+
+  test("SRP-LSH: parallel vectors always collide, antipodal vectors never") {
+    // v2 = 2*v1 -> identical signature (signs are scale-invariant), must
+    // survive as a pair with cos 1.0; v3 = -v1 flips EVERY bit, so no band
+    // can match (a band value never equals its own complement)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f, -0.25f), 0),
+      (2L, Array(2.0f, 1.0f, -0.5f), 0),
+      (3L, Array(-1.0f, -0.5f, 0.25f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.srpBucketedNearDups(vecs, threshold = 0.35)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 2L, 1.0)))
+  }
+
+  test("SRP-LSH finds the high-cosine pairs band-bucketing promises on real data") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.srpBucketedNearDups(e, threshold = 0.0)
+    // every reported pair is band-verified and scored in [ -1, 1 ]
+    val cos = out.select("cos").as[Double].collect()
+    assert(cos.forall(c => c >= 0.0 && c <= 1.0))
+    // no duplicate pairs despite two bands
+    assert(out.count() === out.select("id_a", "id_b").distinct().count())
+  }
 }
