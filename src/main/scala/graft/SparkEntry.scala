@@ -521,6 +521,16 @@ object SparkEntry {
     "q85_srp_lsh" -> ((s, dir) =>
       Similarity.srpBucketedNearDups(Tables.embeddings(s, dir),
         threshold = 0.35)),
+
+    // incremental ingestion dedup: the src0/src1 batch dedups AGAINST the
+    // rest of the corpus (fingerprint left-join + bands-vs-index LSH),
+    // never corpus-vs-corpus
+    "q86_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupAgainstCorpus(
+        docs.filter(!col("source").isin("src0", "src1")),
+        docs.filter(col("source").isin("src0", "src1")))
+    }),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -746,6 +756,32 @@ object SparkEntry {
   /** Double-precision cosine SQL over two float-list expressions (widened
     * to double), mirroring [[Similarity.cosine]].
     */
+  /** q86's band CTEs: the q11/lshCtes construction with `source` carried
+    * through so the corpus/incoming split can happen after banding.
+    */
+  private val incrementalBandsSql: String = {
+    val bandSelects = (0 until Dedup.LshBands).map { b =>
+      val idx = (1 to Dedup.LshRows).map(r => s"sig[${b * Dedup.LshRows + r}]")
+      s"SELECT doc_id, source, $b AS band_idx, " +
+        s"md5(${idx.mkString(" || '|' || ")}) AS band_hash FROM sig"
+    }
+    s"""toks AS (
+       |  SELECT doc_id, text, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source, list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+       |  FROM toks),
+       |sig AS (
+       |  SELECT doc_id, source, list_transform(range(0, ${Dedup.MinhashK}),
+       |           j -> list_min(list_transform(sh,
+       |                  s -> md5(j::VARCHAR || '|' || s)))) AS sig
+       |  FROM sh WHERE len(sh) > 0),
+       |bands_raw AS (
+       |${bandSelects.mkString("  ", "\n  UNION ALL ", "")}),
+       |""".stripMargin
+  }
+
   /** [[operators.Similarity.srpPlanes]] rendered as DuckDB VALUES rows —
     * the oracle scores against the exact constants the engine uses.
     */
@@ -1927,5 +1963,41 @@ object SparkEntry {
          |JOIN embeddings a ON a.vec_id = cand.id_a
          |JOIN embeddings b ON b.vec_id = cand.id_b
          |WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4) >= 0.35""".stripMargin,
+
+    // corpus band index capped like lshStage (QUALIFY); the incoming batch
+    // is never self-joined and the corpus never pairs with itself
+    "q86_incremental_dedup" ->
+      ("WITH " + incrementalBandsSql +
+        s"""cb AS (
+           |  SELECT doc_id, band_idx, band_hash FROM bands_raw
+           |  WHERE source NOT IN ('src0', 'src1')
+           |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash)
+           |    <= ${Dedup.DefaultMaxBucket}),
+           |ib AS (SELECT doc_id, band_idx, band_hash FROM bands_raw
+           |       WHERE source IN ('src0', 'src1')),
+           |cand AS (
+           |  SELECT DISTINCT ib.doc_id AS doc_id, cb.doc_id AS corp_id
+           |  FROM ib JOIN cb USING (band_idx, band_hash)),
+           |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+           |near AS (
+           |  SELECT c.doc_id, count(*) AS n_near
+           |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_id
+           |              JOIN dsh b ON b.doc_id = c.corp_id
+           |  WHERE round(${jaccardSql("a.dsh", "b.dsh")}, 4) >= 0.5
+           |  GROUP BY 1),
+           |cfp AS (SELECT DISTINCT ('0x' || substr($fpSql, 1, 15))::BIGINT
+           |          AS fp64
+           |        FROM documents WHERE source NOT IN ('src0', 'src1')),
+           |inc AS (SELECT doc_id, ('0x' || substr($fpSql, 1, 15))::BIGINT
+           |          AS fp64
+           |        FROM documents WHERE source IN ('src0', 'src1'))
+           |SELECT inc.doc_id,
+           |       CASE WHEN cfp.fp64 IS NOT NULL THEN 1 ELSE 0 END
+           |         AS exact_dup,
+           |       CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+           |       CAST(cfp.fp64 IS NULL AND coalesce(near.n_near, 0) = 0
+           |            AS INT) AS keep
+           |FROM inc LEFT JOIN cfp ON cfp.fp64 = inc.fp64
+           |         LEFT JOIN near ON near.doc_id = inc.doc_id""".stripMargin),
   )
 }

@@ -559,4 +559,65 @@ object Dedup {
   def spanDedup(docs: DataFrame, spanTokens: Int = 16, stride: Int = 8,
                 maxDupFrac: Double = 0.5): DataFrame =
     spanDedupStage(docs, spanTokens, stride, maxDupFrac).result
+
+  /** Incremental ingestion dedup: flag each INCOMING document that
+    * duplicates the EXISTING corpus — exactly (content fingerprint) or
+    * nearly (MinHash-LSH band collision verified by exact Jaccard) —
+    * without ever comparing corpus docs to each other. This is the daily
+    * operation of a living pretraining corpus: yesterday's crawl is
+    * already deduped; today's batch must dedup AGAINST it, not re-dedup
+    * the world.
+    *
+    * Scale shape: asymmetric by design. The corpus side reduces to its
+    * 8-byte fingerprint set and its capped LSH band index — both of which
+    * a production pipeline precomputes once and stores with the corpus
+    * (here they are derived in-query from the corpus relation; the
+    * operator's join shape is identical either way). The incoming batch
+    * (orders of magnitude smaller) explodes fresh. Candidates are an
+    * equi-join of incoming bands against the corpus band index — never
+    * corpus×corpus, never all-pairs — and only candidates pay the exact
+    * Jaccard verification. Exact dups are a left join on the 8-byte
+    * fingerprint. Every shuffle key is a fixed-width hash; the corpus
+    * text is scanned once for fingerprints and once for the band/shingle
+    * index.
+    */
+  def dedupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                         threshold: Double = 0.5,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val corpFp = corpus
+      .select(TextAnalysis.fp64Expr(col("text")).as("fp64")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val inFp = incoming.select(col("doc_id"),
+      TextAnalysis.fp64Expr(col("text")).as("fp64"))
+    // the corpus band index carries the same hot-bucket cap as lshStage —
+    // a boilerplate bucket would turn one incoming band row into
+    // |bucket| candidates
+    val corpBands = lshBands(corpus)
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("corp_id"))
+    val cands = lshBands(incoming)
+      .join(corpBands, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("corp_id")).distinct()
+    val inSh = incoming.select(col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh_in"))
+    val corpSh = corpus.select(col("doc_id").as("corp_id"),
+      array_distinct(shingles(col("text"))).as("sh_corp"))
+    val near = cands
+      .join(inSh, "doc_id").join(corpSh, "corp_id")
+      .select(col("doc_id"),
+        round(jaccard(col("sh_in"), col("sh_corp")), 4).as("j"))
+      .filter(col("j") >= threshold)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    inFp
+      .join(corpFp, Seq("fp64"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("in_corpus"), lit(0)).as("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (coalesce(col("in_corpus"), lit(0)) === 0 &&
+          coalesce(col("n_near"), lit(0L)) === 0).cast("int").as("keep"))
+  }
 }

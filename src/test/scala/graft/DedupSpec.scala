@@ -197,6 +197,28 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("dedupAgainstCorpus flags exact and near corpus dups, keeps novel docs") {
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different corpus content here today")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),               // exact dup of 1
+      (11L, s"$base extra"),     // near dup of 1 (jaccard 22/23)
+      (12L, "entirely novel incoming document text")          // novel
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(corpus, incoming, threshold = 0.5)
+      .select("doc_id", "exact_dup", "n_near", "keep")
+      .as[(Long, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L) === ((10L, 1, 1L, 0)))  // exact implies near too
+    assert(out(11L) === ((11L, 0, 1L, 0)))
+    assert(out(12L) === ((12L, 0, 0L, 1)))
+    // corpus docs are never compared to each other: the operator only
+    // reports on incoming ids
+    assert(out.keySet === Set(10L, 11L, 12L))
+  }
+
   test("embedding near-dup pairs: parallel vectors score 1.0") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),

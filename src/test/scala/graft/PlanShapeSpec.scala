@@ -23,7 +23,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // (global-aggregate side)
     "q74_contamination",
     "q80_token_budget_select", "q81_epoch_shuffle", "q82_boilerplate_removal",
-    "q83_span_dedup", "q85_srp_lsh")
+    "q83_span_dedup", "q85_srp_lsh", "q86_incremental_dedup")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {
