@@ -786,9 +786,10 @@ object SparkEntry {
     * the oracle scores against the exact constants the engine uses.
     */
   private def srpPlanesSql: String =
-    operators.Similarity.srpPlanes.zipWithIndex.map { case (pl, b) =>
-      s"  ($b, [${pl.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
-    }.mkString(",\n")
+    operators.Similarity.srpPlanes.take(operators.Similarity.SrpBits)
+      .zipWithIndex.map { case (pl, b) =>
+        s"  ($b, [${pl.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])"
+      }.mkString(",\n")
 
   private def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
@@ -1952,9 +1953,13 @@ object SparkEntry {
          |           * (1 << (bit % ${Similarity.SrpBits / Similarity.SrpBands})))
          |           AS INTEGER) AS band_val
          |  FROM d GROUP BY 1, 2),
+         |capped AS (
+         |  SELECT vec_id, band_idx, band_val FROM bands
+         |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_val)
+         |    <= ${Similarity.SrpMaxBucket}),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bands a JOIN bands b
+         |  FROM capped a JOIN capped b
          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |   AND b.vec_id > a.vec_id)
          |SELECT id_a, id_b,

@@ -348,10 +348,17 @@ object Similarity {
 
   // --- signed-random-projection LSH (angular / cosine family) -----------
 
+  /** Gate defaults: 16 bits / 2 bands suit the small-SF oracle corpus.
+    * Signature width is a CORPUS-SIZE parameter, not a constant: expected
+    * random-pair collisions per band are n²/2^(bits/bands+1), so a 1M-row
+    * corpus wants ≥ 4×16-bit bands and a 100 TB one wider still — the
+    * probe runs 64/4. [[SrpMaxBits]] planes exist; callers pick a prefix.
+    */
   val SrpBits = 16
   val SrpBands = 2
   val SrpDim = 64
-  private val SrpBandBits = SrpBits / SrpBands
+  val SrpMaxBits = 64
+  val SrpMaxBucket = 1000
 
   /** Deterministic Rademacher hyperplanes: entry (bit, dim) is ±1 from the
     * md5 parity of "srp:bit:dim". Rademacher entries are the standard
@@ -365,7 +372,7 @@ object Similarity {
     */
   lazy val srpPlanes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(SrpBits, SrpDim) { (b, d) =>
+    Array.tabulate(SrpMaxBits, SrpDim) { (b, d) =>
       if (md.digest(s"srp:$b:$d".getBytes("UTF-8"))(0) % 2 == 0) 1.0 else -1.0
     }
   }
@@ -380,29 +387,44 @@ object Similarity {
     * pairs with probability 2^−[[SrpBandBits]].
     *
     * Scale shape: identical to [[Dedup.simhashBucketedNearDups]] — the
-    * signature is a pure projection (16 codegen'd [[graft.functions
+    * signature is a pure projection (`bits` codegen'd [[graft.functions
     * .VectorDot]]s against literal planes, fused into the scan), the
     * candidate step is an equi-join on (band_idx, band_val), and exact
     * cosine verifies only bucket-mates. No nested loop, no cross product;
     * the corpus hash-partitions by band value at 100 TB. A pair may
-    * collide in both bands → distinct at the end (q12's discipline).
+    * collide in several bands → distinct at the end (q12's discipline).
+    * Two guards bound the worst case: band width scales with corpus size
+    * (see [[SrpBits]] note), and buckets larger than `maxBucket` are
+    * dropped outright (the [[Dedup.lshStage]] cap — a giant angular
+    * bucket is a pile of trivial near-dups, not signal).
     */
   def srpBucketedNearDups(embeddings: DataFrame,
-                          threshold: Double = 0.35): DataFrame = {
-    val bits: Seq[Column] = (0 until SrpBits).map { b =>
+                          threshold: Double = 0.35,
+                          bits: Int = SrpBits, bands: Int = SrpBands,
+                          maxBucket: Int = SrpMaxBucket): DataFrame = {
+    require(bits % bands == 0, s"$bits bits not divisible into $bands bands")
+    require(bits <= SrpMaxBits, s"$bits > $SrpMaxBits available planes")
+    val bandBits = bits / bands
+    require(bandBits <= 30, s"band width $bandBits overflows the int band value")
+    val bitCols: Seq[Column] = (0 until bits).map { b =>
       (graft.functions.VectorFunctions
         .vec_dot(col("embedding"), typedlit(srpPlanes(b))) >= 0).cast("int")
     }
-    val bands: Seq[Column] = (0 until SrpBands).map { bd =>
-      (0 until SrpBandBits).map(i => bits(bd * SrpBandBits + i) * lit(1 << i))
+    val bandCols: Seq[Column] = (0 until bands).map { bd =>
+      (0 until bandBits).map(i => bitCols(bd * bandBits + i) * lit(1 << i))
         .reduce(_ + _).as(s"band$bd")
     }
     val keyed = embeddings
-      .select(col("vec_id") +: col("embedding") +: bands: _*)
+      .select(col("vec_id") +: col("embedding") +: bandCols: _*)
       .select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until SrpBands).map(bd => col(s"band$bd")): _*)))
+        posexplode(array((0 until bands).map(bd => col(s"band$bd")): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
     val a = keyed.select(col("band_idx"), col("band_val"),
       col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = keyed.select(col("band_idx"), col("band_val"),

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Engine
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Round-6 scale probes: the re-sharded sequence packing under the exact
   * skew VERDICT r5 #1 described (one language at 90% of a 1M-doc corpus),
@@ -87,6 +87,45 @@ object ProbeRound6 {
     time("boilerplate_removal_1m")(
       Dedup.removeBoilerplate(docs)
         .filter(length(col("clean_text")) >= 0).count())
+
+    // span-level exact dedup: ~6 strided spans per 50-token doc -> ~6M
+    // distinct pairs through two 8-byte-key aggregates and one join
+    time("span_dedup_1m") {
+      val st = Dedup.spanDedupStage(docs)
+      val n = st.result.filter(col("dup_frac") >= 0).count()
+      st.unpersist(); n
+    }
+
+    // unigram-LM scoring: 50M token instances -> distinct (doc, tok_fp)
+    // pairs, vocab-sized count join, per-doc rollup
+    time("lm_perplexity_1m") {
+      val st = TextAnalysis.lmScoreStage(docs)
+      val n = st.result.filter(col("ppl") > 0).count()
+      st.unpersist(); n
+    }
+
+    // incremental dedup: 100k incoming (half exact corpus dups) against a
+    // 1M corpus; corpus never self-joins
+    time("incremental_dedup_1m_vs_100k") {
+      val incoming = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .limit(100000)
+      val out = Dedup.dedupAgainstCorpus(docs, incoming)
+      val dropped = out.filter(col("keep") === 0).count()
+      val n = out.count()
+      println(s"PROBE incremental_dedup dropped=$dropped of $n")
+      n
+    }
+
+    // SRP-LSH at probe scale runs the WIDE signature (64 bits / 4 bands:
+    // 65,536 buckets per band) — the 16/2 gate default is a small-SF
+    // parameter, and this asserts the width knob actually bounds the
+    // candidate volume (~n^2 * bands / 2^16 pairs)
+    time("srp_lsh_500k_64bit") {
+      val emb = ScaleProbe.syntheticEmbeddings(spark, 500000L)
+      Similarity.srpBucketedNearDups(emb, threshold = 0.8,
+        bits = 64, bands = 4).count()
+    }
 
     // log-diameter connected components, wide: 1000 paths x diameter 99
     // (min-label paid ~99 rounds here; stars must stay <= ceil(log2 99)+2)
