@@ -531,6 +531,12 @@ object SparkEntry {
         docs.filter(!col("source").isin("src0", "src1")),
         docs.filter(col("source").isin("src0", "src1")))
     }),
+
+    // EXACT quantiles with bounded memory: histogram pass + ranking only
+    // the boundary buckets — q29's answer without buffering any group
+    "q87_exact_quantile_twopass" -> ((s, dir) =>
+      Relational.exactQuantilesTwoPass(Tables.lineitem(s, dir),
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -2004,5 +2010,16 @@ object SparkEntry {
            |            AS INT) AS keep
            |FROM inc LEFT JOIN cfp ON cfp.fp64 = inc.fp64
            |         LEFT JOIN near ON near.doc_id = inc.doc_id""".stripMargin),
+
+    // quantile_cont = the same p(n-1) interpolation the two-pass engine
+    // path reproduces from histogram + boundary-bucket ranking
+    "q87_exact_quantile_twopass" ->
+      """SELECT l_returnflag, 0.5 AS p,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS q
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, 0.95 AS p,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS q
+        |FROM lineitem GROUP BY 1""".stripMargin,
   )
 }

@@ -78,6 +78,83 @@ object Relational {
         round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
         round(percentile(col("l_discount"), lit(0.5)), 4).as("p50_disc"))
 
+  /** EXACT quantiles with bounded memory — the distributed-exact path that
+    * retires [[quantiles]]' buffer-the-group weakness without giving up
+    * exactness (the [[approxQuantiles]] sketch stays the cheap default;
+    * this is for the "exact p99, no excuses" ask).
+    *
+    * Two corpus passes, both pure aggregates (the q80 boundary-bucket
+    * trick applied to quantiles):
+    *  1. per-group (n, min, max), then a per-(group, bucket) histogram of
+    *     `nBuckets` equal-width buckets — fixed-size state, map-side
+    *     combining, never a sorted group in memory;
+    *  2. only the buckets that CONTAIN a target rank (≤ 2·|ps| buckets
+    *     per group, ~n/nBuckets rows each) are re-scanned and ranked by a
+    *     window — the sort touches ~|ps|·n/nBuckets rows per group, not n.
+    * The interpolation positions are Spark `percentile` / DuckDB
+    * `quantile_cont` semantics: rank = p·(n−1), value = v⌊rank⌋ +
+    * frac·(v⌈rank⌉ − v⌊rank⌋).
+    *
+    * All the small relations here (stats = #groups rows, targets =
+    * 2·|ps|·#groups rows, target-bucket list) are bounded by group count,
+    * not corpus size — the broadcasts are safe by construction, same
+    * argument as the one-row stats relations elsewhere.
+    */
+  def exactQuantilesTwoPass(df: DataFrame, groupCol: String, valCol: String,
+                            ps: Seq[Double], nBuckets: Int = 1000): DataFrame = {
+    val g = col(groupCol)
+    val stats = df.groupBy(g).agg(count(lit(1)).as("n"),
+      min(col(valCol).cast("double")).as("mn"),
+      max(col(valCol).cast("double")).as("mx"))
+    // pass 1: equal-width bucket per row; degenerate all-equal groups
+    // collapse to bucket 0
+    val width = (col("mx") - col("mn")) / lit(nBuckets)
+    val bucketed = df.select(g, col(valCol).cast("double").as("v"))
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("bucket",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(nBuckets - 1L),
+            floor((col("v") - col("mn")) / width))))
+    val hist = bucketed.groupBy(g, col("bucket")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(g).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hc = hist.withColumn("cum_before", coalesce(sum(col("c")).over(wcum), lit(0L)))
+    // target positions: ⌊p(n−1)⌋ and ⌈p(n−1)⌉ per (group, p)
+    val targets = stats
+      .select(g, col("n"), explode(typedlit(ps)).as("p"))
+      .select(g, col("p"),
+        posexplode(array(floor(col("p") * (col("n") - 1)),
+          ceil(col("p") * (col("n") - 1)))))
+      .withColumnRenamed("pos", "side").withColumnRenamed("col", "tpos")
+    // which bucket holds each target position (join over the ≤
+    // #groups·nBuckets histogram relation — metadata-sized)
+    val tb = targets.join(hc, Seq(groupCol))
+      .filter(col("tpos") >= col("cum_before") &&
+        col("tpos") < col("cum_before") + col("c"))
+      .select(g, col("p"), col("side"), col("tpos"),
+        col("bucket"), col("cum_before"))
+    val tbuckets = tb.select(g, col("bucket")).distinct()
+    // pass 2: rank ONLY the target buckets; within-bucket order extends
+    // the cross-bucket value order, and equal values are interchangeable
+    val wrank = Window.partitionBy(g, col("bucket")).orderBy(col("v"))
+    val picked = bucketed
+      .join(broadcast(tbuckets), Seq(groupCol, "bucket"))
+      .withColumn("rn", row_number().over(wrank))
+      .join(broadcast(tb), Seq(groupCol, "bucket"))
+      .filter(col("rn") - 1 === col("tpos") - col("cum_before"))
+      .select(g, col("p"), col("side"), col("v"))
+    val lo = picked.filter(col("side") === 0)
+      .select(g, col("p"), col("v").as("vlo"))
+    val hi = picked.filter(col("side") === 1)
+      .select(g, col("p"), col("v").as("vhi"))
+    val rank = col("p") * (col("n") - 1)
+    lo.join(hi, Seq(groupCol, "p"))
+      .join(broadcast(stats.select(g, col("n"))), Seq(groupCol))
+      .select(g, col("p"),
+        round(col("vlo") + (rank - floor(rank)) * (col("vhi") - col("vlo")), 4)
+          .as("q"))
+  }
+
   /** Approximate quantiles — the 100 TB path for [[quantiles]], whose exact
     * `percentile` buffers every group value (OOM at 100 TB group sizes).
     * `percentile_approx` is a bounded-memory Greenwald-Khanna sketch with

@@ -117,6 +117,18 @@ object ProbeRound6 {
       n
     }
 
+    // exact quantiles without buffering a group: 10M rows, 5 skewed
+    // groups — the per-group sort the old exact path would need is
+    // replaced by histogram aggregates + ranking ~n/nBuckets rows
+    time("exact_quantile_twopass_10m") {
+      val vals = spark.range(10000000L).select(
+        concat(lit("g"), pmod(col("id"), lit(5))).as("g"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(1000000)) / lit(97.0)).as("v"))
+      graft.operators.Relational
+        .exactQuantilesTwoPass(vals, "g", "v", Seq(0.5, 0.95, 0.99))
+        .filter(col("q") >= 0).count()
+    }
+
     // SRP-LSH at probe scale runs the WIDE signature (64 bits / 4 bands:
     // 65,536 buckets per band) — the 16/2 gate default is a small-SF
     // parameter, and this asserts the width knob actually bounds the

@@ -23,7 +23,8 @@ class PlanShapeSpec extends SparkSpecBase {
     // (global-aggregate side)
     "q74_contamination",
     "q80_token_budget_select", "q81_epoch_shuffle", "q82_boilerplate_removal",
-    "q83_span_dedup", "q85_srp_lsh", "q86_incremental_dedup")
+    "q83_span_dedup", "q85_srp_lsh", "q86_incremental_dedup",
+    "q87_exact_quantile_twopass")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {

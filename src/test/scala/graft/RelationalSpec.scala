@@ -133,6 +133,29 @@ class RelationalSpec extends SparkSpecBase {
     assert(out.nonEmpty && out.forall { case (a, b) => a === 1 && b === 1 })
   }
 
+  test("two-pass exact quantiles equal percentile on adversarial groups") {
+    // all-equal group, singleton group, heavy ties, negatives, and a
+    // spread group wider than the bucket count
+    val rows =
+      (1 to 40).map(i => ("eq", 7.0)) ++
+        Seq(("one", 3.25)) ++
+        (1 to 30).map(i => ("tie", if (i <= 15) 1.0 else 2.0)) ++
+        (1 to 50).map(i => ("neg", -i * 13.7)) ++
+        (1 to 200).map(i => ("wide", i * 997.0))
+    val df = rows.toDF("g", "v")
+    val got = Relational
+      .exactQuantilesTwoPass(df, "g", "v", Seq(0.5, 0.95), nBuckets = 8)
+      .select("g", "p", "q").as[(String, Double, Double)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    import org.apache.spark.sql.functions.{lit, percentile, round}
+    val want = df.groupBy($"g")
+      .agg(round(percentile($"v", lit(0.5)), 4).as("a"),
+        round(percentile($"v", lit(0.95)), 4).as("b"))
+      .select("g", "a", "b").as[(String, Double, Double)].collect()
+      .flatMap { case (g, a, b) => Seq((g, 0.5) -> a, (g, 0.95) -> b) }.toMap
+    assert(got === want)
+  }
+
   test("session windows split on the inactivity gap") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
