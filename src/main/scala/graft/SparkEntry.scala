@@ -537,6 +537,11 @@ object SparkEntry {
     "q87_exact_quantile_twopass" -> ((s, dir) =>
       Relational.exactQuantilesTwoPass(Tables.lineitem(s, dir),
         "l_returnflag", "l_extendedprice", Seq(0.5, 0.95))),
+
+    // bigram-LM perplexity: conditional p(cur|prev), context counts and
+    // vocabulary re-folded from one persisted pair stream
+    "q88_lm_bigram" -> ((s, dir) =>
+      TextAnalysis.lmScoreBigram(Tables.documents(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -2021,5 +2026,38 @@ object SparkEntry {
         |SELECT l_returnflag, 0.95 AS p,
         |       round(quantile_cont(l_extendedprice, 0.95), 4) AS q
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // bigram construction mirrors q70's; prev comes from the bigram
+    // string (split at the first space) so both engines fingerprint the
+    // same bytes; sub-2-token docs carry NULLs on both sides
+    "q88_lm_bigram" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS ltoks
+        |            FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ltoks)),
+        |           i -> ltoks[i] || ' ' || ltoks[i+1])) AS b
+        |  FROM tk WHERE len(ltoks) >= 2),
+        |pairs AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(b), 1, 15))::BIGINT AS b_fp,
+        |         ('0x' || substr(md5(split_part(b, ' ', 1)), 1, 15))::BIGINT
+        |           AS p_fp,
+        |         count(*) AS k
+        |  FROM bg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT b_fp, CAST(sum(k) AS BIGINT) AS c2
+        |       FROM pairs GROUP BY 1),
+        |c1 AS (SELECT p_fp, CAST(sum(k) AS BIGINT) AS c1
+        |       FROM pairs GROUP BY 1),
+        |t AS (SELECT count(*) AS v FROM c1),
+        |sc AS (
+        |  SELECT pairs.doc_id, CAST(sum(k) AS BIGINT) AS nb,
+        |         sum(k * -ln((c2.c2 + 1) / CAST(c1.c1 + t.v AS DOUBLE)))
+        |           AS nll
+        |  FROM pairs JOIN c2 USING (b_fp) JOIN c1 USING (p_fp) CROSS JOIN t
+        |  GROUP BY 1)
+        |SELECT tk.doc_id, coalesce(sc.nb, 0) AS n_bigrams,
+        |       round(sc.nll / sc.nb, 4) AS avg_nll,
+        |       round(exp(sc.nll / sc.nb), 4) AS ppl
+        |FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id""".stripMargin,
   )
 }

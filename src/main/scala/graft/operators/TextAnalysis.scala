@@ -461,4 +461,51 @@ object TextAnalysis {
     * via the handle or the session cache, as Bench/Verify do.
     */
   def lmScore(docs: DataFrame): DataFrame = lmScoreStage(docs).result
+
+  /** Bigram-LM perplexity — [[lmScoreStage]]'s conditional upgrade:
+    * p(cur|prev) = (c₂(prev,cur)+1) / (c₁(prev)+V) with Laplace
+    * smoothing, where c₁ counts prev as a CONTEXT (bigram instances with
+    * that left token) and V is the distinct-context count — both
+    * re-folded from the same persisted pair stream, so smoothing needs no
+    * second corpus scan. Bigram models separate fluent text from shuffled
+    * bags of frequent words, which a unigram LM scores identically.
+    *
+    * Same scale shape as the unigram stage: ONE scan (the
+    * [[graft.functions.WordShingles]] bigram explode collapses map-side
+    * to distinct (doc, bigram_fp, prev_fp) counts and persists), 8-byte
+    * fingerprint joins for c₂/c₁, a one-row V broadcast, per-doc rollup.
+    * Documents under 2 tokens carry NULL scores (q70's discipline).
+    */
+  def lmScoreBigramStage(docs: DataFrame): LmScoreStage = {
+    val pairs = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .word_shingles(lower(col("text")), 2)).as("b"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("b")), 1, 15), 16, 10).cast("long").as("b_fp"),
+        conv(substring(md5(substring_index(col("b"), " ", 1)), 1, 15), 16, 10)
+          .cast("long").as("p_fp"))
+      .groupBy(col("doc_id"), col("b_fp"), col("p_fp"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = pairs.groupBy(col("b_fp")).agg(sum(col("k")).as("c2"))
+    val c1 = pairs.groupBy(col("p_fp")).agg(sum(col("k")).as("c1"))
+    val totals = c1.agg(count(lit(1)).as("v"))
+    val nll = col("k") *
+      -log((col("c2") + lit(1)) / (col("c1") + col("v")).cast("double"))
+    val scored = pairs.join(c2, "b_fp").join(c1, "p_fp")
+      // one-row context-vocabulary relation — broadcast safe by construction
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(nll).as("nll_sum"))
+    val result = docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("nll_sum") / col("n_bigrams"), 4).as("avg_nll"),
+        round(exp(col("nll_sum") / col("n_bigrams")), 4).as("ppl"))
+    LmScoreStage(pairs, result)
+  }
+
+  /** [[lmScoreBigramStage]]'s result (handle discipline as [[lmScore]]). */
+  def lmScoreBigram(docs: DataFrame): DataFrame = lmScoreBigramStage(docs).result
 }

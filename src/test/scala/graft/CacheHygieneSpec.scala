@@ -91,6 +91,19 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("lmScoreBigramStage shared pair stream is released by the handle") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stage = TextAnalysis.lmScoreBigramStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    // aggregate over ppl: a bare count() lets Catalyst skip the scored
+    // (cached) side of the left join entirely
+    stage.result.agg(org.apache.spark.sql.functions.sum("ppl")).collect()
+    assert(cachedCount > 0)
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("spanDedupStage shared span pairs are released by the handle") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size

@@ -311,6 +311,29 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(out(2L)._4 === 3.5)
   }
 
+  test("lmScoreBigram: conditional math exact; sub-2-token docs carry NULLs") {
+    // doc 1 bigrams: "a b" x2, "b a" x2 -> c2=2 each, c1(a)=c1(b)=2, V=2
+    // p = (2+1)/(2+2) = 3/4 everywhere -> ppl = 4/3
+    val docs = Seq((1L, "a b a b a"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreBigram(docs)
+      .select("doc_id", "n_bigrams", "ppl")
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, Some(1.3333))))
+    assert(out(2L) === ((2L, 0L, None)))
+  }
+
+  test("bigram LM separates fluent from shuffled text that unigram scores equally") {
+    // same token multiset (3 x, 3 y) per doc: unigram ppl identical,
+    // bigram ppl lower for the doc whose transitions dominate the corpus
+    val docs = Seq((1L, "x y x y x y"), (2L, "x x x y y y")).toDF("doc_id", "text")
+    val uni = TextAnalysis.lmScore(docs)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(uni(1L) === uni(2L))
+    val bi = TextAnalysis.lmScoreBigram(docs)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(bi(1L) < bi(2L))
+  }
+
   test("lmScore ranks templated text below novel text") {
     // doc 3 repeats the corpus's dominant tokens; doc 4 is all-rare
     val docs = Seq(
