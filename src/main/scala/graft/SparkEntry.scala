@@ -542,6 +542,16 @@ object SparkEntry {
     // vocabulary re-folded from one persisted pair stream
     "q88_lm_bigram" -> ((s, dir) =>
       TextAnalysis.lmScoreBigram(Tables.documents(s, dir))),
+
+    // vocabulary coverage curve: exact top-V via TakeOrdered heaps,
+    // cumulating windows over the V-row result only
+    "q89_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), topV = 50)),
+
+    // per-source drift monitor: exact smoothed KL vs the corpus unigram
+    // distribution, absent-token mass in closed form (never source x vocab)
+    "q90_source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -2059,5 +2069,58 @@ object SparkEntry {
         |       round(sc.nll / sc.nb, 4) AS avg_nll,
         |       round(exp(sc.nll / sc.nb), 4) AS ppl
         |FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id""".stripMargin,
+
+    "q89_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS vocab
+        |      FROM c),
+        |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT)
+        |         AS rank,
+        |       tok, cnt,
+        |       round(sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             / t.n_total, 4) AS cum_cov,
+        |       vocab
+        |FROM top CROSS JOIN t""".stripMargin,
+
+    // identical factored formula on both sides: present-token sums from
+    // the pair join, absent-token mass via the closed form from the
+    // one-row (N, V, sum_ln_cp1) constants
+    "q90_source_divergence" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tok_fp,
+        |         count(*) AS k
+        |  FROM tk GROUP BY 1, 2),
+        |corpus AS (SELECT tok_fp, CAST(sum(k) AS BIGINT) AS c
+        |           FROM pairs GROUP BY 1),
+        |consts AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v,
+        |                  sum(ln(CAST(c + 1 AS DOUBLE))) AS slc
+        |           FROM corpus),
+        |j AS (SELECT pairs.source, pairs.k, corpus.c,
+        |             consts.n, consts.v, consts.slc
+        |      FROM pairs JOIN corpus USING (tok_fp) CROSS JOIN consts),
+        |g AS (
+        |  SELECT source, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct,
+        |         any_value(v) AS v, any_value(n) AS n, any_value(slc) AS slc,
+        |         sum((k + 1) * (ln(CAST(k + 1 AS DOUBLE))
+        |             - ln((c + 1) / CAST(n + v AS DOUBLE)))) AS a_raw,
+        |         sum(ln((c + 1) / CAST(n + v AS DOUBLE))) AS slqp
+        |  FROM j GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct,
+        |       round((a_raw - (n_tokens + n_distinct)
+        |                * ln(CAST(n_tokens + v AS DOUBLE)))
+        |               / CAST(n_tokens + v AS DOUBLE)
+        |             + (-ln(CAST(n_tokens + v AS DOUBLE)) * (v - n_distinct)
+        |                - ((slc - v * ln(CAST(n + v AS DOUBLE))) - slqp))
+        |               / CAST(n_tokens + v AS DOUBLE), 4) AS kl
+        |FROM g""".stripMargin,
   )
 }

@@ -508,4 +508,90 @@ object TextAnalysis {
 
   /** [[lmScoreBigramStage]]'s result (handle discipline as [[lmScore]]). */
   def lmScoreBigram(docs: DataFrame): DataFrame = lmScoreBigramStage(docs).result
+
+  /** Vocabulary coverage report: the `topV` corpus tokens by frequency
+    * with each token's cumulative share of all token instances — the
+    * "how big must the vocabulary be" curve every tokenizer design starts
+    * from (a Zipf corpus reaches ~50% coverage within tens of tokens).
+    *
+    * Scale shape: one token explode collapsed by the count aggregate
+    * (map-side combine), exact top-V via the sort-limit (Spark plans
+    * TakeOrderedAndProject — per-partition heaps, never a full sort),
+    * then ranking/cumulating windows run over the V-row result only
+    * (bounded by construction — the q80 boundary-bucket argument), with
+    * the corpus totals a one-row broadcast.
+    */
+  def vocabCoverage(docs: DataFrame, topV: Int = 50): DataFrame = {
+    val counts = docs.select(explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val cum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.orderBy(col("cnt").desc, col("tok").asc).limit(topV)
+      // one-row corpus-totals relation — broadcast safe by construction
+      .crossJoin(broadcast(totals))
+      .select(row_number().over(ord).as("rank"), col("tok"), col("cnt"),
+        round(sum(col("cnt")).over(cum) / col("n_total"), 4).as("cum_cov"),
+        col("vocab"))
+  }
+
+  /** Per-source distribution shift: EXACT smoothed KL divergence of each
+    * source's unigram distribution from the corpus distribution — the
+    * standard "did this crawl slice drift" monitor. With Laplace
+    * smoothing (p = (k+1)/(n_s+V), q = (c+1)/(N+V)) every vocabulary
+    * token has nonzero mass in both distributions, and the sum over
+    * tokens ABSENT from a source collapses in closed form: absent tokens
+    * share p₀ = 1/(n_s+V), so their contribution is
+    * p₀·(V·ln p₀ − Σ_vocab ln q) minus the same expression restricted to
+    * the present tokens — both computable from the per-source join, one
+    * corpus-constant aggregate (Σ ln q, V, N), and per-source totals. No
+    * pass ever enumerates (source × vocabulary).
+    *
+    * Scale shape: distinct (source, tok_fp) counts from one explode
+    * (map-side combine), corpus counts re-folded from the same relation,
+    * an 8-byte fingerprint join back, and #sources-row aggregates. The
+    * corpus-constant relation is one row — broadcast safe by
+    * construction.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val pairs = docs.select(col("source"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tok_fp"))
+      .groupBy(col("source"), col("tok_fp")).agg(count(lit(1)).as("k"))
+    val corpus = pairs.groupBy(col("tok_fp")).agg(sum(col("k")).as("c"))
+    val consts = corpus.agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+      sum(log((col("c") + lit(1)).cast("double"))).as("sum_ln_cp1"))
+    // q_tok = (c+1)/(N+V): sum_ln_q = sum_ln_cp1 - V*ln(N+V)
+    val joined = pairs.join(corpus, "tok_fp")
+      // one-row corpus-constants relation — broadcast safe by construction
+      .crossJoin(broadcast(consts))
+    val nPlusV = (col("n") + col("v")).cast("double")
+    val lnQ = log((col("c") + lit(1)) / nPlusV)
+    joined
+      .groupBy(col("source"))
+      .agg(sum(col("k")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        first(col("v")).as("v"), first(col("n")).as("n"),
+        first(col("sum_ln_cp1")).as("sum_ln_cp1"),
+        // present-token terms, factored so only per-row values stay in
+        // the sum: Σ p_k ln(p_k/q) and Σ ln q over present tokens
+        sum((col("k") + lit(1)) *
+          (log((col("k") + lit(1)).cast("double")) - lnQ)).as("a_raw"),
+        sum(lnQ).as("sum_ln_q_present"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"), {
+        val nsV = (col("n_tokens") + col("v")).cast("double")
+        val lnP0 = -log(nsV)
+        val sumLnQ = col("sum_ln_cp1") - col("v") * log((col("n") + col("v")).cast("double"))
+        // A = Σ_present p_k (ln p_k − ln q); the (k+1) factor and the
+        // 1/(n_s+V) normalization separate, ln p_k = ln(k+1) − ln(n_s+V)
+        val a = (col("a_raw") - (col("n_tokens") + col("n_distinct")) * log(nsV)) / nsV
+        // absent-token closed form: p0·[(V−d)·ln p0 − (Σ_vocab ln q − Σ_present ln q)]
+        val absent = (lnP0 * (col("v") - col("n_distinct")) -
+          (sumLnQ - col("sum_ln_q_present"))) / nsV
+        round(a + absent, 4).as("kl")
+      })
+  }
 }

@@ -18,9 +18,9 @@ class PlanShapeSpec extends SparkSpecBase {
     "q31_dedup_simhash_bucketed", "q32_dedup_embedding_cells",
     "q33_ann_ivf_kmeans", "q35_asof_join", "q39_range_join", "q40_salted_join",
     "q51_ann_ivf_multiprobe", "q56_bag_set_ops", "q57_correlated_subquery",
-    // q71/q84 are NOT here: their one-row crossJoin(broadcast(totals)) is
-    // a documented safe-by-construction BroadcastNestedLoopJoin
-    // (global-aggregate side)
+    // q71/q84/q88/q89/q90 are NOT here: their one-row
+    // crossJoin(broadcast(totals)) is a documented safe-by-construction
+    // BroadcastNestedLoopJoin (global-aggregate side)
     "q74_contamination",
     "q80_token_budget_select", "q81_epoch_shuffle", "q82_boilerplate_removal",
     "q83_span_dedup", "q85_srp_lsh", "q86_incremental_dedup",

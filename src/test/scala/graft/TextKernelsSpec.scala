@@ -334,6 +334,32 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(bi(1L) < bi(2L))
   }
 
+  test("vocabCoverage: monotone curve reaching exactly 1.0 when topV covers the vocab") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, topV = 10)
+      .select("rank", "tok", "cnt", "cum_cov", "vocab")
+      .as[(Int, String, Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq === Seq("a", "b", "c", "d")) // freq desc, tok tie-break
+    assert(out.map(_._4).toSeq === out.map(_._4).toSeq.sorted) // monotone
+    assert(out.last._4 === 1.0)                               // full coverage
+    assert(out.forall(_._5 === 4L))
+  }
+
+  test("sourceDivergence: single source diverges exactly 0, disjoint sources > 0") {
+    // one source == the corpus -> p and q identical -> KL 0.0 exactly
+    val single = Seq((1L, "a b c", "s0"), (2L, "a a d", "s0"))
+      .toDF("doc_id", "text", "source")
+    val kl0 = TextAnalysis.sourceDivergence(single)
+      .select("kl").as[Double].collect()
+    assert(kl0.toSeq === Seq(0.0))
+    // disjoint vocabularies: both sources far from the pooled corpus
+    val split = Seq((1L, "a a b b", "s0"), (2L, "x x y y", "s1"))
+      .toDF("doc_id", "text", "source")
+    val kls = TextAnalysis.sourceDivergence(split)
+      .select("source", "kl").as[(String, Double)].collect().toMap
+    assert(kls.size === 2 && kls.values.forall(_ > 0.0))
+  }
+
   test("lmScore ranks templated text below novel text") {
     // doc 3 repeats the corpus's dominant tokens; doc 4 is all-rare
     val docs = Seq(
