@@ -552,6 +552,11 @@ object SparkEntry {
     // distribution, absent-token mass in closed form (never source x vocab)
     "q90_source_divergence" -> ((s, dir) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
+
+    // OHLC downsampling: min_by/max_by candles in one aggregation pass,
+    // no window, no sort
+    "q91_ohlc_downsample" -> ((s, dir) =>
+      Windows.ohlcDownsample(Tables.events(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -2122,5 +2127,28 @@ object SparkEntry {
         |                - ((slc - v * ln(CAST(n + v AS DOUBLE))) - slqp))
         |               / CAST(n_tokens + v AS DOUBLE), 4) AS kl
         |FROM g""".stripMargin,
+
+    // open/close replayed as rank-1 rows over the (ts, event_id) order —
+    // the window formulation is the semantic spec for min_by/max_by
+    "q91_ohlc_downsample" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+        |         ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id, w_start
+        |           ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY user_id, w_start
+        |           ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT user_id, w_start,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS n_events,
+        |       round(avg(value), 4) AS mean_value
+        |FROM r GROUP BY 1, 2""".stripMargin,
   )
 }

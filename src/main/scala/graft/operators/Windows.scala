@@ -38,6 +38,29 @@ object Windows {
         unix_micros(col("w.end")).as("s_end"),
         col("user_id"), col("cnt"), col("sum_value"))
 
+  /** OHLC time-series downsampling (the candle/compaction aggregate every
+    * monitoring and market pipeline runs): per (user, tumbling bucket) the
+    * first/last/min/max of `value` plus count and mean. open/close are
+    * `min_by`/`max_by` over the (ts, event_id) struct — ONE aggregation
+    * pass with fixed per-group state and a deterministic tie-break, no
+    * window function, no sort; at 100 TB this is a plain map-side-combining
+    * shuffle on (user, bucket). open/high/low/close are exact input values
+    * (no rounding needed); only the mean is rounded.
+    */
+  def ohlcDownsample(events: DataFrame, bucket: String = "1 hour"): DataFrame =
+    events
+      .groupBy(col("user_id"), window(col("ts"), bucket).as("w"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        round(avg(col("value")), 4).as("mean_value"))
+      .select(col("user_id"), col("w.start").cast("long").as("w_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("mean_value"))
+
   /** RANGE-frame analytic window: per-user trailing-1h moving sum/count by
     * EVENT TIME (value-based frame), vs the row-count frames of
     * `Relational.orderRunningStats`. Range frames are tie-safe by

@@ -156,6 +156,28 @@ class RelationalSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("ohlc candles: open/close by event order with id tie-break on equal ts") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // bucket 00:00: open=5 (earliest), close=2 (latest by (ts, id):
+      // two events share 00:50:00, id 4 wins)
+      (1L, ts("2024-01-01 00:10:00"), 1L, "t", 5.0, ""),
+      (2L, ts("2024-01-01 00:20:00"), 1L, "t", 9.0, ""),
+      (3L, ts("2024-01-01 00:50:00"), 1L, "t", 1.0, ""),
+      (4L, ts("2024-01-01 00:50:00"), 1L, "t", 2.0, ""),
+      // bucket 01:00, different user: singleton candle
+      (5L, ts("2024-01-01 01:05:00"), 2L, "t", 7.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Windows.ohlcDownsample(ev)
+      .select("user_id", "w_start", "open", "high", "low", "close", "n_events")
+      .as[(Long, Long, Double, Double, Double, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    val h1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00").getTime / 1000
+    assert(out((1L, h0)) === ((1L, h0, 5.0, 9.0, 1.0, 2.0, 4L)))
+    assert(out((2L, h1)) === ((2L, h1, 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
   test("session windows split on the inactivity gap") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
