@@ -117,6 +117,21 @@ object ProbeRound6 {
       n
     }
 
+    // bigram LM: ~49M bigram instances through the pair-stream collapse,
+    // two count re-folds, two fingerprint joins
+    time("lm_bigram_1m") {
+      val st = TextAnalysis.lmScoreBigramStage(docs)
+      val n = st.result.agg(sum(col("ppl"))).collect()(0); st.unpersist()
+      docs.count()
+    }
+
+    // per-source KL drift at 1M docs across 20 synthetic sources
+    time("source_divergence_1m") {
+      TextAnalysis.sourceDivergence(docs.withColumn("source",
+          concat(lit("s"), pmod(xxhash64(col("doc_id"), lit(9)), lit(20)))))
+        .filter(col("kl") >= 0).count()
+    }
+
     // exact quantiles without buffering a group: 10M rows, 5 skewed
     // groups — the per-group sort the old exact path would need is
     // replaced by histogram aggregates + ranking ~n/nBuckets rows
