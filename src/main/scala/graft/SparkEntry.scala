@@ -557,6 +557,11 @@ object SparkEntry {
     // no window, no sort
     "q91_ohlc_downsample" -> ((s, dir) =>
       Windows.ohlcDownsample(Tables.events(s, dir))),
+
+    // deterministic train/val/test split: content-hash coin, docs never
+    // migrate between splits as the corpus grows; scan-only
+    "q92_train_split" -> ((s, dir) =>
+      Curation.splitAssign(Tables.documents(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -2150,5 +2155,21 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       round(avg(value), 4) AS mean_value
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // same hash coin as q54's stratified sampling; split thresholds
+    // replay splitAssign(valPct=10, testPct=10)
+    "q92_train_split" -> {
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""scored AS (SELECT doc_id, ${langScoreSqls.mkString(", ")} FROM toks),
+           |p AS (SELECT doc_id, $predLangCaseSql AS pred_lang FROM scored)
+           |SELECT doc_id, pred_lang,
+           |       CASE WHEN b < 10 THEN 'test'
+           |            WHEN b < 20 THEN 'val'
+           |            ELSE 'train' END AS split
+           |FROM (SELECT doc_id, pred_lang,
+           |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+           |          AS b
+           |      FROM p)""".stripMargin
+    },
   )
 }

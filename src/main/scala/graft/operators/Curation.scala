@@ -58,6 +58,27 @@ object Curation {
   def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 100
 
+  /** Deterministic train/validation/test assignment: the content-hash
+    * coin ([[hashBucket]]) routes each document to a split, so the
+    * partition is reproducible across reruns and engines, documents never
+    * migrate between splits when the corpus grows (adding docs never
+    * changes an existing doc's bucket — the property "random split per
+    * snapshot" lacks, and the reason eval sets stay uncontaminated across
+    * corpus versions), and strata stay proportional in expectation within
+    * every language. Pure projection: scan-fused, zero shuffle (q54's
+    * shape).
+    */
+  def splitAssign(docs: DataFrame, valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    require(valPct + testPct < 100, "val + test must leave room for train")
+    docs.select(col("doc_id"),
+        TextAnalysis.predLang(col("text")).as("pred_lang"),
+        hashBucket(col("doc_id")).as("bucket"))
+      .select(col("doc_id"), col("pred_lang"),
+        when(col("bucket") < testPct, lit("test"))
+          .when(col("bucket") < testPct + valPct, lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Stratified sampling by predicted language: each stratum keeps the
     * documents whose hash bucket falls under its percentage (`rates`,
     * else `defaultPct`). Content-hash sampling beats `rand()` at scale:

@@ -314,4 +314,24 @@ class CurationSpec extends SparkSpecBase {
     assert(out.collect().map(_.toSeq).toSet ===
       again.collect().map(_.toSeq).toSet)
   }
+
+  test("splitAssign: stable under corpus growth, complete, roughly proportional") {
+    import spark.implicits._
+    val base = (1L to 300L).map(i => (i, s"doc text number $i"))
+    val small = base.toDF("doc_id", "text")
+    val grown = (base ++ (301L to 600L).map(i => (i, s"later crawl $i")))
+      .toDF("doc_id", "text")
+    val s1 = Curation.splitAssign(small)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = Curation.splitAssign(grown)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // growth never reassigns an existing document (eval-set stability)
+    assert(s1.forall { case (id, sp) => s2(id) === sp })
+    // every doc lands in exactly one split; all three splits populated
+    assert(s2.size === 600)
+    val byaSplit = s2.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byaSplit.keySet === Set("train", "val", "test"))
+    // 10/10/80 targets, generous tolerance for the hash coin at n=600
+    assert(byaSplit("train") > 400 && byaSplit("test") > 20 && byaSplit("val") > 20)
+  }
 }
