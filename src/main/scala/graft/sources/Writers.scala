@@ -32,4 +32,21 @@ object Writers {
                     buckets: Int): Unit =
     df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .mode("overwrite").saveAsTable(table)
+
+  /** Compressed JSON-Lines corpus interchange — the format pretraining
+    * datasets actually ship in (one JSON document per line, gzip'd
+    * shards). Write splits into `shards` files via a doc_id hash
+    * repartition (deterministic shard membership, no global sort); read
+    * applies the schema explicitly so the scan never pays the
+    * infer-schema pass, and gzip (non-splittable) parallelism comes from
+    * the shard count — which is why the shard count is a writer
+    * parameter, not an afterthought.
+    */
+  def writeJsonl(docs: DataFrame, path: String, shards: Int = 8): Unit =
+    docs.repartition(shards, col("doc_id"))
+      .write.mode("overwrite").option("compression", "gzip").json(path)
+
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

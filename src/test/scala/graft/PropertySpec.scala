@@ -145,6 +145,42 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("word_chunks stride arithmetic matches a direct Scala computation") {
+    import org.apache.spark.sql.functions.col
+    val genToks: Gen[List[String]] = Gen.nonEmptyListOf(
+      Gen.oneOf("aa", "b", "cc", "d", "e"))
+    val genParams: Gen[(Int, Int)] = for {
+      n <- Gen.choose(1, 6); s <- Gen.choose(1, n)
+    } yield (n, s)
+    check(Prop.forAll(genToks, genParams) { case (toks, (n, s)) =>
+      val text = toks.mkString(" ")
+      val got = Seq(text).toDF("text")
+        .select(graft.functions.TextFunctions.word_chunks(col("text"), n, s))
+        .as[Seq[String]].head()
+      val len = toks.length
+      val nChunks = if (len <= n) 1 else 1 + (len - n + s - 1) / s
+      val want = (0 until nChunks)
+        .map(i => toks.slice(i * s, math.min(i * s + n, len)).mkString(" "))
+      got == want
+    })
+  }
+
+  test("span dedup: exact whole-doc copies always score dup_frac 1.0") {
+    val genDoc: Gen[List[String]] = Gen.nonEmptyListOf(
+      Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6"))
+    check(Prop.forAll(Gen.listOfN(4, genDoc)) { docLists =>
+      // docs 0..3 unique-ish, docs 10..13 exact copies of them
+      val rows = docLists.zipWithIndex.flatMap { case (ws, i) =>
+        Seq((i.toLong, ws.mkString(" ")), (i + 10L, ws.mkString(" ")))
+      }
+      val out = graft.operators.Dedup
+        .spanDedup(rows.toDF("doc_id", "text"), spanTokens = 3, stride = 1)
+        .select("doc_id", "dup_frac").as[(Long, Double)].collect().toMap
+      // every doc has an exact twin, so every span is shared: frac 1.0
+      out.values.forall(_ === 1.0)
+    })
+  }
+
   test("anomaly verdicts match Java double z-score semantics (Inf/NaN edges)") {
     check(Prop.forAll(genEvents) { evs =>
       val m = refModuleAgg(evs)

@@ -43,4 +43,20 @@ class WritersSpec extends SparkSpecBase {
       assert(joined.count() === 6000) // every lineitem matches its order
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("gzip JSONL round trip is lossless and sharded for parallel reads") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/docs"
+    Writers.writeJsonl(docs, dir, shards = 4)
+    // shard count drives gzip read parallelism (non-splittable codec)
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".json.gz"))
+    assert(parts === 4)
+    val back = Writers.readJsonl(spark, dir, docs.schema)
+    assert(back.schema === docs.schema)
+    // lossless: same rows, same values (doc_id is the row identity)
+    val a = docs.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(b === a)
+  }
 }
