@@ -562,6 +562,16 @@ object SparkEntry {
     // migrate between splits as the corpus grows; scan-only
     "q92_train_split" -> ((s, dir) =>
       Curation.splitAssign(Tables.documents(s, dir))),
+
+    // what does near-dedup buy: cluster-size histogram + removable rows
+    // over the q52 component labels
+    "q93_dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavings(Dedup.nearDupClusters(
+        Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.5)))),
+
+    // pre-flight join-key skew diagnosis: hottest-key share + entropy
+    "q94_key_profile" -> ((s, dir) =>
+      Relational.profileKeys(Tables.orders(s, dir), "o_custkey")),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -787,6 +797,31 @@ object SparkEntry {
   /** Double-precision cosine SQL over two float-list expressions (widened
     * to double), mirroring [[Similarity.cosine]].
     */
+  /** The q52 connected-components oracle (recursive reachability +
+    * min-label), shared by q93's savings histogram.
+    */
+  private lazy val clusterLabelsSql: String =
+    docCtes.stripSuffix("\n").replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" + lshCtes +
+      s"""cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+         |nd AS (
+         |  SELECT id_a, id_b
+         |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+         |             JOIN shd b ON cands.id_b = b.doc_id
+         |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION ALL SELECT id_b, id_a FROM nd),
+         |walk(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+         |SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id""".stripMargin
+
   /** q86's band CTEs: the q11/lshCtes construction with `source` carried
     * through so the corpus/incoming split can happen after banding.
     */
@@ -1258,27 +1293,17 @@ object SparkEntry {
     // component fixpoint as a recursive CTE: reach = transitive closure,
     // cluster = min reachable id — the same unique fixpoint the engine's
     // min-label propagation converges to
-    "q52_dedup_clusters" ->
-      (docCtes.stripSuffix("\n").replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" + lshCtes +
-        s"""cands AS (
-           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-           |   AND a.doc_id < b.doc_id),
-           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
-           |nd AS (
-           |  SELECT id_a, id_b
-           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
-           |             JOIN shd b ON cands.id_b = b.doc_id
-           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
-           |edges AS (
-           |  SELECT id_a AS src, id_b AS dst FROM nd
-           |  UNION ALL SELECT id_b, id_a FROM nd),
-           |walk(id, reach) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
-           |SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id""".stripMargin),
+    "q52_dedup_clusters" -> clusterLabelsSql,
+
+    // the q52 cluster labels wrapped in the size histogram; the recursive
+    // CTE nests as a subquery
+    "q93_dedup_savings" ->
+      s"""SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |       CAST(sz * count(*) AS BIGINT) AS n_docs,
+         |       CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+         |FROM (SELECT cluster, count(*) AS sz
+         |      FROM ($clusterLabelsSql) GROUP BY 1)
+         |GROUP BY sz""".stripMargin,
 
     // one-pass enrichment (quality + language + fingerprint), survivor
     // window over fp64, then the language/quality filters — mirrors
@@ -2171,5 +2196,22 @@ object SparkEntry {
            |          AS b
            |      FROM p)""".stripMargin
     },
+
+    // H = ln n - sum(c ln c)/n from the count relation; top-k by
+    // (count desc, key) like the engine's TakeOrdered
+    "q94_key_profile" ->
+      """WITH c AS (SELECT o_custkey AS k, count(*) AS c
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct,
+        |             sum(c * ln(CAST(c AS DOUBLE))) AS clogc
+        |      FROM c),
+        |tk AS (SELECT max(c) AS top1, CAST(sum(c) AS BIGINT) AS topk
+        |       FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 10))
+        |SELECT t.n, t.n_distinct,
+        |       round(tk.top1 / CAST(t.n AS DOUBLE), 4) AS top1_frac,
+        |       round(tk.topk / CAST(t.n AS DOUBLE), 4) AS topk_frac,
+        |       round(ln(CAST(t.n AS DOUBLE)) - t.clogc / t.n, 4)
+        |         AS entropy_nats
+        |FROM t CROSS JOIN tk""".stripMargin,
   )
 }

@@ -560,6 +560,22 @@ object Dedup {
                 maxDupFrac: Double = 0.5): DataFrame =
     spanDedupStage(docs, spanTokens, stride, maxDupFrac).result
 
+  /** Dedup-savings report over connected-component labels ([[
+    * nearDupClusters]] output): cluster-size histogram with, per size,
+    * the document count and the rows removable by keeping one canonical
+    * doc per cluster — the "what does near-dedup buy us" number a
+    * curation run reports before committing to it. Two metadata-sized
+    * aggregates over the labels relation (#docs-in-clusters rows →
+    * #clusters rows → #distinct-sizes rows); nothing touches text.
+    */
+  def dedupSavings(labels: DataFrame): DataFrame =
+    labels.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+
   /** Incremental ingestion dedup: flag each INCOMING document that
     * duplicates the EXISTING corpus — exactly (content fingerprint) or
     * nearly (MinHash-LSH band collision verified by exact Jaccard) —

@@ -78,6 +78,34 @@ object Relational {
         round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95_price"),
         round(percentile(col("l_discount"), lit(0.5)), 4).as("p50_disc"))
 
+  /** Join-key distribution profile — the pre-flight skew diagnosis run
+    * before any large join: total rows, distinct keys, the share of the
+    * hottest key and of the top-k keys, and the Shannon entropy of the
+    * key distribution (H = ln n − Σc·ln c / n, computed from the count
+    * aggregate without materializing probabilities). top1_frac near 1
+    * says "salt this join" ([[Skew]]); entropy near ln(n_distinct) says
+    * the hash partitioner will balance.
+    *
+    * Shape: one count aggregate (map-side combining), a one-row moment
+    * aggregate over it, and a top-k via TakeOrdered heaps — all relations
+    * after the first aggregate are metadata-sized; the crossJoins are
+    * one-row-by-one-row.
+    */
+  def profileKeys(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("c") * log(col("c").cast("double"))).as("clogc"))
+    val top = counts.orderBy(col("c").desc, col("k").asc).limit(topK)
+      .agg(max(col("c")).as("top1"), sum(col("c")).as("topk"))
+    totals.crossJoin(broadcast(top))
+      .select(col("n"), col("n_distinct"),
+        round(col("top1") / col("n"), 4).as("top1_frac"),
+        round(col("topk") / col("n"), 4).as("topk_frac"),
+        round(log(col("n").cast("double")) - col("clogc") / col("n"), 4)
+          .as("entropy_nats"))
+  }
+
   /** EXACT quantiles with bounded memory — the distributed-exact path that
     * retires [[quantiles]]' buffer-the-group weakness without giving up
     * exactness (the [[approxQuantiles]] sketch stays the cheap default;

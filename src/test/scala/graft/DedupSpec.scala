@@ -197,6 +197,16 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("dedupSavings histograms cluster sizes with removable counts") {
+    // clusters: {1,2,3}, {10,11}, {20,21} -> one size-3, two size-2
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)).toDF("doc_id", "cluster")
+    val out = Dedup.dedupSavings(labels)
+      .select("cluster_size", "n_clusters", "n_docs", "n_removable")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((3L, 1L, 3L, 2L), (2L, 2L, 4L, 2L)))
+  }
+
   test("dedupAgainstCorpus flags exact and near corpus dups, keeps novel docs") {
     val base = (1 to 24).map(i => s"w$i").mkString(" ")
     val corpus = Seq(

@@ -133,6 +133,21 @@ class RelationalSpec extends SparkSpecBase {
     assert(out.nonEmpty && out.forall { case (a, b) => a === 1 && b === 1 })
   }
 
+  test("profileKeys: uniform keys read as balanced, a hot key reads as skewed") {
+    val uniform = (1 to 400).map(i => (i % 8, "x")).toDF("k", "v")
+    val u = Relational.profileKeys(uniform, "k")
+      .select("n", "n_distinct", "top1_frac", "entropy_nats")
+      .as[(Long, Long, Double, Double)].head()
+    assert(u === ((400L, 8L, 0.125, // each key 1/8 of rows
+      BigDecimal(math.log(8)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // 393 rows on one key, 7 singletons: the salt-this-join signature
+    val hot = ((1 to 393).map(_ => (0, "x")) ++ (1 to 7).map(i => (i, "x")))
+      .toDF("k", "v")
+    val h = Relational.profileKeys(hot, "k")
+      .select("top1_frac", "entropy_nats").as[(Double, Double)].head()
+    assert(h._1 === 0.9825 && h._2 < 0.2)
+  }
+
   test("two-pass exact quantiles equal percentile on adversarial groups") {
     // all-equal group, singleton group, heavy ties, negatives, and a
     // spread group wider than the bucket count
