@@ -37,4 +37,44 @@ object StreamingDedup {
     */
   def dedupExact(docsStream: DataFrame): DataFrame =
     fingerprinted(docsStream).dropDuplicates("fp")
+
+  /** Streaming twin of [[graft.operators.Dedup.dedupAgainstCorpus]]'s
+    * near-dup arm: each streamed document's LSH bands probe a STATIC
+    * corpus band index (stream-static join — stateless, no store), exact
+    * Jaccard verifies the candidates, and the only stateful operator is
+    * the watermark-bounded dedup of (doc_id, corp_id) matches (a pair can
+    * collide in several bands). Emits one row per (incoming doc, corpus
+    * near-dup) — the "today's crawl vs the living corpus" check as a
+    * continuous query. The corpus index and shingle relations are what
+    * production precomputes; at scale they arrive as parquet, not a
+    * recomputation.
+    */
+  def nearDupsAgainstCorpus(docsStream: DataFrame, corpus: DataFrame,
+                            threshold: Double = 0.5,
+                            watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    val corpBands = Dedup.lshBands(corpus)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("corp_id"))
+    val corpSh = corpus.select(col("doc_id").as("corp_id"),
+      array_distinct(Dedup.shingles(col("text"))).as("sh_corp"))
+    val inBands = docsStream
+      .select(col("ts"), col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("sh_in"),
+        posexplode(transform(
+          sequence(lit(0), lit(Dedup.LshBands - 1)),
+          b => md5(concat_ws("|", slice(
+            Dedup.minhashSignature(Dedup.shingles(col("text")), Dedup.MinhashK),
+            b * Dedup.LshRows + 1, lit(Dedup.LshRows)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+      .filter(size(col("sh_in")) > 0)
+    inBands
+      .join(corpBands, Seq("band_idx", "band_hash"))
+      .join(corpSh, "corp_id")
+      .select(col("ts"), col("doc_id"), col("corp_id"),
+        round(Dedup.jaccard(col("sh_in"), col("sh_corp")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "corp_id")
+  }
 }

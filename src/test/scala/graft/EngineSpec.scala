@@ -67,4 +67,37 @@ class EngineSpec extends SparkSpecBase {
       assert(ids === Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("streaming near-dups against a static corpus index match and dedup bands") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    val base = (1 to 24).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((100L, base),
+      (200L, "a completely different corpus document here")).toDF("doc_id", "text")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val name = s"inc_dedup_${System.nanoTime()}"
+    val q = StreamingDedup.nearDupsAgainstCorpus(df, corpus)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:01"), 1L, base),            // exact -> jaccard 1.0
+        (ts("2024-01-01 00:00:02"), 2L, s"$base extra"),  // near dup
+        (ts("2024-01-01 00:00:03"), 3L, "novel unrelated short doc"),
+        (ts("2024-01-01 00:00:04"), 4L, "so")             // shingle-less
+      )
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .select("doc_id", "corp_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      // one row per (incoming, corpus) pair despite multi-band collisions
+      assert(out.length === out.map(r => (r._1, r._2)).distinct.length)
+      val byDoc = out.groupBy(_._1)
+      assert(byDoc(1L).head._2 === 100L && byDoc(1L).head._3 === 1.0)
+      assert(byDoc(2L).head._2 === 100L && byDoc(2L).head._3 > 0.9)
+      assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    } finally q.stop()
+  }
 }
