@@ -572,6 +572,11 @@ object SparkEntry {
     // pre-flight join-key skew diagnosis: hottest-key share + entropy
     "q94_key_profile" -> ((s, dir) =>
       Relational.profileKeys(Tables.orders(s, dir), "o_custkey")),
+
+    // C4-style blocklist filter: whole-token hits via the one-pass
+    // stopword kernel, scan-fused, zero shuffle
+    "q95_blocklist_filter" -> ((s, dir) =>
+      TextAnalysis.blocklistFilter(Tables.documents(s, dir))),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -2213,5 +2218,15 @@ object SparkEntry {
         |       round(ln(CAST(t.n AS DOUBLE)) - t.clogc / t.n, 4)
         |         AS entropy_nats
         |FROM t CROSS JOIN tk""".stripMargin,
+
+    // whole-token membership via the shared stopword-count formulation
+    "q95_blocklist_filter" ->
+      (docCtes.stripSuffix("\n") + "\n" +
+        s"""SELECT doc_id,
+           |       ${stopCountSql("ltoks", TextAnalysis.DemoBlocklist)}
+           |         AS n_blocked,
+           |       CAST(${stopCountSql("ltoks", TextAnalysis.DemoBlocklist)}
+           |            <= 0 AS INT) AS keep
+           |FROM toks""".stripMargin),
   )
 }

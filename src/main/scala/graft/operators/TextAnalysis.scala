@@ -509,6 +509,28 @@ object TextAnalysis {
   /** [[lmScoreBigramStage]]'s result (handle discipline as [[lmScore]]). */
   def lmScoreBigram(docs: DataFrame): DataFrame = lmScoreBigramStage(docs).result
 
+  /** Demo blocklist for [[blocklistFilter]]'s gate — neutral terms chosen
+    * so the gate discriminates on the synthetic corpus ("dup" appears in
+    * a minority of documents); a production run swaps in its policy list
+    * (the C4 pipeline's "bad words" step, Raffel et al. 2020 §2.2).
+    */
+  val DemoBlocklist: Seq[String] = Seq("dup", "junktoken")
+
+  /** Blocklist document filter: count whole-token blocklist hits per
+    * document and keep documents with at most `maxHits`. Token-membership
+    * matching (not substring) so "class" never trips a hypothetical
+    * "ass" entry — the classic blocklist false-positive. Runs through the
+    * same single-pass [[graft.functions.StopwordScores]] kernel as
+    * language-ID: one token scan per document against the broadcast
+    * dictionary, scan-fused, zero shuffle.
+    */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String] = DemoBlocklist,
+                      maxHits: Int = 0): DataFrame = {
+    val hits = stopwordCount(tokens(lower(col("text"))), blocklist)
+    docs.select(col("doc_id"), hits.as("n_blocked"),
+      (hits <= maxHits).cast("int").as("keep"))
+  }
+
   /** Vocabulary coverage report: the `topV` corpus tokens by frequency
     * with each token's cumulative share of all token instances — the
     * "how big must the vocabulary be" curve every tokenizer design starts

@@ -334,6 +334,20 @@ class TextKernelsSpec extends SparkSpecBase {
     assert(bi(1L) < bi(2L))
   }
 
+  test("blocklistFilter matches whole tokens only, never substrings") {
+    val docs = Seq(
+      (1L, "clean duplicate text"),      // "dup" is a substring, not a token
+      (2L, "this has dup twice dup"),    // two whole-token hits
+      (3L, "Dup at the start")           // case-folded token hit
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistFilter(docs)
+      .select("doc_id", "n_blocked", "keep")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 0, 1)))
+    assert(out(2L) === ((2L, 2, 0)))
+    assert(out(3L) === ((3L, 1, 0)))
+  }
+
   test("vocabCoverage: monotone curve reaching exactly 1.0 when topV covers the vocab") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b c d")).toDF("doc_id", "text")
     val out = TextAnalysis.vocabCoverage(docs, topV = 10)
