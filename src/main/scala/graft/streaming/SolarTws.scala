@@ -74,7 +74,36 @@ class ModuleAggProcessor
     flush(key, open.get().toList, timerValues.getCurrentWatermarkInMs())
 }
 
+/** Threshold-crossing alert (emitted at most ONCE per key): the CEP
+  * shape a windowed aggregate can't express — "tell me the first time a
+  * token's cumulative count reaches N, and never again". State is one
+  * 16-byte (count, fired) record per key; a TTL would bound it for
+  * unbounded key universes (not set here: the alert contract is
+  * exactly-once-ever, and TTL would re-arm evicted keys).
+  */
+class ThresholdAlertProcessor(threshold: Long)
+    extends StatefulProcessor[String, String, SolarTws.Alert] {
+
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[SolarTws.AlertState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SolarTws.AlertState]("cnt",
+      Encoders.product[SolarTws.AlertState], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[String],
+                               timerValues: TimerValues): Iterator[SolarTws.Alert] = {
+    val prev = Option(st.get()).getOrElse(SolarTws.AlertState(0L, fired = false))
+    val cnt = prev.cnt + rows.size
+    val crossing = !prev.fired && cnt >= threshold
+    st.update(SolarTws.AlertState(cnt, prev.fired || crossing))
+    if (crossing) Iterator.single(SolarTws.Alert(key, cnt)) else Iterator.empty
+  }
+}
+
 object SolarTws {
+
+  case class AlertState(cnt: Long, fired: Boolean)
+  case class Alert(tok: String, cnt: Long)
 
   /** Streaming query fragment: normalized readings → suppressed-style
     * per-module window aggregates via the TWS processor. RocksDB state
@@ -88,5 +117,14 @@ object SolarTws {
       .groupByKey(r => ModuleKey(r.panel, r.module))
       .transformWithState(new ModuleAggProcessor,
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Token stream → first-crossing alerts (at most one per token, ever). */
+  def thresholdAlerts(spark: SparkSession, toks: Dataset[String],
+                      threshold: Long): Dataset[Alert] = {
+    import spark.implicits._
+    toks.groupByKey(identity)
+      .transformWithState(new ThresholdAlertProcessor(threshold),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -45,6 +45,24 @@ class SolarTwsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("threshold alerts fire exactly once per key, at the crossing count") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val name = s"alerts_${System.nanoTime()}"
+    val q = SolarTws.thresholdAlerts(spark, input.toDS(), threshold = 3L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData("a", "a", "b"); q.processAllAvailable()
+      assert(spark.table(name).count() === 0)       // nobody crossed yet
+      input.addData("a", "b", "b"); q.processAllAvailable()
+      // both cross in this batch; 'a' lands exactly on 3, 'b' on 3
+      input.addData("a", "a", "b"); q.processAllAvailable() // no re-fire
+      val alerts = spark.table(name)
+        .as[SolarTws.Alert].collect().map(a => a.tok -> a.cnt).toMap
+      assert(alerts === Map("a" -> 3L, "b" -> 3L))  // once each, at crossing
+    } finally q.stop()
+  }
+
   test("TWS and legacy flatMapGroupsWithState emit identical finalized windows") {
     val data = Seq(
       (ts("2024-01-01 00:00:05"), "p1", "m1", 10.0),
