@@ -69,6 +69,9 @@ object Relational {
 
   /** Exact continuous quantiles per group (median / p95, linear
     * interpolation — same definition as the oracle's quantile_cont).
+    * `percentile` buffers each group in memory, so this form is for
+    * moderate group sizes; [[approxQuantiles]] is the sketch default and
+    * [[exactQuantilesTwoPass]] the bounded-memory EXACT path at scale.
     */
   def quantiles(lineitem: DataFrame): DataFrame =
     lineitem

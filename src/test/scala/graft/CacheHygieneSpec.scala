@@ -2,9 +2,10 @@ package graft
 
 import graft.operators.{Dedup, Similarity, Solar, TextAnalysis}
 
-/** The two operators that persist shared intermediates (Solar.stages'
-  * module aggregate, Dedup's LSH band index) must release them through
-  * their explicit handles — a long-lived session otherwise accumulates
+/** Every operator that persists a shared intermediate (Solar's module
+  * aggregate, the LSH band index, the heavy-hitters/boilerplate/span/LM
+  * pair streams, the packing/budget projections) must release it through
+  * its explicit stage handle — a long-lived session otherwise accumulates
   * cached RDDs across queries (VERDICT r3 "persist leaks").
   */
 class CacheHygieneSpec extends SparkSpecBase {
