@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Curation, Dedup, Relational, TextAnalysis}
+
+/** Degenerate-input robustness: every operator must survive an EMPTY
+  * corpus and an all-empty-text corpus without throwing — at 100 TB a
+  * partition, source shard, or filtered slice being empty is routine, and
+  * an operator that NPEs or divides by zero on it kills the whole job.
+  */
+class DegenerateInputSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def empty: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def blank: DataFrame =
+    Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+
+  test("dedup and scoring operators return cleanly on an empty corpus") {
+    assert(Dedup.spanDedup(empty).count() === 0)
+    assert(TextAnalysis.lmScore(empty).count() === 0)
+    assert(TextAnalysis.lmScoreBigram(empty).count() === 0)
+    assert(TextAnalysis.vocabCoverage(empty).count() === 0)
+    assert(TextAnalysis.blocklistFilter(empty).count() === 0)
+    assert(Curation.splitAssign(empty).count() === 0)
+    assert(Dedup.dedupAgainstCorpus(empty, empty).count() === 0)
+    assert(Relational.exactQuantilesTwoPass(
+      empty.toDF("g", "v"), "g", "v", Seq(0.5)).count() === 0)
+    spark.catalog.clearCache()
+  }
+
+  test("all-empty-text documents flow through without errors or NaNs") {
+    // "" tokenizes to one empty token, shingles/bands are empty arrays:
+    // span dedup scores the single empty span, LM scores the empty token
+    val span = Dedup.spanDedup(blank)
+      .select("doc_id", "dup_frac").as[(Long, Double)].collect().toMap
+    assert(span === Map(1L -> 1.0, 2L -> 1.0)) // both share the empty span
+    val lm = TextAnalysis.lmScore(blank)
+      .select("doc_id", "ppl").as[(Long, Double)].collect()
+    assert(lm.forall(r => !r._2.isNaN && r._2 > 0))
+    // sub-2-token docs carry NULL bigram scores, not NaNs
+    val bg = TextAnalysis.lmScoreBigram(blank)
+      .select("n_bigrams").as[Long].collect()
+    assert(bg.toSeq === Seq(0L, 0L))
+    // near-dup machinery drops shingle-less docs instead of matching them
+    assert(Dedup.dedupAgainstCorpus(blank, blank)
+      .filter($"n_near" > 0).count() === 0)
+    spark.catalog.clearCache()
+  }
+
+  test("an incoming batch against an EMPTY corpus keeps everything") {
+    val incoming = Seq((1L, "some new document text here")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(empty, incoming)
+      .select("doc_id", "exact_dup", "n_near", "keep")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(out.toSeq === Seq((1L, 0, 0L, 1)))
+    spark.catalog.clearCache()
+  }
+}
