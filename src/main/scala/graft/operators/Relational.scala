@@ -94,19 +94,29 @@ object Relational {
     * after the first aggregate are metadata-sized; the crossJoins are
     * one-row-by-one-row.
     */
-  def profileKeys(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+  def profileKeys(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame =
+    profileKeysStage(df, keyCol, topK).result
+
+  /** [[profileKeys]] with its cache handle: the distinct-key count
+    * relation feeds both the moment aggregate and the top-k heap —
+    * persisted so the input scans ONCE.
+    */
+  def profileKeysStage(df: DataFrame, keyCol: String,
+                      topK: Int = 10): TextAnalysis.CachedStage = {
     val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.agg(sum(col("c")).as("n"),
       count(lit(1)).as("n_distinct"),
       sum(col("c") * log(col("c").cast("double"))).as("clogc"))
     val top = counts.orderBy(col("c").desc, col("k").asc).limit(topK)
       .agg(max(col("c")).as("top1"), sum(col("c")).as("topk"))
-    totals.crossJoin(broadcast(top))
+    val result = totals.crossJoin(broadcast(top))
       .select(col("n"), col("n_distinct"),
         round(col("top1") / col("n"), 4).as("top1_frac"),
         round(col("topk") / col("n"), 4).as("topk_frac"),
         round(log(col("n").cast("double")) - col("clogc") / col("n"), 4)
           .as("entropy_nats"))
+    TextAnalysis.CachedStage(counts, result)
   }
 
   /** EXACT quantiles with bounded memory — the distributed-exact path that

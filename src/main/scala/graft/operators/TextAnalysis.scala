@@ -414,6 +414,13 @@ object TextAnalysis {
     def unpersist(): Unit = { tf.unpersist(); () }
   }
 
+  /** Generic (persisted intermediate, result) handle for the one-cached-
+    * relation stages ([[vocabCoverageStage]], [[sourceDivergenceStage]]).
+    */
+  case class CachedStage(cached: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { cached.unpersist(); () }
+  }
+
   /** Perplexity scoring under a corpus-trained unigram LM — the
     * statistical-LM quality filter of the CCNet pipeline (Wenzek et al.,
     * LREC 2020 filter with KenLM; here the LM is a self-trained unigram
@@ -543,21 +550,31 @@ object TextAnalysis {
     * (bounded by construction — the q80 boundary-bucket argument), with
     * the corpus totals a one-row broadcast.
     */
-  def vocabCoverage(docs: DataFrame, topV: Int = 50): DataFrame = {
+  def vocabCoverage(docs: DataFrame, topV: Int = 50): DataFrame =
+    vocabCoverageStage(docs, topV).result
+
+  /** [[vocabCoverage]] with its cache handle: the vocab-sized count
+    * relation feeds BOTH the totals aggregate and the top-V selection —
+    * persisting it (it is vocabulary-sized, not corpus-sized) keeps the
+    * corpus explode to ONE pass instead of two.
+    */
+  def vocabCoverageStage(docs: DataFrame, topV: Int = 50): CachedStage = {
     val counts = docs.select(explode(tokens(lower(col("text")))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.agg(sum(col("cnt")).as("n_total"),
       count(lit(1)).as("vocab"))
     val ord = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("tok").asc)
     val cum = ord.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    counts.orderBy(col("cnt").desc, col("tok").asc).limit(topV)
+    val result = counts.orderBy(col("cnt").desc, col("tok").asc).limit(topV)
       // one-row corpus-totals relation — broadcast safe by construction
       .crossJoin(broadcast(totals))
       .select(row_number().over(ord).as("rank"), col("tok"), col("cnt"),
         round(sum(col("cnt")).over(cum) / col("n_total"), 4).as("cum_cov"),
         col("vocab"))
+    CachedStage(counts, result)
   }
 
   /** Per-source distribution shift: EXACT smoothed KL divergence of each
@@ -578,12 +595,21 @@ object TextAnalysis {
     * corpus-constant relation is one row — broadcast safe by
     * construction.
     */
-  def sourceDivergence(docs: DataFrame): DataFrame = {
+  def sourceDivergence(docs: DataFrame): DataFrame =
+    sourceDivergenceStage(docs).result
+
+  /** [[sourceDivergence]] with its cache handle: the (source, tok_fp)
+    * pair relation feeds the corpus re-fold, the constants aggregate, and
+    * the scoring join — unpersisted, the corpus would explode THREE
+    * times.
+    */
+  def sourceDivergenceStage(docs: DataFrame): CachedStage = {
     val pairs = docs.select(col("source"),
         explode(tokens(lower(col("text")))).as("tok"))
       .select(col("source"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tok_fp"))
       .groupBy(col("source"), col("tok_fp")).agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = pairs.groupBy(col("tok_fp")).agg(sum(col("k")).as("c"))
     val consts = corpus.agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
       sum(log((col("c") + lit(1)).cast("double"))).as("sum_ln_cp1"))
@@ -593,7 +619,7 @@ object TextAnalysis {
       .crossJoin(broadcast(consts))
     val nPlusV = (col("n") + col("v")).cast("double")
     val lnQ = log((col("c") + lit(1)) / nPlusV)
-    joined
+    val result = joined
       .groupBy(col("source"))
       .agg(sum(col("k")).as("n_tokens"), count(lit(1)).as("n_distinct"),
         first(col("v")).as("v"), first(col("n")).as("n"),
@@ -615,5 +641,6 @@ object TextAnalysis {
           (sumLnQ - col("sum_ln_q_present"))) / nsV
         round(a + absent, 4).as("kl")
       })
+    CachedStage(pairs, result)
   }
 }

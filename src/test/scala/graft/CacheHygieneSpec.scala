@@ -105,6 +105,22 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("vocabCoverageStage and sourceDivergenceStage release their caches") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vc = TextAnalysis.vocabCoverageStage(docs)
+    vc.result.count()
+    assert(cachedCount > 0)          // the vocab-sized count relation
+    vc.unpersist()
+    assert(cachedCount === 0)
+    val sd = TextAnalysis.sourceDivergenceStage(docs)
+    sd.result.count()
+    assert(cachedCount > 0)          // the (source, tok_fp) pair relation
+    sd.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("spanDedupStage shared span pairs are released by the handle") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size
