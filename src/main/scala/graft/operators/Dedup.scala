@@ -597,37 +597,67 @@ object Dedup {
     * text is scanned once for fingerprints and once for the band/shingle
     * index.
     */
-  def dedupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
-                         threshold: Double = 0.5,
-                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val corpFp = corpus
-      .select(TextAnalysis.fp64Expr(col("text")).as("fp64")).distinct()
+  /** Per-doc dedup index projection — ONE text scan yields everything
+    * [[dedupAgainstCorpus]] needs from a side: the 8-byte fingerprint and
+    * the distinct shingle set (minhash signatures and band hashes derive
+    * from the shingle SET — min over a multiset equals min over its set —
+    * so banding needs no second text pass).
+    */
+  private[graft] def dedupIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextAnalysis.fp64Expr(col("text")).as("fp64"),
+      array_distinct(shingles(col("text"))).as("sh"))
+
+  /** (doc_id, band_idx, band_hash) from a [[dedupIndex]] relation. */
+  private[graft] def bandsFromIndex(index: DataFrame): DataFrame =
+    index.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), MinhashK).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
+          md5(concat_ws("|", slice(col("sig"), b * LshRows + 1, lit(LshRows)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+
+  /** The incremental-dedup stage with its cache handles: both sides'
+    * [[dedupIndex]] projections persist, so each corpus scans its text
+    * ONCE (fingerprint + shingles + bands all derive from the cache).
+    */
+  case class IncrementalDedupStage(corpusIndex: DataFrame,
+                                   incomingIndex: DataFrame,
+                                   result: DataFrame) {
+    def unpersist(): Unit = { corpusIndex.unpersist(); incomingIndex.unpersist(); () }
+  }
+
+  def dedupAgainstCorpusStage(corpus: DataFrame, incoming: DataFrame,
+                              threshold: Double = 0.5,
+                              maxBucket: Int = DefaultMaxBucket): IncrementalDedupStage = {
+    val corp = dedupIndex(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inc = dedupIndex(incoming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpFp = corp.select(col("fp64")).distinct()
       .withColumn("in_corpus", lit(1))
-    val inFp = incoming.select(col("doc_id"),
-      TextAnalysis.fp64Expr(col("text")).as("fp64"))
     // the corpus band index carries the same hot-bucket cap as lshStage —
     // a boilerplate bucket would turn one incoming band row into
     // |bucket| candidates
-    val corpBands = lshBands(corpus)
+    val corpBands = bandsFromIndex(corp)
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("corp_id"))
-    val cands = lshBands(incoming)
+    val cands = bandsFromIndex(inc)
       .join(corpBands, Seq("band_idx", "band_hash"))
       .select(col("doc_id"), col("corp_id")).distinct()
-    val inSh = incoming.select(col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh_in"))
-    val corpSh = corpus.select(col("doc_id").as("corp_id"),
-      array_distinct(shingles(col("text"))).as("sh_corp"))
     val near = cands
-      .join(inSh, "doc_id").join(corpSh, "corp_id")
+      .join(inc.select(col("doc_id"), col("sh").as("sh_in")), "doc_id")
+      .join(corp.select(col("doc_id").as("corp_id"), col("sh").as("sh_corp")),
+        "corp_id")
       .select(col("doc_id"),
         round(jaccard(col("sh_in"), col("sh_corp")), 4).as("j"))
       .filter(col("j") >= threshold)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
-    inFp
+    val result = inc.select(col("doc_id"), col("fp64"))
       .join(corpFp, Seq("fp64"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -635,5 +665,14 @@ object Dedup {
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         (coalesce(col("in_corpus"), lit(0)) === 0 &&
           coalesce(col("n_near"), lit(0L)) === 0).cast("int").as("keep"))
+    IncrementalDedupStage(corp, inc, result)
   }
+
+  /** [[dedupAgainstCorpusStage]]'s result (handle discipline as the other
+    * staged operators — Bench/Verify clear the session cache per query).
+    */
+  def dedupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                         threshold: Double = 0.5,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame =
+    dedupAgainstCorpusStage(corpus, incoming, threshold, maxBucket).result
 }

@@ -53,10 +53,16 @@ object StreamingDedup {
                             threshold: Double = 0.5,
                             watermarkDelay: String = "10 minutes"): DataFrame = {
     import graft.operators.Dedup
-    val corpBands = Dedup.lshBands(corpus)
+    // the static side of a stream-static join re-evaluates EVERY
+    // micro-batch — persist the one-scan corpus index so each batch pays
+    // a cache read, not a corpus re-shingle (released via the session
+    // cache when the query stops; production reads precomputed parquet)
+    val corpIdx = Dedup.dedupIndex(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpBands = Dedup.bandsFromIndex(corpIdx)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("corp_id"))
-    val corpSh = corpus.select(col("doc_id").as("corp_id"),
-      array_distinct(Dedup.shingles(col("text"))).as("sh_corp"))
+    val corpSh = corpIdx.select(col("doc_id").as("corp_id"),
+      col("sh").as("sh_corp"))
     val inBands = docsStream
       .select(col("ts"), col("doc_id"),
         array_distinct(Dedup.shingles(col("text"))).as("sh_in"),

@@ -105,6 +105,19 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("dedupAgainstCorpusStage releases both side indexes via the handle") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stage = Dedup.dedupAgainstCorpusStage(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
+    stage.result.count()
+    assert(cachedCount > 0)          // corpus + incoming one-scan indexes
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("vocabCoverageStage and sourceDivergenceStage release their caches") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size
