@@ -142,11 +142,25 @@ object Relational {
     * argument as the one-row stats relations elsewhere.
     */
   def exactQuantilesTwoPass(df: DataFrame, groupCol: String, valCol: String,
-                            ps: Seq[Double], nBuckets: Int = 1000): DataFrame = {
+                            ps: Seq[Double], nBuckets: Int = 1000): DataFrame =
+    exactQuantilesTwoPassStage(df, groupCol, valCol, ps, nBuckets).result
+
+  /** [[exactQuantilesTwoPass]] with its cache handle. The #groups stats
+    * relation and the #groups×nBuckets histogram are each consumed by
+    * several branches (bucketing, target positions, the final join) —
+    * persisted, the input is scanned exactly three times (stats,
+    * histogram build, boundary ranking); unpersisted, every branch would
+    * re-scan to rebuild them. The cached relations are metadata-sized,
+    * never input-sized.
+    */
+  def exactQuantilesTwoPassStage(df: DataFrame, groupCol: String,
+                                 valCol: String, ps: Seq[Double],
+                                 nBuckets: Int = 1000): QuantileStage = {
     val g = col(groupCol)
     val stats = df.groupBy(g).agg(count(lit(1)).as("n"),
       min(col(valCol).cast("double")).as("mn"),
       max(col(valCol).cast("double")).as("mx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: equal-width bucket per row; degenerate all-equal groups
     // collapse to bucket 0
     val width = (col("mx") - col("mn")) / lit(nBuckets)
@@ -160,6 +174,7 @@ object Relational {
     val wcum = Window.partitionBy(g).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val hc = hist.withColumn("cum_before", coalesce(sum(col("c")).over(wcum), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // target positions: ⌊p(n−1)⌋ and ⌈p(n−1)⌉ per (group, p)
     val targets = stats
       .select(g, col("n"), explode(typedlit(ps)).as("p"))
@@ -178,22 +193,38 @@ object Relational {
     // pass 2: rank ONLY the target buckets; within-bucket order extends
     // the cross-bucket value order, and equal values are interchangeable
     val wrank = Window.partitionBy(g, col("bucket")).orderBy(col("v"))
+    // picked is ≤ 2·|ps|·#groups rows but derives from the boundary-bucket
+    // scan — persisted so the lo and hi branches don't each re-run it
     val picked = bucketed
       .join(broadcast(tbuckets), Seq(groupCol, "bucket"))
       .withColumn("rn", row_number().over(wrank))
       .join(broadcast(tb), Seq(groupCol, "bucket"))
       .filter(col("rn") - 1 === col("tpos") - col("cum_before"))
       .select(g, col("p"), col("side"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lo = picked.filter(col("side") === 0)
       .select(g, col("p"), col("v").as("vlo"))
     val hi = picked.filter(col("side") === 1)
       .select(g, col("p"), col("v").as("vhi"))
     val rank = col("p") * (col("n") - 1)
-    lo.join(hi, Seq(groupCol, "p"))
+    val result = lo.join(hi, Seq(groupCol, "p"))
       .join(broadcast(stats.select(g, col("n"))), Seq(groupCol))
       .select(g, col("p"),
         round(col("vlo") + (rank - floor(rank)) * (col("vhi") - col("vlo")), 4)
           .as("q"))
+    QuantileStage(stats, hc, picked, result)
+  }
+
+  /** [[exactQuantilesTwoPassStage]]'s cache handle: the metadata-sized
+    * stats/histogram/picked relations persist so the INPUT is scanned
+    * exactly three times (stats, histogram build, boundary ranking) — all
+    * pure aggregates, never a buffered group.
+    */
+  case class QuantileStage(stats: DataFrame, hist: DataFrame,
+                           picked: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = {
+      stats.unpersist(); hist.unpersist(); picked.unpersist(); ()
+    }
   }
 
   /** Approximate quantiles — the 100 TB path for [[quantiles]], whose exact

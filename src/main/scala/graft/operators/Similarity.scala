@@ -401,7 +401,22 @@ object Similarity {
   def srpBucketedNearDups(embeddings: DataFrame,
                           threshold: Double = 0.35,
                           bits: Int = SrpBits, bands: Int = SrpBands,
-                          maxBucket: Int = SrpMaxBucket): DataFrame = {
+                          maxBucket: Int = SrpMaxBucket): DataFrame =
+    srpStage(embeddings, threshold, bits, bands, maxBucket).result
+
+  /** The SRP candidate stage with its cache handle (the [[Dedup.lshStage]]
+    * pattern): both sides of the band self-join consume the keyed
+    * signature relation — persisted, the `bits` dot products and the
+    * bucket-cap window run once, not twice.
+    */
+  case class SrpStage(keyed: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { keyed.unpersist(); () }
+  }
+
+  def srpStage(embeddings: DataFrame,
+               threshold: Double = 0.35,
+               bits: Int = SrpBits, bands: Int = SrpBands,
+               maxBucket: Int = SrpMaxBucket): SrpStage = {
     require(bits % bands == 0, s"$bits bits not divisible into $bands bands")
     require(bits <= SrpMaxBits, s"$bits > $SrpMaxBits available planes")
     val bandBits = bits / bands
@@ -425,15 +440,17 @@ object Similarity {
           .partitionBy(col("band_idx"), col("band_val"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = keyed.select(col("band_idx"), col("band_val"),
       col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = keyed.select(col("band_idx"), col("band_val"),
       col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("band_idx", "band_val"))
+    val result = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_b") > col("id_a"))
       .select(col("id_a"), col("id_b"),
         round(vec_cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
+    SrpStage(keyed, result)
   }
 }

@@ -105,6 +105,24 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("srpStage and exactQuantilesTwoPassStage release their caches") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val srp = graft.operators.Similarity.srpStage(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    srp.result.count()
+    assert(cachedCount > 0)          // the keyed signature relation
+    srp.unpersist()
+    assert(cachedCount === 0)
+    val qs = graft.operators.Relational.exactQuantilesTwoPassStage(
+      graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      "l_returnflag", "l_extendedprice", Seq(0.5))
+    qs.result.count()
+    assert(cachedCount > 0)          // stats + histogram + picked
+    qs.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("dedupAgainstCorpusStage releases both side indexes via the handle") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size
