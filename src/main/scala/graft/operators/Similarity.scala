@@ -429,9 +429,14 @@ object Similarity {
       (0 until bandBits).map(i => bitCols(bd * bandBits + i) * lit(1 << i))
         .reduce(_ + _).as(s"band$bd")
     }
+    // SLIM band relation — (vec_id, band_idx, band_val) is ~20 bytes/row;
+    // the 256-byte vectors never enter the band exchange. Candidates
+    // dedup across bands BEFORE verification, then only candidate rows
+    // fetch their vectors back by vec_id (the minhashNearDups shape, and
+    // exactly the oracle's own CTE structure).
     val keyed = embeddings
-      .select(col("vec_id") +: col("embedding") +: bandCols: _*)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id") +: bandCols: _*)
+      .select(col("vec_id"),
         posexplode(array((0 until bands).map(bd => col(s"band$bd")): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
@@ -441,16 +446,18 @@ object Similarity {
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = keyed.select(col("band_idx"), col("band_val"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = keyed.select(col("band_idx"), col("band_val"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val result = a.join(b, Seq("band_idx", "band_val"))
+    val a = keyed.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
+    val b = keyed.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"))
+    val cands = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val result = cands
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(vec_cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
     SrpStage(keyed, result)
   }
 }
