@@ -133,18 +133,51 @@ object Dedup {
   /** MinHash LSH near-dup detection with exact-Jaccard verification of the
     * candidates (the classic two-phase LSH dedup): candidates from band
     * collisions, then keep pairs with true Jaccard >= threshold.
+    *
+    * One-scan shape: the distinct-shingle index persists and EVERYTHING
+    * derives from it — band hashes (minhash over the shingle SET equals
+    * minhash over the raw multiset), the capped band relation (also
+    * persisted: both sides of the candidate self-join consume it), and
+    * the two verification joins. The corpus text is scanned and shingled
+    * exactly once.
     */
-  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"))).as("dsh"))
-    val cands = lshCandidates(docs)
-    cands
-      .join(sh.select(col("doc_id").as("id_a"), col("dsh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("dsh").as("sh_b")), "id_b")
+  case class NearDupStage(index: DataFrame, capped: DataFrame,
+                          result: DataFrame) {
+    def unpersist(): Unit = { index.unpersist(); capped.unpersist(); () }
+  }
+
+  def minhashNearDupsStage(docs: DataFrame, threshold: Double,
+                           maxBucket: Int = DefaultMaxBucket): NearDupStage = {
+    val idx = docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = bandsFromIndex(idx)
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+    val b = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
+    val cands = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val result = cands
+      .join(idx.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(idx.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    NearDupStage(idx, capped, result)
   }
+
+  /** [[minhashNearDupsStage]]'s result (handle discipline as the other
+    * staged operators — Bench/Verify clear the session cache per query).
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
+    minhashNearDupsStage(docs, threshold).result
 
   /** Default hot-shingle document-frequency cap for
     * [[windowedJaccardPairs]], mirrored in the q13 oracle SQL.
