@@ -60,64 +60,8 @@ object Dedup {
   val LshBands = 4
   val LshRows = 3 // k = bands * rows
 
-  /** (doc_id, band_idx, band_hash) — one row per doc per band; docs sharing
-    * a band hash are near-dup candidates.
-    */
-  def lshBands(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        minhashSignature(col("sh"), MinhashK).as("sig"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
-          md5(concat_ws("|", slice(col("sig"), b * LshRows + 1, lit(LshRows)))))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
-
   /** Default LSH bucket-size cap, mirrored in the q11 oracle SQL. */
   val DefaultMaxBucket = 1000
-
-  /** The LSH candidate stage with its cache handle: `candidates` is the
-    * distinct pair set, `unpersist()` releases the persisted band index
-    * after the consuming action (the plan stays valid — it recomputes from
-    * the scan if re-run).
-    */
-  case class LshStage(capped: DataFrame, candidates: DataFrame) {
-    def unpersist(): Unit = { capped.unpersist(); () }
-  }
-
-  /** Candidate-pair stage (id_a < id_b sharing at least one LSH band, from
-    * buckets of at most `maxBucket` docs — see object doc), with an
-    * explicit cache handle.
-    */
-  def lshStage(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): LshStage = {
-    val bands = lshBands(docs)
-    // persisted: both sides of the self-join consume it, and recomputing
-    // would re-run the minhash signatures twice
-    val capped = bands
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
-    val b = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
-    LshStage(capped,
-      a.join(b, Seq("band_idx", "band_hash"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct())
-  }
-
-  /** Distinct candidate pairs sharing at least one LSH band. The internal
-    * band index stays cached for the session unless the caller releases it
-    * ([[lshStage]] exposes the handle) or clears the session cache between
-    * queries, as Bench/Verify do.
-    */
-  def lshCandidates(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
-    lshStage(docs, maxBucket).candidates
 
   /** Exact Jaccard for two ALREADY-DISTINCT shingle arrays.
     * `array_intersect` is a single hash-set pass (vs the O(n²)

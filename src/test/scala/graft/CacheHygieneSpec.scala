@@ -26,13 +26,14 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)        // nothing left after the explicit release
   }
 
-  test("Dedup LSH band cache is released by LshStage.unpersist") {
+  test("Dedup near-dup caches are released by NearDupStage.unpersist") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size
-    val stage = Dedup.lshStage(
-      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
-    stage.candidates.count()
-    assert(cachedCount > 0)
+    val stage = Dedup.minhashNearDupsStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+      threshold = 0.5)
+    stage.result.count()
+    assert(cachedCount > 0)          // shingle index + capped band relation
     stage.unpersist()
     assert(cachedCount === 0)
   }
