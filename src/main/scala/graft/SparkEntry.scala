@@ -577,6 +577,21 @@ object SparkEntry {
     // stopword kernel, scan-fused, zero shuffle
     "q95_blocklist_filter" -> ((s, dir) =>
       TextAnalysis.blocklistFilter(Tables.documents(s, dir))),
+
+    // cross-modal integration: per (embedding k-means cell, language)
+    // document quality — the "which clusters hold good data" report; the
+    // doc side is scan-fused projections, the join is 8-byte ids
+    "q96_cluster_quality" -> ((s, dir) => {
+      val cells = Similarity.kmeansCells(Tables.embeddings(s, dir),
+        KmeansK, KmeansIters)
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.predLang(col("text")).as("pred_lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      cells.join(docs, cells("vec_id") === docs("doc_id"))
+        .groupBy(col("cell"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+    }),
   )
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
@@ -2228,5 +2243,33 @@ object SparkEntry {
            |       CAST(${stopCountSql("ltoks", TextAnalysis.DemoBlocklist)}
            |            <= 0 AS INT) AS keep
            |FROM toks""".stripMargin),
+
+    // kmeans cells replayed as in q32/q33; quality + pred_lang replayed
+    // as in q53/q54 (CTE renamed to avoid colliding with kmeansCtes)
+    "q96_cluster_quality" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""toksq AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+           |         string_split(lower(text), ' ') AS ltoks
+           |  FROM documents),
+           |enr0 AS (
+           |  SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
+           |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |           AS n_punct,
+           |         ${stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)} AS n_stop,
+           |         ${langScoreSqls.mkString(",\n         ")}
+           |  FROM toksq),
+           |enr AS (
+           |  SELECT doc_id,
+           |         round(0.4 * least(n_words / 100.0, 1.0)
+           |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
+           |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4)
+           |           AS quality,
+           |         $predLangCaseSql AS pred_lang
+           |  FROM enr0)
+           |SELECT cells.cell, enr.pred_lang, count(*) AS n_docs,
+           |       round(avg(enr.quality), 4) AS avg_quality
+           |FROM cells JOIN enr ON enr.doc_id = cells.vec_id
+           |GROUP BY 1, 2""".stripMargin),
   )
 }

@@ -150,6 +150,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ranks.forall { case (mx, cnt) => mx.toLong === cnt && cnt <= 3 })
   }
 
+  test("cluster-quality report partitions every embedded document once") {
+    val out = SparkEntry.queries("q96_cluster_quality")(
+      spark, "/root/testdata/sf0.001")
+    val total = out.agg(sum($"n_docs")).as[Long].head()
+    val nDocs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001").count()
+    assert(total === nDocs)    // every doc in exactly one (cell, lang)
+    val q = out.select("avg_quality").as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    spark.catalog.clearCache()
+  }
+
   test("SRP-LSH: parallel vectors always collide, antipodal vectors never") {
     // v2 = 2*v1 -> identical signature (signs are scale-invariant), must
     // survive as a pair with cos 1.0; v3 = -v1 flips EVERY bit, so no band
