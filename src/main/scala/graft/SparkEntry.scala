@@ -578,6 +578,13 @@ object SparkEntry {
     "q95_blocklist_filter" -> ((s, dir) =>
       TextAnalysis.blocklistFilter(Tables.documents(s, dir))),
 
+    // mapInPandas-shaped batch feature extraction over binary payloads:
+    // mapPartitions in bounded batches, stub decode, oracle-gated so the
+    // escape-hatch plumbing provably drops/duplicates/reorders nothing
+    "q97_feature_extract_batch" -> ((s, dir) =>
+      Multimodal.featureExtractBatches(
+        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
+
     // cross-modal integration: per (embedding k-means cell, language)
     // document quality — the "which clusters hold good data" report; the
     // doc side is scan-fused projections, the join is 8-byte ids
@@ -2243,6 +2250,19 @@ object SparkEntry {
            |       CAST(${stopCountSql("ltoks", TextAnalysis.DemoBlocklist)}
            |            <= 0 AS INT) AS keep
            |FROM toks""".stripMargin),
+
+    // the stub decode is md5-based by design, so the declarative replay
+    // checks the mapPartitions batch stage value-for-value
+    "q97_feature_extract_batch" -> {
+      val fCols = (0 until operators.Multimodal.FeatureDim).map { i =>
+        s"round(('0x' || substr(md5(text), ${4 * i + 1}, 4))::INT / 65535.0, 6) AS f$i"
+      }
+      s"""SELECT doc_id AS media_id,
+         |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+         |         AS kind,
+         |       ${fCols.mkString(",\n       ")}
+         |FROM documents""".stripMargin
+    },
 
     // kmeans cells replayed as in q32/q33; quality + pred_lang replayed
     // as in q53/q54 (CTE renamed to avoid colliding with kmeansCtes)

@@ -93,4 +93,53 @@ object Multimodal {
         col("m.height").as("height"),
         col("m.sample_rate").as("sample_rate"),
         col("m.bit_depth").as("bit_depth"))
+
+  val FeatureDim = 8
+
+  /** Batched feature extraction over binary payloads — the
+    * `mapInPandas`-shaped escape-hatch stage (Scala analog:
+    * `mapPartitions` over grouped row batches) a production pipeline uses
+    * for model-based embedding of images/audio. The plumbing is REAL and
+    * gated: per-partition iteration in bounded `batchSize` groups (one
+    * batch in memory at a time — the exact memory contract of an arrow
+    * batch UDF), typed input/output rows, features as scalar columns.
+    * The decode-to-pixels step is the documented STUB: a real deployment
+    * replaces `stubDecodeFeature` with the codec + model call; the
+    * deterministic stand-in hashes the payload so the whole stage stays
+    * oracle-replayable — which is what proves the batch plumbing neither
+    * drops, duplicates, nor reorders values.
+    */
+  def featureExtractBatches(media: DataFrame,
+                            batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds = media
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+    val feats = ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // production: decode `batch` payloads + run the model ONCE per
+        // batch; here the per-item stub keeps values deterministic
+        batch.iterator.map { case (id, kind, payload) =>
+          (id, kind, stubDecodeFeature(payload))
+        }
+      }
+    }.toDF("media_id", "kind", "feat")
+    feats.select(
+      Seq(col("media_id"), col("kind")) ++
+        (0 until FeatureDim).map(i => col("feat")(i).as(s"f$i")): _*)
+  }
+
+  /** STUB decode (the production plug-in point): 16 md5 bytes of the
+    * payload as [[FeatureDim]] doubles in [0, 1], rounded for
+    * cross-engine comparison.
+    */
+  private def stubDecodeFeature(payload: Array[Byte]): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    Array.tabulate(FeatureDim) { i =>
+      val v = ((md(2 * i) & 0xff) << 8 | (md(2 * i + 1) & 0xff)).toDouble / 65535.0
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+  }
 }

@@ -90,4 +90,23 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().head.getString(0)
     assert(f === "jpeg")
   }
+
+  test("batched feature extraction is invariant to batch size and bounded") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"payload number $i"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    def run(bs: Int) = Multimodal.featureExtractBatches(media, batchSize = bs)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    // a batch boundary mid-partition must not drop, duplicate, or
+    // reorder values — the batch size is purely a memory knob
+    val small = run(3)
+    assert(small === run(1000))
+    assert(small.size === 10)
+    val feats = Multimodal.featureExtractBatches(media)
+      .select((0 until Multimodal.FeatureDim)
+        .map(i => org.apache.spark.sql.functions.col(s"f$i")): _*)
+      .collect().flatMap(_.toSeq.map(_.asInstanceOf[Double]))
+    assert(feats.forall(v => v >= 0.0 && v <= 1.0))
+  }
 }
