@@ -119,9 +119,12 @@ object Multimodal {
     val feats = ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // production: decode `batch` payloads + run the model ONCE per
-        // batch; here the per-item stub keeps values deterministic
+        // batch; here the per-item stub keeps values deterministic.
+        // NULL payloads yield NULL features (matching md5(NULL) in the
+        // oracle), never a task-killing NPE
         batch.iterator.map { case (id, kind, payload) =>
-          (id, kind, stubDecodeFeature(payload))
+          (id, kind,
+            if (payload == null) null else stubDecodeFeature(payload))
         }
       }
     }.toDF("media_id", "kind", "feat")

@@ -140,6 +140,11 @@ object Relational {
     * 2·|ps|·#groups rows, target-bucket list) are bounded by group count,
     * not corpus size — the broadcasts are safe by construction, same
     * argument as the one-row stats relations elsewhere.
+    *
+    * Assumes non-NULL values: n = count(*) counts every row while NULLs
+    * are unbucketable/unrankable, so a column with NULLs must be filtered
+    * first (SQL `quantile_cont` silently skips NULLs — the two would
+    * diverge otherwise).
     */
   def exactQuantilesTwoPass(df: DataFrame, groupCol: String, valCol: String,
                             ps: Seq[Double], nBuckets: Int = 1000): DataFrame =

@@ -58,7 +58,9 @@ object TextAnalysis {
     * fixed-priority tie-break as [[langId]]'s CASE chain, but ONE kernel
     * evaluation per row ([[graft.functions.LangPredict]]): interpreted
     * expressions get no common-subexpression elimination, so the CASE form
-    * re-ran the scoring once per branch reference.
+    * re-ran the scoring once per branch reference. NULL text yields NULL
+    * (null-safe kernel) where the oracle's CASE yields 'und' — gated
+    * tables carry non-NULL text; NULL-tolerant callers should coalesce.
     */
   def predLang(text: Column): Column =
     graft.functions.TextFunctions.lang_predict(tokens(lower(text)),

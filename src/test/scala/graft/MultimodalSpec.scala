@@ -108,5 +108,14 @@ class MultimodalSpec extends SparkSpecBase {
         .map(i => org.apache.spark.sql.functions.col(s"f$i")): _*)
       .collect().flatMap(_.toSeq.map(_.asInstanceOf[Double]))
     assert(feats.forall(v => v >= 0.0 && v <= 1.0))
+    // a NULL payload yields NULL features (matching md5(NULL) in SQL),
+    // never a task-killing NPE
+    val withNull = Seq((1L, "x"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val nf = Multimodal.featureExtractBatches(
+        Multimodal.mediaFromDocuments(withNull))
+      .select("media_id", "f0").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nf === Map(1L -> false, 2L -> true))
   }
 }
