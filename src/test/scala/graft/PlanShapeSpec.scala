@@ -24,7 +24,9 @@ class PlanShapeSpec extends SparkSpecBase {
     "q74_contamination",
     "q80_token_budget_select", "q81_epoch_shuffle", "q82_boilerplate_removal",
     "q83_span_dedup", "q85_srp_lsh", "q86_incremental_dedup",
-    "q87_exact_quantile_twopass")
+    "q87_exact_quantile_twopass", "q91_ohlc_downsample", "q92_train_split",
+    "q93_dedup_savings", "q95_blocklist_filter", "q96_cluster_quality",
+    "q97_feature_extract_batch")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {
