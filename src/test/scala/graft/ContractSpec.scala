@@ -1,0 +1,29 @@
+package graft
+
+/** Driver-contract invariants: every gated query has an oracle and vice
+  * versa (a query without an oracle is silently UNGATED — the correctness
+  * run would skip it without failing), and names follow the qNN_ scheme
+  * the driver's reports key on.
+  */
+class ContractSpec extends SparkSpecBase {
+
+  test("queries and oracleSql cover exactly the same names") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o) === Set.empty, s"queries without an oracle: ${q -- o}")
+    assert((o -- q) === Set.empty, s"oracles without a query: ${o -- q}")
+  }
+
+  test("query names follow the qNN_ scheme and are densely useful") {
+    val pat = "^q\\d{2}_[a-z0-9_]+$".r
+    val bad = SparkEntry.queries.keySet.filterNot(n => pat.matches(n))
+    assert(bad === Set.empty, s"malformed query names: $bad")
+  }
+
+  test("the flagship entry returns rows on the smallest SF") {
+    // the driver's t1 smoke — pinned here so a refactor can't break it
+    // between rounds
+    assert(SparkEntry.entry(spark).count() > 0)
+    spark.catalog.clearCache()
+  }
+}
