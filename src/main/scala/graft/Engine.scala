@@ -30,7 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
     def info(name: String, usage: String) =
-      new ExpressionInfo("graft.functions", null, name, usage, "")
+      new ExpressionInfo("graft.functions", null, name, usage,
+        "", "", "", "misc_funcs", "", "", "built-in")
 
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double dot product of two numeric arrays"),

@@ -124,7 +124,7 @@ object Similarity {
           .as("dist"), lit(j).as("cell"))
       }
       df.select(col("vec_id"), col("emb"),
-        array_min(array(scored: _*)).getField("cell").as("cell"))
+        array_min(array(scored.toIndexedSeq: _*)).getField("cell").as("cell"))
     }
 
     for (_ <- 1 to iters) {
@@ -171,7 +171,7 @@ object Similarity {
         .as("dist"), lit(j).as("cell"))
     }
     v.select(col("vec_id"),
-        explode(slice(array_sort(array(scored: _*)), 1, nProbe)).as("probe"))
+        explode(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nProbe)).as("probe"))
       .select(col("vec_id"), col("probe.cell").as("cell"))
   }
 
