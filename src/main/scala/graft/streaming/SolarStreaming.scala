@@ -112,6 +112,27 @@ object SolarStreaming {
         col("panel"), col("module"),
         col("m_cnt"), col("m_sum_power"), col("m_avg_power"))
 
+  /** Streaming twin of [[graft.operators.Windows.ohlcDownsample]]: the
+    * candle compaction as a continuous query — same min_by/max_by
+    * aggregate state, watermark + append emits each candle once its
+    * bucket is finalized.
+    */
+  def ohlcStream(events: DataFrame, bucket: String = "1 hour",
+                 watermarkDelay: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), window(col("ts"), bucket).as("w"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        round(avg(col("value")), 4).as("mean_value"))
+      .select(col("user_id"), col("w.start").cast("long").as("w_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("mean_value"))
+
   /** Streaming twin of [[graft.operators.Windows.sessionAgg]]: per-user
     * session windows (gap-merged in the aggregation state store), append
     * mode — a session emits exactly once, after the watermark passes

@@ -25,6 +25,37 @@ class StreamingSpec extends SparkSpecBase {
     (input, input.toDF().toDF("ts", "panel", "module", "power"))
   }
 
+  test("streaming OHLC candles finalize once and match the batch candles") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val name = s"ohlc_${System.nanoTime()}"
+    val q = graft.streaming.SolarStreaming
+      .ohlcStream(df, bucket = "1 hour", watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, ts("2024-01-01 00:10:00"), 1L, "t", 5.0, ""),
+        (2L, ts("2024-01-01 00:50:00"), 1L, "t", 9.0, ""),
+        (3L, ts("2024-01-01 02:00:00"), 1L, "t", 1.0, "")) // closes hour 0
+      input.addData(rows(0), rows(1)); q.processAllAvailable()
+      assert(spark.table(name).count() === 0)  // bucket still open
+      input.addData(rows(2)); q.processAllAvailable()
+      val emitted = spark.table(name)
+        .select("user_id", "w_start", "open", "high", "low", "close", "n_events")
+        .as[(Long, Long, Double, Double, Double, Double, Long)].collect().toSet
+      val batch = graft.operators.Windows
+        .ohlcDownsample(rows.toDF(
+          "event_id", "ts", "user_id", "event_type", "value", "props"))
+        .select("user_id", "w_start", "open", "high", "low", "close", "n_events")
+        .as[(Long, Long, Double, Double, Double, Double, Long)].collect().toSet
+        .filter(_._2 < ts("2024-01-01 01:00:00").getTime / 1000 + 1)
+      assert(emitted === batch)
+      assert(emitted.map(r => (r._3, r._6)) === Set((5.0, 9.0))) // open/close
+    } finally q.stop()
+  }
+
   test("streaming session windows merge across micro-batches and match batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
