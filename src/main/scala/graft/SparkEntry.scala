@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AsOf, Curation, Dedup, Multimodal, RangeJoin, Relational, Similarity, Skew, Solar, TextAnalysis, Windows}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, Multimodal, RangeJoin, Relational, Similarity, Skew, Solar, TextAnalysis, Windows}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7.
@@ -584,6 +584,13 @@ object SparkEntry {
     "q97_feature_extract_batch" -> ((s, dir) =>
       Multimodal.featureExtractBatches(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
+
+    // BPE tokenizer training: 8 merge rounds over the vocab relation —
+    // iterative (round r's argmax feeds round r+1), so no SQL oracle;
+    // the driver records the rows-only check and BpeSpec pins the exact
+    // merges on a known corpus (the documented ContractSpec exemption)
+    "q98_bpe_train" -> ((s, dir) =>
+      Bpe.trainMerges(Tables.documents(s, dir), nMerges = 8)),
 
     // cross-modal integration: per (embedding k-means cell, language)
     // document quality — the "which clusters hold good data" report; the

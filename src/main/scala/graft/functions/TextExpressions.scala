@@ -414,9 +414,51 @@ case class PunctCount(child: Expression)
     copy(child = newChild)
 }
 
+/** One greedy left-to-right BPE merge pass over a symbol array: every
+  * NON-OVERLAPPING adjacent occurrence of (a, b) becomes the single symbol
+  * a+b, scanning left to right (after merging at i, the scan resumes at
+  * i+2 — the classic BPE application order, so "aaa" with merge (a,a)
+  * yields [aa, a], not [a, aa]). Single pass, no allocation beyond the
+  * output array.
+  */
+case class BpeApply(child: Expression, a: String, b: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private lazy val ua = UTF8String.fromString(a)
+  private lazy val ub = UTF8String.fromString(b)
+  private lazy val merged = UTF8String.fromString(a + b)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val in = input.asInstanceOf[ArrayData]
+    val n = in.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      val cur = in.getUTF8String(i)
+      if (i + 1 < n && cur == ua && in.getUTF8String(i + 1) == ub) {
+        out(o) = merged; i += 2
+      } else {
+        out(o) = cur; i += 1
+      }
+      o += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(
+      out.asInstanceOf[Array[AnyRef]], o))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  def bpe_apply(symbols: Column, a: String, b: String): Column =
+    Bridge.column(BpeApply(Bridge.expression(symbols), a, b))
 
   def word_chunks(text: Column, n: Int): Column =
     Bridge.column(WordChunks(Bridge.expression(text), n, n))

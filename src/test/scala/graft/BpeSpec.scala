@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE tokenizer training: exact merges on a hand-computed corpus, greedy
+  * non-overlapping application order, and determinism (q98 has no SQL
+  * oracle — this spec is its exactness gate).
+  */
+class BpeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bpe_apply merges greedily left-to-right without overlap") {
+    val out = Seq("x").toDF("d")
+      .select(graft.functions.TextFunctions.bpe_apply(
+        typedlit(Seq("a", "a", "a", "b", "a")), "a", "a").as("s"))
+      .as[Seq[String]].head()
+    assert(out === Seq("aa", "a", "b", "a")) // "aaa" -> [aa, a], not [a, aa]
+  }
+
+  test("train learns the hand-computed merge sequence with exact counts") {
+    // corpus: "aaab" x3, "ab" x2 (chars a,a,a,b / a,b)
+    //  round 1: pairs (a,a)=2*3=6 > (a,b)=3+2=5        -> merge (a,a)
+    //  round 2: [aa,a,b]x3 + [a,b]x2: (a,b)=5 > (aa,a)=3 -> merge (a,b)
+    //  round 3: [aa,ab]x3 + [ab]x2: (aa,ab)=3            -> merge (aa,ab)
+    //  round 4: no pairs left -> training stops early
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, nMerges = 10)
+    val merges = model.merges
+      .select("rank", "left", "right", "merged", "pair_count")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(merges === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+    // final segmentation: both words collapse to single learned tokens
+    val seg = model.vocab.select("word", "segmentation")
+      .as[(String, Seq[String])].collect().toMap
+    assert(seg("aaab") === Seq("aaab"))
+    assert(seg("ab") === Seq("ab"))
+    model.unpersist()
+    // deterministic: retraining reproduces the identical table
+    val again = Bpe.train(docs, nMerges = 10)
+    assert(again.merges.collect().toSeq === model.merges.collect().toSeq)
+    again.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("training on real documents yields the requested merge count") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMerges(docs, nMerges = 5)
+    assert(merges.count() === 5)
+    // counts are non-increasing is NOT guaranteed by BPE (merges create
+    // new pairs), but every count is positive and ranks are dense
+    val rows = merges.select("rank", "pair_count").as[(Int, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq === (1 to 5))
+    assert(rows.forall(_._2 > 0))
+    spark.catalog.clearCache()
+  }
+}

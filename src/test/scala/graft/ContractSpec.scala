@@ -7,11 +7,19 @@ package graft
   */
 class ContractSpec extends SparkSpecBase {
 
+  /** Iterative fixpoints the oracle SQL can't express — each carries a
+    * spec that pins exact outputs on a known fixture instead; the driver
+    * records its weaker rows-only check for these.
+    */
+  private val OracleExempt = Set("q98_bpe_train")
+
   test("queries and oracleSql cover exactly the same names") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o) === Set.empty, s"queries without an oracle: ${q -- o}")
+    assert((q -- o -- OracleExempt) === Set.empty,
+      s"queries without an oracle: ${q -- o -- OracleExempt}")
     assert((o -- q) === Set.empty, s"oracles without a query: ${o -- q}")
+    assert(OracleExempt.subsetOf(q), "exempt names must still be gated queries")
   }
 
   test("query names follow the qNN_ scheme and are densely useful") {
