@@ -144,6 +144,13 @@ object ProbeRound6 {
         .filter(col("q") >= 0).count()
     }
 
+    // BPE training at 1M docs: the corpus explode collapses to the
+    // ~1000-word vocab relation, so 8 merge rounds cost vocab-sized
+    // aggregates regardless of corpus size
+    time("bpe_train_1m") {
+      graft.operators.Bpe.trainMerges(docs, nMerges = 8).count()
+    }
+
     // SRP-LSH at probe scale runs the WIDE signature (64 bits / 4 bands:
     // 65,536 buckets per band) — the 16/2 gate default is a small-SF
     // parameter, and this asserts the width knob actually bounds the
