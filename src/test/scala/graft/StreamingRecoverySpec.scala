@@ -69,4 +69,49 @@ class StreamingRecoverySpec extends SparkSpecBase {
       s"w0 re-emitted after restart: $afterRun2")
     assert(afterRun2.count(r => r._3 == "m2") === 1) // closed exactly once
   }
+
+  test("transformWithState recovers its ListState and timers across a restart") {
+    val srcDir = Files.createTempDirectory("graft_tws_src").toString
+    val ckptDir = Files.createTempDirectory("graft_tws_ckpt").toString
+    val emitted = mutable.Buffer[(Long, String, String, Double)]()
+
+    def writeBatch(rows: Seq[(Timestamp, String, String, Double)]): Unit =
+      rows.toDF("ts", "panel", "module", "power")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runUntilIdle(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+        .as[graft.streaming.SolarStateful.Reading]
+      val q = graft.streaming.SolarTws.moduleAggTws(spark, stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted ++= b.select("w_start", "panel", "module", "m_sum_power")
+            .collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // run 1: m1's window stays OPEN (nothing moves the watermark past it)
+    // — its buffer and timer live only in the RocksDB state store
+    writeBatch(Seq(
+      (ts("2024-01-01 00:00:05"), "p1", "m1", 10.0),
+      (ts("2024-01-01 00:00:07"), "p1", "m1", 5.0)))
+    runUntilIdle()
+    assert(emitted.isEmpty)   // window open at shutdown
+
+    // run 2 (fresh query, same checkpoint): the restored state must fold
+    // with PRE-restart rows and flush once the watermark passes — if the
+    // ListState or timer were lost, m1 would emit nothing or lose 15.0
+    writeBatch(Seq(
+      (ts("2024-01-01 00:02:00"), "p2", "m2", 1.0))) // moves the watermark
+    runUntilIdle()
+    val out = emitted.toList
+    assert(out.count(_._3 == "m1") === 1, s"m1 windows: $out")
+    assert(out.exists(_ === ((1704067200L, "p1", "m1", 15.0))),
+      s"restored buffer lost data: $out")
+  }
 }
