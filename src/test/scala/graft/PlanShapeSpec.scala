@@ -50,9 +50,16 @@ class PlanShapeSpec extends SparkSpecBase {
     (exchanges, scans)
   }
 
-  test("q53 curation is one corpus scan + one shuffle") {
+  test("q53 curation is one corpus scan + one shuffle, window-free") {
+    val q = SparkEntry.queries("q53_curation_pipeline")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // VERDICT r6 #1: survivor selection must be a map-side-combining
+    // aggregate, never a window — an unordered fp64 window funnels a viral
+    // duplicate's whole group through one WindowExec task
+    assert(!plan.contains("Window"),
+      "curation survivor selection must not use WindowExec")
     val (exchanges, scans) = shape("q53_curation_pipeline")
-    assert(exchanges === 1, "curation must shuffle exactly once (fp64 window)")
+    assert(exchanges === 1, "curation must shuffle exactly once (fp64 agg)")
     assert(scans === 1, "curation must scan the corpus exactly once")
     spark.catalog.clearCache()
   }
