@@ -211,7 +211,7 @@ object Dedup {
     * Each round applies two neighborhood-min contractions:
     *  - large-star: every node u links its LARGER neighbors to
     *    m = min(Γ(u) ∪ {u}) — computed over the symmetrized edge list,
-    *    one shuffle on the center id (a window min);
+    *    a map-side-combining min aggregate joined back on the center id;
     *  - small-star: every node u links its smaller neighbors AND itself
     *    to m = min of those smaller neighbors — one more shuffle.
     * Both operations preserve connectivity, only ever lower a node's
