@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.bpe_apply
@@ -13,14 +13,26 @@ import graft.functions.TextFunctions.bpe_apply
   * Scale shape: the corpus is scanned ONCE — training runs entirely on
   * the persisted (word, count, symbols) vocabulary relation, which is
   * vocab-sized, not corpus-sized (the classic BPE trick: pair counts
-  * weight by word frequency instead of touching word instances). Each
-  * merge round is ONE map-side-combining aggregate over that relation
-  * plus a driver-side argmax of a single row — the same bounded-driver
-  * division of labor as [[Similarity.kmeansFit]]. Pair counting follows
-  * the standard convention (all adjacent pairs, overlapping included);
-  * merge APPLICATION is greedy left-to-right non-overlapping
-  * ([[graft.functions.BpeApply]]). Ties break lexicographically on the
-  * pair, so training is deterministic.
+  * weight by word frequency instead of touching word instances). Pair
+  * counting follows the standard convention (all adjacent pairs,
+  * overlapping included); merge APPLICATION is greedy left-to-right
+  * non-overlapping ([[graft.functions.BpeApply]]). Ties break
+  * lexicographically on the pair, so training is deterministic.
+  *
+  * Realistic merge counts (VERDICT r6 #2 — a production vocab is
+  * 30k-100k merges, not 8):
+  *  - BATCHED rounds: each aggregate collects the top `batchK+1` pairs
+  *    and applies the longest rank-prefix that is pairwise symbol-
+  *    disjoint with counts STRICTLY above the first pair it cannot take
+  *    (see [[acceptBatch]] for why that exactly preserves the
+  *    sequential greedy order, ties included) — cutting driver
+  *    round-trips by roughly the batch size;
+  *  - LINEAGE CHECKPOINTS: each batch stacks `bpe_apply` projections on
+  *    the vocab relation, so every ~[[CheckpointEvery]] applied merges
+  *    the relation is eagerly `localCheckpoint`ed (flat plans at any
+  *    merge count — the q52 [[Dedup.starClusters]] discipline) and the
+  *    predecessor checkpoint's blocks are released through the raw-RDD
+  *    handle. On a real cluster swap in reliable `checkpoint`.
   *
   * Not SQL-expressible (the argmax of round r feeds the projection of
   * round r+1 — an iterative fixpoint like q52's clustering), so the gate
@@ -29,15 +41,88 @@ import graft.functions.TextFunctions.bpe_apply
   */
 object Bpe {
 
-  /** The learned merge table and the vocabulary in its final
-    * segmentation, plus the cache handle for the shared vocab relation.
+  /** Checkpoint cadence in applied merges: frequent enough that plan
+    * depth stays bounded (≤ ~25 stacked `bpe_apply` columns), rare
+    * enough that materializing the vocab-sized relation stays a rounding
+    * error next to the pair aggregates.
     */
-  case class BpeModel(merges: DataFrame, vocab: DataFrame) {
-    def unpersist(): Unit = { vocab.unpersist(); () }
+  val CheckpointEvery = 25
+
+  /** Default per-aggregate batch width (top batchK+1 pairs collected —
+    * a few KB on the driver; the accepted subset is usually smaller).
+    */
+  val DefaultBatchK = 32
+
+  /** The learned merge table and the vocabulary in its final
+    * segmentation, plus the cache handle: `base` is the DataFrame that
+    * was actually persisted (unpersisting the derived `vocab` plan would
+    * be a no-op — `Dataset.unpersist` only matches its own plan), and
+    * `vocab` may additionally be checkpoint-backed, so the handle also
+    * releases its raw-RDD blocks (the [[Dedup.releaseClusters]] rule:
+    * neither `clearCache` nor `unpersist` covers checkpoint RDDs).
+    */
+  case class BpeModel(merges: DataFrame, vocab: DataFrame, base: DataFrame) {
+    def unpersist(): Unit = {
+      base.unpersist()
+      vocab.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(false))
+      ()
+    }
   }
 
-  def train(docs: DataFrame, nMerges: Int): BpeModel = {
-    val spark = docs.sparkSession
+  /** The longest usable rank-prefix of one round's top pairs, such that
+    * applying the whole batch in one projection is bit-identical to
+    * applying its members in `acceptBatch.size` sequential greedy rounds:
+    *
+    *  1. the accepted pairs are a PREFIX of the (count desc, pair asc)
+    *     order and pairwise share no symbol — disjoint merges cannot
+    *     change each other's counts, so the sequential argmax would pick
+    *     them in exactly this order;
+    *  2. counts must be STRICTLY above the cutoff (the first pair that
+    *     shares a symbol with the prefix, or the first pair past the
+    *     collected window): any pair a merge can CREATE has count
+    *     bounded by a destroyed pair's count, destroyed pairs all share
+    *     a symbol with the prefix, and every sharing pair sits at or
+    *     below the cutoff in the total order — so strictly-above-cutoff
+    *     picks can never be overtaken, while a tie AT the cutoff could
+    *     lose the lexicographic tiebreak to a freshly created pair and
+    *     must re-run through the next aggregate;
+    *  3. if the collected window holds ALL remaining pairs and they are
+    *     pairwise disjoint, every adjacency "x a b" that could mint a
+    *     new pair would itself put (x, a) in the pair list and make it
+    *     interact — so no new pairs can appear and the whole window is
+    *     safe to take.
+    *
+    * Falls back to the top pair alone (always the true argmax) when the
+    * strict filter would empty the batch.
+    */
+  private[graft] def acceptBatch(rows: Seq[(String, Long)],
+                                 windowK: Int): Seq[(String, Long)] = {
+    if (rows.isEmpty) return Nil
+    var syms = Set.empty[String]
+    var stop = -1
+    var i = 0
+    while (i < rows.length && stop < 0) {
+      val Array(a, b) = rows(i)._1.split(" ", 2)
+      if (i > 0 && (syms(a) || syms(b))) stop = i
+      else { syms += a; syms += b; i += 1 }
+    }
+    val accepted =
+      if (stop < 0 && rows.length <= windowK) rows // exhausted + disjoint
+      else {
+        val cutoff = if (stop >= 0) rows(stop)._2 else rows(windowK)._2
+        rows.take(if (stop >= 0) stop else windowK).filter(_._2 > cutoff)
+      }
+    if (accepted.isEmpty) rows.take(1) else accepted
+  }
+
+  def train(docs: DataFrame, nMerges: Int,
+            batchK: Int = DefaultBatchK): BpeModel = {
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
     val base = docs
       .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
@@ -46,6 +131,8 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var tab = base
+    var lastCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var sinceCkpt = 0
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var r = 1
     var done = false
@@ -61,30 +148,43 @@ object Bpe {
               element_at(col("sym"), i + 1)))).as("pair"))
         .groupBy(col("pair")).agg(sum(col("wcount")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).collect()
+        .limit(batchK + 1).collect()
+        .map(row => (row.getString(0), row.getLong(1))).toSeq
       if (top.isEmpty) done = true
       else {
-        val pair = top(0).getString(0)
-        val cnt = top(0).getLong(1)
-        val Array(a, b) = pair.split(" ", 2)
-        merges += ((r, a, b, a + b, cnt))
-        tab = tab.withColumn("sym", bpe_apply(col("sym"), a, b))
-        r += 1
+        val batch = acceptBatch(top, batchK).take(nMerges - r + 1)
+        tab = batch.foldLeft(tab) { case (t, (pair, cnt)) =>
+          val Array(a, b) = pair.split(" ", 2)
+          merges += ((r, a, b, a + b, cnt))
+          r += 1
+          t.withColumn("sym", bpe_apply(col("sym"), a, b))
+        }
+        sinceCkpt += batch.size
+        if (sinceCkpt >= CheckpointEvery) {
+          // flat plans at any merge count; release the superseded
+          // checkpoint's blocks through the raw-RDD handle
+          tab = tab.localCheckpoint(true)
+          lastCkpt.foreach(_.unpersist(false))
+          lastCkpt = ckptRdd(tab)
+          sinceCkpt = 0
+        }
       }
     }
+    val spark = docs.sparkSession
     import spark.implicits._
     BpeModel(
       merges.result()
         .toDF("rank", "left", "right", "merged", "pair_count"),
       tab.select(col("word"), col("wcount"),
-        col("sym").as("segmentation")))
+        col("sym").as("segmentation")),
+      base)
   }
 
   /** The learned merge table alone (q98's gate output). */
   def trainMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     val m = train(docs, nMerges)
     // the merge table is already materialized driver-side; the vocab
-    // cache can go immediately
+    // cache (and any training checkpoint) can go immediately
     m.unpersist()
     m.merges
   }

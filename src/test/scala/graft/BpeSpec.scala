@@ -47,6 +47,40 @@ class BpeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("batched rounds reproduce the sequential greedy merge order") {
+    // batchK=1 degenerates to one merge per aggregate (the pure
+    // sequential form); the default batch must learn the IDENTICAL
+    // table — order, ranks, and counts (the strict-cutoff argument in
+    // Bpe.acceptBatch, exercised on real text)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(120)
+    val seq = Bpe.train(docs, nMerges = 12, batchK = 1)
+    val bat = Bpe.train(docs, nMerges = 12)
+    assert(bat.merges.collect().toSeq === seq.merges.collect().toSeq)
+    seq.unpersist(); bat.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("acceptBatch: prefix-disjoint, strict cutoff, top-pair fallback") {
+    // interacting second pair stops the prefix; ties at the cutoff drop
+    assert(Bpe.acceptBatch(Seq("a b" -> 9L, "c d" -> 7L, "b e" -> 7L), 8)
+      === Seq("a b" -> 9L)) // "c d" ties the 7-count cutoff "b e" -> dropped
+    assert(Bpe.acceptBatch(Seq("a b" -> 9L, "c d" -> 8L, "b e" -> 7L), 8)
+      === Seq("a b" -> 9L, "c d" -> 8L))
+    // top pair interacts immediately at equal count -> fallback keeps it
+    assert(Bpe.acceptBatch(Seq("a b" -> 5L, "b c" -> 5L), 8)
+      === Seq("a b" -> 5L))
+    // exhausted window, pairwise disjoint -> everything is safe to take
+    assert(Bpe.acceptBatch(Seq("a b" -> 5L, "c d" -> 5L), 8)
+      === Seq("a b" -> 5L, "c d" -> 5L))
+    // full window + disjoint -> strict cutoff vs the (windowK+1)th row:
+    // counts 5,5 > cutoff 4 -> both kept; a 4-count prefix row would drop
+    assert(Bpe.acceptBatch(Seq("a b" -> 5L, "c d" -> 5L, "e f" -> 4L), 2)
+      === Seq("a b" -> 5L, "c d" -> 5L))
+    assert(Bpe.acceptBatch(Seq("a b" -> 5L, "c d" -> 4L, "e f" -> 4L), 2)
+      === Seq("a b" -> 5L))
+  }
+
   test("training on real documents yields the requested merge count") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.trainMerges(docs, nMerges = 5)

@@ -164,6 +164,22 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("Bpe.train releases the vocab persist AND training checkpoints") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    // 30 merges crosses CheckpointEvery=25, so the handle must release
+    // both the persisted base relation and the final localCheckpoint's
+    // raw-RDD blocks (ADVICE r6: unpersisting the derived vocab plan
+    // alone was a no-op and leaked the persist for the session)
+    val model = graft.operators.Bpe.train(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+      nMerges = 30)
+    assert(model.merges.count() === 30)
+    assert(cachedCount > 0)          // base persist (+ checkpoint blocks)
+    model.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("kmeansFit leaves no cached RDDs behind (training sample released)") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size
