@@ -90,17 +90,40 @@ object Dedup {
     def unpersist(): Unit = { index.unpersist(); capped.unpersist(); () }
   }
 
+  /** Drop every row whose bucket (the `keys` tuple) holds more than
+    * `maxBucket` rows — without ever buffering a bucket. The hot-bucket
+    * list is a map-side-combining `groupBy(keys).agg(count)` (a viral
+    * bucket collapses to one partial per map task before the exchange)
+    * filtered to `> maxBucket`, so it is small by construction
+    * (≤ N/maxBucket fixed-width keys; in practice a handful of
+    * boilerplate buckets), and the join-back is a `left_anti` equi-join
+    * AQE broadcasts when the list fits and skew-splits when it doesn't.
+    * Bit-identical kept set to the former
+    * `count(*) OVER (PARTITION BY keys) <= maxBucket` filter, but the
+    * unordered window buffered the ENTIRE hot bucket in one WindowExec
+    * task before filtering — precisely the viral-boilerplate partition
+    * the cap exists to drop (VERDICT r7 #1; same fix shape as the q53
+    * survivor aggregate and the CC neighborhood minima).
+    */
+  private[graft] def capHotBuckets(rel: DataFrame, keys: Seq[String],
+                                   maxBucket: Int): DataFrame = {
+    val hot = rel.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(keys.map(col): _*)
+    rel.join(hot, keys, "left_anti")
+  }
+
   def minhashNearDupsStage(docs: DataFrame, threshold: Double,
                            maxBucket: Int = DefaultMaxBucket): NearDupStage = {
     val idx = docs.select(col("doc_id"),
         array_distinct(shingles(col("text"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = bandsFromIndex(idx)
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // both references of the band relation inside capHotBuckets (hot-list
+    // aggregate + anti-join left) derive from the persisted index, so the
+    // text is still shingled exactly once
+    val capped = capHotBuckets(bandsFromIndex(idx),
+        Seq("band_idx", "band_hash"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val b = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
@@ -151,13 +174,14 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
-    // document frequency via a window over the posting list — the same
-    // shuffle-by-shingle the self-join needs anyway
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    // document frequency via a map-side-combining groupBy on the posting
+    // list + anti-join against the (tiny) hot-shingle list — NOT a window
+    // over `s`: the hot shingles ("all rights reserved") are exactly the
+    // partitions a window would buffer whole in one task (VERDICT r7 #1).
+    // The identical exchanges on `s` under the aggregate and the
+    // anti-join left are deduplicated by ReuseExchange.
+    val inv = capHotBuckets(
+      sh.select(col("doc_id"), explode(col("sh")).as("s")), Seq("s"), maxDf)
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") &&
@@ -621,14 +645,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpFp = corp.select(col("fp64")).distinct()
       .withColumn("in_corpus", lit(1))
-    // the corpus band index carries the same hot-bucket cap as lshStage —
-    // a boilerplate bucket would turn one incoming band row into
-    // |bucket| candidates
-    val corpBands = bandsFromIndex(corp)
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
+    // the corpus band index carries the same hot-bucket cap as
+    // minhashNearDupsStage — a boilerplate bucket would turn one incoming
+    // band row into |bucket| candidates. capHotBuckets (groupBy hot-list
+    // + anti-join) rather than a window: both its references to the band
+    // relation derive from the persisted corpus index.
+    val corpBands = capHotBuckets(bandsFromIndex(corp),
+        Seq("band_idx", "band_hash"), maxBucket)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("corp_id"))
     val cands = bandsFromIndex(inc)
       .join(corpBands, Seq("band_idx", "band_hash"))

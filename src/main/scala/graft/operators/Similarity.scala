@@ -405,9 +405,11 @@ object Similarity {
     srpStage(embeddings, threshold, bits, bands, maxBucket).result
 
   /** The SRP candidate stage with its cache handle (the [[Dedup.lshStage]]
-    * pattern): both sides of the band self-join consume the keyed
-    * signature relation — persisted, the `bits` dot products and the
-    * bucket-cap window run once, not twice.
+    * pattern): the PRE-cap keyed signature relation persists, so the
+    * `bits` dot products run once no matter how many downstream
+    * references consume it — the hot-bucket cap's aggregate, its
+    * anti-join left, and both sides of the band self-join all read the
+    * cached ~20-byte rows.
     */
   case class SrpStage(keyed: DataFrame, result: DataFrame) {
     def unpersist(): Unit = { keyed.unpersist(); () }
@@ -440,14 +442,12 @@ object Similarity {
         posexplode(array((0 until bands).map(bd => col(s"band$bd")): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_val"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = keyed.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
-    val b = keyed.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"))
+    // hot-bucket cap as groupBy hot-list + anti-join, never a window
+    // (VERDICT r7 #1) — a viral band bucket must not buffer in one task
+    val capped = Dedup.capHotBuckets(keyed, Seq("band_idx", "band_val"), maxBucket)
+    val a = capped.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
+    val b = capped.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"))
     val cands = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_b") > col("id_a"))
       .select(col("id_a"), col("id_b")).distinct()

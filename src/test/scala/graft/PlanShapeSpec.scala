@@ -50,6 +50,21 @@ class PlanShapeSpec extends SparkSpecBase {
     (exchanges, scans)
   }
 
+  // VERDICT r7 #1: the four hot-bucket caps (LSH bands, shingle df,
+  // corpus band index, SRP bands) must be map-side-combining
+  // groupBy+anti-join, never count(*) OVER (PARTITION BY bucket) — an
+  // unordered window buffers the whole viral bucket in one WindowExec
+  // task before the filter can drop it.
+  for (name <- Seq("q11_dedup_minhash_lsh", "q13_dedup_ngram_jaccard",
+                   "q85_srp_lsh", "q86_incremental_dedup"))
+    test(s"$name bucket cap is window-free") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"hot-bucket cap must not use WindowExec:\n$plan")
+      spark.catalog.clearCache()
+    }
+
   test("q53 curation is one corpus scan + one shuffle, window-free") {
     val q = SparkEntry.queries("q53_curation_pipeline")(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString
