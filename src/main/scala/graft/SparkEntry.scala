@@ -30,25 +30,46 @@ object SparkEntry {
   // q93 consumes the published relation when present — the labels are
   // checkpoint-backed (LogicalRDD leaves), so they survive the session
   // cache clears Bench/Verify issue between queries — and falls back to
-  // computing the pipeline itself when run standalone. Superseded labels
-  // release their checkpoint blocks on replacement.
+  // computing the pipeline itself when run standalone.
+  //
+  // Lifecycle (ADVICE r7): the memo key is the session UUID (stable and
+  // unique — an identityHashCode key could alias a new session to a dead
+  // one's labels after GC); superseded labels are released ONE GENERATION
+  // LATE (a consumer holding a lazy plan built on the previous labels —
+  // e.g. an unevaluated q93 result — cannot recompute through a released
+  // localCheckpoint, so replacement N frees generation N-2, never N-1);
+  // and entries owned by stopped sessions are evicted on each refresh
+  // (their blocks died with the context; eviction drops the driver-side
+  // plan pins).
   // ---------------------------------------------------------------------
+  private case class CcEntry(session: SparkSession, labels: DataFrame,
+                             prev: Option[DataFrame])
+
   private val ccLabelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, CcEntry]()
 
   private def ccKey(s: SparkSession, dir: String): String =
-    System.identityHashCode(s) + "|" + dir
+    org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)
+      .getOrElse("ident-" + System.identityHashCode(s)) + "|" + dir
 
   private def ccLabelsFresh(s: SparkSession, dir: String): DataFrame = {
+    val it = ccLabelsMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.session.sparkContext.isStopped) it.remove()
     val labels = Dedup.nearDupClusters(
       Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.5))
-    val old = ccLabelsMemo.put(ccKey(s, dir), labels)
-    if (old != null && (old ne labels)) Dedup.releaseClusters(old)
+    val key = ccKey(s, dir)
+    val old = Option(ccLabelsMemo.get(key))
+    old.flatMap(_.prev)
+      .filter(p => (p ne labels) && old.forall(p ne _.labels))
+      .foreach(Dedup.releaseClusters)
+    ccLabelsMemo.put(key,
+      CcEntry(s, labels, old.map(_.labels).filter(_ ne labels)))
     labels
   }
 
   private def ccLabelsShared(s: SparkSession, dir: String): DataFrame =
-    Option(ccLabelsMemo.get(ccKey(s, dir)))
+    Option(ccLabelsMemo.get(ccKey(s, dir))).map(_.labels)
       .getOrElse(ccLabelsFresh(s, dir))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

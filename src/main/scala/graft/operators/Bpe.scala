@@ -79,40 +79,78 @@ object Bpe {
     *     order and pairwise share no symbol — disjoint merges cannot
     *     change each other's counts, so the sequential argmax would pick
     *     them in exactly this order;
-    *  2. counts must be STRICTLY above the cutoff (the first pair that
-    *     shares a symbol with the prefix, or the first pair past the
-    *     collected window): any pair a merge can CREATE has count
-    *     bounded by a destroyed pair's count, destroyed pairs all share
-    *     a symbol with the prefix, and every sharing pair sits at or
-    *     below the cutoff in the total order — so strictly-above-cutoff
+    *  2. counts must be STRICTLY above the cutoff (the first pair not
+    *     taken — because it shares a symbol with the prefix, collides by
+    *     merged string, or sits past the collected window): any pair a
+    *     merge can CREATE is fresh (guard 4) with count bounded by a
+    *     destroyed pair's count, destroyed pairs all share a symbol with
+    *     the prefix, and every sharing pair sits at or below the
+    *     disjointness stop in the total order — so strictly-above-cutoff
     *     picks can never be overtaken, while a tie AT the cutoff could
     *     lose the lexicographic tiebreak to a freshly created pair and
     *     must re-run through the next aggregate;
-    *  3. if the collected window holds ALL remaining pairs and they are
-    *     pairwise disjoint, every adjacency "x a b" that could mint a
-    *     new pair would itself put (x, a) in the pair list and make it
-    *     interact — so no new pairs can appear and the whole window is
-    *     safe to take.
+    *  3. if the collected window holds ALL remaining pairs, they are
+    *     pairwise disjoint, and none is a self-pair, every adjacency
+    *     "x a b" that could mint a new pair would itself put (x, a) in
+    *     the pair list and make it interact — so no new pairs can appear
+    *     at all (string collisions are then moot) and the whole window
+    *     is safe to take. A self-pair breaks that argument from inside:
+    *     merging ("a","a") on a run "aaa" mints ("aa","a") without any
+    *     second pair in the list, so self-pairs route through the
+    *     cutoff path (their minted pairs are fresh and cutoff-bounded).
+    *  4. the prefix additionally stops at the first MERGED-STRING
+    *     collision (ADVICE r7): if `a+b` equals a symbol minted by a
+    *     PRIOR round (`priorMerged` — complete registry of multi-char
+    *     symbols, since seeds are single chars) or by an earlier member
+    *     of this batch ('a'+'bc' and 'ab'+'c' both minting "abc"), the
+    *     created occurrences would ADD to an existing pair's ≤cutoff
+    *     count — up to 2×cutoff, enough to overtake a later accepted
+    *     pair — so the colliding merge re-runs through the next
+    *     aggregate instead. Truncating the prefix keeps the proof: the
+    *     cutoff only rises, and sharing pairs still sit at or below the
+    *     disjointness stop.
     *
-    * Falls back to the top pair alone (always the true argmax) when the
-    * strict filter would empty the batch.
+    * Falls back to the top pair alone (always the true argmax — one
+    * accepted merge IS one sequential round) when the strict filter
+    * would empty the batch.
     */
-  private[graft] def acceptBatch(rows: Seq[(String, Long)],
-                                 windowK: Int): Seq[(String, Long)] = {
+  private[graft] def acceptBatch(rows: Seq[(String, Long)], windowK: Int,
+                                 priorMerged: Set[String] = Set.empty)
+      : Seq[(String, Long)] = {
     if (rows.isEmpty) return Nil
+    val parsed = rows.map { case (p, c) =>
+      val Array(a, b) = p.split(" ", 2); (a, b, c)
+    }
+    // pass 1: symbol-disjointness prefix
     var syms = Set.empty[String]
     var stop = -1
     var i = 0
-    while (i < rows.length && stop < 0) {
-      val Array(a, b) = rows(i)._1.split(" ", 2)
+    while (i < parsed.length && stop < 0) {
+      val (a, b, _) = parsed(i)
       if (i > 0 && (syms(a) || syms(b))) stop = i
       else { syms += a; syms += b; i += 1 }
     }
+    if (stop < 0 && rows.length <= windowK &&
+        parsed.forall(p => p._1 != p._2))
+      return rows // condition 3: exhausted + disjoint + no self-pair
+    // pass 2: truncate at the first merged-string collision or self-pair
+    val lim0 = math.min(if (stop >= 0) stop else windowK, rows.length)
+    var minted = Set.empty[String]
+    var colStop = -1
+    var k = 0
+    while (k < lim0 && colStop < 0) {
+      val (a, b, _) = parsed(k)
+      val m = a + b
+      if (priorMerged(m) || minted(m) || a == b)
+        colStop = math.max(k, 1) // top pair alone is always safe
+      else { minted += m; k += 1 }
+    }
+    val lim = if (colStop >= 0) colStop else lim0
     val accepted =
-      if (stop < 0 && rows.length <= windowK) rows // exhausted + disjoint
+      if (lim >= rows.length) rows.take(lim)
       else {
-        val cutoff = if (stop >= 0) rows(stop)._2 else rows(windowK)._2
-        rows.take(if (stop >= 0) stop else windowK).filter(_._2 > cutoff)
+        val cutoff = rows(lim)._2
+        rows.take(lim).filter(_._2 > cutoff)
       }
     if (accepted.isEmpty) rows.take(1) else accepted
   }
@@ -134,6 +172,10 @@ object Bpe {
     var lastCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var sinceCkpt = 0
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    // every multi-char symbol in play was minted by a previous merge
+    // (seeds are single chars), so this set is the COMPLETE registry
+    // acceptBatch needs for its merged-string collision guard
+    var mintedSymbols = Set.empty[String]
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
@@ -152,10 +194,11 @@ object Bpe {
         .map(row => (row.getString(0), row.getLong(1))).toSeq
       if (top.isEmpty) done = true
       else {
-        val batch = acceptBatch(top, batchK).take(nMerges - r + 1)
+        val batch = acceptBatch(top, batchK, mintedSymbols).take(nMerges - r + 1)
         tab = batch.foldLeft(tab) { case (t, (pair, cnt)) =>
           val Array(a, b) = pair.split(" ", 2)
           merges += ((r, a, b, a + b, cnt))
+          mintedSymbols += a + b
           r += 1
           t.withColumn("sym", bpe_apply(col("sym"), a, b))
         }

@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Stable unique id of a session (`private[sql]` in Spark 4) — a
+    * memo key that, unlike `System.identityHashCode`, can never alias a
+    * new session to a dead one's entries after GC.
+    */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): Option[String] =
+    s match {
+      case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+      case _ => None
+    }
 }

@@ -81,6 +81,37 @@ class BpeSpec extends SparkSpecBase {
       === Seq("a b" -> 5L))
   }
 
+  test("acceptBatch: merged-string collisions and self-pairs stop the prefix") {
+    // ADVICE r7: a batch merge whose result equals a symbol minted by a
+    // PRIOR round would ADD occurrences to that symbol's existing pairs
+    // (up to 2x the cutoff) — only the top pair is safe to take
+    assert(Bpe.acceptBatch(
+      Seq("i ng" -> 9L, "x y" -> 8L, "p q" -> 7L), 2, Set("ing"))
+      === Seq("i ng" -> 9L))
+    assert(Bpe.acceptBatch(
+      Seq("x y" -> 9L, "i ng" -> 8L, "p q" -> 7L), 2, Set("ing"))
+      === Seq("x y" -> 9L))
+    // without the prior symbol the same window accepts the full prefix
+    assert(Bpe.acceptBatch(Seq("x y" -> 9L, "i ng" -> 8L, "p q" -> 7L), 2)
+      === Seq("x y" -> 9L, "i ng" -> 8L))
+    // two disjoint batch members minting the same string ("a"+"bc" and
+    // "ab"+"c" -> "abc"): the second re-runs through the next aggregate
+    assert(Bpe.acceptBatch(Seq("a bc" -> 9L, "ab c" -> 8L, "x y" -> 7L), 2)
+      === Seq("a bc" -> 9L))
+    // a self-pair mints ("aa","a") on runs without any second pair in
+    // the list, so it never rides the exhausted-window shortcut and
+    // stops the prefix behind itself
+    assert(Bpe.acceptBatch(Seq("a a" -> 9L, "c d" -> 8L, "e f" -> 7L), 2)
+      === Seq("a a" -> 9L))
+    assert(Bpe.acceptBatch(Seq("a a" -> 9L, "c d" -> 8L), 8)
+      === Seq("a a" -> 9L))
+    // exhausted + disjoint + no self-pair still takes everything even
+    // when a result string matches a prior symbol: with the complete
+    // pair list pairwise disjoint no new pair occurrence can be minted
+    assert(Bpe.acceptBatch(Seq("i ng" -> 9L, "x y" -> 8L), 8, Set("ing"))
+      === Seq("i ng" -> 9L, "x y" -> 8L))
+  }
+
   test("training on real documents yields the requested merge count") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.trainMerges(docs, nMerges = 5)
