@@ -46,6 +46,12 @@ object Curation {
     * exchange), keeps the operator at ONE corpus scan and ONE 8-byte-key
     * shuffle, and needs no join back. Same output bit-for-bit
     * (PlanShapeSpec pins the window-free plan).
+    *
+    * INVARIANT: `doc_id` must be non-null (true of every graft source —
+    * it is the primary key). `min(struct(...))` sorts a null doc_id
+    * FIRST, so a null-id row would win its fingerprint group here,
+    * where a null-ignoring `min(doc_id)` window would have dropped it;
+    * a corpus with nullable ids needs a null policy decided upstream.
     */
   def curate(docs: DataFrame, lang: String, minQuality: Double): DataFrame = {
     docs.select(

@@ -282,12 +282,19 @@ object Dedup {
       // strictly above the center re-links to the neighborhood min
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
+      // persisted: withNbrMin references its input twice (aggregate +
+      // join left), and without the cache the whole large-star pipeline
+      // — including its distinct shuffle — would be planned twice in the
+      // small-star step, leaning on ReuseExchange to avoid recomputation
+      // (ADVICE r7). The cache is released as soon as the round's
+      // checkpoint materializes.
       val large = withNbrMin(sym)
         .withColumn("m", least(col("u"), col("mn")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // small-star on the larger→smaller edges: the center and its
       // non-min smaller neighbors re-link to the smallest of them
       val next = withNbrMin(large)
@@ -296,6 +303,7 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true) // eager: materializes and truncates lineage
+      large.unpersist(false)
       // converged when the round is a no-op: same size and no new edges
       // (two counts over flat checkpoint leaves — no recomputation)
       changed =

@@ -14,10 +14,11 @@ import graft.streaming.SolarStateful.{ModuleKey, ModuleWindowAgg, Reading,
   * which remains the right tool for this topology. This twin exists
   * because new stateful operators should be written against TWS, not the
   * legacy API: typed state handles (here a [[ListState]] of open-window
-  * buffers — stored per ELEMENT in RocksDB, so an update rewrites one
-  * buffer, not the whole blob the legacy GroupState serializes), explicit
-  * per-key timers instead of one implicit timeout, and state-variable
-  * eviction via TTL when semantics allow it.
+  * buffers — element-wise appendable in RocksDB, though this processor's
+  * flush rewrites the short list with `put`; the win over the legacy
+  * GroupState blob is the typed handle, not the write granularity),
+  * explicit per-key timers instead of one implicit timeout, and
+  * state-variable eviction via TTL when semantics allow it.
   *
   * Flush discipline matches [[SolarStateful.updateGroup]]: windows close
   * when the event-time watermark passes their end, either inline (the key
@@ -43,17 +44,28 @@ class ModuleAggProcessor
       round1(b.sum / b.cnt))
 
   /** Emit the windows the watermark finalized, persist the rest, and arm
-    * the timer for the earliest still-open window end.
+    * the timer for the earliest still-open window end — exactly ONE
+    * armed timer per key (ADVICE r7): `registerTimer` ADDS a timer, it
+    * does not replace the previous timestamp, so stale timers from
+    * earlier batches are deleted here or timer state grows per batch and
+    * long-lived keys fire spuriously on every superseded deadline.
     */
   private def flush(key: ModuleKey, windows: Iterable[WindowBuf],
-                    watermarkMs: Long): Iterator[ModuleWindowAgg] = {
+                    watermarkMs: Long,
+                    expired: Option[Long] = None): Iterator[ModuleWindowAgg] = {
     val (closed, stillOpen) = windows.toList
       .partition(b => (b.w + WindowSeconds) * 1000L <= watermarkMs)
+    val want =
+      if (stillOpen.isEmpty) None
+      else Some(stillOpen.map(b => (b.w + WindowSeconds) * 1000L).min)
+    // the currently-expiring timer (if any) is removed by the framework —
+    // deleting it again would be a noisy no-op
+    val armed = getHandle.listTimers().toList.filterNot(expired.contains)
+    armed.filterNot(want.contains).foreach(getHandle.deleteTimer)
     if (stillOpen.isEmpty) open.clear()
     else {
       open.put(stillOpen.toArray)
-      getHandle.registerTimer(
-        stillOpen.map(b => (b.w + WindowSeconds) * 1000L).min)
+      if (!armed.contains(want.get)) getHandle.registerTimer(want.get)
     }
     closed.sortBy(_.w).map(toAgg(key)).iterator
   }
@@ -71,7 +83,8 @@ class ModuleAggProcessor
 
   override def handleExpiredTimer(key: ModuleKey, timerValues: TimerValues,
                                   expiredTimerInfo: ExpiredTimerInfo): Iterator[ModuleWindowAgg] =
-    flush(key, open.get().toList, timerValues.getCurrentWatermarkInMs())
+    flush(key, open.get().toList, timerValues.getCurrentWatermarkInMs(),
+      Some(expiredTimerInfo.getExpiryTimeInMs()))
 }
 
 /** Threshold-crossing alert (emitted at most ONCE per key): the CEP

@@ -49,14 +49,30 @@ object StreamingDedup {
     * production precomputes; at scale they arrive as parquet, not a
     * recomputation.
     */
+  /** [[nearDupsAgainstCorpusStage]]'s streaming result with the cache
+    * handle for the persisted static corpus index (ADVICE r7: the repo's
+    * stage-handle discipline applies to streaming operators too — a
+    * driver running several queries per session must be able to release
+    * the index when the query stops, not wait for session teardown).
+    */
+  case class CorpusProbeStage(corpusIndex: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { corpusIndex.unpersist(); () }
+  }
+
   def nearDupsAgainstCorpus(docsStream: DataFrame, corpus: DataFrame,
                             threshold: Double = 0.5,
-                            watermarkDelay: String = "10 minutes"): DataFrame = {
+                            watermarkDelay: String = "10 minutes"): DataFrame =
+    nearDupsAgainstCorpusStage(docsStream, corpus, threshold, watermarkDelay)
+      .result
+
+  def nearDupsAgainstCorpusStage(docsStream: DataFrame, corpus: DataFrame,
+                                 threshold: Double = 0.5,
+                                 watermarkDelay: String = "10 minutes"): CorpusProbeStage = {
     import graft.operators.Dedup
     // the static side of a stream-static join re-evaluates EVERY
     // micro-batch — persist the one-scan corpus index so each batch pays
-    // a cache read, not a corpus re-shingle (released via the session
-    // cache when the query stops; production reads precomputed parquet)
+    // a cache read, not a corpus re-shingle (production reads
+    // precomputed parquet; the stage handle releases it on query stop)
     val corpIdx = Dedup.dedupIndex(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpBands = Dedup.bandsFromIndex(corpIdx)
@@ -74,7 +90,7 @@ object StreamingDedup {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
       .filter(size(col("sh_in")) > 0)
-    inBands
+    val result = inBands
       .join(corpBands, Seq("band_idx", "band_hash"))
       .join(corpSh, "corp_id")
       .select(col("ts"), col("doc_id"), col("corp_id"),
@@ -82,5 +98,6 @@ object StreamingDedup {
       .filter(col("jaccard") >= threshold)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("doc_id", "corp_id")
+    CorpusProbeStage(corpIdx, result)
   }
 }

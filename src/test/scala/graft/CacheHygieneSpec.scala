@@ -180,6 +180,22 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("streaming nearDupsAgainstCorpusStage releases the corpus index") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stage = graft.streaming.StreamingDedup.nearDupsAgainstCorpusStage(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    stage.corpusIndex.count()        // what each micro-batch would read
+    assert(cachedCount > 0)          // the static-side one-scan index
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("kmeansFit leaves no cached RDDs behind (training sample released)") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size

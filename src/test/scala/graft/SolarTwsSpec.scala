@@ -10,6 +10,30 @@ import graft.streaming.SolarStateful._
   * watermark, timer-driven flush of quiet keys, and equivalence with the
   * legacy flatMapGroupsWithState twin on the same input.
   */
+object SolarTwsSpec {
+  /** Highest armed-timer count any key ever showed (local[32]: processor
+    * instances share the JVM, so a static max is observable spec-side).
+    */
+  val MaxArmedTimers = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** [[graft.streaming.ModuleAggProcessor]] that records how many timers
+  * stay armed for the key after each batch it handles.
+  */
+class TimerProbingProcessor extends graft.streaming.ModuleAggProcessor {
+  private def record(): Unit = {
+    val n = getHandle.listTimers().size
+    SolarTwsSpec.MaxArmedTimers.getAndUpdate(m => math.max(m, n))
+    ()
+  }
+  override def handleInputRows(key: ModuleKey, rows: Iterator[Reading],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ModuleWindowAgg] = {
+    val out = super.handleInputRows(key, rows, timerValues).toList
+    record()
+    out.iterator
+  }
+}
+
 class SolarTwsSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -42,6 +66,39 @@ class SolarTwsSpec extends SparkSpecBase {
         .select("w_start", "m_cnt", "m_sum_power", "m_avg_power")
         .as[(Long, Long, Double, Double)].collect().toSet
       assert(rows === Set((1704067200L, 2L, 30.0, 15.0)))
+    } finally q.stop()
+  }
+
+  test("at most one timer stays armed per key across batches") {
+    // ADVICE r7: registerTimer ADDS a timer per call — without the
+    // stale-timer deletion in flush, every batch that moves the earliest
+    // open window end leaves the superseded deadline armed. The probing
+    // subclass records the armed-timer count after each input batch.
+    SolarTwsSpec.MaxArmedTimers.set(0)
+    val input = newInput()
+    val name = s"timers_${System.nanoTime()}"
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val q = input.toDF().toDF("ts", "panel", "module", "power").as[Reading]
+      .withWatermark("ts", s"${SolarStateful.WindowSeconds} seconds")
+      .groupByKey(r => ModuleKey(r.panel, r.module))
+      .transformWithState(new TimerProbingProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1 opens window [120,150) -> timer armed at 150 s; batch 2
+      // delivers an above-watermark row (wm = 125-30 = 95 s) opening the
+      // EARLIER window [90,120) -> the earliest open end moves to 120 s
+      // while the 150 s timer has not expired: without deletion both
+      // deadlines stay armed
+      input.addData((ts("2024-01-01 00:02:05"), "p1", "m1", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:01:40"), "p1", "m1", 2.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:09:00"), "p9", "m9", 0.0)) // flush all
+      q.processAllAvailable()
+      assert(spark.table(name).filter($"module" === "m1").count() === 2)
+      assert(SolarTwsSpec.MaxArmedTimers.get() === 1,
+        "stale timers must be deleted when the earliest window end moves")
     } finally q.stop()
   }
 
