@@ -642,6 +642,17 @@ object SparkEntry {
     "q98_bpe_train" -> ((s, dir) =>
       Bpe.trainMerges(Tables.documents(s, dir), nMerges = 8)),
 
+    // ANN recall report (VERDICT r6 #5): the single-probe IVF index's
+    // top-5 graded against brute-force truth on the deterministic
+    // vec_id < 8 golden query set — exact rationals, hash-portable
+    "q99_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(
+        Similarity.ivfTopKKmeans(e, l => l.filter(col("vec_id") < 8),
+          k = 5, kCells = KmeansK, iters = KmeansIters),
+        Similarity.bruteTopK(e, e.filter(col("vec_id") < 8), k = 5))
+    }),
+
     // cross-modal integration: per (embedding k-means cell, language)
     // document quality — the "which clusters hold good data" report; the
     // doc side is scan-fused projections, the join is 8-byte ids
@@ -2348,5 +2359,45 @@ object SparkEntry {
            |       round(avg(enr.quality), 4) AS avg_quality
            |FROM cells JOIN enr ON enr.doc_id = cells.vec_id
            |GROUP BY 1, 2""".stripMargin),
+
+    // recall@5 of the single-probe IVF index vs brute-force truth on the
+    // vec_id < 8 golden queries: brute ranking replayed as in q15 (k=5),
+    // IVF ranking as in q33, then per-query hit counts — exact integers
+    // and a ratio rounded at 4, hash-portable by construction
+    "q99_ann_recall" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""bs AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |bt AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q_id
+           |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |    FROM bs) WHERE rank <= 5),
+           |ivs AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q
+           |  JOIN cells qc ON qc.vec_id = q.vec_id
+           |  JOIN cells cc ON cc.cell = qc.cell
+           |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |iv AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q_id
+           |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |    FROM ivs) WHERE rank <= 5),
+           |t AS (SELECT q_id, count(*) AS n_truth FROM bt GROUP BY 1),
+           |h AS (SELECT bt.q_id, count(*) AS n_hit
+           |      FROM bt JOIN iv USING (q_id, vec_id) GROUP BY 1)
+           |SELECT t.q_id, CAST(t.n_truth AS BIGINT) AS n_truth,
+           |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |       round(coalesce(h.n_hit, 0)
+           |             / CAST(t.n_truth AS DOUBLE), 4) AS recall
+           |FROM t LEFT JOIN h USING (q_id)""".stripMargin),
   )
 }

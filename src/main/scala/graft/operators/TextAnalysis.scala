@@ -444,18 +444,53 @@ object TextAnalysis {
     * fingerprint (AQE-skew-splittable — stopword fingerprints are hot)
     * and rolls up per doc_id.
     */
-  def lmScoreStage(docs: DataFrame): LmScoreStage = {
-    val tf = docs.select(col("doc_id"),
-        explode(tokens(lower(col("text")))).as("tok"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tok_fp"))
-      .groupBy(col("doc_id"), col("tok_fp")).agg(count(lit(1)).as("k"))
+  /** The fused LM stage (VERDICT r6 #6): ONE persisted
+    * (doc_id, tok_fp, prev_fp) pair stream feeds BOTH the unigram and the
+    * bigram model — vocab counts, context counts, and both scoring joins
+    * all re-fold from it, so scoring a corpus under both models costs one
+    * corpus scan instead of two. A production quality-filter pipeline
+    * runs both (the bigram separates fluent text from shuffled bags of
+    * frequent words the unigram scores identically), which is why the
+    * fused relation is the primitive and the single-model stages are
+    * views of it.
+    *
+    * The stream is one row per (doc, token, left-context) triple with a
+    * multiplicity `k`: `prev_fp` is NULL for a document's first token, so
+    * unigram term frequencies are the `(doc_id, tok_fp)` re-fold (every
+    * token has exactly one row counting it) and bigram context pairs are
+    * the non-null-prev rows keyed `(prev_fp, tok_fp)` — the same bigram
+    * instances the joint-string fingerprint keyed before, with the pair
+    * of 60-bit fps as the (strictly less collision-prone) key. The
+    * single-scan cost vs the old unigram-only stage: one extra md5 per
+    * token and a first fold at bigram rather than token granularity.
+    */
+  case class LmFusedStage(pairs: DataFrame, unigram: DataFrame,
+                          bigram: DataFrame) {
+    def unpersist(): Unit = { pairs.unpersist(); () }
+  }
+
+  def lmFusedStage(docs: DataFrame): LmFusedStage = {
+    val fp: Column => Column =
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    val arr = tokens(lower(col("text")))
+    val pairs = docs.select(col("doc_id"),
+        explode(transform(arr, (t, i) => struct(
+          fp(t).as("t"),
+          when(i === lit(0), lit(null).cast("long"))
+            .otherwise(fp(element_at(arr, i))).as("p")))).as("s"))
+      .select(col("doc_id"), col("s.t").as("tok_fp"), col("s.p").as("prev_fp"))
+      .groupBy(col("doc_id"), col("tok_fp"), col("prev_fp"))
+      .agg(count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- unigram view: (doc, tok) term frequencies re-folded ----
+    val tf = pairs.groupBy(col("doc_id"), col("tok_fp"))
+      .agg(sum(col("k")).as("k"))
     val counts = tf.groupBy(col("tok_fp")).agg(sum(col("k")).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
     val nll = col("k") *
       -log((col("cnt") + lit(1)) / (col("n") + col("v")).cast("double"))
-    val result = tf.join(counts, "tok_fp")
+    val unigram = tf.join(counts, "tok_fp")
       // one-row model-totals relation — broadcast safe by construction
       .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
@@ -463,7 +498,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         round(col("nll_sum") / col("n_tokens"), 4).as("avg_nll"),
         round(exp(col("nll_sum") / col("n_tokens")), 4).as("ppl"))
-    LmScoreStage(tf, result)
+
+    // ---- bigram view: context-conditional counts re-folded ----
+    val bg = pairs.filter(col("prev_fp").isNotNull)
+    val c2 = bg.groupBy(col("prev_fp"), col("tok_fp"))
+      .agg(sum(col("k")).as("c2"))
+    val c1 = bg.groupBy(col("prev_fp")).agg(sum(col("k")).as("c1"))
+    val totalsB = c1.agg(count(lit(1)).as("v"))
+    val nllB = col("k") *
+      -log((col("c2") + lit(1)) / (col("c1") + col("v")).cast("double"))
+    val scored = bg.join(c2, Seq("prev_fp", "tok_fp")).join(c1, "prev_fp")
+      // one-row context-vocabulary relation — broadcast safe by construction
+      .crossJoin(broadcast(totalsB))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(nllB).as("nll_sum"))
+    val bigram = docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("nll_sum") / col("n_bigrams"), 4).as("avg_nll"),
+        round(exp(col("nll_sum") / col("n_bigrams")), 4).as("ppl"))
+
+    LmFusedStage(pairs, unigram, bigram)
+  }
+
+  def lmScoreStage(docs: DataFrame): LmScoreStage = {
+    val f = lmFusedStage(docs)
+    LmScoreStage(f.pairs, f.unigram)
   }
 
   /** [[lmScoreStage]]'s result; release the shared term-frequency pairs
@@ -475,44 +536,14 @@ object TextAnalysis {
     * p(cur|prev) = (c₂(prev,cur)+1) / (c₁(prev)+V) with Laplace
     * smoothing, where c₁ counts prev as a CONTEXT (bigram instances with
     * that left token) and V is the distinct-context count — both
-    * re-folded from the same persisted pair stream, so smoothing needs no
-    * second corpus scan. Bigram models separate fluent text from shuffled
-    * bags of frequent words, which a unigram LM scores identically.
-    *
-    * Same scale shape as the unigram stage: ONE scan (the
-    * [[graft.functions.WordShingles]] bigram explode collapses map-side
-    * to distinct (doc, bigram_fp, prev_fp) counts and persists), 8-byte
-    * fingerprint joins for c₂/c₁, a one-row V broadcast, per-doc rollup.
-    * Documents under 2 tokens carry NULL scores (q70's discipline).
+    * re-folded from the [[lmFusedStage]] pair stream, so smoothing needs
+    * no second corpus scan and running BOTH LM models costs one scan
+    * total. Documents under 2 tokens carry NULL scores (q70's
+    * discipline).
     */
   def lmScoreBigramStage(docs: DataFrame): LmScoreStage = {
-    val pairs = docs.select(col("doc_id"),
-        explode(graft.functions.TextFunctions
-          .word_shingles(lower(col("text")), 2)).as("b"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("b")), 1, 15), 16, 10).cast("long").as("b_fp"),
-        conv(substring(md5(substring_index(col("b"), " ", 1)), 1, 15), 16, 10)
-          .cast("long").as("p_fp"))
-      .groupBy(col("doc_id"), col("b_fp"), col("p_fp"))
-      .agg(count(lit(1)).as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c2 = pairs.groupBy(col("b_fp")).agg(sum(col("k")).as("c2"))
-    val c1 = pairs.groupBy(col("p_fp")).agg(sum(col("k")).as("c1"))
-    val totals = c1.agg(count(lit(1)).as("v"))
-    val nll = col("k") *
-      -log((col("c2") + lit(1)) / (col("c1") + col("v")).cast("double"))
-    val scored = pairs.join(c2, "b_fp").join(c1, "p_fp")
-      // one-row context-vocabulary relation — broadcast safe by construction
-      .crossJoin(broadcast(totals))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_bigrams"), sum(nll).as("nll_sum"))
-    val result = docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("nll_sum") / col("n_bigrams"), 4).as("avg_nll"),
-        round(exp(col("nll_sum") / col("n_bigrams")), 4).as("ppl"))
-    LmScoreStage(pairs, result)
+    val f = lmFusedStage(docs)
+    LmScoreStage(f.pairs, f.bigram)
   }
 
   /** [[lmScoreBigramStage]]'s result (handle discipline as [[lmScore]]). */

@@ -93,6 +93,18 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("lmFusedStage scores both models from ONE shared pair stream") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stage = TextAnalysis.lmFusedStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    stage.unigram.count()
+    stage.bigram.agg(org.apache.spark.sql.functions.sum("ppl")).collect()
+    assert(cachedCount === 1)        // exactly one shared pairs relation
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("lmScoreBigramStage shared pair stream is released by the handle") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size

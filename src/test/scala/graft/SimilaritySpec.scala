@@ -73,6 +73,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recallMulti > 0.0)
   }
 
+  test("recallAtK report: multi-probe >= single-probe >= fixture floor") {
+    // the first-class recall-report operator (VERDICT r6 #5): exact
+    // per-query rationals, macro average gates like an index rollout
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val truth = Similarity.bruteTopK(e, e.filter($"vec_id" < 8), k = 5)
+    def macroRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, truth)
+        .agg(org.apache.spark.sql.functions.avg($"recall"))
+        .as[Double].head()
+    val single = macroRecall(Similarity.ivfTopKKmeans(
+      e, l => l.filter($"vec_id" < 8),
+      k = 5, kCells = SparkEntry.KmeansK, iters = SparkEntry.KmeansIters))
+    val multi = macroRecall(Similarity.ivfTopKMultiProbe(
+      e, v => v.filter($"vec_id" < 8),
+      k = 5, kCells = SparkEntry.KmeansK, iters = SparkEntry.KmeansIters,
+      nProbe = 2))
+    assert(multi >= single)       // probing 2 cells can only add recall
+    assert(single >= 0.2)         // fixture floor on the golden queries
+    // self-recall sanity: truth graded against itself is exactly 1.0
+    val self = Similarity.recallAtK(truth, truth)
+      .select($"recall").as[Double].collect()
+    assert(self.forall(_ === 1.0))
+  }
+
   test("probeCells ranks the vector's own cell first") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val model = Similarity.kmeansFit(e, k = SparkEntry.KmeansK,
