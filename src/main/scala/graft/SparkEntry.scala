@@ -1718,6 +1718,14 @@ object SparkEntry {
           |           lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
           |           CASE WHEN doc_id % 2 = 0 THEN '-' ELSE '.' END ||
           |           lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+          |           ' cc 4' ||
+          |           lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+          |           CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '-' END ||
+          |           lpad(((doc_id * 3) % 10000)::VARCHAR, 4, '0') ||
+          |           CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '-' END ||
+          |           lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
+          |           CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '-' END ||
+          |           lpad(((doc_id * 9) % 10000)::VARCHAR, 4, '0') ||
           |           ' at 10.' || (doc_id % 256) || '.' ||
           |           ((doc_id * 7) % 256) || '.' ||
           |           ((doc_id * 13) % 256) || ' end'""".stripMargin
@@ -1725,9 +1733,14 @@ object SparkEntry {
       val red = pats.foldLeft("text") { case (e, (p, r)) =>
         s"regexp_replace($e, '$p', '$r', 'g')"
       }
-      val counts = pats.map { case (p, r) =>
+      // each class counts at its chain point (earlier classes already
+      // replaced) — mirrors TextAnalysis.redactPii exactly
+      val counts = pats.zipWithIndex.map { case ((p, r), i) =>
+        val prior = pats.take(i).foldLeft("text") { case (e, (pp, rr)) =>
+          s"regexp_replace($e, '$pp', '$rr', 'g')"
+        }
         val nm = "n_" + r.stripPrefix("<").stripSuffix(">").toLowerCase
-        s"len(regexp_extract_all(text, '$p')) AS $nm"
+        s"len(regexp_extract_all($prior, '$p')) AS $nm"
       }.mkString(",\n        |       ")
       s"""WITH s AS (
          |  SELECT doc_id, $mk AS text

@@ -329,11 +329,22 @@ object TextAnalysis {
     *  - SSN (3-2-4 digit runs) and phone (NANP 3-3-4 with `-` or `.`
     *    delimiters, each independently) cannot match inside each other:
     *    the digit-run lengths differ at every alignment;
+    *  - payment-card numbers (13-19 digits, optionally `-`/space grouped)
+    *    run AFTER SSN and phone: a replaced `<SSN>`/`<PHONE>` token can
+    *    no longer fuse with neighboring digit runs into a fake 13+-digit
+    *    card, while no card grouping (4-4-4-4, 4-6-5, contiguous) ever
+    *    satisfies SSN's 3-2-4 or the phone's 3-3-4 dash alignments (their
+    *    digit runs break at different offsets), so real cards survive to
+    *    this class intact. The class is deliberately aggressive — ANY
+    *    13-19-digit delimited run redacts, Luhn-valid or not, because a
+    *    Luhn test is not expressible in RE2 and a false redaction is
+    *    cheaper than a leaked PAN; the Luhn gate lives in the spec, which
+    *    drives the battery with valid card numbers in every grouping;
     *  - IPv4 goes last: a dotted phone has only two dots, a valid IP's
     *    1-3-digit groups can never satisfy the phone's trailing 4-digit
-    *    run, and an address-like domain ("user@1.2.3.4") is not consumed
-    *    by the email pattern (its TLD must be alphabetic), so the IP class
-    *    still sees it.
+    *    run, cards never contain dots, and an address-like domain
+    *    ("user@1.2.3.4") is not consumed by the email pattern (its TLD
+    *    must be alphabetic), so the IP class still sees it.
     * The VERDICT r5 battery (lowercase emails, 555- test exchange only, no
     * SSN class) is strictly widened; patterns stay RE2/Java-portable for
     * the oracle.
@@ -342,41 +353,51 @@ object TextAnalysis {
     "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}" -> "<EMAIL>",
     "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
     "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}" -> "<PHONE>",
+    "[0-9]([ -]?[0-9]){12,18}" -> "<CC>",
     "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}" -> "<IP>")
 
   /** PII scrubbing — the redaction pass every training-data pipeline runs
     * before anything leaves curation: emails, SSN-shaped ids, NANP phone
-    * numbers, and IPv4 literals replaced by typed placeholder tokens, with
-    * per-class match counts kept as columns so downstream audits can
-    * aggregate leakage rates without re-scanning text.
+    * numbers, payment-card numbers, and IPv4 literals replaced by typed
+    * placeholder tokens, with per-class match counts kept as columns so
+    * downstream audits can aggregate leakage rates without re-scanning
+    * text.
     *
     * Pure projection: regex replace + extract fuse into the corpus scan
-    * (zero shuffle, scan-speed at 100 TB). Counts are computed on the
-    * PRE-redaction text; replacements chain in [[PiiPatterns]] order.
+    * (zero shuffle, scan-speed at 100 TB). Replacements chain in
+    * [[PiiPatterns]] order, and each class COUNTS at its point in the
+    * chain (on the text with all earlier classes already replaced), so a
+    * count is exactly the number of replacements its class made — a
+    * digit run consumed by an earlier class (an SSN next to a phone
+    * would otherwise fuse into a fake 13+-digit "card") never
+    * double-counts.
     */
   def redactPii(docs: DataFrame): DataFrame = {
-    val red = PiiPatterns.foldLeft(col("text")) { case (c, (pat, rep)) =>
-      regexp_replace(c, pat, rep)
-    }
-    val counts = PiiPatterns.map { case (pat, rep) =>
-      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
-        .as("n_" + rep.stripPrefix("<").stripSuffix(">").toLowerCase)
-    }
+    val (red, counts) = PiiPatterns
+      .foldLeft((col("text"), Seq.empty[org.apache.spark.sql.Column])) {
+        case ((c, cnts), (pat, rep)) =>
+          (regexp_replace(c, pat, rep),
+            cnts :+ size(regexp_extract_all(c, lit(pat), lit(0)))
+              .as("n_" + rep.stripPrefix("<").stripSuffix(">").toLowerCase))
+      }
     docs.select(Seq(col("doc_id"), red.as("red_text")) ++ counts: _*)
   }
 
   /** Deterministic PII-bearing fixture: the corpus text salted with a
     * MIXED-CASE `+`-tagged email, an SSN-shaped id, a phone whose
-    * delimiter alternates `-`/`.` by doc_id parity, and an IPv4 — every
-    * digit a closed form of doc_id. The `documents` table itself is
-    * word-salad with no PII, so the gate constructs payloads the same way
-    * [[Multimodal.syntheticMedia]] builds header bytes, and the oracle
-    * replays the construction. The shapes deliberately exercise the
-    * battery's widened edges: case-insensitivity, `+` tags, both phone
-    * delimiters, and SSN-vs-phone adjacency.
+    * delimiter alternates `-`/`.` by doc_id parity, a 16-digit payment
+    * card whose grouping delimiter alternates space/`-` by parity, and an
+    * IPv4 — every digit a closed form of doc_id. The `documents` table
+    * itself is word-salad with no PII, so the gate constructs payloads
+    * the same way [[Multimodal.syntheticMedia]] builds header bytes, and
+    * the oracle replays the construction. The shapes deliberately
+    * exercise the battery's widened edges: case-insensitivity, `+` tags,
+    * both phone delimiters, both card groupings, and
+    * SSN-vs-phone-vs-card adjacency.
     */
   def withSyntheticPii(docs: DataFrame): DataFrame = {
     val delim = when(col("doc_id") % 2 === 0, lit("-")).otherwise(lit("."))
+    val cd = when(col("doc_id") % 2 === 0, lit(" ")).otherwise(lit("-"))
     docs.select(col("doc_id"), concat(
       substring(col("text"), 1, 40),
       lit(" Reach U"), col("doc_id"), lit("+Tag@Mail"), col("doc_id") % 10,
@@ -387,6 +408,11 @@ object TextAnalysis {
       lit(" ph 555"), delim,
       lpad((col("doc_id") % 1000).cast("string"), 3, "0"), delim,
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" cc 4"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), cd,
+      lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"), cd,
+      lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"), cd,
+      lpad(((col("doc_id") * 9) % 10000).cast("string"), 4, "0"),
       lit(" at 10."), (col("doc_id") % 256).cast("string"),
       lit("."), ((col("doc_id") * 7) % 256).cast("string"),
       lit("."), ((col("doc_id") * 13) % 256).cast("string"),

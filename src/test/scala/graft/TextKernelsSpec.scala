@@ -289,12 +289,57 @@ class TextKernelsSpec extends SparkSpecBase {
   }
 
   test("withSyntheticPii payloads carry exactly one of each class") {
-    // odd and even ids: both phone delimiter variants exercised
+    // odd and even ids: both phone delimiters AND both card groupings
     val docs = Seq((7L, "x " * 60), (122L, "y " * 60)).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(TextAnalysis.withSyntheticPii(docs))
-      .select("n_email", "n_ssn", "n_phone", "n_ip")
-      .as[(Int, Int, Int, Int)].collect()
-    assert(out.forall(_ === ((1, 1, 1, 1))))
+      .select("n_email", "n_ssn", "n_phone", "n_cc", "n_ip")
+      .as[(Int, Int, Int, Int, Int)].collect()
+    assert(out.forall(_ === ((1, 1, 1, 1, 1))))
+  }
+
+  test("redactPii payment cards: groupings, lengths, ordering, Luhn fixtures") {
+    // spec-side Luhn validator (r6 #7): a checksum is not RE2-expressible,
+    // so the ENGINE class stays aggressive (any 13-19-digit delimited run
+    // redacts) and the SPEC drives it with Luhn-VALID numbers in every
+    // real-world grouping to prove no actual PAN shape escapes
+    def luhn(s: String): Boolean = {
+      val ds = s.filter(_.isDigit).map(_ - '0').reverse
+      ds.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum % 10 == 0
+    }
+    val cards = Seq(
+      "4539148803436467",      // visa, 16 contiguous
+      "4539-1488-0343-6467",   // visa, 4-4-4-4 dashed
+      "4539 1488 0343 6467",   // visa, 4-4-4-4 spaced
+      "340000000000009",       // amex, 15 contiguous
+      "3400-000000-00009",     // amex, 4-6-5 dashed
+      "4222222222222",         // visa, 13 (shortest PAN)
+      "6799990100000000019")   // maestro, 19 (longest PAN)
+    assert(cards.forall(luhn), "fixture cards must be Luhn-valid")
+    val df = cards.zipWithIndex
+      .map { case (c, i) => (i.toLong, s"pay card $c today") }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df)
+      .select("red_text", "n_cc").as[(String, Int)].collect()
+    assert(out.forall(_ === (("pay card <CC> today", 1))))
+    // negatives: short runs survive, dots never join runs, and the
+    // earlier classes keep their digits out of the card class
+    val neg = Seq(
+      (1L, "order 123456789012 is twelve digits"),
+      (2L, "ip 10.1.2.3 dotted"),
+      (3L, "078-05-1120 650-555-1234")) // SSN+phone, space-fused 19 digits
+    .toDF("doc_id", "text")
+    val nout = TextAnalysis.redactPii(neg)
+      .select("doc_id", "red_text", "n_cc").as[(Long, String, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(nout(1L)._2 === "order 123456789012 is twelve digits")
+    assert(nout(2L)._2 === "ip <IP> dotted")
+    // ordering (the chain-point count rule): the SSN and phone are
+    // replaced before the card class runs, so their 9+10 digits cannot
+    // fuse into a fake card — neither in the text nor in n_cc
+    assert(nout(3L)._2 === "<SSN> <PHONE>")
+    assert(nout.values.forall(_._3 === 0))
   }
 
   test("lmScore: Laplace-smoothed unigram math is exact on a tiny corpus") {
