@@ -477,8 +477,11 @@ object TextAnalysis {
     * corpus scan instead of two. A production quality-filter pipeline
     * runs both (the bigram separates fluent text from shuffled bags of
     * frequent words the unigram scores identically), which is why the
-    * fused relation is the primitive and the single-model stages are
-    * views of it.
+    * fused relation exists. The BIGRAM stage is a view of it (bigram
+    * scoring needs pair granularity anyway); the standalone UNIGRAM
+    * stage keeps its own leaner shape — token-granularity first fold,
+    * one fingerprint per token — because a unigram-only run should not
+    * pay the pair stream (measured 3× on the gated query).
     *
     * The stream is one row per (doc, token, left-context) triple with a
     * multiplicity `k`: `prev_fp` is NULL for a document's first token, so
@@ -498,32 +501,26 @@ object TextAnalysis {
   def lmFusedStage(docs: DataFrame): LmFusedStage = {
     val fp: Column => Column =
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
-    val arr = tokens(lower(col("text")))
-    val pairs = docs.select(col("doc_id"),
-        explode(transform(arr, (t, i) => struct(
-          fp(t).as("t"),
-          when(i === lit(0), lit(null).cast("long"))
-            .otherwise(fp(element_at(arr, i))).as("p")))).as("s"))
-      .select(col("doc_id"), col("s.t").as("tok_fp"), col("s.p").as("prev_fp"))
+    // explode POSITIONALLY with the token array as an attribute, then
+    // fingerprint in the post-explode projection: everything stays in
+    // whole-stage codegen, and `element_at(toks, pos)` is an O(1) array
+    // read. (A `transform((t, i) => ...)` lambda capturing the split
+    // re-evaluates it per ELEMENT interpreted — HOFs are CodegenFallback
+    // — the exact O(tokens²) pitfall the single-pass kernels exist to
+    // avoid; it cost q84 a 5× bench regression before this shape.)
+    val pairs = docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .select(col("doc_id"), fp(col("col")).as("tok_fp"),
+        when(col("pos") === 0, lit(null).cast("long"))
+          .otherwise(fp(element_at(col("toks"), col("pos")))).as("prev_fp"))
       .groupBy(col("doc_id"), col("tok_fp"), col("prev_fp"))
       .agg(count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- unigram view: (doc, tok) term frequencies re-folded ----
-    val tf = pairs.groupBy(col("doc_id"), col("tok_fp"))
-      .agg(sum(col("k")).as("k"))
-    val counts = tf.groupBy(col("tok_fp")).agg(sum(col("k")).as("cnt"))
-    val totals = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
-    val nll = col("k") *
-      -log((col("cnt") + lit(1)) / (col("n") + col("v")).cast("double"))
-    val unigram = tf.join(counts, "tok_fp")
-      // one-row model-totals relation — broadcast safe by construction
-      .crossJoin(broadcast(totals))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_tokens"), sum(nll).as("nll_sum"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("nll_sum") / col("n_tokens"), 4).as("avg_nll"),
-        round(exp(col("nll_sum") / col("n_tokens")), 4).as("ppl"))
+    val unigram = unigramScore(
+      pairs.groupBy(col("doc_id"), col("tok_fp")).agg(sum(col("k")).as("k")))
 
     // ---- bigram view: context-conditional counts re-folded ----
     val bg = pairs.filter(col("prev_fp").isNotNull)
@@ -548,9 +545,37 @@ object TextAnalysis {
     LmFusedStage(pairs, unigram, bigram)
   }
 
+  /** Standalone unigram stage — the lean token-granularity shape (ONE
+    * fingerprint per token, first fold directly to (doc, tok_fp)); use
+    * [[lmFusedStage]] when the corpus is scored under BOTH models.
+    */
   def lmScoreStage(docs: DataFrame): LmScoreStage = {
-    val f = lmFusedStage(docs)
-    LmScoreStage(f.pairs, f.unigram)
+    val tf = docs.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tok_fp"))
+      .groupBy(col("doc_id"), col("tok_fp")).agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LmScoreStage(tf, unigramScore(tf))
+  }
+
+  /** Laplace-smoothed unigram scoring over a (doc_id, tok_fp, k) term-
+    * frequency relation — shared by the lean standalone stage and the
+    * fused stage's unigram view.
+    */
+  private def unigramScore(tf: DataFrame): DataFrame = {
+    val counts = tf.groupBy(col("tok_fp")).agg(sum(col("k")).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val nll = col("k") *
+      -log((col("cnt") + lit(1)) / (col("n") + col("v")).cast("double"))
+    tf.join(counts, "tok_fp")
+      // one-row model-totals relation — broadcast safe by construction
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"), sum(nll).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll_sum") / col("n_tokens"), 4).as("avg_nll"),
+        round(exp(col("nll_sum") / col("n_tokens")), 4).as("ppl"))
   }
 
   /** [[lmScoreStage]]'s result; release the shared term-frequency pairs
