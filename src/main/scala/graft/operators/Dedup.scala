@@ -169,19 +169,34 @@ object Dedup {
     * is the better near-dup measure as well as the scalable one. This is
     * the 100 TB shape: distribute by posting list, bound the largest list.
     */
+  /** [[windowedJaccardPairsStage]]'s capped posting-list index with its
+    * cache handle: `sizes`, BOTH self-join sides, and the Jaccard math
+    * all consume the persisted index, so the corpus is shingled during
+    * cache fill (the hot-list aggregate + the anti-join left) and never
+    * again — without the cache the three references re-planned the whole
+    * scan+explode+cap pipeline each (eight corpus scans in the plan).
+    */
+  case class JaccardStage(inv: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { inv.unpersist(); () }
+  }
+
   def windowedJaccardPairs(docs: DataFrame, idWindow: Int, threshold: Double,
-                           maxDf: Int = DefaultMaxShingleDf): DataFrame = {
+                           maxDf: Int = DefaultMaxShingleDf): DataFrame =
+    windowedJaccardPairsStage(docs, idWindow, threshold, maxDf).result
+
+  def windowedJaccardPairsStage(docs: DataFrame, idWindow: Int,
+                                threshold: Double,
+                                maxDf: Int = DefaultMaxShingleDf): JaccardStage = {
     val sh = docs
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
     // document frequency via a map-side-combining groupBy on the posting
     // list + anti-join against the (tiny) hot-shingle list — NOT a window
     // over `s`: the hot shingles ("all rights reserved") are exactly the
-    // partitions a window would buffer whole in one task (VERDICT r7 #1).
-    // The identical exchanges on `s` under the aggregate and the
-    // anti-join left are deduplicated by ReuseExchange.
+    // partitions a window would buffer whole in one task (VERDICT r7 #1)
     val inv = capHotBuckets(
-      sh.select(col("doc_id"), explode(col("sh")).as("s")), Seq("s"), maxDf)
+        sh.select(col("doc_id"), explode(col("sh")).as("s")), Seq("s"), maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") &&
@@ -195,12 +210,13 @@ object Dedup {
     // frozen at test scale" anti-pattern). Stats + AQE pick broadcast
     // when the table actually fits and sort-merge when it doesn't — the
     // same no-hint rationale as the Solar panel join.
-    inter
+    val result = inter
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    JaccardStage(inv, result)
   }
 
   /** Connected components over near-dup pairs: every document that appears

@@ -38,6 +38,18 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("windowedJaccardPairsStage posting index is released by the handle") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stage = Dedup.windowedJaccardPairsStage(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+      idWindow = 25, threshold = 0.2)
+    stage.result.count()
+    assert(cachedCount > 0)          // the capped posting-list index
+    stage.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("heavyHitters shared token explode is released by the stage handle") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size
