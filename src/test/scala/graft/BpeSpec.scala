@@ -81,6 +81,26 @@ class BpeSpec extends SparkSpecBase {
       === Seq("a b" -> 5L))
   }
 
+  test("batched == sequential on a collision-heavy corpus (ADVICE r7)") {
+    // engineered to hit every guard: letter runs ("aaaa") force
+    // self-pairs, and the vocabulary re-mints earlier results ("in"+"g"
+    // vs "i"+"ng"-shaped alternatives compete) — the exact scenarios
+    // where the unguarded strict-cutoff proof could diverge from
+    // sequential greedy
+    val texts = Seq(
+      "aaaa aaab baaa running ring singing king",
+      "aaa aa running singing ring ring kingkin",
+      "inging ging ning inin gggg aaag gaaa",
+      "ring king sing singing running gunning")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val seq = Bpe.train(docs, nMerges = 40, batchK = 1)
+    val bat = Bpe.train(docs, nMerges = 40)
+    assert(bat.merges.collect().toSeq === seq.merges.collect().toSeq)
+    seq.unpersist(); bat.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("acceptBatch: merged-string collisions and self-pairs stop the prefix") {
     // ADVICE r7: a batch merge whose result equals a symbol minted by a
     // PRIOR round would ADD occurrences to that symbol's existing pairs
