@@ -156,12 +156,22 @@ object Solar {
     def unpersist(): Unit = { module.unpersist(); () }
   }
 
-  def stages(events: DataFrame, windowDuration: String = WindowDuration): Stages = {
-    val m = moduleAgg(events, windowDuration)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val p = panelAgg(m)
-    val pf = panelFinal(joinPanelModule(m, p))
-    Stages(m, p, pf, joinModulePanel(m, pf))
+  def stages(events: DataFrame, windowDuration: String = WindowDuration): Stages =
+    stagesFrom(moduleAgg(events, windowDuration)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The downstream stage DAG over an ALREADY-materialized module
+    * relation (persisted by [[stages]], or checkpoint-backed when a
+    * driver shares the module aggregate across several consumers — the
+    * `SparkEntry` q04–q08 memo). Everything below the module aggregate
+    * is panel-cardinality work, so rebuilding these plans per consumer
+    * is free; the raw-table scan + shuffle above is what must not
+    * re-run.
+    */
+  def stagesFrom(module: DataFrame): Stages = {
+    val p = panelAgg(module)
+    val pf = panelFinal(joinPanelModule(module, p))
+    Stages(module, p, pf, joinModulePanel(module, pf))
   }
 
   /** Full pipeline: events → anomalies (the batch twin of the topology). */

@@ -26,6 +26,39 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)        // nothing left after the explicit release
   }
 
+  test("q04-q08 share one checkpointed module aggregate via the memo") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.releaseSolarShared(spark, dir) // a prior suite may have published
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    // first chain query computes and publishes the checkpoint-backed module
+    val q4 = SparkEntry.queries("q04_join_panel_module")(spark, dir)
+    q4.count()
+    val afterFirst = cachedCount
+    assert(afterFirst > 0)           // the checkpointed module relation
+    // clearCache (what Bench/Verify issue between queries) must NOT drop
+    // it — the memo survives as raw-RDD checkpoint blocks
+    spark.catalog.clearCache()
+    assert(cachedCount === afterFirst)
+    // further chain queries consume the same memo: no new cached RDDs
+    SparkEntry.queries("q06_join_module_panel")(spark, dir).count()
+    SparkEntry.queries("q08_flagship_anomalies")(spark, dir).count()
+    assert(cachedCount === afterFirst)
+    // and their plans sit on a checkpoint leaf, not a fresh scan
+    val hasCkptLeaf = SparkEntry.queries("q07_anomaly_filter")(spark, dir)
+      .queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r
+      }.nonEmpty
+    assert(hasCkptLeaf)
+    // explicit release frees the blocks; the next chain query republishes
+    SparkEntry.releaseSolarShared(spark, dir)
+    assert(cachedCount === 0)
+    SparkEntry.queries("q05_variance_deviance")(spark, dir).count()
+    assert(cachedCount > 0)
+    SparkEntry.releaseSolarShared(spark, dir)
+    assert(cachedCount === 0)
+  }
+
   test("Dedup near-dup caches are released by NearDupStage.unpersist") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size
