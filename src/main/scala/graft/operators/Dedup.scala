@@ -270,7 +270,22 @@ object Dedup {
     * unreliable executors, swap `localCheckpoint` for reliable
     * `checkpoint` — same call shape, HDFS-backed.
     */
-  def starClusters(pairs: DataFrame): CcResult = {
+  def starClusters(pairs: DataFrame): CcResult =
+    starClusters(pairs, StarPersistMinEdges)
+
+  /** Edge-count gate for the per-round large-star persist (VERDICT r8 #4).
+    * ProbeRound9's A/B on the deep probe graph showed ReuseExchange
+    * deduplicating the doubled large-star subtree (identical shuffle-write
+    * record totals with and without the cache), so the persist is
+    * insurance against plan divergence, not a recomputation fix — and at
+    * small inputs its cache churn is pure overhead (the r8 q52 bench
+    * regression). Keep it only where a re-run, if it ever happened, would
+    * be expensive.
+    */
+  val StarPersistMinEdges = 5000000L
+
+  private[graft] def starClusters(pairs: DataFrame,
+                                  persistMinEdges: Long): CcResult = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.logical.collectFirst {
@@ -282,6 +297,7 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    var edgeCount = edges.count() // cheap: a count over the checkpoint blocks
     // Neighborhood minima are a map-side-combining groupBy + join back on
     // the center id, NOT `min(v).over(partitionBy(u))` (VERDICT r6 #3):
     // the min-root of a giant near-dup component accumulates degree ≈
@@ -298,19 +314,29 @@ object Dedup {
       // strictly above the center re-links to the neighborhood min
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
-      // persisted: withNbrMin references its input twice (aggregate +
-      // join left), and without the cache the whole large-star pipeline
-      // — including its distinct shuffle — would be planned twice in the
-      // small-star step, leaning on ReuseExchange to avoid recomputation
-      // (ADVICE r7). The cache is released as soon as the round's
-      // checkpoint materializes.
-      val large = withNbrMin(sym)
+      // withNbrMin references its input twice (aggregate + join left), so
+      // without a cache the large-star pipeline — including its distinct
+      // shuffle — appears twice in the small-star plan and only
+      // ReuseExchange keeps it from computing twice (ADVICE r7). The
+      // persist is GATED on input size (VERDICT r8 #4): ProbeRound9
+      // measured ReuseExchange actually deduping the doubled subtree at
+      // every scale (shuffle-write records identical with and without the
+      // cache), so the persist buys insurance against plan-divergence
+      // only; below the gate the cache churn costs more than it saves
+      // (the r8 q52 bench regression, 2.70→3.41 s at sf0.1). The cache,
+      // when taken, is released as soon as the round's checkpoint
+      // materializes.
+      val largePlan = withNbrMin(sym)
         .withColumn("m", least(col("u"), col("mn")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val doPersist = edgeCount >= persistMinEdges
+      val large =
+        if (doPersist)
+          largePlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else largePlan
       // small-star on the larger→smaller edges: the center and its
       // non-min smaller neighbors re-link to the smallest of them
       val next = withNbrMin(large)
@@ -319,14 +345,16 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true) // eager: materializes and truncates lineage
-      large.unpersist(false)
+      if (doPersist) large.unpersist(false)
       // converged when the round is a no-op: same size and no new edges
       // (two counts over flat checkpoint leaves — no recomputation)
+      val nextCount = next.count()
       changed =
-        if (next.count() != edges.count()) 1L
+        if (nextCount != edgeCount) 1L
         else next.join(edges, Seq("u", "v"), "left_anti").count()
       ckptRdd(edges).foreach(_.unpersist(false))
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     log.info(s"starClusters converged in $rounds rounds")
