@@ -223,6 +223,58 @@ object Bpe {
       base)
   }
 
+  // --- application (VERDICT r8 #1: the inference-side cost an epoch pays) --
+
+  /** Corpus tokenization with a TRAINED merge table, direct form: one
+    * [[graft.functions.BpeEncode]] eval per word INSTANCE. Per-word cost
+    * is independent of the merge count (rank-priority loop, not stacked
+    * per-merge passes), so this is already production-shaped; prefer
+    * [[encodeStage]] when the corpus repeats words (always, for natural
+    * language).
+    *
+    * Output: (doc_id, word, pieces array<string>) — one row per word
+    * instance, pieces in order. Token counts are `sum(size(pieces))`;
+    * flat token streams are `posexplode(pieces)`.
+    */
+  def encodeDirect(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), col("word"),
+        graft.functions.TextFunctions.bpe_encode(col("word"), merges).as("pieces"))
+
+  /** The word-memoized encode with its cache handle: segmentations are
+    * computed once per DISTINCT word (the trainer's own trick — BPE cost
+    * should scale with the vocabulary, not the corpus) and joined back to
+    * word instances on the word key. The distinct-word relation is
+    * vocab-sized; stats/AQE broadcast it when it fits (no hint — an
+    * adversarial corpus of unique words must fall back to a shuffle join
+    * rather than OOM the driver). Zipf skew on the join key is harmless:
+    * the build side is distinct (one row per word), so a hot word is one
+    * hash-table hit, not a hot partition.
+    */
+  case class EncodeStage(words: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { words.unpersist(); () }
+  }
+
+  def encodeStage(docs: DataFrame, merges: Seq[(String, String)]): EncodeStage = {
+    val words = docs
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"),
+        graft.functions.TextFunctions.bpe_encode(col("word"), merges).as("pieces"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(words, "word")
+      .select(col("doc_id"), col("word"), col("pieces"))
+    EncodeStage(words, result)
+  }
+
   /** The learned merge table alone (q98's gate output). */
   def trainMerges(docs: DataFrame, nMerges: Int): DataFrame = {
     val m = train(docs, nMerges)

@@ -443,10 +443,11 @@ object Similarity {
     def unpersist(): Unit = { keyed.unpersist(); () }
   }
 
-  def srpStage(embeddings: DataFrame,
-               threshold: Double = 0.35,
-               bits: Int = SrpBits, bands: Int = SrpBands,
-               maxBucket: Int = SrpMaxBucket): SrpStage = {
+  /** The SLIM (vec_id, band_idx, band_val) band relation for SRP-LSH —
+    * ~20 bytes/row; the 256-byte vectors never enter a band exchange.
+    */
+  private def srpBandRelation(embeddings: DataFrame,
+                              bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, s"$bits bits not divisible into $bands bands")
     require(bits <= SrpMaxBits, s"$bits > $SrpMaxBits available planes")
     val bandBits = bits / bands
@@ -459,17 +460,22 @@ object Similarity {
       (0 until bandBits).map(i => bitCols(bd * bandBits + i) * lit(1 << i))
         .reduce(_ + _).as(s"band$bd")
     }
-    // SLIM band relation — (vec_id, band_idx, band_val) is ~20 bytes/row;
-    // the 256-byte vectors never enter the band exchange. Candidates
-    // dedup across bands BEFORE verification, then only candidate rows
-    // fetch their vectors back by vec_id (the minhashNearDups shape, and
-    // exactly the oracle's own CTE structure).
-    val keyed = embeddings
+    embeddings
       .select(col("vec_id") +: bandCols: _*)
       .select(col("vec_id"),
         posexplode(array((0 until bands).map(bd => col(s"band$bd")): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
+  }
+
+  def srpStage(embeddings: DataFrame,
+               threshold: Double = 0.35,
+               bits: Int = SrpBits, bands: Int = SrpBands,
+               maxBucket: Int = SrpMaxBucket): SrpStage = {
+    // Candidates dedup across bands BEFORE verification, then only
+    // candidate rows fetch their vectors back by vec_id (the
+    // minhashNearDups shape, and exactly the oracle's own CTE structure).
+    val keyed = srpBandRelation(embeddings, bits, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot-bucket cap as groupBy hot-list + anti-join, never a window
     // (VERDICT r7 #1) — a viral band bucket must not buffer in one task
@@ -487,5 +493,41 @@ object Similarity {
         round(vec_cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
     SrpStage(keyed, result)
+  }
+
+  /** SRP-LSH approximate top-k — the query-driven form of the same index:
+    * a query's candidates are the corpus vectors sharing at least ONE of
+    * its band values, scored exactly, ranked top-k. Plan shape matches
+    * [[ivfTopK]]: the query band relation (|Q| × bands rows) broadcasts,
+    * the corpus side is the slim band relation equi-joined on
+    * (band_idx, band_val), and only deduped candidates fetch vectors back
+    * by vec_id. The hot-bucket cap applies to the corpus side exactly as
+    * in [[srpStage]] — a viral angular bucket would otherwise fan every
+    * query that lands in it across the whole bucket.
+    *
+    * Expected candidates/query ≈ bands × n / 2^(bits/bands) for random
+    * pairs, so bits/bands is a corpus-size parameter (the [[SrpBits]]
+    * note); recall against brute-force truth is measured by
+    * [[recallAtK]] — ProbeRound9 records the shipped configs at 1M
+    * vectors.
+    */
+  def srpTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              bits: Int = SrpBits, bands: Int = SrpBands,
+              maxBucket: Int = SrpMaxBucket): DataFrame = {
+    val keyed = srpBandRelation(embeddings, bits, bands)
+    val capped = Dedup.capHotBuckets(keyed, Seq("band_idx", "band_val"), maxBucket)
+    val qKeyed = srpBandRelation(queries, bits, bands)
+      .select(col("vec_id").as("q_id"), col("band_idx"), col("band_val"))
+    val cands = capped.join(broadcast(qKeyed), Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val scored = cands
+      .join(embeddings.select(col("vec_id"), col("embedding").as("emb")), "vec_id")
+      .join(q, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        vec_cosine(col("q_emb"), col("emb")).as("cos"))
+    rankTopK(scored, k)
   }
 }

@@ -23,4 +23,10 @@ object Bridge {
       case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
       case _ => None
     }
+
+  /** Drain the listener bus (`private[spark]`) so a measurement that
+    * reads listener-accumulated totals sees every completed stage.
+    */
+  def waitForListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

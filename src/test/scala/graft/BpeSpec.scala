@@ -132,6 +132,76 @@ class BpeSpec extends SparkSpecBase {
       === Seq("i ng" -> 9L, "x y" -> 8L))
   }
 
+  // ---- application (VERDICT r8 #1: the inference side) ----
+
+  private def mergePairs(model: Bpe.BpeModel): Seq[(String, String)] =
+    model.merges.orderBy(col("rank")).select("left", "right")
+      .as[(String, String)].collect().toSeq
+
+  test("bpe_encode replays training: encode(word) == trained segmentation") {
+    // every training word must tokenize to exactly the segmentation the
+    // trainer left it with — the rank-priority loop visits merges in the
+    // same order as training's one-pass-per-rank sweep (a pair minted by
+    // merge r only participates in pairs of rank > r). Run on the
+    // collision-heavy corpus: self-pairs and re-minted symbols are where
+    // a wrong application order would show.
+    val texts = Seq(
+      "aaaa aaab baaa running ring singing king",
+      "aaa aa running singing ring ring kingkin",
+      "inging ging ning inin gggg aaag gaaa",
+      "ring king sing singing running gunning")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.train(docs, nMerges = 40)
+    val pairs = mergePairs(model)
+    val fromVocab = model.vocab.select("word", "segmentation")
+      .as[(String, Seq[String])].collect().toMap
+    val encoded = model.vocab.select(col("word"),
+        graft.functions.TextFunctions.bpe_encode(col("word"), pairs).as("enc"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(encoded === fromVocab)
+    model.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("bpe_encode handles OOV words with the learned merges") {
+    // fixture merges: (a,a) -> aa, (a,b) -> ab, (aa,ab) -> aaab
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, nMerges = 10)
+    val pairs = mergePairs(model)
+    def enc(w: String): Seq[String] =
+      Seq(w).toDF("w").select(
+        graft.functions.TextFunctions.bpe_encode(col("w"), pairs).as("e"))
+        .as[Seq[String]].head()
+    // "aabab": [a,a,b,a,b] -(a,a)-> [aa,b,a,b] -(a,b)-> [aa,b,ab]
+    assert(enc("aabab") === Seq("aa", "b", "ab"))
+    // no applicable merges: stays character-seeded
+    assert(enc("xyz") === Seq("x", "y", "z"))
+    // in-vocab word reproduces its trained single token
+    assert(enc("aaab") === Seq("aaab"))
+    model.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("encodeStage (distinct-word memo) equals encodeDirect") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(120)
+    val model = Bpe.train(docs, nMerges = 25)
+    val pairs = mergePairs(model)
+    val direct = Bpe.encodeDirect(docs, pairs)
+      .select(col("doc_id"), col("word"), concat_ws("|", col("pieces")).as("p"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val stage = Bpe.encodeStage(docs, pairs)
+    val memo = stage.result
+      .select(col("doc_id"), col("word"), concat_ws("|", col("pieces")).as("p"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(memo === direct)
+    assert(direct.nonEmpty)
+    stage.unpersist()
+    model.unpersist()
+    spark.catalog.clearCache()
+  }
+
   test("training on real documents yields the requested merge count") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.trainMerges(docs, nMerges = 5)

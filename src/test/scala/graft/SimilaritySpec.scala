@@ -97,6 +97,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(self.forall(_ === 1.0))
   }
 
+  test("srpTopK with 1-bit bands recovers the exact brute-force top-k") {
+    // bands == bits makes each band a single sign bit: a candidate is
+    // missed only if it disagrees with the query on ALL 16 planes — for
+    // the fixture corpus every top-5 neighbor shares at least one sign,
+    // so the approximate ranking must equal the exact one
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 8)
+    val truth = Similarity.bruteTopK(e, q, k = 5)
+      .select($"q_id", $"vec_id", $"rank", $"cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val srp = Similarity.srpTopK(e, q, k = 5,
+        bits = 16, bands = 16, maxBucket = Int.MaxValue)
+      .select($"q_id", $"vec_id", $"rank", $"cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(srp === truth)
+    spark.catalog.clearCache()
+  }
+
+  test("srpTopK at the shipped 16/2 config reports sane recall") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 8)
+    val truth = Similarity.bruteTopK(e, q, k = 5)
+    val rec = Similarity.recallAtK(Similarity.srpTopK(e, q, k = 5), truth)
+      .agg(avg($"recall")).as[Double].head()
+    assert(rec >= 0.0 && rec <= 1.0)
+    // every query id appears in the report even if its bucket went empty
+    val n = Similarity.recallAtK(Similarity.srpTopK(e, q, k = 5), truth)
+      .select($"q_id").distinct().count()
+    assert(n === q.count())
+    spark.catalog.clearCache()
+  }
+
   test("probeCells ranks the vector's own cell first") {
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val model = Similarity.kmeansFit(e, k = SparkEntry.KmeansK,
