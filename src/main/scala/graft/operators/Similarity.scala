@@ -114,18 +114,14 @@ object Similarity {
     var centroids: Array[Seq[Double]] = train.limit(k)
       .select(col("emb")).collect().map(_.getSeq[Double](0))
 
-    // dist_j ∝ |c_j|² − 2·(emb·c_j); argmin via lexicographic array_min
-    // over struct(dist, cell) — deterministic tie-break on cell id
-    def assign(df: DataFrame): DataFrame = {
-      val scored = centroids.zipWithIndex.map { case (c, j) =>
-        val cLit = typedlit(c)
-        struct((lit(c.map(x => x * x).sum) -
-          lit(2.0) * graft.functions.VectorFunctions.vec_dot(col("emb"), cLit))
-          .as("dist"), lit(j).as("cell"))
-      }
+    // dist_j ∝ |c_j|² − 2·(emb·c_j); argmin with (dist, cell) tie-break —
+    // one fused NearestCells pass (k stacked literal-dot columns are
+    // identical arithmetic but fall off the JIT cliff as k grows; see the
+    // expression's scaladoc)
+    def assign(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("emb"),
-        array_min(array(scored.toIndexedSeq: _*)).getField("cell").as("cell"))
-    }
+        element_at(graft.functions.VectorFunctions.nearest_cells(
+          col("emb"), centroids.toIndexedSeq, nProbe = 1), 1).as("cell"))
 
     for (_ <- 1 to iters) {
       // Deterministic centroid mean: values are collected per (cell, dim),
@@ -165,14 +161,9 @@ object Similarity {
                  nProbe: Int): DataFrame = {
     val v = vectors
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
-    val scored = centroids.zipWithIndex.map { case (c, j) =>
-      struct((lit(c.map(x => x * x).sum) -
-        lit(2.0) * graft.functions.VectorFunctions.vec_dot(col("emb"), typedlit(c)))
-        .as("dist"), lit(j).as("cell"))
-    }
     v.select(col("vec_id"),
-        explode(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nProbe)).as("probe"))
-      .select(col("vec_id"), col("probe.cell").as("cell"))
+      explode(graft.functions.VectorFunctions.nearest_cells(
+        col("emb"), centroids.toIndexedSeq, nProbe)).as("cell"))
   }
 
   /** Multi-probe IVF ANN over learned k-means cells: each query scores the
@@ -450,20 +441,15 @@ object Similarity {
                               bits: Int, bands: Int): DataFrame = {
     require(bits % bands == 0, s"$bits bits not divisible into $bands bands")
     require(bits <= SrpMaxBits, s"$bits > $SrpMaxBits available planes")
-    val bandBits = bits / bands
-    require(bandBits <= 30, s"band width $bandBits overflows the int band value")
-    val bitCols: Seq[Column] = (0 until bits).map { b =>
-      (graft.functions.VectorFunctions
-        .vec_dot(col("embedding"), typedlit(srpPlanes(b))) >= 0).cast("int")
-    }
-    val bandCols: Seq[Column] = (0 until bands).map { bd =>
-      (0 until bandBits).map(i => bitCols(bd * bandBits + i) * lit(1 << i))
-        .reduce(_ + _).as(s"band$bd")
-    }
+    require(bits / bands <= 30, s"band width ${bits / bands} overflows the int band value")
+    // one fused SrpBandValues pass — `bits` stacked literal-dot bit columns
+    // are identical arithmetic but fall off the JIT cliff at probe widths
+    // (see the expression's scaladoc)
+    val planes = (0 until bits).map(b => srpPlanes(b).toIndexedSeq)
     embeddings
-      .select(col("vec_id") +: bandCols: _*)
       .select(col("vec_id"),
-        posexplode(array((0 until bands).map(bd => col(s"band$bd")): _*)))
+        posexplode(graft.functions.VectorFunctions
+          .srp_bands(col("embedding"), planes, bands)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
   }

@@ -241,4 +241,55 @@ class SimilaritySpec extends SparkSpecBase {
     // no duplicate pairs despite two bands
     assert(out.count() === out.select("id_a", "id_b").distinct().count())
   }
+
+  test("fused srp_bands ≡ stacked literal-dot bit columns at full 64/4 width") {
+    // the fused expression exists for JIT survival; this pins that its
+    // arithmetic is EXACTLY the stacked vec_dot form it replaced (same
+    // index-order fold, same >= 0 sign rule, same bit packing)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (bits, bands) = (64, 4)
+    val bandBits = bits / bands
+    val bitCols = (0 until bits).map { b =>
+      (vec_dot(col("embedding"), typedlit(Similarity.srpPlanes(b).toSeq)) >= 0)
+        .cast("int")
+    }
+    val stacked = e.select(col("vec_id") +: (0 until bands).map { bd =>
+      (0 until bandBits).map(i => bitCols(bd * bandBits + i) * lit(1 << i))
+        .reduce(_ + _).as(s"b$bd")
+    }: _*)
+    val planes = (0 until bits).map(b => Similarity.srpPlanes(b).toIndexedSeq)
+    val fused = e.select(col("vec_id"),
+      srp_bands(col("embedding"), planes, bands).as("bv"))
+      .select(col("vec_id") +:
+        (0 until bands).map(bd => element_at(col("bv"), bd + 1).as(s"b$bd")): _*)
+    assert(fused.except(stacked).count() === 0)
+    assert(stacked.except(fused).count() === 0)
+  }
+
+  test("fused nearest_cells ≡ array_sort over per-centroid distance structs") {
+    // same pin for the IVF assignment/probe: the struct-sort form is the
+    // reference semantics (dist asc, cell asc), the fused loop must agree
+    // on every vector for both nProbe = 1 (assignment) and nProbe = 3
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents: Array[Seq[Double]] =
+      Similarity.kmeansFit(e, k = 5, iters = 2).centroids
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      struct((lit(c.map(x => x * x).sum) -
+        lit(2.0) * vec_dot(col("emb"), typedlit(c))).as("dist"),
+        lit(j).as("cell"))
+    }
+    for (nProbe <- Seq(1, 3)) {
+      val ref = v.select(col("vec_id"),
+        posexplode(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nProbe)))
+        .select(col("vec_id"), col("pos"), col("col.cell").as("cell"))
+      val fused = v.select(col("vec_id"),
+        posexplode(nearest_cells(col("emb"), cents.toIndexedSeq, nProbe)))
+        .select(col("vec_id"), col("pos"), col("col").as("cell"))
+      assert(fused.except(ref).count() === 0, s"nProbe=$nProbe")
+      assert(ref.except(fused).count() === 0, s"nProbe=$nProbe")
+    }
+    spark.catalog.clearCache()
+  }
 }
