@@ -314,6 +314,145 @@ case class BloomMightContain(bloom: Expression, key: Expression,
     copy(bloom = newLeft, key = newRight)
 }
 
+/** Bounded per-group top-k by (score desc, id asc): the k best
+  * (id, payload) entries, best first. The ranking primitive for
+  * candidate-scored search (ANN top-k): the row_number-over-window form is
+  * semantically identical but its physical plan SORTS the whole candidate
+  * stream per map partition before WindowGroupLimit can prune — at probe
+  * scale (~10⁸ scored candidates) that sort buffers gigabytes and spills,
+  * and wall-clock goes to sorter insertion, not scoring (measured: IVF
+  * multi-probe at 1M vectors = 1,433 s, ~95% in sort_addToSorter). This
+  * aggregate keeps O(k) state per group, rejects a losing candidate with
+  * ONE compare, combines map-side, and ships k-row buffers through the
+  * shuffle — candidate volume never hits a sort or the wire.
+  *
+  * Determinism: (score, id) is a strict total order (ids are unique per
+  * group; `Double.compare` totalizes NaN/-0.0 exactly like Spark's
+  * DoubleType sort order), so the kept set and its order are independent
+  * of partial-aggregation order — the property that lets the queries it
+  * serves stay hash-gated. Callers pass the score PRE-ROUNDED (e.g.
+  * `round(cos, 6)`) so the tie-domain matches the oracle's ranking
+  * exactly; `payload` carries whatever output columns the ranking needs
+  * (raw cosine, integer dot, ...) untouched.
+  */
+case class TopKByScoreAgg(
+    score: Expression,
+    id: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuf] {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def prettyName: String = "top_k_by_score"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("payload", ArrayType(DoubleType, containsNull = false),
+      nullable = false))), containsNull = false)
+
+  override def children: Seq[Expression] = Seq(score, id, payload)
+
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
+
+  override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val p = payload.eval(input)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long], p.toDoubleArray())
+    }
+    buf
+  }
+
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = { b1.absorb(b2); b1 }
+
+  override def eval(buf: TopKBuf): Any = {
+    val out = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](buf.ids(i), new GenericArrayData(
+          buf.payloads(i).map(v => v: Any))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKBuf): Array[Byte] = {
+    val p = if (buf.n == 0) 0 else buf.payloads(0).length
+    val bb = ByteBuffer.allocate(8 + buf.n * (16 + 8 * p))
+    bb.putInt(buf.n); bb.putInt(p)
+    var i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i))
+      buf.payloads(i).foreach(bb.putDouble)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt(); val p = bb.getInt()
+    val buf = new TopKBuf(k)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble(); val id = bb.getLong()
+      buf.insert(s, id, Array.fill(p)(bb.getDouble()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScoreAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScoreAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScoreAgg =
+    copy(score = newChildren(0), id = newChildren(1), payload = newChildren(2))
+}
+
+/** [[TopKByScoreAgg]]'s buffer: ≤ k entries sorted best-first by
+  * (score desc, id asc). A losing candidate (the ~100% case once the
+  * buffer fills) costs one compare; a winner shifts into place (k is
+  * small). Kept as plain parallel arrays for compact serialization.
+  */
+final class TopKBuf(val k: Int) {
+  var n = 0
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  val payloads = new Array[Array[Double]](k)
+
+  /** True iff (s1, i1) ranks strictly before (s2, i2). */
+  private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
+
+  def insert(s: Double, id: Long, p: Array[Double]): Unit = {
+    if (n == k && !before(s, id, scores(n - 1), ids(n - 1))) return
+    var pos = if (n == k) n - 1 else { n += 1; n - 1 }
+    while (pos > 0 && before(s, id, scores(pos - 1), ids(pos - 1))) {
+      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1)
+      payloads(pos) = payloads(pos - 1)
+      pos -= 1
+    }
+    scores(pos) = s; ids(pos) = id; payloads(pos) = p
+  }
+
+  def absorb(other: TopKBuf): Unit = {
+    var i = 0
+    while (i < other.n) {
+      insert(other.scores(i), other.ids(i), other.payloads(i))
+      i += 1
+    }
+  }
+}
+
 object AggFunctions {
   /** Histogram of a long-valued column: `nBuckets` buckets of `width`,
     * last bucket open-ended, negatives clamped into bucket 0.
@@ -349,4 +488,14 @@ object AggFunctions {
                           numBits: Int, numHashes: Int): Column =
     Bridge.column(BloomMightContain(Bridge.expression(bloom),
       Bridge.expression(key.cast("string")), numBits, numHashes))
+
+  /** The k best (id, payload) entries per group by (score desc, id asc),
+    * best first — bounded-state ranking for candidate-scored search (see
+    * [[TopKByScoreAgg]]). Pass the score pre-rounded to the oracle's
+    * tie domain.
+    */
+  def top_k_by_score(score: Column, id: Column, payload: Column, k: Int): Column =
+    Bridge.column(TopKByScoreAgg(Bridge.expression(score.cast("double")),
+      Bridge.expression(id.cast("long")), Bridge.expression(payload), k)
+      .toAggregateExpression())
 }

@@ -22,6 +22,9 @@ import graft.operators.{Bpe, Dedup, Similarity}
   */
 object ProbeRound9 {
   def main(args: Array[String]): Unit = {
+    // optional section filter: "bpe" | "ann" | "cc" (default: all)
+    val sections: Set[String] =
+      if (args.isEmpty) Set("bpe", "ann", "cc") else args.toSet
     val spark = Engine.builder("probe-round9").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -35,6 +38,7 @@ object ProbeRound9 {
     }
 
     // ---- 1. BPE application at production shape (VERDICT r8 #1) ----
+    if (sections("bpe")) {
     val docs = ScaleProbe.syntheticDocs(spark, 1000000L)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     docs.count()
@@ -63,8 +67,11 @@ object ProbeRound9 {
       require(t == tokensOut, s"memoized tokens $t != direct $tokensOut")
       st.unpersist(); t
     }
+    docs.unpersist()
+    }
 
     // ---- 2. absolute ANN recall@10 at 1M vectors (VERDICT r8 #2) ----
+    if (sections("ann")) {
     val embs = ScaleProbe.syntheticEmbeddings(spark, 1000000L)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     embs.count()
@@ -104,9 +111,10 @@ object ProbeRound9 {
     }
     truth.unpersist()
     embs.unpersist()
-    docs.unpersist()
+    }
 
     // ---- 3. q52 persist A/B with shuffle metrics (VERDICT r8 #4) ----
+    if (sections("cc")) {
     // If ReuseExchange dedupes the doubled large-star subtree, the
     // no-persist run writes the SAME number of shuffle records as the
     // persisted run; if it recomputes, roughly double. The listener
@@ -138,6 +146,7 @@ object ProbeRound9 {
     // deep: one path of 100k nodes — worst case for repeated rounds
     ccAb("cc_ab_one_path_100k", spark.range(99999L)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b")))
+    }
 
     spark.stop()
   }

@@ -242,6 +242,44 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.count() === out.select("id_a", "id_b").distinct().count())
   }
 
+  test("heap rankTopK ≡ row_number window ranking (bruteTopK vs explicit window)") {
+    // the bounded top-k heap replaced the window; pin bit-identical output
+    // including ranks and rounded scores against the window form it
+    // replaced, on real embeddings with a real tie-domain (round 6)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter($"vec_id" < 16)
+    val heap = Similarity.bruteTopK(e, q, k = 7)
+    val qb = broadcast(q.select($"vec_id".as("q_id"), $"embedding".as("q_emb")))
+    val scored = e.select($"vec_id", $"embedding".as("emb"))
+      .join(qb, $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", vec_cosine($"q_emb", $"emb").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy(round($"cos", 6).desc, $"vec_id".asc)
+    val window = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 7)
+      .select($"q_id", $"vec_id", $"rank", round($"cos", 4).as("cos"))
+    assert(heap.except(window).count() === 0)
+    assert(window.except(heap).count() === 0)
+    assert(heap.count() === window.count())
+  }
+
+  test("TopKByScoreAgg keeps NaN-first desc order and survives tiny groups") {
+    // NaN scores sort first on desc (Spark's DoubleType total order);
+    // groups smaller than k emit all their rows
+    val df = Seq(
+      (1L, 10L, 0.5), (1L, 11L, Double.NaN), (1L, 12L, 0.9), (1L, 13L, 0.9),
+      (2L, 20L, 0.1)
+    ).toDF("q_id", "vec_id", "cos")
+    val out = df.groupBy($"q_id")
+      .agg(graft.functions.AggFunctions.top_k_by_score(
+        $"cos", $"vec_id", array($"cos"), 3).as("tk"))
+      .select($"q_id", posexplode($"tk"))
+      .select($"q_id", $"pos", $"col.id".as("vec_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    // q1: NaN first, then 0.9 twice (id asc tie-break), 0.5 dropped
+    assert(out === Set((1L, 0, 11L), (1L, 1, 12L), (1L, 2, 13L), (2L, 0, 20L)))
+  }
+
   test("fused srp_bands ≡ stacked literal-dot bit columns at full 64/4 width") {
     // the fused expression exists for JIT survival; this pins that its
     // arithmetic is EXACTLY the stacked vec_dot form it replaced (same
