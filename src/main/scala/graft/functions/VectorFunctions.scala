@@ -8,25 +8,138 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Dot product of two numeric arrays (float or double elements), widened to
-  * double and accumulated sequentially — the exact fold the DuckDB oracle
-  * computes with `list_sum(list_transform(...))`.
+/** The primitive loops behind every vector expression, as plain compiled
+  * methods (scalac emits static forwarders Janino-generated code can call).
   *
-  * This is a custom Catalyst expression rather than
-  * `aggregate(zip_with(...))` because Spark's higher-order array functions
-  * are interpreted (CodegenFallback) — per-element lambda dispatch made
-  * cosine scoring the bottleneck of every similarity query. `doGenCode`
-  * emits a tight primitive loop that whole-stage codegen fuses into the
-  * surrounding operator, turning a 64-dim dot product into 64 fused
-  * multiply-adds with no allocation.
+  * The expressions' `doGenCode` emit CALLS to these instead of inlining
+  * the loop bodies — a deliberate JIT-survival choice, learned the hard
+  * way in round 9: inlined loops compile into the stage's generated
+  * consume method, and once enough expression code stacks up in one stage
+  * (64 SRP planes; or a cosine fused with join + aggregate glue) that
+  * method crosses HotSpot's ~8 KB bytecode JIT ceiling and the WHOLE
+  * stage drops to interpreter speed — measured 13 µs/row for a 64-dim
+  * cosine (≈ 45× slow) with `Compiler.codelist` confirming the consume
+  * method was never JIT-compiled. A call into a small compiled method
+  * keeps the hot loop JIT-compiled no matter how large the surrounding
+  * generated method grows, and costs one non-inlinable call per row —
+  * noise next to the loop body itself.
   *
-  * Array elements are assumed non-null (enforced by the embeddings schema);
-  * mismatched lengths use the shorter prefix, matching `zip_with` nulls
-  * never arising in practice.
+  * Folds are sequential in index order, elements widened float→double —
+  * the exact fold the DuckDB oracle computes with
+  * `list_sum(list_transform(...))`; mismatched lengths use the shorter
+  * prefix (each self-dot in [[cosine]] uses its OWN length, matching the
+  * composed `dot/(sqrt(dot)·sqrt(dot))` form this fused kernel replaced).
   */
-case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+object VectorKernels {
 
-  override def dataType: DataType = DoubleType
+  def dot(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += (if (aF) a.getFloat(i).toDouble else a.getDouble(i)) *
+        (if (bF) b.getFloat(i).toDouble else b.getDouble(i))
+      i += 1
+    }
+    s
+  }
+
+  /** One-pass cosine: the three folds (x·y, x·x, y·y) accumulate
+    * independently in one sweep — bit-identical to three separate
+    * [[dot]] calls (each fold's addition order is unchanged).
+    */
+  def cosine(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
+    var xy = 0.0
+    var xx = 0.0
+    var yy = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      xy += x * y; xx += x * x; yy += y * y
+      i += 1
+    }
+    // self-dot tails when lengths differ (never in practice; parity with
+    // the composed form's per-dot min(len) rule)
+    while (i < na) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      xx += x * x; i += 1
+    }
+    var j = n
+    while (j < nb) {
+      val y = if (bF) b.getFloat(j).toDouble else b.getDouble(j)
+      yy += y * y; j += 1
+    }
+    xy / (math.sqrt(xx) * math.sqrt(yy))
+  }
+
+  def srpBands(x: ArrayData, xF: Boolean, planes: Array[Array[Double]],
+               bandBits: Int, bands: Int): Array[Int] = {
+    val dim = x.numElements()
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < planes.length) {
+      val row = planes(b)
+      val n = math.min(dim, row.length)
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        s += row(d) * (if (xF) x.getFloat(d).toDouble else x.getDouble(d))
+        d += 1
+      }
+      if (s >= 0) out(b / bandBits) |= 1 << (b % bandBits)
+      b += 1
+    }
+    out
+  }
+
+  def nearestCells(x: ArrayData, xF: Boolean, cents: Array[Array[Double]],
+                   norms: Array[Double], nProbe: Int): Array[Int] = {
+    val dim = x.numElements()
+    val k = cents.length
+    val dists = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = cents(j)
+      val n = math.min(dim, c.length)
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        s += (if (xF) x.getFloat(d).toDouble else x.getDouble(d)) * c(d)
+        d += 1
+      }
+      dists(j) = norms(j) - 2.0 * s
+      j += 1
+    }
+    val out = new Array[Int](nProbe)
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var jj = 0
+      while (jj < k) {
+        if (!used(jj) &&
+            (best < 0 || java.lang.Double.compare(dists(jj), dists(best)) < 0)) {
+          best = jj
+        }
+        jj += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    out
+  }
+}
+
+/** Shared bits of the binary vector kernels ([[VectorDot]],
+  * [[VectorCosine]]): array<float|double> input checks and the
+  * element-type flags the [[VectorKernels]] calls take.
+  */
+private[functions] trait BinaryVectorExpression { self: BinaryExpression =>
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -37,46 +150,62 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_dot requires array<float|double> inputs, got " +
+        s"$prettyName requires array<float|double> inputs, got " +
           s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
 
-  private def getter(e: Expression): String = e.dataType match {
-    case ArrayType(FloatType, _) => "getFloat"
-    case _ => "getDouble"
-  }
+  protected def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val xf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val yf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
-      i += 1
-    }
-    s
-  }
+/** Dot product of two numeric arrays — see [[VectorKernels.dot]] for the
+  * fold contract and [[VectorKernels]] for why codegen CALLS the kernel
+  * instead of inlining the loop. (A custom expression rather than
+  * `aggregate(zip_with(...))` because Spark's higher-order array functions
+  * are interpreted CodegenFallback — per-element lambda dispatch made
+  * cosine scoring the bottleneck of every similarity query.)
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryVectorExpression {
+
+  override def prettyName: String = "vec_dot"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double)$a.${getter(left)}($i) * (double)$b.${getter(right)}($i);
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.VectorKernels.dot(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity in one pass — numerically identical to the composed
+  * `vec_dot(a,b)/(sqrt(vec_dot(a,a))*sqrt(vec_dot(b,b)))` it replaced
+  * (three independent index-order folds, then the same dot/(√·√)
+  * expression), but one array sweep instead of three and ONE compact call
+  * in generated code instead of three inlined loops — the hot-path kernel
+  * of every similarity scoring stage (see [[VectorKernels]]).
+  */
+case class VectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryVectorExpression {
+
+  override def prettyName: String = "vec_cosine"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.VectorKernels.cosine(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -133,50 +262,17 @@ case class SrpBandValues(child: Expression, planes: Seq[Seq[Double]], bands: Int
   @transient private lazy val mat: Array[Array[Double]] =
     planes.map(_.toArray).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData]
-    val dim = x.numElements()
-    val bandBits = planes.length / bands
-    val out = new Array[Int](bands)
-    val isF = elemIsFloat
-    var b = 0
-    while (b < mat.length) {
-      val row = mat(b)
-      val n = math.min(dim, row.length)
-      var s = 0.0
-      var d = 0
-      while (d < n) {
-        s += row(d) * (if (isF) x.getFloat(d).toDouble else x.getDouble(d))
-        d += 1
-      }
-      if (s >= 0) out(b / bandBits) |= 1 << (b % bandBits)
-      b += 1
-    }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      VectorKernels.srpBands(input.asInstanceOf[ArrayData], elemIsFloat,
+        mat, planes.length / bands, bands))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
       val m = ctx.addReferenceObj("srpPlanes", mat, "double[][]")
-      val bandBits = planes.length / bands
-      val (dim, out, b, row, n, s, d) = (ctx.freshName("dim"), ctx.freshName("out"),
-        ctx.freshName("b"), ctx.freshName("row"), ctx.freshName("n"),
-        ctx.freshName("s"), ctx.freshName("d"))
-      s"""
-         |int $dim = $x.numElements();
-         |int[] $out = new int[$bands];
-         |for (int $b = 0; $b < ${mat.length}; $b++) {
-         |  double[] $row = $m[$b];
-         |  int $n = java.lang.Math.min($dim, $row.length);
-         |  double $s = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $s += $row[$d] * (double)$x.$getter($d);
-         |  }
-         |  if ($s >= 0) $out[$b / $bandBits] |= 1 << ($b % $bandBits);
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
-       """.stripMargin
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.VectorKernels.srpBands(
+         |    $x, $elemIsFloat, $m, ${planes.length / bands}, $bands));""".stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -206,83 +302,18 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nProbe: 
   @transient private lazy val norms: Array[Double] =
     centroids.map(_.map(x => x * x).sum).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData]
-    val dim = x.numElements()
-    val isF = elemIsFloat
-    val k = mat.length
-    val dists = new Array[Double](k)
-    var j = 0
-    while (j < k) {
-      val c = mat(j)
-      val n = math.min(dim, c.length)
-      var s = 0.0
-      var d = 0
-      while (d < n) {
-        s += (if (isF) x.getFloat(d).toDouble else x.getDouble(d)) * c(d)
-        d += 1
-      }
-      dists(j) = norms(j) - 2.0 * s
-      j += 1
-    }
-    val out = new Array[Int](nProbe)
-    val used = new Array[Boolean](k)
-    var p = 0
-    while (p < nProbe) {
-      var best = -1
-      var jj = 0
-      while (jj < k) {
-        if (!used(jj) &&
-            (best < 0 || java.lang.Double.compare(dists(jj), dists(best)) < 0)) {
-          best = jj
-        }
-        jj += 1
-      }
-      used(best) = true
-      out(p) = best
-      p += 1
-    }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      VectorKernels.nearestCells(input.asInstanceOf[ArrayData], elemIsFloat,
+        mat, norms, nProbe))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
       val m = ctx.addReferenceObj("centroids", mat, "double[][]")
       val nm = ctx.addReferenceObj("norms", norms, "double[]")
-      val k = mat.length
-      val (dim, dists, j, c, n, s, d) = (ctx.freshName("dim"), ctx.freshName("dists"),
-        ctx.freshName("j"), ctx.freshName("c"), ctx.freshName("n"),
-        ctx.freshName("s"), ctx.freshName("d"))
-      val (out, used, p, best, jj) = (ctx.freshName("out"), ctx.freshName("used"),
-        ctx.freshName("p"), ctx.freshName("best"), ctx.freshName("jj"))
-      s"""
-         |int $dim = $x.numElements();
-         |double[] $dists = new double[$k];
-         |for (int $j = 0; $j < $k; $j++) {
-         |  double[] $c = $m[$j];
-         |  int $n = java.lang.Math.min($dim, $c.length);
-         |  double $s = 0.0;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $s += (double)$x.$getter($d) * $c[$d];
-         |  }
-         |  $dists[$j] = $nm[$j] - 2.0 * $s;
-         |}
-         |int[] $out = new int[$nProbe];
-         |boolean[] $used = new boolean[$k];
-         |for (int $p = 0; $p < $nProbe; $p++) {
-         |  int $best = -1;
-         |  for (int $jj = 0; $jj < $k; $jj++) {
-         |    if (!$used[$jj] && ($best < 0 ||
-         |        java.lang.Double.compare($dists[$jj], $dists[$best]) < 0)) {
-         |      $best = $jj;
-         |    }
-         |  }
-         |  $used[$best] = true;
-         |  $out[$p] = $best;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
-       """.stripMargin
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.VectorKernels.nearestCells(
+         |    $x, $elemIsFloat, $m, $nm, $nProbe));""".stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -295,11 +326,12 @@ object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Cosine similarity in double precision; expression-identical to the
-    * oracle's `dot/(sqrt(dot)*sqrt(dot))`.
+  /** Cosine similarity in double precision; numerically identical to the
+    * oracle's `dot/(sqrt(dot)*sqrt(dot))` — one fused pass (see
+    * [[VectorCosine]]).
     */
   def vec_cosine(a: Column, b: Column): Column =
-    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
+    Bridge.column(VectorCosine(Bridge.expression(a), Bridge.expression(b)))
 
   /** The `bands` SRP band values of `vec` against `planes` — one fused,
     * JIT-sized pass (see [[SrpBandValues]]).
