@@ -52,6 +52,38 @@ object ProbeVecDot {
       val cells = Similarity.kmeansCells(embs, k = 4, iters = 1)
       cells.agg(sum(col("cell"))).collect()(0).getLong(0)
     }
+
+    // ---- stage audit: where does the residual fixed cost of the 1M ANN
+    // probes live? Per-stage (tasks, total runtime, max task runtime) via
+    // listener — a >5 s stage with 1 task is the straggler to explain.
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        stages.add((sc.stageInfo.stageId, sc.stageInfo.numTasks,
+          m.executorRunTime, m.executorCpuTime / 1000000L))
+      }
+    })
+    def audit(name: String)(f: => Long): Unit = {
+      stages.clear()
+      time(name)(f)
+      org.apache.spark.sql.graftbridge.Bridge.waitForListeners(spark.sparkContext)
+      stages.forEach { case (id, n, run, cpu) =>
+        if (run > 5000)
+          println(f"PROBE ${name}_stage id=$id tasks=$n run_ms=$run cpu_ms=$cpu")
+      }
+    }
+    def querySample(df: org.apache.spark.sql.DataFrame) =
+      df.filter(pmod(col("vec_id"), lit(15625L)) === 0)
+    audit("srp_topk_1m_stage_audit") {
+      Similarity.srpTopK(embs, querySample(embs), k = 10, bits = 64, bands = 4)
+        .count()
+    }
+    audit("ivf_k64_p2_1m_stage_audit") {
+      Similarity.ivfTopKMultiProbe(embs, querySample, k = 10,
+        kCells = 64, iters = 2, nProbe = 2).count()
+    }
     spark.stop()
   }
 }
