@@ -157,10 +157,17 @@ object Similarity {
         .map(j => means.getOrElse(j, centroids(j))).toArray
     }
     // training is finished (driven eagerly by the collects above); the
-    // returned plan depends only on v + centroid literals, so the sample
-    // cache can be released before the caller's action
+    // returned plan depends only on the corpus + centroid literals, so the
+    // sample cache can be released before the caller's action
     train.unpersist()
-    KmeansModel(centroids, assign(v).select(col("vec_id"), col("cell")))
+    // full-corpus assignment reads the RAW float embedding — NearestCells
+    // widens per element exactly as the double-cast path did, and skipping
+    // the interpreted transform() lambda removes a per-element dispatch
+    // from the one corpus-sized stage of the build (the training loop above
+    // keeps the cast: its mean step needs double arrays, on trainN rows)
+    KmeansModel(centroids, embeddings.select(col("vec_id"),
+      element_at(graft.functions.VectorFunctions.nearest_cells(
+        col("embedding"), centroids.toIndexedSeq, nProbe = 1), 1).as("cell")))
   }
 
   /** The `nProbe` nearest cells for each input vector, ranked by the same
@@ -168,13 +175,10 @@ object Similarity {
     * assignment — probe 1 is always the vector's own cell.
     */
   def probeCells(vectors: DataFrame, centroids: Array[Seq[Double]],
-                 nProbe: Int): DataFrame = {
-    val v = vectors
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
-    v.select(col("vec_id"),
+                 nProbe: Int): DataFrame =
+    vectors.select(col("vec_id"),
       explode(graft.functions.VectorFunctions.nearest_cells(
-        col("emb"), centroids.toIndexedSeq, nProbe)).as("cell"))
-  }
+        col("embedding"), centroids.toIndexedSeq, nProbe)).as("cell"))
 
   /** Multi-probe IVF ANN over learned k-means cells: each query scores the
     * candidates in its `nProbe` nearest cells instead of only its own,
