@@ -242,6 +242,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.count() === out.select("id_a", "id_b").distinct().count())
   }
 
+  test("vector kernels: empty arrays, mismatched lengths, float/double mix") {
+    // dot/cosine use the shorter prefix; each cosine self-dot uses its OWN
+    // length (parity with the composed dot/(sqrt·sqrt) form it replaced)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(2.0, 4.0))).toDF("f", "d")
+    val dot = df.select(vec_dot(col("f"), col("d"))).as[Double].head()
+    assert(dot === 1.0 * 2.0 + 2.0 * 4.0)     // prefix of length 2
+    val cosMixed = df.select(vec_cosine(col("f"), col("d"))).as[Double].head()
+    // xy over prefix 2; xx over ALL 3 of f; yy over all 2 of d
+    val expected = 10.0 / (math.sqrt(1 + 4 + 9) * math.sqrt(4 + 16))
+    assert(math.abs(cosMixed - expected) < 1e-15)
+    // empty arrays: dot = 0.0, cosine = 0/0 = NaN — never an exception
+    val empty = Seq((Array.empty[Float], Array(1.0f))).toDF("a", "b")
+    assert(empty.select(vec_dot(col("a"), col("b"))).as[Double].head() === 0.0)
+    assert(empty.select(vec_cosine(col("a"), col("b"))).as[Double].head().isNaN)
+    // srp_bands / nearest_cells on an empty vector: all dots 0.0 → every
+    // sign bit set (0.0 >= 0), all cell dists = |c|² → argmin is the
+    // smallest-norm centroid, lowest id on ties — defined, no exception
+    val ev = Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val bands = ev.select(srp_bands(col("embedding"),
+      Seq(Seq(1.0), Seq(-1.0)), 2)).as[Seq[Int]].head()
+    assert(bands === Seq(1, 1))
+    val cells = ev.select(nearest_cells(col("embedding"),
+      Seq(Seq(3.0), Seq(1.0), Seq(-1.0)), 3)).as[Seq[Int]].head()
+    assert(cells === Seq(1, 2, 0))   // by |c|²: 1.0, 1.0 (tie → lower id), 9.0
+  }
+
   test("heap rankTopK ≡ row_number window ranking (bruteTopK vs explicit window)") {
     // the bounded top-k heap replaced the window; pin bit-identical output
     // including ranks and rounded scores against the window form it
