@@ -39,8 +39,12 @@ object ProbeStreaming {
       .writeStream.format("noop").outputMode("append")
       .option("checkpointLocation", ckpt).start()
 
-    val batches = 10
-    val perBatch = 100000
+    // args: [batches] [perBatch] — default 10 x 100k; a 2 x 500k run
+    // measures how much of the steady-state floor is per-micro-batch
+    // overhead (5 stateful ops x 32 shuffle partitions x RocksDB commit)
+    // vs per-row cost
+    val batches = if (args.length > 0) args(0).toInt else 10
+    val perBatch = if (args.length > 1) args(1).toInt else 100000
     val baseMs = 1704067200000L // 2024-01-01T00:00:00Z
     val t0 = System.nanoTime()
     var fed = 0L
