@@ -96,6 +96,27 @@ class PlanShapeSpec extends SparkSpecBase {
   // fixed-size stratum sample must rank through per-partition group
   // limits, not a full stratum sort.
 
+  // Round 9: candidate-scored top-k ranks through the bounded
+  // TopKByScoreAgg heap (ObjectHashAggregate), never a row_number window —
+  // the window form sorts the whole candidate stream per map partition and
+  // spills at probe scale (measured 1,433 s for multi-probe IVF at 1M
+  // vectors; ~9 s with the heap). Pin all four ANN top-k gated plans
+  // window- and sort-free on the candidate stream.
+  for (name <- Seq("q15_ann_topk_brute", "q16_ann_ivf_label",
+                   "q33_ann_ivf_kmeans", "q51_ann_ivf_multiprobe",
+                   "q73_ann_quantized"))
+    test(s"$name ranks via the bounded heap aggregate, not a window sort") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+        s"window in ANN ranking plan:\n$plan")
+      assert(!plan.contains("WindowGroupLimit"),
+        s"WindowGroupLimit in ANN ranking plan:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"expected ObjectHashAggregate heap ranking in plan:\n$plan")
+      spark.catalog.clearCache()
+    }
+
   test("q42 global top-n executes as TakeOrderedAndProject") {
     val plan = SparkEntry.queries("q42_global_topn")(spark, sfDir)
       .queryExecution.executedPlan.toString
