@@ -96,6 +96,64 @@ object VectorKernels {
     out
   }
 
+  /** Symmetric int8 quantization stats in one pass: returns
+    * [amax, q_sum, max_err] (q_sum is an exact integer ≤ 64·127, safe in a
+    * double). Ops are element-wise identical to the HOF form they replace:
+    * amax = max |x|; scale = 127/amax; qᵢ = floor(xᵢ·scale + 0.5);
+    * err = max |xᵢ − qᵢ/scale|. Zero vectors (amax = 0) return zeros —
+    * callers filter them out, this just keeps NaN out of the kernel.
+    */
+  def quantStats(x: ArrayData, xF: Boolean): Array[Double] = {
+    val n = x.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (xF) x.getFloat(i).toDouble else x.getDouble(i))
+      if (v > amax) amax = v
+      i += 1
+    }
+    if (amax == 0.0) return Array(0.0, 0.0, 0.0)
+    val scale = 127.0 / amax
+    var qSum = 0.0
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val v = if (xF) x.getFloat(i).toDouble else x.getDouble(i)
+      val q = math.floor(v * scale + 0.5)
+      qSum += q
+      val e = math.abs(v - q / scale)
+      if (e > maxErr) maxErr = e
+      i += 1
+    }
+    Array(amax, qSum, maxErr)
+  }
+
+  /** Int8 codes in one pass: [amax, code₀, …, code_{n−1}] (codes as exact
+    * small-integer doubles — the dot-kernel input type). Same arithmetic
+    * as [[quantStats]].
+    */
+  def quantCodes(x: ArrayData, xF: Boolean): Array[Double] = {
+    val n = x.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (xF) x.getFloat(i).toDouble else x.getDouble(i))
+      if (v > amax) amax = v
+      i += 1
+    }
+    val out = new Array[Double](n + 1)
+    out(0) = amax
+    if (amax == 0.0) return out
+    val scale = 127.0 / amax
+    i = 0
+    while (i < n) {
+      val v = if (xF) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i + 1) = math.floor(v * scale + 0.5)
+      i += 1
+    }
+    out
+  }
+
   def nearestCells(x: ArrayData, xF: Boolean, cents: Array[Array[Double]],
                    norms: Array[Double], nProbe: Int): Array[Int] = {
     val dim = x.numElements()
@@ -320,6 +378,73 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nProbe: 
     copy(child = newChild)
 }
 
+/** One-pass int8 quantization stats — struct(amax, q_sum, max_err); the
+  * q55 storage-path report without the stacked higher-order-function
+  * lambdas (transform/array_max/zip_with/aggregate are CodegenFallback —
+  * per-element interpreted dispatch on a corpus-sized stage; same class
+  * of fix as [[VectorKernels]], same bit-identical arithmetic).
+  */
+case class QuantizeInt8Stats(child: Expression)
+    extends UnaryExpression with VectorMatrixExpression {
+
+  override def prettyName: String = "quant_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("amax", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("max_err", DoubleType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = VectorKernels.quantStats(input.asInstanceOf[ArrayData], elemIsFloat)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](t(0), t(1).toLong, t(2)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val t = ctx.freshName("t")
+      s"""double[] $t = graft.functions.VectorKernels.quantStats($x, $elemIsFloat);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow(new Object[]{$t[0], (long)$t[1], $t[2]});""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass int8 code extraction — struct(amax, codes array<double>); the
+  * compute-side twin of [[QuantizeInt8Stats]] for the quantized ANN path.
+  */
+case class QuantizeInt8Codes(child: Expression)
+    extends UnaryExpression with VectorMatrixExpression {
+
+  override def prettyName: String = "quant_codes"
+  override def dataType: DataType = StructType(Seq(
+    StructField("amax", DoubleType, nullable = false),
+    StructField("codes", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = VectorKernels.quantCodes(input.asInstanceOf[ArrayData], elemIsFloat)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](t(0),
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOfRange(t, 1, t.length))))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val t = ctx.freshName("t")
+      s"""double[] $t = graft.functions.VectorKernels.quantCodes($x, $elemIsFloat);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow(new Object[]{$t[0],
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray(java.util.Arrays.copyOfRange($t, 1, $t.length))});""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API front door for the vector expressions. */
 object VectorFunctions {
 
@@ -344,4 +469,14 @@ object VectorFunctions {
     */
   def nearest_cells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(vec), centroids, nProbe))
+
+  /** struct(amax, q_sum, max_err) int8-quantization stats in one pass. */
+  def quant_stats(vec: Column): Column =
+    Bridge.column(QuantizeInt8Stats(Bridge.expression(vec)))
+
+  /** struct(amax, codes) int8 codes in one pass (codes as exact
+    * small-integer doubles — the [[vec_dot]] input type).
+    */
+  def quant_codes(vec: Column): Column =
+    Bridge.column(QuantizeInt8Codes(Bridge.expression(vec)))
 }

@@ -268,23 +268,21 @@ object Similarity {
     * oracle replays them exactly. Zero vectors are excluded (scale would
     * divide by zero; L2-normalized corpora have none).
     */
-  def quantizeInt8(embeddings: DataFrame): DataFrame = {
-    val emb = transform(col("embedding"), x => x.cast("double"))
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    // one fused QuantizeInt8Stats pass — the HOF chain
+    // (transform/array_max/zip_with/aggregate) is identical arithmetic but
+    // every step is CodegenFallback with per-element lambda dispatch on
+    // the corpus-sized stage (the round-9 kernel discipline)
     embeddings
-      .select(col("vec_id"), emb.as("emb"))
-      .withColumn("amax", array_max(transform(col("emb"), x => abs(x))))
-      .filter(col("amax") > 0.0)
-      .withColumn("q", transform(col("emb"),
-        x => floor(x * (lit(127.0) / col("amax")) + lit(0.5)).cast("long")))
-      .withColumn("max_err", array_max(zip_with(col("emb"), col("q"),
-        (x, qi) => abs(x - qi / (lit(127.0) / col("amax"))))))
       .select(col("vec_id"),
-        round(col("amax"), 6).as("amax"),
-        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
-        round(col("max_err"), 6).as("max_err"),
-        (col("max_err") <= (lit(0.5) + lit(1e-9)) / (lit(127.0) / col("amax")))
+        graft.functions.VectorFunctions.quant_stats(col("embedding")).as("s"))
+      .filter(col("s.amax") > 0.0)
+      .select(col("vec_id"),
+        round(col("s.amax"), 6).as("amax"),
+        col("s.q_sum").as("q_sum"),
+        round(col("s.max_err"), 6).as("max_err"),
+        (col("s.max_err") <= (lit(0.5) + lit(1e-9)) / (lit(127.0) / col("s.amax")))
           .cast("int").as("err_ok"))
-  }
 
   /** Int8-quantized brute-force top-k — the compute side of the
     * compressed-corpus layout ([[quantizeInt8]] is the storage side).
@@ -299,19 +297,13 @@ object Similarity {
     * reconstruction-error gate.
     */
   def quantizedTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    def qz(df: DataFrame): DataFrame = {
-      val emb = transform(col("embedding"), x => x.cast("double"))
-      df.select(col("vec_id"), emb.as("emb"))
-        .withColumn("amax", array_max(transform(col("emb"), x => abs(x))))
-        .filter(col("amax") > 0.0)
-        .select(col("vec_id"),
-          // floor yields BIGINT; the dot kernel takes float/double arrays,
-          // and int8-range values are exact as doubles anyway
-          transform(col("emb"),
-            x => floor(x * (lit(127.0) / col("amax")) + lit(0.5))
-              .cast("double")).as("q"),
-          col("amax"))
-    }
+    // one fused QuantizeInt8Codes pass per side (see [[quantizeInt8]]);
+    // codes are exact small-integer doubles — the dot kernel's input type
+    def qz(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+          graft.functions.VectorFunctions.quant_codes(col("embedding")).as("qc"))
+        .filter(col("qc.amax") > 0.0)
+        .select(col("vec_id"), col("qc.codes").as("q"), col("qc.amax").as("amax"))
     val c = qz(embeddings)
     val q = broadcast(qz(queries).select(col("vec_id").as("q_id"),
       col("q").as("qq"), col("amax").as("q_amax")))
