@@ -119,6 +119,20 @@ object ProbeRound9 {
       println(f"PROBE recall_srp_64_4 recall_at_10=$r%.4f")
       (r * 10000).toLong
     }
+    // nProbe sweep at the production cell count: the recall/cost curve an
+    // index rollout actually tunes (recall@10 vs probes-per-query)
+    for (np <- Seq(1, 4, 8)) {
+      timeKeep(s"ann_recall_ivf_k64_p$np") {
+        val r = macroRecall(Similarity.ivfTopKMultiProbe(embs, querySample,
+          k = 10, kCells = 64, iters = 2, nProbe = np))
+        println(f"PROBE recall_ivf_k64_p$np recall_at_10=$r%.4f")
+        (r * 10000).toLong
+      }
+    }
+    // compressed-corpus brute scorer at probe scale (one-pass quant kernel)
+    timeKeep("ann_quantized_brute_1m_64q") {
+      Similarity.quantizedTopK(embs, querySample(embs), k = 10).count()
+    }
     truth.unpersist()
     embs.unpersist()
     }
