@@ -70,6 +70,47 @@ object ProbeRound9 {
     docs.unpersist()
     }
 
+    // ---- 1b. BPE application on an OPEN-vocab corpus ----
+    // The base synthetic corpus has a ~1,000-word vocab, which makes the
+    // distinct-word memo lose to direct encoding (its second corpus scan
+    // dominates). Real pretraining text has an open vocabulary; this
+    // corpus draws 50 words/doc log-uniformly from 200k forms (Zipf-ish:
+    // low ranks dominate) so the memo's distinct-word set is ~200k while
+    // the direct path still encodes 50M instances.
+    if (sections("bpe2")) {
+    val wordCols = (0 until 50).map { p =>
+      val u = pmod(xxhash64(col("id"), lit(300 + p)), lit(100000)) / lit(100000.0)
+      concat(lit("w"), exp(log(lit(200000.0)) * u).cast("long"))
+    }
+    val openDocs = spark.range(1000000L)
+      .select(col("id").as("doc_id"), concat_ws(" ", wordCols: _*).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    openDocs.count()
+    val model2 = Bpe.train(openDocs, nMerges = 1000)
+    val merges2 = model2.merges.orderBy(col("rank")).select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    model2.unpersist()
+    var tok2 = 0L
+    def timeKeep2(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name n=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    timeKeep2("bpe_encode_direct_openvocab_1m") {
+      tok2 = Bpe.encodeDirect(openDocs, merges2)
+        .agg(sum(size(col("pieces")))).collect()(0).getLong(0)
+      tok2
+    }
+    timeKeep2("bpe_encode_memo_openvocab_1m") {
+      val st = Bpe.encodeStage(openDocs, merges2)
+      val t = st.result.agg(sum(size(col("pieces")))).collect()(0).getLong(0)
+      require(t == tok2, s"memoized tokens $t != direct $tok2")
+      st.unpersist(); t
+    }
+    openDocs.unpersist()
+    spark.catalog.clearCache()
+    }
+
     // ---- 2. absolute ANN recall@10 at 1M vectors (VERDICT r8 #2) ----
     if (sections("ann")) {
     // timing WITHOUT the shared `time`'s clearCache: the corpus and truth
