@@ -178,6 +178,42 @@ object ProbeRound9 {
     embs.unpersist()
     }
 
+    // ---- 2b. the same ANN battery one decade up: 10M vectors ----
+    // proves the operator family's cost curve holds 10x past the round-9
+    // probe scale (kCells=256 keeps ~39k vectors/cell; centroid matrix is
+    // 256x64 doubles = 128 KB driver-side)
+    if (sections("ann10")) {
+    def timeKeep10(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name n=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    val embs10 = ScaleProbe.syntheticEmbeddings(spark, 10000000L)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    timeKeep10("ann10_generate_persist")(embs10.count())
+    def qs10(df: org.apache.spark.sql.DataFrame) =
+      df.filter(pmod(col("vec_id"), lit(156250L)) === 0)
+    val truth10 = Similarity.bruteTopK(embs10, qs10(embs10), k = 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timeKeep10("ann10_brute_truth_10m_64q") { truth10.count() }
+    def recall10(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, truth10)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    for (np <- Seq(2, 8)) {
+      timeKeep10(s"ann10_recall_ivf_k256_p$np") {
+        val r = recall10(Similarity.ivfTopKMultiProbe(embs10, qs10,
+          k = 10, kCells = 256, iters = 2, nProbe = np))
+        println(f"PROBE recall10_ivf_k256_p$np recall_at_10=$r%.4f")
+        (r * 10000).toLong
+      }
+    }
+    timeKeep10("ann10_quantized_brute_10m_64q") {
+      Similarity.quantizedTopK(embs10, qs10(embs10), k = 10).count()
+    }
+    truth10.unpersist()
+    embs10.unpersist()
+    }
+
     // ---- 3. q52 persist A/B with shuffle metrics (VERDICT r8 #4) ----
     if (sections("cc")) {
     // If ReuseExchange dedupes the doubled large-star subtree, the
