@@ -19,10 +19,15 @@ import graft.operators.{Bpe, Dedup, Similarity}
   *
   * (Gap 4, streaming throughput, lives in ProbeStreaming — it needs its
   * own session config.)
+  *
+  * Extra sections grown during the round: "bpe2" (open-vocab BPE
+  * application — direct vs memo on a 200k-form corpus) and "ann10" (the
+  * ANN battery at 10M vectors — the 1M→10M cost-curve check).
   */
 object ProbeRound9 {
   def main(args: Array[String]): Unit = {
-    // optional section filter: "bpe" | "ann" | "cc" (default: all)
+    // optional section filter: "bpe" | "bpe2" | "ann" | "ann10" | "cc"
+    // (default: the three VERDICT-r8 sections)
     val sections: Set[String] =
       if (args.isEmpty) Set("bpe", "ann", "cc") else args.toSet
     val spark = Engine.builder("probe-round9").master("local[32]")
