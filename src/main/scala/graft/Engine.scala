@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double dot product of two numeric arrays"),
       (es: Seq[Expression]) => VectorDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - one-pass cosine similarity of two numeric arrays"),
+      (es: Seq[Expression]) => graft.functions.VectorCosine(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("quant_stats"),
+      info("quant_stats",
+        "quant_stats(vec) - struct(amax, q_sum, max_err) int8-quantization stats"),
+      (es: Seq[Expression]) => graft.functions.QuantizeInt8Stats(es(0))))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - word n-gram shingles"),
       (es: Seq[Expression]) => WordShingles(es(0),

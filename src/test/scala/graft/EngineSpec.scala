@@ -32,6 +32,16 @@ class EngineSpec extends SparkSpecBase {
       .collect().head.getString(0) === "en")
     assert(spark.sql("SELECT stopword_scores(split('the el', ' ')) AS s")
       .collect().head.getSeq[Int](0).take(2) === Seq(1, 1))
+    // round-9 kernels: one-pass cosine and int8-quantization stats
+    val cos = spark.sql(
+      "SELECT vec_cosine(array(0.6D, 0.8D), array(0.6D, 0.8D)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val qs = spark.sql("SELECT quant_stats(array(0.5D, -1.0D)) AS s")
+      .collect().head.getStruct(0)
+    assert(qs.getDouble(0) === 1.0)                 // amax
+    assert(qs.getLong(1) === (64L - 127L))          // q_sum: floor(.5*127+.5)=64, -127
+    assert(qs.getDouble(2) <= 0.5 / 127.0 + 1e-9)   // reconstruction bound
   }
 
   test("custom aggregates are callable from SQL via GraftExtensions") {
