@@ -504,15 +504,21 @@ object Dedup {
   /** SimHash near-dup pairs: hamming distance <= maxHamming within a doc_id
     * window. Correctness demo only — the candidate predicate is non-equi, so
     * the join is a nested loop; the scale path is [[simhashBucketedNearDups]].
+    * The conjunction is hand-built cheap-first in the join condition (the
+    * [[graft.operators.Similarity.nearDupPairs]] discipline): written as
+    * join-then-filter, the optimizer folds the hamming check ahead of the
+    * id-window predicates, paying xor+popcount on every id pair instead of
+    * only the ~2% window survivors.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int, idWindow: Int): DataFrame = {
     val s = simhash(docs)
     val a = s.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = s.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + idWindow)
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    a.join(b, col("id_b") > col("id_a") &&
+        col("id_b") <= col("id_a") + idWindow &&
+        hamming <= maxHamming)
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
   }
 
   /** SimHash near-dup detection at scale: hash-block bucketing.
