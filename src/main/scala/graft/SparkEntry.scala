@@ -100,11 +100,14 @@ object SparkEntry {
     while (it.hasNext)
       if (it.next().getValue.session.sparkContext.isStopped) it.remove()
     val key = ccKey(s, dir)
-    val m = Option(solarModuleMemo.get(key)).map(_.module).getOrElse {
-      val fresh = Solar.moduleAgg(Tables.events(s, dir)).localCheckpoint(true)
-      solarModuleMemo.put(key, SolarEntry(s, fresh))
-      fresh
-    }
+    // computeIfAbsent (not get-then-put): two concurrent first queries for
+    // the same (session, dir) must not each materialize a checkpoint — the
+    // loser's RDD blocks would leak since the memo retains only one entry
+    // (ADVICE r9). The checkpoint builds inside the mapping function, so
+    // the second caller blocks briefly and reads the winner's entry.
+    val m = solarModuleMemo.computeIfAbsent(key, _ =>
+      SolarEntry(s, Solar.moduleAgg(Tables.events(s, dir)).localCheckpoint(true))
+    ).module
     Solar.stagesFrom(m)
   }
 

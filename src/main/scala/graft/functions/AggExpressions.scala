@@ -362,7 +362,8 @@ case class TopKByScoreAgg(
     if (s != null && i != null) {
       val p = payload.eval(input)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long], p.toDoubleArray())
+      if (p != null)
+        buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long], p.toDoubleArray())
     }
     buf
   }
@@ -420,9 +421,17 @@ case class TopKByScoreAgg(
   * (score desc, id asc). A losing candidate (the ~100% case once the
   * buffer fills) costs one compare; a winner shifts into place (k is
   * small). Kept as plain parallel arrays for compact serialization.
+  *
+  * Payload contract: every payload array in a group must share ONE
+  * length — serialize writes a single fixed width for the whole buffer.
+  * The width is recorded on first insert and `require`d on every later
+  * one (including merges), so a ragged caller fails fast with a clear
+  * message instead of corrupting shuffle state or overflowing the
+  * serialize buffer.
   */
 final class TopKBuf(val k: Int) {
   var n = 0
+  var width = -1
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   val payloads = new Array[Array[Double]](k)
@@ -434,6 +443,10 @@ final class TopKBuf(val k: Int) {
   }
 
   def insert(s: Double, id: Long, p: Array[Double]): Unit = {
+    if (width < 0) width = p.length
+    else require(p.length == width,
+      s"top_k_by_score requires a fixed payload width per group: " +
+        s"saw ${p.length} after $width")
     if (n == k && !before(s, id, scores(n - 1), ids(n - 1))) return
     var pos = if (n == k) n - 1 else { n += 1; n - 1 }
     while (pos > 0 && before(s, id, scores(pos - 1), ids(pos - 1))) {
@@ -492,7 +505,11 @@ object AggFunctions {
   /** The k best (id, payload) entries per group by (score desc, id asc),
     * best first — bounded-state ranking for candidate-scored search (see
     * [[TopKByScoreAgg]]). Pass the score pre-rounded to the oracle's
-    * tie domain.
+    * tie domain. The payload must be a FIXED-WIDTH array<double> within
+    * each group (the serialized buffer carries one width for all
+    * entries); ragged payloads fail fast with IllegalArgumentException.
+    * Rows whose score, id, or payload is null are ignored, matching the
+    * built-in aggregates' null semantics.
     */
   def top_k_by_score(score: Column, id: Column, payload: Column, k: Int): Column =
     Bridge.column(TopKByScoreAgg(Bridge.expression(score.cast("double")),

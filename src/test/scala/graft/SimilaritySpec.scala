@@ -306,6 +306,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out === Set((1L, 0, 11L), (1L, 1, 12L), (1L, 2, 13L), (2L, 0, 20L)))
   }
 
+  test("TopKByScoreAgg rejects ragged payloads and skips null payload rows") {
+    // the serialized buffer carries ONE payload width per group (ADVICE
+    // r9): ragged arrays must fail fast, not corrupt shuffle state
+    val ragged = Seq(
+      (1L, 10L, 0.5, Seq(1.0, 2.0)),
+      (1L, 11L, 0.7, Seq(1.0))
+    ).toDF("g", "id", "score", "p")
+    val ex = intercept[Exception] {
+      ragged.groupBy($"g")
+        .agg(graft.functions.AggFunctions.top_k_by_score(
+          $"score", $"id", $"p", 3).as("tk"))
+        .collect()
+    }
+    // Spark wraps the executor-side IAE; the contract message must survive
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("fixed payload width")))
+
+    // null payload rows are ignored (same semantics as null score/id)
+    val withNull = Seq(
+      (1L, 10L, 0.5, Some(Seq(1.0))),
+      (1L, 11L, 0.9, None)
+    ).toDF("g", "id", "score", "p")
+    val kept = withNull.groupBy($"g")
+      .agg(graft.functions.AggFunctions.top_k_by_score(
+        $"score", $"id", $"p", 3).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.id".as[Long]).collect().toSet
+    assert(kept === Set(10L))
+  }
+
   test("fused srp_bands ≡ stacked literal-dot bit columns at full 64/4 width") {
     // the fused expression exists for JIT survival; this pins that its
     // arithmetic is EXACTLY the stacked vec_dot form it replaced (same
