@@ -729,7 +729,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           round(avg(col("quality")), 4).as("avg_quality"))
     }),
+
+    // Okapi BM25 top-50 retrieval for a fixed query term set: tf/dl from
+    // per-row array kernels in the scan, corpus constants one broadcast
+    // row, top-N a TakeOrdered heap — nothing shuffles at corpus size
+    "q100_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), Bm25Terms)),
+
+    // interpolated Kneser-Ney bigram perplexity: continuation/context
+    // counts re-folded from the one persisted LM pair stream
+    "q101_lm_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.lmScoreKneserNey(Tables.documents(s, dir))),
+
+    // near-dup survivor selection: keep-best-quality per q52 cluster
+    // (shared component labels; aggregate-then-join argmax, never a
+    // window over a viral cluster)
+    "q102_cluster_survivor" -> ((s, dir) =>
+      Dedup.clusterSurvivors(ccLabelsShared(s, dir),
+        Tables.documents(s, dir))),
+
+    // cross-document shingle novelty: fraction of a doc's distinct
+    // 3-gram shingles appearing in no other doc — inter-document
+    // boilerplate signal; fingerprint-frequency fold + one equi-join
+    "q103_shingle_novelty" -> ((s, dir) =>
+      TextAnalysis.shingleNovelty(Tables.documents(s, dir))),
   )
+
+  /** q100's fixed query term set: one rare discriminative term plus two
+    * mid-frequency terms of the synthetic vocabulary, so the ranking
+    * exercises the full IDF spread.
+    */
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "window")
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
   val KmeansK = 4
@@ -2474,5 +2504,109 @@ object SparkEntry {
            |       round(coalesce(h.n_hit, 0)
            |             / CAST(t.n_truth AS DOUBLE), 4) AS recall
            |FROM t LEFT JOIN h USING (q_id)""".stripMargin),
+
+    // literals in e-notation (0.5e0, …) are DOUBLE in DuckDB — decimal
+    // literals would pull the score into DECIMAL arithmetic and off the
+    // engine's bit pattern; the sum chain is spelled term 0 first, the
+    // same fixed order the Scala reduce folds
+    "q100_bm25_topk" -> {
+      val terms = Bm25Terms
+      val tfDefs = terms.indices.map(i =>
+        s"len(list_filter(ltoks, x -> x = '${terms(i)}')) AS tf_$i").mkString(",\n         ")
+      val dfDefs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n         ")
+      val scoreTerms = terms.indices.map { i =>
+        s"""ln(1e0 + (n_docs - df_$i + 0.5e0) / (df_$i + 0.5e0))
+           | * ((tf_$i * 2.2e0) / (tf_$i + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl))))"""
+          .stripMargin.replace("\n", "")
+      }.mkString("\n           + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ltoks
+         |  FROM documents),
+         |pd AS (
+         |  SELECT doc_id, len(ltoks) AS dl,
+         |         $tfDefs
+         |  FROM tk),
+         |c AS (
+         |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         |         $dfDefs
+         |  FROM pd)
+         |SELECT doc_id, dl, ${terms.indices.map(i => s"tf_$i").mkString(", ")},
+         |       round($scoreTerms, 4) AS score
+         |FROM pd CROSS JOIN c
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    },
+
+    // all model counts are integers (exact across engines); the KN
+    // probability is one fixed-order double expression on both sides
+    "q101_lm_kneser_ney" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS ltoks
+        |            FROM documents),
+        |bgp AS (
+        |  SELECT doc_id, unnest(range(1, len(ltoks))) AS i, ltoks
+        |  FROM tk WHERE len(ltoks) >= 2),
+        |pairs AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(ltoks[i]), 1, 15))::BIGINT AS p_fp,
+        |         ('0x' || substr(md5(ltoks[i+1]), 1, 15))::BIGINT AS c_fp,
+        |         count(*) AS k
+        |  FROM bgp GROUP BY 1, 2, 3),
+        |c2 AS (SELECT p_fp, c_fp, CAST(sum(k) AS BIGINT) AS c2
+        |       FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT p_fp, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS nf
+        |        FROM c2 GROUP BY 1),
+        |cont AS (SELECT c_fp, count(*) AS nr FROM c2 GROUP BY 1),
+        |t AS (SELECT count(*) AS tt FROM c2),
+        |sc AS (
+        |  SELECT pairs.doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |         sum(k * -ln(((c2.c2 - 0.75e0) / c1)
+        |                     + (((0.75e0 * nf) / c1)
+        |                        * (nr / CAST(tt AS DOUBLE))))) AS nll
+        |  FROM pairs JOIN c2 USING (p_fp, c_fp) JOIN ctx USING (p_fp)
+        |       JOIN cont USING (c_fp) CROSS JOIN t
+        |  GROUP BY 1)
+        |SELECT tk.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |       round(sc.nll / sc.n_bigrams, 4) AS avg_nll,
+        |       round(exp(sc.nll / sc.n_bigrams), 4) AS ppl
+        |FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id""".stripMargin,
+
+    // survivor = exact-max quality (bit-identical rounded doubles on
+    // both engines), min doc_id among ties — over the q52 label oracle
+    "q102_cluster_survivor" -> {
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      s"""WITH lab AS (SELECT * FROM ($clusterLabelsSql)),
+         |tq AS (
+         |  SELECT doc_id,
+         |         round(0.4 * least(len(toks) / 100.0, 1.0)
+         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+         |                            / NULLIF(length(text), 0))
+         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |               string_split(lower(text), ' ') AS ltoks
+         |        FROM documents)),
+         |j AS (SELECT lab.cluster, lab.doc_id, tq.quality
+         |      FROM lab JOIN tq USING (doc_id)),
+         |m AS (SELECT cluster, max(quality) AS quality, count(*) AS cluster_size
+         |      FROM j GROUP BY 1)
+         |SELECT m.cluster, min(j.doc_id) AS survivor_id, m.quality,
+         |       m.cluster_size
+         |FROM j JOIN m ON j.cluster = m.cluster AND j.quality = m.quality
+         |GROUP BY 1, 3, 4""".stripMargin
+    },
+
+    "q103_shingle_novelty" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        """ds AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+          |f AS (SELECT doc_id,
+          |             ('0x' || substr(md5(s), 1, 15))::BIGINT AS s_fp
+          |      FROM ds),
+          |dfr AS (SELECT s_fp, count(*) AS df FROM f GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_shingles,
+          |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_unique,
+          |       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+          |             / count(*), 4) AS novelty
+          |FROM f JOIN dfr USING (s_fp)
+          |GROUP BY 1""".stripMargin),
   )
 }

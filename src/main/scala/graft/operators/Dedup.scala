@@ -642,6 +642,38 @@ object Dedup {
         (col("cluster_size") * col("n_clusters")).as("n_docs"),
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
 
+  /** Survivor selection over connected-component labels: for each
+    * near-dup cluster, the document the pipeline KEEPS — highest
+    * [[TextAnalysis.qualityScore]], ties broken by smallest doc_id
+    * (deterministic under any execution order). [[dedupSavings]] prices
+    * the removal; this names the survivors — the other half of the
+    * "cluster-and-keep-one" policy, upgraded from q53's keep-min-id to
+    * keep-best-quality (what production curation actually does: within a
+    * boilerplate family, keep the cleanest copy, not the lowest id).
+    *
+    * Scale shape: quality is a scan-fused per-row expression; the
+    * cluster-max is a map-side-combining aggregate to #clusters rows
+    * (never a window — a viral boilerplate cluster would buffer whole in
+    * one WindowExec task, the q53/capHotBuckets lesson); the argmax
+    * resolves by joining the per-cluster max back (AQE-skew-splittable
+    * equi-join) and taking min(doc_id) among exact-max rows — exact
+    * because both engines compute bit-identical rounded quality doubles.
+    */
+  def clusterSurvivors(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val j = labels.join(scored, "doc_id")
+      .select(col("cluster"), col("doc_id"), col("quality"))
+    val m = j.groupBy(col("cluster"))
+      .agg(max(col("quality")).as("best_q"), count(lit(1)).as("cluster_size"))
+    j.join(m, "cluster")
+      .filter(col("quality") === col("best_q"))
+      .groupBy(col("cluster"), col("best_q"), col("cluster_size"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+      .select(col("cluster"), col("survivor_id"),
+        col("best_q").as("quality"), col("cluster_size"))
+  }
+
   /** Incremental ingestion dedup: flag each INCOMING document that
     * duplicates the EXISTING corpus — exactly (content fingerprint) or
     * nearly (MinHash-LSH band collision verified by exact Jaccard) —

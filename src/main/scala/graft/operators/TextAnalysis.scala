@@ -727,4 +727,161 @@ object TextAnalysis {
       })
     CachedStage(pairs, result)
   }
+
+  // --- BM25 retrieval scoring -------------------------------------------
+
+  /** Default BM25 free parameters (Robertson et al., TREC-3 Okapi). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Okapi BM25 top-N retrieval over the corpus for a FIXED small query
+    * term set — the ranking a curation pipeline uses to pull quality- or
+    * topic-targeted documents (and the retrieval half of a
+    * decontamination sweep: rank the corpus against benchmark queries,
+    * inspect the head). IDF is the Lucene shifted form
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` (non-negative even for terms in
+    * more than half the corpus — the raw Robertson IDF goes negative
+    * there and breaks the score's monotonicity in tf).
+    *
+    * Scale shape: term frequencies come from per-row array kernels in the
+    * scan projection (`size(array_remove(toks, term))` per query term —
+    * codegen'd, no explode, no shuffle); the corpus constants
+    * (N, avgdl, per-term df) are ONE map-side-combining aggregate
+    * collapsing to a single row — broadcast by construction; the final
+    * score is a fixed-order arithmetic expression (bit-reproducible vs
+    * the oracle) and top-N is a `TakeOrdered` heap, never a global sort.
+    * Nothing shuffles at corpus cardinality.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String],
+               k1: Double = Bm25K1, b: Double = Bm25B,
+               topN: Int = 50): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "query term set is small by contract")
+    val toks = tokens(lower(col("text")))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      (size(col("toks")) - size(array_remove(col("toks"), lit(t)))).as(s"tf_$i")
+    }
+    // persisted: ~24-byte rows feed BOTH the constants fold and the score
+    // join — without it the corpus text is scanned and tokenized twice
+    val perDoc = docs.select(col("doc_id"), toks.as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++ tfCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val constAggs =
+      Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val consts = perDoc.agg(constAggs.head, constAggs.tail: _*)
+    // one-row corpus-constants relation — broadcast safe by construction
+    val j = perDoc.crossJoin(broadcast(consts))
+    // fixed-order sum over the (compile-time) term list: term 0 first —
+    // the oracle spells the identical chain, so doubles match bitwise
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+      idf * ((col(s"tf_$i") * (k1 + 1.0)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
+    }.reduce(_ + _)
+    j.select(Seq(col("doc_id"), col("dl")) ++
+        terms.indices.map(i => col(s"tf_$i").cast("long").as(s"tf_$i")) :+
+        round(score, 4).as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  // --- Kneser-Ney bigram LM ---------------------------------------------
+
+  /** Absolute-discount constant for [[lmScoreKneserNey]] (Chen & Goodman
+    * 1999's fixed-D variant; 0.75 is the conventional choice).
+    */
+  val KneserNeyD = 0.75
+
+  /** Interpolated Kneser-Ney bigram perplexity — [[lmScoreBigram]]'s
+    * smoothing upgrade and the canonical n-gram LM smoother (Kneser &
+    * Ney 1995; Chen & Goodman 1999 interpolated form):
+    *
+    *   p(v|u) = (c(u,v) − D)/c(u) + (D·N₁₊(u,·)/c(u)) · (N₁₊(·,v)/T)
+    *
+    * where N₁₊(u,·) is u's distinct-continuation count, N₁₊(·,v) is v's
+    * distinct-context count (how many DIFFERENT contexts v follows — the
+    * "Francisco problem": frequent-but-predictable tokens get low
+    * continuation probability), and T is the distinct bigram-type count.
+    * Scoring the training corpus itself keeps every c(u,v) ≥ 1, so the
+    * discounted term is positive and no unseen-bigram backoff path is
+    * exercised (the interpolation term exists and is exact regardless).
+    *
+    * Scale shape: everything re-folds from the ONE persisted
+    * [[lmFusedStage]] pair stream — type counts c₂, context totals
+    * (c₁, N₁₊ forward) in one aggregate, continuation counts in another,
+    * T as a one-row broadcast; scoring joins on 8-byte fingerprints and
+    * rolls up per doc. All counts are integers (exactly reproducible);
+    * the probability is one fixed-order double expression.
+    */
+  def lmScoreKneserNeyStage(docs: DataFrame): LmScoreStage = {
+    val f = lmFusedStage(docs)
+    val bg = f.pairs.filter(col("prev_fp").isNotNull)
+    val c2 = bg.groupBy(col("prev_fp"), col("tok_fp"))
+      .agg(sum(col("k")).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = c2.groupBy(col("prev_fp"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("nf"))
+    val cont = c2.groupBy(col("tok_fp")).agg(count(lit(1)).as("nr"))
+    val types = c2.agg(count(lit(1)).as("tt"))
+    val p = ((col("c2") - lit(KneserNeyD)) / col("c1")) +
+      (((lit(KneserNeyD) * col("nf")) / col("c1")) *
+        (col("nr") / col("tt").cast("double")))
+    val scored = bg.join(c2, Seq("prev_fp", "tok_fp"))
+      .join(ctx, "prev_fp")
+      .join(cont, "tok_fp")
+      // one-row bigram-type-count relation — broadcast safe by construction
+      .crossJoin(broadcast(types))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * -log(p)).as("nll"))
+    val result = docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("nll") / col("n_bigrams"), 4).as("avg_nll"),
+        round(exp(col("nll") / col("n_bigrams")), 4).as("ppl"))
+    LmScoreStage(f.pairs, result)
+  }
+
+  /** [[lmScoreKneserNeyStage]]'s result (handle discipline as
+    * [[lmScore]]); the inner c₂ persist is released with the session
+    * cache like every other query intermediate.
+    */
+  def lmScoreKneserNey(docs: DataFrame): DataFrame =
+    lmScoreKneserNeyStage(docs).result
+
+  // --- cross-document n-gram novelty ------------------------------------
+
+  /** Per-document shingle novelty: the fraction of a document's DISTINCT
+    * word-3-gram shingles that appear in no other document — the
+    * inter-document complement of [[repetitionSignals]]'s within-document
+    * ratios. Low novelty marks template/boilerplate families even when no
+    * single pair crosses a near-dup threshold; training-data selection
+    * pipelines weight toward high-novelty documents (self-information
+    * style scoring). Documents shorter than 3 tokens carry no shingles
+    * and are excluded (same discipline as the q11 LSH signature gate).
+    *
+    * Scale shape: one corpus scan (the same single-pass shingle kernel as
+    * the dedup family), distinct-per-doc at the source, then ONE
+    * map-side-combining fingerprint-frequency aggregate and ONE equi-join
+    * back on the 8-byte fingerprint (AQE-skew-splittable for viral
+    * boilerplate shingles); per-doc rollup is the only other exchange. No
+    * token strings cross any shuffle — only 60-bit fingerprints.
+    */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = perDoc.groupBy(col("s_fp")).agg(count(lit(1)).as("df"))
+    perDoc.join(freq, "s_fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique") / col("n_shingles"), 4).as("novelty"))
+  }
 }

@@ -13,16 +13,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4.x does not support natively (PARQUET_TYPE_ILLEGAL). Read nanos
-    * as long and convert to microsecond timestamps losslessly for window
-    * math (integer floor-division — no double round-trip).
+  /** The events table's `ts` column has shipped in two physical forms
+    * across testdata generations: TIMESTAMP(NANOS) — which Spark 4.x
+    * does not read natively (PARQUET_TYPE_ILLEGAL), so nanos come in as
+    * long and convert losslessly by integer floor-division — and plain
+    * microsecond timestamps (read as NTZ, cast to the session-UTC
+    * TimestampType every downstream window/oracle computes against).
+    * Dispatch on the loaded schema so either generation works unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

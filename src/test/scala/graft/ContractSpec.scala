@@ -23,7 +23,7 @@ class ContractSpec extends SparkSpecBase {
   }
 
   test("query names follow the qNN_ scheme and are densely useful") {
-    val pat = "^q\\d{2}_[a-z0-9_]+$".r
+    val pat = "^q\\d{2,3}_[a-z0-9_]+$".r
     val bad = SparkEntry.queries.keySet.filterNot(n => pat.matches(n))
     assert(bad === Set.empty, s"malformed query names: $bad")
   }

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-10 operators: BM25 retrieval, Kneser-Ney bigram LM, cluster
+  * survivor selection, cross-document shingle novelty.
+  */
+class Round10OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- BM25 --------------------------------------------------------------
+
+  test("bm25TopK matches a hand-computed Okapi score on a tiny corpus") {
+    val docs = Seq(
+      (1L, "dup alpha beta"),        // tf(dup)=1, dl=3
+      (2L, "dup dup alpha"),         // tf(dup)=2, dl=3
+      (3L, "alpha beta gamma delta") // tf(dup)=0, dl=4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("dup"), topN = 3)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+
+    val n = 3.0; val df_ = 2.0; val avgdl = 10.0 / 3.0
+    val idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === s(1, 3))
+    assert(out(2L) === s(2, 3))
+    assert(out(3L) === 0.0)
+  }
+
+  test("bm25TopK ranks higher-tf docs first at equal length and caps at topN") {
+    val docs = (1L to 20L).map { i =>
+      (i, (Seq.fill(i.toInt)("dup") ++ Seq.fill(21 - i.toInt)("pad")).mkString(" "))
+    }.toDF("doc_id", "text") // all dl=21, tf(dup)=doc_id
+    val got = TextAnalysis.bm25TopK(docs, Seq("dup"), topN = 5)
+      .select("doc_id").as[Long].collect()
+    assert(got.toSeq === Seq(20L, 19L, 18L, 17L, 16L)) // monotone in tf
+  }
+
+  test("bm25TopK plan is a TakeOrdered heap, not a global sort") {
+    val docs = (1L to 200L).map(i => (i, s"dup pad$i")).toDF("doc_id", "text")
+    val q = TextAnalysis.bm25TopK(docs, Seq("dup")).queryExecution
+    q.executedPlan.executeCollect() // drive AQE to the final plan
+    val plan = q.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Sort ["), plan)
+  }
+
+  // --- Kneser-Ney --------------------------------------------------------
+
+  test("lmScoreKneserNey matches the closed-form KN probability on a fixture") {
+    // corpus bigrams: d1 "a b a b" -> (a,b)x2 (b,a)x1 ; d2 "a c" -> (a,c)x1
+    // c1(a)=3 nf(a)=2 ; c1(b)=1 nf(b)=1 ; nr(a)=nr(b)=nr(c)=1 ; T=3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreKneserNey(docs)
+      .select("doc_id", "n_bigrams", "avg_nll").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val D = 0.75
+    def p(c2: Double, c1: Double, nf: Double, nr: Double, t: Double) =
+      (c2 - D) / c1 + ((D * nf) / c1) * (nr / t)
+    val pAB = p(2, 3, 2, 1, 3)
+    val pBA = p(1, 1, 1, 1, 3)
+    val pAC = p(1, 3, 2, 1, 3)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 === r4((2 * -math.log(pAB) + -math.log(pBA)) / 3.0))
+    assert(out(2L)._1 === 1L)
+    assert(out(2L)._2 === r4(-math.log(pAC)))
+  }
+
+  test("KN probabilities normalize: sum over the vocab is 1 per context") {
+    // Σ_v p(v|u) = Σ_obs (c2−D)/c1 + (D·nf/c1)·Σ_v nr(v)/T
+    //            = (c1 − D·nf)/c1 + D·nf/c1 = 1  (Σ_v nr(v) = T)
+    val docs = Seq((1L, "x y x z y x"), (2L, "y z z x")).toDF("doc_id", "text")
+    val toks = docs.collect().flatMap(_.getString(1).split(" "))
+    val bgs = docs.collect().flatMap { r =>
+      val t = r.getString(1).split(" "); t.sliding(2).map(a => (a(0), a(1)))
+    }.toSeq
+    val c2 = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val c1 = c2.groupBy(_._1._1).map { case (u, m) => u -> m.values.sum }
+    val nf = c2.groupBy(_._1._1).map { case (u, m) => u -> m.size.toDouble }
+    val nr = c2.groupBy(_._1._2).map { case (v, m) => v -> m.size.toDouble }
+    val t = c2.size.toDouble
+    val vocab = toks.distinct
+    for (u <- c1.keys) {
+      val total = vocab.map { v =>
+        val disc = c2.get((u, v)).map(c => (c - 0.75) / c1(u)).getOrElse(0.0)
+        disc + ((0.75 * nf(u)) / c1(u)) * (nr.getOrElse(v, 0.0) / t)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context $u sums to $total")
+    }
+  }
+
+  test("docs under 2 tokens carry zero bigrams and NULL KN scores") {
+    val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val rows = TextAnalysis.lmScoreKneserNey(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) === 0L)
+    assert(rows(1L).isNullAt(2) && rows(1L).isNullAt(3))
+    assert(rows(2L).getLong(1) === 1L && !rows(2L).isNullAt(3))
+  }
+
+  // --- cluster survivors --------------------------------------------------
+
+  test("clusterSurvivors keeps the highest-quality doc, min-id on ties") {
+    val docs = Seq(
+      (1L, "the and for dup dup dup dup dup"), // stopword-rich: higher quality
+      (2L, "dup dup dup dup dup dup dup dup"),
+      (3L, "same text here and the for"),
+      (4L, "same text here and the for") // identical to 3 -> tie, min id wins
+    ).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster")
+    val out = Dedup.clusterSurvivors(labels, docs)
+      .select("cluster", "survivor_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().map { case (c, s, z) => c -> ((s, z)) }.toMap
+
+    val q = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val expect1 = Seq(1L, 2L).maxBy(id => (q(id), -id))
+    assert(out(1L) === ((expect1, 2L)))
+    assert(out(3L) === ((3L, 2L))) // tie -> min doc_id
+  }
+
+  test("clusterSurvivors emits one row per cluster") {
+    val docs = (1L to 30L).map(i => (i, s"text body number $i dup")).toDF("doc_id", "text")
+    val labels = (1L to 30L).map(i => (i, i % 5)).toDF("doc_id", "cluster")
+    val out = Dedup.clusterSurvivors(labels, docs)
+    assert(out.count() === 5L)
+    assert(out.select("cluster").distinct().count() === 5L)
+  }
+
+  // --- shingle novelty ----------------------------------------------------
+
+  test("shingleNovelty scores shared vs unique shingles") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"), // shingles: w1w2w3, w2w3w4
+      (2L, "w2 w3 w4 w5"), // shingles: w2w3w4 (shared), w3w4w5
+      (3L, "x y z"),       // one unique shingle
+      (4L, "too short")    // no shingles -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.shingleNovelty(docs)
+      .select("doc_id", "n_shingles", "n_unique", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((1L, 1L, 1.0)))
+    assert(!out.contains(4L))
+  }
+
+  test("within-doc repeated shingles count once (distinct at the source)") {
+    val docs = Seq((1L, "r r r r r")).toDF("doc_id", "text")
+    val out = TextAnalysis.shingleNovelty(docs)
+      .select("n_shingles", "n_unique", "novelty")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 1L, 1.0)))
+  }
+}
