@@ -757,13 +757,20 @@ object TextAnalysis {
                topN: Int = 50): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16, "query term set is small by contract")
     val toks = tokens(lower(col("text")))
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      (size(col("toks")) - size(array_remove(col("toks"), lit(t)))).as(s"tf_$i")
-    }
+    // all per-term tfs from ONE token pass of the StopwordScores kernel
+    // (singleton dicts) — k separate array_remove passes re-walked the
+    // token array per term (15.9 s → 14.1 s at 1 M docs, k=3: the scan +
+    // tokenize dominates at small k, and the kernel's cost stays flat as
+    // the term list grows where the per-term passes scale linearly)
+    val tfs = graft.functions.TextFunctions.stopword_scores(
+      col("toks"), terms.map(Seq(_)))
     // persisted: ~24-byte rows feed BOTH the constants fold and the score
     // join — without it the corpus text is scanned and tokenized twice
     val perDoc = docs.select(col("doc_id"), toks.as("toks"))
-      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++ tfCols: _*)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        tfs.as("tfs"))
+      .select(Seq(col("doc_id"), col("dl")) ++
+        terms.indices.map(i => col("tfs").getItem(i).as(s"tf_$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val constAggs =
       Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
@@ -863,10 +870,14 @@ object TextAnalysis {
     * and are excluded (same discipline as the q11 LSH signature gate).
     *
     * Scale shape: one corpus scan (the same single-pass shingle kernel as
-    * the dedup family), distinct-per-doc at the source, then ONE
-    * map-side-combining fingerprint-frequency aggregate and ONE equi-join
-    * back on the 8-byte fingerprint (AQE-skew-splittable for viral
-    * boilerplate shingles); per-doc rollup is the only other exchange. No
+    * the dedup family), distinct-per-doc at the source, then TWO
+    * map-side-combining aggregate folds of the persisted (doc, fp) pairs
+    * — per-fingerprint df (carrying `min(doc_id)`, which for a df=1
+    * shingle IS its unique owner) and per-doc totals — and one LEFT join
+    * at DOCUMENT cardinality. The naive join-back of the df relation onto
+    * the pair stream re-shuffled BOTH at shingle cardinality (~50× doc
+    * count) and cost 168 s at 1 M docs; carrying the owner through the df
+    * aggregate makes every join input doc-sized (measured 25 s, 6.7×). No
     * token strings cross any shuffle — only 60-bit fingerprints.
     */
   def shingleNovelty(docs: DataFrame): DataFrame = {
@@ -876,12 +887,17 @@ object TextAnalysis {
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s_fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = perDoc.groupBy(col("s_fp")).agg(count(lit(1)).as("df"))
-    perDoc.join(freq, "s_fp")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        round(col("n_unique") / col("n_shingles"), 4).as("novelty"))
+    // pairs are distinct per doc, so df=1 ⟺ exactly one owner = min(doc_id)
+    val uniqueOwned = perDoc.groupBy(col("s_fp"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
+      .filter(col("df") === 1)
+      .groupBy(col("only_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    perDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(uniqueOwned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)) / col("n_shingles"), 4)
+          .as("novelty"))
   }
 }

@@ -69,6 +69,41 @@ object ProbeRound10 {
       require(n1 == n2, s"pair sets differ: $n1 vs $n2")
     }
 
+    // Round-10 operators at 1 M docs (100-200× the bench SF): BM25,
+    // Kneser-Ney, shingle novelty, and survivor selection with a viral
+    // 300 k-doc cluster (the no-WindowExec argmax must not straggle).
+    if (sections("r10ops")) {
+      val docs = ScaleProbe.syntheticDocs(spark, 1000000L)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      docs.count()
+
+      // count() is NOT a valid forcing here: the optimizer deletes the
+      // unique-key left joins (and with them the whole scoring pipeline)
+      // under a bare count — aggregate over the computed columns instead
+      // (the ProbeCuration ColumnPruning lesson, join-elimination flavor)
+      def forceAll(df: org.apache.spark.sql.DataFrame): Long = {
+        val hashAll = hash(df.columns.map(col): _*)
+        df.agg(count(when(hashAll =!= 0, 1))).head().getLong(0)
+      }
+      time("bm25 1M docs")(forceAll(
+        graft.operators.TextAnalysis.bm25TopK(docs,
+          Seq("w1", "w500", "w999"))))
+      time("kneser_ney 1M docs")(forceAll(
+        graft.operators.TextAnalysis.lmScoreKneserNey(docs)))
+      time("novelty 1M docs")(forceAll(
+        graft.operators.TextAnalysis.shingleNovelty(docs)))
+
+      // 700 k docs in 5-doc clusters + ONE 300 k-doc viral cluster
+      val labels = spark.range(1000000L).select(col("id").as("doc_id"),
+        when(col("id") < 300000L, lit(0L))
+          .otherwise(expr("(id div 5) * 5")).as("cluster"))
+      val survivors = time("survivors 1M docs, 300k viral cluster")(
+        graft.operators.Dedup.clusterSurvivors(labels, docs).count())
+      require(survivors == 140001L, s"expected 140001 clusters, got $survivors")
+
+      docs.unpersist()
+    }
+
     spark.stop()
   }
 }
