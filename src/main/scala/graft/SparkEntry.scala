@@ -753,6 +753,17 @@ object SparkEntry {
     // boilerplate signal; fingerprint-frequency fold + one equi-join
     "q103_shingle_novelty" -> ((s, dir) =>
       TextAnalysis.shingleNovelty(Tables.documents(s, dir))),
+
+    // per-source quality percentile: midrank over the (source, quality)
+    // histogram — windows touch only the metadata-sized histogram, docs
+    // pick up their percentile by equi-join
+    "q104_quality_percentile" -> ((s, dir) =>
+      Curation.qualityPercentile(Tables.documents(s, dir))),
+
+    // MinHash calibration: estimated vs exact Jaccard on every LSH
+    // candidate pair — the (k, bands, rows) tuning report
+    "q105_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(Tables.documents(s, dir))),
   )
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -2608,5 +2619,57 @@ object SparkEntry {
           |             / count(*), 4) AS novelty
           |FROM f JOIN dfr USING (s_fp)
           |GROUP BY 1""".stripMargin),
+
+    // quality replayed from the q18/q53 expressions; the cumulative
+    // window runs over the (source, quality) histogram only
+    "q104_quality_percentile" -> {
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         round(0.4 * least(len(toks) / 100.0, 1.0)
+         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+         |                            / NULLIF(length(text), 0))
+         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+         |  FROM (SELECT doc_id, source, text,
+         |               string_split(text, ' ') AS toks,
+         |               string_split(lower(text), ' ') AS ltoks
+         |        FROM documents)),
+         |h AS (SELECT source, quality, count(*) AS cnt FROM q GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+         |hh AS (
+         |  SELECT source, quality, cnt,
+         |         sum(cnt) OVER (PARTITION BY source ORDER BY quality
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h)
+         |SELECT q.doc_id, q.source, q.quality,
+         |       round((hh.cum - 0.5e0 * hh.cnt) / n.n, 4) AS pctl
+         |FROM q JOIN hh USING (source, quality) JOIN n USING (source)""".stripMargin
+    },
+
+    // the estimate is a fixed-order sum of k integer signature-equality
+    // terms over the SAME md5 signatures the q11 oracle builds; exact
+    // Jaccard replayed over the distinct shingle sets
+    "q105_minhash_calibration" -> {
+      val agreeSql = (1 to Dedup.MinhashK)
+        .map(i => s"(CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END)")
+        .mkString("\n             + ")
+      docCtes.stripSuffix("\n") + ",\n" + lshCtes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh)
+           |SELECT id_a, id_b,
+           |       round(($agreeSql) / ${Dedup.MinhashK}e0, 4) AS est_jaccard,
+           |       ${jaccardSql("da.dsh", "db.dsh")} AS jaccard,
+           |       round(abs(round(($agreeSql) / ${Dedup.MinhashK}e0, 4)
+           |                 - ${jaccardSql("da.dsh", "db.dsh")}), 4) AS abs_err
+           |FROM cands
+           |JOIN sig sa ON sa.doc_id = cands.id_a
+           |JOIN sig sb ON sb.doc_id = cands.id_b
+           |JOIN shd da ON da.doc_id = cands.id_a
+           |JOIN shd db ON db.doc_id = cands.id_b""".stripMargin
+    },
   )
 }

@@ -423,4 +423,35 @@ object Curation {
         col("accept_pct"), col("n_l"),
         explode(sequence(lit(1), col("copies"))).as("copy_idx"))
   }
+
+  /** Per-source quality percentile (midrank): each document's quality
+    * score normalized to its SOURCE's distribution — the calibration step
+    * before any cross-source selection (q80's budget, q54's sampling), so
+    * a threshold means "top X% of the crawl it came from" rather than
+    * letting one clean source crowd out every other ("quality" heuristics
+    * are source-relative: boilerplate-heavy sources score structurally
+    * lower). pct = (rank_below + ties/2) / n, the standard midrank.
+    *
+    * Scale shape: the quality score is rounded to 4 decimals, so the
+    * per-source distribution collapses to a (source, quality) HISTOGRAM —
+    * ≤ #sources × 10⁴ rows by construction. The cumulative window runs
+    * over that metadata-sized relation ONLY (the vocabCoverage
+    * discipline: windows over bounded model relations, never the corpus);
+    * per-source totals are an aggregate join, and docs pick up their
+    * percentile by a broadcast-able (source, quality) equi-join. The
+    * corpus itself is scanned once and shuffles only for the join.
+    */
+  def qualityPercentile(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val h = scored.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = h.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hh = h.withColumn("cum", sum(col("cnt")).over(w)).join(n, "source")
+    scored.join(hh, Seq("source", "quality"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round((col("cum") - lit(0.5) * col("cnt")) / col("n"), 4).as("pctl"))
+  }
 }

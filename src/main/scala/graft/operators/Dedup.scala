@@ -146,6 +146,60 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
     minhashNearDupsStage(docs, threshold).result
 
+  /** MinHash calibration report: for every LSH candidate pair, the
+    * signature-estimated Jaccard (fraction of the k minhash entries that
+    * agree — an unbiased estimator with sd √(J(1−J)/k)) next to the exact
+    * shingle-set Jaccard and their absolute error. This is how the
+    * (k, bands, rows) parameters are TUNED before a corpus-wide dedup
+    * run commits to them: the report answers "how far off is a k=12
+    * estimate on THIS corpus" and "what threshold do band collisions
+    * actually correspond to" with measurements instead of the asymptotic
+    * formula. Unfiltered by design — calibration wants the full candidate
+    * set including the false positives a threshold would hide.
+    *
+    * Scale shape: identical to [[minhashNearDupsStage]] (one persisted
+    * (sh, sig) index, capped band equi-join, never all-pairs); the only
+    * additions are the signature arrays riding the verification joins and
+    * the k fixed-order equality terms of the estimate — integer counts,
+    * exactly reproducible.
+    */
+  def minhashCalibration(docs: DataFrame,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val idx = docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        minhashSignature(col("sh"), MinhashK).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = idx.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
+          md5(concat_ws("|", slice(col("sig"), b * LshRows + 1, lit(LshRows)))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val capped = capHotBuckets(bands, Seq("band_idx", "band_hash"), maxBucket)
+    val a = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+    val b = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
+    val cands = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // fixed-order sum of k integer equality terms, then one division —
+    // the oracle spells the identical chain
+    val agree = (0 until MinhashK).map(i =>
+      when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1)
+        .otherwise(0)).reduce(_ + _)
+    cands
+      .join(idx.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(idx.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(agree / lit(MinhashK.toDouble), 4).as("est_jaccard"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("jaccard")), 4))
+  }
+
   /** Default hot-shingle document-frequency cap for
     * [[windowedJaccardPairs]], mirrored in the q13 oracle SQL.
     */

@@ -93,6 +93,13 @@ object ProbeRound10 {
       time("novelty 1M docs")(forceAll(
         graft.operators.TextAnalysis.shingleNovelty(docs)))
 
+      time("quality_percentile 1M docs")(forceAll(
+        graft.operators.Curation.qualityPercentile(
+          docs.withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20)))))))
+      time("minhash_calibration 1M docs")(forceAll(
+        graft.operators.Dedup.minhashCalibration(docs)))
+
       // 700 k docs in 5-doc clusters + ONE 300 k-doc viral cluster
       val labels = spark.range(1000000L).select(col("id").as("doc_id"),
         when(col("id") < 300000L, lit(0L))

@@ -162,4 +162,92 @@ class Round10OpsSpec extends SparkSpecBase {
       .as[(Long, Long, Double)].collect()
     assert(out.toSeq === Seq((1L, 1L, 1.0)))
   }
+
+  // --- quality percentile --------------------------------------------------
+
+  test("qualityPercentile is the per-source midrank, ties sharing one value") {
+    // srcA: 3 docs with distinct qualities -> pct (i-0.5)/3; srcB: 2
+    // identical docs -> one tie group, pct (2-0.5*2)/2 = 0.5 for both
+    val docs = Seq(
+      (1L, "short", "srcA"),
+      (2L, "the and for with dup spark window alpha beta gamma", "srcA"),
+      (3L, "the and for", "srcA"),
+      (4L, "same text here", "srcB"),
+      (5L, "same text here", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Curation.qualityPercentile(docs)
+      .select("doc_id", "quality", "pctl").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val aSorted = Seq(1L, 2L, 3L).sortBy(id => out(id)._1)
+    assert(out(aSorted(0))._2 === 0.1667) // (1-0.5)/3
+    assert(out(aSorted(1))._2 === 0.5)
+    assert(out(aSorted(2))._2 === 0.8333)
+    assert(out(4L) === out(5L))
+    assert(out(4L)._2 === 0.5)
+  }
+
+  test("qualityPercentile windows only touch the histogram, not the corpus") {
+    val docs = (1L to 500L).map(i => (i, s"text $i dup and the", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val plan = graft.operators.Curation.qualityPercentile(docs)
+      .queryExecution.optimizedPlan.toString
+    // the Window's child must be the (source, quality) aggregate, never
+    // the raw docs relation
+    val windowIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate", windowIdx)
+    assert(windowIdx >= 0 && aggIdx > windowIdx,
+      s"expected Window over Aggregate in:\n$plan")
+  }
+
+  // --- minhash calibration -------------------------------------------------
+
+  test("minhashCalibration: identical docs estimate and measure J=1 exactly") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, text), (2L, text), (3L, "completely different words x y z"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(docs)
+      .select("id_a", "id_b", "est_jaccard", "jaccard", "abs_err")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.exists(r => r._1 == 1L && r._2 == 2L &&
+      r._3 == 1.0 && r._4 == 1.0 && r._5 == 0.0))
+    assert(!rows.exists(r => r._2 == 3L || r._1 == 3L)) // no shared bands
+  }
+
+  test("minhashCalibration estimates are k-quantized and err is |est-exact|") {
+    val docs = (1L to 40L).map { i =>
+      val base = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      val tail = if (i % 2 == 0) Seq("even", "suffix") else Seq("odd", s"tail$i")
+      (i, (base ++ tail).mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(docs)
+      .select("est_jaccard", "jaccard", "abs_err")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, ja, err) =>
+      val m = math.round(est * Dedup.MinhashK)
+      val grid = BigDecimal(m.toDouble / Dedup.MinhashK)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(est === grid,
+        s"est $est is not round(m/${Dedup.MinhashK}, 4) for any m")
+      assert(est >= 0.0 && est <= 1.0 && ja >= 0.0 && ja <= 1.0)
+      assert(err === BigDecimal(math.abs(est - ja))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  // --- degenerate inputs ---------------------------------------------------
+
+  test("round-10 operators return cleanly on an empty corpus") {
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val emptySrc = spark.emptyDataset[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val emptyLabels = spark.emptyDataset[(Long, Long)].toDF("doc_id", "cluster")
+    assert(TextAnalysis.bm25TopK(empty, Seq("dup")).count() === 0L)
+    assert(TextAnalysis.lmScoreKneserNey(empty).count() === 0L)
+    assert(TextAnalysis.shingleNovelty(empty).count() === 0L)
+    assert(Dedup.clusterSurvivors(emptyLabels, empty).count() === 0L)
+    assert(graft.operators.Curation.qualityPercentile(emptySrc).count() === 0L)
+    assert(Dedup.minhashCalibration(empty).count() === 0L)
+  }
 }
