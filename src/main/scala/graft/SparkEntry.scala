@@ -764,6 +764,17 @@ object SparkEntry {
     // candidate pair — the (k, bands, rows) tuning report
     "q105_minhash_calibration" -> ((s, dir) =>
       Dedup.minhashCalibration(Tables.documents(s, dir))),
+
+    // cross-source near-dup overlap matrix: which ingestion streams
+    // duplicate each other; pairs from the capped LSH pipeline, matrix
+    // one aggregate to <= #sources^2 rows
+    "q106_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir))),
+
+    // top boilerplate shingles: df fold on fingerprints, TakeOrdered
+    // heap, strings rejoin for the N winners only
+    "q107_top_boilerplate" -> ((s, dir) =>
+      TextAnalysis.topBoilerplate(Tables.documents(s, dir))),
   )
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -2671,5 +2682,42 @@ object SparkEntry {
            |JOIN shd da ON da.doc_id = cands.id_a
            |JOIN shd db ON db.doc_id = cands.id_b""".stripMargin
     },
+
+    // the q52 nd CTE (capped bands + exact-Jaccard >= 0.5 verify)
+    // re-used; sources attach by doc_id, unordered pair via least/greatest
+    "q106_source_overlap" ->
+      (docCtes.stripSuffix("\n") + ",\n" + lshCtes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+           |nd AS (
+           |  SELECT id_a, id_b
+           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |             JOIN shd b ON cands.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5)
+           |SELECT least(da.source, db.source) AS source_x,
+           |       greatest(da.source, db.source) AS source_y,
+           |       count(*) AS n_pairs
+           |FROM nd JOIN documents da ON da.doc_id = nd.id_a
+           |        JOIN documents db ON db.doc_id = nd.id_b
+           |GROUP BY 1, 2""".stripMargin),
+
+    "q107_top_boilerplate" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        """pd AS (
+          |  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+          |f AS (SELECT s, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s_fp
+          |      FROM pd),
+          |top AS (
+          |  SELECT s_fp, count(*) AS df FROM f GROUP BY 1
+          |  ORDER BY df DESC, s_fp LIMIT 20),
+          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT min(f.s) AS shingle, CAST(top.df AS BIGINT) AS df,
+          |       round(top.df / n.n_docs, 4) AS doc_share
+          |FROM f JOIN top USING (s_fp) CROSS JOIN n
+          |GROUP BY top.s_fp, top.df, n.n_docs""".stripMargin),
   )
 }

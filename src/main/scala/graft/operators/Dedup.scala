@@ -146,6 +146,30 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame =
     minhashNearDupsStage(docs, threshold).result
 
+  /** Cross-source near-dup overlap matrix: how many verified near-dup
+    * pairs land between each (unordered) pair of sources — the
+    * "how much does crawl A duplicate crawl B" report that decides which
+    * ingestion streams are redundant and which cross-source contamination
+    * to investigate, run before committing to a source mix. Within-source
+    * pairs appear on the diagonal.
+    *
+    * Scale shape: the pair relation is [[minhashNearDups]]'s output
+    * (capped LSH bands, never all-pairs); sources attach by two 8-byte-id
+    * equi-joins against the doc→source projection, the unordered pair
+    * canonicalizes with least/greatest, and the matrix is one map-side-
+    * combining aggregate to ≤ #sources² rows.
+    */
+  def sourceOverlap(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashNearDups(docs, threshold)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")), "id_b")
+      .select(least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** MinHash calibration report: for every LSH candidate pair, the
     * signature-estimated Jaccard (fraction of the k minhash entries that
     * agree — an unbiased estimator with sd √(J(1−J)/k)) next to the exact

@@ -880,6 +880,40 @@ object TextAnalysis {
     * aggregate makes every join input doc-sized (measured 25 s, 6.7×). No
     * token strings cross any shuffle — only 60-bit fingerprints.
     */
+  /** Top boilerplate report: the `topN` most document-frequent word
+    * 3-gram shingles with their df and corpus share — the drill-down
+    * behind a low [[shingleNovelty]] score ("WHAT is the boilerplate"),
+    * and the candidate list for a [[graft.operators.Dedup#removeBoilerplate]]
+    * blocklist.
+    *
+    * Scale shape: the heavy fold runs entirely on 60-bit fingerprints
+    * (map-side-combining df aggregate → TakeOrdered heap for the top N);
+    * shingle STRINGS re-enter only for the N winners, by broadcasting the
+    * winner fingerprints back over the pair stream and min-folding the
+    * matching strings — so at most N string groups ever reach an
+    * exchange, not the corpus's shingle vocabulary. The corpus share
+    * denominator is a one-row broadcast.
+    */
+  def topBoilerplate(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val pd = docs
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
+      .select(col("s"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val top = pd.groupBy(col("s_fp")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s_fp"))
+      .limit(topN)
+    pd.join(broadcast(top), "s_fp")
+      .groupBy(col("s_fp"), col("df"))
+      .agg(min(col("s")).as("shingle"))
+      // one-row corpus-size relation — broadcast safe by construction
+      .crossJoin(broadcast(nDocs))
+      .select(col("shingle"), col("df"),
+        round(col("df") / col("n_docs"), 4).as("doc_share"))
+  }
+
   def shingleNovelty(docs: DataFrame): DataFrame = {
     val perDoc = docs
       .select(col("doc_id"),

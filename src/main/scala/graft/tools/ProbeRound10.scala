@@ -99,6 +99,12 @@ object ProbeRound10 {
             concat(lit("s"), pmod(col("doc_id"), lit(20)))))))
       time("minhash_calibration 1M docs")(forceAll(
         graft.operators.Dedup.minhashCalibration(docs)))
+      time("source_overlap 1M docs")(forceAll(
+        graft.operators.Dedup.sourceOverlap(
+          docs.withColumn("source",
+            concat(lit("s"), pmod(col("doc_id"), lit(20)))))))
+      time("top_boilerplate 1M docs")(forceAll(
+        graft.operators.TextAnalysis.topBoilerplate(docs)))
 
       // 700 k docs in 5-doc clusters + ONE 300 k-doc viral cluster
       val labels = spark.range(1000000L).select(col("id").as("doc_id"),

@@ -236,6 +236,37 @@ class Round10OpsSpec extends SparkSpecBase {
     }
   }
 
+  // --- source overlap ------------------------------------------------------
+
+  test("sourceOverlap counts cross-source and diagonal near-dup pairs") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, t1, "crawlA"), (2L, t1, "crawlB"),     // cross-source pair
+      (3L, t2, "crawlB"), (4L, t2, "crawlB"),     // within-source pair
+      (5L, "unrelated totally different words here now", "crawlA")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs)
+      .as[(String, String, Long)].collect()
+      .map { case (x, y, n) => (x, y) -> n }.toMap
+    assert(out === Map(("crawlA", "crawlB") -> 1L, ("crawlB", "crawlB") -> 1L))
+  }
+
+  // --- top boilerplate -----------------------------------------------------
+
+  test("topBoilerplate surfaces the dominant shingle with its doc share") {
+    val docs = (1L to 10L).map(i => (i, s"the same prefix unique$i tail$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topBoilerplate(docs, topN = 3)
+      .orderBy(col("df").desc, col("shingle"))
+      .as[(String, Long, Double)].collect()
+    assert(out.length === 3)
+    assert(out.head === (("the same prefix", 10L, 1.0)))
+    // runner-up shingles each span 10 docs ("same prefix uniqueN" is
+    // per-doc): df 1, share 0.1
+    assert(out(1)._2 === 1L && out(1)._3 === 0.1)
+  }
+
   // --- degenerate inputs ---------------------------------------------------
 
   test("round-10 operators return cleanly on an empty corpus") {
@@ -249,5 +280,7 @@ class Round10OpsSpec extends SparkSpecBase {
     assert(Dedup.clusterSurvivors(emptyLabels, empty).count() === 0L)
     assert(graft.operators.Curation.qualityPercentile(emptySrc).count() === 0L)
     assert(Dedup.minhashCalibration(empty).count() === 0L)
+    assert(Dedup.sourceOverlap(emptySrc).count() === 0L)
+    assert(TextAnalysis.topBoilerplate(empty).count() === 0L)
   }
 }
