@@ -51,4 +51,40 @@ object StreamingCuration {
       .dropDuplicatesWithinWatermark("fp64")
       .filter(col("pred_lang") === lang && col("quality") >= minQuality)
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_words"))
+
+  /** Viral-boilerplate alarm: per tumbling window, every shingle
+    * fingerprint whose in-window document frequency crosses `minDf` —
+    * the streaming twin of [[graft.operators.TextAnalysis#topBoilerplate]]
+    * (a continuous query cannot rank "top N ever", but it CAN finalize
+    * "df ≥ threshold in this window" exactly once per window — the
+    * alert-shaped reformulation, same as the Solar suppression story).
+    * An operator watching an ingestion stream for a template flood fires
+    * on the first finalized window instead of at the next batch audit.
+    *
+    * Scale shape: documents collapse to distinct (window, doc, fp)
+    * triples before the windowed count (the same distinct-at-source
+    * discipline as the batch df fold); state is per (window, fp) counts
+    * evicted at the watermark; emission is append mode — each window's
+    * alarms exactly once, after the watermark finalizes it. Only 60-bit
+    * fingerprints enter state, never shingle text — the alarm consumer
+    * joins strings back over the tiny alarm set if it needs them.
+    */
+  def viralShingleAlarm(docsStream: DataFrame, minDf: Long,
+                        watermarkDelay: String = "10 minutes",
+                        windowLen: String = "1 minute"): DataFrame =
+    docsStream
+      // watermark BEFORE the explode: a sub-3-token doc carries no
+      // shingles, and if the assignment sat after the explode such docs
+      // would vanish before the watermark node and never advance event
+      // time — a stream of short documents would stall every window open
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("doc_id"),
+        explode(array_distinct(
+          graft.operators.Dedup.shingles(col("text")))).as("s"))
+      .select(col("ts"), col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s_fp"))
+      .groupBy(window(col("ts"), windowLen), col("s_fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("window.start").as("w_start"), col("s_fp"), col("df"))
 }

@@ -267,6 +267,40 @@ class Round10OpsSpec extends SparkSpecBase {
     assert(out(1)._2 === 1L && out(1)._3 === 0.1)
   }
 
+  // --- viral shingle alarm (streaming) -------------------------------------
+
+  test("viralShingleAlarm fires once per finalized window, only above minDf") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val name = s"viral_${System.nanoTime()}"
+    val q = graft.streaming.StreamingCuration
+      .viralShingleAlarm(df, minDf = 3L, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // window [00:00, 01:00): 3 docs share "tpl boiler plate", one unique
+      input.addData(
+        (ts("2024-01-01 00:00:01"), 1L, "tpl boiler plate alpha"),
+        (ts("2024-01-01 00:00:02"), 2L, "tpl boiler plate beta"),
+        (ts("2024-01-01 00:00:03"), 3L, "tpl boiler plate gamma"),
+        (ts("2024-01-01 00:00:04"), 4L, "different text entirely here"))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0) // window still open
+      // advance the watermark past the window end
+      input.addData((ts("2024-01-01 00:02:00"), 5L, "late mover"))
+      q.processAllAvailable()
+      val rows = spark.table(name).select("s_fp", "df")
+        .as[(Long, Long)].collect().toSeq
+      assert(rows.map(_._2) === Seq(3L)) // exactly one alarm, df=3
+      // re-running processAllAvailable adds nothing (emit-once)
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1)
+    } finally q.stop()
+  }
+
   // --- degenerate inputs ---------------------------------------------------
 
   test("round-10 operators return cleanly on an empty corpus") {
