@@ -2635,7 +2635,7 @@ object SparkEntry {
     // window runs over the (source, quality) histogram only
     "q104_quality_percentile" -> {
       val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
-      s"""WITH q AS (
+      s"""WITH q0 AS (
          |  SELECT doc_id, source,
          |         round(0.4 * least(len(toks) / 100.0, 1.0)
          |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
@@ -2645,6 +2645,9 @@ object SparkEntry {
          |               string_split(text, ' ') AS toks,
          |               string_split(lower(text), ' ') AS ltoks
          |        FROM documents)),
+         |-- mirror the engine's NULL-quality filter: a NULL histogram row
+         |-- would sort NULLS FIRST in Spark but NULLS LAST here
+         |q AS (SELECT * FROM q0 WHERE quality IS NOT NULL),
          |h AS (SELECT source, quality, count(*) AS cnt FROM q GROUP BY 1, 2),
          |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
          |hh AS (

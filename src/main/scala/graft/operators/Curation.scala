@@ -439,11 +439,22 @@ object Curation {
     * discipline: windows over bounded model relations, never the corpus);
     * per-source totals are an aggregate join, and docs pick up their
     * percentile by a broadcast-able (source, quality) equi-join. The
-    * corpus itself is scanned once and shuffles only for the join.
+    * scored projection persists — it feeds both the histogram fold and
+    * the join probe, and without the cache the text scan + kernels would
+    * run twice.
+    *
+    * NULL quality (empty text) is filtered up front: such docs can't
+    * carry a percentile (the equi-join would drop them anyway, in both
+    * engines), and a NULL histogram row would sit at OPPOSITE ends of
+    * the cumulative window's ordering in Spark (NULLS FIRST) vs the
+    * DuckDB oracle (NULLS LAST), shifting every other percentile in the
+    * source by the null count.
     */
   def qualityPercentile(docs: DataFrame): DataFrame = {
     val scored = docs.select(col("doc_id"), col("source"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
+      .filter(col("quality").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h = scored.groupBy(col("source"), col("quality"))
       .agg(count(lit(1)).as("cnt"))
     val n = h.groupBy(col("source")).agg(sum(col("cnt")).as("n"))

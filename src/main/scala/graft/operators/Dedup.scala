@@ -195,11 +195,7 @@ object Dedup {
       .select(col("doc_id"), col("sh"),
         minhashSignature(col("sh"), MinhashK).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = idx.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
-          md5(concat_ws("|", slice(col("sig"), b * LshRows + 1, lit(LshRows)))))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
+    val bands = bandsFromSig(idx)
     val capped = capHotBuckets(bands, Seq("band_idx", "band_hash"), maxBucket)
     val a = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val b = capped.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
@@ -786,9 +782,16 @@ object Dedup {
 
   /** (doc_id, band_idx, band_hash) from a [[dedupIndex]] relation. */
   private[graft] def bandsFromIndex(index: DataFrame): DataFrame =
-    index.filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), MinhashK).as("sig"))
-      .select(col("doc_id"),
+    bandsFromSig(index.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), MinhashK).as("sig")))
+
+  /** (doc_id, band_idx, band_hash) from a (doc_id, …, sig) relation — THE
+    * band-hash construction, shared by every LSH path (dedup, incremental,
+    * calibration) so a banding change cannot silently desynchronize the
+    * calibration report from the dedup it calibrates.
+    */
+  private[graft] def bandsFromSig(rel: DataFrame): DataFrame =
+    rel.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(LshBands - 1)), b =>
           md5(concat_ws("|", slice(col("sig"), b * LshRows + 1, lit(LshRows)))))))
       .withColumnRenamed("pos", "band_idx")

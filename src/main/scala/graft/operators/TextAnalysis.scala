@@ -84,8 +84,16 @@ object TextAnalysis {
   /** The 60-bit content-fingerprint long as a single expression (the
     * `fp64` column of [[fingerprint]]).
     */
-  def fp64Expr(text: Column): Column =
-    conv(substring(md5(normalized(text)), 1, 15), 16, 10).cast("long")
+  def fp64Expr(text: Column): Column = fp60(normalized(text))
+
+  /** 60-bit md5 fingerprint of an arbitrary string column — the ONE
+    * spelling every token/shingle/bigram fingerprint shares (LM pair
+    * streams, novelty, boilerplate, the streaming alarm), so batch and
+    * streaming twins are provably keyed identically; mirrored in the
+    * oracles as `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    */
+  def fp60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** doc_id, per-language scores, predicted language (argmax with fixed
     * priority order, "und" when all scores are zero — the prediction is
@@ -500,7 +508,7 @@ object TextAnalysis {
 
   def lmFusedStage(docs: DataFrame): LmFusedStage = {
     val fp: Column => Column =
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+      t => fp60(t)
     // explode POSITIONALLY with the token array as an attribute, then
     // fingerprint in the post-explode projection: everything stays in
     // whole-stage codegen, and `element_at(toks, pos)` is an O(1) array
@@ -553,7 +561,7 @@ object TextAnalysis {
     val tf = docs.select(col("doc_id"),
         explode(tokens(lower(col("text")))).as("tok"))
       .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tok_fp"))
+        fp60(col("tok")).as("tok_fp"))
       .groupBy(col("doc_id"), col("tok_fp")).agg(count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     LmScoreStage(tf, unigramScore(tf))
@@ -691,7 +699,7 @@ object TextAnalysis {
     val pairs = docs.select(col("source"),
         explode(tokens(lower(col("text")))).as("tok"))
       .select(col("source"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("tok_fp"))
+        fp60(col("tok")).as("tok_fp"))
       .groupBy(col("source"), col("tok_fp")).agg(count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = pairs.groupBy(col("tok_fp")).agg(sum(col("k")).as("c"))
@@ -880,6 +888,26 @@ object TextAnalysis {
     * aggregate makes every join input doc-sized (measured 25 s, 6.7×). No
     * token strings cross any shuffle — only 60-bit fingerprints.
     */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
+      .select(col("doc_id"), fp60(col("s")).as("s_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pairs are distinct per doc, so df=1 ⟺ exactly one owner = min(doc_id)
+    val uniqueOwned = perDoc.groupBy(col("s_fp"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
+      .filter(col("df") === 1)
+      .groupBy(col("only_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    perDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(uniqueOwned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)) / col("n_shingles"), 4)
+          .as("novelty"))
+  }
+
   /** Top boilerplate report: the `topN` most document-frequent word
     * 3-gram shingles with their df and corpus share — the drill-down
     * behind a low [[shingleNovelty]] score ("WHAT is the boilerplate"),
@@ -898,8 +926,7 @@ object TextAnalysis {
     val pd = docs
       .select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
-      .select(col("s"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s_fp"))
+      .select(col("s"), fp60(col("s")).as("s_fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val top = pd.groupBy(col("s_fp")).agg(count(lit(1)).as("df"))
@@ -912,26 +939,5 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .select(col("shingle"), col("df"),
         round(col("df") / col("n_docs"), 4).as("doc_share"))
-  }
-
-  def shingleNovelty(docs: DataFrame): DataFrame = {
-    val perDoc = docs
-      .select(col("doc_id"),
-        explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s_fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pairs are distinct per doc, so df=1 ⟺ exactly one owner = min(doc_id)
-    val uniqueOwned = perDoc.groupBy(col("s_fp"))
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
-      .filter(col("df") === 1)
-      .groupBy(col("only_doc").as("doc_id"))
-      .agg(count(lit(1)).as("n_unique"))
-    perDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      .join(uniqueOwned, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        round(coalesce(col("n_unique"), lit(0L)) / col("n_shingles"), 4)
-          .as("novelty"))
   }
 }

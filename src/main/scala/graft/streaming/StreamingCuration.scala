@@ -82,7 +82,7 @@ object StreamingCuration {
         explode(array_distinct(
           graft.operators.Dedup.shingles(col("text")))).as("s"))
       .select(col("ts"), col("doc_id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("s_fp"))
+        graft.operators.TextAnalysis.fp60(col("s")).as("s_fp"))
       .groupBy(window(col("ts"), windowLen), col("s_fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
