@@ -536,13 +536,19 @@ object TextAnalysis {
       .agg(sum(col("k")).as("c2"))
     val c1 = bg.groupBy(col("prev_fp")).agg(sum(col("k")).as("c1"))
     val totalsB = c1.agg(count(lit(1)).as("v"))
-    val nllB = col("k") *
-      -log((col("c2") + lit(1)) / (col("c1") + col("v")).cast("double"))
-    val scored = bg.join(c2, Seq("prev_fp", "tok_fp")).join(c1, "prev_fp")
+    // model-first fold (the lmScoreKneserNeyStage lesson): the c₂⋈c₁ join
+    // runs at bigram-type cardinality and computes the per-type nll, so
+    // the corpus-cardinality pair stream pays ONE join, not two
+    val model = c2.join(c1, "prev_fp")
       // one-row context-vocabulary relation — broadcast safe by construction
       .crossJoin(broadcast(totalsB))
+      .select(col("prev_fp"), col("tok_fp"),
+        (-log((col("c2") + lit(1)) / (col("c1") + col("v")).cast("double")))
+          .as("nll_type"))
+    val scored = bg.join(model, Seq("prev_fp", "tok_fp"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_bigrams"), sum(nllB).as("nll_sum"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("nll_type")).as("nll_sum"))
     val bigram = docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
