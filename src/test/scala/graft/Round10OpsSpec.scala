@@ -96,6 +96,44 @@ class Round10OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("KN scores match a driver-side reference on a 100-doc corpus") {
+    // deterministic pseudo-random corpus over a 12-word vocabulary
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l")
+    def text(id: Long): String = {
+      var x = id * 2654435761L + 1
+      (0 until (5 + (id % 7).toInt)).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        vocab(((x >>> 33) % vocab.size).toInt)
+      }.mkString(" ")
+    }
+    val rows = (1L to 100L).map(i => (i, text(i)))
+    val docs = rows.toDF("doc_id", "text")
+
+    // reference model from raw bigrams
+    val bgs = rows.flatMap { case (id, t) =>
+      t.split(" ").toSeq.sliding(2).collect { case Seq(u, v) => (id, u, v) }
+    }
+    val c2 = bgs.groupBy { case (_, u, v) => (u, v) }.map { case (k, g) => k -> g.size.toDouble }
+    val c1 = c2.groupBy(_._1._1).map { case (u, m) => u -> m.values.sum }
+    val nf = c2.groupBy(_._1._1).map { case (u, m) => u -> m.size.toDouble }
+    val nr = c2.groupBy(_._1._2).map { case (v, m) => v -> m.size.toDouble }
+    val tt = c2.size.toDouble
+    def p(u: String, v: String) =
+      (c2((u, v)) - 0.75) / c1(u) + ((0.75 * nf(u)) / c1(u)) * (nr(v) / tt)
+    val expect = rows.map { case (id, t) =>
+      val bg = t.split(" ").toSeq.sliding(2).collect { case Seq(u, v) => (u, v) }.toSeq
+      val nll = bg.map { case (u, v) => -math.log(p(u, v)) }.sum
+      id -> BigDecimal(nll / bg.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+
+    val got = TextAnalysis.lmScoreKneserNey(docs)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    expect.foreach { case (id, e) =>
+      assert(math.abs(got(id) - e) <= 0.0001, s"doc $id: got ${got(id)} want $e")
+    }
+  }
+
   test("docs under 2 tokens carry zero bigrams and NULL KN scores") {
     val docs = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
     val rows = TextAnalysis.lmScoreKneserNey(docs).collect()
