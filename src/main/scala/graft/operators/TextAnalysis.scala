@@ -853,7 +853,7 @@ object TextAnalysis {
     // cardinality (vocab-bounded) and the per-type nll is computed there,
     // so the corpus-cardinality pair stream pays ONE join instead of
     // being dragged through three sequential shuffles (measured 51-75 s →
-    // 44 s at 1 M docs; p is the same expression over the same per-type
+    // 39-44 s at 1 M docs; p is the same expression over the same per-type
     // inputs, so every double is bit-identical)
     val model = c2.join(ctx, "prev_fp").join(cont, "tok_fp")
       // one-row bigram-type-count relation — broadcast safe by construction
