@@ -775,6 +775,11 @@ object SparkEntry {
     // heap, strings rejoin for the N winners only
     "q107_top_boilerplate" -> ((s, dir) =>
       TextAnalysis.topBoilerplate(Tables.documents(s, dir))),
+
+    // cross-family dedup agreement: MinHash vs SimHash pair sets as one
+    // row — do the families catch the same near-dups on this corpus?
+    "q108_dedup_agreement" -> ((s, dir) =>
+      Dedup.familyAgreement(Tables.documents(s, dir))),
   )
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -2722,5 +2727,41 @@ object SparkEntry {
           |       round(top.df / n.n_docs, 4) AS doc_share
           |FROM f JOIN top USING (s_fp) CROSS JOIN n
           |GROUP BY top.s_fp, top.df, n.n_docs""".stripMargin),
+
+    // both pair pipelines replayed (q11's nd + q31's block join), counts
+    // as scalar one-row CTEs; NULLIF guards the 0/0 (NaN-vs-NULL) edge
+    "q108_dedup_agreement" ->
+      (docCtes.stripSuffix("\n") + ",\n" + lshCtes + simhash64Ctes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+           |mh AS (
+           |  SELECT id_a, id_b
+           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |             JOIN shd b ON cands.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+           |blocks AS (
+           |  SELECT doc_id, simhash, p.block_idx,
+           |         (simhash >> (p.block_idx * 16)) & 65535 AS block_val
+           |  FROM simhash_t CROSS JOIN (SELECT unnest(range(0, 4)) AS block_idx) p),
+           |sp AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM blocks a JOIN blocks b
+           |    ON b.block_idx = a.block_idx AND b.block_val = a.block_val
+           |   AND b.doc_id > a.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |nm AS (SELECT count(*) AS n_minhash FROM mh),
+           |ns AS (SELECT count(*) AS n_simhash FROM sp),
+           |nb AS (SELECT count(*) AS n_both
+           |       FROM mh JOIN sp USING (id_a, id_b))
+           |SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
+           |       CAST(n_simhash AS BIGINT) AS n_simhash,
+           |       CAST(n_both AS BIGINT) AS n_both,
+           |       round(n_both / NULLIF(n_minhash + n_simhash - n_both, 0), 4)
+           |         AS pair_jaccard
+           |FROM nm CROSS JOIN ns CROSS JOIN nb""".stripMargin),
   )
 }

@@ -170,6 +170,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Cross-family dedup agreement: the MinHash(J ≥ 0.5) and
+    * SimHash(hamming ≤ 3) pair sets on the same corpus, as one row —
+    * each family's pair count, the overlap, and the pair-set Jaccard.
+    * The two families measure DIFFERENT similarities (set overlap vs
+    * token-multiset angle), so their agreement is an empirical property
+    * of the corpus; this report is how a pipeline decides whether one
+    * family suffices or both must run (low agreement = complementary
+    * catches, not redundancy).
+    *
+    * Scale shape: both pair pipelines are the capped equi-join operators
+    * (q11/q31 — never all-pairs); the overlap is one (id_a, id_b)
+    * equi-join of two pair relations and the three counts are one-row
+    * aggregates crossed by broadcast. NULL (not NaN) when both sets are
+    * empty — the 0/0 guard both engines agree on.
+    */
+  def familyAgreement(docs: DataFrame): DataFrame = {
+    val mh = minhashNearDups(docs, threshold = 0.5).select(col("id_a"), col("id_b"))
+    val sh = simhashBucketedNearDups(docs, maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+    val nM = mh.agg(count(lit(1)).as("n_minhash"))
+    val nS = sh.agg(count(lit(1)).as("n_simhash"))
+    val nB = mh.join(sh, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both"))
+    // one-row relations — broadcast safe by construction
+    nM.crossJoin(broadcast(nS)).crossJoin(broadcast(nB))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+        round(col("n_both") /
+          nullif(col("n_minhash") + col("n_simhash") - col("n_both"), lit(0L)),
+          4).as("pair_jaccard"))
+  }
+
   /** MinHash calibration report: for every LSH candidate pair, the
     * signature-estimated Jaccard (fraction of the k minhash entries that
     * agree — an unbiased estimator with sd √(J(1−J)/k)) next to the exact

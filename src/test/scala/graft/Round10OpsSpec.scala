@@ -305,6 +305,25 @@ class Round10OpsSpec extends SparkSpecBase {
     assert(out(1)._2 === 1L && out(1)._3 === 0.1)
   }
 
+  // --- cross-family agreement ----------------------------------------------
+
+  test("familyAgreement: identical docs are caught by both families") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, t), (2L, t), (3L, "entirely different other words here now"))
+      .toDF("doc_id", "text")
+    val row = Dedup.familyAgreement(docs)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(row._1 === 1L && row._2 === 1L && row._3 === 1L)
+    assert(row._4 === Some(1.0))
+  }
+
+  test("familyAgreement on an empty corpus is 0/0/0 with NULL jaccard") {
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val row = Dedup.familyAgreement(empty)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(row === ((0L, 0L, 0L, None)))
+  }
+
   // --- viral shingle alarm (streaming) -------------------------------------
 
   test("viralShingleAlarm fires once per finalized window, only above minDf") {
