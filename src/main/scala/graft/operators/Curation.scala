@@ -450,7 +450,13 @@ object Curation {
     * DuckDB oracle (NULLS LAST), shifting every other percentile in the
     * source by the null count.
     */
-  def qualityPercentile(docs: DataFrame): DataFrame = {
+  def qualityPercentile(docs: DataFrame): DataFrame =
+    qualityPercentileStage(docs).result
+
+  /** [[qualityPercentile]] with its cache handle (ADVICE r10: the
+    * persisted scored projection is released via `unpersist()`).
+    */
+  def qualityPercentileStage(docs: DataFrame): TextAnalysis.CachedStage = {
     val scored = docs.select(col("doc_id"), col("source"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
       .filter(col("quality").isNotNull)
@@ -461,8 +467,9 @@ object Curation {
     val w = Window.partitionBy(col("source")).orderBy(col("quality"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hh = h.withColumn("cum", sum(col("cnt")).over(w)).join(n, "source")
-    scored.join(hh, Seq("source", "quality"))
+    val result = scored.join(hh, Seq("source", "quality"))
       .select(col("doc_id"), col("source"), col("quality"),
         round((col("cum") - lit(0.5) * col("cnt")) / col("n"), 4).as("pctl"))
+    TextAnalysis.CachedStage(scored, result)
   }
 }

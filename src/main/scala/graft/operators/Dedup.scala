@@ -159,9 +159,16 @@ object Dedup {
     * canonicalizes with least/greatest, and the matrix is one map-side-
     * combining aggregate to ≤ #sources² rows.
     */
-  def sourceOverlap(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def sourceOverlap(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    sourceOverlapFromPairs(docs, minhashNearDups(docs, threshold))
+
+  /** [[sourceOverlap]] over an ALREADY-COMPUTED verified-pair relation —
+    * how SparkEntry feeds the memoized LSH stage to q106 without
+    * re-deriving the band pipeline (VERDICT r10 #1).
+    */
+  def sourceOverlapFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    minhashNearDups(docs, threshold)
+    pairs
       .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")), "id_a")
       .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")), "id_b")
       .select(least(col("source_a"), col("source_b")).as("source_x"),
@@ -185,8 +192,15 @@ object Dedup {
     * aggregates crossed by broadcast. NULL (not NaN) when both sets are
     * empty — the 0/0 guard both engines agree on.
     */
-  def familyAgreement(docs: DataFrame): DataFrame = {
-    val mh = minhashNearDups(docs, threshold = 0.5).select(col("id_a"), col("id_b"))
+  def familyAgreement(docs: DataFrame): DataFrame =
+    familyAgreementFromPairs(docs, minhashNearDups(docs, threshold = 0.5))
+
+  /** [[familyAgreement]] with the MinHash side supplied as an
+    * already-computed verified-pair relation (the SimHash side is still
+    * derived here — it is not part of the shared LSH stage).
+    */
+  def familyAgreementFromPairs(docs: DataFrame, mhPairs: DataFrame): DataFrame = {
+    val mh = mhPairs.select(col("id_a"), col("id_b"))
     val sh = simhashBucketedNearDups(docs, maxHamming = 3)
       .select(col("id_a"), col("id_b"))
     val nM = mh.agg(count(lit(1)).as("n_minhash"))
@@ -218,7 +232,31 @@ object Dedup {
     * exactly reproducible.
     */
   def minhashCalibration(docs: DataFrame,
-                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                         maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashCalibrationStage(docs, maxBucket).result
+
+  /** The calibration relation with its cache handle (ADVICE r10: the
+    * one-shot operators leaned on session-level cache clearing; the
+    * handle matches the [[NearDupStage]]/LmFusedStage convention so
+    * library callers composing operators can release the shingle index
+    * explicitly).
+    *
+    * This relation is also the SHARED LSH pair stage: because calibration
+    * is unfiltered, `result.filter(jaccard >= t)` is bit-identical to
+    * [[minhashNearDupsStage]]'s verified pairs at threshold t (same
+    * shingles, same banding via [[bandsFromSig]], same hot-bucket cap,
+    * same rounded exact-Jaccard verification — DedupSpec pins the
+    * equivalence). SparkEntry memoizes ONE checkpoint of this relation
+    * per (session, corpus) and derives q11/q52/q93/q105/q106/q108 from
+    * it instead of re-deriving the shingle→sig→band→cap→self-join
+    * pipeline per query (VERDICT r10 #1).
+    */
+  case class CalibrationStage(index: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { index.unpersist(); () }
+  }
+
+  def minhashCalibrationStage(docs: DataFrame,
+                              maxBucket: Int = DefaultMaxBucket): CalibrationStage = {
     val idx = docs.select(col("doc_id"),
         array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -238,7 +276,7 @@ object Dedup {
     val agree = (0 until MinhashK).map(i =>
       when(col("sig_a").getItem(i) === col("sig_b").getItem(i), 1)
         .otherwise(0)).reduce(_ + _)
-    cands
+    val result = cands
       .join(idx.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
         col("sig").as("sig_a")), "id_a")
       .join(idx.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
@@ -248,7 +286,17 @@ object Dedup {
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .withColumn("abs_err",
         round(abs(col("est_jaccard") - col("jaccard")), 4))
+    CalibrationStage(idx, result)
   }
+
+  /** [[minhashCalibrationStage]]'s result restricted to verified pairs:
+    * bit-identical to [[minhashNearDups]] at the same threshold (see the
+    * [[CalibrationStage]] scaladoc; DedupSpec pins it). This is what the
+    * SparkEntry memo hands every pair consumer.
+    */
+  def pairsFromCalibration(calib: DataFrame, threshold: Double): DataFrame =
+    calib.filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Default hot-shingle document-frequency cap for
     * [[windowedJaccardPairs]], mirrored in the q13 oracle SQL.

@@ -748,6 +748,11 @@ object TextAnalysis {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
+  /** Default [[bm25TopK]] result size, interpolated into the q100 oracle
+    * (ADVICE r10: hardcoding it there would silently desynchronize).
+    */
+  val Bm25TopN = 50
+
   /** Okapi BM25 top-N retrieval over the corpus for a FIXED small query
     * term set — the ranking a curation pipeline uses to pull quality- or
     * topic-targeted documents (and the retrieval half of a
@@ -757,9 +762,11 @@ object TextAnalysis {
     * more than half the corpus — the raw Robertson IDF goes negative
     * there and breaks the score's monotonicity in tf).
     *
-    * Scale shape: term frequencies come from per-row array kernels in the
-    * scan projection (`size(array_remove(toks, term))` per query term —
-    * codegen'd, no explode, no shuffle); the corpus constants
+    * Scale shape: ALL per-term frequencies come from one pass of the
+    * StopwordScores kernel over the token array (a CodegenFallback
+    * expression — interpreted, but single-pass where k separate
+    * `array_remove` walks scaled linearly in the term count; no explode,
+    * no shuffle — see the measurement note below); the corpus constants
     * (N, avgdl, per-term df) are ONE map-side-combining aggregate
     * collapsing to a single row — broadcast by construction; the final
     * score is a fixed-order arithmetic expression (bit-reproducible vs
@@ -768,7 +775,16 @@ object TextAnalysis {
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String],
                k1: Double = Bm25K1, b: Double = Bm25B,
-               topN: Int = 50): DataFrame = {
+               topN: Int = Bm25TopN): DataFrame =
+    bm25TopKStage(docs, terms, k1, b, topN).result
+
+  /** [[bm25TopK]] with its cache handle (ADVICE r10: the persisted
+    * per-doc tf projection is released via `unpersist()` by library
+    * callers composing several operators in one session).
+    */
+  def bm25TopKStage(docs: DataFrame, terms: Seq[String],
+                    k1: Double = Bm25K1, b: Double = Bm25B,
+                    topN: Int = Bm25TopN): CachedStage = {
     require(terms.nonEmpty && terms.size <= 16, "query term set is small by contract")
     val toks = tokens(lower(col("text")))
     // all per-term tfs from ONE token pass of the StopwordScores kernel
@@ -801,11 +817,12 @@ object TextAnalysis {
       idf * ((col(s"tf_$i") * (k1 + 1.0)) /
         (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
     }.reduce(_ + _)
-    j.select(Seq(col("doc_id"), col("dl")) ++
+    val result = j.select(Seq(col("doc_id"), col("dl")) ++
         terms.indices.map(i => col(s"tf_$i").cast("long").as(s"tf_$i")) :+
         round(score, 4).as("score"): _*)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
+    CachedStage(perDoc, result)
   }
 
   // --- Kneser-Ney bigram LM ---------------------------------------------
@@ -901,7 +918,14 @@ object TextAnalysis {
     * aggregate makes every join input doc-sized (measured 25 s, 6.7×). No
     * token strings cross any shuffle — only 60-bit fingerprints.
     */
-  def shingleNovelty(docs: DataFrame): DataFrame = {
+  def shingleNovelty(docs: DataFrame): DataFrame =
+    shingleNoveltyStage(docs).result
+
+  /** [[shingleNovelty]] with its cache handle (ADVICE r10: release the
+    * persisted fingerprint pair stream via `unpersist()` instead of
+    * leaning on session-level cache clearing).
+    */
+  def shingleNoveltyStage(docs: DataFrame): CachedStage = {
     val perDoc = docs
       .select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
@@ -913,12 +937,13 @@ object TextAnalysis {
       .filter(col("df") === 1)
       .groupBy(col("only_doc").as("doc_id"))
       .agg(count(lit(1)).as("n_unique"))
-    perDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val result = perDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       .join(uniqueOwned, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
         round(coalesce(col("n_unique"), lit(0L)) / col("n_shingles"), 4)
           .as("novelty"))
+    CachedStage(perDoc, result)
   }
 
   /** Top boilerplate report: the `topN` most document-frequent word
@@ -935,7 +960,11 @@ object TextAnalysis {
     * exchange, not the corpus's shingle vocabulary. The corpus share
     * denominator is a one-row broadcast.
     */
-  def topBoilerplate(docs: DataFrame, topN: Int = 20): DataFrame = {
+  def topBoilerplate(docs: DataFrame, topN: Int = 20): DataFrame =
+    topBoilerplateStage(docs, topN).result
+
+  /** [[topBoilerplate]] with its cache handle (ADVICE r10). */
+  def topBoilerplateStage(docs: DataFrame, topN: Int = 20): CachedStage = {
     val pd = docs
       .select(col("doc_id"),
         explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
@@ -945,12 +974,13 @@ object TextAnalysis {
     val top = pd.groupBy(col("s_fp")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("s_fp"))
       .limit(topN)
-    pd.join(broadcast(top), "s_fp")
+    val result = pd.join(broadcast(top), "s_fp")
       .groupBy(col("s_fp"), col("df"))
       .agg(min(col("s")).as("shingle"))
       // one-row corpus-size relation — broadcast safe by construction
       .crossJoin(broadcast(nDocs))
       .select(col("shingle"), col("df"),
         round(col("df") / col("n_docs"), 4).as("doc_share"))
+    CachedStage(pd, result)
   }
 }

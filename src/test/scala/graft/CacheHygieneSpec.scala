@@ -59,6 +59,38 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("q11 publishes the shared LSH stage; q105/q106 consume the checkpoint") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.releaseLshShared(spark, dir) // a prior suite may have published
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    // the producer computes fresh, publishes, and releases the stage's own
+    // shingle-index cache — only the calibration checkpoint remains
+    SparkEntry.queries("q11_dedup_minhash_lsh")(spark, dir).count()
+    val afterProducer = cachedCount
+    assert(afterProducer > 0)
+    // clearCache (what Bench/Verify issue between queries) must NOT drop it
+    spark.catalog.clearCache()
+    assert(cachedCount === afterProducer)
+    // consumers read the published checkpoint: no new cached RDDs, and
+    // their plans sit on a checkpoint leaf instead of a fresh corpus scan
+    SparkEntry.queries("q105_minhash_calibration")(spark, dir).count()
+    SparkEntry.queries("q106_source_overlap")(spark, dir).count()
+    assert(cachedCount === afterProducer)
+    val hasCkptLeaf = SparkEntry.queries("q105_minhash_calibration")(spark, dir)
+      .queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r
+      }.nonEmpty
+    assert(hasCkptLeaf)
+    // re-running the producer republishes; the superseded generation is
+    // retained one generation (consumers may hold lazy plans on it), so
+    // the release must free BOTH live generations
+    SparkEntry.queries("q11_dedup_minhash_lsh")(spark, dir).count()
+    assert(cachedCount >= afterProducer)
+    SparkEntry.releaseLshShared(spark, dir)
+    assert(cachedCount === 0)
+  }
+
   test("Dedup near-dup caches are released by NearDupStage.unpersist") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size

@@ -29,6 +29,31 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("pairsFromCalibration(0.5) is bit-identical to minhashNearDups(0.5)") {
+    // the SparkEntry memo serves q11/q52/q93/q106/q108 a filter of the
+    // calibration relation; this pins the claimed equivalence on a real
+    // corpus (sf0.001 documents: empty-shingle docs, hot buckets, the lot)
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stage = Dedup.minhashCalibrationStage(corpus)
+    val fromCalib = Dedup.pairsFromCalibration(stage.result, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.minhashNearDupsStage(corpus, threshold = 0.5)
+    val expected = direct.result.as[(Long, Long, Double)].collect().toSet
+    stage.unpersist(); direct.unpersist()
+    assert(fromCalib === expected)
+    assert(expected.nonEmpty) // the corpus actually exercises the pipeline
+  }
+
+  test("minhashCalibrationStage releases its shingle index via the handle") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val stage = Dedup.minhashCalibrationStage(docs)
+    stage.result.count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    stage.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
+
   test("windowed jaccard: identical pair scores 1.0, near pair in (0,1)") {
     val out = Dedup.windowedJaccardPairs(docs, idWindow = 10, threshold = 0.2)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

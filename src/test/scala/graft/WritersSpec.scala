@@ -44,6 +44,36 @@ class WritersSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("q109 gated rollup prunes the partitioned layout (files skipped)") {
+    val q = SparkEntry.queries("q109_partitioned_rollup")(spark, "/root/testdata/sf0.001")
+    // collect() (not count()): count wraps the frame in a NEW query
+    // execution, leaving this one's scan metrics unpopulated
+    assert(q.collect().nonEmpty)
+    // the date predicate must reach the PARTITION level of the scan, and
+    // the partitions-read metric must show directories actually skipped
+    // (events span 30 dates; the one-week predicate selects exactly 7)
+    // QueryStageExec is a LEAF wrapping its materialized subtree, so a
+    // plain collect over the adaptive plan never reaches the scan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.flatMap {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(qs.plan)
+        case _ => Nil
+      }
+    val scan = scans(q.queryExecution.executedPlan)
+      .find(_.relation.partitionSchema.nonEmpty)
+      .getOrElse(fail("no partitioned file scan in the q109 plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "date predicate did not reach the partition level")
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead === 7,
+      s"expected 7 of 30 date partitions read, got $partsRead")
+  }
+
   test("gzip JSONL round trip is lossless and sharded for parallel reads") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/docs"
