@@ -114,4 +114,63 @@ class StreamingRecoverySpec extends SparkSpecBase {
     assert(out.exists(_ === ((1704067200L, "p1", "m1", 15.0))),
       s"restored buffer lost data: $out")
   }
+
+  test("viralShingleAlarm emits each window's alarms once across a restart") {
+    val srcDir = Files.createTempDirectory("graft_viral_src").toString
+    val ckptDir = Files.createTempDirectory("graft_viral_ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val emitted = mutable.Buffer[(Timestamp, Long, Long)]()
+
+    def writeBatch(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("ts", "doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runUntilIdle(): Unit = {
+      val stream = spark.readStream.schema(docSchema).parquet(srcDir)
+      val q = graft.streaming.StreamingCuration
+        .viralShingleAlarm(stream, minDf = 2, watermarkDelay = "10 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted ++= b.collect().map(r =>
+            (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val viral = "alpha beta gamma delta"        // 2 shingles, both df=2
+    // run 1: window w0 (00:00) holds a viral template (df=2) and a
+    // singleton; the 00:02 window ALSO holds a viral pair but stays OPEN
+    // at shutdown (watermark reaches 00:02:05 - 10s); the 00:02:05 doc
+    // advances the watermark past w0's close so its alarms finalize
+    writeBatch(Seq(
+      (ts("2024-01-01 00:00:05"), 1L, viral),
+      (ts("2024-01-01 00:00:07"), 2L, viral),
+      (ts("2024-01-01 00:00:09"), 3L, "totally unrelated singleton content here"),
+      (ts("2024-01-01 00:02:01"), 4L, viral),
+      (ts("2024-01-01 00:02:05"), 5L, viral)))
+    runUntilIdle()
+    val run1 = emitted.toList
+    val w0 = ts("2024-01-01 00:00:00")
+    assert(run1.nonEmpty && run1.forall(_._1 == w0),
+      s"only w0 is finalized in run 1: $run1")
+    assert(run1.size === 2 && run1.forall(_._3 == 2L),
+      s"w0 must alarm exactly its 2 df=2 shingles: $run1")
+
+    // run 2 (fresh query, same checkpoint): the new doc closes the 00:02
+    // window — its restored per-(window, fp) counts must alarm exactly
+    // once, and w0 must NOT re-emit
+    writeBatch(Seq( // 00:03:20 - 10s watermark delay > the 00:03:00 close
+      (ts("2024-01-01 00:03:20"), 6L, "another unrelated closing document")))
+    runUntilIdle()
+    val run2 = emitted.toList
+    val w2 = ts("2024-01-01 00:02:00")
+    assert(run2.count(_._1 == w0) === 2, s"w0 re-emitted after restart: $run2")
+    assert(run2.filter(_._1 == w2).map(_._3) === List(2L, 2L),
+      s"restored 00:02 window must alarm its 2 shingles once each: $run2")
+  }
 }
