@@ -227,6 +227,23 @@ object SparkEntry {
     })._2
   }
 
+  // WARC interchange layout for q110 — same immutable once-per-(session,
+  // dir) lifecycle as the partitioned-events layout above.
+  private val warcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def warcShared(s: SparkSession, dir: String): String = {
+    val it = warcMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    warcMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_warc_").toString
+      graft.sources.Warc.writeWarc(Tables.documents(s, dir), path, shards = 8)
+      (s, path)
+    })._2
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q08_flagship_anomalies")(spark, "/root/testdata/sf0.001")
@@ -906,6 +923,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))),
+
+    // WARC interchange round-trip: write the corpus as length-framed WARC
+    // shards, stream-parse them back, and roll up per (source, lang) —
+    // the oracle replays the rollup over the RAW documents table, so any
+    // framing bug (payload bytes, header metadata, lost/duplicated
+    // records) breaks the hash
+    "q110_warc_roundtrip" -> ((s, dir) =>
+      graft.sources.Warc.readWarc(s, warcShared(s, dir))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text"))).as("payload_bytes"),
+          sum(col("doc_id")).as("sum_doc_id"))),
   )
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -2912,5 +2941,14 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
         |GROUP BY 1, 2""".stripMargin,
+
+    // q110 reads the WARC layout in Spark; the oracle rolls up the raw
+    // table. strlen = BYTE length in DuckDB (Spark octet_length); sums
+    // cast back to BIGINT (DuckDB widens BIGINT sums to HUGEINT).
+    "q110_warc_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, FileOutputStream, InputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC-shaped corpus interchange (ISO 28500 / WARC 1.0 subset) — the
+  * format web-crawl corpora actually arrive in (Common Crawl ships WARC /
+  * WET shards), complementing [[Writers.writeJsonl]] on the ingest side.
+  *
+  * Record grammar (the WET-style conversion-record subset):
+  * {{{
+  * WARC/1.0<CRLF>
+  * WARC-Type: conversion<CRLF>
+  * WARC-Record-ID: <urn:graft:doc:123><CRLF>
+  * WARC-Target-URI: http://src7.invalid/doc/123<CRLF>
+  * WARC-Identified-Content-Language: en<CRLF>
+  * Content-Type: text/plain<CRLF>
+  * Content-Length: N<CRLF>
+  * <CRLF>
+  * ...exactly N payload bytes...<CRLF>
+  * <CRLF>
+  * }}}
+  *
+  * Framing is LENGTH-BASED (Content-Length counts payload bytes), never
+  * delimiter-based: a payload containing `CRLF CRLF` or a literal
+  * `WARC/1.0` line round-trips exactly (WarcSpec pins both). That is the
+  * property that makes WARC safe for arbitrary crawl text and the reason
+  * a `lineSep`-split text read can NOT express this reader.
+  *
+  * Scale shape: one shard file per hash partition of `doc_id`
+  * (deterministic membership, no global sort — the [[Writers.writeJsonl]]
+  * contract), and the reader parallelizes per shard via
+  * `sparkContext.binaryFiles` PortableDataStreams, STREAM-parsing records
+  * off each file (constant memory per task regardless of shard size —
+  * never whole-file buffering). Shard count is the writer's parallelism
+  * knob, exactly like Common Crawl's ~1 GiB segment convention. RDD API
+  * is used here deliberately: record-boundary scanning over a byte stream
+  * is genuine per-partition imperative logic; everything downstream of
+  * the `createDataFrame` is ordinary Catalyst.
+  *
+  * Local-filesystem java.io streams back the writer; a cluster deployment
+  * swaps in `org.apache.hadoop.fs.FileSystem.create/open` — same call
+  * shape, HDFS/S3-backed.
+  */
+object Warc {
+
+  private val Crlf = "\r\n".getBytes(UTF_8)
+
+  /** Write `docs` (doc_id, text, lang, source — extra columns ignored) as
+    * `shards` WARC files under `path`.
+    */
+  def writeWarc(docs: DataFrame, path: String, shards: Int = 8): Unit = {
+    new java.io.File(path).mkdirs()
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .repartition(shards, col("doc_id"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = TaskContext.getPartitionId()
+          val out = new BufferedOutputStream(new FileOutputStream(
+            new java.io.File(path, f"part-$pid%05d.warc")))
+          try it.foreach { r =>
+            val docId = r.getLong(0)
+            val payload = Option(r.getString(1)).getOrElse("").getBytes(UTF_8)
+            val headers =
+              s"""WARC/1.0\r
+                 |WARC-Type: conversion\r
+                 |WARC-Record-ID: <urn:graft:doc:$docId>\r
+                 |WARC-Target-URI: http://${r.getString(3)}.invalid/doc/$docId\r
+                 |WARC-Identified-Content-Language: ${r.getString(2)}\r
+                 |Content-Type: text/plain\r
+                 |Content-Length: ${payload.length}\r
+                 |\r
+                 |""".stripMargin
+            out.write(headers.getBytes(UTF_8))
+            out.write(payload)
+            out.write(Crlf); out.write(Crlf)
+          } finally out.close()
+        }
+      }
+  }
+
+  /** Read a WARC layout back to (doc_id, text, lang, source). Unknown
+    * headers are skipped (a reader must tolerate fields it doesn't use —
+    * real crawl WARCs carry many); records framed strictly by
+    * Content-Length.
+    */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    val rdd = spark.sparkContext.binaryFiles(s"$path/*.warc")
+      .flatMap { case (file, pds) => recordIterator(file, pds.open()) }
+    spark.createDataFrame(rdd, ReadSchema)
+  }
+
+  val ReadSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** Read one header/version line: bytes to LF, trailing CR stripped.
+    * Returns null at EOF.
+    */
+  private def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(96)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val arr = buf.toByteArray
+    val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1
+            else arr.length
+    new String(arr, 0, n, UTF_8)
+  }
+
+  private def readExactly(in: InputStream, n: Int, file: String): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(buf, off, n - off)
+      if (k < 0) throw new EOFException(
+        s"$file: truncated WARC payload (wanted $n bytes, got $off)")
+      off += k
+    }
+    buf
+  }
+
+  private val RecordIdRe = """<urn:graft:doc:(\d+)>""".r
+  private val UriSourceRe = """https?://([^./]+)\.[^/]*/.*""".r
+
+  /** Lazy record iterator over an open stream; closes the stream on
+    * exhaustion. Structurally invalid framing fails loudly (EOFException /
+    * IllegalArgumentException) — a corrupt shard must not silently
+    * truncate a corpus.
+    */
+  private[sources] def recordIterator(file: String,
+                                      in0: InputStream): Iterator[Row] = {
+    val in = new BufferedInputStream(in0, 1 << 16)
+    new Iterator[Row] {
+      private var nextRec: Row = fetch()
+
+      private def fetch(): Row = {
+        // skip inter-record blank lines, find the next version line
+        var line = readLine(in)
+        while (line != null && line.isEmpty) line = readLine(in)
+        if (line == null) { in.close(); return null }
+        require(line.startsWith("WARC/"),
+          s"$file: expected WARC version line, got '$line'")
+        var recordId = ""; var uri = ""; var lang: String = null
+        var contentLength = -1L
+        var h = readLine(in)
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0) {
+            val name = h.substring(0, i).trim.toLowerCase
+            val value = h.substring(i + 1).trim
+            name match {
+              case "warc-record-id" => recordId = value
+              case "warc-target-uri" => uri = value
+              case "warc-identified-content-language" => lang = value
+              case "content-length" => contentLength = value.toLong
+              case _ => () // tolerate headers this reader doesn't use
+            }
+          }
+          h = readLine(in)
+        }
+        require(contentLength >= 0, s"$file: record without Content-Length")
+        val payload = readExactly(in, contentLength.toInt, file)
+        val docId = recordId match {
+          case RecordIdRe(d) => d.toLong
+          case other => throw new IllegalArgumentException(
+            s"$file: unparseable WARC-Record-ID '$other'")
+        }
+        val source = uri match {
+          case UriSourceRe(s) => s
+          case _ => null
+        }
+        Row(docId, new String(payload, UTF_8), lang, source)
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): Row = {
+        val r = nextRec; nextRec = fetch(); r
+      }
+    }
+  }
+}
