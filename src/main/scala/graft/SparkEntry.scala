@@ -935,6 +935,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(octet_length(col("text"))).as("payload_bytes"),
           sum(col("doc_id")).as("sum_doc_id"))),
+
+    // trained quality classifier scoring: fixed-order logit over the q18
+    // kernel signals under the shipped 6-decimal weight artifact, sigmoid
+    // calibration, accept decision on the rounded probability — the
+    // oracle replays the identical arithmetic with the same literals
+    "q111_quality_classifier" -> ((s, dir) =>
+      graft.operators.QualityModel.scoreDocs(Tables.documents(s, dir))),
   )
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -2950,5 +2957,35 @@ object SparkEntry {
         |       CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // q111: the weight literals interpolate from the shipped artifact
+    // (Double.toString round-trips, so DuckDB folds the identical
+    // doubles); the z chain is spelled left-to-right exactly as the
+    // Scala reduce folds it, and `accept` branches on the ROUNDED
+    // probability in both engines
+    "q111_quality_classifier" -> {
+      val w = graft.operators.QualityModel.DefaultWeights
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""f AS (
+           |  SELECT doc_id,
+           |         least(len(toks) / 100.0, 1.0) AS x1,
+           |         CASE WHEN length(text) > 0
+           |              THEN len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                   / length(text)
+           |              ELSE 0.0e0 END AS x2,
+           |         least($stop / len(toks) * 5.0, 1.0) AS x3
+           |  FROM toks),
+           |s AS (
+           |  SELECT doc_id,
+           |         ${w(0)}e0 * 1.0e0 + ${w(1)}e0 * x1
+           |           + ${w(2)}e0 * x2 + ${w(3)}e0 * x3 AS z
+           |  FROM f)
+           |SELECT doc_id, round(z, 4) AS logit,
+           |       round(1.0e0 / (1.0e0 + exp(-z)), 4) AS p_good,
+           |       CASE WHEN round(1.0e0 / (1.0e0 + exp(-z)), 4) >= 0.5e0
+           |            THEN 1 ELSE 0 END AS accept
+           |FROM s""".stripMargin
+    },
   )
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier — the learned upgrade of the
+  * [[TextAnalysis.qualityScore]] heuristic, shaped like the GPT-3
+  * curation classifier (Brown et al. 2020, appendix A: a linear model
+  * scoring crawl documents against a reference standard). Features are
+  * the engine's existing one-pass kernel signals, so scoring adds NO new
+  * scan work over what q18 already pays.
+  *
+  * Labels are pluggable ([[labelCurated]] is the production shape:
+  * curated-reference sources vs the crawl, GPT-3 app. A / CCNet). The
+  * DEFAULT label distills the hand heuristic ([[labelHeuristic]]):
+  * y = [qualityScore ≥ 0.65]. The synthetic corpus's sources are
+  * i.i.d. (a source-discriminator measurably learns nothing — probed:
+  * accuracy pins at the 0.75 base rate), while the heuristic threshold
+  * is a genuine linear concept in the feature space, so training
+  * provably RECOVERS a separating hyperplane the oracle can then verify
+  * scoring against — the mechanics a real curated-vs-crawl run needs,
+  * with labels the sandbox can actually support.
+  *
+  * Division of labor (the kmeansFit / BPE pattern): the MODEL is tiny
+  * (4 doubles) and lives on the driver; the DATA never leaves the
+  * cluster. Each training iteration is ONE map-side-combining aggregate
+  * over the persisted feature projection collapsing to a single row of
+  * [[Dim]] gradient components — batch gradient descent on the logistic
+  * loss, `iters` model-sized collects total. At 100 TB the per-iteration
+  * cost is a cached-columnar scan + 4-double partial sums per task;
+  * nothing driver-side grows with corpus size.
+  *
+  * Scoring is a fixed-order arithmetic expression over the kernel
+  * signals (codegen'd end to end — kernels + dot product + sigmoid fuse
+  * into the scan projection), replayed bit-for-bit by the q111 oracle
+  * with the SAME literal weights: [[DefaultWeights]] is the shipped
+  * model artifact (weights rounded to 6 decimals so both engines fold
+  * identical literals), reproducible via [[train]] — QualityModelSpec
+  * pins the training fixpoint against a driver-side reference
+  * implementation.
+  */
+object QualityModel {
+
+  /** Feature dimension: bias, capped length signal, punctuation ratio,
+    * capped stopword signal.
+    */
+  val Dim = 4
+
+  /** The curated-reference sources for [[labelCurated]]'s
+    * production-shaped labeling: stand-in for "books + wiki" streams.
+    */
+  val CuratedSources: Set[String] = Set("src0", "src1", "src2", "src3", "src4")
+
+  /** y = 1 for documents from curated ingestion streams (GPT-3 app. A:
+    * positives = the reference corpus, negatives = raw crawl).
+    */
+  def labelCurated(positives: Set[String] = CuratedSources): Column =
+    when(col("source").isInCollection(positives), 1.0).otherwise(0.0)
+
+  /** Default heuristic-quality threshold for [[labelHeuristic]] (≈ the
+    * corpus's 60th percentile — a balanced, linearly-separable concept).
+    */
+  val HeuristicLabelThreshold = 0.65
+
+  /** y = [qualityScore ≥ threshold] — heuristic distillation labels. */
+  def labelHeuristic(threshold: Double = HeuristicLabelThreshold): Column =
+    when(TextAnalysis.qualityScore(col("text")) >= threshold, 1.0)
+      .otherwise(0.0)
+
+  /** Fixed training hyperparameters — part of the model's provenance
+    * (100 × lr 2.0 reaches 0.94 sf0.01 train accuracy vs the 25-iter
+    * 0.926; beyond that the margin grows but the boundary barely moves).
+    */
+  val TrainIters = 100
+  val TrainLr = 2.0
+
+  /** The shipped model artifact: `train(documents @ sf0.01,
+    * labelHeuristic(), TrainIters, TrainLr)` rounded to 6 decimals
+    * (`tools/ProbeRound11 weights` reproduces it; 0.94 train accuracy).
+    * Rounding is what makes the oracle replay exact: both engines fold
+    * the same 6-decimal literals into the same fixed-order score
+    * expression. x2's weight is 0 because the synthetic corpus has no
+    * punctuation — the feature is degenerate in THIS data, not dead code.
+    */
+  val DefaultWeights: Array[Double] = Array(-4.710393, 6.420684, 0.0, 2.25946)
+
+  /** The four feature expressions IN MODEL ORDER, from the same kernels
+    * q18 gates: x0 bias, x1 = min(n_words/100, 1), x2 = n_punct/n_chars
+    * (0 for empty text), x3 = min(5·n_stop/n_words, 1). `size(split)`
+    * is ≥ 1 even for "" (Spark split semantics, mirrored by DuckDB
+    * string_split), so only x2 needs an empty-text guard.
+    */
+  private[graft] def featureExprs(text: Column): Seq[Column] = {
+    val lowered = lower(text)
+    val nChars = length(text)
+    val nWords = size(TextAnalysis.tokens(text))
+    val nPunct = graft.functions.TextFunctions.punct_count(lowered)
+    val nStop = TextAnalysis.stopwordCount(TextAnalysis.tokens(lowered),
+      TextAnalysis.StopwordDicts.head._2)
+    Seq(
+      lit(1.0),
+      least(nWords / lit(100.0), lit(1.0)),
+      when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)),
+      least(nStop / nWords * lit(5.0), lit(1.0)))
+  }
+
+  /** Fixed-order logit: w0·x0 + w1·x1 + w2·x2 + w3·x3, folded left to
+    * right — the oracle spells the identical chain.
+    */
+  private def logitExpr(w: Seq[Double], text: Column): Column =
+    w.zip(featureExprs(text)).map { case (wi, xi) => lit(wi) * xi }
+      .reduce(_ + _)
+
+  /** Score documents under a weight vector: per-doc logit, calibrated
+    * probability, and the accept decision at `threshold` (decided on the
+    * ROUNDED probability, so both engines branch on identical values).
+    */
+  def scoreDocs(docs: DataFrame, w: Seq[Double] = DefaultWeights.toSeq,
+                threshold: Double = 0.5): DataFrame = {
+    require(w.size == Dim, s"weight vector must have $Dim components")
+    val z = logitExpr(w, col("text"))
+    docs.select(col("doc_id"), round(z, 4).as("logit"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("p_good"))
+      .withColumn("accept",
+        when(col("p_good") >= threshold, 1).otherwise(0))
+  }
+
+  /** Labeled feature projection for training: y (from the label column)
+    * plus x0..x3 — one kernel pass, ~5 doubles per row.
+    */
+  private[graft] def featureFrame(docs: DataFrame, label: Column): DataFrame = {
+    val xs = featureExprs(col("text")).zipWithIndex
+      .map { case (e, i) => e.as(s"x$i") }
+    docs.select((label.as("y") +: xs): _*)
+  }
+
+  /** Batch gradient descent on the logistic loss. Deterministic given a
+    * fixed partitioning (within-partition fold order is fixed —
+    * QualityModelSpec pins the 1-partition fixpoint EXACTLY against
+    * recorded weights, q98-style, and against [[trainReference]] to
+    * 1e-12; across partitions Spark's partial-sum combination adds only
+    * double-associativity noise, pinned to 1e-8).
+    */
+  def train(docs: DataFrame, label: Column = labelHeuristic(),
+            iters: Int = TrainIters, lr: Double = TrainLr): Array[Double] = {
+    val f = featureFrame(docs, label)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = f.count().toDouble
+      var w = Array.fill(Dim)(0.0)
+      for (_ <- 0 until iters) {
+        val z = (0 until Dim).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val aggs = (0 until Dim).map(j =>
+          sum((p - col("y")) * col(s"x$j")).as(s"g$j"))
+        val g = f.agg(aggs.head, aggs.tail: _*).head()
+        w = Array.tabulate(Dim)(j => w(j) - lr * g.getDouble(j) / n)
+      }
+      w
+    } finally { f.unpersist(); () }
+  }
+
+  /** The driver-side reference trainer (specs only): the same arithmetic
+    * over an in-memory feature matrix, sequential sum order.
+    */
+  private[graft] def trainReference(rows: Array[(Double, Array[Double])],
+                                    iters: Int, lr: Double): Array[Double] = {
+    val n = rows.length.toDouble
+    var w = Array.fill(Dim)(0.0)
+    for (_ <- 0 until iters) {
+      val g = Array.fill(Dim)(0.0)
+      rows.foreach { case (y, x) =>
+        var z = 0.0
+        var j = 0
+        while (j < Dim) { z += w(j) * x(j); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        j = 0
+        while (j < Dim) { g(j) += (p - y) * x(j); j += 1 }
+      }
+      w = Array.tabulate(Dim)(j => w(j) - lr * g(j) / n)
+    }
+    w
+  }
+}
