@@ -1,8 +1,8 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.QualityModel
+import graft.operators.{Curation, Dedup, QualityModel}
 import graft.sources.Tables
 
 /** Round-11 probes.
@@ -12,8 +12,42 @@ import graft.sources.Tables
   * (default sf0.01, the artifact's provenance) and print the raw and
   * 6-decimal-rounded weight vectors plus train-set accuracy under the
   * rounded weights.
+  *
+  * `dag [nDocs]` — the COMPOSED curation pipeline at scale (VERDICT r10
+  * #6): per-source quality percentile (q104 shape) → near-dup dedup with
+  * keep-best survivors (q11+q52+q102) → token-budget selection (q80) →
+  * sequence packing (q77), chained as one program over a synthetic
+  * 1 M-doc corpus with variable lengths, sprinkled stopwords, and a 20%
+  * near-dup family structure. Per-operator probes exist; this measures
+  * the COMPOSITION: shared-scan behavior, cache interplay (every stage
+  * handle released as soon as its consumer materializes), and total
+  * wall. Each stage materializes into its own persisted relation, so no
+  * operator re-derives an upstream stage.
   */
 object ProbeRound11 {
+
+  /** Synthetic curation corpus: doc lengths 20-99 words (quality varies),
+    * ~1-in-17 words an en-stopword, 4 langs, 10 sources, and 20% of docs
+    * in 2-doc near-dup families (pmod 1 docs copy their pmod 0 neighbor
+    * with one extra word — high-Jaccard, not exact).
+    */
+  def syntheticCorpus(spark: SparkSession, rows: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fam = when(pmod(col("id"), lit(10)) < 2,
+      col("id") - pmod(col("id"), lit(10))).otherwise(col("id"))
+    val nWords = (pmod(xxhash64(fam, lit(7)), lit(80)) + lit(20)).cast("int")
+    val words = sequence(lit(0), nWords).cast("array<int>")
+    val body = concat_ws(" ", transform(words, j =>
+      when(pmod(xxhash64(fam, j, lit(13)), lit(17)) === 0, lit("the"))
+        .otherwise(concat(lit("w"),
+          pmod(xxhash64(fam, j, lit(100)), lit(1000))))))
+    spark.range(rows).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(10)) === 1,
+        concat(body, lit(" extra"))).otherwise(body).as("text"),
+      concat(lit("lang"), pmod(xxhash64(col("id"), lit(3)), lit(4))).as("lang"),
+      concat(lit("src"), pmod(xxhash64(col("id"), lit(5)), lit(10))).as("source"))
+  }
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.builder("graft-probe11")
       .master("local[32]")
@@ -41,6 +75,62 @@ object ProbeRound11 {
         val acc = scored.agg(
           avg(when(col("accept") === col("y"), 1.0).otherwise(0.0))).head().getDouble(0)
         println(s"TRAIN_ACCURACY $acc")
+      case "dag" =>
+        import org.apache.spark.sql.functions._
+        val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
+        val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+        val docs = syntheticCorpus(spark, n).persist(disk)
+        println(s"CORPUS ${docs.count()} docs")
+        val tAll = System.nanoTime()
+        def stage[T](name: String)(f: => (Long, T)): T = {
+          val t0 = System.nanoTime()
+          val (rows, out) = f
+          println(f"STAGE $name rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+          out
+        }
+        // 1: per-source percentile, keep the top half of each source
+        val kept = stage("percentile_keep") {
+          val ps = Curation.qualityPercentileStage(docs)
+          val k = docs.join(ps.result.filter(col("pctl") >= 0.5)
+            .select("doc_id"), "doc_id").persist(disk)
+          val rows = k.count()
+          ps.unpersist()
+          (rows, k)
+        }
+        // 2: near-dup dedup, keep-best survivor per cluster
+        val deduped = stage("dedup_survivors") {
+          val st = Dedup.minhashNearDupsStage(kept, threshold = 0.5)
+          val labels = Dedup.nearDupClusters(st.result)
+          val surv = Dedup.clusterSurvivors(labels, kept)
+          val drop = labels.join(
+            surv.select(col("survivor_id").as("doc_id")),
+            Seq("doc_id"), "left_anti").select("doc_id")
+          val d = kept.join(drop, Seq("doc_id"), "left_anti").persist(disk)
+          val rows = d.count()
+          st.unpersist(); Dedup.releaseClusters(labels)
+          (rows, d)
+        }
+        // 3: token budget — half the deduped corpus's tokens
+        val selected = stage("token_budget") {
+          val total = deduped
+            .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+          val bs = Curation.budgetStage(deduped, total / 2)
+          val s = deduped.join(bs.result.select("doc_id"), "doc_id")
+            .persist(disk)
+          val rows = s.count()
+          bs.unpersist()
+          (rows, s)
+        }
+        // 4: sequence packing
+        stage("packing") {
+          val pk = Curation.packStage(selected, ctxTokens = 256)
+          val rows = pk.result.count()
+          pk.unpersist()
+          (rows, ())
+        }
+        println(f"TOTAL sec=${(System.nanoTime() - tAll) / 1e9}%.1f")
+        println("CACHED_RDDS_LEFT " +
+          (spark.sparkContext.getPersistentRDDs.size - 4)) // docs+3 stages
       case other =>
         System.err.println(s"unknown probe '$other'")
     }

@@ -91,6 +91,23 @@ class CacheHygieneSpec extends SparkSpecBase {
     assert(cachedCount === 0)
   }
 
+  test("r11 one-shot stage handles release their persisted intermediates") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val stages = Seq[graft.operators.TextAnalysis.CachedStage](
+      TextAnalysis.bm25TopKStage(docs, Seq("dup", "spark")),
+      TextAnalysis.shingleNoveltyStage(docs),
+      TextAnalysis.topBoilerplateStage(docs),
+      graft.operators.Curation.qualityPercentileStage(docs))
+    stages.foreach { st =>
+      st.result.count()
+      assert(cachedCount > 0)
+      st.unpersist()
+      assert(cachedCount === 0)
+    }
+  }
+
   test("Dedup near-dup caches are released by NearDupStage.unpersist") {
     spark.catalog.clearCache()
     baseline = spark.sparkContext.getPersistentRDDs.size
