@@ -91,6 +91,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(scans === 1)
   }
 
+  test("q111 classifier scoring is scan-only (no shuffle, no window)") {
+    // the scoring claim: kernels + logit + sigmoid fuse into the scan
+    // projection — adding a shuffle here would mean the model stopped
+    // being a per-row expression
+    val (exchanges, scans) = shape("q111_quality_classifier")
+    assert(exchanges === 0)
+    assert(scans === 1)
+  }
+
   // Two plan-shape claims previously made only in docs (VERDICT r4 #7):
   // global ORDER BY + LIMIT must run as per-partition heaps, and the
   // fixed-size stratum sample must rank through per-partition group
