@@ -227,6 +227,37 @@ object SparkEntry {
     })._2
   }
 
+  // Bucketed join layout for q112 (the other half of the 100 TB scan
+  // story next to q109's partition pruning): lineitem and orders are
+  // written bucket-by-orderkey ONCE per (session, dir) — the shuffle is
+  // paid at write time — and every subsequent join on the bucket key
+  // plans with NO exchange on either side (WritersSpec pins the plan;
+  // the q112 oracle proves the layout loses nothing). Table names carry
+  // the session UUID: the warehouse directory outlives the in-memory
+  // catalog, so a fixed name would hit locationAlreadyExists on the next
+  // JVM.
+  private val bucketedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, (String, String))]()
+
+  private[graft] def bucketedTablesShared(s: SparkSession,
+                                          dir: String): (String, String) = {
+    val it = bucketedMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    bucketedMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      val suffix = java.util.UUID.randomUUID().toString.replace("-", "_")
+      val liT = s"li_bkt_$suffix"
+      val orT = s"or_bkt_$suffix"
+      graft.sources.Writers.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        liT, "l_orderkey", buckets = 8)
+      graft.sources.Writers.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        orT, "o_orderkey", buckets = 8)
+      (s, (liT, orT))
+    })._2
+  }
+
   // WARC interchange layout for q110 — same immutable once-per-(session,
   // dir) lifecycle as the partitioned-events layout above.
   private val warcMemo =
@@ -942,6 +973,21 @@ object SparkEntry {
     // oracle replays the identical arithmetic with the same literals
     "q111_quality_classifier" -> ((s, dir) =>
       graft.operators.QualityModel.scoreDocs(Tables.documents(s, dir))),
+
+    // priority rollup over the BUCKETED lineitem⋈orders layout: both
+    // sides pre-shuffled on the orderkey at write time, so the join
+    // itself plans exchange-free (WritersSpec pins that no exchange
+    // hash-partitions an orderkey); oracle = the same join over the raw
+    // tables
+    "q112_bucketed_join" -> ((s, dir) => {
+      val (liT, orT) = bucketedTablesShared(s, dir)
+      s.table(liT).join(s.table(orT),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
   )
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -2987,5 +3033,15 @@ object SparkEntry {
            |            THEN 1 ELSE 0 END AS accept
            |FROM s""".stripMargin
     },
+
+    // q112 reads the bucketed catalog tables in Spark; the oracle joins
+    // the raw parquet — a mismatch means the bucketed write/read moved
+    // or lost rows
+    "q112_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -74,6 +74,23 @@ class WritersSpec extends SparkSpecBase {
       s"expected 7 of 30 date partitions read, got $partsRead")
   }
 
+  test("q112 gated bucketed join never shuffles on the orderkey") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast so the join must be a SortMergeJoin — the shape
+    // that exposes whether bucketing really removed the key exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = SparkEntry.queries("q112_bucketed_join")(spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("hashpartitioning(l_orderkey") &&
+        !plan.contains("hashpartitioning(o_orderkey"),
+        s"join key shuffled despite bucketing:\n$plan")
+      assert(q.collect().nonEmpty)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("gzip JSONL round trip is lossless and sharded for parallel reads") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/docs"
