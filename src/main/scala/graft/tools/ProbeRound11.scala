@@ -131,6 +131,39 @@ object ProbeRound11 {
         println(f"TOTAL sec=${(System.nanoTime() - tAll) / 1e9}%.1f")
         println("CACHED_RDDS_LEFT " +
           (spark.sparkContext.getPersistentRDDs.size - 4)) // docs+3 stages
+      case "warc" =>
+        import org.apache.spark.sql.functions._
+        val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
+        val docs = syntheticCorpus(spark, n)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        docs.count()
+        val dir = java.nio.file.Files.createTempDirectory("warc_probe_").toString
+        val t0 = System.nanoTime()
+        graft.sources.Warc.writeWarc(docs, dir, shards = 32)
+        val tw = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val back = graft.sources.Warc.readWarc(spark, dir)
+        val (cnt, bytes) = {
+          val r = back.agg(count(lit(1)), sum(octet_length(col("text")))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val tr = (System.nanoTime() - t1) / 1e9
+        println(f"WARC write=$tw%.1fs read+agg=$tr%.1fs rows=$cnt " +
+          f"payloadMB=${bytes / 1e6}%.0f readMBps=${bytes / 1e6 / tr}%.0f")
+      case "score" =>
+        import org.apache.spark.sql.functions._
+        val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
+        val docs = syntheticCorpus(spark, n)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        docs.count()
+        val t0 = System.nanoTime()
+        // aggregate over the scored columns so ColumnPruning can't skip
+        // the projection (the ProbeCuration pitfall)
+        val r = QualityModel.scoreDocs(docs)
+          .agg(sum(col("p_good")), sum(col("accept"))).head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"SCORE docs=$n sec=$dt%.1f docsPerSec=${n / dt}%.0f " +
+          f"acceptShare=${r.getLong(1).toDouble / n}%.3f")
       case other =>
         System.err.println(s"unknown probe '$other'")
     }
