@@ -52,6 +52,18 @@ object StreamingCuration {
       .filter(col("pred_lang") === lang && col("quality") >= minQuality)
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("n_words"))
 
+  /** Streaming classifier scoring — [[graft.operators.QualityModel]]'s
+    * continuous twin: a pure stateless projection (kernels + fixed-order
+    * logit + sigmoid fuse into the micro-batch scan; no watermark, no
+    * state), so a model promoted from the batch gate drops into the
+    * ingest stream unchanged — the same weight artifact scores both.
+    */
+  def scoreStream(docsStream: DataFrame,
+                  w: Seq[Double] =
+                    graft.operators.QualityModel.DefaultWeights.toSeq,
+                  threshold: Double = 0.5): DataFrame =
+    graft.operators.QualityModel.scoreDocs(docsStream, w, threshold)
+
   /** Viral-boilerplate alarm: per tumbling window, every shingle
     * fingerprint whose in-window document frequency crosses `minDf` —
     * the streaming twin of [[graft.operators.TextAnalysis#topBoilerplate]]

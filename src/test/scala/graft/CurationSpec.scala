@@ -76,6 +76,27 @@ class CurationSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("scoreStream equals batch classifier scoring on the same docs") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingCuration.scoreStream(
+      input.toDF().toDF("doc_id", "text"))
+    val name = s"score_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table(name)
+        .as[(Long, Double, Double, Int)].collect().toSet
+      val batch = graft.operators.QualityModel
+        .scoreDocs(docs).as[(Long, Double, Double, Int)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("curateStream drops the later-arriving duplicate, keeps first") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
