@@ -89,9 +89,20 @@ object Warc {
     * Content-Length.
     */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
-    val rdd = spark.sparkContext.binaryFiles(s"$path/*.warc")
-      .flatMap { case (file, pds) => recordIterator(file, pds.open()) }
-    spark.createDataFrame(rdd, ReadSchema)
+    // an EMPTY corpus writes zero shard files (foreachPartition skips
+    // empty partitions), and binaryFiles throws on a glob matching
+    // nothing — an empty layout must read back as an empty relation,
+    // not an error (DegenerateInputSpec)
+    val pattern = new org.apache.hadoop.fs.Path(s"$path/*.warc")
+    val fs = pattern.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasShards = Option(fs.globStatus(pattern)).exists(_.nonEmpty)
+    if (!hasShards)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], ReadSchema)
+    else {
+      val rdd = spark.sparkContext.binaryFiles(s"$path/*.warc")
+        .flatMap { case (file, pds) => recordIterator(file, pds.open()) }
+      spark.createDataFrame(rdd, ReadSchema)
+    }
   }
 
   val ReadSchema: org.apache.spark.sql.types.StructType =

@@ -57,4 +57,33 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(out.toSeq === Seq((1L, 0, 0L, 1)))
     spark.catalog.clearCache()
   }
+
+  test("round-11 operators return cleanly on empty and all-blank corpora") {
+    val emptyFull = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val blankFull = Seq((1L, "", "en", "src0"), (2L, "", "de", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    // calibration / novelty / boilerplate: no shingles anywhere -> no rows
+    assert(Dedup.minhashCalibration(empty).count() === 0)
+    assert(Dedup.minhashCalibration(blank.select("doc_id", "text")).count() === 0)
+    assert(TextAnalysis.shingleNovelty(empty).count() === 0)
+    assert(TextAnalysis.topBoilerplate(blank).count() === 0)
+    // percentile: NULL-quality (empty text) docs are filtered by contract
+    assert(Curation.qualityPercentile(emptyFull).count() === 0)
+    // classifier: empty corpus scores no rows; blank docs score finite
+    assert(graft.operators.QualityModel.scoreDocs(empty).count() === 0)
+    val s = graft.operators.QualityModel.scoreDocs(blank).collect()
+    assert(s.forall(r => !r.getDouble(2).isNaN))
+    // WARC: an empty corpus writes no shard files and reads back empty
+    val dir = java.nio.file.Files.createTempDirectory("warc_empty_").toString
+    graft.sources.Warc.writeWarc(emptyFull, dir, shards = 2)
+    assert(graft.sources.Warc.readWarc(spark, dir).count() === 0)
+    // and blank-text payloads (Content-Length: 0) round-trip exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("warc_blank_").toString
+    graft.sources.Warc.writeWarc(blankFull, dir2, shards = 2)
+    assert(graft.sources.Warc.readWarc(spark, dir2)
+      .as[(Long, String, String, String)].collect().toSet ===
+      Set((1L, "", "en", "src0"), (2L, "", "de", "src1")))
+    spark.catalog.clearCache()
+  }
 }
