@@ -115,6 +115,51 @@ class StreamingRecoverySpec extends SparkSpecBase {
       s"restored buffer lost data: $out")
   }
 
+  test("curateStream dedup state survives a restart (no dup re-admitted)") {
+    val srcDir = Files.createTempDirectory("graft_cur_src").toString
+    val ckptDir = Files.createTempDirectory("graft_cur_ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val emitted = mutable.Buffer[Long]()
+
+    def writeBatch(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("ts", "doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runUntilIdle(): Unit = {
+      val stream = spark.readStream.schema(docSchema).parquet(srcDir)
+      val q = graft.streaming.StreamingCuration
+        .curateStream(stream, lang = "en", minQuality = 0.0,
+          watermarkDelay = "10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted ++= b.select("doc_id").collect().map(_.getLong(0)); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val text = "the cat and the dog walk to the park it is a fine day"
+    // run 1: the original document is admitted and emitted
+    writeBatch(Seq((ts("2024-01-01 00:00:05"), 1L, text)))
+    runUntilIdle()
+    assert(emitted.toList === List(1L))
+
+    // run 2 (fresh query, same checkpoint): a content-duplicate arriving
+    // INSIDE the watermark must hit the RESTORED fingerprint state and be
+    // dropped — if the dedup state were lost, doc 2 would re-emit; a
+    // genuinely new doc still flows
+    writeBatch(Seq(
+      (ts("2024-01-01 00:01:00"), 2L, text),
+      (ts("2024-01-01 00:01:30"), 3L,
+        "for it is a that day the and to walk in the big sun now")))
+    runUntilIdle()
+    assert(emitted.toList.sorted === List(1L, 3L),
+      s"restored dedup state failed: $emitted")
+  }
+
   test("viralShingleAlarm emits each window's alarms once across a restart") {
     val srcDir = Files.createTempDirectory("graft_viral_src").toString
     val ckptDir = Files.createTempDirectory("graft_viral_ckpt").toString
