@@ -988,6 +988,13 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).as("sum_qty"),
           countDistinct(col("o_orderkey")).as("n_orders"))
     }),
+
+    // LSH recall gate (the q99 discipline for dedup): banding misses
+    // measured against an id-window ground-truth sample of raw exact
+    // Jaccard; caught pairs from the shared LSH stage
+    "q113_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecallFromPairs(Tables.documents(s, dir),
+        lshPairsShared(s, dir))),
   )
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -3043,5 +3050,36 @@ object SparkEntry {
         |       count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // q113: truth = raw exact Jaccard over the id-window pair sample;
+    // caught = the q11 LSH pipeline (lshCtes bands + cap) restricted to
+    // the same window; NULLIF guards the empty-truth edge like q108
+    "q113_lsh_recall" ->
+      (docCtes.stripSuffix("\n") + ",\n" + lshCtes +
+        s"""shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh
+           |        WHERE len(list_distinct(sh)) > 0),
+           |truth AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM shd a JOIN shd b
+           |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |caught AS (
+           |  SELECT id_a, id_b
+           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |             JOIN shd b ON cands.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5
+           |    AND id_b - id_a <= 25),
+           |nt AS (SELECT count(*) AS n_truth FROM truth),
+           |nc AS (SELECT count(*) AS n_caught
+           |       FROM truth JOIN caught USING (id_a, id_b))
+           |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           |       CAST(n_caught AS BIGINT) AS n_caught,
+           |       round(n_caught / NULLIF(n_truth, 0), 4) AS recall
+           |FROM nt CROSS JOIN nc""".stripMargin),
   )
 }

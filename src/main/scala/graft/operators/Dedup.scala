@@ -298,6 +298,61 @@ object Dedup {
     calib.filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** LSH recall gate — the dedup analog of
+    * [[Similarity.recallAtK]] (q99): what fraction of the TRUE near-dup
+    * pairs does the banded pipeline actually catch? Banding is lossy by
+    * design (pairs whose signatures never collide in any band, plus
+    * pairs dropped by the hot-bucket cap), and (k, bands, rows) are
+    * tuned against a measured recall, not the asymptotic S-curve.
+    *
+    * Ground truth is computed on an id-window SAMPLE of pairs (all pairs
+    * with `id_b − id_a ≤ idWindow`, raw exact Jaccard — the standard
+    * sample-based recall methodology: true recall over all pairs is
+    * unknowable without the all-pairs join LSH exists to avoid). LSH
+    * pairs are exact-verified, so within the window caught ⊆ truth and
+    * precision is 1 by construction — the report is pure recall:
+    * (n_truth, n_caught, recall), NULL on an empty truth set.
+    *
+    * Scale shape: the truth join is bounded by the window (≤ n·idWindow
+    * candidate pairs, the q12/q14 sample discipline — idWindow is a
+    * SAMPLE SIZE, not a scale limit; the cheap id predicates sit before
+    * the Jaccard in the join condition, the q14 predicate-order lesson);
+    * the caught side is the capped band pipeline; the counts are one-row
+    * broadcasts.
+    */
+  def lshRecall(docs: DataFrame, idWindow: Int = 25,
+                threshold: Double = 0.5): DataFrame =
+    lshRecallFromPairs(docs, minhashNearDups(docs, threshold),
+      idWindow, threshold)
+
+  /** [[lshRecall]] over already-computed verified pairs (the SparkEntry
+    * memo feed, like the other pair consumers).
+    */
+  def lshRecallFromPairs(docs: DataFrame, pairs: DataFrame,
+                         idWindow: Int = 25,
+                         threshold: Double = 0.5): DataFrame = {
+    val idx = docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = idx.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = idx.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.join(b,
+        col("id_b") > col("id_a") &&
+          col("id_b") <= col("id_a") + idWindow &&
+          round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val caught = pairs
+      .filter(col("id_b") - col("id_a") <= idWindow)
+      .select(col("id_a"), col("id_b"))
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = truth.join(caught, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_caught"))
+    nT.crossJoin(broadcast(nC))
+      .select(col("n_truth"), col("n_caught"),
+        round(col("n_caught") / nullif(col("n_truth"), lit(0L)), 4)
+          .as("recall"))
+  }
+
   /** Default hot-shingle document-frequency cap for
     * [[windowedJaccardPairs]], mirrored in the q13 oracle SQL.
     */

@@ -164,6 +164,34 @@ object ProbeRound11 {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"SCORE docs=$n sec=$dt%.1f docsPerSec=${n / dt}%.0f " +
           f"acceptShare=${r.getLong(1).toDouble / n}%.3f")
+      case "lsh" =>
+        import org.apache.spark.sql.functions._
+        // does the calibration SUPERSET (signatures riding the verify
+        // joins + k equality terms) cost anything at scale vs the plain
+        // pair stage? Decides whether production pair consumers should
+        // prefer minhashNearDupsStage when no memo is in play.
+        val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
+        val docs = syntheticCorpus(spark, n)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        docs.count()
+        def time(name: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"LSH $name rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        }
+        time("pair_stage") {
+          val st = Dedup.minhashNearDupsStage(docs, threshold = 0.5)
+          val c = st.result.count(); st.unpersist(); c
+        }
+        time("calib_stage") {
+          val st = Dedup.minhashCalibrationStage(docs)
+          val c = st.result.count(); st.unpersist(); c
+        }
+        time("calib_stage_filtered") {
+          val st = Dedup.minhashCalibrationStage(docs)
+          val c = Dedup.pairsFromCalibration(st.result, 0.5).count()
+          st.unpersist(); c
+        }
       case other =>
         System.err.println(s"unknown probe '$other'")
     }

@@ -44,6 +44,27 @@ class DedupSpec extends SparkSpecBase {
     assert(expected.nonEmpty) // the corpus actually exercises the pipeline
   }
 
+  test("lshRecall: exact duplicates are always caught (recall 1.0)") {
+    // identical texts -> identical signatures -> every band collides:
+    // the only truth pairs are exact dups, so recall must be exactly 1
+    val exactDups = Seq(
+      (1L, base), (2L, base), (3L, unrelated), (4L, base)
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshRecall(exactDups).head()
+    assert(r.getLong(0) === 3L)   // (1,2) (1,4) (2,4)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 1.0)
+  }
+
+  test("lshRecall on the sf0.001 corpus: caught is a subset of truth") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = Dedup.lshRecall(corpus).head()
+    val (nTruth, nCaught, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nTruth > 0)                    // the corpus has near-dups
+    assert(nCaught <= nTruth)             // precision 1 by construction
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+
   test("minhashCalibrationStage releases its shingle index via the handle") {
     spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.size
