@@ -313,12 +313,14 @@ object Dedup {
     * precision is 1 by construction — the report is pure recall:
     * (n_truth, n_caught, recall), NULL on an empty truth set.
     *
-    * Scale shape: the truth join is bounded by the window (≤ n·idWindow
-    * candidate pairs, the q12/q14 sample discipline — idWindow is a
-    * SAMPLE SIZE, not a scale limit; the cheap id predicates sit before
-    * the Jaccard in the join condition, the q14 predicate-order lesson);
-    * the caught side is the capped band pipeline; the counts are one-row
-    * broadcasts.
+    * Scale shape: the truth join is an EQUI-join on id bin buckets (the
+    * [[RangeJoin]] trick: the left side emits blocks ⌊id/W⌋ and
+    * ⌊id/W⌋+1, the right side its own block — every pair within W
+    * matches exactly once), never an n² nested loop; candidates are
+    * ≤ 2·n rows per side with ~W-sized buckets, so the pair volume is
+    * n·O(W), and only those pay the Jaccard (cheap id predicates first,
+    * the q14 predicate-order lesson). The caught side is the capped band
+    * pipeline; the counts are one-row broadcasts.
     */
   def lshRecall(docs: DataFrame, idWindow: Int = 25,
                 threshold: Double = 0.5): DataFrame =
@@ -334,12 +336,18 @@ object Dedup {
     val idx = docs.select(col("doc_id"),
         array_distinct(shingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
-    val a = idx.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = idx.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val truth = a.join(b,
-        col("id_b") > col("id_a") &&
-          col("id_b") <= col("id_a") + idWindow &&
-          round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
+    // bin-bucket equi-join: b > a and b ≤ a + W imply
+    // ⌊b/W⌋ ∈ {⌊a/W⌋, ⌊a/W⌋+1}, so the left emits both blocks and each
+    // in-window pair matches exactly once (no distinct needed)
+    val blk = floor(col("doc_id") / lit(idWindow)).cast("long")
+    val a = idx.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+      explode(array(blk, blk + 1)).as("blk"))
+    val b = idx.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+      blk.as("blk"))
+    val truth = a.join(b, "blk")
+      .filter(col("id_b") > col("id_a") &&
+        col("id_b") <= col("id_a") + idWindow &&
+        round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
       .select(col("id_a"), col("id_b"))
     val caught = pairs
       .filter(col("id_b") - col("id_a") <= idWindow)

@@ -65,6 +65,20 @@ class PlanShapeSpec extends SparkSpecBase {
       spark.catalog.clearCache()
     }
 
+  test("q113 ground-truth window join is the bin-bucket equi-join") {
+    // the only nested-loop join allowed is the one-row recall-report
+    // cross (the documented safe-by-construction global-aggregate shape);
+    // the corpus-side truth join must hash on the blk bucket, never
+    // nested-loop over n² id pairs
+    val plan = SparkEntry.queries("q113_lsh_recall")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"corpus-sized nested loop crept into q113:\n$plan")
+    assert(plan.contains("blk"), s"bin-bucket key missing from plan:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("q53 curation is one corpus scan + one shuffle, window-free") {
     val q = SparkEntry.queries("q53_curation_pipeline")(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString
