@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AsOf, Bpe, Curation, Dedup, Multimodal, RangeJoin, Relational, Similarity, Skew, Solar, TextAnalysis, Windows}
+import graft.operators.{AsOf, Bpe, Curation, Dedup, EventAnalytics, Multimodal, RangeJoin, Relational, Similarity, Skew, Solar, TextAnalysis, Windows}
 import graft.sources.Tables
 
 /** Driver contract — see SURVEY.md §7.
@@ -995,6 +995,32 @@ object SparkEntry {
     "q113_lsh_recall" -> ((s, dir) =>
       Dedup.lshRecallFromPairs(Tables.documents(s, dir),
         lshPairsShared(s, dir))),
+
+    // per-document top-k similar-doc lookup, served from the shared LSH
+    // stage: symmetrized verified pairs ranked by the ROUNDED jaccard
+    // (deterministic cross-engine ordering), row_number <= k planning as
+    // WindowGroupLimit bounded heaps
+    "q114_similar_topk" -> ((s, dir) =>
+      Dedup.similarTopK(lshPairsShared(s, dir))),
+
+    // staged conversion funnel (view → click → purchase, strictly-after
+    // semantics): chained per-stage window minima over ONE user_id
+    // partitioning, per-user collapse reuses it — one shuffle end to end
+    "q115_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(Tables.events(s, dir))),
+
+    // day-granularity cohort retention: first-active-day cohorts,
+    // per-(cohort, offset) distinct active users, broadcast cohort sizes
+    "q116_retention_cohorts" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, dir))),
+
+    // DSIR-shaped importance resampling: hashed-unigram log-likelihood
+    // ratio of the target source's distribution vs the pool's, model-first
+    // fold (one tokenize pass, vocab-cardinality model join, TakeOrdered
+    // selection on the rounded normalized weight)
+    "q117_importance_resample" -> ((s, dir) =>
+      Curation.importanceResample(Tables.documents(s, dir),
+        targetSource = "src0")),
   )
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -3081,5 +3107,126 @@ object SparkEntry {
            |       CAST(n_caught AS BIGINT) AS n_caught,
            |       round(n_caught / NULLIF(n_truth, 0), 4) AS recall
            |FROM nt CROSS JOIN nc""".stripMargin),
+
+    // q114: the q11 verified-pair chain, symmetrized, then a per-doc
+    // row_number over (rounded jaccard DESC, neighbor ASC) — the same
+    // deterministic rank-key discipline as q48
+    "q114_similar_topk" ->
+      (docCtes.stripSuffix("\n") + ",\n" + lshCtes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+           |pairs AS (
+           |  SELECT id_a, id_b, ${jaccardSql("a.dsh", "b.dsh")} AS jaccard
+           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |             JOIN shd b ON cands.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+           |sym AS (
+           |  SELECT id_a AS doc_id, id_b AS neighbor_id, jaccard FROM pairs
+           |  UNION ALL
+           |  SELECT id_b AS doc_id, id_a AS neighbor_id, jaccard FROM pairs),
+           |r AS (
+           |  SELECT doc_id, neighbor_id, jaccard,
+           |         CAST(row_number() OVER (PARTITION BY doc_id
+           |           ORDER BY jaccard DESC, neighbor_id ASC) AS INTEGER) AS rnk
+           |  FROM sym)
+           |SELECT doc_id, rnk, neighbor_id, jaccard FROM r
+           |WHERE rnk <= ${Dedup.DefaultSimilarK}""".stripMargin),
+
+    // q115: the stage chain, names, and strictly-after semantics all
+    // interpolate from EventAnalytics.DefaultFunnelStages so operator and
+    // oracle can't desynchronize
+    "q115_funnel" -> {
+      val st = EventAnalytics.DefaultFunnelStages
+      val chain = st.zipWithIndex.map { case (name, i) =>
+        if (i == 0)
+          s"""s0 AS (
+             |  SELECT user_id, t, event_type,
+             |         min(CASE WHEN event_type = '$name' THEN t END)
+             |           OVER (PARTITION BY user_id) AS t_0
+             |  FROM e)""".stripMargin
+        else
+          s"""s$i AS (
+             |  SELECT *, min(CASE WHEN event_type = '$name'
+             |                      AND t > t_${i - 1} THEN t END)
+             |              OVER (PARTITION BY user_id) AS t_$i
+             |  FROM s${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val uCols = st.indices.map(i => s"any_value(t_$i) AS t_$i").mkString(", ")
+      val aCols = (st.indices.map(i => s"count(t_$i) AS n_$i") ++
+        st.indices.drop(1).map(i =>
+          s"round(avg((t_$i - t_${i - 1}) / 3.6e9), 4) AS h_$i")).mkString(", ")
+      val branches = st.zipWithIndex.map { case (name, i) =>
+        val conv = if (i == 0) "CAST(NULL AS DOUBLE)"
+          else s"round(n_$i / NULLIF(n_${i - 1}, 0), 4)"
+        val hrs = if (i == 0) "CAST(NULL AS DOUBLE)" else s"h_$i"
+        s"""SELECT CAST($i AS INTEGER) AS stage_idx, '$name' AS stage,
+           |       CAST(n_$i AS BIGINT) AS n_users,
+           |       $conv AS conv_from_prev,
+           |       $hrs AS avg_hours_from_prev FROM a""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         |$chain,
+         |u AS (SELECT user_id, $uCols FROM s${st.length - 1} GROUP BY 1),
+         |a AS (SELECT $aCols FROM u)
+         |$branches""".stripMargin
+    },
+
+    // q116: (user, day) distinct → first-day cohorts → (cohort, offset)
+    // counts; DuckDB date-minus-date is BIGINT days, cast to match
+    // Spark's datediff INT
+    "q116_retention_cohorts" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1),
+        |act AS (
+        |  SELECT cohort_day, CAST(day - cohort_day AS INTEGER) AS day_offset,
+        |         count(*) AS n_active
+        |  FROM active JOIN fd USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, count(*) AS n_cohort FROM fd GROUP BY 1)
+        |SELECT cohort_day, day_offset, n_active, n_cohort,
+        |       round(n_active / NULLIF(n_cohort, 0), 4) AS retention
+        |FROM act JOIN sz USING (cohort_day)""".stripMargin,
+
+    // q117: the q84 md5-fp + Laplace chain, two distributions folded from
+    // one tf relation with conditional sums; selection replays the
+    // rounded-weight ordering with the doc_id tie-break
+    "q117_importance_resample" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, source,
+         |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS fp,
+         |         count(*) AS k
+         |  FROM tk GROUP BY 1, 2, 3),
+         |voc AS (
+         |  SELECT fp,
+         |         CAST(sum(CASE WHEN source = 'src0' THEN k ELSE 0 END)
+         |              AS BIGINT) AS tcnt,
+         |         CAST(sum(CASE WHEN source <> 'src0' THEN k ELSE 0 END)
+         |              AS BIGINT) AS rcnt
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tcnt) AS BIGINT) AS tn,
+         |               CAST(sum(rcnt) AS BIGINT) AS rn,
+         |               count(*) AS v FROM voc),
+         |model AS (
+         |  SELECT fp, ln((tcnt + 1) / CAST(tn + v AS DOUBLE)) -
+         |             ln((rcnt + 1) / CAST(rn + v AS DOUBLE)) AS lr
+         |  FROM voc CROSS JOIN tot),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.source, CAST(sum(tf.k) AS BIGINT) AS n_tokens,
+         |         sum(tf.k * m.lr) AS w
+         |  FROM tf JOIN model m USING (fp)
+         |  WHERE tf.source <> 'src0'
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, source, n_tokens, round(w, 4) AS weight,
+         |       round(w / n_tokens, 4) AS avg_lr
+         |FROM sc
+         |ORDER BY round(w / n_tokens, 4) DESC, doc_id ASC
+         |LIMIT ${Curation.DefaultImportanceN}""".stripMargin,
   )
 }

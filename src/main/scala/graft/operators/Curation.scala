@@ -472,4 +472,75 @@ object Curation {
         round((col("cum") - lit(0.5) * col("cnt")) / col("n"), 4).as("pctl"))
     TextAnalysis.CachedStage(scored, result)
   }
+
+  /** Default selection size for [[importanceResample]], mirrored in the
+    * q117 oracle.
+    */
+  val DefaultImportanceN = 100
+
+  /** Data-selection-by-importance-resampling weights (the DSIR recipe —
+    * Xie et al., NeurIPS 2023, hashed n-gram variant at unigram order):
+    * score every pool document by how much more likely its tokens are
+    * under the TARGET source's unigram distribution than under the pool's
+    * own, then keep the top N by the length-normalized weight. weight(d) =
+    * Σ_tok k·[ln p̂_tgt(tok) − ln p̂_pool(tok)] with Laplace smoothing over
+    * the UNION vocabulary — the importance log-ratio of the two bag-of-
+    * words models; length-normalizing removes the long-doc bias before
+    * ranking.
+    *
+    * Scale shape (the q84/q101 model-first fold): ONE corpus tokenize
+    * pass into per-(doc, token-fp) counts, persisted; the two
+    * distributions collapse out of it as ONE vocab-cardinality aggregate
+    * with conditional sums (no second scan); totals are a one-row
+    * broadcast; the corpus-cardinality score stream pays exactly ONE join
+    * against the vocab-sized log-ratio model; selection is orderBy+limit
+    * — a TakeOrdered bounded heap, never a global sort. All shuffles key
+    * on the 8-byte token fingerprint or doc_id.
+    *
+    * Determinism: ranking orders on the ROUNDED 4-decimal normalized
+    * weight with doc_id tie-break, so the selection boundary can't flip
+    * on last-bit float divergence between engines.
+    */
+  def importanceResample(docs: DataFrame, targetSource: String,
+                         n: Int = DefaultImportanceN): DataFrame = {
+    val stage = importanceStage(docs, targetSource, n)
+    stage.result
+  }
+
+  /** [[importanceResample]] with its cache handle (the persisted tf
+    * relation feeds both the model fold and the scoring join).
+    */
+  def importanceStage(docs: DataFrame, targetSource: String,
+                      n: Int = DefaultImportanceN): TextAnalysis.CachedStage = {
+    val tf = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.fp60(col("tok")).as("fp"))
+      .groupBy(col("doc_id"), col("source"), col("fp"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgt = col("source") === targetSource
+    val voc = tf.groupBy(col("fp"))
+      .agg(sum(when(tgt, col("k")).otherwise(lit(0L))).as("tcnt"),
+        sum(when(!tgt, col("k")).otherwise(lit(0L))).as("rcnt"))
+    val tot = voc.agg(sum(col("tcnt")).as("tn"), sum(col("rcnt")).as("rn"),
+      count(lit(1)).as("v"))
+    val model = voc.crossJoin(broadcast(tot))
+      .select(col("fp"),
+        (log((col("tcnt") + lit(1)) / (col("tn") + col("v")).cast("double")) -
+          log((col("rcnt") + lit(1)) / (col("rn") + col("v")).cast("double")))
+          .as("lr"))
+    val scored = tf.filter(!tgt)
+      .join(model, "fp")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("k")).as("n_tokens"), sum(col("k") * col("lr")).as("w"))
+    val result = scored
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("w"), 4).as("weight"),
+        round(col("w") / col("n_tokens"), 4).as("avg_lr"))
+      .orderBy(col("avg_lr").desc, col("doc_id").asc)
+      .limit(n)
+    TextAnalysis.CachedStage(tf, result)
+  }
 }

@@ -361,6 +361,43 @@ object Dedup {
           .as("recall"))
   }
 
+  /** Default neighbor count for [[similarTopK]], mirrored in the q114
+    * oracle SQL.
+    */
+  val DefaultSimilarK = 5
+
+  /** Top-k most-similar documents per document — the production "show me
+    * this page's near-duplicates" lookup, served from the same verified
+    * LSH pairs every other dedup consumer reads (the SparkEntry shared
+    * calibration feed). Pairs are symmetrized so BOTH endpoints see the
+    * neighbor, then ranked per doc by (jaccard DESC, neighbor_id ASC).
+    *
+    * Determinism across engines: `jaccard` is the calibration stage's
+    * 4-decimal ROUNDED value, so the sort key is bit-identical in Spark
+    * and the oracle, and rounded ties break on the neighbor id — no
+    * unrounded-double ordering ever decides the cut.
+    *
+    * Scale shape: input volume is LSH-capped verified pairs (never
+    * all-pairs), the union is map-side, and `row_number <= k` executes as
+    * WindowGroupLimit — per-partition bounded top-k heaps ahead of the
+    * final per-doc rank, so no full sort of a doc's candidate list ever
+    * spills. Docs with no near-dup simply don't appear (same contract as
+    * q11: the report is about duplicates, absence = clean).
+    */
+  def similarTopK(pairs: DataFrame, k: Int = DefaultSimilarK): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("doc_id"), col("id_b").as("neighbor_id"),
+        col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"),
+        col("id_a").as("neighbor_id"), col("jaccard")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("neighbor_id").asc)
+    sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("neighbor_id"), col("jaccard"))
+  }
+
   /** Default hot-shingle document-frequency cap for
     * [[windowedJaccardPairs]], mirrored in the q13 oracle SQL.
     */

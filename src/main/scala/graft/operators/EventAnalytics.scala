@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the `events` stream: funnel conversion and
+  * cohort retention — the two reports every product/behavioral pipeline
+  * runs next to the windowed aggregates the reference topology covers
+  * (SURVEY.md §2.13: Kafka Streams leaves sequence analytics to the
+  * application; provided here as engine operators).
+  *
+  * Scale design (100 TB posture):
+  *  - [[funnel]] pays ONE shuffle: the chained per-stage window minima all
+  *    share the `user_id` partitioning, the per-user collapse reuses it,
+  *    and only the per-partition partials of the final summary aggregate
+  *    cross the wire (one row per partition). No sort — every window is an
+  *    unordered full-partition MIN frame.
+  *  - [[retentionCohorts]] shuffles on compact (user, day) / (user) keys
+  *    with map-side combine; the cohort-size join is a broadcast of a
+  *    ≤ #days-row relation by construction.
+  */
+object EventAnalytics {
+
+  /** The gated funnel's stage sequence, mirrored in the q115 oracle. */
+  val DefaultFunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Staged conversion funnel: for each user, the earliest event of
+    * stage 0, then the earliest stage-1 event STRICTLY AFTER that, then the
+    * earliest stage-2 event after THAT, and so on — the classic
+    * first-touch funnel semantics (a click before the first view does not
+    * count as a conversion).
+    *
+    * Output is one row per stage: `(stage_idx, stage, n_users,
+    * conv_from_prev, avg_hours_from_prev)` — users reaching the stage,
+    * conversion from the previous stage, and the mean hours between the
+    * two stage timestamps (NULL for stage 0, and NULL when no user
+    * converts). Rates and hours round to 4 decimals (the engine-wide FP
+    * discipline); counts and the rank key are exact integers.
+    *
+    * Plan shape (PlanShapeSpec pins one exchange): chained
+    * `min(when(...)) over (partition by user_id)` windows — each stage's
+    * condition reads the previous stage's column, so the windows stack as
+    * Window operators over ONE hash-partitioning; the per-user collapse
+    * and summary aggregate reuse it. At 100 TB the per-user state is a
+    * handful of longs and the summary is a one-row broadcast-sized
+    * relation.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = DefaultFunnelStages): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col("user_id"))
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("t"))
+    val withTs = stages.zipWithIndex.foldLeft(base) { case (df, (st, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === st
+        else col("event_type") === st && col("t") > col(s"t_${i - 1}")
+      df.withColumn(s"t_$i", min(when(cond, col("t"))).over(w))
+    }
+    // t_i is constant within the user partition, so first() is
+    // deterministic here; the groupBy collapses the event rows away
+    val aggCols = stages.indices.map(i => first(col(s"t_$i")).as(s"t_$i"))
+    val perUser = withTs.groupBy(col("user_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val sumCols = stages.indices.map(i => count(col(s"t_$i")).as(s"n_$i")) ++
+      stages.indices.drop(1).map(i =>
+        round(avg((col(s"t_$i") - col(s"t_${i - 1}")) / lit(3.6e9)), 4)
+          .as(s"h_$i"))
+    val summary = perUser.agg(sumCols.head, sumCols.tail: _*)
+    // one-row wide summary → long format via ONE explode (re-selecting the
+    // summary per stage would re-run the whole aggregate per stage)
+    val stageStructs = array(stages.zipWithIndex.map { case (st, i) =>
+      struct(
+        lit(i).as("stage_idx"),
+        lit(st).as("stage"),
+        col(s"n_$i").as("n_users"),
+        (if (i == 0) lit(null).cast("double")
+         else round(col(s"n_$i") / nullif(col(s"n_${i - 1}"), lit(0L)), 4))
+          .as("conv_from_prev"),
+        (if (i == 0) lit(null).cast("double") else col(s"h_$i"))
+          .as("avg_hours_from_prev"))
+    }: _*)
+    summary.select(explode(stageStructs).as("s")).select(col("s.*"))
+  }
+
+  /** Day-granularity cohort retention: users are cohorted by their first
+    * active day; for each (cohort day, day offset) the report counts the
+    * cohort's users active that day and the retention rate against the
+    * cohort's size. Offset 0 is the cohort itself (retention 1.0 by
+    * construction — every user is active on their first day).
+    *
+    * Scale shape: `(user, day)` distinct and the first-day aggregate are
+    * map-side-combining shuffles on 12-byte keys; the events⋈first-day
+    * join keys on `user_id` (the aggregate's own partitioning); the
+    * cohort-size join broadcasts a ≤ #days-row relation. Nothing larger
+    * than (active user-days) ever crosses the wire, and no window
+    * function touches a corpus-sized relation.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    // (user, day) is distinct and each user has exactly one cohort_day, so
+    // count(*) per (cohort_day, offset) IS the distinct active-user count
+    val activity = active.join(firstDay, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort"))
+    activity.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active") / nullif(col("n_cohort"), lit(0L)), 4)
+          .as("retention"))
+  }
+}
