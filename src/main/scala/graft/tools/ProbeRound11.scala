@@ -48,6 +48,27 @@ object ProbeRound11 {
       concat(lit("lang"), pmod(xxhash64(col("id"), lit(3)), lit(4))).as("lang"),
       concat(lit("src"), pmod(xxhash64(col("id"), lit(5)), lit(10))).as("source"))
   }
+  /** Synthetic event stream: ~66 events/user over 30 days, the five
+    * gate event types with uniform mix, deterministic hash-derived
+    * timestamps/values (the syntheticCorpus discipline — no RNG state).
+    */
+  def syntheticEvents(spark: SparkSession, rows: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val baseUs = 1704067200000000L // 2024-01-01 UTC
+    val spanUs = 30L * 86400 * 1000000
+    val types = array(lit("view"), lit("click"), lit("purchase"),
+      lit("signup"), lit("error"))
+    spark.range(rows).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(baseUs) +
+        pmod(xxhash64(col("id"), lit(11)), lit(spanUs))).as("ts"),
+      pmod(xxhash64(col("id"), lit(3)), lit(math.max(rows / 66, 1))).as("user_id"),
+      element_at(types,
+        (pmod(xxhash64(col("id"), lit(7)), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("id"), lit(19)), lit(10000)) / 100.0).as("value"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.builder("graft-probe11")
       .master("local[32]")
@@ -192,6 +213,52 @@ object ProbeRound11 {
           val c = Dedup.pairsFromCalibration(st.result, 0.5).count()
           st.unpersist(); c
         }
+      case "events" =>
+        import org.apache.spark.sql.functions._
+        // funnel + cohort retention at event scale: both operators' only
+        // corpus-sized shuffles key on user_id / (user, day)
+        val n = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
+        val ev = syntheticEvents(spark, n)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        println(s"EVENTS ${ev.count()} rows, " +
+          s"${ev.select("user_id").distinct().count()} users")
+        def time(name: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val rows = f
+          println(f"EVENTS $name rows=$rows sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        }
+        time("funnel")(graft.operators.EventAnalytics.funnel(ev).count())
+        time("cohorts")(
+          graft.operators.EventAnalytics.retentionCohorts(ev).count())
+      case "dsir" =>
+        import org.apache.spark.sql.functions._
+        val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
+        val docs = syntheticCorpus(spark, n)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        docs.count()
+        val t0 = System.nanoTime()
+        val st = Curation.importanceStage(docs, targetSource = "src0")
+        val rows = st.result.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        st.unpersist()
+        println(f"DSIR docs=$n selected=$rows sec=$dt%.1f " +
+          f"docsPerSec=${n / dt}%.0f")
+      case "similar" =>
+        import org.apache.spark.sql.functions._
+        // incremental cost of the top-k rank over an existing pair feed
+        val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
+        val docs = syntheticCorpus(spark, n)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        docs.count()
+        val st = Dedup.minhashNearDupsStage(docs, threshold = 0.5)
+        val pairs = st.result
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        println(s"SIMILAR pairs=${pairs.count()}")
+        val t0 = System.nanoTime()
+        val rows = Dedup.similarTopK(pairs).count()
+        println(f"SIMILAR topk_rows=$rows " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        st.unpersist(); pairs.unpersist()
       case other =>
         System.err.println(s"unknown probe '$other'")
     }
