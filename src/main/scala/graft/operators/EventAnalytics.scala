@@ -38,31 +38,41 @@ object EventAnalytics {
     * converts). Rates and hours round to 4 decimals (the engine-wide FP
     * discipline); counts and the rank key are exact integers.
     *
-    * Plan shape (PlanShapeSpec pins one exchange): chained
-    * `min(when(...)) over (partition by user_id)` windows — each stage's
-    * condition reads the previous stage's column, so the windows stack as
-    * Window operators over ONE hash-partitioning; the per-user collapse
-    * and summary aggregate reuse it. At 100 TB the per-user state is a
-    * handful of longs and the summary is a one-row broadcast-sized
-    * relation.
+    * Plan shape: an AGGREGATE CASCADE, not a window (the q102 survivor
+    * lesson — an unordered window over `user_id` buffers each user's
+    * entire event list in one WindowExec task, and a single bot user
+    * with 10⁸ events would funnel them all through one buffer at
+    * 100 TB). Stage 0 is a map-side-combining `min` per user of that
+    * stage's events; stage i joins stage i−1's user-cardinality minima
+    * (reusing the aggregation's own hash partitioning), filters
+    * strictly-after, and folds with another combining `min` — per-task
+    * state is one hash entry per user, nothing is ever buffered. The
+    * stage relations shrink monotonically (stage-i users ⊆ stage-i−1
+    * users), each event type is shuffled at most once (types not in the
+    * funnel are filtered at the scan), and the summary collapses to one
+    * row via partial aggregation. PlanShapeSpec pins the window-free
+    * plan.
     */
   def funnel(events: DataFrame,
              stages: Seq[String] = DefaultFunnelStages): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val w = Window.partitionBy(col("user_id"))
     val base = events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("t"))
-    val withTs = stages.zipWithIndex.foldLeft(base) { case (df, (st, i)) =>
-      val cond =
-        if (i == 0) col("event_type") === st
-        else col("event_type") === st && col("t") > col(s"t_${i - 1}")
-      df.withColumn(s"t_$i", min(when(cond, col("t"))).over(w))
-    }
-    // t_i is constant within the user partition, so first() is
-    // deterministic here; the groupBy collapses the event rows away
-    val aggCols = stages.indices.map(i => first(col(s"t_$i")).as(s"t_$i"))
-    val perUser = withTs.groupBy(col("user_id"))
-      .agg(aggCols.head, aggCols.tail: _*)
+    // m(i): (user_id, t_i) — the earliest qualifying stage-i timestamp
+    val stageMins = stages.zipWithIndex.scanLeft(null: DataFrame) {
+      case (_, (st, 0)) =>
+        base.filter(col("event_type") === st)
+          .groupBy(col("user_id")).agg(min(col("t")).as("t_0"))
+      case (prev, (st, i)) =>
+        base.filter(col("event_type") === st)
+          .join(prev.select(col("user_id"), col(s"t_${i - 1}")), "user_id")
+          .filter(col("t") > col(s"t_${i - 1}"))
+          .groupBy(col("user_id")).agg(min(col("t")).as(s"t_$i"))
+    }.drop(1)
+    // stage-i users are a subset of stage-i−1 users, so left joins at
+    // user cardinality rebuild the wide per-user row; every relation here
+    // is already hash-partitioned by user_id by its own aggregate
+    val perUser = stageMins.reduce((a, b) => a.join(b, Seq("user_id"), "left"))
     val sumCols = stages.indices.map(i => count(col(s"t_$i")).as(s"n_$i")) ++
       stages.indices.drop(1).map(i =>
         round(avg((col(s"t_$i") - col(s"t_${i - 1}")) / lit(3.6e9)), 4)

@@ -87,12 +87,13 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(got.forall(_._3.isEmpty))
   }
 
-  test("funnel pays one user_id hash exchange for windows + collapse") {
+  test("funnel plans window-free: aggregate cascade, no per-user buffering") {
     val plan = EventAnalytics.funnel(funnelEvents)
       .queryExecution.executedPlan.toString
-    val userExchanges = plan.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(user_id"))
-    assert(userExchanges === 1, s"expected 1 user_id exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"funnel must not buffer users through WindowExec:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      plan)
   }
 
   // --- retentionCohorts --------------------------------------------------
