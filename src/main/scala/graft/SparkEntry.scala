@@ -854,10 +854,11 @@ object SparkEntry {
       Multimodal.featureExtractBatches(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
 
-    // BPE tokenizer training: 8 merge rounds over the vocab relation —
+    // BPE tokenizer TRAINING: 8 merge rounds over the vocab relation —
     // iterative (round r's argmax feeds round r+1), so no SQL oracle;
     // the driver records the rows-only check and BpeSpec pins the exact
-    // merges on a known corpus (the documented ContractSpec exemption)
+    // merges on a known corpus. The exemption is narrowed to training
+    // alone: the deterministic APPLY step is fully hash-gated by q118.
     "q98_bpe_train" -> ((s, dir) =>
       Bpe.trainMerges(Tables.documents(s, dir), nMerges = 8)),
 
@@ -1021,6 +1022,20 @@ object SparkEntry {
     "q117_importance_resample" -> ((s, dir) =>
       Curation.importanceResample(Tables.documents(s, dir),
         targetSource = "src0")),
+
+    // BPE tokenizer APPLICATION gate (VERDICT r11 #1 — narrows q98's
+    // exemption to the training fixpoint alone): train on the dir's
+    // corpus, publish the learned merge table for the oracle builder,
+    // then tokenize every document under it. Every corpus word is a
+    // training word, where encode == sequential rank-order application
+    // (the BpeSpec pin), so the oracle replays the merges as literals —
+    // nMerges nested left-to-right `replace` calls over a
+    // boundary-wrapped string — and hash-matches the full piece stream.
+    "q118_bpe_encode" -> ((s, dir) => {
+      val merges = Bpe.trainMergePairs(Tables.documents(s, dir), Q118Merges)
+      learnedBpeMerges = Some(merges)
+      Bpe.encodeDocs(Tables.documents(s, dir), merges)
+    }),
   )
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -1028,6 +1043,21 @@ object SparkEntry {
     * exercises the full IDF spread.
     */
   val Bm25Terms: Seq[String] = Seq("dup", "spark", "window")
+
+  /** q118's merge budget — generous for the synthetic 31-word vocabulary
+    * (training stops on its own when no pair remains), small enough that
+    * the oracle's nested-replace chain stays shallow.
+    */
+  val Q118Merges = 48
+
+  /** q118's learned merge table, published by the query run for the oracle
+    * builder — [[Verify]] materializes every query BEFORE it serializes
+    * `oracleSql`, so the interpolation always sees the table the gated
+    * result was actually produced under (the q111 shipped-artifact
+    * discipline, with the artifact learned in-run instead of frozen in
+    * code because the merges are corpus-dependent).
+    */
+  @volatile private[graft] var learnedBpeMerges: Option[Seq[(String, String)]] = None
 
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
   val KmeansK = 4
@@ -3228,5 +3258,46 @@ object SparkEntry {
          |FROM sc
          |ORDER BY round(w / n_tokens, 4) DESC, doc_id ASC
          |LIMIT ${Curation.DefaultImportanceN}""".stripMargin,
+
+    // q118: BPE APPLY replay — the learned merge table (published by the
+    // query run; Verify serializes oracleSql only after every query has
+    // materialized) interpolates as nMerges nested replace() calls over
+    // the boundary-wrapped character segmentation '|c1||c2|…|cn|'.
+    // replace() is left-to-right non-overlapping — exactly BpeApply's
+    // scan order — matches only align at symbol boundaries ('|' never
+    // occurs inside a symbol, asserted at interpolation time), and the
+    // DOUBLE separator between symbols keeps adjacent matches from
+    // sharing characters (a single shared '|' would make the second of
+    // two back-to-back (a,b) pairs invisible to the scan). The string
+    // fold is therefore bit-identical to the sequential array fold,
+    // which for training words — every corpus word, since q118 trains on
+    // the same corpus it encodes — is bit-identical to BpeEncode's
+    // rank-priority loop (the BpeSpec equivalence pin).
+    "q118_bpe_encode" -> (learnedBpeMerges match {
+      case None =>
+        // keyset-stable placeholder for contexts that read oracleSql
+        // without running the query (ContractSpec); Verify always
+        // overwrites it with the real replay
+        "SELECT CAST(NULL AS BIGINT) AS doc_id, 0 AS n_words, " +
+          "0 AS n_tokens, '' AS token_str WHERE false"
+      case Some(merges) =>
+        require(merges.forall { case (a, b) => !(a + b).contains("|") },
+          "oracle wrap char '|' appears in a learned symbol — switch the replay to chr(1)")
+        val folded = merges.foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
+          case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+        }
+        s"""SELECT doc_id, len(words) AS n_words,
+           |       len(flatten(pieces)) AS n_tokens,
+           |       array_to_string(flatten(pieces), ' ') AS token_str
+           |FROM (
+           |  SELECT doc_id, words,
+           |         list_transform(words,
+           |           w -> string_split(trim($folded, '|'), '||')) AS pieces
+           |  FROM (
+           |    SELECT doc_id,
+           |           list_filter(string_split(lower(text), ' '),
+           |                       w -> len(w) > 0) AS words
+           |    FROM documents))""".stripMargin
+    }),
   )
 }

@@ -283,4 +283,52 @@ object Bpe {
     m.unpersist()
     m.merges
   }
+
+  /** The learned merge table as driver-side (left, right) pairs in rank
+    * order — the form [[graft.functions.BpeEncode]] consumes and the q118
+    * oracle interpolates. Tiny by construction (≤ nMerges rows).
+    */
+  def trainMergePairs(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val m = train(docs, nMerges)
+    val pairs = m.merges.orderBy(col("rank"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    m.unpersist()
+    pairs
+  }
+
+  /** Whole-document tokenization under a trained merge table, one row per
+    * DOCUMENT with the full piece stream in document order — the q118
+    * apply-gate shape. Kept as a single scan-fused projection (no join, no
+    * shuffle): the per-word [[graft.functions.BpeEncode]] runs inside a
+    * `transform` lambda over the document's word list, so word order is
+    * the array order and the output concatenation is deterministic.
+    *
+    * Why this is SQL-gateable when training (q98) is not: every corpus
+    * word is, by construction, a TRAINING word (same corpus, same
+    * tokenization), and for training words encode(word) is bit-identical
+    * to applying the merges sequentially in rank order (the BpeSpec
+    * equivalence pin) — which a DuckDB oracle replays as nMerges nested
+    * `replace` calls over a boundary-wrapped string form `|s1||s2|…|sn|`
+    * (symbols never contain the wrap char; `replace` is left-to-right
+    * non-overlapping, exactly [[graft.functions.BpeApply]]'s order, and
+    * the double separator keeps adjacent matches from sharing characters).
+    * At 100 TB: production callers should still prefer the word-memoized
+    * [[encodeStage]]; this form prices one encode per word INSTANCE, which
+    * is the honest cost of the gate (no join whose plan could hide a
+    * dropped word).
+    */
+  def encodeDocs(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words =
+      filter(TextAnalysis.tokens(lower(col("text"))), w => length(w) > 0)
+    docs
+      .select(col("doc_id"), words.as("words"))
+      .select(col("doc_id"), size(col("words")).as("n_words"),
+        flatten(transform(col("words"),
+          w => graft.functions.TextFunctions.bpe_encode(w, merges)))
+          .as("pieces"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("pieces")).as("n_tokens"),
+        concat_ws(" ", col("pieces")).as("token_str"))
+  }
 }

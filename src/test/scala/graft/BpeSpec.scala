@@ -202,6 +202,42 @@ class BpeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("encodeDocs equals the q118 oracle's string-replace replay") {
+    // the DuckDB oracle replays apply as nested replace() calls over the
+    // boundary-wrapped form '|c1||c2|…'; Java String.replace has the same
+    // left-to-right non-overlapping contract, so the replay is provable
+    // here without DuckDB — on the collision-heavy corpus, where a wrong
+    // application order or a separator-sharing bug would show first
+    val texts = Seq(
+      "aaaa aaab baaa running ring singing king",
+      "aaa aa running singing ring ring kingkin",
+      "inging ging ning inin gggg aaag gaaa",
+      "ring king sing singing running gunning")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val pairs = Bpe.trainMergePairs(docs, nMerges = 40)
+    def replay(text: String): (Int, Int, String) = {
+      val words = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      val pieces = words.toSeq.flatMap { w =>
+        val init = w.map(c => s"|$c|").mkString
+        val fin = pairs.foldLeft(init) { case (s, (a, b)) =>
+          s.replace(s"|$a||$b|", s"|$a$b|")
+        }
+        fin.stripPrefix("|").stripSuffix("|").split("\\|\\|", -1).toSeq
+      }
+      (words.length, pieces.length, pieces.mkString(" "))
+    }
+    val got = Bpe.encodeDocs(docs, pairs)
+      .select("doc_id", "n_words", "n_tokens", "token_str")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val (nw, nt, s) = replay(t); (i.toLong, nw, nt, s)
+    }
+    assert(got === want)
+    assert(got.forall { case (_, nw, nt, _) => nt >= nw }) // merges never cross words
+    spark.catalog.clearCache()
+  }
+
   test("training on real documents yields the requested merge count") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.trainMerges(docs, nMerges = 5)
