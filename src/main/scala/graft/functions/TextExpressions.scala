@@ -4,13 +4,15 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Single-pass text kernels for the dedup operators.
+/** Single-pass text kernels for the dedup/curation operators, as plain
+  * compiled methods (scalac emits static forwarders Janino-generated code
+  * can call).
   *
   * Why custom expressions instead of `transform`/`aggregate` higher-order
   * functions: Spark HOF lambdas are interpreted, and ProjectCollapse
@@ -18,8 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform(seq, i -> concat(split(text)[i], ...))` re-splits the
   * document for EVERY array element (profiled: 300+ `split` calls per doc,
   * 100× slowdown). A custom expression evaluates its child exactly once
-  * and makes one pass. These are per-document (not per-element) kernels,
-  * so CodegenFallback costs one virtual call per row — negligible.
+  * and makes one pass.
+  *
+  * Why `doGenCode` emitting CALLS to these kernels instead of
+  * `CodegenFallback` (VERDICT r11 #2): a single CodegenFallback expression
+  * disqualifies its whole Project/Filter from whole-stage codegen —
+  * `WholeStageCodegenExec` rejects any plan containing one — so every
+  * OTHER expression in the corpus-scan stage (md5, conv, concat_ws, the
+  * parquet-reader glue) dropped to interpreted row-at-a-time eval too.
+  * The call-don't-inline shape is the [[VectorKernels]] r9 lesson: a small
+  * compiled method stays JIT-compiled no matter how large the generated
+  * consume method grows.
   *
   * Hash parity: everything is md5-hex-lowercase over UTF-8 bytes, matching
   * both Spark's `md5(...)` and DuckDB's `md5(...)` so oracles replay
@@ -27,6 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
   private val hexDigits = "0123456789abcdef".toCharArray
+
+  private val und = UTF8String.fromString("und")
 
   /** Thread-local digest: `MessageDigest.getInstance` does a provider
     * lookup per call, which dominates when hashing millions of shingles
@@ -73,19 +86,13 @@ object TextKernels {
     }
     out
   }
-}
 
-/** Word n-gram shingles of the single-space tokenization: one split, one
-  * pass. Equivalent to (but ~100× faster than)
-  * `transform(sequence(1, size(toks)-n+1), i -> concat_ws(' ', toks[i-1+0..n-1]))`.
-  */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+  // ---- per-row kernel bodies (called from both nullSafeEval and the
+  // generated code; one static call per row) ----
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+  /** [[WordShingles]]' row kernel. */
+  def wordShingles(input: UTF8String, n: Int): ArrayData = {
+    val toks = input.split(UTF8String.fromString(" "), -1)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val out = new Array[Any](toks.length - n + 1)
@@ -105,32 +112,9 @@ case class WordShingles(child: Expression, n: Int)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Fixed-size word chunks of the single-space tokenization, with optional
-  * overlap: chunk i is tokens [i·stride, i·stride + n) space-joined. With
-  * stride == n the windows are disjoint (the classic segmentation); with
-  * stride < n consecutive chunks overlap by n − stride tokens (the
-  * pretraining convention that preserves cross-boundary context). Windows
-  * start every `stride` tokens until one covers the end, so the count is
-  * 1 + ⌈(len − n)/stride⌉ for len > n (no trailing window that is a pure
-  * suffix of its predecessor) and 1 otherwise; the last chunk may be
-  * shorter, and a document with no tokens yields one empty chunk
-  * (split("") == [""]). Single pass — the scan-fused chunking primitive
-  * (the HOF slice/array_join formulation re-evaluates the split per
-  * chunk; see WordShingles).
-  */
-case class WordChunks(child: Expression, n: Int, stride: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n > 0, "chunk size must be positive")
-  require(stride > 0 && stride <= n, "stride must be in [1, chunk size]")
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+  /** [[WordChunks]]' row kernel. */
+  def wordChunks(input: UTF8String, n: Int, stride: Int): ArrayData = {
+    val toks = input.split(UTF8String.fromString(" "), -1)
     val len = toks.length
     val nChunks =
       if (len <= n) 1 else 1 + (len - n + stride - 1) / stride
@@ -151,22 +135,8 @@ case class WordChunks(child: Expression, n: Int, stride: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** MinHash signature over a shingle array: k simulated permutations, entry
-  * j = lexicographic min over shingles of md5Hex(j + "|" + shingle).
-  * Single pass over k×|shingles|; null for empty input (no shingles → no
-  * signature, filtered upstream).
-  */
-case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** [[MinHashSig]]'s row kernel — null for an empty shingle array. */
+  def minHashSig(arr: ArrayData, k: Int): ArrayData = {
     val m = arr.numElements()
     if (m == 0) return null
     // materialize shingle bytes once; reuse across the k permutations
@@ -187,7 +157,7 @@ case class MinHashSig(child: Expression, k: Int)
         val buf = new Array[Byte](prefix.length + s.length)
         System.arraycopy(prefix, 0, buf, 0, prefix.length)
         System.arraycopy(s, 0, buf, prefix.length, s.length)
-        val h = TextKernels.md5Hex(buf)
+        val h = md5Hex(buf)
         if (best == null || h.compareTo(best) < 0) best = h
         i += 1
       }
@@ -197,27 +167,13 @@ case class MinHashSig(child: Expression, k: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** 16-bit SimHash over a token array: per-token 16-bit hash from the md5
-  * prefix, fingerprint bit j = sign of the +1/−1 vote sum. Null for empty
-  * input.
-  */
-case class SimHash16(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** [[SimHash16]]'s row kernel — callers guard the empty array. */
+  def simHash16(arr: ArrayData): Long = {
     val m = arr.numElements()
-    if (m == 0) return null
     val votes = new Array[Int](16)
     var i = 0
     while (i < m) {
-      val h = TextKernels.md5Prefix16(arr.getUTF8String(i).getBytes)
+      val h = md5Prefix16(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < 16) {
         votes(j) += ((h >> j) & 1) * 2 - 1
@@ -234,32 +190,13 @@ case class SimHash16(child: Expression)
     out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** 64-bit SimHash over a token array: per-token hash = first 8 md5 bytes
-  * (big-endian), fingerprint bit j = sign of the +1/−1 vote sum. Null for
-  * empty input. Bit 63 set makes the long negative — callers treat the
-  * fingerprint as a bit pattern (xor/bit_count/block masks), where sign is
-  * irrelevant. The production-width twin of [[SimHash16]]: 16-bit blocks
-  * give 65,536 buckets per block index in the Manku pigeonhole layout
-  * instead of 16, which is what makes bucketed near-dedup sub-quadratic
-  * at 100 TB.
-  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** [[SimHash64]]'s row kernel — callers guard the empty array. */
+  def simHash64(arr: ArrayData): Long = {
     val m = arr.numElements()
-    if (m == 0) return null
     val votes = new Array[Int](64)
     var i = 0
     while (i < m) {
-      val h = TextKernels.md5Prefix64(arr.getUTF8String(i).getBytes)
+      val h = md5Prefix64(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < 64) {
         votes(j) += (((h >>> j) & 1L).toInt * 2) - 1
@@ -276,32 +213,9 @@ case class SimHash64(child: Expression)
     out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** All stopword-dictionary scores in one pass over the token array:
-  * result[d] = number of tokens contained in dicts(d). Replaces the
-  * `size(filter(toks, t -> array_contains(dict, t)))` formulation, whose
-  * interpreted per-element lambda costs |toks| × Σ|dict| comparisons per
-  * document (measured: language-ID dominated the 1 M-doc curation probe at
-  * ~40 s); here each token is |dicts| hash-set probes. Null for null
-  * input; null tokens count for no dictionary.
-  */
-case class StopwordScores(child: Expression, dicts: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
-    dicts.map { d =>
-      val s = new java.util.HashSet[UTF8String](d.size * 2)
-      d.foreach(w => s.add(UTF8String.fromString(w)))
-      s
-    }.toArray
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** [[StopwordScores]]' row kernel over pre-built dictionary hash sets. */
+  def stopwordScores(arr: ArrayData,
+                     sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
     val m = arr.numElements()
     val counts = new Array[Int](sets.length)
     var i = 0
@@ -322,36 +236,11 @@ case class StopwordScores(child: Expression, dicts: Seq[Seq[String]])
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Language prediction in ONE pass over the token array: argmax stopword
-  * score with first-in-order tie-break, "und" when every score is zero —
-  * the single-expression form of the `CASE WHEN score_l = max THEN l`
-  * chain, evaluated once per row instead of once per score reference
-  * (interpreted expressions get no common-subexpression elimination, so
-  * the chain re-ran the scoring per branch).
-  */
-case class LangPredict(child: Expression, dicts: Seq[Seq[String]],
-                       langs: Seq[String])
-    extends UnaryExpression with CodegenFallback {
-  require(dicts.length == langs.length)
-
-  override def dataType: DataType = StringType
-
-  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
-    dicts.map { d =>
-      val s = new java.util.HashSet[UTF8String](d.size * 2)
-      d.foreach(w => s.add(UTF8String.fromString(w)))
-      s
-    }.toArray
-  @transient private lazy val langStrs: Array[UTF8String] =
-    langs.map(UTF8String.fromString).toArray
-  @transient private lazy val und = UTF8String.fromString("und")
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** [[LangPredict]]'s row kernel: argmax stopword score, first-in-order
+    * tie-break, "und" when every score is zero.
+    */
+  def langPredict(arr: ArrayData, sets: Array[java.util.HashSet[UTF8String]],
+                  langs: Array[UTF8String]): UTF8String = {
     val m = arr.numElements()
     val counts = new Array[Int](sets.length)
     var i = 0
@@ -373,28 +262,12 @@ case class LangPredict(child: Expression, dicts: Seq[Seq[String]],
       if (counts(d) > max) { max = counts(d); best = d }
       d += 1
     }
-    if (best < 0) und else langStrs(best)
+    if (best < 0) und else langs(best)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Count of codepoints NOT in [a-z0-9 ] — the single-pass twin of
-  * `size(regexp_extract_all(lowered, '[^a-z0-9 ]', 0))`, which costs ~34 µs
-  * per 300-char document (regex engine + one match object per punctuation
-  * character; measured as 34 s of the 1 M-doc curation probe's 38 s).
-  * Every non-ASCII codepoint is outside the allowed set by definition, so
-  * multibyte sequences count as one without decoding. Callers pass the
-  * LOWERCASED text, exactly like the regex form.
-  */
-case class PunctCount(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = IntegerType
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  /** [[PunctCount]]'s row kernel. */
+  def punctCount(input: UTF8String): Int = {
+    val bytes = input.getBytes
     var i = 0
     var n = 0
     while (i < bytes.length) {
@@ -410,6 +283,236 @@ case class PunctCount(child: Expression)
     n
   }
 
+  /** Dictionary hash sets in the form the kernels take — built once per
+    * expression instance (driver side), shipped as a codegen reference
+    * object (HashSet and UTF8String are both serializable).
+    */
+  def buildSets(dicts: Seq[Seq[String]]): Array[java.util.HashSet[UTF8String]] =
+    dicts.map { d =>
+      val s = new java.util.HashSet[UTF8String](d.size * 2)
+      d.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+}
+
+/** Word n-gram shingles of the single-space tokenization: one split, one
+  * pass. Equivalent to (but ~100× faster than)
+  * `transform(sequence(1, size(toks)-n+1), i -> concat_ws(' ', toks[i-1+0..n-1]))`.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.wordShingles($x, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fixed-size word chunks of the single-space tokenization, with optional
+  * overlap: chunk i is tokens [i·stride, i·stride + n) space-joined. With
+  * stride == n the windows are disjoint (the classic segmentation); with
+  * stride < n consecutive chunks overlap by n − stride tokens (the
+  * pretraining convention that preserves cross-boundary context). Windows
+  * start every `stride` tokens until one covers the end, so the count is
+  * 1 + ⌈(len − n)/stride⌉ for len > n (no trailing window that is a pure
+  * suffix of its predecessor) and 1 otherwise; the last chunk may be
+  * shorter, and a document with no tokens yields one empty chunk
+  * (split("") == [""]). Single pass — the scan-fused chunking primitive
+  * (the HOF slice/array_join formulation re-evaluates the split per
+  * chunk; see WordShingles).
+  */
+case class WordChunks(child: Expression, n: Int, stride: Int)
+    extends UnaryExpression {
+  require(n > 0, "chunk size must be positive")
+  require(stride > 0 && stride <= n, "stride must be in [1, chunk size]")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordChunks(input.asInstanceOf[UTF8String], n, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.wordChunks($x, $n, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle array: k simulated permutations, entry
+  * j = lexicographic min over shingles of md5Hex(j + "|" + shingle).
+  * Single pass over k×|shingles|; null for empty input (no shingles → no
+  * signature, filtered upstream) — hence the explicit `nullable` override:
+  * the generated code re-checks the kernel result.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minHashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""${ev.value} = graft.functions.TextKernels.minHashSig($x, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 16-bit SimHash over a token array: per-token 16-bit hash from the md5
+  * prefix, fingerprint bit j = sign of the +1/−1 vote sum. Null for empty
+  * input.
+  */
+case class SimHash16(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else TextKernels.simHash16(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""if ($x.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.TextKernels.simHash16($x);
+         |}""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: per-token hash = first 8 md5 bytes
+  * (big-endian), fingerprint bit j = sign of the +1/−1 vote sum. Null for
+  * empty input. Bit 63 set makes the long negative — callers treat the
+  * fingerprint as a bit pattern (xor/bit_count/block masks), where sign is
+  * irrelevant. The production-width twin of [[SimHash16]]: 16-bit blocks
+  * give 65,536 buckets per block index in the Manku pigeonhole layout
+  * instead of 16, which is what makes bucketed near-dedup sub-quadratic
+  * at 100 TB.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else TextKernels.simHash64(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""if ($x.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.TextKernels.simHash64($x);
+         |}""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All stopword-dictionary scores in one pass over the token array:
+  * result[d] = number of tokens contained in dicts(d). Replaces the
+  * `size(filter(toks, t -> array_contains(dict, t)))` formulation, whose
+  * interpreted per-element lambda costs |toks| × Σ|dict| comparisons per
+  * document (measured: language-ID dominated the 1 M-doc curation probe at
+  * ~40 s); here each token is |dicts| hash-set probes. Null for null
+  * input; null tokens count for no dictionary. The pre-built set array
+  * ships to generated code as a codegen reference object.
+  */
+case class StopwordScores(child: Expression, dicts: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    TextKernels.buildSets(dicts)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.stopwordScores(input.asInstanceOf[ArrayData], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.addReferenceObj("stopwordSets", sets, "java.util.HashSet[]")
+      s"${ev.value} = graft.functions.TextKernels.stopwordScores($x, $s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Language prediction in ONE pass over the token array: argmax stopword
+  * score with first-in-order tie-break, "und" when every score is zero —
+  * the single-expression form of the `CASE WHEN score_l = max THEN l`
+  * chain, evaluated once per row instead of once per score reference
+  * (interpreted expressions get no common-subexpression elimination, so
+  * the chain re-ran the scoring per branch).
+  */
+case class LangPredict(child: Expression, dicts: Seq[Seq[String]],
+                       langs: Seq[String])
+    extends UnaryExpression {
+  require(dicts.length == langs.length)
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    TextKernels.buildSets(dicts)
+  @transient private lazy val langStrs: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.langPredict(input.asInstanceOf[ArrayData], sets, langStrs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+      val l = ctx.addReferenceObj("langStrs", langStrs,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      s"${ev.value} = graft.functions.TextKernels.langPredict($x, $s, $l);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of codepoints NOT in [a-z0-9 ] — the single-pass twin of
+  * `size(regexp_extract_all(lowered, '[^a-z0-9 ]', 0))`, which costs ~34 µs
+  * per 300-char document (regex engine + one match object per punctuation
+  * character; measured as 34 s of the 1 M-doc curation probe's 38 s).
+  * Every non-ASCII codepoint is outside the allowed set by definition, so
+  * multibyte sequences count as one without decoding. Callers pass the
+  * LOWERCASED text, exactly like the regex form.
+  */
+case class PunctCount(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.punctCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.punctCount($x);")
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -419,7 +522,9 @@ case class PunctCount(child: Expression)
   * a+b, scanning left to right (after merging at i, the scan resumes at
   * i+2 — the classic BPE application order, so "aaa" with merge (a,a)
   * yields [aa, a], not [a, aa]). Single pass, no allocation beyond the
-  * output array.
+  * output array. Stays CodegenFallback deliberately: it only ever runs on
+  * the vocab-sized training relation (never a corpus scan), where one
+  * virtual call per row is noise.
   */
 case class BpeApply(child: Expression, a: String, b: String)
     extends UnaryExpression with CodegenFallback {
@@ -472,7 +577,9 @@ case class BpeApply(child: Expression, a: String, b: String)
   * at 100k merges move it to a broadcast variable — same eval loop).
   * Production drivers should also memoize per DISTINCT word
   * ([[graft.operators.Bpe.encodeStage]]): Zipf corpora have far fewer
-  * distinct words than word instances.
+  * distinct words than word instances. Stays CodegenFallback: its gated
+  * call sites sit inside higher-order `transform` lambdas, which Spark
+  * evaluates interpreted regardless.
   */
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with CodegenFallback {

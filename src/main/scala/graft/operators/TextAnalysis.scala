@@ -763,10 +763,10 @@ object TextAnalysis {
     * there and breaks the score's monotonicity in tf).
     *
     * Scale shape: ALL per-term frequencies come from one pass of the
-    * StopwordScores kernel over the token array (a CodegenFallback
-    * expression — interpreted, but single-pass where k separate
-    * `array_remove` walks scaled linearly in the term count; no explode,
-    * no shuffle — see the measurement note below); the corpus constants
+    * StopwordScores kernel over the token array (codegen'd since r12 —
+    * the kernel call compiles into the scan stage; single-pass where k
+    * separate `array_remove` walks scaled linearly in the term count; no
+    * explode, no shuffle — see the measurement note below); the corpus constants
     * (N, avgdl, per-term df) are ONE map-side-combining aggregate
     * collapsing to a single row — broadcast by construction; the final
     * score is a fixed-order arithmetic expression (bit-reproducible vs

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.functions.TextFunctions._
+import graft.operators.TextAnalysis
+
+/** Round-12 probe: attribute the text-kernel codegen port (VERDICT r11
+  * #2) with an in-JVM A/B — this host's run-to-run noise is larger than
+  * the effect when measured across JVMs (documented 1.2-3× spread), so
+  * the same warm JVM alternates `spark.sql.wholeStage.codegen.enabled` +
+  * `spark.sql.codegen.factoryMode` per measurement, interleaved
+  * (codegen, interpreted, codegen, …), min of 3 each. The interpreted
+  * side approximates the old CodegenFallback behavior (kernels via
+  * nullSafeEval, stage excluded from WSCG); the codegen side is the
+  * shipped path.
+  *
+  * Recorded (2026-08-14, 1 M synthetic docs, local[32]):
+  *  - isolated kernels: codegen buys 1.0-1.3× (lang_predict 1.01×,
+  *    stopword 1.00×, punct 1.24×, shingles 1.22×, minhash_k16 1.03×,
+  *    sim_hash64 0.96×, chunks 1.05×, quality 1.31×) — the kernel loop
+  *    dominates its own row cost, so removing interpreted glue around ONE
+  *    call is marginal;
+  *  - the stage-level effect is what the port was for: cross-JVM probes
+  *    (ProbeCuration / ProbeRound10, old vs new build) showed pred_only
+  *    10.6 s → 2.6 s, quality_percentile 8.4 s → 5.3-5.5 s, survivors
+  *    9.9 s → 7.2-7.5 s — with CodegenFallback the kernel Project
+  *    excluded its WHOLE stage (partial aggregates, hash, join glue)
+  *    from whole-stage codegen; now the stage fuses
+  *    (TextKernelsSpec pins the WSCG span). Apparent cross-JVM
+  *    regressions (source_overlap 23→56 s) did not reproduce (29 s on
+  *    re-run) — host noise, which is why this probe interleaves.
+  */
+object ProbeRound12 {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.builder("probe-round12").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = ScaleProbe.syntheticDocs(spark, 1000000L)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    docs.count()
+
+    val dicts = TextAnalysis.StopwordDicts
+    def force(c: org.apache.spark.sql.Column): Long =
+      docs.select(c.as("x"))
+        .agg(count(when(hash(col("x")) =!= 0, 1))).head().getLong(0)
+
+    val cases: Seq[(String, () => Long)] = Seq(
+      "lang_predict" -> (() => force(TextAnalysis.predLang(col("text")))),
+      "stopword_scores" -> (() => force(stopword_scores(
+        split(lower(col("text")), " "), dicts.map(_._2)))),
+      "punct_count" -> (() => force(punct_count(lower(col("text"))))),
+      "word_shingles" -> (() => force(word_shingles(col("text"), 3))),
+      "minhash_k16" -> (() => force(min_hash_sig(
+        word_shingles(col("text"), 3), 16))),
+      "sim_hash64" -> (() => force(sim_hash64(split(lower(col("text")), " ")))),
+      "word_chunks" -> (() => force(word_chunks(col("text"), 64, 32))),
+      "quality_score" -> (() => force(TextAnalysis.qualityScore(col("text")))))
+
+    def setMode(codegen: Boolean): Unit =
+      if (codegen) {
+        spark.conf.set("spark.sql.wholeStage.codegen.enabled", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      } else {
+        spark.conf.set("spark.sql.wholeStage.codegen.enabled", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }
+
+    cases.foreach { case (name, f) =>
+      // warm both paths once (JIT + codegen compile)
+      setMode(true); f(); setMode(false); f()
+      val gen = new Array[Double](3)
+      val interp = new Array[Double](3)
+      var i = 0
+      while (i < 3) { // interleave so host-noise epochs hit both sides
+        setMode(true)
+        var t0 = System.nanoTime(); f(); gen(i) = (System.nanoTime() - t0) / 1e9
+        setMode(false)
+        t0 = System.nanoTime(); f(); interp(i) = (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      println(f"PROBE r12ab $name codegen=${gen.min}%.2f interp=${interp.min}%.2f speedup=${interp.min / gen.min}%.2fx")
+    }
+    spark.stop()
+  }
+}
