@@ -270,7 +270,10 @@ object SparkEntry {
     warcMemo.computeIfAbsent(ccKey(s, dir), _ => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_warc_").toString
-      graft.sources.Warc.writeWarc(Tables.documents(s, dir), path, shards = 8)
+      // gzip shards (.warc.wet.gz) so the gated round-trip exercises the
+      // Hadoop-FS + streaming-gunzip path Common Crawl data arrives on
+      graft.sources.Warc.writeWarc(Tables.documents(s, dir), path,
+        shards = 8, compress = true)
       (s, path)
     })._2
   }

@@ -79,6 +79,63 @@ class WarcSpec extends SparkSpecBase {
     assert(e.getMessage != null)
   }
 
+  test("gzip (.warc.wet.gz) shards round-trip exactly") {
+    val docs = Seq(
+      (10L, "gzip payload with\r\n\r\nWARC/1.0\r\nseparator bytes", "en", "src1"),
+      (11L, "", "und", "src2"),
+      (12L, "répétition 中文 🚀 " * 50, "fr", "src3") // compressible + multibyte
+    ).toDF("doc_id", "text", "lang", "source")
+    val dir = Files.createTempDirectory("warc_gz_").toString + "/corpus"
+    Warc.writeWarc(docs, dir, shards = 2, compress = true)
+    // ignore Hadoop LocalFileSystem's hidden .crc checksum sidecars
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names.nonEmpty && names.forall(_.endsWith(".warc.wet.gz")))
+    val back = Warc.readWarc(spark, dir)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(back === docs.as[(Long, String, String, String)].collect().toSet)
+  }
+
+  test("a layout mixing plain and gzip shards reads as one corpus") {
+    val plain = Seq((20L, "plain shard", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val gz = Seq((21L, "gzip shard", "de", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = Files.createTempDirectory("warc_mix_").toString + "/corpus"
+    Warc.writeWarc(plain, dir, shards = 1)
+    // write the gzip shard into a sibling temp dir, then move it in (the
+    // writer would otherwise collide on part numbering)
+    val dir2 = Files.createTempDirectory("warc_mix2_").toString + "/c"
+    Warc.writeWarc(gz, dir2, shards = 1, compress = true)
+    val gzFile = new java.io.File(dir2).listFiles().head
+    Files.move(gzFile.toPath,
+      java.nio.file.Paths.get(dir, "part-00001.warc.wet.gz"))
+    val back = Warc.readWarc(spark, dir)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(back === Set((20L, "plain shard", "en", "srcA"),
+      (21L, "gzip shard", "de", "srcB")))
+  }
+
+  test("truncated gzip shard fails loudly, never silently drops the tail") {
+    val docs = Seq((30L, "x" * 5000, "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = Files.createTempDirectory("warc_gztrunc_").toString + "/corpus"
+    Warc.writeWarc(docs, dir, shards = 1, compress = true)
+    val shard = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".gz")).get
+    val bytes = Files.readAllBytes(shard.toPath)
+    // chop the gzip stream mid-deflate-block — the inflater (or the
+    // length-framed payload read) must throw, not return a short corpus.
+    // Drop the Hadoop .crc sidecar so the failure comes from the gzip
+    // layer itself, not the (also-loud) checksum layer.
+    Files.write(shard.toPath, java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    new java.io.File(shard.getParentFile, "." + shard.getName + ".crc").delete()
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.readWarc(spark, dir).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("sf0.001 corpus round-trips shard-parallel with exact contents") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text", "lang", "source")
