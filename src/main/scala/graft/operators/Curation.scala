@@ -473,6 +473,75 @@ object Curation {
     TextAnalysis.CachedStage(scored, result)
   }
 
+  /** [[curationDag]]'s handle: `dropIds` is the checkpointed dropped-id
+    * relation the result plan reads (release via [[release]] once the
+    * result is consumed — it is a raw-RDD checkpoint, outside
+    * `clearCache`'s reach, the [[Dedup.releaseClusters]] discipline).
+    */
+  case class CurationDagStage(dropIds: DataFrame, result: DataFrame) {
+    def release(): Unit = Dedup.releaseClusters(dropIds)
+  }
+
+  /** The COMPOSED end-to-end curation DAG — the four-stage pipeline a
+    * pretraining corpus actually runs as ONE job, gated as one query
+    * (VERDICT r11 #4: each stage was hash-verified alone; this gates the
+    * integration):
+    *
+    *  1. per-source quality percentile, keep pctl ≥ 0.5 (the top half of
+    *     every source — [[qualityPercentile]] semantics);
+    *  2. MinHash-LSH near-dup clustering over the KEPT subset (band cap
+    *     and candidate pairs computed on the survivors of stage 1, not
+    *     the full corpus), keep-best-quality survivor per cluster
+    *     ([[Dedup.clusterSurvivors]]), drop the rest;
+    *  3. token-budget selection at HALF the deduped corpus's token count
+    *     (the budget derives from the data: one integer-sum aggregate to
+    *     the driver, the same bounded-scalar division of labor as
+    *     kmeansFit);
+    *  4. two-level sequence packing of the selected docs
+    *     ([[packStage]]).
+    *
+    * Scale shape: every stage keeps its own posture (capped band
+    * equi-joins, log-round CC, bucket-wise budget cutoff, block-sharded
+    * packing windows); the stitching adds only 8-byte-id joins. The
+    * dropped-id relation is eagerly checkpointed so the LSH index and CC
+    * label state release BEFORE the budget/packing stages run — peak
+    * cached footprint is one stage's, not the whole DAG's (the
+    * ProbeRound11 `dag` lifecycle, 1 M docs with zero cached RDDs left).
+    * The percentile/budget/pack projections persist through their stage
+    * handles and fall to the session cache clear Bench/Verify issue;
+    * `dropIds` outlives the call by design (the result plan reads it) —
+    * callers release it via the stage handle, as SparkEntry's q119 does
+    * for the previous invocation on re-run.
+    */
+  def curationDagStage(docs: DataFrame, ctxTokens: Int = 256): CurationDagStage = {
+    val ps = qualityPercentileStage(docs)
+    val kept = docs.join(
+        ps.result.filter(col("pctl") >= 0.5).select("doc_id"), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = Dedup.minhashNearDupsStage(kept, threshold = 0.5)
+    val labels = Dedup.nearDupClusters(st.result)
+    val surv = Dedup.clusterSurvivors(labels, kept)
+    // dropped ids = clustered docs that are not their cluster's survivor —
+    // an 8-byte-id relation, checkpointed eagerly so the band index and
+    // CC checkpoint blocks can release before the budget stage scans
+    val drop = labels.join(
+        surv.select(col("survivor_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id").localCheckpoint(true)
+    st.unpersist(); Dedup.releaseClusters(labels)
+    val deduped = kept.join(drop, Seq("doc_id"), "left_anti")
+    val total = deduped
+      .agg(sum(size(TextAnalysis.tokens(col("text"))))).head().getLong(0)
+    val selected = deduped.join(
+      budgetStage(deduped, total / 2).result.select("doc_id"), "doc_id")
+    CurationDagStage(drop, packStage(selected, ctxTokens).result)
+  }
+
+  /** [[curationDagStage]]'s result (handle discipline as the other staged
+    * operators).
+    */
+  def curationDag(docs: DataFrame, ctxTokens: Int = 256): DataFrame =
+    curationDagStage(docs, ctxTokens).result
+
   /** Default selection size for [[importanceResample]], mirrored in the
     * q117 oracle.
     */

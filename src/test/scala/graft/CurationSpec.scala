@@ -355,4 +355,51 @@ class CurationSpec extends SparkSpecBase {
     // 10/10/80 targets, generous tolerance for the hash coin at n=600
     assert(byaSplit("train") > 400 && byaSplit("test") > 20 && byaSplit("val") > 20)
   }
+
+  test("curationDag composes the four stages and bounds its cached state") {
+    spark.catalog.clearCache()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stage = Curation.curationDagStage(corpus)
+    val out = stage.result.collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size === out.length) // one packed row per selected doc
+
+    // stage-1 containment: every packed doc survived the percentile cut
+    val keptIds = Curation.qualityPercentileStage(corpus).result
+      .filter(col("pctl") >= 0.5).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids.subsetOf(keptIds))
+
+    // stage-3 budget: selected tokens never exceed half the kept tokens
+    // (the actual budget is half the DEDUPED total, which is <= this)
+    val keptTokens = corpus
+      .filter(col("doc_id").isInCollection(keptIds))
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val packedTokens = out.map(_.getAs[Int]("n_tokens").toLong).sum
+    assert(packedTokens <= keptTokens / 2)
+
+    // stage-4 packing invariant: within a lang, cum_before chains exactly
+    // (each doc starts where the previous one ended)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("cum_before"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("cum_before") ===
+            a.getAs[Long]("cum_before") + a.getAs[Int]("n_tokens"))
+        case _ => ()
+      }
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("offset") === r.getAs[Long]("cum_before") % 256)
+      }
+    }
+
+    // lifecycle: LSH/CC state was released inside the stage; what remains
+    // is the clearCache-managed projections plus the one checkpointed
+    // dropped-id relation the handle releases
+    spark.catalog.clearCache()
+    stage.release()
+    assert(spark.sparkContext.getPersistentRDDs.size === baseline)
+  }
 }
