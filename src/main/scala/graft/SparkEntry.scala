@@ -1056,6 +1056,17 @@ object SparkEntry {
         .foreach(_._2.release())
       stage.result
     }),
+
+    // ANN recall-vs-cost frontier (VERDICT r11 #5): per (nProbe, golden
+    // query), the IVF top-5's recall against brute truth AND the number
+    // of candidates that probe level scored — index tuning as a gated
+    // table instead of probe output. nProbe=4 scores every cell (kCells
+    // = 4), anchoring the frontier at recall 1.
+    "q120_ann_frontier" -> ((s, dir) =>
+      Similarity.annFrontier(Tables.embeddings(s, dir),
+        e => e.filter(col("vec_id") < 8),
+        k = 5, kCells = KmeansK, iters = KmeansIters,
+        probes = Seq(1, 2, 4))),
   )
 
   private val dagStageMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -3461,5 +3472,60 @@ object SparkEntry {
          |         AS spans_boundary
          |FROM pc""".stripMargin
     },
+
+    // q120: the q99 brute-truth + q51 probe-ranking replays, swept over
+    // probe levels with a level relation; n_scored counts each level's
+    // candidate set (integers), recall rounds at 4 (the q99 rational)
+    "q120_ann_frontier" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""bs AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |bt AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q_id
+           |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |    FROM bs) WHERE rank <= 5),
+           |qprobe AS (
+           |  SELECT vec_id, cell, rn FROM (
+           |    SELECT v.vec_id, cc.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |             list_sum(list_transform(cc.c, x -> x*x))
+           |             - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+           |                              i -> v.emb[i] * cc.c[i])),
+           |             cc.cell) AS rn
+           |    FROM v CROSS JOIN c$KmeansIters cc WHERE v.vec_id < 8)
+           |  WHERE rn <= 4),
+           |lv AS (SELECT unnest([1, 2, 4]) AS n_probe),
+           |cand AS (
+           |  SELECT l.n_probe, q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM lv l
+           |  JOIN qprobe qp ON qp.rn <= l.n_probe
+           |  JOIN embeddings q ON q.vec_id = qp.vec_id
+           |  JOIN cells cc ON cc.cell = qp.cell
+           |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id),
+           |ns AS (SELECT n_probe, q_id, CAST(count(*) AS BIGINT) AS n_scored
+           |       FROM cand GROUP BY 1, 2),
+           |iv AS (
+           |  SELECT n_probe, q_id, vec_id FROM (
+           |    SELECT n_probe, q_id, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY n_probe, q_id
+           |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |    FROM cand) WHERE rank <= 5),
+           |t AS (SELECT q_id, count(*) AS n_truth FROM bt GROUP BY 1),
+           |h AS (SELECT iv.n_probe, bt.q_id, count(*) AS n_hit
+           |      FROM bt JOIN iv USING (q_id, vec_id) GROUP BY 1, 2)
+           |SELECT l.n_probe, t.q_id, CAST(t.n_truth AS BIGINT) AS n_truth,
+           |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |       round(coalesce(h.n_hit, 0)
+           |             / CAST(t.n_truth AS DOUBLE), 4) AS recall,
+           |       coalesce(ns.n_scored, 0) AS n_scored
+           |FROM lv l CROSS JOIN t
+           |LEFT JOIN h ON h.n_probe = l.n_probe AND h.q_id = t.q_id
+           |LEFT JOIN ns ON ns.n_probe = l.n_probe AND ns.q_id = t.q_id""".stripMargin),
   )
 }

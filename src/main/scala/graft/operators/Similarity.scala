@@ -377,6 +377,55 @@ object Similarity {
           col("n_truth").cast("double"), 4).as("recall"))
   }
 
+  /** Recall-vs-cost frontier of the IVF index (VERDICT r11 #5): one row
+    * per (nProbe level, golden query) with the approximate top-k's recall
+    * against brute-force truth AND the price paid for it — `n_scored`,
+    * the number of candidates that probe level actually scored. This is
+    * the table an index-tuning decision reads: recall climbs with nProbe,
+    * n_scored prices the climb, and the claim is oracle-gated instead of
+    * probe-asserted.
+    *
+    * Scale shape: ONE kmeans fit and ONE brute-truth build are shared by
+    * every probe level (the persisted truth is |Q|·k rows; the labeled
+    * corpus persists once and each level equi-joins it on the cell id
+    * exactly as [[ivfTopKMultiProbe]] does — broadcast (query, cell)
+    * pairs, corpus partitioned by cell, nothing non-equi). Probe sets are
+    * PREFIXES of one ranked [[probeCells]] explode at max(nProbe), so the
+    * cell ranking also computes once. Costs are integer counts; recall
+    * rounds at 4 — hash-portable. Persisted intermediates fall to the
+    * session cache clear Bench/Verify issue (the one-shot-operator
+    * convention).
+    */
+  def annFrontier(embeddings: DataFrame, queryFilter: DataFrame => DataFrame,
+                  k: Int, kCells: Int, iters: Int,
+                  probes: Seq[Int]): DataFrame = {
+    val model = kmeansFit(embeddings, kCells, iters)
+    val c = embeddings.select(col("vec_id"), col("embedding").as("emb"))
+      .join(model.cells, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queryFilter(embeddings)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qpAll = queryFilter(embeddings).select(col("vec_id").as("q_id"),
+        posexplode(graft.functions.VectorFunctions.nearest_cells(
+          col("embedding"), model.centroids.toIndexedSeq, probes.max)))
+      .select(col("q_id"), (col("pos") + 1).as("rn"), col("col").as("cell"))
+    val truth = bruteTopK(embeddings, queryFilter(embeddings), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probes.map { p =>
+      val qp = qpAll.filter(col("rn") <= p).select(col("q_id"), col("cell"))
+      val cand = c.join(broadcast(qp.join(q, "q_id")), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+      val nScored = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_scored"))
+      val approx = rankTopK(cand.select(col("q_id"), col("vec_id"),
+        vec_cosine(col("q_emb"), col("emb")).as("cos")), k)
+      recallAtK(approx, truth)
+        .join(nScored, Seq("q_id"), "left")
+        .select(lit(p).as("n_probe"), col("q_id"), col("n_truth"),
+          col("n_hit"), col("recall"),
+          coalesce(col("n_scored"), lit(0L)).as("n_scored"))
+    }.reduce(_.unionByName(_))
+  }
+
   def ivfTopKKmeans(embeddings: DataFrame, queryIds: DataFrame => DataFrame,
                     k: Int, kCells: Int, iters: Int): DataFrame = {
     val cells = kmeansCells(embeddings, kCells, iters)

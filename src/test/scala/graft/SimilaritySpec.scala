@@ -387,4 +387,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("annFrontier: recall and cost are monotone in nProbe, full probe is exact") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.annFrontier(e, d => d.filter(col("vec_id") < 8),
+        k = 5, kCells = 4, iters = 2, probes = Seq(1, 2, 4))
+      .collect()
+      .map(r => (r.getAs[Int]("n_probe"), r.getAs[Long]("q_id"),
+        r.getAs[Double]("recall"), r.getAs[Long]("n_scored")))
+    assert(rows.length === 3 * 8)
+    rows.groupBy(_._2).foreach { case (q, rs) =>
+      val byP = rs.sortBy(_._1)
+      // more probes never lose recall and never scan less
+      assert(byP.sliding(2).forall { case Array(a, b) =>
+        b._3 >= a._3 && b._4 >= a._4 })
+      // probing all 4 of 4 cells IS brute force: recall must be exact
+      assert(byP.last._3 === 1.0, s"q=$q")
+    }
+    spark.catalog.clearCache()
+  }
 }
