@@ -1067,6 +1067,13 @@ object SparkEntry {
         e => e.filter(col("vec_id") < 8),
         k = 5, kCells = KmeansK, iters = KmeansIters,
         probes = Seq(1, 2, 4))),
+
+    // classifier QUALITY gate (VERDICT r11 #6): confusion counts +
+    // accuracy/precision/recall/F1 of the shipped q111 artifact per
+    // content-hash split — the `test` row is a held-out generalization
+    // measurement, all metrics integer-derived and rounded
+    "q121_classifier_eval" -> ((s, dir) =>
+      graft.operators.QualityModel.evaluateSplits(Tables.documents(s, dir))),
   )
 
   private val dagStageMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -3527,5 +3534,59 @@ object SparkEntry {
            |FROM lv l CROSS JOIN t
            |LEFT JOIN h ON h.n_probe = l.n_probe AND h.q_id = t.q_id
            |LEFT JOIN ns ON ns.n_probe = l.n_probe AND ns.q_id = t.q_id""".stripMargin),
+
+    // q121: q111's score chain (same weight literals) vs the q104/q18
+    // quality label at the labelHeuristic threshold, confusion-counted
+    // per q92's split coin; every metric derives from the integer cells
+    "q121_classifier_eval" -> {
+      val w = graft.operators.QualityModel.DefaultWeights
+      val thr = graft.operators.QualityModel.HeuristicLabelThreshold
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""f AS (
+           |  SELECT doc_id,
+           |         least(len(toks) / 100.0, 1.0) AS x1,
+           |         CASE WHEN length(text) > 0
+           |              THEN len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                   / length(text)
+           |              ELSE 0.0e0 END AS x2,
+           |         least($stop / len(toks) * 5.0, 1.0) AS x3,
+           |         round(0.4 * least(len(toks) / 100.0, 1.0)
+           |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                            / NULLIF(length(text), 0))
+           |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+           |  FROM toks),
+           |s AS (
+           |  SELECT doc_id,
+           |         ${w(0)}e0 * 1.0e0 + ${w(1)}e0 * x1
+           |           + ${w(2)}e0 * x2 + ${w(3)}e0 * x3 AS z,
+           |         CASE WHEN quality >= ${thr}e0 THEN 1 ELSE 0 END AS y
+           |  FROM f),
+           |j AS (
+           |  SELECT CASE WHEN b < 10 THEN 'test'
+           |              WHEN b < 20 THEN 'val'
+           |              ELSE 'train' END AS split,
+           |         CASE WHEN round(1.0e0 / (1.0e0 + exp(-z)), 4) >= 0.5e0
+           |              THEN 1 ELSE 0 END AS accept,
+           |         y
+           |  FROM (SELECT doc_id, z, y,
+           |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+           |            AS b
+           |        FROM s)),
+           |c AS (
+           |  SELECT split, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN accept = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |         CAST(sum(CASE WHEN accept = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |         CAST(sum(CASE WHEN accept = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |         CAST(sum(CASE WHEN accept = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM j GROUP BY 1)
+           |SELECT split, n, tp, fp, tn, fn,
+           |       round((tp + tn) / CAST(n AS DOUBLE), 4) AS accuracy,
+           |       round(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 4) AS precision,
+           |       round(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 4) AS recall,
+           |       round(2 * tp / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE), 4)
+           |         AS f1
+           |FROM c""".stripMargin
+    },
   )
 }

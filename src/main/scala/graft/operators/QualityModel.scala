@@ -125,6 +125,48 @@ object QualityModel {
         when(col("p_good") >= threshold, 1).otherwise(0))
   }
 
+  /** Held-out evaluation of a shipped weight vector (VERDICT r11 #6):
+    * confusion counts and accuracy/precision/recall/F1 per
+    * [[Curation.splitAssign]] split — q111 gates the scoring ARITHMETIC;
+    * this gates model QUALITY on data the artifact's training run held
+    * out (the content-hash test split is disjoint from any training
+    * subset by the same deterministic coin, so the row marked `test` is
+    * a genuine generalization measurement, not a resubstitution one).
+    *
+    * Scale shape: one corpus scan — the score, the label, and the split
+    * coin are all scan-fused projections joined on doc_id (Catalyst
+    * collapses them into one projection over the scan), and the result
+    * is a 3-row aggregate. Every derived metric is computed from the
+    * integer confusion counts and rounds at 4 — deterministic under any
+    * execution order, hash-gateable. Zero-denominator cells (a split
+    * with no positive predictions) surface as NULL via nullif, the
+    * engine-portable 0/0 guard.
+    */
+  def evaluateSplits(docs: DataFrame, w: Seq[Double] = DefaultWeights.toSeq,
+                     threshold: Double = 0.5): DataFrame = {
+    val scored = scoreDocs(docs, w, threshold)
+    val labeled = docs.select(col("doc_id"),
+      labelHeuristic().cast("int").as("y"))
+    val splits = Curation.splitAssign(docs).select(col("doc_id"), col("split"))
+    scored.join(labeled, "doc_id").join(splits, "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("accept") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("accept") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("accept") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("accept") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+      .select(col("split"), col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")) / col("n").cast("double"), 4)
+          .as("accuracy"),
+        round(col("tp") / nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 4)
+          .as("precision"),
+        round(col("tp") / nullif(col("tp") + col("fn"), lit(0L)).cast("double"), 4)
+          .as("recall"),
+        round(lit(2L) * col("tp") /
+          nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L))
+            .cast("double"), 4).as("f1"))
+  }
+
   /** Labeled feature projection for training: y (from the label column)
     * plus x0..x3 — one kernel pass, ~5 doubles per row.
     */
