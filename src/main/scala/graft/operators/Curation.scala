@@ -566,9 +566,26 @@ object Curation {
     * — a TakeOrdered bounded heap, never a global sort. All shuffles key
     * on the 8-byte token fingerprint or doc_id.
     *
+    * Selection policy (ADVICE r11): this is the DETERMINISTIC top-k
+    * variant of DSIR, not the paper's Gumbel-noise resampling without
+    * replacement — chosen for the engine's no-RNG discipline (every
+    * gated operator must replay bit-identically in the oracle). Top-k
+    * concentrates harder on the mode of the importance weights than
+    * resampling does (less diversity among the selected set); callers
+    * wanting the paper's bias profile can add a deterministic
+    * md5-hash-keyed Gumbel perturbation per doc before the ranking
+    * without changing the plan shape.
+    *
     * Determinism: ranking orders on the ROUNDED 4-decimal normalized
     * weight with doc_id tie-break, so the selection boundary can't flip
-    * on last-bit float divergence between engines.
+    * on last-bit float divergence between engines. Residual hazard
+    * (ADVICE r11): `w` is still a parallel double sum, so a pre-rounding
+    * value sitting within one ulp of a .00005 boundary could round apart
+    * across engines and swap a boundary doc in or out; rounding narrows
+    * the exposure (no flake observed through sf0.1), it does not
+    * eliminate it — if the gate ever flakes, rank on a fixed-point key
+    * derived from integer counts (e.g. the sorted-fold of k·lr at a
+    * fixed quantization) instead.
     */
   def importanceResample(docs: DataFrame, targetSource: String,
                          n: Int = DefaultImportanceN): DataFrame = {
@@ -578,6 +595,11 @@ object Curation {
 
   /** [[importanceResample]] with its cache handle (the persisted tf
     * relation feeds both the model fold and the scoring join).
+    * Library callers composing operators should prefer THIS entry point
+    * and `unpersist()` the handle once the selection is materialized —
+    * the convenience wrapper leaves the tf relation cached (the
+    * vocabCoverage/sourceDivergence precedent), which Bench/Verify clear
+    * per query but a long-lived session must release itself.
     */
   def importanceStage(docs: DataFrame, targetSource: String,
                       n: Int = DefaultImportanceN): TextAnalysis.CachedStage = {
