@@ -21,25 +21,53 @@ import graft.streaming.SolarStreaming
   * with 1,000 live (panel, module) keys, so each batch closes the windows
   * the previous batch opened; the watermark (30 s delay) trails one
   * batch behind.
+  *
+  * Micro-batch overhead measurements (VERDICT r11 #7; 1M events, state
+  * flat at 4,500 rows in every run, recorded 2026-08-14 on this VM):
+  * {{{
+  * drive                 shuffle.partitions  rows/s   per-batch ms
+  * 10 batches (feed+wait)       32            6,359    ~6,000
+  * 10 batches (feed+wait)        8           14,188    ~2,400
+  * AvailableNow catch-up        32           20,425    1 micro-batch
+  * AvailableNow catch-up         8           29,435    1 micro-batch
+  * }}}
+  * Reading: the steady-state floor is dominated by per-batch fixed cost —
+  * 5 stateful operators x partitions x a RocksDB commit each — not
+  * per-row work. Dropping 32 -> 8 partitions cuts the floor 2.2x at this
+  * key cardinality (1,000 keys never needed 32 state instances), and
+  * backlog recovery under Trigger.AvailableNow, which drains the same
+  * 1M events in ONE micro-batch, runs 3.2-4.6x the per-feed drive. The
+  * production posture at scale: size `spark.sql.shuffle.partitions` to
+  * live KEY cardinality / executor count (not the batch row count), and
+  * prefer AvailableNow for catch-up after downtime instead of replaying
+  * the backlog through steady-state-sized micro-batches.
   */
 object ProbeStreaming {
   def main(args: Array[String]): Unit = {
+    // args: [batches] [perBatch] [mode] [shufflePartitions] — default
+    // 10 x 100k "anomaly" at 32; a 2 x 500k run measures how much of the
+    // steady-state floor is per-micro-batch overhead (stateful ops x
+    // shuffle partitions x RocksDB commit) vs per-row cost, and the 4th
+    // arg sweeps the partition count directly (each stateful operator
+    // commits one RocksDB instance PER partition per batch, so the
+    // overhead floor scales with it — VERDICT r11 #7). mode "curate"
+    // drives the streaming curation twin (kernel enrichment +
+    // watermark-bounded fp64 dedup + filters) with ~50-word docs, 10%
+    // exact duplicates. mode "catchup" pre-feeds the whole corpus and
+    // processes it under Trigger.AvailableNow — the backlog-recovery
+    // shape, where the engine amortizes the per-batch floor over few
+    // large batches instead of paying it per feed.
+    val batches = if (args.length > 0) args(0).toInt else 10
+    val perBatch = if (args.length > 1) args(1).toInt else 100000
+    val mode = if (args.length > 2) args(2) else "anomaly"
+    val shufflePartitions = if (args.length > 3) args(3) else "32"
+
     val spark = Engine.builder("probe-streaming").master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-
-    // args: [batches] [perBatch] [mode] — default 10 x 100k "anomaly";
-    // a 2 x 500k run measures how much of the steady-state floor is
-    // per-micro-batch overhead (stateful ops x 32 shuffle partitions x
-    // RocksDB commit) vs per-row cost. mode "curate" drives the
-    // streaming curation twin (kernel enrichment + watermark-bounded
-    // fp64 dedup + filters) with ~50-word docs, 10% exact duplicates.
-    val batches = if (args.length > 0) args(0).toInt else 10
-    val perBatch = if (args.length > 1) args(1).toInt else 100000
-    val mode = if (args.length > 2) args(2) else "anomaly"
     val baseMs = 1704067200000L // 2024-01-01T00:00:00Z
     val ckpt = java.nio.file.Files
       .createTempDirectory("probe-streaming-ckpt").toString
@@ -89,18 +117,38 @@ object ProbeStreaming {
     } else {
       val input = MemoryStream[(Timestamp, String, String, Double)]
       val df = input.toDF().toDF("ts", "panel", "module", "power")
-      val query = SolarStreaming.anomalyPipelineStream(df)
-        .writeStream.format("noop").outputMode("append")
-        .option("checkpointLocation", ckpt).start()
-      drive(query, b => {
-        val batch = (0 until perBatch).map { i =>
+      def anomalyBatch(b: Int): Seq[(Timestamp, String, String, Double)] =
+        (0 until perBatch).map { i =>
           // 4 windows per batch; 20 panels x 50 modules = 1,000 live keys
           val sec = b * 120L + (i % 120)
           (new Timestamp(baseMs + sec * 1000L),
             "p" + (i % 20), "m" + ((i / 20) % 50), (i % 100).toDouble)
         }
-        input.addData(batch: _*)
-      })
+      if (mode == "catchup") {
+        // backlog recovery: all data is already waiting when the query
+        // starts; AvailableNow drains it in as few micro-batches as the
+        // source offers, then terminates — per-batch overhead (5 stateful
+        // ops x partitions x RocksDB commit) amortizes over the backlog
+        for (b <- 0 until batches) input.addData(anomalyBatch(b): _*)
+        val t0 = System.nanoTime()
+        val query = SolarStreaming.anomalyPipelineStream(df)
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val fed = batches.toLong * perBatch
+        val nBatches = query.recentProgress.count(_.numInputRows > 0)
+        println(f"PROBE stream_catchup_pipeline rows=$fed sec=$sec%.1f " +
+          f"rows_per_sec=${fed / sec}%.0f micro_batches=$nBatches " +
+          f"shuffle_partitions=$shufflePartitions")
+      } else {
+        val query = SolarStreaming.anomalyPipelineStream(df)
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", ckpt).start()
+        drive(query, b => input.addData(anomalyBatch(b): _*))
+      }
     }
     spark.stop()
   }
