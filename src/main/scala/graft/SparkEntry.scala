@@ -1068,6 +1068,18 @@ object SparkEntry {
         k = 5, kCells = KmeansK, iters = KmeansIters,
         probes = Seq(1, 2, 4))),
 
+    // eval-set decontamination (GPT-3 app. C / Pile §6 discipline):
+    // src9 plays the benchmark, every other source is pool; the
+    // benchmark's distinct shingle fps broadcast and the pool pays one
+    // scan + per-doc count — leaked eval material flagged before it
+    // corrupts the measurement it belongs to
+    "q122_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminationReport(
+        docs.filter(col("source") =!= DecontamBenchmarkSource),
+        docs.filter(col("source") === DecontamBenchmarkSource))
+    }),
+
     // classifier QUALITY gate (VERDICT r11 #6): confusion counts +
     // accuracy/precision/recall/F1 of the shipped q111 artifact per
     // content-hash split — the `test` row is a held-out generalization
@@ -1084,6 +1096,11 @@ object SparkEntry {
     * exercises the full IDF spread.
     */
   val Bm25Terms: Seq[String] = Seq("dup", "spark", "window")
+
+  /** q122's benchmark stand-in: one source plays the eval set, the other
+    * nineteen are the pool (the q117 target-source convention).
+    */
+  val DecontamBenchmarkSource = "src9"
 
   /** q118's merge budget — generous for the synthetic 31-word vocabulary
     * (training stops on its own when no pair remains), small enough that
@@ -3534,6 +3551,38 @@ object SparkEntry {
            |FROM lv l CROSS JOIN t
            |LEFT JOIN h ON h.n_probe = l.n_probe AND h.q_id = t.q_id
            |LEFT JOIN ns ON ns.n_probe = l.n_probe AND ns.q_id = t.q_id""".stripMargin),
+
+    // q122: n is generated into the shingle concat chain from
+    // Dedup.DecontamShingleN (the q100 interpolate-the-constant rule);
+    // zero-shingle pool docs survive via the LEFT JOIN with n_hits 0,
+    // mirroring the engine's explode_outer accounting
+    "q122_decontamination" -> {
+      val n = Dedup.DecontamShingleN
+      val cat = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |shn AS (
+         |  SELECT doc_id, source,
+         |         list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+         |           i -> $cat)) AS sh
+         |  FROM toks),
+         |b AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS fp
+         |  FROM (SELECT unnest(sh) AS s FROM shn
+         |        WHERE source = '$DecontamBenchmarkSource')),
+         |pd AS (SELECT doc_id, len(sh) AS n_shingles FROM shn
+         |       WHERE source <> '$DecontamBenchmarkSource'),
+         |pf AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS fp
+         |       FROM (SELECT doc_id, unnest(sh) AS s FROM shn
+         |             WHERE source <> '$DecontamBenchmarkSource')),
+         |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM pf WHERE fp IN (SELECT fp FROM b) GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_shingles,
+         |       coalesce(h.n_hits, 0) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+         |FROM pd LEFT JOIN h USING (doc_id)""".stripMargin
+    },
 
     // q121: q111's score chain (same weight literals) vs the q104/q18
     // quality label at the labelHeuristic threshold, confusion-counted

@@ -1031,4 +1031,53 @@ object Dedup {
                          threshold: Double = 0.5,
                          maxBucket: Int = DefaultMaxBucket): DataFrame =
     dedupAgainstCorpusStage(corpus, incoming, threshold, maxBucket).result
+
+  /** Default shingle width for [[decontaminationReport]], mirrored in the
+    * q122 oracle. GPT-3 decontaminated on 13-grams over web-length pages
+    * (Brown et al. 2020, app. C); 5 is the proportional width for this
+    * corpus's 20-100-word documents — wide enough that shared phrasing is
+    * evidence of leakage, not of the language.
+    */
+  val DecontamShingleN = 5
+
+  /** Eval-set decontamination (the GPT-3/Pile discipline — Brown et al.
+    * 2020 app. C; Gao et al. 2021 §6): flag every POOL document that
+    * shares at least one `n`-token shingle with the BENCHMARK relation,
+    * so leaked eval material is removed from training data before the
+    * measurement it would corrupt. Report, not filter: per pool doc, its
+    * distinct-shingle count, how many of those shingles appear anywhere
+    * in the benchmark, and the contaminated flag — the keep-set is
+    * `contaminated = 0`, and n_hits/n_shingles grades HOW contaminated
+    * (a verbatim copy scores ~1.0, one shared idiom ~1/n_shingles).
+    *
+    * Scale shape: the benchmark side is an eval set — KBs to MBs against
+    * a 100 TB pool — so its distinct shingle fingerprints BROADCAST and
+    * the pool pays one scan: shingle → 60-bit fp → broadcast-hash left
+    * join → per-doc count aggregate. No shuffle ever carries pool text;
+    * the only shuffled relation is (doc_id, n_shingles, hit) partials.
+    * `explode_outer` keeps sub-n-token docs (zero shingles) in the
+    * report with n_hits = 0 — a doc too short to shingle cannot be
+    * flagged, but must not vanish from the accounting.
+    */
+  def decontaminationReport(pool: DataFrame, benchmark: DataFrame,
+                            n: Int = DecontamShingleN): DataFrame = {
+    val bfp = benchmark
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("text"), n))).as("s"))
+      .select(TextAnalysis.fp60(col("s")).as("fp"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    pool
+      .select(col("doc_id"), array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode_outer(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_shingles"),
+        TextAnalysis.fp60(col("s")).as("fp"))
+      .join(broadcast(bfp), Seq("fp"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits") > 0).cast("int").as("contaminated"))
+  }
 }

@@ -285,4 +285,30 @@ class DedupSpec extends SparkSpecBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("decontaminationReport flags benchmark overlap and keeps the accounting") {
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val pool = Seq(
+      // verbatim copy of the benchmark doc: every shingle contaminated
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      // shares exactly one 5-gram window
+      (2L, "x alpha beta gamma delta epsilon y z w v u t"),
+      // same words, different order: no shared 5-gram
+      (3L, "eta zeta epsilon delta gamma beta alpha"),
+      // too short to shingle at n=5: zero shingles, still reported
+      (4L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.decontaminationReport(pool, benchmark, n = 5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_shingles"), r.getAs[Long]("n_hits"),
+          r.getAs[Int]("contaminated"))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L)) // nothing vanishes
+    assert(rows(1L) === ((3, 3L, 1)))  // 7 tokens -> 3 shingles, all hit
+    assert(rows(2L) === ((8, 1L, 1)))  // one leaked window suffices
+    assert(rows(3L) === ((3, 0L, 0)))  // shared vocabulary is not leakage
+    assert(rows(4L) === ((0, 0L, 0)))  // sub-n doc: unflaggable, accounted
+  }
 }
