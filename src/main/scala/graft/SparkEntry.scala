@@ -1035,10 +1035,22 @@ object SparkEntry {
     // nMerges nested left-to-right `replace` calls over a
     // boundary-wrapped string — and hash-matches the full piece stream.
     "q118_bpe_encode" -> ((s, dir) => {
+      // trains FRESH every run (the q11 producer discipline: q118's bench
+      // timing keeps pricing the BPE training) and republishes the memo
+      // q123 consumes; training is deterministic, so the value only ever
+      // changes when the corpus does
       val merges = Bpe.trainMergePairs(Tables.documents(s, dir), Q118Merges)
       learnedBpeMerges = Some(merges)
+      bpeMergesMemo.put(ccKey(s, dir), (s, merges))
       Bpe.encodeDocs(Tables.documents(s, dir), merges)
     }),
+
+    // tokenizer fertility per source under the q118-trained merges
+    // (pieces/word, chars/piece — the vocabulary-fit table a token-
+    // budgeted run reads before committing to a tokenizer); consumes the
+    // q118 memo, training only when it runs standalone
+    "q123_bpe_fertility" -> ((s, dir) =>
+      Bpe.fertilityReport(Tables.documents(s, dir), bpeMergesShared(s, dir))),
 
     // the composed four-stage curation DAG (percentile-keep → LSH dedup
     // survivors → token budget → packing) gated as ONE query — the
@@ -1090,6 +1102,22 @@ object SparkEntry {
 
   private val dagStageMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, Curation.CurationDagStage)]()
+
+  // q118-trained merge table per (session, dir): q118 produces (fresh
+  // each run), q123 consumes; the fallback trains so q123 also runs
+  // standalone (the Verify map iterates in arbitrary order)
+  private val bpeMergesMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, Seq[(String, String)])]()
+
+  private def bpeMergesShared(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val it = bpeMergesMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    val m = bpeMergesMemo.computeIfAbsent(ccKey(s, dir), _ =>
+      (s, Bpe.trainMergePairs(Tables.documents(s, dir), Q118Merges)))._2
+    learnedBpeMerges = Some(m)
+    m
+  }
 
   /** q100's fixed query term set: one rare discriminative term plus two
     * mid-frequency terms of the synthetic vocabulary, so the ranking
@@ -3583,6 +3611,45 @@ object SparkEntry {
          |       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
          |FROM pd LEFT JOIN h USING (doc_id)""".stripMargin
     },
+
+    // q123: the q118 merge replay grouped to tokenizer economics per
+    // source — integer word/piece/char sums, ratios rounded at 4
+    "q123_bpe_fertility" -> (learnedBpeMerges match {
+      case None =>
+        // keyset-stable placeholder (the q118 convention); Verify always
+        // overwrites it with the real replay
+        "SELECT '' AS source, CAST(0 AS BIGINT) AS n_docs, " +
+          "CAST(0 AS BIGINT) AS n_words, CAST(0 AS BIGINT) AS n_pieces, " +
+          "0.0 AS fertility, 0.0 AS chars_per_piece WHERE false"
+      case Some(merges) =>
+        require(merges.forall { case (a, b) => !(a + b).contains("|") },
+          "oracle wrap char '|' appears in a learned symbol — switch the replay to chr(1)")
+        val folded = merges.foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
+          case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+        }
+        s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_words) AS BIGINT) AS n_words,
+           |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           |       round(sum(n_pieces) / CAST(NULLIF(sum(n_words), 0) AS DOUBLE), 4)
+           |         AS fertility,
+           |       round(sum(n_chars) / CAST(NULLIF(sum(n_pieces), 0) AS DOUBLE), 4)
+           |         AS chars_per_piece
+           |FROM (
+           |  SELECT source, len(words) AS n_words,
+           |         len(flatten(pieces)) AS n_pieces,
+           |         coalesce(list_sum(list_transform(flatten(pieces),
+           |                                          p -> len(p))), 0) AS n_chars
+           |  FROM (
+           |    SELECT source, words,
+           |           list_transform(words,
+           |             w -> string_split(trim($folded, '|'), '||')) AS pieces
+           |    FROM (
+           |      SELECT source,
+           |             list_filter(string_split(lower(text), ' '),
+           |                         w -> len(w) > 0) AS words
+           |      FROM documents)))
+           |GROUP BY 1""".stripMargin
+    }),
 
     // q121: q111's score chain (same weight literals) vs the q104/q18
     // quality label at the labelHeuristic threshold, confusion-counted

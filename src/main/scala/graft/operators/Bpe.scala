@@ -331,4 +331,41 @@ object Bpe {
         size(col("pieces")).as("n_tokens"),
         concat_ws(" ", col("pieces")).as("token_str"))
   }
+
+  /** Tokenizer fertility report — the standard tokenizer-evaluation table
+    * (fertility = pieces per word; Rust et al., ACL 2021 use it to grade
+    * how well a vocabulary fits each language/domain): per source, the
+    * corpus's document/word/piece totals, pieces-per-word, and
+    * characters-per-piece under a trained merge table. High fertility on
+    * a slice means the vocabulary fragments that slice's words — the
+    * signal that decides whether a tokenizer is retrained before a run
+    * whose budget is counted in TOKENS, not documents.
+    *
+    * Scale shape: one scan — the per-doc encode is the same scan-fused
+    * [[graft.functions.TextFunctions.bpe_encode]] projection q118 gates,
+    * reduced by a map-side-combining aggregate to ≤ #sources rows; both
+    * ratios derive from integer sums and round at 4 (hash-portable).
+    */
+  def fertilityReport(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words =
+      filter(TextAnalysis.tokens(lower(col("text"))), w => length(w) > 0)
+    docs
+      .select(col("source"), words.as("words"))
+      .select(col("source"), size(col("words")).as("n_words"),
+        flatten(transform(col("words"),
+          w => graft.functions.TextFunctions.bpe_encode(w, merges)))
+          .as("pieces"))
+      .select(col("source"), col("n_words"), size(col("pieces")).as("n_pieces"),
+        aggregate(col("pieces"), lit(0L), (a, p) => a + length(p)).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces") / nullif(col("n_words"), lit(0L)).cast("double"), 4)
+          .as("fertility"),
+        round(col("n_chars") / nullif(col("n_pieces"), lit(0L)).cast("double"), 4)
+          .as("chars_per_piece"))
+  }
 }

@@ -249,4 +249,33 @@ class BpeSpec extends SparkSpecBase {
     assert(rows.forall(_._2 > 0))
     spark.catalog.clearCache()
   }
+
+  test("fertilityReport aggregates encodeDocs exactly, bounded sensibly") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMergePairs(docs, nMerges = 16)
+    val rep = Bpe.fertilityReport(docs, merges).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // reference: the gated per-doc encode, rolled up independently
+    val ref = Bpe.encodeDocs(docs, merges)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_words").as("w"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("p"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rep.keySet === ref.keySet)
+    rep.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_docs") === ref(src).getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_words") === ref(src).getAs[Long]("w"))
+      assert(r.getAs[Long]("n_pieces") === ref(src).getAs[Long]("p"))
+      val fert = r.getAs[Double]("fertility")
+      // every word is at least one piece; merges can only shrink a
+      // word's segmentation, never below 1
+      assert(fert >= 1.0, s"$src fertility $fert")
+      // pieces never out-length their words: chars/piece >= 1
+      assert(r.getAs[Double]("chars_per_piece") >= 1.0)
+    }
+    spark.catalog.clearCache()
+  }
 }
