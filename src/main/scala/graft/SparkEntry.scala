@@ -1092,6 +1092,13 @@ object SparkEntry {
         docs.filter(col("source") === DecontamBenchmarkSource))
     }),
 
+    // per-source data card (Datasheets-for-Datasets shape): volume,
+    // exact-dup exposure, quality share, majority language — every
+    // number integer-derived so the hash gate can't flake on summation
+    // order; one kernel scan + an 8-byte-fp dup join
+    "q124_source_datacard" -> ((s, dir) =>
+      Curation.sourceDatacard(Tables.documents(s, dir))),
+
     // classifier QUALITY gate (VERDICT r11 #6): confusion counts +
     // accuracy/precision/recall/F1 of the shipped q111 artifact per
     // content-hash split — the `test` row is a held-out generalization
@@ -3650,6 +3657,56 @@ object SparkEntry {
            |      FROM documents)))
            |GROUP BY 1""".stripMargin
     }),
+
+    // q124: q104's quality, q17's language argmax, q10's normalized-fp
+    // dup definition, rolled to one row per source; ratios all derive
+    // from integer counts; majority-language argmax replays the q102
+    // join-back with (count desc, lang asc) resolution
+    "q124_source_datacard" -> {
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      val thr = graft.operators.QualityModel.HeuristicLabelThreshold
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |         string_split(lower(text), ' ') AS ltoks
+         |  FROM documents),
+         |scored AS (SELECT doc_id, ${langScoreSqls.mkString(", ")} FROM toks),
+         |pl AS (SELECT doc_id, $predLangCaseSql AS pred_lang FROM scored),
+         |enr AS (
+         |  SELECT doc_id, source, len(toks) AS n_words,
+         |         round(0.4 * least(len(toks) / 100.0, 1.0)
+         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+         |                            / NULLIF(length(text), 0))
+         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality,
+         |         ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp64
+         |  FROM (SELECT d.doc_id, d.source, d.text, t.toks, t.ltoks
+         |        FROM documents d JOIN toks t USING (doc_id))),
+         |dup AS (SELECT fp64 FROM enr GROUP BY 1 HAVING count(*) > 1),
+         |b AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN fp64 IN (SELECT fp64 FROM dup)
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |         CAST(sum(CASE WHEN quality >= ${thr}e0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hi_quality
+         |  FROM enr GROUP BY 1),
+         |lc AS (SELECT e.source, p.pred_lang, count(*) AS lc
+         |       FROM enr e JOIN pl p USING (doc_id) GROUP BY 1, 2),
+         |lm AS (SELECT source, max(lc) AS mc FROM lc GROUP BY 1),
+         |tl AS (SELECT lc.source, lm.mc, min(pred_lang) AS top_lang
+         |       FROM lc JOIN lm ON lc.source = lm.source AND lc.lc = lm.mc
+         |       GROUP BY 1, 2)
+         |SELECT b.source, b.n_docs, b.n_tokens,
+         |       round(b.n_tokens / CAST(b.n_docs AS DOUBLE), 4)
+         |         AS mean_doc_tokens,
+         |       b.n_dup_docs,
+         |       round(b.n_dup_docs / CAST(b.n_docs AS DOUBLE), 4) AS pct_dup,
+         |       b.n_hi_quality,
+         |       round(b.n_hi_quality / CAST(b.n_docs AS DOUBLE), 4)
+         |         AS pct_hi_quality,
+         |       tl.top_lang,
+         |       round(tl.mc / CAST(b.n_docs AS DOUBLE), 4) AS top_lang_share
+         |FROM b JOIN tl USING (source)""".stripMargin
+    },
 
     // q121: q111's score chain (same weight literals) vs the q104/q18
     // quality label at the labelHeuristic threshold, confusion-counted

@@ -542,6 +542,72 @@ object Curation {
   def curationDag(docs: DataFrame, ctxTokens: Int = 256): DataFrame =
     curationDagStage(docs, ctxTokens).result
 
+  /** Per-source data card — the dataset-datasheet row a source-mix
+    * decision reads (Gebru et al., "Datasheets for Datasets", CACM 2021;
+    * every serious pretraining corpus ships one per ingestion stream):
+    * volume (docs, tokens, mean tokens/doc), exact-duplicate exposure
+    * (docs whose normalized fingerprint repeats corpus-wide — the q10
+    * family's definition), quality (share of docs at/above the
+    * [[QualityModel.HeuristicLabelThreshold]] bar), and language
+    * (majority predicted language and its share).
+    *
+    * Determinism: every reported number derives from INTEGER counts
+    * (rounded at 4 where a ratio) — no parallel double sum ever reaches
+    * the output, so the hash gate cannot flake on summation order (the
+    * q117 boundary-hazard lesson applied preemptively: a mean of rounded
+    * qualities would carry exactly that risk, the ≥-threshold share does
+    * not). Majority language resolves argmax by (count desc, lang asc)
+    * via the q102 join-back pattern — never a window over the corpus.
+    *
+    * Scale shape: one kernel scan into a persisted projection (the
+    * CachedStage discipline); the dup flag is an 8-byte-fp self-
+    * aggregate + left join; everything else folds map-side to ≤ #sources
+    * (× #langs) rows.
+    */
+  def sourceDatacard(docs: DataFrame): DataFrame =
+    sourceDatacardStage(docs).result
+
+  /** [[sourceDatacard]] with its cache handle. */
+  def sourceDatacardStage(docs: DataFrame): TextAnalysis.CachedStage = {
+    val enr = docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_words"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.predLang(col("text")).as("pred_lang"),
+        TextAnalysis.fp64Expr(col("text")).as("fp64"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupFp = enr.groupBy(col("fp64"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("fp64"), lit(1L).as("is_dup"))
+    val base = enr.join(dupFp, Seq("fp64"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+        sum(when(col("quality") >= QualityModel.HeuristicLabelThreshold, 1L)
+          .otherwise(0L)).as("n_hi_quality"))
+    val lc = enr.groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("lc"))
+    val lmax = lc.groupBy(col("source")).agg(max(col("lc")).as("mc"))
+    val topLang = lc.join(lmax, "source")
+      .filter(col("lc") === col("mc"))
+      .groupBy(col("source"), col("mc"))
+      .agg(min(col("pred_lang")).as("top_lang"))
+    val result = base.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("n_docs").cast("double"), 4)
+          .as("mean_doc_tokens"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs") / col("n_docs").cast("double"), 4)
+          .as("pct_dup"),
+        col("n_hi_quality"),
+        round(col("n_hi_quality") / col("n_docs").cast("double"), 4)
+          .as("pct_hi_quality"),
+        col("top_lang"),
+        round(col("mc") / col("n_docs").cast("double"), 4)
+          .as("top_lang_share"))
+    TextAnalysis.CachedStage(enr, result)
+  }
+
   /** Default selection size for [[importanceResample]], mirrored in the
     * q117 oracle.
     */

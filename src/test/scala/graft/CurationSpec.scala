@@ -356,6 +356,32 @@ class CurationSpec extends SparkSpecBase {
     assert(byaSplit("train") > 400 && byaSplit("test") > 20 && byaSplit("val") > 20)
   }
 
+  test("sourceDatacard: integer-exact volume, dup, quality, and lang columns") {
+    val good = "the cat and the dog play in the house with the ball " * 3
+    val corpus = Seq(
+      (1L, good, "A"),
+      (2L, good, "A"),                    // exact dup of 1 (cross-doc, same source)
+      (3L, "zz qq ww", "A"),              // low quality, und
+      (4L, good, "B"),                    // dup of 1/2 ACROSS sources: counts in B too
+      (5L, "el que la y en un mar y el sol", "B") // es majority tiebreak-relevant
+    ).toDF("doc_id", "text", "source")
+    val rows = Curation.sourceDatacard(corpus).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet === Set("A", "B"))
+    val a = rows("A")
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(a.getAs[Long]("n_dup_docs") === 2L)   // docs 1 and 2
+    assert(a.getAs[Double]("pct_dup") === 0.6667)
+    assert(a.getAs[String]("top_lang") === "en") // 2 en vs 1 und
+    val b = rows("B")
+    // dup membership is CORPUS-wide: doc 4 repeats source A's text
+    assert(b.getAs[Long]("n_dup_docs") === 1L)
+    // 1 en + 1 es: tie resolves to the lexicographically smaller lang
+    assert(b.getAs[String]("top_lang") === "en")
+    assert(b.getAs[Double]("top_lang_share") === 0.5)
+    spark.catalog.clearCache()
+  }
+
   test("curationDag composes the four stages and bounds its cached state") {
     spark.catalog.clearCache()
     val baseline = spark.sparkContext.getPersistentRDDs.size
