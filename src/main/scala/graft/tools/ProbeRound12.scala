@@ -38,6 +38,7 @@ object ProbeRound12 {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("ops")) { runOps(spark); spark.stop(); return }
     val docs = ScaleProbe.syntheticDocs(spark, 1000000L)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     docs.count()
@@ -84,5 +85,47 @@ object ProbeRound12 {
       println(f"PROBE r12ab $name codegen=${gen.min}%.2f interp=${interp.min}%.2f speedup=${interp.min / gen.min}%.2fx")
     }
     spark.stop()
+  }
+
+  /** `ops` mode: the round-12 reporting operators at 1 M docs.
+    * Recorded (2026-08-14, 50-word synthetic docs, local[32]):
+    * decontam_1m 5.1 s (46 M pool shingles against a 1,000-doc
+    * benchmark's broadcast fp set), datacard_1m 5.8 s (kernel scan +
+    * 50 M-token rollup + fp dup join + lang argmax), fertility_1m 4.3 s
+    * (1 M-doc encode+rollup under 48 trained merges ≈ 11.6 M words/s
+    * through the codegen'd BPE encode; training itself timed separately
+    * by the r11 BPE probes).
+    */
+  private def runOps(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.operators.{Bpe, Curation, Dedup}
+    val n = 1000000L
+    val docs = ScaleProbe.syntheticDocs(spark, n)
+      .withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    println(s"CORPUS ${docs.count()} docs")
+    def time(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE r12ops $name sec=${(System.nanoTime() - t0) / 1e9}%.1f out=$r")
+    }
+    val isBench = pmod(col("doc_id"), lit(1000)) === 0
+    time("decontam_1m") {
+      Dedup.decontaminationReport(docs.filter(!isBench), docs.filter(isBench))
+        .agg(sum(col("n_hits")), sum(col("n_shingles")),
+          sum(col("contaminated"))).head()
+    }
+    time("datacard_1m") {
+      Curation.sourceDatacard(docs)
+        .agg(sum(col("n_tokens")), sum(col("n_dup_docs"))).head()
+    }
+    spark.catalog.clearCache()
+    val merges = Bpe.trainMergePairs(docs.filter(col("doc_id") < 100000), 48)
+    time("fertility_1m") {
+      Bpe.fertilityReport(docs, merges)
+        .agg(sum(col("n_pieces")), sum(col("n_words"))).head()
+    }
+    spark.catalog.clearCache()
+    docs.unpersist()
   }
 }
