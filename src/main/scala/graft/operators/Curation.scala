@@ -214,25 +214,43 @@ object Curation {
     */
   def packStage(docs: DataFrame, ctxTokens: Int = 256,
                 nBlocks: Int = DefaultPackBlocks): PackStage = {
-    val wIn = Window.partitionBy(col("lang"), col("block"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wBlk = Window.partitionBy(col("lang")).orderBy(col("block"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     // persisted: the window branch and the block-total branch both consume
     // it, and recomputing would re-tokenize the corpus twice (Catalyst
     // does not reuse diamond subplans)
     val base = docs.select(col("doc_id"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("int") % nBlocks).as("block"))
+        packBlock(nBlocks))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PackStage(base, packFromBase(base, ctxTokens))
+  }
+
+  /** The deterministic md5 block bucket of `doc_id` — the per-language
+    * shard key of the two-level packing order.
+    */
+  private def packBlock(nBlocks: Int): org.apache.spark.sql.Column =
+    (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % nBlocks).as("block")
+
+  /** Packing over a PRE-COMPUTED `(doc_id, lang, n_tokens, block)` base —
+    * the shared body of [[packStage]], also fed directly by
+    * [[curationDagStage]] from its one-scan projection (token counts are
+    * already in hand there; re-tokenizing would double-scan the text).
+    * The base must be cached or cheap: the block-total branch and the
+    * window branch both read it.
+    */
+  private[graft] def packFromBase(base: DataFrame,
+                                  ctxTokens: Int): DataFrame = {
+    val wIn = Window.partitionBy(col("lang"), col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBlk = Window.partitionBy(col("lang")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val blockOffsets = base.groupBy(col("lang"), col("block"))
       .agg(sum(col("n_tokens")).as("blk_tokens"))
       .withColumn("blk_before",
         coalesce(sum(col("blk_tokens")).over(wBlk), lit(0L)))
       .select(col("lang"), col("block"), col("blk_before"))
-    val result = base
+    base
       .withColumn("cum_in_block",
         coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       // broadcast is safe by construction: #langs × nBlocks rows
@@ -243,7 +261,6 @@ object Curation {
         (col("cum_before") % ctxTokens).as("offset"),
         (col("cum_before") % ctxTokens + col("n_tokens") > ctxTokens)
           .cast("int").as("spans_boundary"))
-    PackStage(base, result)
   }
 
   /** [[packStage]]'s result; the shared token-count cache stays for the
@@ -292,6 +309,17 @@ object Curation {
       .filter(col("q").isNotNull)
       .withColumn("qb", floor(col("q") * 100).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    BudgetStage(enriched, budgetFromEnriched(enriched, budgetTokens))
+  }
+
+  /** Budget selection over a PRE-COMPUTED `(doc_id, n_tokens, q, qb)`
+    * relation — the shared body of [[budgetStage]], also fed directly by
+    * [[curationDagStage]] from its one-scan projection. The input must be
+    * cached or cheap: the bucket histogram, the whole-bucket branch, and
+    * the boundary branch all read it.
+    */
+  private[graft] def budgetFromEnriched(enriched: DataFrame,
+                                        budgetTokens: Long): DataFrame = {
     // #buckets rows (<= ~101): the descending-order prefix window over it
     // is trivial, and the join back broadcasts — safe by construction
     val wBuckets = Window.orderBy(col("qb").desc)
@@ -317,9 +345,8 @@ object Curation {
       .filter(col("cum_before") + col("cum_in_bucket") + col("n_tokens")
         <= budgetTokens)
       .drop("cum_in_bucket")
-    BudgetStage(enriched,
-      whole.union(boundary)
-        .select(col("doc_id"), col("q"), col("qb"), col("n_tokens")))
+    whole.union(boundary)
+      .select(col("doc_id"), col("q"), col("qb"), col("n_tokens"))
   }
 
   /** [[budgetStage]]'s result; release the shared scored projection via
@@ -461,16 +488,25 @@ object Curation {
       TextAnalysis.qualityScore(col("text")).as("quality"))
       .filter(col("quality").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TextAnalysis.CachedStage(scored, percentileFromScored(scored))
+  }
+
+  /** Percentiles over a PRE-COMPUTED non-null `(doc_id, source, quality)`
+    * relation — the shared body of [[qualityPercentileStage]], also fed
+    * directly by [[curationDagStage]] from its one-scan projection. The
+    * input must be cached or cheap: the histogram fold and the join probe
+    * both read it.
+    */
+  private[graft] def percentileFromScored(scored: DataFrame): DataFrame = {
     val h = scored.groupBy(col("source"), col("quality"))
       .agg(count(lit(1)).as("cnt"))
     val n = h.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
     val w = Window.partitionBy(col("source")).orderBy(col("quality"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hh = h.withColumn("cum", sum(col("cnt")).over(w)).join(n, "source")
-    val result = scored.join(hh, Seq("source", "quality"))
+    scored.join(hh, Seq("source", "quality"))
       .select(col("doc_id"), col("source"), col("quality"),
         round((col("cum") - lit(0.5) * col("cnt")) / col("n"), 4).as("pctl"))
-    TextAnalysis.CachedStage(scored, result)
   }
 
   /** [[curationDag]]'s handle: `dropIds` is the checkpointed dropped-id
@@ -502,25 +538,39 @@ object Curation {
     *
     * Scale shape: every stage keeps its own posture (capped band
     * equi-joins, log-round CC, bucket-wise budget cutoff, block-sharded
-    * packing windows); the stitching adds only 8-byte-id joins. The
-    * dropped-id relation is eagerly checkpointed so the LSH index and CC
-    * label state release BEFORE the budget/packing stages run — peak
-    * cached footprint is one stage's, not the whole DAG's (the
-    * ProbeRound11 `dag` lifecycle, 1 M docs with zero cached RDDs left).
-    * The percentile/budget/pack projections persist through their stage
-    * handles and fall to the session cache clear Bench/Verify issue;
-    * `dropIds` outlives the call by design (the result plan reads it) —
-    * callers release it via the stage handle, as SparkEntry's q119 does
-    * for the previous invocation on re-run.
+    * packing windows); the stitching adds only 8-byte-id joins, and all
+    * four non-LSH stages read ONE shared kernel projection
+    * `(doc_id, source, lang, quality, n_tokens)` — the corpus text is
+    * scanned exactly twice (kernel projection + LSH shingling), where
+    * the naive stage composition scans it five times. The dropped-id
+    * relation is eagerly checkpointed so the LSH index and CC label
+    * state release BEFORE the budget/packing stages run — peak cached
+    * footprint is one stage's, not the whole DAG's (the ProbeRound11
+    * `dag` lifecycle, 1 M docs with zero cached RDDs left). The shared
+    * projection and packing base fall to the session cache clear
+    * Bench/Verify issue; `dropIds` outlives the call by design (the
+    * result plan reads it) — callers release it via the stage handle, as
+    * SparkEntry's q119 does for the previous invocation on re-run.
     */
   def curationDagStage(docs: DataFrame, ctxTokens: Int = 256): CurationDagStage = {
-    val ps = qualityPercentileStage(docs)
-    val kept = docs.join(
-        ps.result.filter(col("pctl") >= 0.5).select("doc_id"), "doc_id")
+    // ONE kernel scan feeds the percentile histogram, the survivor
+    // argmax, the budget selection, AND the packing base (the q53 fusion
+    // discipline applied DAG-wide: composing the standalone stages would
+    // pay the quality kernels three times and tokenize twice — at 100 TB
+    // that is two avoidable corpus scans). The only other text pass is
+    // the LSH shingling, which genuinely needs the text.
+    val scored = docs.select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val st = Dedup.minhashNearDupsStage(kept, threshold = 0.5)
+    val keptIds = percentileFromScored(
+        scored.filter(col("quality").isNotNull)
+          .select(col("doc_id"), col("source"), col("quality")))
+      .filter(col("pctl") >= 0.5).select("doc_id")
+    val st = Dedup.minhashNearDupsStage(docs.join(keptIds, "doc_id"),
+      threshold = 0.5)
     val labels = Dedup.nearDupClusters(st.result)
-    val surv = Dedup.clusterSurvivors(labels, kept)
+    val surv = Dedup.survivorsFromScored(labels, scored)
     // dropped ids = clustered docs that are not their cluster's survivor —
     // an 8-byte-id relation, checkpointed eagerly so the band index and
     // CC checkpoint blocks can release before the budget stage scans
@@ -528,12 +578,19 @@ object Curation {
         surv.select(col("survivor_id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select("doc_id").localCheckpoint(true)
     st.unpersist(); Dedup.releaseClusters(labels)
-    val deduped = kept.join(drop, Seq("doc_id"), "left_anti")
-    val total = deduped
-      .agg(sum(size(TextAnalysis.tokens(col("text"))))).head().getLong(0)
-    val selected = deduped.join(
-      budgetStage(deduped, total / 2).result.select("doc_id"), "doc_id")
-    CurationDagStage(drop, packStage(selected, ctxTokens).result)
+    val dd = scored.join(keptIds, "doc_id").join(drop, Seq("doc_id"), "left_anti")
+    val total = dd.agg(sum(col("n_tokens"))).head().getLong(0)
+    val selected = budgetFromEnriched(
+        dd.filter(col("quality").isNotNull)
+          .select(col("doc_id"), col("n_tokens"), col("quality").as("q"))
+          .withColumn("qb", floor(col("q") * 100).cast("int")),
+        total / 2)
+      .select("doc_id")
+    val base = dd.join(selected, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        packBlock(DefaultPackBlocks))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CurationDagStage(drop, packFromBase(base, ctxTokens))
   }
 
   /** [[curationDagStage]]'s result (handle discipline as the other staged

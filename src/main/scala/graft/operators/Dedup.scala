@@ -911,10 +911,17 @@ object Dedup {
     * equi-join) and taking min(doc_id) among exact-max rows — exact
     * because both engines compute bit-identical rounded quality doubles.
     */
-  def clusterSurvivors(labels: DataFrame, docs: DataFrame): DataFrame = {
-    val scored = docs.select(col("doc_id"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
-    val j = labels.join(scored, "doc_id")
+  def clusterSurvivors(labels: DataFrame, docs: DataFrame): DataFrame =
+    survivorsFromScored(labels, docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality")))
+
+  /** [[clusterSurvivors]] over a PRE-COMPUTED `(doc_id, quality)`
+    * relation — fed by [[Curation.curationDagStage]] from its one-scan
+    * projection so the survivor argmax costs no extra text scan.
+    */
+  private[graft] def survivorsFromScored(labels: DataFrame,
+                                         scored: DataFrame): DataFrame = {
+    val j = labels.join(scored.select(col("doc_id"), col("quality")), "doc_id")
       .select(col("cluster"), col("doc_id"), col("quality"))
     val m = j.groupBy(col("cluster"))
       .agg(max(col("quality")).as("best_q"), count(lit(1)).as("cluster_size"))

@@ -39,6 +39,7 @@ object ProbeRound12 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("ops")) { runOps(spark); spark.stop(); return }
+    if (args.headOption.contains("dag")) { runDag(spark); spark.stop(); return }
     val docs = ScaleProbe.syntheticDocs(spark, 1000000L)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     docs.count()
@@ -96,6 +97,32 @@ object ProbeRound12 {
     * through the codegen'd BPE encode; training itself timed separately
     * by the r11 BPE probes).
     */
+  /** `dag` mode: the ONE-SCAN fused curation DAG (`curationDagStage`) at
+    * 1 M docs on the SAME synthetic corpus ProbeRound11's `dag` mode ran
+    * the stage-composed chain on (50.7 s, five text passes) — apples to
+    * apples for the r12 shared-projection fusion.
+    * Recorded 2026-08-14: 41.5 s end to end vs 50.7 s stage-composed —
+    * the saved text passes are worth ~20% even with LSH+CC dominating —
+    * and 199,148 packed docs, matching the r11 chain's output exactly
+    * (the fusion is a plan change, not a semantic one).
+    * CACHED_RDDS_LEFT 0 after release.
+    */
+  private def runDag(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.operators.Curation
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val docs = ProbeRound11.syntheticCorpus(spark, 1000000L)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    println(s"CORPUS ${docs.count()} docs")
+    val t0 = System.nanoTime()
+    val stage = Curation.curationDagStage(docs)
+    val rows = stage.result.count()
+    println(f"PROBE r12dag fused_1m sec=${(System.nanoTime() - t0) / 1e9}%.1f rows=$rows")
+    spark.catalog.clearCache() // covers docs + the shared projections
+    stage.release()
+    println("CACHED_RDDS_LEFT " +
+      (spark.sparkContext.getPersistentRDDs.size - baseline))
+  }
+
   private def runOps(spark: org.apache.spark.sql.SparkSession): Unit = {
     import graft.operators.{Bpe, Curation, Dedup}
     val n = 1000000L
