@@ -579,7 +579,11 @@ object Curation {
       .select("doc_id").localCheckpoint(true)
     st.unpersist(); Dedup.releaseClusters(labels)
     val dd = scored.join(keptIds, "doc_id").join(drop, Seq("doc_id"), "left_anti")
-    val total = dd.agg(sum(col("n_tokens"))).head().getLong(0)
+    // sum over an EMPTY deduped relation is SQL NULL — an empty corpus
+    // (or one that percentile-filters to nothing) must yield an empty
+    // packing, not a driver NPE (DegenerateInputSpec)
+    val total = Option(dd.agg(sum(col("n_tokens"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val selected = budgetFromEnriched(
         dd.filter(col("quality").isNotNull)
           .select(col("doc_id"), col("n_tokens"), col("quality").as("q"))

@@ -86,4 +86,35 @@ class DegenerateInputSpec extends SparkSpecBase {
       Set((1L, "", "en", "src0"), (2L, "", "de", "src1")))
     spark.catalog.clearCache()
   }
+
+  test("round-12 operators return cleanly on empty and all-blank corpora") {
+    val emptyFull = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val blankFull = Seq((1L, "", "en", "src0"), (2L, "", "de", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    // the composed DAG: an empty corpus (and a corpus whose every doc has
+    // NULL quality, so the percentile keeps nothing) must produce an
+    // EMPTY packing, not a driver NPE on the null token-sum scalar
+    val st1 = Curation.curationDagStage(emptyFull)
+    assert(st1.result.count() === 0)
+    st1.release()
+    val st2 = Curation.curationDagStage(blankFull)
+    assert(st2.result.count() === 0)
+    st2.release()
+    // decontamination: empty pool -> no rows; empty benchmark -> nothing
+    // can be contaminated but the accounting keeps every pool doc
+    assert(Dedup.decontaminationReport(empty, empty).count() === 0)
+    val keepAll = Dedup.decontaminationReport(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text"), empty).collect()
+    assert(keepAll.length === 1 &&
+      keepAll.head.getAs[Int]("contaminated") === 0)
+    // fertility / data cards: empty in, empty out; blank docs aggregate
+    // without NaN or NPE
+    assert(graft.operators.Bpe.fertilityReport(emptyFull, Seq.empty).count() === 0)
+    assert(Curation.sourceDatacard(emptyFull).count() === 0)
+    assert(Curation.sourceDatacard(blankFull).count() === 2)
+    // classifier eval: empty corpus -> no split rows
+    assert(graft.operators.QualityModel.evaluateSplits(emptyFull).count() === 0)
+    spark.catalog.clearCache()
+  }
 }
