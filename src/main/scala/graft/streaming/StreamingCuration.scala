@@ -99,4 +99,42 @@ object StreamingCuration {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("window.start").as("w_start"), col("s_fp"), col("df"))
+
+  /** Streaming twin of [[graft.operators.Dedup.decontaminationReport]]:
+    * flag each INCOMING document sharing any n-token shingle with a
+    * STATIC benchmark relation — the ingest-time decontamination gate (a
+    * crawl stream is filtered against the eval suite as it arrives, not
+    * in a later batch audit). Stateless by construction: the benchmark's
+    * distinct shingle fps are a static broadcast side of a stream-static
+    * left join, the per-doc count is computed INSIDE the row via a
+    * filter over the doc's own shingle array (no stream aggregate, no
+    * state store, no watermark needed), so the operator emits in append
+    * mode with per-row latency. Output matches the batch report's
+    * columns exactly; the spec pins batch ≡ stream on the same corpus.
+    *
+    * The fp set rides the closure as an array scan per shingle — fine
+    * for eval-suite-sized benchmarks (10³-10⁵ fps, the real case). A
+    * pathological benchmark would swap the array for a sorted-array
+    * binary search or a Bloom pre-filter; the join shape is unchanged.
+    */
+  def decontaminateStream(docsStream: DataFrame, benchmark: DataFrame,
+                          n: Int = graft.operators.Dedup.DecontamShingleN): DataFrame = {
+    val fps = benchmark
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("text"), n))).as("s"))
+      .select(TextAnalysis.fp60(col("s")).as("fp"))
+      .distinct().as[java.lang.Long](
+        org.apache.spark.sql.Encoders.LONG).collect()
+      .map(Long.unbox).toSeq.sorted
+    val bench = typedlit(fps)
+    docsStream
+      .select(col("ts"), col("doc_id"), array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("text"), n)).as("sh"))
+      .select(col("ts"), col("doc_id"),
+        size(col("sh")).as("n_shingles"),
+        size(filter(transform(col("sh"), s => TextAnalysis.fp60(s)),
+          fp => array_contains(bench, fp))).cast("long").as("n_hits"))
+      .select(col("ts"), col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits") > 0).cast("int").as("contaminated"))
+  }
 }

@@ -356,6 +356,37 @@ class CurationSpec extends SparkSpecBase {
     assert(byaSplit("train") > 400 && byaSplit("test") > 20 && byaSplit("val") > 20)
   }
 
+  test("decontaminateStream ≡ batch decontaminationReport on the same corpus") {
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "x alpha beta gamma delta epsilon y z w v u t"),
+      (3L, "eta zeta epsilon delta gamma beta alpha"),
+      (4L, "alpha beta gamma"))
+    val batch = graft.operators.Dedup
+      .decontaminationReport(pool.toDF("doc_id", "text"), benchmark, n = 5)
+      .select("doc_id", "n_shingles", "n_hits", "contaminated")
+      .as[(Long, Int, Long, Int)].collect().toSet
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stream = StreamingCuration.decontaminateStream(
+      input.toDF().toDF("ts", "doc_id", "text"), benchmark, n = 5)
+    assert(!stream.queryExecution.analyzed.isStreaming ||
+      stream.isStreaming) // sanity: it IS a streaming relation
+    val q = stream.writeStream.format("memory").queryName("decontam_s")
+      .outputMode("append").start()
+    input.addData(pool.map { case (id, t) =>
+      (new Timestamp(id * 1000L), id, t)
+    }: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("decontam_s")
+      .select("doc_id", "n_shingles", "n_hits", "contaminated")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("sourceDatacard: integer-exact volume, dup, quality, and lang columns") {
     val good = "the cat and the dog play in the house with the ball " * 3
     val corpus = Seq(
