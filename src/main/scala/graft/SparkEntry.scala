@@ -227,6 +227,30 @@ object SparkEntry {
     })._2
   }
 
+  // Compacted event layout for q125: a deliberately FRAGMENTED
+  // partitioned write (16 tasks per date — streaming-ingest debris)
+  // rewritten by Writers.compactPartitioned to one file per partition.
+  // The gate reads the compacted layout and must match the raw-table
+  // oracle — compaction provably loses/moves no rows. Same immutable
+  // once-per-(session, dir) lifecycle as the q109 layout.
+  private val compactEventsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def compactedEventsShared(s: SparkSession, dir: String): String = {
+    val it = compactEventsMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    compactEventsMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_events_compacted_").toString
+      graft.sources.Writers.writeEventsPartitioned(
+        Tables.events(s, dir).repartition(16), path)
+      graft.sources.Writers
+        .compactPartitioned(s, path, "event_date").count()
+      (s, path)
+    })._2
+  }
+
   // Bucketed join layout for q112 (the other half of the 100 TB scan
   // story next to q109's partition pruning): lineitem and orders are
   // written bucket-by-orderkey ONCE per (session, dir) — the shuffle is
@@ -1079,6 +1103,18 @@ object SparkEntry {
         e => e.filter(col("vec_id") < 8),
         k = 5, kCells = KmeansK, iters = KmeansIters,
         probes = Seq(1, 2, 4))),
+
+    // small-file compaction gated end to end: a fragmented partitioned
+    // layout (16 files/partition) is compacted to one file per partition
+    // and the FULL-range rollup must still match the raw-table oracle —
+    // the rewrite provably loses, moves, and duplicates nothing
+    // (WritersSpec pins the file counts; this gate pins the rows)
+    "q125_compacted_rollup" -> ((s, dir) =>
+      s.read.parquet(compactedEventsShared(s, dir))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))),
 
     // eval-set decontamination (GPT-3 app. C / Pile §6 discipline):
     // src9 plays the benchmark, every other source is pool; the
@@ -3586,6 +3622,16 @@ object SparkEntry {
            |FROM lv l CROSS JOIN t
            |LEFT JOIN h ON h.n_probe = l.n_probe AND h.q_id = t.q_id
            |LEFT JOIN ns ON ns.n_probe = l.n_probe AND ns.q_id = t.q_id""".stripMargin),
+
+    // q125: the q109 rollup without the date slice — full-range equality
+    // against the raw table is the losslessness proof for the compacted
+    // rewrite
+    "q125_compacted_rollup" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
 
     // q122: n is generated into the shingle concat chain from
     // Dedup.DecontamShingleN (the q100 interpolate-the-constant rule);

@@ -49,4 +49,74 @@ object Writers {
   def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Small-file compaction of a hive-partitioned parquet layout — the
+    * standing maintenance job of a 100 TB lakehouse: streaming ingest and
+    * fine-grained batch writes leave hundreds of small files per
+    * partition, and scan cost degrades with file COUNT (task scheduling,
+    * footer reads, open/close) long before it degrades with bytes.
+    *
+    * Rewrite shape: one shuffle keyed on `(partitionCol, salt)` where the
+    * salt is a deterministic xxhash64 of the data columns modulo
+    * `filesPerPartition` — each partition directory lands in at most
+    * `filesPerPartition` write tasks (exactly one when 1, the default),
+    * and `maxRecordsPerFile` still splits a pathologically large
+    * partition so one giant date cannot produce one giant file. No RNG
+    * (the engine's determinism discipline): rewriting twice produces the
+    * same file membership. The rewrite goes to a temp sibling and swaps
+    * in via rename; a production deployment with readers in flight swaps
+    * a manifest/table pointer instead (Delta/Iceberg-style) — the
+    * data-plane job is identical.
+    *
+    * Returns the per-partition report (files/bytes before and after) —
+    * the numbers an operator alerts on. Listing is driver-side over the
+    * partition directories (#partitions + #files entries — compaction is
+    * a control-plane job; parallelize the listing itself only when a
+    * layout has millions of files).
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         path: String, partitionCol: String,
+                         filesPerPartition: Int = 1,
+                         maxRecordsPerFile: Long = 5000000L): DataFrame = {
+    require(filesPerPartition >= 1, "need at least one file per partition")
+    val before = partitionFileStats(spark, path)
+    val df = spark.read.parquet(path)
+    val dataCols = df.columns.filterNot(_ == partitionCol).map(col).toSeq
+    val salt = pmod(xxhash64(dataCols: _*), lit(filesPerPartition.toLong))
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    df.repartition(col(partitionCol), salt)
+      .write.partitionBy(partitionCol).mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(tmp.toString)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(target, true)
+    require(fs.rename(tmp, target), s"compaction swap failed: $tmp -> $target")
+    val after = partitionFileStats(spark, path)
+    import spark.implicits._
+    before.toSeq.map { case (p, (f, b)) => (p, f, b) }
+      .toDF("partition", "files_before", "bytes_before")
+      .join(after.toSeq.map { case (p, (f, b)) => (p, f, b) }
+        .toDF("partition", "files_after", "bytes_after"),
+        Seq("partition"), "full")
+  }
+
+  /** Per-partition (dir name → data-file count, bytes) for a hive layout;
+    * hidden/metadata files (`_SUCCESS`, `.crc`) are not data.
+    */
+  private def partitionFileStats(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Map[String, (Long, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        d.getPath.getName ->
+          (files.size.toLong, files.map(_.getLen).sum)
+      }.toMap
+  }
 }

@@ -106,4 +106,52 @@ class WritersSpec extends SparkSpecBase {
     val b = back.collect().map(_.toSeq).toSet
     assert(b === a)
   }
+
+  test("compactPartitioned collapses fragmented partitions losslessly") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files
+      .createTempDirectory("compact_").toString + "/events"
+    // 16-way fragmented write: streaming-ingest debris
+    graft.sources.Writers.writeEventsPartitioned(events.repartition(16), dir)
+    val pre = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val report = graft.sources.Writers
+      .compactPartitioned(spark, dir, "event_date").collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getAs[Long]("files_before") > 1L,
+        s"${r.getAs[String]("partition")} was not fragmented")
+      assert(r.getAs[Long]("files_after") === 1L)
+      // compaction also shrinks bytes (footer/dictionary overhead per
+      // file) — never grows them materially
+      assert(r.getAs[Long]("bytes_after") <= r.getAs[Long]("bytes_before"))
+    }
+    // lossless: identical row multiset after the rewrite
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet === pre)
+    // deterministic: recompacting an already-compact layout is a no-op
+    // file-count-wise (1 -> 1)
+    val again = graft.sources.Writers
+      .compactPartitioned(spark, dir, "event_date").collect()
+    assert(again.forall(r => r.getAs[Long]("files_after") === 1L))
+  }
+
+  test("compactPartitioned splits a giant partition via maxRecordsPerFile") {
+    // pin every event to ONE date so a single partition carries all
+    // 1,000 rows — the giant-partition shape the record cap exists for
+    val docs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .limit(1000)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.lit("2024-01-01 12:00:00")
+          .cast("timestamp"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("compact_big_").toString + "/events"
+    graft.sources.Writers.writeEventsPartitioned(docs.repartition(4), dir)
+    // target ~100 rows/file: a 1,000-row partition must split, not
+    // produce one monolith
+    val report = graft.sources.Writers
+      .compactPartitioned(spark, dir, "event_date",
+        filesPerPartition = 1, maxRecordsPerFile = 100L).collect()
+    val total = spark.read.parquet(dir).count()
+    assert(total === 1000L)
+    assert(report.exists(_.getAs[Long]("files_after") > 1L))
+  }
 }
