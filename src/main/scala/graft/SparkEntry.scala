@@ -1116,6 +1116,23 @@ object SparkEntry {
           round(sum(col("value")), 4).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))),
 
+    // corpus snapshot merge (MERGE INTO semantics engine-side): a
+    // deterministic refresh scenario — existing = 80% of the corpus,
+    // incoming = the even ids with every 10th doc's text modified — so
+    // all four change classes (insert/rewrite/refresh/carry) appear and
+    // the change tags + final rows hash-gate against the SQL replay
+    "q126_corpus_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source")
+      Curation.mergeCorpus(
+        docs.filter(col("doc_id") % 5 =!= 4),
+        docs.filter(col("doc_id") % 2 === 0)
+          .withColumn("text",
+            when(col("doc_id") % 10 === 0,
+              concat(col("text"), lit(" updated")))
+              .otherwise(col("text"))))
+    }),
+
     // eval-set decontamination (GPT-3 app. C / Pile §6 discipline):
     // src9 plays the benchmark, every other source is pool; the
     // benchmark's distinct shingle fps broadcast and the pool pays one
@@ -3632,6 +3649,32 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    // q126: the merge replay — change classes from a left join on the
+    // normalized-fp equality (the same fpSql the q10 dedup gate uses),
+    // carry set via NOT IN on the incoming ids
+    "q126_corpus_merge" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  WHERE doc_id % 5 <> 4),
+         |inc AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+         |              ELSE text END AS text,
+         |         lang, source
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |exfp AS (SELECT doc_id, $fpSql AS fp FROM ex),
+         |incfp AS (SELECT doc_id, text, lang, source, $fpSql AS fp FROM inc),
+         |m AS (
+         |  SELECT i.doc_id, i.text, i.lang, i.source,
+         |         CASE WHEN e.fp IS NULL THEN 'insert'
+         |              WHEN i.fp = e.fp THEN 'refresh'
+         |              ELSE 'rewrite' END AS change
+         |  FROM incfp i LEFT JOIN exfp e USING (doc_id))
+         |SELECT doc_id, text, lang, source, change FROM m
+         |UNION ALL
+         |SELECT doc_id, text, lang, source, 'carry' AS change FROM ex
+         |WHERE doc_id NOT IN (SELECT doc_id FROM inc)""".stripMargin,
 
     // q122: n is generated into the shingle concat chain from
     // Dedup.DecontamShingleN (the q100 interpolate-the-constant rule);

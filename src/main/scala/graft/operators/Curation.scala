@@ -603,6 +603,43 @@ object Curation {
   def curationDag(docs: DataFrame, ctxTokens: Int = 256): DataFrame =
     curationDagStage(docs, ctxTokens).result
 
+  /** Corpus snapshot merge — the daily-refresh upsert a living corpus
+    * runs (Delta/Iceberg MERGE INTO semantics, expressed engine-side):
+    * incoming documents replace same-id existing ones, new ids insert,
+    * untouched existing rows carry forward, and every output row is
+    * tagged with WHAT happened to it — `insert` (new id), `rewrite`
+    * (id exists, normalized content changed), `refresh` (id re-delivered
+    * with identical content — the no-op re-crawl a pipeline wants to
+    * COUNT but not re-process), `carry` (existing, not in the batch).
+    * The change column is what makes the merge auditable: downstream
+    * incremental jobs re-run only over `insert`/`rewrite` rows.
+    *
+    * Scale shape: two equi-joins on the 8-byte doc_id (a left join for
+    * the change classification, an anti join for the carry set); content
+    * comparison is the scan-fused 60-bit normalized fingerprint — text
+    * never keys a shuffle and never crosses the wire twice. At 100 TB
+    * the incoming batch is orders of magnitude smaller than the corpus,
+    * so the classification join broadcasts the batch's (id, fp) side;
+    * the carry anti-join is the same asymmetric shape as
+    * [[Dedup.dedupAgainstCorpus]].
+    */
+  def mergeCorpus(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val exFp = existing.select(col("doc_id"),
+      TextAnalysis.fp64Expr(col("text")).as("ex_fp"))
+    val classified = incoming
+      .withColumn("in_fp", TextAnalysis.fp64Expr(col("text")))
+      .join(exFp, Seq("doc_id"), "left")
+      .withColumn("change",
+        when(col("ex_fp").isNull, lit("insert"))
+          .when(col("in_fp") === col("ex_fp"), lit("refresh"))
+          .otherwise(lit("rewrite")))
+      .drop("in_fp", "ex_fp")
+    val carried = existing
+      .join(incoming.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("change", lit("carry"))
+    classified.unionByName(carried)
+  }
+
   /** Per-source data card — the dataset-datasheet row a source-mix
     * decision reads (Gebru et al., "Datasheets for Datasets", CACM 2021;
     * every serious pretraining corpus ships one per ingestion stream):

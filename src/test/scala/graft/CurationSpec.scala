@@ -387,6 +387,27 @@ class CurationSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("mergeCorpus tags every row with its change class, exactly once") {
+    val existing = Seq(
+      (1L, "old one", "en", "a"),
+      (2L, "same  text", "en", "a"),   // re-delivered with whitespace drift
+      (3L, "untouched", "en", "a")
+    ).toDF("doc_id", "text", "lang", "source")
+    val incoming = Seq(
+      (1L, "new one", "en", "a"),      // content changed -> rewrite
+      (2L, "same text", "en", "a"),    // normalized-identical -> refresh
+      (9L, "brand new", "en", "b")     // unseen id -> insert
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.mergeCorpus(existing, incoming).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[String]("change"))).toMap
+    assert(out.size === 4) // every id exactly once
+    assert(out(1L) === (("new one", "rewrite")))   // incoming text wins
+    assert(out(2L) === (("same text", "refresh"))) // fp64 normalizes spaces
+    assert(out(3L) === (("untouched", "carry")))
+    assert(out(9L) === (("brand new", "insert")))
+  }
+
   test("sourceDatacard: integer-exact volume, dup, quality, and lang columns") {
     val good = "the cat and the dog play in the house with the ball " * 3
     val corpus = Seq(
