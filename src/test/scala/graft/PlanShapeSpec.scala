@@ -195,4 +195,41 @@ class PlanShapeSpec extends SparkSpecBase {
       s"no (lang, block) hash exchange:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("q122 decontamination broadcasts the benchmark, never the pool") {
+    val plan = SparkEntry.queries("q122_decontamination")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the pool side must reach the join un-shuffled: its only exchange is
+    // the final per-doc count aggregate AFTER the broadcast join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark fp set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join here means the pool shuffled on the fp:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q126 merge joins key on doc_id only — text never keys a shuffle") {
+    val plan = SparkEntry.queries("q126_corpus_merge")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        assert(l.contains("doc_id#"),
+          s"merge exchange not keyed on doc_id:\n$l")
+        assert(!l.contains("text#"),
+          s"merge must never shuffle on document text:\n$l")
+      }
+    spark.catalog.clearCache()
+  }
+
+  test("q124 data card reads the kernel projection once (cached diamond)") {
+    val plan = SparkEntry.queries("q124_source_datacard")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // four consumers (dup fp agg, base rollup, lang counts, join probe)
+    // must hit the persisted projection, not re-run the kernels
+    assert(plan.contains("InMemoryTableScan"),
+      s"data card lost its shared projection cache:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
