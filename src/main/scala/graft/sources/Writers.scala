@@ -80,6 +80,14 @@ object Writers {
                          maxRecordsPerFile: Long = 5000000L): DataFrame = {
     require(filesPerPartition >= 1, "need at least one file per partition")
     val before = partitionFileStats(spark, path)
+    // an empty layout (job ran, nothing arrived) compacts to an empty
+    // report — not a schema-inference failure from read.parquet
+    if (before.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("partition", "files_before", "bytes_before",
+          "files_after", "bytes_after")
+    }
     val df = spark.read.parquet(path)
     val dataCols = df.columns.filterNot(_ == partitionCol).map(col).toSeq
     val salt = pmod(xxhash64(dataCols: _*), lit(filesPerPartition.toLong))

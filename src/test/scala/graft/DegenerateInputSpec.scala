@@ -115,6 +115,23 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Curation.sourceDatacard(blankFull).count() === 2)
     // classifier eval: empty corpus -> no split rows
     assert(graft.operators.QualityModel.evaluateSplits(emptyFull).count() === 0)
+    // merge: empty existing -> everything inserts; empty incoming ->
+    // everything carries; both empty -> empty
+    val m1 = Curation.mergeCorpus(emptyFull, blankFull)
+    assert(m1.count() === 2 &&
+      m1.select("change").distinct().collect().map(_.getString(0)).toSeq
+        === Seq("insert"))
+    val m2 = Curation.mergeCorpus(blankFull, emptyFull)
+    assert(m2.count() === 2 &&
+      m2.select("change").distinct().collect().map(_.getString(0)).toSeq
+        === Seq("carry"))
+    assert(Curation.mergeCorpus(emptyFull, emptyFull).count() === 0)
+    // compaction: an empty layout (dir exists, no partitions) yields an
+    // empty report, not a schema-inference failure
+    val emptyDir = java.nio.file.Files
+      .createTempDirectory("compact_empty_").toString
+    assert(graft.sources.Writers
+      .compactPartitioned(spark, emptyDir, "event_date").count() === 0)
     spark.catalog.clearCache()
   }
 }
