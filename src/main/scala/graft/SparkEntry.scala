@@ -1116,6 +1116,14 @@ object SparkEntry {
           round(sum(col("value")), 4).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))),
 
+    // source-mixture selection: the data-mixing step between data cards
+    // and training — per-source token budgets from target shares, the
+    // q80 bucket-wise cutoff partitioned by source, content-hash-coin
+    // selection within each source
+    "q127_source_mix" -> ((s, dir) =>
+      Curation.mixToTargets(Tables.documents(s, dir),
+        MixTargets.toMap, MixBudget)),
+
     // corpus snapshot merge (MERGE INTO semantics engine-side): a
     // deterministic refresh scenario — existing = 80% of the corpus,
     // incoming = the even ids with every 10th doc's text modified — so
@@ -1189,6 +1197,16 @@ object SparkEntry {
     * nineteen are the pool (the q117 target-source convention).
     */
   val DecontamBenchmarkSource = "src9"
+
+  /** q127's mixture recipe: target token shares per source and the output
+    * token budget, both mirrored into the oracle as literals. The budget
+    * sits below any single source's token inventory at sf0.01 so every
+    * source exercises the boundary-bucket cut, not just whole-bucket
+    * takes.
+    */
+  val MixTargets: Seq[(String, Double)] =
+    Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+  val MixBudget = 2000L
 
   /** q118's merge budget — generous for the synthetic 31-word vocabulary
     * (training stops on its own when no pair remains), small enough that
@@ -3649,6 +3667,43 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+
+    // q127: the q80 budget replay partitioned by source, budgets
+    // interpolated from the shipped recipe (floor(budget * share)
+    // computed HERE, the same longs the engine folds)
+    "q127_source_mix" -> {
+      val vals = MixTargets.map { case (src, share) =>
+        s"('$src', ${math.floor(MixBudget * share).toLong})"
+      }.mkString(", ")
+      s"""WITH bud AS (SELECT * FROM (VALUES $vals) AS v(source, budget)),
+         |t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+         |               AS hb
+         |      FROM documents),
+         |e AS (SELECT t.doc_id, t.source, t.n_tokens, t.hb, bud.budget
+         |      FROM t JOIN bud USING (source)),
+         |b AS (SELECT source, hb, CAST(sum(n_tokens) AS BIGINT) AS b_tokens
+         |      FROM e GROUP BY 1, 2),
+         |bc AS (SELECT source, hb, b_tokens,
+         |              CAST(coalesce(sum(b_tokens) OVER (PARTITION BY source
+         |                ORDER BY hb
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                AS BIGINT) AS cum_before
+         |       FROM b),
+         |j AS (SELECT e.doc_id, e.source, e.n_tokens, e.hb,
+         |             bc.b_tokens, bc.cum_before, e.budget
+         |      FROM e JOIN bc USING (source, hb)),
+         |bnd AS (SELECT doc_id, source, n_tokens, hb FROM (
+         |    SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source, hb
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
+         |    FROM j WHERE cum_before < budget
+         |      AND cum_before + b_tokens > budget)
+         |  WHERE cum_before + cum_in + n_tokens <= budget)
+         |SELECT doc_id, source, n_tokens, hb FROM j
+         |WHERE cum_before + b_tokens <= budget
+         |UNION ALL SELECT * FROM bnd""".stripMargin
+    },
 
     // q126: the merge replay — change classes from a left join on the
     // normalized-fp equality (the same fpSql the q10 dedup gate uses),

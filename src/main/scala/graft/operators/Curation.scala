@@ -603,6 +603,61 @@ object Curation {
   def curationDag(docs: DataFrame, ctxTokens: Int = 256): DataFrame =
     curationDagStage(docs, ctxTokens).result
 
+  /** Source-mixture selection — the data-MIXING primitive that turns a
+    * data-card review into a training set: given target token SHARES per
+    * source and an output token budget, select documents until each
+    * source's slice of the budget is spent. Selection within a source is
+    * by the deterministic content-hash coin ([[hashBucket]]) — a
+    * uniform-in-expectation sample that is reproducible, engine-portable,
+    * and growth-stable (adding docs never changes an existing doc's
+    * bucket), the q54 sampling coin applied to token accounting.
+    *
+    * Scale shape: the q80 bucket-wise cutoff PARTITIONED BY SOURCE — the
+    * per-(source, bucket) token histogram is ≤ #sources × 100 rows
+    * (broadcast by construction), whole buckets are taken or dropped
+    * with NO window, and only each source's boundary bucket (~1% of its
+    * docs) pays a doc_id-ordered running sum. Budgets are integer token
+    * counts (`floor(budget · share)` computed once on the driver);
+    * every cumulative comparison is integer arithmetic — hash-gateable
+    * under any execution order. Sources absent from `targets` are
+    * excluded (share 0).
+    */
+  def mixToTargets(docs: DataFrame, targets: Map[String, Double],
+                   budgetTokens: Long): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budgets = targets.toSeq.sorted
+      .map { case (s, share) => (s, math.floor(budgetTokens * share).toLong) }
+      .toDF("source", "budget")
+    val e = docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        hashBucket(col("doc_id")).as("hb"))
+      .join(broadcast(budgets), "source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wB = Window.partitionBy(col("source")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = e.groupBy(col("source"), col("hb"))
+      .agg(sum(col("n_tokens")).as("b_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("b_tokens")).over(wB), lit(0L)))
+    val j = e.join(broadcast(b), Seq("source", "hb"))
+    val whole = j.filter(col("cum_before") + col("b_tokens") <= col("budget"))
+    val wIn = Window.partitionBy(col("source"), col("hb"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = j
+      .filter(col("cum_before") < col("budget") &&
+        col("cum_before") + col("b_tokens") > col("budget"))
+      .withColumn("cum_in",
+        coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .filter(col("cum_before") + col("cum_in") + col("n_tokens")
+        <= col("budget"))
+      .drop("cum_in")
+    whole.union(boundary)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("hb"))
+  }
+
   /** Corpus snapshot merge — the daily-refresh upsert a living corpus
     * runs (Delta/Iceberg MERGE INTO semantics, expressed engine-side):
     * incoming documents replace same-id existing ones, new ids insert,

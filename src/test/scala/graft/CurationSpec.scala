@@ -387,6 +387,28 @@ class CurationSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("mixToTargets honors per-source token budgets with the hash coin") {
+    val corpus = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val budget = 600L
+    val out = Curation.mixToTargets(corpus, targets, budget).collect()
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    // only targeted sources appear
+    assert(bySource.keySet.subsetOf(targets.keySet))
+    bySource.foreach { case (src, rows) =>
+      val budgetS = math.floor(budget * targets(src)).toLong
+      val tokens = rows.map(_.getAs[Int]("n_tokens").toLong).sum
+      assert(tokens <= budgetS, s"$src spent $tokens of $budgetS")
+    }
+    // deterministic: a second run selects the identical doc set
+    val again = Curation.mixToTargets(corpus, targets, budget).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again === out.map(_.getAs[Long]("doc_id")).toSet)
+    spark.catalog.clearCache()
+  }
+
   test("mergeCorpus tags every row with its change class, exactly once") {
     val existing = Seq(
       (1L, "old one", "en", "a"),
