@@ -5,6 +5,8 @@ import java.sql.Timestamp
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Solar
 
 /** Property tests (SURVEY.md §5.4): the engine's windowed aggregates,
@@ -200,5 +202,67 @@ class PropertySpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
       got == verdicts
     })
+  }
+
+  // --- round-12 operator invariants (fixed corpus, swept parameters:
+  // each property is a containment/partition law that must hold for ANY
+  // input, checked across a parameter range on the sf0.001 corpus) ---
+
+  test("mixToTargets selection grows monotonically with the budget") {
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val targets = Map("src0" -> 0.5, "src1" -> 0.5)
+    // whole-bucket takes and the boundary running sum are both prefix
+    // conditions in the budget: raising it can only ADD documents
+    val sels = Seq(200L, 600L, 1200L, 2400L).map { b =>
+      graft.operators.Curation.mixToTargets(corpus, targets, b)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    sels.sliding(2).foreach { case Seq(small, big) =>
+      assert(small.subsetOf(big),
+        s"budget increase dropped docs: ${small -- big}")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("decontamination flags shrink monotonically as the shingle widens") {
+    // a shared n-shingle contains shared (n-1)-shingles, so the
+    // contaminated set at n+1 is always a subset of the set at n
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pool = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val flagged = Seq(3, 4, 5, 6).map { n =>
+      graft.operators.Dedup.decontaminationReport(pool, bench, n)
+        .filter(col("contaminated") === 1)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    flagged.sliding(2).foreach { case Seq(narrow, wide) =>
+      assert(wide.subsetOf(narrow),
+        s"widening the shingle flagged NEW docs: ${wide -- narrow}")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("mergeCorpus output ids partition as existing ∪ incoming, classes disjoint") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source")
+    for (k <- Seq(2, 3, 7)) {
+      val existing = docs.filter(col("doc_id") % k =!= 0)
+      val incoming = docs.filter(col("doc_id") % (k + 1) === 0)
+      val out = graft.operators.Curation.mergeCorpus(existing, incoming)
+        .select("doc_id", "change").as[(Long, String)].collect()
+      val exIds = existing.select("doc_id").as[Long].collect().toSet
+      val inIds = incoming.select("doc_id").as[Long].collect().toSet
+      // exactly one row per id in the union, never more
+      assert(out.map(_._1).toSet === (exIds ++ inIds))
+      assert(out.length === (exIds ++ inIds).size)
+      // class laws: carry = existing-only; insert = incoming-only;
+      // rewrite/refresh = the intersection
+      val byClass = out.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).toSet }
+      assert(byClass.getOrElse("carry", Set.empty) === (exIds -- inIds))
+      assert(byClass.getOrElse("insert", Set.empty) === (inIds -- exIds))
+      assert((byClass.getOrElse("rewrite", Set.empty) ++
+        byClass.getOrElse("refresh", Set.empty)) === (exIds & inIds))
+    }
+    spark.catalog.clearCache()
   }
 }
