@@ -91,12 +91,15 @@ object ProbeRound12 {
 
   /** `ops` mode: the round-12 reporting operators at 1 M docs.
     * Recorded (2026-08-14, 50-word synthetic docs, local[32]):
-    * decontam_1m 5.1 s (46 M pool shingles against a 1,000-doc
-    * benchmark's broadcast fp set), datacard_1m 5.8 s (kernel scan +
-    * 50 M-token rollup + fp dup join + lang argmax), fertility_1m 4.3 s
-    * (1 M-doc encode+rollup under 48 trained merges ≈ 11.6 M words/s
-    * through the codegen'd BPE encode; training itself timed separately
-    * by the r11 BPE probes).
+    * decontam_1m 5.1-5.7 s (46 M pool shingles against a 1,000-doc
+    * benchmark's broadcast fp set), datacard_1m 5.6-5.8 s (kernel scan +
+    * 50 M-token rollup + fp dup join + lang argmax), fertility_1m
+    * 3.7-4.3 s (1 M-doc encode+rollup under 48 trained merges ≈ 12-13 M
+    * words/s through the codegen'd BPE encode; training itself timed
+    * separately by the r11 BPE probes), merge_1m_100k 8.1 s (1 M corpus
+    * refreshed by a 100 k batch → 905 k carry / 95 k rewrite / 5 k
+    * insert), mix_1m 2.3 s (100 k docs selected, budget of 5 M tokens
+    * landed exactly).
     */
   /** `dag` mode: the ONE-SCAN fused curation DAG (`curationDagStage`) at
     * 1 M docs on the SAME synthetic corpus ProbeRound11's `dag` mode ran
@@ -175,6 +178,24 @@ object ProbeRound12 {
     time("fertility_1m") {
       Bpe.fertilityReport(docs, merges)
         .agg(sum(col("n_pieces")), sum(col("n_words"))).head()
+    }
+    spark.catalog.clearCache()
+    // merge: 1 M-doc corpus refreshed by a 100 k batch (10% of it new
+    // ids, the rest re-deliveries with 20% modified) — the asymmetric
+    // daily-ingest shape
+    val incoming = docs.filter(pmod(col("doc_id"), lit(10)) < 1)
+      .withColumn("doc_id", col("doc_id") + 50000L) // shift: mix of known/new ids
+      .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" updated"))).otherwise(col("text")))
+    time("merge_1m_100k") {
+      Curation.mergeCorpus(docs, incoming)
+        .groupBy(col("change")).count().collect().toSeq.sortBy(_.toString)
+    }
+    spark.catalog.clearCache()
+    time("mix_1m") {
+      Curation.mixToTargets(docs,
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3), 5000000L)
+        .agg(sum(col("n_tokens")), count(lit(1))).head()
     }
     spark.catalog.clearCache()
     docs.unpersist()
