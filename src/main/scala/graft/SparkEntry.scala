@@ -1063,6 +1063,7 @@ object SparkEntry {
       // timing keeps pricing the BPE training) and republishes the memo
       // q123 consumes; training is deterministic, so the value only ever
       // changes when the corpus does
+      assertBpeOracleSafe(s, dir)
       val merges = Bpe.trainMergePairs(Tables.documents(s, dir), Q118Merges)
       learnedBpeMerges = Some(merges)
       bpeMergesMemo.put(ccKey(s, dir), (s, merges))
@@ -1181,10 +1182,29 @@ object SparkEntry {
     val it = bpeMergesMemo.entrySet().iterator()
     while (it.hasNext)
       if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-    val m = bpeMergesMemo.computeIfAbsent(ccKey(s, dir), _ =>
-      (s, Bpe.trainMergePairs(Tables.documents(s, dir), Q118Merges)))._2
+    val m = bpeMergesMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      assertBpeOracleSafe(s, dir)
+      (s, Bpe.trainMergePairs(Tables.documents(s, dir), Q118Merges))
+    })._2
     learnedBpeMerges = Some(m)
     m
+  }
+
+  /** The q118/q123 oracle wraps every corpus word as `|c1||c2|…` and RE2's
+    * `.` skips newlines — a corpus word containing '|', '\n', or '\r'
+    * would make the SQL replay disagree with an engine that encodes it
+    * correctly. Fail LOUDLY on such a corpus instead of hash-mismatching
+    * mysteriously (review r12; the fix on such data is a chr(1) wrap
+    * char). One cheap aggregate, paid once per (session, corpus).
+    */
+  private def assertBpeOracleSafe(s: SparkSession, dir: String): Unit = {
+    val hazard = Tables.documents(s, dir)
+      .agg(sum(when(col("text").contains("|") || col("text").contains("\n")
+        || col("text").contains("\r"), 1L).otherwise(0L))).head()
+    require(hazard.isNullAt(0) || hazard.getLong(0) == 0L,
+      "corpus text contains '|' or a newline — the q118/q123 DuckDB " +
+        "replay's boundary wrap would corrupt; switch the oracle to a " +
+        "chr(1) wrap before gating this corpus")
   }
 
   /** q100's fixed query term set: one rare discriminative term plus two

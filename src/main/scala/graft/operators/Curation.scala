@@ -578,7 +578,13 @@ object Curation {
         surv.select(col("survivor_id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select("doc_id").localCheckpoint(true)
     st.unpersist(); Dedup.releaseClusters(labels)
-    val dd = scored.join(keptIds, "doc_id").join(drop, Seq("doc_id"), "left_anti")
+    // persisted (review r12): the budget body reads its input three
+    // times and the total/packing branches twice more — without the
+    // cache, the percentile subtree under keptIds would re-execute per
+    // consumer (budgetFromEnriched's contract: cached or cheap)
+    val dd = scored.join(keptIds, "doc_id")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sum over an EMPTY deduped relation is SQL NULL — an empty corpus
     // (or one that percentile-filters to nothing) must yield an empty
     // packing, not a driver NPE (DegenerateInputSpec)
@@ -669,28 +675,36 @@ object Curation {
     * The change column is what makes the merge auditable: downstream
     * incremental jobs re-run only over `insert`/`rewrite` rows.
     *
-    * Scale shape: two equi-joins on the 8-byte doc_id (a left join for
-    * the change classification, an anti join for the carry set); content
-    * comparison is the scan-fused 60-bit normalized fingerprint — text
-    * never keys a shuffle and never crosses the wire twice. At 100 TB
-    * the incoming batch is orders of magnitude smaller than the corpus,
-    * so the classification join broadcasts the batch's (id, fp) side;
-    * the carry anti-join is the same asymmetric shape as
-    * [[Dedup.dedupAgainstCorpus]].
+    * Scale shape: at 100 TB the incoming batch is orders of magnitude
+    * smaller than the corpus, and EVERY join here keeps the corpus on
+    * the streamed side with a batch-derived broadcast on the other
+    * (review r12: a naive `incoming LEFT JOIN corpus-fp` cannot
+    * broadcast its small preserved side — outer joins only broadcast
+    * the non-preserved one — so it would shuffle the corpus; instead,
+    * the intersection classes come from `corpus-fp INNER JOIN
+    * broadcast(batch-fp)` — inner joins broadcast freely — and both the
+    * carry anti-join and the final class attachment broadcast
+    * batch-sized relations). Content comparison is the scan-fused
+    * 60-bit normalized fingerprint — text never keys a shuffle and the
+    * corpus never does either.
     */
   def mergeCorpus(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val exFp = existing.select(col("doc_id"),
-      TextAnalysis.fp64Expr(col("text")).as("ex_fp"))
+    val incFp = incoming.select(col("doc_id"),
+      TextAnalysis.fp64Expr(col("text")).as("in_fp"))
+    // intersection classification: corpus scan ⋈ broadcast batch fps —
+    // result is batch-sized, so it broadcasts into the next join too
+    val overlap = existing
+      .select(col("doc_id"), TextAnalysis.fp64Expr(col("text")).as("ex_fp"))
+      .join(broadcast(incFp), "doc_id")
+      .select(col("doc_id"),
+        when(col("in_fp") === col("ex_fp"), lit("refresh"))
+          .otherwise(lit("rewrite")).as("overlap_change"))
     val classified = incoming
-      .withColumn("in_fp", TextAnalysis.fp64Expr(col("text")))
-      .join(exFp, Seq("doc_id"), "left")
-      .withColumn("change",
-        when(col("ex_fp").isNull, lit("insert"))
-          .when(col("in_fp") === col("ex_fp"), lit("refresh"))
-          .otherwise(lit("rewrite")))
-      .drop("in_fp", "ex_fp")
+      .join(broadcast(overlap), Seq("doc_id"), "left")
+      .withColumn("change", coalesce(col("overlap_change"), lit("insert")))
+      .drop("overlap_change")
     val carried = existing
-      .join(incoming.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(broadcast(incoming.select("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("change", lit("carry"))
     classified.unionByName(carried)
   }

@@ -133,22 +133,28 @@ object QualityModel {
     * subset by the same deterministic coin, so the row marked `test` is
     * a genuine generalization measurement, not a resubstitution one).
     *
-    * Scale shape: one corpus scan — the score, the label, and the split
-    * coin are all scan-fused projections joined on doc_id (Catalyst
-    * collapses them into one projection over the scan), and the result
-    * is a 3-row aggregate. Every derived metric is computed from the
-    * integer confusion counts and rounds at 4 — deterministic under any
-    * execution order, hash-gateable. Zero-denominator cells (a split
-    * with no positive predictions) surface as NULL via nullif, the
-    * engine-portable 0/0 guard.
+    * Scale shape: ONE corpus scan — the score, the label, and the split
+    * coin are all per-row expressions over the same row, so they are
+    * SPELLED as one projection here (review r12: the earlier three-
+    * relation join formulation re-scanned the corpus three times and
+    * shuffled it twice on doc_id; Catalyst does not merge self-joins),
+    * and the result is a 3-row aggregate. Every derived metric is
+    * computed from the integer confusion counts and rounds at 4 —
+    * deterministic under any execution order, hash-gateable.
+    * Zero-denominator cells (a split with no positive predictions)
+    * surface as NULL via nullif, the engine-portable 0/0 guard.
     */
   def evaluateSplits(docs: DataFrame, w: Seq[Double] = DefaultWeights.toSeq,
                      threshold: Double = 0.5): DataFrame = {
-    val scored = scoreDocs(docs, w, threshold)
-    val labeled = docs.select(col("doc_id"),
-      labelHeuristic().cast("int").as("y"))
-    val splits = Curation.splitAssign(docs).select(col("doc_id"), col("split"))
-    scored.join(labeled, "doc_id").join(splits, "doc_id")
+    require(w.size == Dim, s"weight vector must have $Dim components")
+    val z = logitExpr(w, col("text"))
+    val accept = when(round(lit(1.0) / (lit(1.0) + exp(-z)), 4) >= threshold,
+      1).otherwise(0)
+    val b = Curation.hashBucket(col("doc_id"))
+    val split = when(b < 10, lit("test")).when(b < 20, lit("val"))
+      .otherwise(lit("train"))
+    docs.select(split.as("split"), accept.as("accept"),
+        labelHeuristic().cast("int").as("y"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("accept") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),

@@ -399,17 +399,19 @@ object Similarity {
   def annFrontier(embeddings: DataFrame, queryFilter: DataFrame => DataFrame,
                   k: Int, kCells: Int, iters: Int,
                   probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty, "annFrontier needs at least one probe level")
     val model = kmeansFit(embeddings, kCells, iters)
     val c = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .join(model.cells, "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = queryFilter(embeddings)
+    val queries = queryFilter(embeddings)
+    val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val qpAll = queryFilter(embeddings).select(col("vec_id").as("q_id"),
+    val qpAll = queries.select(col("vec_id").as("q_id"),
         posexplode(graft.functions.VectorFunctions.nearest_cells(
           col("embedding"), model.centroids.toIndexedSeq, probes.max)))
       .select(col("q_id"), (col("pos") + 1).as("rn"), col("col").as("cell"))
-    val truth = bruteTopK(embeddings, queryFilter(embeddings), k)
+    val truth = bruteTopK(embeddings, queries, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     probes.map { p =>
       val qp = qpAll.filter(col("rn") <= p).select(col("q_id"), col("cell"))

@@ -373,8 +373,7 @@ class CurationSpec extends SparkSpecBase {
     val input = MemoryStream[(Timestamp, Long, String)]
     val stream = StreamingCuration.decontaminateStream(
       input.toDF().toDF("ts", "doc_id", "text"), benchmark, n = 5)
-    assert(!stream.queryExecution.analyzed.isStreaming ||
-      stream.isStreaming) // sanity: it IS a streaming relation
+    assert(stream.isStreaming) // sanity: it IS a streaming relation
     val q = stream.writeStream.format("memory").queryName("decontam_s")
       .outputMode("append").start()
     input.addData(pool.map { case (id, t) =>

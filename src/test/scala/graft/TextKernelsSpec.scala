@@ -38,7 +38,17 @@ class TextKernelsSpec extends SparkSpecBase {
           col("ch"), col("sw"), col("lp"), col("pc"))
         .collect().map(_.toSeq).toSeq
     }
-    val interp = everything()
+    // force the INTERPRETED path explicitly (review r12: under the
+    // default conf this ran the same generated code as `gen`, pinning
+    // nothing) — NO_CODEGEN + whole-stage off exercises nullSafeEval
+    spark.conf.set("spark.sql.wholeStage.codegen.enabled", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try everything()
+      finally {
+        spark.conf.unset("spark.sql.wholeStage.codegen.enabled")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {

@@ -107,7 +107,8 @@ class WarcSpec extends SparkSpecBase {
     // writer would otherwise collide on part numbering)
     val dir2 = Files.createTempDirectory("warc_mix2_").toString + "/c"
     Warc.writeWarc(gz, dir2, shards = 1, compress = true)
-    val gzFile = new java.io.File(dir2).listFiles().head
+    val gzFile = new java.io.File(dir2).listFiles()
+      .filterNot(_.getName.startsWith(".")).head // skip the .crc sidecar
     Files.move(gzFile.toPath,
       java.nio.file.Paths.get(dir, "part-00001.warc.wet.gz"))
     val back = Warc.readWarc(spark, dir)
