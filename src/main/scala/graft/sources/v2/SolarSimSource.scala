@@ -76,14 +76,48 @@ private[v2] class SolarSimTable(options: CaseInsensitiveStringMap)
 
 private[v2] case class SolarSimScan(panels: Int, modules: Int,
     readingsPerModule: Int, startEpochSec: Long, periodSec: Long)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+  // Panel-predicate pushdown: the connector's partitions ARE panels, so
+  // an `=`/`IN` filter on the panel column prunes work at PLANNING time
+  // (the Kafka analog: subscribing to a topic subset instead of filtering
+  // a full-firehose consumer). The accepted filters are handled EXACTLY —
+  // pruned partitions can only contain non-matching rows — so they are
+  // NOT returned as residuals; everything else stays post-scan.
+  private var panelFilters: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushable, residual) = filters.partition {
+      case EqualTo("panel", _: String) => true
+      case In("panel", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    panelFilters = pushable
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = panelFilters
+
+  /** Conjunction of the pushed panel predicates; None = unconstrained. */
+  private def allowedPanels: Option[Set[String]] =
+    if (panelFilters.isEmpty) None
+    else Some(panelFilters.map {
+      case EqualTo("panel", v: String) => Set(v)
+      case In("panel", vs) => vs.collect { case s: String => s }.toSet
+      case f => throw new IllegalStateException(s"unexpected pushed filter $f")
+    }.reduce(_ intersect _))
 
   override def build(): Scan = this
   override def readSchema(): StructType = SolarSimSource.Schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    (0 until panels).map(p => SolarPanelPartition(p): InputPartition).toArray
+    (0 until panels)
+      .filter(p => allowedPanels.forall(_.contains(s"panel-$p")))
+      .map(p => SolarPanelPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     SolarSimReaderFactory(modules, readingsPerModule, startEpochSec, periodSec)

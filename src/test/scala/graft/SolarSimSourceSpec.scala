@@ -33,4 +33,38 @@ class SolarSimSourceSpec extends SparkSpecBase {
     assert(out.count() > 0) // uniform random power yields some z-outliers
     assert(out.columns.contains("deviance"))
   }
+
+  test("panel predicates push down and prune partitions at planning") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def read = spark.read.format("solar-sim")
+      .option("panels", 4).option("modules", 2)
+      .option("readingsPerModule", 5).load()
+    // a plan with NO scan at all (Catalyst folded the predicate to false
+    // and emptied the relation before V2 pushdown ran) counts as 0
+    def plannedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.inputPartitions.size
+      }.getOrElse(0)
+
+    val eq = read.filter($"panel" === "panel-2")
+    assert(plannedPartitions(eq) === 1) // 1 of 4 panels planned
+    assert(eq.count() === 2 * 5)
+    assert(eq.select("panel").distinct().as[String].collect().toSeq
+      === Seq("panel-2"))
+
+    val in = read.filter($"panel".isin("panel-0", "panel-3"))
+    assert(plannedPartitions(in) === 2)
+    assert(in.count() === 2 * 2 * 5)
+
+    // contradictory conjunction prunes EVERYTHING at planning
+    val none = read.filter($"panel" === "panel-1" && $"panel" === "panel-2")
+    assert(plannedPartitions(none) === 0)
+    assert(none.count() === 0)
+
+    // non-panel predicates are NOT claimed: they stay residual and
+    // still filter correctly post-scan
+    val mixed = read.filter($"panel" === "panel-1" && $"power" > 100.0)
+    assert(plannedPartitions(mixed) === 1)
+    assert(mixed.select("power").as[Double].collect().forall(_ > 100.0))
+  }
 }
