@@ -63,7 +63,8 @@ private[v2] class SolarSimTable(options: CaseInsensitiveStringMap)
   override def name(): String = "solar_sim"
   override def schema(): StructType = SolarSimSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SolarSimScan(
@@ -71,15 +72,28 @@ private[v2] class SolarSimTable(options: CaseInsensitiveStringMap)
       modules = options.getInt("modules", 4),
       readingsPerModule = options.getInt("readingsPerModule", 100),
       startEpochSec = options.getLong("startEpochSec", 1704067200L),
-      periodSec = options.getLong("periodSec", 10L))
+      periodSec = options.getLong("periodSec", 10L),
+      readingsPerTrigger = options.getInt("readingsPerTrigger", 10))
 }
 
 private[v2] case class SolarSimScan(panels: Int, modules: Int,
-    readingsPerModule: Int, startEpochSec: Long, periodSec: Long)
+    readingsPerModule: Int, startEpochSec: Long, periodSec: Long,
+    readingsPerTrigger: Int = 10)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+  // Column pruning: a `select(panel, power)` plans a 2-column read —
+  // the generator only materializes requested fields (for a real format
+  // this is the difference between reading 2 columns and all of them;
+  // the brief's ReadSchema discipline, implemented connector-side)
+  private var prunedSchema: StructType = SolarSimSource.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the source's field order regardless of projection order
+    prunedSchema = StructType(SolarSimSource.Schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   // Panel-predicate pushdown: the connector's partitions ARE panels, so
   // an `=`/`IN` filter on the panel column prunes work at PLANNING time
@@ -111,7 +125,7 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
     }.reduce(_ intersect _))
 
   override def build(): Scan = this
-  override def readSchema(): StructType = SolarSimSource.Schema
+  override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -120,13 +134,117 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
       .map(p => SolarPanelPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SolarSimReaderFactory(modules, readingsPerModule, startEpochSec, periodSec)
+    SolarSimReaderFactory(modules, readingsPerModule, startEpochSec,
+      periodSec, prunedSchema.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    SolarSimMicroBatch(panels, modules, startEpochSec, periodSec,
+      readingsPerTrigger,
+      maxReadings = readingsPerModule, // the stream's total inventory
+      fields = prunedSchema.fieldNames)
+}
+
+/** Streaming offset: the next reading index to produce. */
+private[v2] case class SimOffset(reading: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = reading.toString
+}
+
+/** Micro-batch surface of the simulator — the engine-side analog of the
+  * reference's Kafka source, as a CUSTOM DSv2 streaming connector:
+  * the offset space is the reading index, each trigger admits
+  * `readingsPerTrigger` more readings up to the `readingsPerModule`
+  * inventory, and a batch maps to one InputPartition PER PANEL carrying
+  * its `[start, end)` reading slice — the same per-panel parallelism as
+  * the batch path, so no shuffle exists before the first stateful
+  * operator. Rows are the identical pure function of (panel, module,
+  * reading) the batch scan emits, which is what makes the batch ≡ stream
+  * equivalence spec exact.
+  *
+  * Restart-safe by construction: admission control derives the next
+  * endpoint FROM THE CHECKPOINTED START (`latestOffset(start, limit)` =
+  * min(start + perTrigger, inventory)) — no mutable progress state lives
+  * in the source, so a resumed query continues exactly where the
+  * checkpoint says.
+  */
+private[v2] case class SolarSimMicroBatch(panels: Int, modules: Int,
+    startEpochSec: Long, periodSec: Long, readingsPerTrigger: Int,
+    maxReadings: Long, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  override def initialOffset(): SOffset = SimOffset(0L)
+
+  override def deserializeOffset(json: String): SOffset =
+    SimOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset =
+    SimOffset(math.min(
+      start.asInstanceOf[SimOffset].reading + readingsPerTrigger,
+      maxReadings))
+
+  override def reportLatestOffset(): SOffset = SimOffset(maxReadings)
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SimOffset].reading
+    val until = end.asInstanceOf[SimOffset].reading
+    if (until <= from) Array.empty
+    else (0 until panels)
+      .map(p => SolarStreamPartition(p, from, until): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SolarStreamReaderFactory(modules, startEpochSec, periodSec, fields)
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[v2] case class SolarStreamPartition(panel: Int, from: Long,
+    until: Long) extends InputPartition
+
+private[v2] case class SolarStreamReaderFactory(modules: Int,
+    startEpochSec: Long, periodSec: Long,
+    fields: Array[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[SolarStreamPartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1L
+      private val total = (part.until - part.from) * modules
+
+      override def next(): Boolean = { i += 1; i < total }
+
+      override def get(): InternalRow = {
+        val m = (i % modules).toInt
+        val r = (part.from + i / modules).toInt
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "ts" => (startEpochSec + r * periodSec) * 1000000L
+          case "panel" => UTF8String.fromString(s"panel-${part.panel}")
+          case "module" => UTF8String.fromString(s"module-$m")
+          case "power" => SolarSimSource.powerAt(part.panel, m, r)
+        })
+      }
+
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[v2] case class SolarPanelPartition(panel: Int) extends InputPartition
 
 private[v2] case class SolarSimReaderFactory(modules: Int, readings: Int,
-    startEpochSec: Long, periodSec: Long) extends PartitionReaderFactory {
+    startEpochSec: Long, periodSec: Long,
+    fields: Array[String]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SolarPanelPartition].panel
@@ -139,11 +257,13 @@ private[v2] case class SolarSimReaderFactory(modules: Int, readings: Int,
       override def get(): InternalRow = {
         val m = i % modules
         val r = i / modules
-        InternalRow(
-          (startEpochSec + r * periodSec) * 1000000L, // TimestampType = epoch micros
-          UTF8String.fromString(s"panel-$p"),
-          UTF8String.fromString(s"module-$m"),
-          SolarSimSource.powerAt(p, m, r))
+        // materialize ONLY the pruned columns, in pruned-schema order
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "ts" => (startEpochSec + r * periodSec) * 1000000L // epoch micros
+          case "panel" => UTF8String.fromString(s"panel-$p")
+          case "module" => UTF8String.fromString(s"module-$m")
+          case "power" => SolarSimSource.powerAt(p, m, r)
+        })
       }
 
       override def close(): Unit = ()

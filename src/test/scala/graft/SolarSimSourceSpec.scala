@@ -67,4 +67,40 @@ class SolarSimSourceSpec extends SparkSpecBase {
     assert(plannedPartitions(mixed) === 1)
     assert(mixed.select("power").as[Double].collect().forall(_ > 100.0))
   }
+
+  test("column pruning reaches the connector: a projection plans a narrow read") {
+    val df = spark.read.format("solar-sim")
+      .option("panels", 2).option("modules", 2)
+      .option("readingsPerModule", 3).load()
+      .select("panel", "power")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("panel", "power"))
+    // pruned values still correct
+    assert(df.collect().forall(r => r.getString(0).startsWith("panel-")))
+  }
+
+  test("micro-batch stream drains the inventory in admitted slices, batch ≡ stream") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("simstream_ckpt_").toString
+    val q = spark.readStream.format("solar-sim")
+      .option("panels", 2).option("modules", 3)
+      .option("readingsPerModule", 20).option("readingsPerTrigger", 7)
+      .load()
+      .writeStream.format("memory").queryName("simstream")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("simstream")
+      .select("ts", "panel", "module", "power")
+      .collect().map(_.toSeq).toSet
+    val batch = spark.read.format("solar-sim")
+      .option("panels", 2).option("modules", 3)
+      .option("readingsPerModule", 20).load()
+      .select("ts", "panel", "module", "power")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)           // identical row multiset
+    assert(streamed.size === 2 * 3 * 20) // full inventory, exactly once
+  }
 }
