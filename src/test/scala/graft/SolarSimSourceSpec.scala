@@ -103,4 +103,38 @@ class SolarSimSourceSpec extends SparkSpecBase {
     assert(streamed === batch)           // identical row multiset
     assert(streamed.size === 2 * 3 * 20) // full inventory, exactly once
   }
+
+  test("the anomaly pipeline runs end to end off the custom streaming source") {
+    // no MemoryStream anywhere: custom DSv2 micro-batch source -> the
+    // full 5-stateful-operator pipeline -> memory sink, with enough
+    // event-time inventory (60 readings x 10s = 600s) for the watermark
+    // to close windows and emit finalized anomalies
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("simstream_pipe_").toString
+    val stream = spark.readStream.format("solar-sim")
+      .option("panels", 3).option("modules", 4)
+      .option("readingsPerModule", 60).option("readingsPerTrigger", 30)
+      .load()
+    val q = graft.streaming.SolarStreaming.anomalyPipelineStream(stream)
+      .writeStream.format("memory").queryName("simstream_pipe")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("simstream_pipe")
+    assert(out.count() > 0) // uniform power yields z-outliers
+    // and the streaming result matches the BATCH pipeline over the same
+    // generated telemetry, restricted to windows the watermark finalized
+    val batchEvents = spark.read.format("solar-sim")
+      .option("panels", 3).option("modules", 4)
+      .option("readingsPerModule", 60).load()
+      .select($"ts", $"panel".as("event_type"),
+        $"module".as("user_id"), $"power".as("value"))
+    val batchOut = graft.operators.Solar.pipeline(batchEvents)
+      .select("w_start", "panel", "module")
+      .collect().map(_.toSeq).toSet
+    val streamOut = out.select("w_start", "panel", "module")
+      .collect().map(_.toSeq).toSet
+    assert(streamOut.subsetOf(batchOut)) // append emits only finalized truth
+    assert(streamOut.nonEmpty)
+  }
 }
