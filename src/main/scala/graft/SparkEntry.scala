@@ -227,6 +227,33 @@ object SparkEntry {
     })._2
   }
 
+  // Shared IVF coarse quantizer (the lshPairsShared discipline applied
+  // to the ANN family): ONE deterministic kmeansFit per (session, dir)
+  // feeds q32/q51/q96/q99/q120; q33 is the PRODUCER — it fits FRESH
+  // every run (its bench timing keeps pricing the index build) and
+  // republishes. The model is a driver-side centroid array plus a LAZY
+  // assignment plan — no persisted state, so no release dance at all.
+  private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, operators.Similarity.KmeansModel)]()
+
+  private def kmeansShared(s: SparkSession,
+                           dir: String): operators.Similarity.KmeansModel = {
+    val it = kmeansMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    kmeansMemo.computeIfAbsent(ccKey(s, dir), _ =>
+      (s, operators.Similarity.kmeansFit(
+        Tables.embeddings(s, dir), KmeansK, KmeansIters)))._2
+  }
+
+  private def kmeansPublish(s: SparkSession, dir: String)
+      : operators.Similarity.KmeansModel = {
+    val m = operators.Similarity.kmeansFit(
+      Tables.embeddings(s, dir), KmeansK, KmeansIters)
+    kmeansMemo.put(ccKey(s, dir), (s, m))
+    m
+  }
+
   // Compacted event layout for q125: a deliberately FRAGMENTED
   // partitioned write (16 tasks per date — streaming-ingest debris)
   // rewritten by Writers.compactPartitioned to one file per partition.
@@ -490,15 +517,17 @@ object SparkEntry {
     "q32_dedup_embedding_cells" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.cellNearDupPairs(e,
-        Similarity.kmeansCells(e, KmeansK, KmeansIters), threshold = 0.35)
+        kmeansShared(s, dir).cells, threshold = 0.35)
     }),
 
     // ANN index build: IVF over cells learned by deterministic seeded
     // k-means (not the pre-assigned label column, closing q16's asterisk)
+    // PRODUCER of the shared quantizer: fits fresh (priced here),
+    // republishes for q32/q51/q96/q99/q120
     "q33_ann_ivf_kmeans" -> ((s, dir) =>
-      Similarity.ivfTopKKmeans(Tables.embeddings(s, dir),
-        labeled => labeled.filter(col("vec_id") < 8),
-        k = 5, kCells = KmeansK, iters = KmeansIters)),
+      Similarity.ivfTopKKmeansModel(Tables.embeddings(s, dir),
+        kmeansPublish(s, dir),
+        labeled => labeled.filter(col("vec_id") < 8), k = 5)),
 
     // bounded-memory approximate quantiles (scale path of exact q29) with
     // in-band tolerance flags (oracle expects 1s)
@@ -593,9 +622,9 @@ object SparkEntry {
     // recovering recall lost at cell boundaries with the same equi-join
     // plan shape as q33 (see SimilaritySpec recall assertion)
     "q51_ann_ivf_multiprobe" -> ((s, dir) =>
-      Similarity.ivfTopKMultiProbe(Tables.embeddings(s, dir),
-        e => e.filter(col("vec_id") < 8),
-        k = 5, kCells = KmeansK, iters = KmeansIters, nProbe = 2)),
+      Similarity.ivfTopKMultiProbeModel(Tables.embeddings(s, dir),
+        kmeansShared(s, dir),
+        e => e.filter(col("vec_id") < 8), k = 5, nProbe = 2)),
 
     // dedup-cluster extraction: connected components over the LSH-verified
     // near-dup pairs (iterative min-label propagation; oracle replays the
@@ -895,8 +924,8 @@ object SparkEntry {
     "q99_ann_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.recallAtK(
-        Similarity.ivfTopKKmeans(e, l => l.filter(col("vec_id") < 8),
-          k = 5, kCells = KmeansK, iters = KmeansIters),
+        Similarity.ivfTopKKmeansModel(e, kmeansShared(s, dir),
+          l => l.filter(col("vec_id") < 8), k = 5),
         Similarity.bruteTopK(e, e.filter(col("vec_id") < 8), k = 5))
     }),
 
@@ -904,8 +933,7 @@ object SparkEntry {
     // document quality — the "which clusters hold good data" report; the
     // doc side is scan-fused projections, the join is 8-byte ids
     "q96_cluster_quality" -> ((s, dir) => {
-      val cells = Similarity.kmeansCells(Tables.embeddings(s, dir),
-        KmeansK, KmeansIters)
+      val cells = kmeansShared(s, dir).cells
       val docs = Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.predLang(col("text")).as("pred_lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -1100,10 +1128,9 @@ object SparkEntry {
     // table instead of probe output. nProbe=4 scores every cell (kCells
     // = 4), anchoring the frontier at recall 1.
     "q120_ann_frontier" -> ((s, dir) =>
-      Similarity.annFrontier(Tables.embeddings(s, dir),
-        e => e.filter(col("vec_id") < 8),
-        k = 5, kCells = KmeansK, iters = KmeansIters,
-        probes = Seq(1, 2, 4))),
+      Similarity.annFrontierModel(Tables.embeddings(s, dir),
+        kmeansShared(s, dir),
+        e => e.filter(col("vec_id") < 8), k = 5, probes = Seq(1, 2, 4))),
 
     // small-file compaction gated end to end: a fragmented partitioned
     // layout (16 files/partition) is compacted to one file per partition

@@ -190,8 +190,16 @@ object Similarity {
     * nProbe.
     */
   def ivfTopKMultiProbe(embeddings: DataFrame, queryFilter: DataFrame => DataFrame,
-                        k: Int, kCells: Int, iters: Int, nProbe: Int): DataFrame = {
-    val model = kmeansFit(embeddings, kCells, iters)
+                        k: Int, kCells: Int, iters: Int, nProbe: Int): DataFrame =
+    ivfTopKMultiProbeModel(embeddings, kmeansFit(embeddings, kCells, iters),
+      queryFilter, k, nProbe)
+
+  /** [[ivfTopKMultiProbe]] over an already-fitted model (the shared-index
+    * entry point, as [[ivfTopKKmeansModel]]).
+    */
+  def ivfTopKMultiProbeModel(embeddings: DataFrame, model: KmeansModel,
+                             queryFilter: DataFrame => DataFrame,
+                             k: Int, nProbe: Int): DataFrame = {
     val c = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .join(model.cells, "vec_id")
     val q = queryFilter(embeddings)
@@ -398,9 +406,17 @@ object Similarity {
     */
   def annFrontier(embeddings: DataFrame, queryFilter: DataFrame => DataFrame,
                   k: Int, kCells: Int, iters: Int,
-                  probes: Seq[Int]): DataFrame = {
+                  probes: Seq[Int]): DataFrame =
+    annFrontierModel(embeddings, kmeansFit(embeddings, kCells, iters),
+      queryFilter, k, probes)
+
+  /** [[annFrontier]] over an already-fitted model (the shared-index entry
+    * point, as [[ivfTopKKmeansModel]]).
+    */
+  def annFrontierModel(embeddings: DataFrame, model: KmeansModel,
+                       queryFilter: DataFrame => DataFrame,
+                       k: Int, probes: Seq[Int]): DataFrame = {
     require(probes.nonEmpty, "annFrontier needs at least one probe level")
-    val model = kmeansFit(embeddings, kCells, iters)
     val c = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .join(model.cells, "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -429,10 +445,20 @@ object Similarity {
   }
 
   def ivfTopKKmeans(embeddings: DataFrame, queryIds: DataFrame => DataFrame,
-                    k: Int, kCells: Int, iters: Int): DataFrame = {
-    val cells = kmeansCells(embeddings, kCells, iters)
+                    k: Int, kCells: Int, iters: Int): DataFrame =
+    ivfTopKKmeansModel(embeddings, kmeansFit(embeddings, kCells, iters),
+      queryIds, k)
+
+  /** [[ivfTopKKmeans]] over an ALREADY-FITTED model — how SparkEntry's
+    * kmeans memo feeds the ANN family one shared index instead of each
+    * query re-fitting the identical deterministic quantizer (the
+    * lshPairsShared discipline; a production IVF index is built once and
+    * queried many times).
+    */
+  def ivfTopKKmeansModel(embeddings: DataFrame, model: KmeansModel,
+                         queryIds: DataFrame => DataFrame, k: Int): DataFrame = {
     val labeled = embeddings.drop("label")
-      .join(cells, "vec_id")
+      .join(model.cells, "vec_id")
       .withColumnRenamed("cell", "label")
     ivfTopK(labeled, queryIds(labeled), k)
   }
