@@ -172,9 +172,19 @@ private[v2] case class SolarSimMicroBatch(panels: Int, modules: Int,
     startEpochSec: Long, periodSec: Long, readingsPerTrigger: Int,
     maxReadings: Long, fields: Array[String])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  /** Trigger.AvailableNow contract: snapshot "what exists now" so the
+    * query drains to it and terminates. The simulator's inventory is the
+    * fixed `maxReadings` from construction, so the snapshot is already
+    * taken — without this marker Spark falls back to ONE batch and a
+    * backlog larger than `readingsPerTrigger` would be silently left
+    * unprocessed (caught by the restart spec).
+    */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def initialOffset(): SOffset = SimOffset(0L)
 
