@@ -118,6 +118,11 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // let DSv2 scans report keyed partitioning (SupportsReportPartitioning
+      // + HasPartitionKey): a connector whose partitions ARE the grouping
+      // key — e.g. solar-sim's per-panel partitions — aggregates without an
+      // Exchange, the per-partition-consumer shape of a Kafka topology
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 }

@@ -910,13 +910,18 @@ object SparkEntry {
       Multimodal.featureExtractBatches(
         Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
 
-    // BPE tokenizer TRAINING: 8 merge rounds over the vocab relation —
-    // iterative (round r's argmax feeds round r+1), so no SQL oracle;
-    // the driver records the rows-only check and BpeSpec pins the exact
-    // merges on a known corpus. The exemption is narrowed to training
-    // alone: the deterministic APPLY step is fully hash-gated by q118.
-    "q98_bpe_train" -> ((s, dir) =>
-      Bpe.trainMerges(Tables.documents(s, dir), nMerges = 8)),
+    // BPE tokenizer TRAINING, fully oracle-gated (VERDICT r12 #1 retires
+    // the last exemption): the engine's batched rounds are provably
+    // bit-identical to sequential greedy training (the acceptBatch
+    // prefix proof + BpeSpec pins), and sequential training IS
+    // SQL-expressible with the merge count as a literal — the oracle
+    // generates Q98Merges chained CTE rounds, each a pair-count
+    // aggregate → argmax with the (cnt DESC, pair ASC) tie-break → a
+    // boundary-wrapped-string merge apply (the q118 replace trick).
+    "q98_bpe_train" -> ((s, dir) => {
+      assertBpeOracleSafe(s, dir)
+      Bpe.trainMerges(Tables.documents(s, dir), nMerges = Q98Merges)
+    }),
 
     // ANN recall report (VERDICT r6 #5): the single-probe IVF index's
     // top-5 graded against brute-force truth on the deterministic
@@ -1147,7 +1152,9 @@ object SparkEntry {
     // source-mixture selection: the data-mixing step between data cards
     // and training — per-source token budgets from target shares, the
     // q80 bucket-wise cutoff partitioned by source, content-hash-coin
-    // selection within each source
+    // selection within each source; every row carries its source's
+    // budget/spent/unspent so a thin source's shortfall is in-band
+    // (VERDICT r12 #7)
     "q127_source_mix" -> ((s, dir) =>
       Curation.mixToTargets(Tables.documents(s, dir),
         MixTargets.toMap, MixBudget)),
@@ -1167,6 +1174,30 @@ object SparkEntry {
             when(col("doc_id") % 10 === 0,
               concat(col("text"), lit(" updated")))
               .otherwise(col("text"))))
+    }),
+
+    // incremental-state corpus merge (VERDICT r12 #3): the q126 scenario
+    // merged through the STORED (doc_id, fp) artifact instead of a
+    // corpus text scan — output is the refreshed artifact + change audit
+    // in one relation. The artifact bootstraps once per (session, dir)
+    // behind an eager localCheckpoint, so the gated merge plan reads a
+    // LogicalRDD leaf: corpus text is provably absent from the plan
+    // (CurationSpec pins it), which is the entire point of the operator.
+    "q128_corpus_merge_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source")
+      val existing = docs.filter(col("doc_id") % 5 =!= 4)
+      val incoming = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text")))
+      val it = corpusFpsMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val fps = corpusFpsMemo.computeIfAbsent(ccKey(s, dir), _ =>
+        (s, Curation.corpusFingerprints(existing).localCheckpoint(true)))._2
+      Curation.mergeCorpusIncremental(incoming, fps)
     }),
 
     // eval-set decontamination (GPT-3 app. C / Pile §6 discipline):
@@ -1199,6 +1230,13 @@ object SparkEntry {
   private val dagStageMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, Curation.CurationDagStage)]()
 
+  // q128's bootstrapped corpus-fingerprint artifact per (session, dir):
+  // an eager localCheckpoint, so consumers read a LogicalRDD leaf that
+  // survives the Verify/Bench clearCache (the q11 shared-stage
+  // discipline) and the merge plan carries no corpus text scan
+  private val corpusFpsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, org.apache.spark.sql.DataFrame)]()
+
   // q118-trained merge table per (session, dir): q118 produces (fresh
   // each run), q123 consumes; the fallback trains so q123 also runs
   // standalone (the Verify map iterates in arbitrary order)
@@ -1222,16 +1260,29 @@ object SparkEntry {
     * would make the SQL replay disagree with an engine that encodes it
     * correctly. Fail LOUDLY on such a corpus instead of hash-mismatching
     * mysteriously (review r12; the fix on such data is a chr(1) wrap
-    * char). One cheap aggregate, paid once per (session, corpus).
+    * char). One cheap aggregate, MEMOIZED per (session, corpus) — the
+    * ADVICE r12 fix: q98/q118/q123 each call this, and without the memo
+    * every Bench iteration of q118 re-paid a full corpus text scan that
+    * skewed its timing comparability across rounds.
     */
+  private val bpeSafeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, SparkSession]()
+
   private def assertBpeOracleSafe(s: SparkSession, dir: String): Unit = {
-    val hazard = Tables.documents(s, dir)
-      .agg(sum(when(col("text").contains("|") || col("text").contains("\n")
-        || col("text").contains("\r"), 1L).otherwise(0L))).head()
-    require(hazard.isNullAt(0) || hazard.getLong(0) == 0L,
-      "corpus text contains '|' or a newline — the q118/q123 DuckDB " +
-        "replay's boundary wrap would corrupt; switch the oracle to a " +
-        "chr(1) wrap before gating this corpus")
+    val it = bpeSafeMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.sparkContext.isStopped) it.remove()
+    bpeSafeMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      val hazard = Tables.documents(s, dir)
+        .agg(sum(when(col("text").contains("|") || col("text").contains("\n")
+          || col("text").contains("\r"), 1L).otherwise(0L))).head()
+      require(hazard.isNullAt(0) || hazard.getLong(0) == 0L,
+        "corpus text contains '|' or a newline — the q98/q118/q123 DuckDB " +
+          "replay's boundary wrap would corrupt; switch the oracle to a " +
+          "chr(1) wrap before gating this corpus")
+      s
+    })
+    ()
   }
 
   /** q100's fixed query term set: one rare discriminative term plus two
@@ -1260,6 +1311,71 @@ object SparkEntry {
     * the oracle's nested-replace chain stays shallow.
     */
   val Q118Merges = 48
+
+  /** q98's merge budget. Unlike q118 (which interpolates the LEARNED
+    * merges and gates only the apply step), q98's oracle re-runs the
+    * whole training loop in SQL, so its cost is linear in this count —
+    * 8 keeps the generated CTE chain a few hundred lines while still
+    * exercising a multi-char merge (round 6 merges "m"+"er").
+    */
+  val Q98Merges = 8
+
+  /** The q98 TRAINING replay (VERDICT r12 #1): sequential greedy BPE as
+    * `nMerges` generated CTE rounds. Round r reads the vocabulary in its
+    * round-(r-1) segmentation (the q118 boundary-wrapped string form
+    * `|s1||s2|…|sn|`), folds all adjacent symbol pairs weighted by word
+    * count (overlap allowed — the engine's counting convention), takes
+    * the argmax under the engine's exact (cnt DESC, pair ASC) tie-break,
+    * and applies the winner with a single left-to-right non-overlapping
+    * `replace` (bit-identical to [[graft.functions.BpeApply]]'s scan
+    * order; the double separator keeps adjacent matches from sharing
+    * characters). The engine's BATCHED rounds equal this sequential
+    * replay by the [[graft.operators.Bpe.acceptBatch]] prefix proof
+    * (accepted pairs are symbol-disjoint, so earlier batch members
+    * cannot change later members' counts) — pinned by BpeSpec.
+    * `AS MATERIALIZED` forces linear work: v{r} is referenced twice
+    * (p{r+1} and v{r+1}), and an inlining CTE planner would otherwise
+    * re-derive the whole chain exponentially. An exhausted vocabulary
+    * (no pair left) yields an empty m{r}, the LEFT JOIN carries the
+    * segmentation unchanged, and the round contributes no row — the
+    * engine's early-stop semantics.
+    */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """v0 AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS wcount,
+      |         regexp_replace(word, '(.)', '|\1|', 'g') AS seg
+      |  FROM (
+      |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+      |                              w -> len(w) > 0)) AS word
+      |    FROM documents)
+      |  GROUP BY 1)""".stripMargin
+    for (r <- 1 to nMerges) {
+      ctes += s"""p$r AS MATERIALIZED (
+        |  SELECT pair, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+        |    SELECT wcount, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || ' ' || syms[i+1])) AS pair
+        |    FROM (SELECT wcount, string_split(trim(seg, '|'), '||') AS syms
+        |          FROM v${r - 1}))
+        |  GROUP BY 1)""".stripMargin
+      ctes += s"""m$r AS MATERIALIZED (
+        |  SELECT $r AS rnk, string_split(pair, ' ')[1] AS lft,
+        |         string_split(pair, ' ')[2] AS rgt, cnt
+        |  FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1)""".stripMargin
+      if (r < nMerges)
+        ctes += s"""v$r AS MATERIALIZED (
+          |  SELECT v.word, v.wcount,
+          |         CASE WHEN m.lft IS NULL THEN v.seg
+          |              ELSE replace(v.seg, '|' || m.lft || '||' || m.rgt || '|',
+          |                           '|' || m.lft || m.rgt || '|') END AS seg
+          |  FROM v${r - 1} v LEFT JOIN m$r m ON true)""".stripMargin
+    }
+    val union = (1 to nMerges).map(r => s"SELECT * FROM m$r").mkString("\nUNION ALL\n")
+    "WITH " + ctes.result().mkString(",\n") + "\n" +
+      """SELECT CAST(rnk AS INTEGER) AS "rank", lft AS "left", rgt AS "right",
+        |       lft || rgt AS merged, cnt AS pair_count
+        |FROM (""".stripMargin + union + ")"
+  }
 
   /** q118's learned merge table, published by the query run for the oracle
     * builder — [[Verify]] materializes every query BEFORE it serializes
@@ -3470,6 +3586,12 @@ object SparkEntry {
          |ORDER BY round(w / n_tokens, 4) DESC, doc_id ASC
          |LIMIT ${Curation.DefaultImportanceN}""".stripMargin,
 
+    // q98: BPE TRAINING replay — the full sequential greedy loop as
+    // generated CTE rounds (see bpeTrainOracleSql); unlike q118 this
+    // interpolates nothing learned, so it is a genuinely independent
+    // re-derivation of the merge table
+    "q98_bpe_train" -> bpeTrainOracleSql(Q98Merges),
+
     // q118: BPE APPLY replay — the learned merge table (published by the
     // query run; Verify serializes oracleSql only after every query has
     // materialized) interpolates as nMerges nested replace() calls over
@@ -3746,10 +3868,17 @@ object SparkEntry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
          |    FROM j WHERE cum_before < budget
          |      AND cum_before + b_tokens > budget)
-         |  WHERE cum_before + cum_in + n_tokens <= budget)
-         |SELECT doc_id, source, n_tokens, hb FROM j
-         |WHERE cum_before + b_tokens <= budget
-         |UNION ALL SELECT * FROM bnd""".stripMargin
+         |  WHERE cum_before + cum_in + n_tokens <= budget),
+         |sel AS (
+         |  SELECT doc_id, source, n_tokens, hb FROM j
+         |  WHERE cum_before + b_tokens <= budget
+         |  UNION ALL SELECT * FROM bnd),
+         |sp AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS spent
+         |       FROM sel GROUP BY 1)
+         |SELECT sel.doc_id, sel.source, sel.n_tokens, sel.hb,
+         |       CAST(bud.budget AS BIGINT) AS budget, sp.spent,
+         |       CAST(bud.budget AS BIGINT) - sp.spent AS unspent
+         |FROM sel JOIN bud USING (source) JOIN sp USING (source)""".stripMargin
     },
 
     // q126: the merge replay — change classes from a left join on the
@@ -3776,6 +3905,36 @@ object SparkEntry {
          |SELECT doc_id, text, lang, source, change FROM m
          |UNION ALL
          |SELECT doc_id, text, lang, source, 'carry' AS change FROM ex
+         |WHERE doc_id NOT IN (SELECT doc_id FROM inc)""".stripMargin,
+
+    // q128: the incremental merge replay — identical change-class logic
+    // to q126 but the gated relation is (doc_id, fp, change): the
+    // refreshed 60-bit-fingerprint artifact with the audit tags. The
+    // oracle MAY scan text (it is a replay); the engine plan may NOT
+    // (the artifact-reuse point, pinned by CurationSpec).
+    "q128_corpus_merge_incremental" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+         |inc AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |exfp AS (SELECT doc_id,
+         |                ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp
+         |         FROM ex),
+         |incfp AS (SELECT doc_id,
+         |                 ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp
+         |          FROM inc),
+         |m AS (
+         |  SELECT i.doc_id, i.fp,
+         |         CASE WHEN e.fp IS NULL THEN 'insert'
+         |              WHEN i.fp = e.fp THEN 'refresh'
+         |              ELSE 'rewrite' END AS change
+         |  FROM incfp i LEFT JOIN exfp e USING (doc_id))
+         |SELECT doc_id, fp, change FROM m
+         |UNION ALL
+         |SELECT doc_id, fp, 'carry' AS change FROM exfp
          |WHERE doc_id NOT IN (SELECT doc_id FROM inc)""".stripMargin,
 
     // q122: n is generated into the shingle concat chain from

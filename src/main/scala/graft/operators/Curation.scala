@@ -627,9 +627,60 @@ object Curation {
     * every cumulative comparison is integer arithmetic — hash-gateable
     * under any execution order. Sources absent from `targets` are
     * excluded (share 0).
+    *
+    * Shortfall accounting (VERDICT r12 #7): every selected row carries
+    * its source's `budget`, `spent` (the source's total selected
+    * tokens), and `unspent` — so a THIN source (fewer tokens than its
+    * share allocates) cannot silently shrink the mix: its rows arrive
+    * with `unspent` far above the ≤ max-doc-tokens boundary remainder a
+    * healthy source shows, and the consumer decides whether to
+    * redistribute, top up, or accept. The semantics stay
+    * no-redistribution by design (redistributing inside the operator
+    * would silently change the MIX — the thing the targets specify);
+    * [[mixAccounting]] is the per-source report form, which also covers
+    * the only case row-riding accounting cannot (a target source that
+    * selected ZERO rows appears there with spent = 0).
     */
   def mixToTargets(docs: DataFrame, targets: Map[String, Double],
                    budgetTokens: Long): DataFrame = {
+    val sel = mixSelected(docs, targets, budgetTokens)
+    val spent = sel.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("spent"))
+    sel.join(broadcast(spent), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("hb"),
+        col("budget"), col("spent"),
+        (col("budget") - col("spent")).as("unspent"))
+  }
+
+  /** Per-source accounting of a [[mixToTargets]] run: one row per TARGET
+    * source — including a source that selected nothing (thin to the point
+    * of empty, or absent from the corpus entirely), which the row-riding
+    * accounting on the selection output structurally cannot show. All
+    * metadata-sized (≤ #targets rows).
+    */
+  def mixAccounting(docs: DataFrame, targets: Map[String, Double],
+                    budgetTokens: Long): DataFrame = {
+    val sel = mixSelected(docs, targets, budgetTokens)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budgets = targets.toSeq.sorted
+      .map { case (s, share) => (s, math.floor(budgetTokens * share).toLong) }
+      .toDF("source", "budget")
+    budgets
+      .join(sel.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("spent")),
+        Seq("source"), "left")
+      .select(col("source"), col("budget"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("spent"), lit(0L)).as("spent"),
+        (col("budget") - coalesce(col("spent"), lit(0L))).as("unspent"))
+  }
+
+  /** The selection core shared by [[mixToTargets]] and [[mixAccounting]]:
+    * (doc_id, source, n_tokens, hb, budget) for every selected document.
+    */
+  private def mixSelected(docs: DataFrame, targets: Map[String, Double],
+                          budgetTokens: Long): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ >= 0.0))
     val spark = docs.sparkSession
     import spark.implicits._
@@ -661,7 +712,8 @@ object Curation {
         <= col("budget"))
       .drop("cum_in")
     whole.union(boundary)
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("hb"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("hb"),
+        col("budget"))
   }
 
   /** Corpus snapshot merge — the daily-refresh upsert a living corpus
@@ -707,6 +759,60 @@ object Curation {
       .join(broadcast(incoming.select("doc_id")), Seq("doc_id"), "left_anti")
       .withColumn("change", lit("carry"))
     classified.unionByName(carried)
+  }
+
+  /** The (doc_id, fp) corpus-state artifact [[mergeCorpusIncremental]]
+    * consumes and refreshes — 16 bytes per document, the relation a
+    * production merge stores next to the corpus snapshot so the daily
+    * refresh never re-fingerprints corpus text. [[mergeCorpus]] is the
+    * bootstrap that implicitly computes exactly this from text; producing
+    * it ONCE via this function and thereafter round-tripping it through
+    * [[mergeCorpusIncremental]] keeps it current forever.
+    */
+  def corpusFingerprints(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), TextAnalysis.fp64Expr(col("text")).as("fp"))
+
+  /** Incremental-state corpus merge (VERDICT r12 #3 — retires
+    * [[mergeCorpus]]'s per-merge full-text scan): classify the daily
+    * batch against the STORED `(doc_id, fp)` artifact instead of
+    * re-fingerprinting the corpus, and emit the refreshed artifact WITH
+    * the change audit as one relation — `(doc_id, fp, change)` for every
+    * document of the merged corpus. That is simultaneously (a) tomorrow's
+    * corpus-state artifact (project fp), (b) the change feed incremental
+    * downstream jobs re-run on (filter insert/rewrite), and (c) the audit
+    * count source — all without the corpus text entering the plan at all
+    * (carry rows exist in the snapshot store untouched; a MERGE INTO
+    * rewrites only the change set).
+    *
+    * Bit-identical to the bootstrap path by construction: the artifact IS
+    * `fp64Expr(text)` materialized, so every class decision compares the
+    * same 60-bit values [[mergeCorpus]] computes inline (CurationSpec
+    * pins the equivalence; the q128 plan pin proves no text column and no
+    * fingerprint kernel touches the corpus side).
+    *
+    * Scale shape: the corpus side is 16-byte rows; the batch side
+    * broadcasts twice (fp join for classes, id anti-join for carry),
+    * exactly the [[mergeCorpus]] join discipline minus its text scan —
+    * at 100 TB this turns the daily merge's dominant cost (a full-corpus
+    * text scan) into a metadata-relation pass.
+    */
+  def mergeCorpusIncremental(incoming: DataFrame, corpusFps: DataFrame): DataFrame = {
+    val incFp = incoming.select(col("doc_id"),
+      TextAnalysis.fp64Expr(col("text")).as("fp"))
+    val overlap = corpusFps
+      .join(broadcast(incFp.select(col("doc_id"), col("fp").as("in_fp"))),
+        "doc_id")
+      .select(col("doc_id"),
+        when(col("in_fp") === col("fp"), lit("refresh"))
+          .otherwise(lit("rewrite")).as("overlap_change"))
+    val batchRows = incFp
+      .join(broadcast(overlap), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("overlap_change"), lit("insert")).as("change"))
+    val carried = corpusFps
+      .join(broadcast(incoming.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("fp"), lit("carry").as("change"))
+    batchRows.unionByName(carried)
   }
 
   /** Per-source data card — the dataset-datasheet row a source-mix

@@ -64,9 +64,12 @@ object Writers {
     * partition so one giant date cannot produce one giant file. No RNG
     * (the engine's determinism discipline): rewriting twice produces the
     * same file membership. The rewrite goes to a temp sibling and swaps
-    * in via rename; a production deployment with readers in flight swaps
-    * a manifest/table pointer instead (Delta/Iceberg-style) — the
-    * data-plane job is identical.
+    * in rename-aside (ADVICE r12: original → `.compact-old`, tmp →
+    * target, then delete the old dir — at every instant at least one
+    * complete copy exists, where the earlier delete-then-rename form had
+    * a crash window that destroyed the dataset); a production deployment
+    * with readers in flight swaps a manifest/table pointer instead
+    * (Delta/Iceberg-style) — the data-plane job is identical.
     *
     * Returns the per-partition report (files/bytes before and after) —
     * the numbers an operator alerts on. Listing is driver-side over the
@@ -98,8 +101,19 @@ object Writers {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(tmp.toString)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(target, true)
-    require(fs.rename(tmp, target), s"compaction swap failed: $tmp -> $target")
+    // rename-aside swap: no instant where the target has neither copy. A
+    // crash after step 1 leaves the data at .compact-old (manual rename
+    // restores); a crash after step 2 leaves the new layout live with a
+    // stale .compact-old sibling the next run clears.
+    val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    fs.delete(old, true) // clear a stale sibling from a prior crash
+    require(fs.rename(target, old), s"compaction swap failed: $target -> $old")
+    if (!fs.rename(tmp, target)) {
+      // roll back so the original layout stays live before failing
+      fs.rename(old, target)
+      throw new IllegalStateException(s"compaction swap failed: $tmp -> $target")
+    }
+    fs.delete(old, true)
     val after = partitionFileStats(spark, path)
     import spark.implicits._
     before.toSeq.map { case (p, (f, b)) => (p, f, b) }

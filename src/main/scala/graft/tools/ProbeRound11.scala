@@ -78,24 +78,29 @@ object ProbeRound11 {
     spark.sparkContext.setLogLevel("WARN")
     args.headOption.getOrElse("weights") match {
       case "weights" =>
+        // ADVICE r12: the artifact trains on the TRAIN SPLIT ONLY
+        // (content-hash bucket >= 20) — the earlier full-corpus training
+        // run made evaluateSplits' `test` row a resubstitution metric at
+        // the training SF; excluding the test/val buckets makes it a
+        // genuine held-out measurement by construction.
+        import org.apache.spark.sql.functions._
         val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
         val docs = Tables.documents(spark, sfDir)
+        val trainDocs = docs.filter(Curation.hashBucket(col("doc_id")) >= 20)
         val t0 = System.nanoTime()
-        val w = QualityModel.train(docs)
+        val w = QualityModel.train(trainDocs)
         val dt = (System.nanoTime() - t0) / 1e9
         val rounded = w.map(x =>
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         println(s"TRAIN_SECONDS $dt")
         println("RAW_WEIGHTS " + w.mkString(", "))
         println("ARTIFACT Array(" + rounded.mkString(", ") + ")")
-        // accuracy of the ROUNDED artifact against the training labels
-        import org.apache.spark.sql.functions._
-        val scored = QualityModel.scoreDocs(docs, rounded.toSeq)
-          .join(docs.select(col("doc_id"),
-            QualityModel.labelHeuristic().cast("int").as("y")), "doc_id")
-        val acc = scored.agg(
-          avg(when(col("accept") === col("y"), 1.0).otherwise(0.0))).head().getDouble(0)
-        println(s"TRAIN_ACCURACY $acc")
+        // per-split accuracy of the ROUNDED artifact — the `test` row is
+        // now held out from the training run above
+        QualityModel.evaluateSplits(docs, rounded.toSeq)
+          .select("split", "n", "accuracy").collect()
+          .foreach(r => println(s"ACCURACY ${r.getString(0)} n=${r.getLong(1)} " +
+            s"acc=${r.getDouble(2)}"))
       case "dag" =>
         import org.apache.spark.sql.functions._
         val n = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)

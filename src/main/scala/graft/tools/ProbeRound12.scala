@@ -9,19 +9,26 @@ import graft.operators.TextAnalysis
 /** Round-12 probe: attribute the text-kernel codegen port (VERDICT r11
   * #2) with an in-JVM A/B — this host's run-to-run noise is larger than
   * the effect when measured across JVMs (documented 1.2-3× spread), so
-  * the same warm JVM alternates `spark.sql.wholeStage.codegen.enabled` +
+  * the same warm JVM alternates `spark.sql.codegen.wholeStage` +
   * `spark.sql.codegen.factoryMode` per measurement, interleaved
   * (codegen, interpreted, codegen, …), min of 3 each. The interpreted
   * side approximates the old CodegenFallback behavior (kernels via
   * nullSafeEval, stage excluded from WSCG); the codegen side is the
   * shipped path.
   *
-  * Recorded (2026-08-14, 1 M synthetic docs, local[32]):
-  *  - isolated kernels: codegen buys 1.0-1.3× (lang_predict 1.01×,
-  *    stopword 1.00×, punct 1.24×, shingles 1.22×, minhash_k16 1.03×,
-  *    sim_hash64 0.96×, chunks 1.05×, quality 1.31×) — the kernel loop
-  *    dominates its own row cost, so removing interpreted glue around ONE
-  *    call is marginal;
+  * ADVICE r12 correction: the r12 session ran this probe with the
+  * non-existent key `spark.sql.wholeStage.codegen.enabled`, so its
+  * "isolated kernel" A/B rows compared identical whole-stage configs
+  * (factoryMode alone does not affect expressions fused into WSCG) —
+  * which could have been why those rows read ~1.0×. Re-recorded with
+  * the real key + a plan guard that requires the interpreted leg to be
+  * WSCG-free (2026-08-14 r13 session, 1 M synthetic docs, local[32]):
+  *  - isolated kernels: codegen buys 0.95-1.32× (lang_predict 1.00×,
+  *    stopword 1.00×, punct 1.15×, shingles 1.28×, minhash_k16 1.04×,
+  *    sim_hash64 0.95×, chunks 1.06×, quality 1.32×) — so the r12
+  *    conclusion survives the corrected A/B: the kernel loop dominates
+  *    its own row cost and removing interpreted glue around ONE call is
+  *    marginal;
   *  - the stage-level effect is what the port was for: cross-JVM probes
   *    (ProbeCuration / ProbeRound10, old vs new build) showed pred_only
   *    10.6 s → 2.6 s, quality_percentile 8.4 s → 5.3-5.5 s, survivors
@@ -64,12 +71,23 @@ object ProbeRound12 {
 
     def setMode(codegen: Boolean): Unit =
       if (codegen) {
-        spark.conf.set("spark.sql.wholeStage.codegen.enabled", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
         spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       } else {
-        spark.conf.set("spark.sql.wholeStage.codegen.enabled", "false")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
         spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       }
+    // fail loudly if a future Spark renames the key (the ADVICE r12 trap:
+    // a bogus key silently compares codegen against itself)
+    setMode(false)
+    locally {
+      val plan = docs.select(punct_count(col("text"))).queryExecution.executedPlan
+      val wscg = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      require(wscg.isEmpty,
+        s"interpreted mode still plans WholeStageCodegen — conf key wrong?\n$plan")
+    }
 
     cases.foreach { case (name, f) =>
       // warm both paths once (JIT + codegen compile)

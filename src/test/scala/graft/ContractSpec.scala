@@ -7,11 +7,13 @@ package graft
   */
 class ContractSpec extends SparkSpecBase {
 
-  /** Iterative fixpoints the oracle SQL can't express — each carries a
-    * spec that pins exact outputs on a known fixture instead; the driver
-    * records its weaker rows-only check for these.
+  /** Iterative fixpoints the oracle SQL can't express — each would carry
+    * a spec pinning exact outputs on a known fixture instead, and the
+    * driver would record its weaker rows-only check. EMPTY since r13:
+    * q98 (the last exemption) gained a full training replay oracle —
+    * sequential greedy BPE as generated per-round CTEs.
     */
-  private val OracleExempt = Set("q98_bpe_train")
+  private val OracleExempt = Set.empty[String]
 
   test("queries and oracleSql cover exactly the same names") {
     val q = SparkEntry.queries.keySet

@@ -408,6 +408,92 @@ class CurationSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("mixToTargets accounting: a thin source surfaces its shortfall " +
+    "instead of silently shrinking the mix (VERDICT r12 #7)") {
+    // thin = 2 docs × 3 tokens, 6 total, against a 50-token slice; fat
+    // has plenty. Every selected row must carry budget/spent/unspent,
+    // and the thin source's rows show the shortfall in-band.
+    val corpus = (
+      Seq((1L, "a b c", "thin"), (2L, "d e f", "thin")) ++
+        (10L to 40L).map(i => (i, "w x y z q r s t u v", "fat"))
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.mixToTargets(corpus,
+      Map("thin" -> 0.5, "fat" -> 0.5), 100L)
+    val rows = out.collect()
+    val thin = rows.filter(_.getAs[String]("source") == "thin")
+    assert(thin.length === 2) // everything it has gets selected...
+    thin.foreach { r =>
+      assert(r.getAs[Long]("budget") === 50L)
+      assert(r.getAs[Long]("spent") === 6L)
+      assert(r.getAs[Long]("unspent") === 44L) // ...and the gap is visible
+    }
+    // a healthy source's unspent is bounded by the boundary remainder
+    val fat = rows.filter(_.getAs[String]("source") == "fat")
+    assert(fat.nonEmpty)
+    fat.foreach { r =>
+      assert(r.getAs[Long]("spent") === 50L)
+      assert(r.getAs[Long]("unspent") === 0L)
+    }
+    // the report form shows even a source that selected NOTHING (absent
+    // from the corpus), which row-riding accounting cannot represent
+    val acct = Curation.mixAccounting(corpus,
+      Map("thin" -> 0.3, "fat" -> 0.3, "ghost" -> 0.4), 100L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(acct.keySet === Set("thin", "fat", "ghost"))
+    assert(acct("ghost").getAs[Long]("n_docs") === 0L)
+    assert(acct("ghost").getAs[Long]("spent") === 0L)
+    assert(acct("ghost").getAs[Long]("unspent") === 40L)
+    assert(acct("thin").getAs[Long]("spent") === 6L)
+    spark.catalog.clearCache()
+  }
+
+  test("mergeCorpusIncremental ≡ the text-scan path, and its plan never " +
+    "touches corpus text (VERDICT r12 #3)") {
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source")
+    val existing = docs.filter(col("doc_id") % 5 =!= 4)
+    val incoming = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")))
+    // the stored artifact: materialized once (production keeps it next to
+    // the snapshot), eager checkpoint = LogicalRDD leaf in consumer plans
+    val fps = Curation.corpusFingerprints(existing).localCheckpoint(true)
+    val inc = Curation.mergeCorpusIncremental(incoming, fps)
+    // 1) bit-identical classification to the bootstrap text-scan path
+    val scanClasses = Curation.mergeCorpus(existing, incoming)
+      .select(col("doc_id"), col("change"),
+        graft.operators.TextAnalysis.fp64Expr(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val incClasses = inc.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("change"),
+        r.getAs[Long]("fp"))).toSet
+    assert(incClasses === scanClasses)
+    // 2) the reused-path plan reads the checkpoint, not corpus text: the
+    // only parquet scans allowed are the INCOMING batch's (its fps must
+    // be computed — that content is new; a batch-sized relation scanned
+    // thrice is the broadcast discipline, not a cost). A corpus-side
+    // text scan would appear as a FileScan WITHOUT the incoming filter.
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"corpus side must read the checkpointed artifact:\n$plan")
+    val corpusScans = plan.linesIterator
+      .filter(_.contains("FileScan parquet"))
+      .filterNot(_.contains("% 2) = 0")) // the incoming-batch predicate
+    assert(corpusScans.isEmpty,
+      s"plan scans the corpus, not just the batch:\n${corpusScans.mkString("\n")}\n$plan")
+    // 3) round-trip: the output IS tomorrow's artifact — merging a second
+    // identical batch through it classifies everything refresh/carry
+    val fps2 = inc.select("doc_id", "fp").localCheckpoint(true)
+    val again = Curation.mergeCorpusIncremental(incoming, fps2)
+      .groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!again.contains("insert") && !again.contains("rewrite"),
+      s"re-merging the same batch must be all refresh/carry: $again")
+    spark.catalog.clearCache()
+  }
+
   test("mergeCorpus tags every row with its change class, exactly once") {
     val existing = Seq(
       (1L, "old one", "en", "a"),

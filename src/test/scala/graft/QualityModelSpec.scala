@@ -111,8 +111,10 @@ class QualityModelSpec extends SparkSpecBase {
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     // the artifact separates the heuristic concept well beyond the base
-    // rate on data it never trained on (train accuracy is 0.94 at the
-    // training SF; held-out should be in the same regime, not chance)
+    // rate on data it NEVER trained on — DefaultWeights trains on the
+    // hashBucket >= 20 subset only (ADVICE r12), so test/val are held out
+    // by construction at every SF (recorded at sf0.01: train 0.9375,
+    // test 0.9167)
     assert(rows("test").getAs[Double]("accuracy") > 0.8)
   }
 }

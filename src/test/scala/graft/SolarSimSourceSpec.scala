@@ -81,6 +81,36 @@ class SolarSimSourceSpec extends SparkSpecBase {
     assert(df.collect().forall(r => r.getString(0).startsWith("panel-")))
   }
 
+  test("panel-keyed aggregate over the source plans WITHOUT an Exchange " +
+    "(SupportsReportPartitioning — VERDICT r12 #4)") {
+    // the connector's partitions ARE panels and now SAY so: a per-panel
+    // aggregate must consume the reported KeyGroupedPartitioning instead
+    // of paying the shuffle the reference's per-partition consumers never
+    // pay. executedPlan (not sparkPlan): EnsureRequirements inserts
+    // exchanges during preparation, so sparkPlan would trivially pass.
+    val df = spark.read.format("solar-sim")
+      .option("panels", 4).option("modules", 3)
+      .option("readingsPerModule", 20).load()
+      .groupBy("panel")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("power").as("sum_power"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"panel-keyed aggregate over solar-sim must not shuffle:\n$plan")
+    // and the shuffle-free plan is still CORRECT
+    val rows = df.collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getLong(1) === 3L * 20))
+    // pruning the panel column away removes the clustering key — the scan
+    // must fall back to UnknownPartitioning, not report a key it cannot
+    // provide (a global aggregate needs no clustering either way)
+    val global = spark.read.format("solar-sim")
+      .option("panels", 4).option("modules", 3)
+      .option("readingsPerModule", 20).load()
+      .agg(org.apache.spark.sql.functions.sum("power"))
+    assert(global.head.getDouble(0) > 0.0)
+  }
+
   test("micro-batch stream drains the inventory in admitted slices, batch ≡ stream") {
     val ckpt = java.nio.file.Files
       .createTempDirectory("simstream_ckpt_").toString

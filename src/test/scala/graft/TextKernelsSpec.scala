@@ -38,15 +38,28 @@ class TextKernelsSpec extends SparkSpecBase {
           col("ch"), col("sw"), col("lp"), col("pc"))
         .collect().map(_.toSeq).toSeq
     }
-    // force the INTERPRETED path explicitly (review r12: under the
-    // default conf this ran the same generated code as `gen`, pinning
-    // nothing) — NO_CODEGEN + whole-stage off exercises nullSafeEval
-    spark.conf.set("spark.sql.wholeStage.codegen.enabled", "false")
+    // force the INTERPRETED path explicitly (review r12 / ADVICE r12:
+    // the first fix attempt used "spark.sql.wholeStage.codegen.enabled",
+    // which is NOT a Spark conf key — the real key is
+    // "spark.sql.codegen.wholeStage" (SQLConf.WHOLESTAGE_CODEGEN_ENABLED),
+    // and factoryMode NO_CODEGEN alone does not touch expressions fused
+    // into whole-stage code) — NO_CODEGEN + whole-stage off exercises
+    // nullSafeEval, and the plan assertion below fails LOUDLY if a future
+    // Spark renames the key again
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val interp =
-      try everything()
-      finally {
-        spark.conf.unset("spark.sql.wholeStage.codegen.enabled")
+      try {
+        val plan = Seq("x").toDF("text")
+          .select(punct_count(col("text"))).queryExecution.executedPlan
+        val wscg = plan.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }
+        assert(wscg.isEmpty,
+          s"interpreted leg still plans WholeStageCodegen — conf key wrong?\n$plan")
+        everything()
+      } finally {
+        spark.conf.unset("spark.sql.codegen.wholeStage")
         spark.conf.unset("spark.sql.codegen.factoryMode")
       }
     spark.conf.set("spark.sql.codegen.fallback", "false")
