@@ -1137,6 +1137,21 @@ object SparkEntry {
         kmeansShared(s, dir),
         e => e.filter(col("vec_id") < 8), k = 5, probes = Seq(1, 2, 4))),
 
+    // IVF-PQ frontier (VERDICT r12 #5): the compressed-layout extension
+    // of q120 — float truth anchor, pure-PQ asymmetric-distance brute
+    // force, and coarse-pruned IVF-PQ at nProbe 1/2, each with recall +
+    // n_scored. Trains the per-subspace codebooks FRESH (the producer
+    // pricing discipline) and publishes them for the oracle replay (the
+    // q118 learned-artifact pattern); the coarse quantizer is the shared
+    // session k-means.
+    "q129_pq_frontier" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Similarity.pqFit(e, dim = EmbDim)
+      learnedPqModel = Some(model)
+      Similarity.pqFrontier(e, kmeansShared(s, dir), model,
+        q => q.filter(col("vec_id") < 8), kTop = 5, probes = Seq(1, 2))
+    }),
+
     // small-file compaction gated end to end: a fragmented partitioned
     // layout (16 files/partition) is compacted to one file per partition
     // and the FULL-range rollup must still match the raw-table oracle —
@@ -1218,6 +1233,34 @@ object SparkEntry {
     // order; one kernel scan + an 8-byte-fp dup join
     "q124_source_datacard" -> ((s, dir) =>
       Curation.sourceDatacard(Tables.documents(s, dir))),
+
+    // the DAILY INGESTION pipeline gated end to end (VERDICT r12 #6 —
+    // q119 proved the curation DAG; this is the ingestion twin): today's
+    // crawl segment arrives as gzip WARC shards (the q110 layout), is
+    // stream-parsed back, curated (q53's fused lang+quality+exact-dedup
+    // survivors), MERGED into the prior corpus snapshot with change
+    // auditing (q126), and the refreshed corpus ships its per-source
+    // data cards (q124) — four production stages, ONE hash gate over the
+    // final cards, each stage replayed and chained in the oracle. A
+    // fifth of the incoming text drifts (" recrawled") so the merge
+    // exercises rewrite alongside refresh/insert/carry.
+    "q130_ingest_chain" -> ((s, dir) => {
+      val incoming = graft.sources.Warc.readWarc(s, warcShared(s, dir))
+        .filter(col("doc_id") % 2 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" recrawled")))
+            .otherwise(col("text")))
+        .select("doc_id", "text", "lang", "source")
+      val curated = incoming
+        .join(Curation.curate(incoming, lang = "en", minQuality = 0.5)
+          .select("doc_id"), "doc_id")
+      val prior = Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source")
+        .filter(col("doc_id") % 5 =!= 4)
+      val merged = Curation.mergeCorpus(prior, curated)
+      Curation.sourceDatacard(merged.select("doc_id", "source", "text"))
+    }),
 
     // classifier QUALITY gate (VERDICT r11 #6): confusion counts +
     // accuracy/precision/recall/F1 of the shipped q111 artifact per
@@ -1386,6 +1429,139 @@ object SparkEntry {
     */
   @volatile private[graft] var learnedBpeMerges: Option[Seq[(String, String)]] = None
 
+  /** q129's learned PQ codebooks, published by the query run for the
+    * oracle builder — same contract as [[learnedBpeMerges]]: Verify
+    * materializes every query before serializing `oracleSql`, so the
+    * interpolated literals are exactly the model the gated frontier was
+    * scored under. `Double.toString` round-trips bit-exact through SQL
+    * literal parsing, so no rounding scaffolding is needed beyond the
+    * round-6 the ADC tables already carry.
+    */
+  @volatile private[graft] var learnedPqModel: Option[operators.Similarity.PqModel] = None
+
+  /** The q129 IVF-PQ frontier replay: PQ codes from the interpolated
+    * codebooks (same `|c|² − 2·dot` + (dist, code) tie-break as the
+    * engine's NearestCells slices), per-query round-6 ADC tables
+    * recomputed in SQL with the identical index-order folds, the
+    * fixed-order m-term lookup sums, and the q120 coarse-probe prefix
+    * machinery for the IVF-PQ variants.
+    */
+  private def pqFrontierOracleSql(model: operators.Similarity.PqModel): String = {
+    val m = model.m
+    val kk = model.k
+    val sub = model.subDim
+    val cbRows = (for (mi <- 0 until m; j <- 0 until kk) yield
+      s"($mi, $j, [${model.codebooks(mi)(j).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n    ")
+    val nFlat = model.cnorm2Flat.mkString(", ")
+    def adcTerms(t: String, codes: String) = (0 until m)
+      .map(mi => s"$t[${mi * kk} + $codes[${mi + 1}] + 1]").mkString(" + ")
+    kmeansCtes.stripSuffix("\n") + ",\n" +
+      s"""cb AS (SELECT * FROM (VALUES
+         |    $cbRows) AS t(mi, j, c)),
+         |nlit AS (SELECT [$nFlat]::DOUBLE[] AS n2),
+         |pcodes AS (
+         |  SELECT vec_id, list(code ORDER BY mi) AS codes FROM (
+         |    SELECT vec_id, mi, code FROM (
+         |      SELECT v.vec_id, cb.mi, cb.j AS code,
+         |             row_number() OVER (PARTITION BY v.vec_id, cb.mi ORDER BY
+         |               list_sum(list_transform(cb.c, x -> x*x))
+         |               - 2 * list_sum(list_transform(range(1, ${sub + 1}),
+         |                     i -> v.emb[cb.mi * $sub + i] * cb.c[i])),
+         |               cb.j) AS rn
+         |      FROM v CROSS JOIN cb) WHERE rn = 1)
+         |  GROUP BY vec_id),
+         |tq AS (
+         |  SELECT v.vec_id AS q_id, cb.mi, cb.j,
+         |         round(list_sum(list_transform(range(1, ${sub + 1}),
+         |               i -> v.emb[cb.mi * $sub + i] * cb.c[i])), 6) AS t
+         |  FROM v CROSS JOIN cb WHERE v.vec_id < 8),
+         |tl AS (SELECT q_id, list(t ORDER BY mi, j) AS t FROM tq GROUP BY 1),
+         |qn AS (SELECT vec_id AS q_id,
+         |              round(sqrt(list_sum(list_transform(emb, x -> x*x))), 6) AS qnorm
+         |       FROM v WHERE vec_id < 8),
+         |pqs AS (
+         |  SELECT q_id, vec_id,
+         |         CASE WHEN cn > 0 AND qnorm > 0
+         |              THEN adc / (qnorm * sqrt(cn)) ELSE -2.0 END AS cos
+         |  FROM (
+         |    SELECT tl.q_id, cd.vec_id, qn.qnorm,
+         |           (${adcTerms("tl.t", "cd.codes")}) AS adc,
+         |           (${adcTerms("nlit.n2", "cd.codes")}) AS cn
+         |    FROM pcodes cd
+         |    CROSS JOIN tl
+         |    JOIN qn ON qn.q_id = tl.q_id
+         |    CROSS JOIN nlit
+         |    WHERE cd.vec_id <> tl.q_id)),
+         |bs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8),
+         |bt AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+         |    FROM bs) WHERE rank <= 5),
+         |pqtop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+         |    FROM pqs) WHERE rank <= 5),
+         |qprobe AS (
+         |  SELECT vec_id, cell, rn FROM (
+         |    SELECT v.vec_id, cc.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             list_sum(list_transform(cc.c, x -> x*x))
+         |             - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+         |                              i -> v.emb[i] * cc.c[i])),
+         |             cc.cell) AS rn
+         |    FROM v CROSS JOIN c$KmeansIters cc WHERE v.vec_id < 8)
+         |  WHERE rn <= 2),
+         |lv AS (SELECT unnest([1, 2]) AS n_probe),
+         |icand AS (
+         |  SELECT l.n_probe, qp.vec_id AS q_id, cc.vec_id AS vec_id
+         |  FROM lv l JOIN qprobe qp ON qp.rn <= l.n_probe
+         |  JOIN cells cc ON cc.cell = qp.cell AND cc.vec_id <> qp.vec_id),
+         |ins AS (SELECT n_probe, q_id, CAST(count(*) AS BIGINT) AS n_scored
+         |        FROM icand GROUP BY 1, 2),
+         |itop AS (
+         |  SELECT n_probe, q_id, vec_id FROM (
+         |    SELECT ic.n_probe, ps.q_id, ps.vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY ic.n_probe, ps.q_id
+         |             ORDER BY round(ps.cos, 6) DESC, ps.vec_id ASC) AS rank
+         |    FROM icand ic JOIN pqs ps
+         |      ON ps.q_id = ic.q_id AND ps.vec_id = ic.vec_id)
+         |  WHERE rank <= 5),
+         |tcnt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth
+         |         FROM bt GROUP BY 1),
+         |ph AS (SELECT bt.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM bt JOIN pqtop USING (q_id, vec_id) GROUP BY 1),
+         |ih AS (SELECT itop.n_probe, bt.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM bt JOIN itop USING (q_id, vec_id) GROUP BY 1, 2),
+         |ntot AS (SELECT CAST(count(*) AS BIGINT) - 1 AS n FROM embeddings)
+         |SELECT 'float' AS variant, t.q_id, t.n_truth, t.n_truth AS n_hit,
+         |       round(t.n_truth / CAST(t.n_truth AS DOUBLE), 4) AS recall,
+         |       ntot.n AS n_scored
+         |FROM tcnt t CROSS JOIN ntot
+         |UNION ALL
+         |SELECT 'pq', t.q_id, t.n_truth,
+         |       CAST(coalesce(ph.n_hit, 0) AS BIGINT),
+         |       round(coalesce(ph.n_hit, 0) / CAST(t.n_truth AS DOUBLE), 4),
+         |       ntot.n
+         |FROM tcnt t LEFT JOIN ph USING (q_id) CROSS JOIN ntot
+         |UNION ALL
+         |SELECT 'ivfpq_p' || CAST(l.n_probe AS VARCHAR), t.q_id, t.n_truth,
+         |       CAST(coalesce(ih.n_hit, 0) AS BIGINT),
+         |       round(coalesce(ih.n_hit, 0) / CAST(t.n_truth AS DOUBLE), 4),
+         |       coalesce(ins.n_scored, 0)
+         |FROM lv l CROSS JOIN tcnt t
+         |LEFT JOIN ih ON ih.n_probe = l.n_probe AND ih.q_id = t.q_id
+         |LEFT JOIN ins ON ins.n_probe = l.n_probe AND ins.q_id = t.q_id""".stripMargin
+  }
+
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
   val KmeansK = 4
   val KmeansIters = 2
@@ -1467,6 +1643,58 @@ object SparkEntry {
     TextAnalysis.StopwordDicts.map { case (l, d) =>
       s"${stopCountSql("ltoks", d)} AS score_$l"
     }
+
+  /** The q124 data-card replay parameterized over its source relation —
+    * q124 runs it over `documents`; q130 runs the IDENTICAL chain over
+    * the merged-corpus CTE, so the two gates can never drift apart.
+    * Emits the CTE body only (caller prepends `WITH ` / prior CTEs).
+    */
+  private def datacardOracleBody(src: String): String = {
+    val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+    val thr = graft.operators.QualityModel.HeuristicLabelThreshold
+    s"""dc_toks AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+       |         string_split(lower(text), ' ') AS ltoks
+       |  FROM $src),
+       |dc_scored AS (SELECT doc_id, ${langScoreSqls.mkString(", ")} FROM dc_toks),
+       |dc_pl AS (SELECT doc_id, $predLangCaseSql AS pred_lang FROM dc_scored),
+       |dc_enr AS (
+       |  SELECT doc_id, source, len(toks) AS n_words,
+       |         round(0.4 * least(len(toks) / 100.0, 1.0)
+       |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+       |                            / NULLIF(length(text), 0))
+       |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality,
+       |         ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp64
+       |  FROM (SELECT d.doc_id, d.source, d.text, t.toks, t.ltoks
+       |        FROM $src d JOIN dc_toks t USING (doc_id))),
+       |dc_dup AS (SELECT fp64 FROM dc_enr GROUP BY 1 HAVING count(*) > 1),
+       |dc_b AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN fp64 IN (SELECT fp64 FROM dc_dup)
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       |         CAST(sum(CASE WHEN quality >= ${thr}e0 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_hi_quality
+       |  FROM dc_enr GROUP BY 1),
+       |dc_lc AS (SELECT e.source, p.pred_lang, count(*) AS lc
+       |          FROM dc_enr e JOIN dc_pl p USING (doc_id) GROUP BY 1, 2),
+       |dc_lm AS (SELECT source, max(lc) AS mc FROM dc_lc GROUP BY 1),
+       |dc_tl AS (SELECT dc_lc.source, dc_lm.mc, min(pred_lang) AS top_lang
+       |          FROM dc_lc JOIN dc_lm ON dc_lc.source = dc_lm.source
+       |                                AND dc_lc.lc = dc_lm.mc
+       |          GROUP BY 1, 2)
+       |SELECT dc_b.source, dc_b.n_docs, dc_b.n_tokens,
+       |       round(dc_b.n_tokens / CAST(dc_b.n_docs AS DOUBLE), 4)
+       |         AS mean_doc_tokens,
+       |       dc_b.n_dup_docs,
+       |       round(dc_b.n_dup_docs / CAST(dc_b.n_docs AS DOUBLE), 4) AS pct_dup,
+       |       dc_b.n_hi_quality,
+       |       round(dc_b.n_hi_quality / CAST(dc_b.n_docs AS DOUBLE), 4)
+       |         AS pct_hi_quality,
+       |       dc_tl.top_lang,
+       |       round(dc_tl.mc / CAST(dc_b.n_docs AS DOUBLE), 4) AS top_lang_share
+       |FROM dc_b JOIN dc_tl USING (source)""".stripMargin
+  }
   private lazy val predLangCaseSql: String = {
     val langs = TextAnalysis.StopwordDicts.map(_._1)
     val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
@@ -3827,6 +4055,19 @@ object SparkEntry {
            |LEFT JOIN h ON h.n_probe = l.n_probe AND h.q_id = t.q_id
            |LEFT JOIN ns ON ns.n_probe = l.n_probe AND ns.q_id = t.q_id""".stripMargin),
 
+    // q129: the IVF-PQ frontier replay — codebooks interpolated from the
+    // published learned model (Verify materializes queries before
+    // serializing oracleSql), everything else recomputed in SQL
+    "q129_pq_frontier" -> (learnedPqModel match {
+      case None =>
+        // keyset-stable placeholder (the q118 convention); Verify always
+        // overwrites it with the real replay
+        "SELECT '' AS variant, CAST(NULL AS BIGINT) AS q_id, " +
+          "CAST(0 AS BIGINT) AS n_truth, CAST(0 AS BIGINT) AS n_hit, " +
+          "0.0 AS recall, CAST(0 AS BIGINT) AS n_scored WHERE false"
+      case Some(model) => pqFrontierOracleSql(model)
+    }),
+
     // q125: the q109 rollup without the date slice — full-range equality
     // against the raw table is the losslessness proof for the compacted
     // rewrite
@@ -4012,50 +4253,60 @@ object SparkEntry {
     // dup definition, rolled to one row per source; ratios all derive
     // from integer counts; majority-language argmax replays the q102
     // join-back with (count desc, lang asc) resolution
-    "q124_source_datacard" -> {
+    "q124_source_datacard" ->
+      ("WITH " + datacardOracleBody("documents")),
+
+    // q130: the ingestion chain replayed stage by stage — incoming from
+    // the raw table (q110's hash gate already proves the WARC round trip
+    // is lossless, so the oracle reads `documents` directly), q53's
+    // curation fragment over the incoming relation, the merge's ROW
+    // semantics (incoming replaces same-id, rest carries — the change
+    // TAGS are q126/q128's gates and don't alter the card), and the
+    // EXACT q124 datacard body (shared helper) over the merged corpus
+    "q130_ingest_chain" -> {
       val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
-      val thr = graft.operators.QualityModel.HeuristicLabelThreshold
-      s"""WITH toks AS (
+      s"""WITH inc0 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 20 = 0 THEN text || ' recrawled'
+         |              ELSE text END AS text,
+         |         lang, source
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |ct AS (
          |  SELECT doc_id, text, string_split(text, ' ') AS toks,
          |         string_split(lower(text), ' ') AS ltoks
-         |  FROM documents),
-         |scored AS (SELECT doc_id, ${langScoreSqls.mkString(", ")} FROM toks),
-         |pl AS (SELECT doc_id, $predLangCaseSql AS pred_lang FROM scored),
-         |enr AS (
-         |  SELECT doc_id, source, len(toks) AS n_words,
-         |         round(0.4 * least(len(toks) / 100.0, 1.0)
-         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-         |                            / NULLIF(length(text), 0))
-         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality,
-         |         ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp64
-         |  FROM (SELECT d.doc_id, d.source, d.text, t.toks, t.ltoks
-         |        FROM documents d JOIN toks t USING (doc_id))),
-         |dup AS (SELECT fp64 FROM enr GROUP BY 1 HAVING count(*) > 1),
-         |b AS (
-         |  SELECT source, count(*) AS n_docs,
-         |         CAST(sum(n_words) AS BIGINT) AS n_tokens,
-         |         CAST(sum(CASE WHEN fp64 IN (SELECT fp64 FROM dup)
-         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-         |         CAST(sum(CASE WHEN quality >= ${thr}e0 THEN 1 ELSE 0 END)
-         |              AS BIGINT) AS n_hi_quality
-         |  FROM enr GROUP BY 1),
-         |lc AS (SELECT e.source, p.pred_lang, count(*) AS lc
-         |       FROM enr e JOIN pl p USING (doc_id) GROUP BY 1, 2),
-         |lm AS (SELECT source, max(lc) AS mc FROM lc GROUP BY 1),
-         |tl AS (SELECT lc.source, lm.mc, min(pred_lang) AS top_lang
-         |       FROM lc JOIN lm ON lc.source = lm.source AND lc.lc = lm.mc
-         |       GROUP BY 1, 2)
-         |SELECT b.source, b.n_docs, b.n_tokens,
-         |       round(b.n_tokens / CAST(b.n_docs AS DOUBLE), 4)
-         |         AS mean_doc_tokens,
-         |       b.n_dup_docs,
-         |       round(b.n_dup_docs / CAST(b.n_docs AS DOUBLE), 4) AS pct_dup,
-         |       b.n_hi_quality,
-         |       round(b.n_hi_quality / CAST(b.n_docs AS DOUBLE), 4)
-         |         AS pct_hi_quality,
-         |       tl.top_lang,
-         |       round(tl.mc / CAST(b.n_docs AS DOUBLE), 4) AS top_lang_share
-         |FROM b JOIN tl USING (source)""".stripMargin
+         |  FROM inc0),
+         |cenr0 AS (
+         |  SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
+         |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+         |         $stop AS n_stop,
+         |         ${langScoreSqls.mkString(",\n         ")},
+         |         (('0x' || substr($fpSql, 1, 15))::BIGINT) AS fp64
+         |  FROM ct),
+         |cenr AS (
+         |  SELECT doc_id, fp64,
+         |         round(0.4 * least(n_words / 100.0, 1.0)
+         |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
+         |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality,
+         |         $predLangCaseSql AS pred_lang
+         |  FROM cenr0),
+         |ckept AS (
+         |  SELECT doc_id, pred_lang, quality,
+         |         min(doc_id) OVER (PARTITION BY fp64) AS keep_id
+         |  FROM cenr),
+         |cur AS (
+         |  SELECT i.doc_id, i.text, i.lang, i.source
+         |  FROM inc0 i JOIN ckept k USING (doc_id)
+         |  WHERE k.doc_id = k.keep_id AND k.pred_lang = 'en'
+         |    AND k.quality >= 0.5),
+         |ex AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  WHERE doc_id % 5 <> 4),
+         |merged AS (
+         |  SELECT doc_id, text, source FROM cur
+         |  UNION ALL
+         |  SELECT doc_id, text, source FROM ex
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cur)),
+         |""".stripMargin + datacardOracleBody("merged")
     },
 
     // q121: q111's score chain (same weight literals) vs the q104/q18

@@ -309,4 +309,19 @@ class CacheHygieneSpec extends SparkSpecBase {
     Similarity.kmeansFit(e, k = 2, iters = 1).cells.count()
     assert(cachedCount === 0)        // the train-sample persist is scoped
   }
+
+  test("q130 ingestion chain releases everything under the Verify clearCache " +
+    "(lifecycle — VERDICT r12 #6)") {
+    spark.catalog.clearCache()
+    baseline = spark.sparkContext.getPersistentRDDs.size
+    val out = SparkEntry.queries("q130_ingest_chain")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+    // the chain's stage persists (curation/datacard internals) must all
+    // fall to the session cache clear Bench/Verify issue between queries
+    // — no raw-RDD checkpoint state may survive it
+    spark.catalog.clearCache()
+    assert(cachedCount === 0,
+      s"q130 left cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
 }

