@@ -1535,6 +1535,29 @@ object SparkEntry {
          |    FROM icand ic JOIN pqs ps
          |      ON ps.q_id = ic.q_id AND ps.vec_id = ic.vec_id)
          |  WHERE rank <= 5),
+         |i8 AS (
+         |  SELECT vec_id, amax,
+         |         list_transform(emb, x -> floor(x * (127.0 / amax) + 0.5)) AS q
+         |  FROM (SELECT vec_id, emb,
+         |               list_max(list_transform(emb, x -> abs(x))) AS amax
+         |        FROM v)
+         |  WHERE amax > 0.0),
+         |i8s AS (
+         |  SELECT qq.vec_id AS q_id, c.vec_id AS vec_id,
+         |         list_sum(list_transform(range(1, ${EmbDim + 1}),
+         |           i -> qq.q[i] * c.q[i]))
+         |           * (qq.amax / 127.0) * (c.amax / 127.0) AS qcos
+         |  FROM i8 qq JOIN i8 c ON c.vec_id <> qq.vec_id
+         |  WHERE qq.vec_id < 8),
+         |i8top AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id
+         |             ORDER BY round(qcos, 6) DESC, vec_id ASC) AS rank
+         |    FROM i8s) WHERE rank <= 5),
+         |i8h AS (SELECT bt.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |        FROM bt JOIN i8top USING (q_id, vec_id) GROUP BY 1),
+         |i8n AS (SELECT CAST(count(*) AS BIGINT) - 1 AS n FROM i8),
          |tcnt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth
          |         FROM bt GROUP BY 1),
          |ph AS (SELECT bt.q_id, CAST(count(*) AS BIGINT) AS n_hit
@@ -1546,6 +1569,12 @@ object SparkEntry {
          |       round(t.n_truth / CAST(t.n_truth AS DOUBLE), 4) AS recall,
          |       ntot.n AS n_scored
          |FROM tcnt t CROSS JOIN ntot
+         |UNION ALL
+         |SELECT 'int8', t.q_id, t.n_truth,
+         |       CAST(coalesce(i8h.n_hit, 0) AS BIGINT),
+         |       round(coalesce(i8h.n_hit, 0) / CAST(t.n_truth AS DOUBLE), 4),
+         |       i8n.n
+         |FROM tcnt t LEFT JOIN i8h USING (q_id) CROSS JOIN i8n
          |UNION ALL
          |SELECT 'pq', t.q_id, t.n_truth,
          |       CAST(coalesce(ph.n_hit, 0) AS BIGINT),

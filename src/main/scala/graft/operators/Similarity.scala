@@ -509,10 +509,12 @@ object Similarity {
   /** IVF-PQ recall-vs-cost frontier (VERDICT r12 #5) — the q120 table
     * extended to the compressed layout: per golden query, the recall and
     * candidate count of (a) `float` exact brute force (the truth anchor,
-    * recall 1), (b) `pq` — asymmetric-distance brute force over PQ codes
-    * only, pricing pure quantization loss, and (c) `ivfpq_pN` — the real
-    * production shape: coarse cells prune candidates, ADC scores them,
-    * recall compounds coarse pruning × code quantization.
+    * recall 1), (b) `int8` — the q73 exact-integer scorer (4 bytes →
+    * 1 byte/dim), (c) `pq` — asymmetric-distance brute force over PQ
+    * codes only (~1 bit/dim), pricing pure quantization loss, and (d)
+    * `ivfpq_pN` — the real production shape: coarse cells prune
+    * candidates, ADC scores them, recall compounds coarse pruning ×
+    * code quantization. One table, the whole compression axis.
     *
     * Asymmetric distance computation (ADC): each query precomputes the
     * m×k table T[m][j] = round₆(q_m · c_{m,j}) driver-side (a few KB,
@@ -577,6 +579,15 @@ object Similarity {
     val floatVariant = recallAtK(truth, truth)
       .select(lit("float").as("variant"), col("q_id"), col("n_truth"),
         col("n_hit"), col("recall"), lit(nAll - 1).as("n_scored"))
+    // int8 sits between float and pq on the compression axis (4 bytes →
+    // 1 byte → 1 bit/dim): the q73 exact-integer scorer, graded here so
+    // the frontier table holds all three levels side by side
+    val nQz = embeddings
+      .select(graft.functions.VectorFunctions.quant_stats(col("embedding")).as("s"))
+      .filter(col("s.amax") > 0.0).count()
+    val int8Variant = recallAtK(quantizedTopK(embeddings, queries, kTop), truth)
+      .select(lit("int8").as("variant"), col("q_id"), col("n_truth"),
+        col("n_hit"), col("recall"), lit(nQz - 1).as("n_scored"))
     val pqCand = c.join(broadcast(qdf), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         adcScore(col("codes"), col("t"), col("qnorm")).as("cos"))
@@ -600,7 +611,8 @@ object Similarity {
           col("n_hit"), col("recall"),
           coalesce(col("n_scored"), lit(0L)).as("n_scored"))
     }
-    (Seq(floatVariant, pqVariant) ++ ivfVariants).reduce(_.unionByName(_))
+    (Seq(floatVariant, int8Variant, pqVariant) ++ ivfVariants)
+      .reduce(_.unionByName(_))
   }
 
   def ivfTopKKmeans(embeddings: DataFrame, queryIds: DataFrame => DataFrame,

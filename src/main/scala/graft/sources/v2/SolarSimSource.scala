@@ -81,7 +81,7 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
     readingsPerTrigger: Int = 10)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 
@@ -116,14 +116,41 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
 
   override def pushedFilters(): Array[Filter] = panelFilters
 
-  /** Conjunction of the pushed panel predicates; None = unconstrained. */
-  private def allowedPanels: Option[Set[String]] =
-    if (panelFilters.isEmpty) None
-    else Some(panelFilters.map {
+  // Runtime (DPP-style) filtering: when this scan joins a small relation
+  // on `panel`, Spark executes the build side first and hands the scan
+  // the observed key set — partitions for panels that cannot match are
+  // then dropped before a single row is generated (the V2 analog of
+  // dynamic partition pruning; for a Kafka-shaped source this is
+  // "subscribe only to the topics the dimension join can use").
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("panel"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // only panel =/IN shapes prune; anything else is ignored (the
+    // runtime-filtering contract allows a no-op — correctness is
+    // preserved by the join itself)
+    runtimeFilters = filters.filter {
+      case EqualTo("panel", _: String) => true
+      case In("panel", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+  }
+
+  /** Conjunction of the pushed + runtime panel predicates; None =
+    * unconstrained.
+    */
+  private def allowedPanels: Option[Set[String]] = {
+    val fs = panelFilters ++ runtimeFilters
+    if (fs.isEmpty) None
+    else Some(fs.map {
       case EqualTo("panel", v: String) => Set(v)
       case In("panel", vs) => vs.collect { case s: String => s }.toSet
       case f => throw new IllegalStateException(s"unexpected pushed filter $f")
     }.reduce(_ intersect _))
+  }
 
   override def build(): Scan = this
   override def readSchema(): StructType = prunedSchema

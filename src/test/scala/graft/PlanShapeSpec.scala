@@ -26,7 +26,14 @@ class PlanShapeSpec extends SparkSpecBase {
     "q83_span_dedup", "q85_srp_lsh", "q86_incremental_dedup",
     "q87_exact_quantile_twopass", "q91_ohlc_downsample", "q92_train_split",
     "q93_dedup_savings", "q95_blocklist_filter", "q96_cluster_quality",
-    "q97_feature_extract_batch")
+    "q97_feature_extract_batch",
+    // r13: the incremental merge and the four-stage ingestion chain must
+    // stay equi-join-shaped. q129 is NOT here for the same reason as q15:
+    // its float/pq BRUTE variants are corpus × broadcast(8 golden
+    // queries) with a <>-condition — a safe-by-construction BNLJ whose
+    // broadcast side is the bounded query sample; the IVF-PQ variants
+    // inside the same query are cell equi-joins.
+    "q128_corpus_merge_incremental", "q130_ingest_chain")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {

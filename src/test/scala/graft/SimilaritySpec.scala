@@ -448,8 +448,14 @@ class SimilaritySpec extends SparkSpecBase {
       .map(r => (r.getAs[String]("variant"), r.getAs[Long]("q_id"),
         r.getAs[Double]("recall"), r.getAs[Long]("n_scored")))
     val byVariant = rows.groupBy(_._1)
-    assert(byVariant.keySet === Set("float", "pq", "ivfpq_p1", "ivfpq_p2"))
+    assert(byVariant.keySet ===
+      Set("float", "int8", "pq", "ivfpq_p1", "ivfpq_p2"))
     assert(byVariant("float").forall(_._3 === 1.0))
+    // int8 is nearly lossless at 1 byte/dim — it must dominate the
+    // 8-byte-per-vector pq codes on mean recall
+    val mean = (v: String) =>
+      byVariant(v).map(_._3).sum / byVariant(v).size
+    assert(mean("int8") >= mean("pq"))
     assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
     // brute variants score the whole corpus minus self
     val n = e.count() - 1

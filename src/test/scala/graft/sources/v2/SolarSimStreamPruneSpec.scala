@@ -48,4 +48,24 @@ class SolarSimStreamPruneSpec extends AnyFunSuite {
     assert(streamPanels(scan) === Seq(0, 1, 2))
     assert(scan.planInputPartitions().length === 3)
   }
+
+  test("runtime filtering (SupportsRuntimeFiltering) prunes batch partitions") {
+    val scan = SolarSimScan(panels = 4, modules = 2, readingsPerModule = 10,
+      startEpochSec = 0L, periodSec = 10L)
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("panel"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("panel", Array("panel-1", "panel-3"))))
+    assert(scan.planInputPartitions().toSeq
+      .map(_.asInstanceOf[SolarPanelPartition].panel) === Seq(1, 3))
+    // composes with planning-time pushdown: the intersection prunes
+    scan.pushFilters(Array(EqualTo("panel", "panel-3")))
+    assert(scan.planInputPartitions().toSeq
+      .map(_.asInstanceOf[SolarPanelPartition].panel) === Seq(3))
+    // non-panel runtime filters are ignored, never wrong
+    val scan2 = SolarSimScan(panels = 2, modules = 2, readingsPerModule = 10,
+      startEpochSec = 0L, periodSec = 10L)
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("power", java.lang.Double.valueOf(1.0))))
+    assert(scan2.planInputPartitions().length === 2)
+  }
 }
