@@ -1174,6 +1174,15 @@ object SparkEntry {
       Curation.mixToTargets(Tables.documents(s, dir),
         MixTargets.toMap, MixBudget)),
 
+    // the q127 mix's per-source accounting REPORT, gated in its own
+    // right: one row per TARGET source including the ghost (a target
+    // with no corpus presence — spent 0, unspent = full slice), the
+    // case the row-riding accounting on q127's selection output
+    // structurally cannot show
+    "q131_mix_accounting" -> ((s, dir) =>
+      Curation.mixAccounting(Tables.documents(s, dir),
+        MixTargets.toMap + (MixGhostSource -> MixGhostShare), MixBudget)),
+
     // corpus snapshot merge (MERGE INTO semantics engine-side): a
     // deterministic refresh scenario — existing = 80% of the corpus,
     // incoming = the even ids with every 10th doc's text modified — so
@@ -1349,6 +1358,13 @@ object SparkEntry {
     Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
   val MixBudget = 2000L
 
+  /** q131's ghost target: a source absent from every testdata corpus
+    * (sources are src0..src19), so the accounting report must surface a
+    * zero-spent row for it — the silent-shrink case the gate pins.
+    */
+  val MixGhostSource = "src_ghost"
+  val MixGhostShare = 0.05
+
   /** q118's merge budget — generous for the synthetic 31-word vocabulary
     * (training stops on its own when no pair remains), small enough that
     * the oracle's nested-replace chain stays shallow.
@@ -1362,6 +1378,47 @@ object SparkEntry {
     * exercising a multi-char merge (round 6 merges "m"+"er").
     */
   val Q98Merges = 8
+
+  /** The q127/q131 selection replay: budgets from a VALUES relation
+    * (floor(budget·share) computed HERE, the same longs the engine
+    * folds), the bucket-wise cutoff partitioned by source, boundary
+    * buckets ranked by doc_id — ends in a `sel(doc_id, source,
+    * n_tokens, hb)` CTE both gates consume.
+    */
+  private def mixSelCtes(targets: Seq[(String, Double)]): String = {
+    val vals = targets.map { case (src, share) =>
+      s"('$src', ${math.floor(MixBudget * share).toLong})"
+    }.mkString(", ")
+    s"""bud AS (SELECT * FROM (VALUES $vals) AS v(source, budget)),
+       |t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+       |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+       |               AS hb
+       |      FROM documents),
+       |e AS (SELECT t.doc_id, t.source, t.n_tokens, t.hb, bud.budget
+       |      FROM t JOIN bud USING (source)),
+       |b AS (SELECT source, hb, CAST(sum(n_tokens) AS BIGINT) AS b_tokens
+       |      FROM e GROUP BY 1, 2),
+       |bc AS (SELECT source, hb, b_tokens,
+       |              CAST(coalesce(sum(b_tokens) OVER (PARTITION BY source
+       |                ORDER BY hb
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |                AS BIGINT) AS cum_before
+       |       FROM b),
+       |j AS (SELECT e.doc_id, e.source, e.n_tokens, e.hb,
+       |             bc.b_tokens, bc.cum_before, e.budget
+       |      FROM e JOIN bc USING (source, hb)),
+       |bnd AS (SELECT doc_id, source, n_tokens, hb FROM (
+       |    SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source, hb
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
+       |    FROM j WHERE cum_before < budget
+       |      AND cum_before + b_tokens > budget)
+       |  WHERE cum_before + cum_in + n_tokens <= budget),
+       |sel AS (
+       |  SELECT doc_id, source, n_tokens, hb FROM j
+       |  WHERE cum_before + b_tokens <= budget
+       |  UNION ALL SELECT * FROM bnd)""".stripMargin
+  }
 
   /** The q98 TRAINING replay (VERDICT r12 #1): sequential greedy BPE as
     * `nMerges` generated CTE rounds. Round r reads the vocabulary in its
@@ -4110,46 +4167,29 @@ object SparkEntry {
     // q127: the q80 budget replay partitioned by source, budgets
     // interpolated from the shipped recipe (floor(budget * share)
     // computed HERE, the same longs the engine folds)
-    "q127_source_mix" -> {
-      val vals = MixTargets.map { case (src, share) =>
-        s"('$src', ${math.floor(MixBudget * share).toLong})"
-      }.mkString(", ")
-      s"""WITH bud AS (SELECT * FROM (VALUES $vals) AS v(source, budget)),
-         |t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
-         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
-         |               AS hb
-         |      FROM documents),
-         |e AS (SELECT t.doc_id, t.source, t.n_tokens, t.hb, bud.budget
-         |      FROM t JOIN bud USING (source)),
-         |b AS (SELECT source, hb, CAST(sum(n_tokens) AS BIGINT) AS b_tokens
-         |      FROM e GROUP BY 1, 2),
-         |bc AS (SELECT source, hb, b_tokens,
-         |              CAST(coalesce(sum(b_tokens) OVER (PARTITION BY source
-         |                ORDER BY hb
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |                AS BIGINT) AS cum_before
-         |       FROM b),
-         |j AS (SELECT e.doc_id, e.source, e.n_tokens, e.hb,
-         |             bc.b_tokens, bc.cum_before, e.budget
-         |      FROM e JOIN bc USING (source, hb)),
-         |bnd AS (SELECT doc_id, source, n_tokens, hb FROM (
-         |    SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source, hb
-         |      ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
-         |    FROM j WHERE cum_before < budget
-         |      AND cum_before + b_tokens > budget)
-         |  WHERE cum_before + cum_in + n_tokens <= budget),
-         |sel AS (
-         |  SELECT doc_id, source, n_tokens, hb FROM j
-         |  WHERE cum_before + b_tokens <= budget
-         |  UNION ALL SELECT * FROM bnd),
+    "q127_source_mix" ->
+      ("WITH " + mixSelCtes(MixTargets) + s""",
          |sp AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS spent
          |       FROM sel GROUP BY 1)
          |SELECT sel.doc_id, sel.source, sel.n_tokens, sel.hb,
          |       CAST(bud.budget AS BIGINT) AS budget, sp.spent,
          |       CAST(bud.budget AS BIGINT) - sp.spent AS unspent
-         |FROM sel JOIN bud USING (source) JOIN sp USING (source)""".stripMargin
-    },
+         |FROM sel JOIN bud USING (source) JOIN sp USING (source)""".stripMargin),
+
+    // q131: the accounting report over the SAME selection replay, with
+    // the ghost target's zero-spent row surfaced by the LEFT JOIN from
+    // the budget relation
+    "q131_mix_accounting" ->
+      ("WITH " +
+        mixSelCtes(MixTargets :+ (MixGhostSource -> MixGhostShare)) + s""",
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(n_tokens) AS BIGINT) AS spent
+         |        FROM sel GROUP BY 1)
+         |SELECT bud.source, CAST(bud.budget AS BIGINT) AS budget,
+         |       coalesce(agg.n_docs, 0) AS n_docs,
+         |       coalesce(agg.spent, 0) AS spent,
+         |       CAST(bud.budget AS BIGINT) - coalesce(agg.spent, 0) AS unspent
+         |FROM bud LEFT JOIN agg USING (source)""".stripMargin),
 
     // q126: the merge replay — change classes from a left join on the
     // normalized-fp equality (the same fpSql the q10 dedup gate uses),

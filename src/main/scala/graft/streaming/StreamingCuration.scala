@@ -117,6 +117,31 @@ object StreamingCuration {
     * pathological benchmark would swap the array for a sorted-array
     * binary search or a Bloom pre-filter; the join shape is unchanged.
     */
+  /** Streaming twin of [[graft.operators.Curation.mergeCorpusIncremental]]'s
+    * CLASSIFICATION: each incoming document is tagged insert/rewrite/
+    * refresh against the static `(doc_id, fp)` corpus artifact AT INGEST
+    * TIME — the change feed the batch merge derives daily, produced
+    * continuously instead. Stateless: the artifact is the static side of
+    * a stream-static left join (at 100 TB it is the 16-byte/doc relation
+    * [[graft.operators.Curation.corpusFingerprints]] maintains, read
+    * per micro-batch), the incoming fp is a scan-fused projection, and
+    * the class is a per-row CASE — append mode, per-row latency, no
+    * state store. `carry` has no streaming analog by construction
+    * (untouched corpus rows never enter the stream); the batch merge
+    * remains the operator that emits them.
+    */
+  def mergeClassifyStream(docsStream: DataFrame, corpusFps: DataFrame): DataFrame = {
+    val art = corpusFps.select(col("doc_id"), col("fp").as("corpus_fp"))
+    docsStream
+      .select(col("ts"), col("doc_id"),
+        TextAnalysis.fp64Expr(col("text")).as("fp"))
+      .join(art, Seq("doc_id"), "left")
+      .select(col("ts"), col("doc_id"), col("fp"),
+        when(col("corpus_fp").isNull, lit("insert"))
+          .when(col("corpus_fp") === col("fp"), lit("refresh"))
+          .otherwise(lit("rewrite")).as("change"))
+  }
+
   def decontaminateStream(docsStream: DataFrame, benchmark: DataFrame,
                           n: Int = graft.operators.Dedup.DecontamShingleN): DataFrame = {
     val fps = benchmark

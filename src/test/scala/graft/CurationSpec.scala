@@ -386,6 +386,43 @@ class CurationSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("mergeClassifyStream ≡ the incremental merge's classification at " +
+    "ingest time (stateless stream-static join)") {
+    val existing = Seq(
+      (1L, "old one"), (2L, "same  text"), (3L, "untouched"))
+      .toDF("doc_id", "text")
+    val fps = Curation.corpusFingerprints(existing).localCheckpoint(true)
+    val incoming = Seq(
+      (1L, "new one"),    // content changed -> rewrite
+      (2L, "same text"),  // normalized-identical -> refresh
+      (9L, "brand new"))  // unseen id -> insert
+    // batch truth: the q128 operator's classification of the same batch
+    val batch = Curation
+      .mergeCorpusIncremental(incoming.toDF("doc_id", "text"), fps)
+      .filter(col("change") =!= "carry")
+      .select("doc_id", "fp", "change")
+      .as[(Long, Long, String)].collect().toSet
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stream = StreamingCuration.mergeClassifyStream(
+      input.toDF().toDF("ts", "doc_id", "text"), fps)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("mergecls_s")
+      .outputMode("append").start()
+    input.addData(incoming.map { case (id, t) =>
+      (new Timestamp(id * 1000L), id, t)
+    }: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("mergecls_s")
+      .select("doc_id", "fp", "change")
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._3) === Set("insert", "refresh", "rewrite"))
+    releaseCheckpoint(fps)
+    spark.catalog.clearCache()
+  }
+
   test("mixToTargets honors per-source token budgets with the hash coin") {
     val corpus = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.001")
@@ -447,6 +484,18 @@ class CurationSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  /** Release a localCheckpoint-backed relation's raw-RDD blocks — tests
+    * that bootstrap a checkpointed artifact must drop it explicitly (the
+    * async ContextCleaner would otherwise release it at an arbitrary
+    * later point, corrupting other tests' persistent-RDD baselines).
+    */
+  private def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
+    ()
+  }
+
   test("mergeCorpusIncremental ≡ the text-scan path, and its plan never " +
     "touches corpus text (VERDICT r12 #3)") {
     val docs = graft.sources.Tables
@@ -491,6 +540,8 @@ class CurationSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(!again.contains("insert") && !again.contains("rewrite"),
       s"re-merging the same batch must be all refresh/carry: $again")
+    releaseCheckpoint(fps)
+    releaseCheckpoint(fps2)
     spark.catalog.clearCache()
   }
 
