@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.operators.{Curation, Dedup, Relational, TextAnalysis}
 
@@ -132,6 +133,43 @@ class DegenerateInputSpec extends SparkSpecBase {
       .createTempDirectory("compact_empty_").toString
     assert(graft.sources.Writers
       .compactPartitioned(spark, emptyDir, "event_date").count() === 0)
+    spark.catalog.clearCache()
+  }
+
+  test("round-13 operators return cleanly on empty and degenerate inputs") {
+    val emptyFull = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val docs = Seq((1L, "a b", "en", "src0"), (2L, "c d", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    // incremental merge: empty incoming -> all carry; empty artifact
+    // (bootstrap of an empty corpus) -> all insert; both empty -> empty
+    val fps = Curation.corpusFingerprints(docs)
+    val emptyFps = Curation.corpusFingerprints(emptyFull)
+    val c1 = Curation.mergeCorpusIncremental(
+      emptyFull.select("doc_id", "text"), fps)
+    assert(c1.count() === 2 && c1.select("change").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("carry"))
+    val c2 = Curation.mergeCorpusIncremental(
+      docs.select("doc_id", "text"), emptyFps)
+    assert(c2.count() === 2 && c2.select("change").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq("insert"))
+    assert(Curation.mergeCorpusIncremental(
+      emptyFull.select("doc_id", "text"), emptyFps).count() === 0)
+    // mix accounting over an empty corpus: every target reports a full
+    // unspent slice instead of vanishing
+    val acct = Curation.mixAccounting(emptyFull,
+      Map("srcA" -> 0.5, "srcB" -> 0.5), 100L).collect()
+    assert(acct.length === 2)
+    assert(acct.forall(r => r.getAs[Long]("spent") === 0L &&
+      r.getAs[Long]("unspent") === 50L))
+    // pq: an all-zero embedding encodes (argmin still defined) and the
+    // ADC score sinks degenerate reconstructions instead of dividing by 0
+    val model = graft.operators.Similarity.PqModel(IndexedSeq(
+      IndexedSeq(Seq(0.0, 0.0), Seq(1.0, 1.0))), subDim = 2)
+    val z = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(graft.operators.Similarity.pqCodes(col("embedding"), model).as("c"))
+      .as[Seq[Int]].head()
+    assert(z === Seq(0)) // zero vector -> the zero codebook entry
     spark.catalog.clearCache()
   }
 }
