@@ -111,6 +111,28 @@ class SolarSimSourceSpec extends SparkSpecBase {
     assert(global.head.getDouble(0) > 0.0)
   }
 
+  test("runtime filtering fires on a panel dim join and stays correct " +
+    "alongside the reported partitioning") {
+    // SupportsRuntimeFiltering end to end: joining a small dimension on
+    // the panel key plants a runtime filter on the V2 scan (DPP-style),
+    // and the result — including a downstream panel-keyed aggregate over
+    // the KeyGroupedPartitioning-reporting scan — stays correct
+    val sim = spark.read.format("solar-sim")
+      .option("panels", 4).option("modules", 2)
+      .option("readingsPerModule", 10).load()
+    val dim = Seq(("panel-1", "west"), ("panel-3", "east"))
+      .toDF("panel", "site")
+    val j = sim.join(dim, "panel")
+    assert(j.count() === 2L * 2 * 10)
+    assert(j.queryExecution.executedPlan.toString.contains("RuntimeFilter"),
+      "expected a runtime filter on the V2 scan")
+    val agg = j.groupBy("panel")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).collect()
+    assert(agg.map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("panel-1" -> 20L, "panel-3" -> 20L))
+  }
+
   test("micro-batch stream drains the inventory in admitted slices, batch ≡ stream") {
     val ckpt = java.nio.file.Files
       .createTempDirectory("simstream_ckpt_").toString
