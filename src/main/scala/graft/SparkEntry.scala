@@ -1028,6 +1028,17 @@ object SparkEntry {
           sum(octet_length(col("text"))).as("payload_bytes"),
           sum(col("doc_id")).as("sum_doc_id"))),
 
+    // the q110 rollup through the DSv2 `format("warc")` READ path — the
+    // same shared gzip layout, so the gate proves the V2 per-shard
+    // connector (planInputPartitions over the shard glob + streaming
+    // record parse) is lossless exactly as the function-style reader is
+    "q132_warc_v2_read" -> ((s, dir) =>
+      s.read.format("warc").load(warcShared(s, dir))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text"))).as("payload_bytes"),
+          sum(col("doc_id")).as("sum_doc_id"))),
+
     // trained quality classifier scoring: fixed-order logit over the q18
     // kernel signals under the shipped 6-decimal weight artifact, sigmoid
     // calibration, accept decision on the rounded probability — the
@@ -3703,6 +3714,14 @@ object SparkEntry {
     // table. strlen = BYTE length in DuckDB (Spark octet_length); sums
     // cast back to BIGINT (DuckDB widens BIGINT sums to HUGEINT).
     "q110_warc_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // q132: identical oracle to q110 — the layout and rollup are the
+    // same; only the ENGINE-side read path differs (DSv2 vs binaryFiles)
+    "q132_warc_v2_read" ->
       """SELECT source, lang, count(*) AS n_docs,
         |       CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
