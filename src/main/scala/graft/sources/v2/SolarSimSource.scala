@@ -81,7 +81,8 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
     readingsPerTrigger: Int = 10)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with SupportsPushDownAggregates {
 
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 
@@ -152,8 +153,47 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
     }.reduce(_ intersect _))
   }
 
+  // Aggregate pushdown: the simulator can answer COUNT(*) in closed form
+  // (count = |panels| × modules × readingsPerModule) — the connector
+  // analog of a source that holds row counts in metadata (Kafka's
+  // end-minus-start offsets, parquet footers, a table's stats). A
+  // COUNT(*) grouped by nothing or by `panel` is COMPLETELY pushed: the
+  // scan emits the final one-row (or row-per-panel) answer and zero
+  // telemetry rows are ever generated. Composes with the panel-filter
+  // pushdown above (counts cover the PLANNED panels only).
+  private var pushedCount: Option[Boolean] = None // Some(groupByPanel)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val aggsOk = agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+    val grouping = agg.groupByExpressions().map(_.describe()).toSeq
+    val groupOk = grouping.isEmpty || grouping == Seq("panel")
+    if (aggsOk && groupOk) { pushedCount = Some(grouping.nonEmpty); true }
+    else false
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]) && {
+      val g = agg.groupByExpressions().map(_.describe()).toSeq
+      g.isEmpty || g == Seq("panel")
+    }
+  }
+
   override def build(): Scan = this
-  override def readSchema(): StructType = prunedSchema
+
+  override def readSchema(): StructType = pushedCount match {
+    case Some(true) => StructType(Seq(
+      StructField("panel", StringType, nullable = false),
+      StructField("count", LongType, nullable = false)))
+    case Some(false) => StructType(Seq(
+      StructField("count", LongType, nullable = false)))
+    case None => prunedSchema
+  }
+
   override def toBatch: Batch = this
 
   /** The panel indices that survive pushdown — shared by the batch and
@@ -165,8 +205,17 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
   private def plannedPanels: Seq[Int] =
     (0 until panels).filter(p => allowedPanels.forall(_.contains(s"panel-$p")))
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plannedPanels.map(p => SolarPanelPartition(p): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = pushedCount match {
+    case Some(true) => // one pre-aggregated row per planned panel
+      plannedPanels.map(p =>
+        SolarCountPartition(Some(p),
+          modules.toLong * readingsPerModule): InputPartition).toArray
+    case Some(false) => // ONE partition carrying the global answer
+      Array(SolarCountPartition(None,
+        plannedPanels.size.toLong * modules * readingsPerModule))
+    case None =>
+      plannedPanels.map(p => SolarPanelPartition(p): InputPartition).toArray
+  }
 
   /** VERDICT r12 #4: the connector's partitions ARE panels, so report it.
     * With `HasPartitionKey` on each partition and keyed-partitioning
@@ -179,14 +228,22 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
-    val n = plannedPanels.size
-    if (prunedSchema.fieldNames.contains("panel"))
-      new KeyGroupedPartitioning(Array(Expressions.identity("panel")), n)
-    else new UnknownPartitioning(n)
+    pushedCount match {
+      case Some(true) =>
+        new KeyGroupedPartitioning(Array(Expressions.identity("panel")),
+          plannedPanels.size)
+      case Some(false) => new UnknownPartitioning(1)
+      case None =>
+        val n = plannedPanels.size
+        if (prunedSchema.fieldNames.contains("panel"))
+          new KeyGroupedPartitioning(Array(Expressions.identity("panel")), n)
+        else new UnknownPartitioning(n)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SolarSimReaderFactory(modules, readingsPerModule, startEpochSec,
+    if (pushedCount.isDefined) SolarCountReaderFactory()
+    else SolarSimReaderFactory(modules, readingsPerModule, startEpochSec,
       periodSec, prunedSchema.fieldNames)
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -305,6 +362,34 @@ private[v2] case class SolarStreamReaderFactory(modules: Int,
         })
       }
 
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** A completely-pushed COUNT(*) result row: `panel = None` is the global
+  * count; `Some(p)` one group row of the panel-grouped count.
+  */
+private[v2] case class SolarCountPartition(panel: Option[Int], count: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = panel match {
+    case Some(p) => InternalRow(UTF8String.fromString(s"panel-$p"))
+    case None => InternalRow.empty
+  }
+}
+
+private[v2] case class SolarCountReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[SolarCountPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted; emitted = true; go }
+      override def get(): InternalRow = part.panel match {
+        case Some(p) =>
+          InternalRow(UTF8String.fromString(s"panel-$p"), part.count)
+        case None => InternalRow(part.count)
+      }
       override def close(): Unit = ()
     }
   }

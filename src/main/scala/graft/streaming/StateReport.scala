@@ -83,4 +83,34 @@ object StateReport {
           byBatch.last.rowsTotal - byBatch.head.rowsTotal,
           byBatch.map(_.rowsRemoved).sum)
       }
+
+  /** One row per (micro-batch, observation name, metric field) for every
+    * `Dataset.observe` tap in the query — the inline-metrics view (the
+    * reference's five debug-foreach stages, §2 row 4, as queryable
+    * rows). Numeric metric fields widen to double; non-numeric fields
+    * are skipped (observe metrics are aggregates — numeric in practice).
+    */
+  case class ObservedMetric(batchId: Long, observation: String,
+      metric: String, value: Double)
+
+  def observedMetrics(q: StreamingQuery): Seq[ObservedMetric] =
+    q.recentProgress.toSeq.flatMap { p =>
+      import scala.jdk.CollectionConverters._
+      p.observedMetrics.asScala.toSeq.flatMap { case (name, row) =>
+        row.schema.fields.zipWithIndex.toSeq.flatMap { case (f, i) =>
+          if (row.isNullAt(i)) None
+          else row.get(i) match {
+            case n: java.lang.Number =>
+              Some(ObservedMetric(p.batchId, name, f.name, n.doubleValue()))
+            case _ => None
+          }
+        }
+      }
+    }
+
+  /** [[observedMetrics]] as a DataFrame (the metrics-store sink shape). */
+  def observedReport(spark: SparkSession, q: StreamingQuery): DataFrame = {
+    import spark.implicits._
+    observedMetrics(q).toDF()
+  }
 }

@@ -111,6 +111,36 @@ class SolarSimSourceSpec extends SparkSpecBase {
     assert(global.head.getDouble(0) > 0.0)
   }
 
+  test("COUNT(*) pushes down completely: the scan answers in closed form " +
+    "and the plan carries no aggregate") {
+    // the connector analog of Kafka's end-minus-start offsets or a
+    // parquet footer row count: a COUNT(*) — global or grouped by panel —
+    // is answered from the simulator's parameters; zero telemetry rows
+    // are generated, and the physical plan has no HashAggregate at all
+    def sim = spark.read.format("solar-sim")
+      .option("panels", 4).option("modules", 3)
+      .option("readingsPerModule", 10).load()
+    val grouped = sim.groupBy("panel").count()
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === (0 until 4).map(p => s"panel-$p" -> 30L).toMap)
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("HashAggregate"),
+      s"grouped count must be completely pushed:\n$gPlan")
+    val global = sim.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)))
+    assert(global.head.getLong(0) === 4L * 3 * 10)
+    assert(!global.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    // composes with panel-filter pushdown: counts cover planned panels
+    val filtered = sim.filter($"panel" === "panel-2").groupBy("panel").count()
+    assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("panel-2", 30L)))
+    // a non-count aggregate is NOT claimed — it still computes correctly
+    // through the ordinary row-generating scan
+    val sums = sim.groupBy("panel")
+      .agg(org.apache.spark.sql.functions.sum("power")).collect()
+    assert(sums.length === 4 && sums.forall(_.getDouble(1) > 0.0))
+  }
+
   test("runtime filtering fires on a panel dim join and stays correct " +
     "alongside the reported partitioning") {
     // SupportsRuntimeFiltering end to end: joining a small dimension on

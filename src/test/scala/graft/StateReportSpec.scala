@@ -73,4 +73,30 @@ class StateReportSpec extends SparkSpecBase {
       assert(reportDf.count() === states.size.toLong)
     } finally query.stop()
   }
+
+  test("observedMetrics surfaces the inline observe taps per batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String, Double)]
+    val df = SolarStreaming.observed(
+      input.toDF().toDF("ts", "panel", "module", "power"), "ingest")
+    val name = s"obsreport_${System.nanoTime()}"
+    val query = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), "p1", "m1", 10.0),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), "p1", "m2", 30.0))
+      query.processAllAvailable()
+      val obs = StateReport.observedMetrics(query)
+      val byMetric = obs.filter(_.observation == "ingest")
+        .groupBy(_.metric).view.mapValues(_.map(_.value).sum).toMap
+      assert(byMetric("n_rows") === 2.0)
+      assert(byMetric("sum_power") === 40.0)
+      // the DataFrame sink shape
+      val rdf = StateReport.observedReport(spark, query)
+      assert(rdf.columns.toSeq ===
+        Seq("batchId", "observation", "metric", "value"))
+      assert(rdf.count() === obs.size.toLong)
+    } finally query.stop()
+  }
 }
