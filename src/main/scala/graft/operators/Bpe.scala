@@ -34,10 +34,15 @@ import graft.functions.TextFunctions.bpe_apply
   *    predecessor checkpoint's blocks are released through the raw-RDD
   *    handle. On a real cluster swap in reliable `checkpoint`.
   *
-  * Not SQL-expressible (the argmax of round r feeds the projection of
-  * round r+1 — an iterative fixpoint like q52's clustering), so the gate
-  * is the driver's rows-only check plus the exact-fixture spec; q98 is
-  * the documented oracle exemption in ContractSpec.
+  * Oracle story (r13 — the exemption is RETIRED): the batched rounds are
+  * bit-identical to sequential greedy training by the [[acceptBatch]]
+  * prefix proof, and sequential training IS SQL-expressible with the
+  * merge count as a literal — q98's oracle generates one CTE round per
+  * merge (pair-count aggregate → argmax with the exact (cnt DESC, pair
+  * ASC) tie-break → a left-to-right non-overlapping `replace` over the
+  * boundary-wrapped string form), so the full training loop hash-gates
+  * against an independent DuckDB re-derivation
+  * ([[graft.SparkEntry.bpeTrainOracleSql]]).
   */
 object Bpe {
 
