@@ -1163,6 +1163,19 @@ object SparkEntry {
         q => q.filter(col("vec_id") < 8), kTop = 5, probes = Seq(1, 2))
     }),
 
+    // PCA projection of the embedding corpus (the dimensionality-
+    // reduction / whitening prep step before ANN at scale): basis fitted
+    // on the deterministic bounded sample driver-side (model-on-driver,
+    // the kmeansFit discipline), published for the oracle, projection =
+    // one codegen'd dot against literal vectors per component — scan-
+    // fused, zero shuffle
+    "q133_pca_project" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val model = Similarity.pcaFit(e, k = PcaK)
+      learnedPcaModel = Some(model)
+      Similarity.pcaProject(e, model)
+    }),
+
     // small-file compaction gated end to end: a fragmented partitioned
     // layout (16 files/partition) is compacted to one file per partition
     // and the FULL-range rollup must still match the raw-table oracle —
@@ -1662,6 +1675,14 @@ object SparkEntry {
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
   val KmeansK = 4
   val KmeansIters = 2
+
+  /** q133's component count. */
+  val PcaK = 4
+
+  /** q133's fitted PCA basis, published by the query run for the oracle
+    * builder (the learnedBpeMerges contract).
+    */
+  @volatile private[graft] var learnedPcaModel: Option[operators.Similarity.PcaModel] = None
   private val KmeansTrainN = operators.Similarity.DefaultTrainN
   private val EmbDim = 64
 
@@ -4171,6 +4192,31 @@ object SparkEntry {
           "CAST(0 AS BIGINT) AS n_truth, CAST(0 AS BIGINT) AS n_hit, " +
           "0.0 AS recall, CAST(0 AS BIGINT) AS n_scored WHERE false"
       case Some(model) => pqFrontierOracleSql(model)
+    }),
+
+    // q133: the PCA projection replay — components + mean-dot scalars
+    // interpolated from the published fitted basis, the dot folding in
+    // index order exactly as VectorDot does
+    "q133_pca_project" -> (learnedPcaModel match {
+      case None =>
+        "SELECT CAST(NULL AS BIGINT) AS vec_id, " +
+          (1 to PcaK).map(j => s"0.0 AS p$j").mkString(", ") + " WHERE false"
+      case Some(model) =>
+        val lits = model.components.indices.map { j =>
+          s"[${model.components(j).mkString(", ")}]::DOUBLE[] AS v${j + 1}"
+        }.mkString(", ")
+        val projs = model.components.indices.map { j =>
+          s"""round(list_sum(list_transform(range(1, ${EmbDim + 1}),
+             |         i -> e.emb[i] * m.v${j + 1}[i]))
+             |       - ${model.meanDots(j)}, 4) AS p${j + 1}""".stripMargin
+        }.mkString(",\n       ")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           |  FROM embeddings),
+           |m AS (SELECT $lits)
+           |SELECT e.vec_id,
+           |       $projs
+           |FROM e CROSS JOIN m""".stripMargin
     }),
 
     // q125: the q109 rollup without the date slice — full-range equality

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.vec_cosine
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
 
 /** Similarity search over the `embeddings` table (`vec_id`,
   * `embedding array<float>`, `label`).
@@ -613,6 +613,133 @@ object Similarity {
     }
     (Seq(floatVariant, int8Variant, pqVariant) ++ ivfVariants)
       .reduce(_.unionByName(_))
+  }
+
+  // --- PCA (the embedding pipeline's dimensionality-reduction step) ----
+
+  /** A fitted PCA basis: per-component unit vectors (round-6, driver-
+    * held), the round-6 per-component `mean · v` scalars (so the
+    * projection `(x − mean) · v` rewrites to `x·v − meanDot` — one dot
+    * against a literal vector and one literal subtraction, no per-element
+    * centering on the corpus), and the eigenvalue estimates (the
+    * variance-explained report).
+    */
+  case class PcaModel(components: IndexedSeq[Seq[Double]],
+                      meanDots: IndexedSeq[Double],
+                      eigenvalues: IndexedSeq[Double])
+
+  val PcaPowerIters = 50
+
+  /** Deterministic PCA via the model-on-driver discipline every trainer
+    * here follows (kmeansFit / BPE / QualityModel): the covariance is
+    * estimated from the `trainN` LOWEST vec_ids (the established
+    * deterministic sample rule — rows sorted by vec_id before any fold,
+    * so every sum is a fixed sequential order), eigenvectors come from
+    * power iteration + Gram-Schmidt deflation on the driver (64×64
+    * doubles — microseconds), and the published model rounds at 6 so the
+    * oracle interpolates bit-identical literals. Fitting cost is
+    * corpus-size-independent; only the PROJECTION touches the corpus.
+    *
+    * Near-isotropic data (the synthetic corpus) makes leading
+    * eigenvalues nearly equal — power iteration then lands on an
+    * init-dependent basis vector, which is FINE for the gate (the
+    * procedure is deterministic, both engines fold the same literals)
+    * and for whitening (any orthonormal basis of the top eigenspace
+    * whitens equally); the anisotropic fixture spec pins that a planted
+    * dominant direction IS recovered.
+    */
+  def pcaFit(embeddings: DataFrame, k: Int,
+             trainN: Int = DefaultTrainN): PcaModel = {
+    val sample = embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .orderBy(col("vec_id")).limit(trainN)
+      .collect().sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pcaFit needs a non-empty corpus")
+    val n = sample.length
+    val dim = sample.head.length
+    require(k >= 1 && k <= dim, s"k $k out of range for dim $dim")
+    val mean = Array.tabulate(dim) { d =>
+      var s = 0.0; var i = 0
+      while (i < n) { s += sample(i)(d); i += 1 }
+      s / n
+    }
+    // covariance (population): C = Σ (x−mean)(x−mean)ᵀ / n — driver
+    // loops in fixed index order
+    val cov = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < n) {
+      val x = sample(i)
+      var a = 0
+      while (a < dim) {
+        val xa = x(a) - mean(a)
+        var b = a
+        while (b < dim) {
+          cov(a)(b) += xa * (x(b) - mean(b)); b += 1
+        }
+        a += 1
+      }
+      i += 1
+    }
+    for (a <- 0 until dim; b <- a until dim) {
+      cov(a)(b) /= n
+      cov(b)(a) = cov(a)(b)
+    }
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { a =>
+        var s = 0.0; var b = 0
+        while (b < dim) { s += cov(a)(b) * v(b); b += 1 }
+        s
+      }
+    def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val eigs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (j <- 0 until k) {
+      // deterministic init: basis vector e_j (orthogonalized below)
+      var v = Array.tabulate(dim)(d => if (d == j) 1.0 else 0.0)
+      for (_ <- 0 until PcaPowerIters) {
+        var w = matVec(v)
+        // Gram-Schmidt against accepted components (deflation)
+        comps.foreach { c =>
+          var dot = 0.0; var d = 0
+          while (d < dim) { dot += w(d) * c(d); d += 1 }
+          d = 0
+          while (d < dim) { w(d) -= dot * c(d); d += 1 }
+        }
+        val nw = norm(w)
+        v = if (nw > 1e-12) w.map(_ / nw) else v
+      }
+      val cv = matVec(v)
+      var eig = 0.0
+      var d = 0
+      while (d < dim) { eig += v(d) * cv(d); d += 1 }
+      comps += v
+      eigs += eig
+    }
+    val rounded = comps.map(_.map(round6).toSeq).toIndexedSeq
+    PcaModel(rounded,
+      rounded.map { c =>
+        round6(c.indices.map(d => mean(d) * c(d)).sum)
+      },
+      eigs.map(round6).toIndexedSeq)
+  }
+
+  /** Project the corpus onto a fitted PCA basis: per component,
+    * `round₄(x · v − meanDot)` — one codegen'd [[graft.functions
+    * .VectorDot]] against a literal vector plus a literal subtraction
+    * per component, scan-fused, zero shuffle. This is the storage/ANN
+    * prep step that shrinks a 64-dim corpus to k dims (and the first
+    * half of whitening — divide by √λ for the second). The oracle
+    * replays the identical literals with the identical index-order fold,
+    * so the projection hash-gates exactly.
+    */
+  def pcaProject(embeddings: DataFrame, model: PcaModel): DataFrame = {
+    val cols = model.components.indices.map { j =>
+      round(vec_dot(col("embedding"),
+        array(model.components(j).map(lit): _*)) - lit(model.meanDots(j)), 4)
+        .as(s"p${j + 1}")
+    }
+    embeddings.select((col("vec_id") +: cols): _*)
   }
 
   def ivfTopKKmeans(embeddings: DataFrame, queryIds: DataFrame => DataFrame,

@@ -407,6 +407,46 @@ class SimilaritySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("pcaFit: orthonormal deterministic basis; a planted dominant " +
+    "direction is recovered; projection matches driver math") {
+    // anisotropic fixture: dim 0 carries 20x the spread of the rest, so
+    // the top component must align with e0
+    val aniso = (0L until 64L).map { i =>
+      val big = ((i % 8).toDouble - 3.5).toFloat * 20f
+      (i, big +: Array.tabulate(3)(d =>
+        (((i * 7 + d) % 5).toDouble - 2.0).toFloat))
+    }.map { case (id, arr) => (id, arr.toArray) }
+      .toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(aniso, k = 2)
+    assert(math.abs(m.components(0)(0)) > 0.99,
+      s"top component must align with the planted axis: ${m.components(0)}")
+    assert(m.eigenvalues(0) > m.eigenvalues(1)) // dominant direction first
+    // orthonormal (round-6 components: tolerance a few 1e-6)
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1.0) < 1e-4)
+    assert(math.abs(dot(m.components(1), m.components(1)) - 1.0) < 1e-4)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-4)
+    // deterministic across fits
+    val m2 = Similarity.pcaFit(aniso, k = 2)
+    assert(m.components === m2.components && m.meanDots === m2.meanDots)
+    // projection = driver-side replay of the same literals
+    val proj = Similarity.pcaProject(aniso, m)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = aniso.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (id, x) =>
+      val p1 = r4(dot(x, m.components(0)) - m.meanDots(0))
+      val p2 = r4(dot(x, m.components(1)) - m.meanDots(1))
+      assert(proj(id) === ((p1, p2)), s"vec $id")
+    }
+    // eigenvalues are non-negative variances
+    assert(m.eigenvalues.forall(_ >= 0.0))
+    spark.catalog.clearCache()
+  }
+
   test("pqCodes picks per-subspace argmins with the (dist, code) tie-break") {
     // hand-built 2-subspace model over 4-dim vectors: subspace codebooks
     // are the unit axes, so the code is just "which axis is closer"
