@@ -254,6 +254,36 @@ object SparkEntry {
     m
   }
 
+  /** q135's fixed 2-D predicate box (user_id ∈ [100, 120] — narrow;
+    * value ∈ [50, 400] — wide), mirrored literally in the oracle. Chosen
+    * so a single-column value sort prunes poorly while the Morton layout
+    * prunes on both axes.
+    */
+  private val ZBoxUMin = 100L
+  private val ZBoxUMax = 120L
+  private val ZBoxVMin = 50.0
+  private val ZBoxVMax = 400.0
+
+  // Z-ordered event layout for q135: (event_id, user_id, value) Morton-
+  // partitioned on (user_id, value) — same immutable once-per-(session,
+  // dir) lifecycle as the q109 layout.
+  private val zorderEventsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def zorderEventsShared(s: SparkSession, dir: String): String = {
+    val it = zorderEventsMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    zorderEventsMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_events_zorder_").toString
+      graft.sources.Writers.writeZOrdered(
+        Tables.events(s, dir).select("event_id", "user_id", "value"),
+        path, "user_id", "value")
+      (s, path)
+    })._2
+  }
+
   // Compacted event layout for q125: a deliberately FRAGMENTED
   // partitioned write (16 tasks per date — streaming-ingest debris)
   // rewritten by Writers.compactPartitioned to one file per partition.
@@ -1016,6 +1046,31 @@ object SparkEntry {
           round(sum(col("value")), 4).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))),
 
+    // q135: the Z-ordered (Morton) event layout read back — one row per
+    // z_file directory with its row count, id-sum (losslessness weight),
+    // per-column min/max BOX, and the skip/read decision a stats-based
+    // reader makes for the fixed 2-D predicate box. The oracle replays
+    // the bucket arithmetic + interleave from the raw table, so the gate
+    // proves the physical directory assignment IS the closed-form key —
+    // no row misplaced, lost, or duplicated (WritersSpec adds the
+    // planning-time pruning pin and the skipping advantage vs a
+    // single-column sort)
+    "q135_zorder_layout" -> ((s, dir) => {
+      val lay = s.read.parquet(zorderEventsShared(s, dir))
+      lay.groupBy(col("z_file"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("sum_event_id"),
+          min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+          min(col("value")).as("v_min_raw"), max(col("value")).as("v_max_raw"))
+        .select(col("z_file"), col("n_rows"), col("sum_event_id"),
+          col("u_min"), col("u_max"),
+          round(col("v_min_raw"), 4).as("v_min"),
+          round(col("v_max_raw"), 4).as("v_max"),
+          when(col("u_max") >= ZBoxUMin && col("u_min") <= ZBoxUMax &&
+            col("v_max_raw") >= ZBoxVMin && col("v_min_raw") <= ZBoxVMax, 1)
+            .otherwise(0).as("hit"))
+    }),
+
     // WARC interchange round-trip: write the corpus as length-framed WARC
     // shards, stream-parse them back, and roll up per (source, lang) —
     // the oracle replays the rollup over the RAW documents table, so any
@@ -1248,6 +1303,30 @@ object SparkEntry {
       Curation.mergeCorpusIncremental(incoming, fps)
     }),
 
+    // q134: the REPORTING twin of q128 — data cards of the refreshed
+    // corpus from the stored per-doc stats artifact + the daily batch
+    // (same prior/incoming split and drift as q128). The r13 ingest
+    // probe measured the card stage as the chain's only remaining
+    // corpus-sized text scan; through this path corpus text enters the
+    // plan nowhere — kernels run over batch text only, carry rows ride
+    // the ~40-byte artifact (CurationSpec pins bit-equality with the
+    // full recompute and the text-free plan)
+    "q134_datacard_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      val prior = docs.filter(col("doc_id") % 5 =!= 4)
+      val incoming = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text")))
+      val it = cardStatsMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+      val stats = cardStatsMemo.computeIfAbsent(ccKey(s, dir), _ =>
+        (s, Curation.docCardStats(prior).localCheckpoint(true)))._2
+      Curation.sourceDatacardIncremental(incoming, stats)
+    }),
+
     // eval-set decontamination (GPT-3 app. C / Pile §6 discipline):
     // src9 plays the benchmark, every other source is pool; the
     // benchmark's distinct shingle fps broadcast and the pool pays one
@@ -1311,6 +1390,11 @@ object SparkEntry {
   // survives the Verify/Bench clearCache (the q11 shared-stage
   // discipline) and the merge plan carries no corpus text scan
   private val corpusFpsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, org.apache.spark.sql.DataFrame)]()
+
+  // q134's bootstrapped per-doc card-stats artifact per (session, dir) —
+  // the corpusFpsMemo discipline applied to the reporting state relation
+  private val cardStatsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, org.apache.spark.sql.DataFrame)]()
 
   // q118-trained merge table per (session, dir): q118 produces (fresh
@@ -3748,6 +3832,41 @@ object SparkEntry {
         |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         |FROM documents GROUP BY 1, 2""".stripMargin,
 
+    // q135: the Morton key replayed from the raw table — identical
+    // equi-width bucket arithmetic (global min/max from a subquery, the
+    // same IEEE-754 term order) and the same generated interleave
+    // expression the writer uses; box + hit from raw min/max, rounded at
+    // the output only
+    "q135_zorder_layout" -> {
+      val bits = graft.sources.Writers.ZOrderBits
+      val n = (1 << bits).toDouble
+      def bucketSql(x: String, mn: String, mx: String) =
+        s"CAST(least(greatest(floor(($x - $mn) / " +
+          s"(CASE WHEN $mx > $mn THEN $mx - $mn ELSE 1.0 END) * $n), 0.0), " +
+          s"${n - 1.0}) AS INT)"
+      val mortonSql = (0 until bits).map { j =>
+        s"(((ba & ${1 << j}) << $j) | ((bb & ${1 << j}) << ${j + 1}))"
+      }.mkString(" | ")
+      s"""WITH rng AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS amn,
+         |         max(CAST(user_id AS DOUBLE)) AS amx,
+         |         min(value) AS bmn, max(value) AS bmx FROM events),
+         |k AS (
+         |  SELECT event_id, user_id, value,
+         |         ${bucketSql("CAST(user_id AS DOUBLE)", "amn", "amx")} AS ba,
+         |         ${bucketSql("value", "bmn", "bmx")} AS bb
+         |  FROM events CROSS JOIN rng),
+         |z AS (SELECT event_id, user_id, value, $mortonSql AS z_file FROM k)
+         |SELECT z_file, count(*) AS n_rows,
+         |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |       min(user_id) AS u_min, max(user_id) AS u_max,
+         |       round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+         |       CASE WHEN max(user_id) >= $ZBoxUMin AND min(user_id) <= $ZBoxUMax
+         |             AND max(value) >= $ZBoxVMin AND min(value) <= $ZBoxVMax
+         |            THEN 1 ELSE 0 END AS hit
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
     // q111: the weight literals interpolate from the shipped artifact
     // (Double.toString round-trips, so DuckDB folds the identical
     // doubles); the z chain is spelled left-to-right exactly as the
@@ -4442,6 +4561,25 @@ object SparkEntry {
          |  WHERE doc_id NOT IN (SELECT doc_id FROM cur)),
          |""".stripMargin + datacardOracleBody("merged")
     },
+
+    // q134: the merge's ROW semantics (q128's split and drift) and the
+    // EXACT q124 card body (shared helper) over the merged corpus — the
+    // artifact path must equal a from-scratch recompute, so the oracle
+    // IS the recompute
+    "q134_datacard_incremental" ->
+      ("""WITH docs0 AS (SELECT doc_id, source, text FROM documents),
+         |incoming AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+         |              ELSE text END AS text
+         |  FROM docs0 WHERE doc_id % 2 = 0),
+         |merged AS (
+         |  SELECT doc_id, source, text FROM incoming
+         |  UNION ALL
+         |  SELECT doc_id, source, text FROM docs0
+         |  WHERE doc_id % 5 <> 4
+         |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
+         |""".stripMargin + datacardOracleBody("merged")),
 
     // q121: q111's score chain (same weight literals) vs the q104/q18
     // quality label at the labelHeuristic threshold, confusion-counted

@@ -842,12 +842,69 @@ object Curation {
 
   /** [[sourceDatacard]] with its cache handle. */
   def sourceDatacardStage(docs: DataFrame): TextAnalysis.CachedStage = {
-    val enr = docs.select(col("doc_id"), col("source"),
-        size(TextAnalysis.tokens(col("text"))).as("n_words"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.predLang(col("text")).as("pred_lang"),
-        TextAnalysis.fp64Expr(col("text")).as("fp64"))
+    val enr = docCardStats(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TextAnalysis.CachedStage(enr, datacardFromStats(enr))
+  }
+
+  /** The per-document card-stats artifact [[sourceDatacardIncremental]]
+    * consumes and refreshes — ~40 bytes per document (id, source, four
+    * kernel values), the reporting analog of [[corpusFingerprints]]: a
+    * production pipeline stores it next to the corpus snapshot so the
+    * daily data-card refresh never re-runs text kernels over the corpus.
+    * [[sourceDatacardStage]]'s persisted projection IS this relation —
+    * the bootstrap computes exactly it, and the card aggregation body is
+    * the SAME function ([[datacardFromStats]]) on both paths, so the two
+    * cannot drift.
+    */
+  def docCardStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).as("n_words"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.predLang(col("text")).as("pred_lang"),
+      TextAnalysis.fp64Expr(col("text")).as("fp64"))
+
+  /** Refresh the card-stats artifact through a merge, touching only the
+    * BATCH's text: incoming rows (the merge's insert/rewrite/refresh
+    * classes) get fresh kernel values from batch text, carry rows keep
+    * their stored stats via an anti-join on the broadcast batch ids —
+    * the same join discipline as [[mergeCorpusIncremental]]. Identical
+    * to `docCardStats(mergeCorpus(prior, incoming))` by construction
+    * (a refresh row's text is unchanged, so recomputing its kernels on
+    * the batch copy yields the stored values bit-for-bit).
+    */
+  def docCardStatsIncremental(incoming: DataFrame,
+                              priorStats: DataFrame): DataFrame =
+    docCardStats(incoming).unionByName(
+      priorStats.join(broadcast(incoming.select("doc_id")),
+        Seq("doc_id"), "left_anti"))
+
+  /** Per-source data cards of the REFRESHED corpus from the prior
+    * artifact + the daily batch — closing the ingest chain's last
+    * corpus-sized text scan (the r13 ingest probe measured the
+    * reporting stage as its only corpus-bound cost: 4.7 s of 10.8 s at
+    * 1 M prior docs). With this path the chain's steady state touches
+    * corpus text NOWHERE: merge classes come from the 16-byte fp
+    * artifact, cards from the ~40-byte stats artifact; both refresh in
+    * the same pass over the batch.
+    *
+    * The dup-exposure metric is why the artifact (and not per-source
+    * partial aggregates) is the right state: a batch insert can turn an
+    * EXISTING carry row into a duplicate, so `pct_dup` is not
+    * decomposable into prior-card + delta — but it IS a pure aggregate
+    * of the stats relation, which this keeps current.
+    */
+  def sourceDatacardIncremental(incoming: DataFrame,
+                                priorStats: DataFrame): DataFrame =
+    datacardFromStats(docCardStatsIncremental(incoming, priorStats))
+
+  /** The card aggregation body over a stats relation — corpus text never
+    * enters: three passes over ~40-byte rows (dup-fp self-aggregate,
+    * per-source base counts, language argmax by the q102 join-back).
+    * Shared verbatim by the bootstrap ([[sourceDatacardStage]]) and the
+    * incremental path ([[sourceDatacardIncremental]]).
+    */
+  def datacardFromStats(enr: DataFrame): DataFrame = {
     val dupFp = enr.groupBy(col("fp64"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .select(col("fp64"), lit(1L).as("is_dup"))
@@ -878,7 +935,7 @@ object Curation {
         col("top_lang"),
         round(col("mc") / col("n_docs").cast("double"), 4)
           .as("top_lang_share"))
-    TextAnalysis.CachedStage(enr, result)
+    result
   }
 
   /** Default selection size for [[importanceResample]], mirrored in the

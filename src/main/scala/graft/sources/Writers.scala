@@ -33,6 +33,83 @@ object Writers {
     df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .mode("overwrite").saveAsTable(table)
 
+  /** Bits per dimension for the Z-order layout: 2^3 = 8 buckets per
+    * column, 64 Morton cells = 64 directories. Mirrored literally in the
+    * q135 oracle.
+    */
+  val ZOrderBits = 3
+
+  /** Z-order (Morton-curve) layout over two numeric columns — the
+    * multi-column data-skipping organization (Delta Lake's `OPTIMIZE
+    * ZORDER BY` shape; the reference has no batch storage at all): each
+    * column is bucketed equi-width into 2^bits cells between its global
+    * min/max, the two bucket ids are bit-interleaved into a Morton key,
+    * and the key becomes the hive partition column `z_file`. Every
+    * directory then covers an axis-aligned BOX in (a, b) space, so a
+    * stats-based reader skips whole directories for predicates on
+    * EITHER OR BOTH columns — where a single-column sort gives tight
+    * file ranges on that column and useless ones on the other
+    * (WritersSpec measures the gap on a 2-D box predicate).
+    *
+    * Determinism (what makes the layout hash-gateable): buckets derive
+    * from the global min/max — one cheap aggregate carried as a
+    * broadcast 1-row relation, never a driver round trip — plus per-row
+    * closed-form IEEE-754 arithmetic replayed term-for-term in the
+    * oracle. Deliberately NOT `repartitionByRange(zkey)`: its boundaries
+    * come from reservoir samples, so the file assignment would not be
+    * replayable (and on restart, not stable). Equi-width is the
+    * bucketing this demo ships; production swaps in equi-depth
+    * boundaries from the q87 two-pass quantile machinery — interleave
+    * and layout unchanged.
+    *
+    * Scale shape: one 4-scalar aggregate + one shuffle on a bounded
+    * domain (4^bits values) + a partitioned write. Directory count is a
+    * constant picked for target file size, independent of data volume;
+    * skew across cells is bounded by the equi-width assumption (or
+    * eliminated by the equi-depth variant).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+                    colB: String, bits: Int = ZOrderBits): Unit =
+    zOrderKeyed(df, colA, colB, bits)
+      .repartition(col("z_file"))
+      .sortWithinPartitions(col("z_file"))
+      .write.partitionBy("z_file").mode("overwrite").parquet(path)
+
+  /** `df` + the Morton `z_file` column (the writer's key derivation,
+    * exposed so specs and simulated-baseline comparisons share it).
+    */
+  def zOrderKeyed(df: DataFrame, colA: String, colB: String,
+                  bits: Int = ZOrderBits): DataFrame = {
+    val rng = df.agg(
+      min(col(colA).cast("double")).as("zo_amn"),
+      max(col(colA).cast("double")).as("zo_amx"),
+      min(col(colB).cast("double")).as("zo_bmn"),
+      max(col(colB).cast("double")).as("zo_bmx"))
+    val n = (1 << bits).toDouble
+    def bucket(x: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+               mx: org.apache.spark.sql.Column) =
+      least(greatest(floor((x - mn) /
+          when(mx > mn, mx - mn).otherwise(lit(1.0)) * lit(n)),
+        lit(0.0)), lit(n - 1.0)).cast("int")
+    df.crossJoin(broadcast(rng))
+      .withColumn("z_file", morton(
+        bucket(col(colA).cast("double"), col("zo_amn"), col("zo_amx")),
+        bucket(col(colB).cast("double"), col("zo_bmn"), col("zo_bmx")),
+        bits))
+      .drop("zo_amn", "zo_amx", "zo_bmn", "zo_bmx")
+  }
+
+  /** Bit-interleave two `bits`-wide ints: `a` takes even bit positions,
+    * `b` odd — bit j of a lands at 2j (shift left by j), bit j of b at
+    * 2j+1 (shift left by j+1).
+    */
+  private def morton(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column, bits: Int) =
+    (0 until bits).map { j =>
+      shiftleft(a.bitwiseAND(lit(1 << j)), j)
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1 << j)), j + 1))
+    }.reduce(_ bitwiseOR _)
+
   /** Compressed JSON-Lines corpus interchange — the format pretraining
     * datasets actually ship in (one JSON document per line, gzip'd
     * shards). Write splits into `shards` files via a doc_id hash

@@ -545,6 +545,45 @@ class CurationSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("sourceDatacardIncremental ≡ full recompute over the merged corpus, " +
+    "and its plan never touches corpus text") {
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    val prior = docs.filter(col("doc_id") % 5 =!= 4)
+    val incoming = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")))
+    // the stored artifact: the reporting analog of q128's fp relation
+    val stats = Curation.docCardStats(prior).localCheckpoint(true)
+    val inc = Curation.sourceDatacardIncremental(incoming, stats)
+    // 1) bit-identical cards to the bootstrap path over the merged corpus
+    val full = Curation.sourceDatacard(
+      Curation.mergeCorpus(prior, incoming)
+        .select("doc_id", "source", "text"))
+    assert(inc.collect().toSet === full.collect().toSet)
+    // 2) the artifact path reads the checkpoint, never corpus text: the
+    // only parquet scans allowed are the incoming batch's
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"carry side must read the checkpointed artifact:\n$plan")
+    val corpusScans = plan.linesIterator
+      .filter(_.contains("FileScan parquet"))
+      .filterNot(_.contains("% 2) = 0")) // the incoming-batch predicate
+    assert(corpusScans.isEmpty,
+      s"plan scans the corpus, not just the batch:\n${corpusScans.mkString("\n")}\n$plan")
+    // 3) round-trip: the refreshed stats relation IS tomorrow's artifact —
+    // a second identical batch through it leaves the cards unchanged
+    val stats2 = Curation.docCardStatsIncremental(incoming, stats)
+      .localCheckpoint(true)
+    val again = Curation.sourceDatacardIncremental(incoming, stats2)
+    assert(again.collect().toSet === full.collect().toSet)
+    releaseCheckpoint(stats)
+    releaseCheckpoint(stats2)
+    spark.catalog.clearCache()
+  }
+
   test("mergeCorpus tags every row with its change class, exactly once") {
     val existing = Seq(
       (1L, "old one", "en", "a"),

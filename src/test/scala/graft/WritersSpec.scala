@@ -154,4 +154,57 @@ class WritersSpec extends SparkSpecBase {
     assert(total === 1000L)
     assert(report.exists(_.getAs[Long]("files_after") > 1L))
   }
+
+  test("z-order layout: lossless, prunes at planning time, and skips " +
+    "fewer directories than a single-column sort on a 2-D box") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "value")
+    val dir = Files.createTempDirectory("graft_zorder_").toString + "/events"
+    Writers.writeZOrdered(events, dir, "user_id", "value")
+    val lay = spark.read.parquet(dir)
+    // 1) lossless round trip
+    assert(lay.count() === events.count())
+    assert(lay.agg(sum(col("event_id"))).head.getLong(0) ===
+      events.agg(sum(col("event_id"))).head.getLong(0))
+    // 2) a z_file predicate prunes directories at PLANNING time — the
+    // Morton key is a hive partition column, so skipping is free
+    val pruned = lay.filter(col("z_file") < 8)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("z_file"))
+    // 3) the point of the curve: for a box narrow in user_id and wide in
+    // value, the per-directory min/max boxes of the Morton layout admit
+    // FEWER directories than the boxes of a same-file-count layout
+    // sorted on value alone (whose user_id ranges are useless)
+    def hits(df: org.apache.spark.sql.DataFrame, file: String): Long =
+      df.groupBy(col(file))
+        .agg(min(col("user_id")).as("umn"), max(col("user_id")).as("umx"),
+          min(col("value")).as("vmn"), max(col("value")).as("vmx"))
+        .filter(col("umx") >= 5 && col("umn") <= 7 &&
+          col("vmx") >= 50.0 && col("vmn") <= 400.0)
+        .count()
+    val nFiles = 1 << (2 * Writers.ZOrderBits)
+    // simulated value-sorted baseline at the SAME file count: file =
+    // equi-width value bucket (what a linear sort's file ranges give)
+    val rng = events.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val linear = events.crossJoin(broadcast(rng))
+      .withColumn("lin_file",
+        least(greatest(floor((col("value") - col("mn")) /
+          (col("mx") - col("mn")) * lit(nFiles.toDouble)), lit(0.0)),
+          lit(nFiles - 1.0)).cast("int"))
+    val zHits = hits(lay, "z_file")
+    val linHits = hits(linear, "lin_file")
+    assert(zHits < linHits,
+      s"z-order must admit fewer directories: z=$zHits linear=$linHits")
+    // 4) degenerate input: a constant column collapses to bucket 0 on
+    // that axis without dividing by zero
+    val const = events.withColumn("user_id", lit(7L))
+    val dir2 = Files.createTempDirectory("graft_zorder_c_").toString + "/e"
+    Writers.writeZOrdered(const, dir2, "user_id", "value")
+    val back = spark.read.parquet(dir2)
+    assert(back.count() === events.count())
+    // constant axis contributes only zero bits -> every key is even-bit-0
+    assert(back.select(col("z_file")).distinct().collect()
+      .forall(r => (r.getInt(0) & 0x15) === 0))
+  }
 }
