@@ -978,6 +978,14 @@ object SparkEntry {
           round(avg(col("quality")), 4).as("avg_quality"))
     }),
 
+    // q136: SemDeDup — semantic duplicate GROUPS (within-cell cosine
+    // pairs + q52 star CC over the shared quantizer's cells) with the
+    // paper's survivor policy: keep the member LEAST similar to its
+    // cell centroid, aggregate-argmin, ties to the smaller vec_id
+    "q136_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir),
+        kmeansShared(s, dir), SemDedupThreshold)),
+
     // Okapi BM25 top-50 retrieval for a fixed query term set: tf/dl from
     // per-row array kernels in the scan, corpus constants one broadcast
     // row, top-N a TakeOrdered heap — nothing shuffles at corpus size
@@ -1759,6 +1767,11 @@ object SparkEntry {
   /** k-means parameters for q32/q33, mirrored in the oracle replay. */
   val KmeansK = 4
   val KmeansIters = 2
+
+  /** q136's near-dup cosine threshold (q32's candidate bar), mirrored in
+    * the oracle.
+    */
+  private val SemDedupThreshold = 0.35
 
   /** q133's component count. */
   val PcaK = 4
@@ -3519,6 +3532,48 @@ object SparkEntry {
            |       round(avg(enr.quality), 4) AS avg_quality
            |FROM cells JOIN enr ON enr.doc_id = cells.vec_id
            |GROUP BY 1, 2""".stripMargin),
+
+    // q136: the q32 within-cell pair replay feeding the q52 recursive-
+    // reachability CC, centroid cosines against the final Lloyd-iteration
+    // centroid relation, survivor = (min c2c, then min vec_id) via
+    // min-aggregate + join-back — the same argmin the Spark struct-min
+    // computes
+    "q136_semantic_dedup" ->
+      (kmeansCtes.stripSuffix("\n")
+        .replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        s"""pairs AS (
+           |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+           |  FROM cells ca JOIN cells cb
+           |    ON cb.cell = ca.cell AND cb.vec_id > ca.vec_id
+           |  JOIN embeddings a ON a.vec_id = ca.vec_id
+           |  JOIN embeddings b ON b.vec_id = cb.vec_id
+           |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4)
+           |        >= $SemDedupThreshold),
+           |sedges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |swalk(id, reach) AS (
+           |  SELECT src, src FROM sedges
+           |  UNION
+           |  SELECT w.id, e.dst FROM swalk w JOIN sedges e ON e.src = w.reach),
+           |lbl AS (SELECT id AS vec_id, min(reach) AS cluster
+           |        FROM swalk GROUP BY id),
+           |cc2 AS (
+           |  SELECT l.cluster, l.vec_id,
+           |         round(${cosineSql("e.embedding", "ct.c")}, 6) AS c2c
+           |  FROM lbl l
+           |  JOIN cells s ON s.vec_id = l.vec_id
+           |  JOIN c$KmeansIters ct ON ct.cell = s.cell
+           |  JOIN embeddings e ON e.vec_id = l.vec_id),
+           |bmin AS (SELECT cluster, min(c2c) AS mc FROM cc2 GROUP BY 1),
+           |bsid AS (
+           |  SELECT cc2.cluster, min(cc2.vec_id) AS sid
+           |  FROM cc2 JOIN bmin ON bmin.cluster = cc2.cluster
+           |                    AND cc2.c2c = bmin.mc
+           |  GROUP BY 1)
+           |SELECT cc2.cluster, cc2.vec_id, round(cc2.c2c, 4) AS cos_centroid,
+           |       CASE WHEN cc2.vec_id = bsid.sid THEN 1 ELSE 0 END AS keep
+           |FROM cc2 JOIN bsid ON bsid.cluster = cc2.cluster""".stripMargin),
 
     // recall@5 of the single-probe IVF index vs brute-force truth on the
     // vec_id < 8 golden queries: brute ranking replayed as in q15 (k=5),

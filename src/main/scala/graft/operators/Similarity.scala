@@ -263,6 +263,47 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — the embedding-space dedup pass LLM pipelines run
+    * AFTER lexical dedup): within-cluster cosine near-duplicate pairs
+    * are connected into duplicate GROUPS, and one survivor is kept per
+    * group — the member LEAST similar to its k-means cell centroid (the
+    * paper's diversity-preserving policy: peripheral examples carry more
+    * information than the mode; ties break to the smaller vec_id).
+    * Output: one row per duplicate-group member with its component
+    * label, centroid cosine, and keep flag — vectors in no near-dup
+    * pair are untouched survivors by definition and don't appear.
+    *
+    * Scale shape: candidate generation is cell-bounded
+    * ([[cellNearDupPairs]] — never all-pairs), grouping is the q52
+    * log-diameter star CC, the centroid cosine is one fused
+    * [[graft.functions.VectorCosine]] pass against the broadcast k×dim
+    * centroid relation, and the survivor argmin is an aggregate +
+    * join-back — no window over a (potentially viral) duplicate group.
+    */
+  def semanticDedup(embeddings: DataFrame, model: KmeansModel,
+                    threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pairs = cellNearDupPairs(embeddings, model.cells, threshold)
+    val labels = graft.operators.Dedup.starClusters(pairs).labels
+      .withColumnRenamed("doc_id", "vec_id")
+    val cents = model.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val scored = labels
+      .join(model.cells, "vec_id")
+      .join(broadcast(cents), "cell")
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("cluster"), col("vec_id"),
+        round(vec_cosine(col("embedding"), col("centroid")), 6).as("c2c"))
+    val best = scored.groupBy(col("cluster"))
+      .agg(min(struct(col("c2c"), col("vec_id"))).as("b"))
+    scored.join(best, "cluster")
+      .select(col("cluster"), col("vec_id"),
+        round(col("c2c"), 4).as("cos_centroid"),
+        when(col("vec_id") === col("b.vec_id"), 1).otherwise(0).as("keep"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the storage
     * path for vector corpora at scale (4× smaller than float32, 8× smaller
     * than the float64 compute type; IVF+int8 is the standard compressed

@@ -510,4 +510,48 @@ class SimilaritySpec extends SparkSpecBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("semanticDedup keeps the group member least similar to its " +
+    "centroid and leaves singletons out") {
+    // one tight near-dup trio around (1,0) plus a lone orthogonal vector;
+    // vec 2 points furthest from the cluster centroid -> the survivor
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.9f, 0.25f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // hand-built quantizer so the fixture pins the POLICY, not Lloyd
+    // dynamics: the trio shares cell 0, the singleton sits in cell 1
+    val model = Similarity.KmeansModel(
+      Array(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq((0L, 0), (1L, 0), (2L, 0), (3L, 1)).toDF("vec_id", "cell"))
+    val out = Similarity.semanticDedup(e, model, threshold = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Int]("keep"),
+          r.getAs[Double]("cos_centroid"))).toMap
+    // the trio forms one group labeled by its min id; vec 3 is a
+    // singleton and must not appear
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out.values.forall(_._1 === 0L))
+    // exactly one survivor: the member with the LOWEST centroid cosine
+    assert(out.count(_._2._2 === 1) === 1)
+    val survivor = out.find(_._2._2 === 1).get._1
+    val minCos = out.values.map(_._3).min
+    assert(out(survivor)._3 === minCos)
+    assert(survivor === 2L, s"expected the peripheral member, got $survivor")
+    // tie policy: identical vectors tie on c2c -> smaller vec_id kept
+    val t = Seq(
+      (5L, Array(1.0f, 0.0f)), (7L, Array(1.0f, 0.0f)),
+      (6L, Array(0.0f, 1.0f)), (8L, Array(0.3f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val tm = Similarity.KmeansModel(
+      Array(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq((5L, 0), (7L, 0), (6L, 1), (8L, 1)).toDF("vec_id", "cell"))
+    val ts = Similarity.semanticDedup(t, tm, threshold = 0.99)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("keep"))
+      .toMap
+    assert(ts.getOrElse(5L, 0) === 1 && ts.getOrElse(7L, -1) === 0)
+  }
 }
