@@ -76,13 +76,13 @@ private[v2] class SolarSimTable(options: CaseInsensitiveStringMap)
       readingsPerTrigger = options.getInt("readingsPerTrigger", 10))
 }
 
-private[v2] case class SolarSimScan(panels: Int, modules: Int,
+private[graft] case class SolarSimScan(panels: Int, modules: Int,
     readingsPerModule: Int, startEpochSec: Long, periodSec: Long,
     readingsPerTrigger: Int = 10)
     extends ScanBuilder with Scan with Batch
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsReportPartitioning with SupportsRuntimeFiltering
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 
@@ -183,6 +183,22 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
     }
   }
 
+  // Limit pushdown (completing the DSv2 pushdown suite next to filters,
+  // columns, aggregates, and runtime filters): `df.limit(n)` caps every
+  // partition's GENERATION at n rows — the simulator analog of a format
+  // reader that stops consuming input once the limit is satisfied
+  // (Kafka: stop polling after n records; parquet: stop after n rows of
+  // a row group). PARTIAL pushdown (`isPartiallyPushed` = true, the
+  // default): Spark's LocalLimit/GlobalLimit still performs the final
+  // cross-partition cut, so correctness never depends on the cap — the
+  // cap only bounds wasted generation from planned-partitions × rows to
+  // planned-partitions × n.
+  private var pushedLimitN: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimitN = Some(limit); true
+  }
+
   override def build(): Scan = this
 
   override def readSchema(): StructType = pushedCount match {
@@ -244,7 +260,8 @@ private[v2] case class SolarSimScan(panels: Int, modules: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     if (pushedCount.isDefined) SolarCountReaderFactory()
     else SolarSimReaderFactory(modules, readingsPerModule, startEpochSec,
-      periodSec, prunedSchema.fieldNames)
+      periodSec, prunedSchema.fieldNames,
+      rowCap = pushedLimitN.getOrElse(Int.MaxValue))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -406,13 +423,14 @@ private[v2] case class SolarPanelPartition(panel: Int) extends InputPartition
 
 private[v2] case class SolarSimReaderFactory(modules: Int, readings: Int,
     startEpochSec: Long, periodSec: Long,
-    fields: Array[String]) extends PartitionReaderFactory {
+    fields: Array[String],
+    rowCap: Int = Int.MaxValue) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SolarPanelPartition].panel
     new PartitionReader[InternalRow] {
       private var i = -1
-      private val total = modules * readings
+      private val total = math.min(modules * readings, rowCap)
 
       override def next(): Boolean = { i += 1; i < total }
 

@@ -130,6 +130,22 @@ object StreamingCuration {
     * (untouched corpus rows never enter the stream); the batch merge
     * remains the operator that emits them.
     */
+  /** Streaming card-stats rows — [[graft.operators.Curation
+    * .docCardStats]]'s continuous twin: the per-document stats-artifact
+    * row computed AT INGEST as a stateless projection (per-row latency,
+    * no watermark, no state store), so the nightly
+    * [[graft.operators.Curation.sourceDatacardIncremental]] pass
+    * consumes an already-current artifact instead of re-running text
+    * kernels over the day's batch. Batch ≡ stream holds by construction
+    * (identical kernel expressions); CurationSpec pins it.
+    */
+  def cardStatsStream(docsStream: DataFrame): DataFrame =
+    docsStream.select(col("ts"), col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).as("n_words"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.predLang(col("text")).as("pred_lang"),
+      TextAnalysis.fp64Expr(col("text")).as("fp64"))
+
   def mergeClassifyStream(docsStream: DataFrame, corpusFps: DataFrame): DataFrame = {
     val art = corpusFps.select(col("doc_id"), col("fp").as("corpus_fp"))
     docsStream

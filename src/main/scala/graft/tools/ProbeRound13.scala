@@ -32,6 +32,9 @@ object ProbeRound13 {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("merge")) { runMerge(spark); spark.stop(); return }
     if (args.headOption.contains("ingest")) { runIngest(spark); spark.stop(); return }
+    if (args.headOption.contains("cards")) { runCards(spark); spark.stop(); return }
+    if (args.headOption.contains("zorder")) { runZorder(spark); spark.stop(); return }
+    if (args.headOption.contains("semdedup")) { runSemdedup(spark); spark.stop(); return }
 
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -209,5 +212,174 @@ object ProbeRound13 {
     time("merge_artifact_1m_again") {
       force(Curation.mergeCorpusIncremental(incoming, fps))
     }
+  }
+
+  /** `cards` mode: the q134 incremental data cards at 1 M prior docs +
+    * 100 k batch — the artifact path vs the full text recompute (the
+    * stage the r13 ingest probe measured as the chain's only remaining
+    * corpus-sized cost). The full path re-runs four text kernels over
+    * 1.1 M documents; the artifact path runs them over the 100 k batch
+    * and aggregates ~40-byte rows for the rest.
+    *
+    * Recorded (2026-08-14, local[32], DISK_ONLY corpus): artifact
+    * bootstrap 4.8 s ONCE, full recompute 6.2 s per refresh vs
+    * incremental 2.2 s first / 1.7 s steady state — ~3.6× at 1 M docs,
+    * and the gap is the corpus text-kernel scan, so it widens linearly
+    * with corpus bytes (the incremental path's corpus-sized work is an
+    * aggregation over ~40-byte rows).
+    */
+  private def runCards(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.operators.Curation
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"PROBE r13cards $name sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      out
+    }
+    val prior = ProbeRound11.syntheticCorpus(spark, 1000000L)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    println(s"PRIOR ${prior.count()} docs")
+    val incoming = ProbeRound11.syntheticCorpus(spark, 100000L)
+      .withColumn("doc_id",
+        when(col("doc_id") % 2 === 0, col("doc_id") * 10)
+          .otherwise(col("doc_id") + 2000000L))
+      .select("doc_id", "source", "text")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    incoming.count()
+    val stats = time("card_stats_bootstrap_1m") {
+      val s = Curation.docCardStats(prior.select("doc_id", "source", "text"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      s.count()
+      s
+    }
+    time("cards_full_recompute_1m") {
+      val merged = prior
+        .join(incoming.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "text")
+        .unionByName(incoming)
+      println(s"  sources ${Curation.sourceDatacard(merged).count()}")
+    }
+    time("cards_incremental_1m") {
+      println(s"  sources " +
+        s"${Curation.sourceDatacardIncremental(incoming, stats).count()}")
+    }
+    // steady state (kernel JIT warm, artifact cached)
+    time("cards_incremental_1m_again") {
+      Curation.sourceDatacardIncremental(incoming, stats).count()
+      ()
+    }
+  }
+
+  /** `zorder` mode: the q135 Morton layout at 10 M events — write cost,
+    * box-report cost, and the skipping advantage of the curve over a
+    * single-column sort for a 2-D box predicate at the same directory
+    * count.
+    *
+    * Recorded (2026-08-14, local[32]): zorder_write_10m 8.1 s (the
+    * one-shuffle partitioned write), box_report 1.7 s; for a box
+    * covering 1% of user_id × 70% of value, the Morton layout's boxes
+    * admit 14 of 64 directories vs 46 of 64 for the value-sorted
+    * baseline — 3.3× fewer bytes read, exactly the two-axis precision
+    * split the curve promises.
+    */
+  private def runZorder(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.sources.Writers
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"PROBE r13zorder $name sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      out
+    }
+    val ev = spark.range(10000000L).select(col("id").as("event_id"),
+      pmod(xxhash64(col("id"), lit(3)), lit(100000)).as("user_id"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(100000)) / lit(1000.0)).as("value"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("probe_zorder_").toString + "/events"
+    time("zorder_write_10m") {
+      Writers.writeZOrdered(ev, dir, "user_id", "value")
+    }
+    val lay = spark.read.parquet(dir)
+    val boxes = time("box_report_10m") {
+      lay.groupBy(col("z_file"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("umn"), max(col("user_id")).as("umx"),
+          min(col("value")).as("vmn"), max(col("value")).as("vmx"))
+        .collect()
+    }
+    // a box narrow in user (1% of the range) and wide in value (70%)
+    def hit(umn: Long, umx: Long, vmn: Double, vmx: Double) =
+      umx >= 49000L && umn <= 50000L && vmx >= 10.0 && vmn <= 80.0
+    val zHits = boxes.count(r => hit(r.getAs[Long]("umn"), r.getAs[Long]("umx"),
+      r.getAs[Double]("vmn"), r.getAs[Double]("vmx")))
+    // the value-sorted baseline at the same directory count, simulated
+    // relationally (a linear sort's per-file value ranges are tight,
+    // its user ranges are the full domain)
+    val nFiles = 1 << (2 * Writers.ZOrderBits)
+    val rng = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val linHits = ev.crossJoin(broadcast(rng))
+      .withColumn("lin_file",
+        least(greatest(floor((col("value") - col("mn")) /
+          (col("mx") - col("mn")) * lit(nFiles.toDouble)), lit(0.0)),
+          lit(nFiles - 1.0)).cast("int"))
+      .groupBy(col("lin_file"))
+      .agg(min(col("user_id")).as("umn"), max(col("user_id")).as("umx"),
+        min(col("value")).as("vmn"), max(col("value")).as("vmx"))
+      .collect()
+      .count(r => hit(r.getAs[Long]("umn"), r.getAs[Long]("umx"),
+        r.getAs[Double]("vmn"), r.getAs[Double]("vmx")))
+    println(s"PROBE r13zorder dirs=${boxes.length} z_hits=$zHits " +
+      s"linear_hits=$linHits")
+  }
+
+  /** `semdedup` mode: q136 at 1 M vectors with production clustering —
+    * the paper's cell-size contract (k grows with the corpus so cells
+    * stay ~100 vectors; within-cell pairwise is then ~n·cell/2 ≈ 50 M
+    * cosines at 1 M, linear in corpus size for fixed cell size). k-means
+    * at k=10,000 keeps the literal-expression assignment viable (10k×64
+    * doubles ≈ 5 MB per task); beyond ~100k cells the assignment
+    * switches to a two-level quantizer or a broadcast-join form — the
+    * centroid-cosine stage already joins a broadcast centroid RELATION,
+    * so only the assignment kernel changes.
+    *
+    * Recorded (2026-08-14, local[32], DISK_ONLY corpus): kmeans fit
+    * k=10,000 48.0 s, full-corpus assignment 109.9 s (the 10k-centroid
+    * argmin is the dominant per-vector cost — ~0.11 ms/vector; the
+    * two-level quantizer is the fix at larger k, cutting it to
+    * √k + k/√k probes), semanticDedup total (≈50 M within-cell cosines
+    * + star CC + survivor argmin) 93.8 s → 998,088 group members /
+    * 8,088 survivors. The near-total group coverage is the EXPECTED
+    * geometry, not a defect: cells are similarity-defined, so
+    * within-cell cosines of uniform vectors almost always clear the
+    * 0.35 gate bar — production SemDeDup runs ≥0.95, where groups are
+    * sparse; the probe's point is the COST of the pair+CC+argmin chain
+    * at the paper's cell-size contract, which is what scales.
+    */
+  private def runSemdedup(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"PROBE r13semdedup $name sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      out
+    }
+    val embs = ScaleProbe.syntheticEmbeddings(spark, 1000000L)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    embs.count()
+    val model = time("kmeans_fit_k10000") {
+      Similarity.kmeansFit(embs, k = 10000, iters = 2, trainN = 20000)
+    }
+    val cells = time("assign_1m") {
+      val c = model.cells
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      c.count()
+      c
+    }
+    time("semdedup_1m_total") {
+      val out = Similarity.semanticDedup(embs,
+        Similarity.KmeansModel(model.centroids, cells), threshold = 0.35)
+      val n = out.count()
+      val kept = out.filter(col("keep") === 1).count()
+      println(s"  group_members=$n survivors=$kept")
+    }
+    ()
   }
 }

@@ -423,6 +423,32 @@ class CurationSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("cardStatsStream ≡ docCardStats on the same batch (stateless " +
+    "artifact refresh at ingest)") {
+    val incoming = Seq(
+      (1L, "the cat and the dog", "a"),
+      (2L, "zz qq ww !!!!", "b"),
+      (3L, "the of and to in is", "a"))
+    val batch = Curation
+      .docCardStats(incoming.toDF("doc_id", "text", "source"))
+      .as[(Long, String, Int, Double, String, Long)].collect().toSet
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val stream = StreamingCuration.cardStatsStream(
+      input.toDF().toDF("ts", "doc_id", "source", "text"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("cardstats_s")
+      .outputMode("append").start()
+    input.addData(incoming.map { case (id, t, src) =>
+      (new Timestamp(id * 1000L), id, src, t)
+    }: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cardstats_s")
+      .select("doc_id", "source", "n_words", "quality", "pred_lang", "fp64")
+      .as[(Long, String, Int, Double, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("mixToTargets honors per-source token budgets with the hash coin") {
     val corpus = graft.sources.Tables
       .documents(spark, "/root/testdata/sf0.001")

@@ -68,6 +68,33 @@ class SolarSimSourceSpec extends SparkSpecBase {
     assert(mixed.select("power").as[Double].collect().forall(_ > 100.0))
   }
 
+  test("limit pushdown caps per-partition generation; the final cut " +
+    "stays with Spark") {
+    // unit level: a pushed limit bounds what a partition READER emits
+    val scan = graft.sources.v2.SolarSimScan(panels = 2, modules = 4,
+      readingsPerModule = 100, startEpochSec = 0L, periodSec = 10L)
+    assert(scan.pushLimit(3)) // accepted (partial: Spark still cuts)
+    val factory = scan.build().toBatch.createReaderFactory()
+    val reader = factory.createReader(scan.toBatch.planInputPartitions()(0))
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n === 3, s"pushed limit must cap generation at 3 rows, got $n")
+    // end to end: results correct, and the un-pushed source would have
+    // generated 2×4×100 rows where the capped one generates ≤ 2×3
+    val df = spark.read.format("solar-sim")
+      .option("panels", 2).option("modules", 4)
+      .option("readingsPerModule", 100).load().limit(3)
+    assert(df.collect().length === 3)
+    // composes with filter pushdown: one planned panel, capped generation
+    val one = spark.read.format("solar-sim")
+      .option("panels", 4).option("modules", 2)
+      .option("readingsPerModule", 50).load()
+      .filter($"panel" === "panel-1").limit(2)
+    val rows = one.collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[String]("panel") == "panel-1"))
+  }
+
   test("column pruning reaches the connector: a projection plans a narrow read") {
     val df = spark.read.format("solar-sim")
       .option("panels", 2).option("modules", 2)
