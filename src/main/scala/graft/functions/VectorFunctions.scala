@@ -191,6 +191,46 @@ object VectorKernels {
     }
     out
   }
+
+  /** Two-level nearest-cell assignment: rank the `nProbeGroups` nearest
+    * COARSE group centroids (g of them, over the cell centroids), then
+    * argmin the usual `|c|² − 2·x·c` distance over only the member cells
+    * of those groups. Cost per vector: g + nProbeGroups·(k/g) dots
+    * instead of k — ~√k·(1+p) at g=√k. Tie semantics match the flat
+    * kernel (equal distance → smaller cell index), so whenever the true
+    * nearest cell's group is probed the answer is IDENTICAL to the flat
+    * argmin; the r13 probe measures the residual disagreement.
+    */
+  def nearestCellTwoLevel(x: ArrayData, xF: Boolean,
+      groupCents: Array[Array[Double]], groupNorms: Array[Double],
+      members: Array[Array[Int]], cents: Array[Array[Double]],
+      norms: Array[Double], nProbeGroups: Int): Int = {
+    val gIdx = nearestCells(x, xF, groupCents, groupNorms, nProbeGroups)
+    var best = -1
+    var bestD = 0.0
+    var gi = 0
+    while (gi < gIdx.length) {
+      val ms = members(gIdx(gi))
+      var mi = 0
+      while (mi < ms.length) {
+        val j = ms(mi)
+        val c = cents(j)
+        val n = math.min(x.numElements(), c.length)
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          s += (if (xF) x.getFloat(d).toDouble else x.getDouble(d)) * c(d)
+          d += 1
+        }
+        val dist = norms(j) - 2.0 * s
+        val cmp = if (best < 0) -1 else java.lang.Double.compare(dist, bestD)
+        if (cmp < 0 || (cmp == 0 && j < best)) { best = j; bestD = dist }
+        mi += 1
+      }
+      gi += 1
+    }
+    best
+  }
 }
 
 /** Shared bits of the binary vector kernels ([[VectorDot]],
@@ -378,6 +418,55 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nProbe: 
     copy(child = newChild)
 }
 
+/** Two-level (hierarchical) nearest-cell assignment — the scale fix the
+  * r13 semdedup probe named: at k = 10,000 cells the flat argmin costs
+  * 10,000 dots/vector (~0.11 ms); probing p of √k coarse groups costs
+  * √k·(1+p) (≈ 500 at p=4 — 20× less). Groups and members are
+  * driver-built literals ([[graft.operators.Similarity]] clusters the
+  * centroid ARRAY itself); same fused one-pass shape and tie semantics
+  * as [[NearestCells]].
+  */
+case class NearestCellTwoLevel(child: Expression,
+    groupCents: Seq[Seq[Double]], members: Seq[Seq[Int]],
+    centroids: Seq[Seq[Double]], nProbeGroups: Int)
+    extends UnaryExpression with VectorMatrixExpression {
+  require(nProbeGroups >= 1 && nProbeGroups <= groupCents.length,
+    s"nProbeGroups $nProbeGroups out of range for ${groupCents.length} groups")
+  require(members.length == groupCents.length,
+    "one member list per group required")
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val gMat: Array[Array[Double]] =
+    groupCents.map(_.toArray).toArray
+  @transient private lazy val gNorms: Array[Double] =
+    groupCents.map(_.map(x => x * x).sum).toArray
+  @transient private lazy val memberArr: Array[Array[Int]] =
+    members.map(_.toArray).toArray
+  @transient private lazy val mat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(_.map(x => x * x).sum).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCellTwoLevel(input.asInstanceOf[ArrayData],
+      elemIsFloat, gMat, gNorms, memberArr, mat, norms, nProbeGroups)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val gm = ctx.addReferenceObj("groupCents", gMat, "double[][]")
+      val gn = ctx.addReferenceObj("groupNorms", gNorms, "double[]")
+      val mm = ctx.addReferenceObj("members", memberArr, "int[][]")
+      val m = ctx.addReferenceObj("centroids", mat, "double[][]")
+      val nm = ctx.addReferenceObj("norms", norms, "double[]")
+      s"""${ev.value} = graft.functions.VectorKernels.nearestCellTwoLevel(
+         |  $x, $elemIsFloat, $gm, $gn, $mm, $m, $nm, $nProbeGroups);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass int8 quantization stats — struct(amax, q_sum, max_err); the
   * q55 storage-path report without the stacked higher-order-function
   * lambdas (transform/array_max/zip_with/aggregate are CodegenFallback —
@@ -469,6 +558,13 @@ object VectorFunctions {
     */
   def nearest_cells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(vec), centroids, nProbe))
+
+  /** Two-level nearest-cell assignment (see [[NearestCellTwoLevel]]). */
+  def nearest_cell_two_level(vec: Column, groupCents: Seq[Seq[Double]],
+      members: Seq[Seq[Int]], centroids: Seq[Seq[Double]],
+      nProbeGroups: Int): Column =
+    Bridge.column(NearestCellTwoLevel(Bridge.expression(vec), groupCents,
+      members, centroids, nProbeGroups))
 
   /** struct(amax, q_sum, max_err) int8-quantization stats in one pass. */
   def quant_stats(vec: Column): Column =

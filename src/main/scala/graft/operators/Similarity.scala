@@ -170,6 +170,77 @@ object Similarity {
         col("embedding"), centroids.toIndexedSeq, nProbe = 1), 1).as("cell")))
   }
 
+  /** A two-level assignment index over a fitted quantizer: the k cell
+    * centroids, themselves clustered into g groups (driver-side — the
+    * centroid array IS model-sized, so this costs k·g·iters dots on the
+    * driver, microseconds at any sane k).
+    */
+  case class HierIndex(groupCents: IndexedSeq[Seq[Double]],
+                       members: IndexedSeq[Seq[Int]])
+
+  /** Build the [[HierIndex]]: deterministic Lloyd over the centroid
+    * ARRAY (init = first g centroids, fixed iteration count, ties to the
+    * smaller group — the [[kmeansFit]] discipline applied driver-side).
+    * Default g = ⌈√k⌉, the cost-optimal split for two-level probing.
+    */
+  def hierIndex(model: KmeansModel, groups: Int = 0,
+                iters: Int = 5): HierIndex = {
+    val pts = model.centroids.map(_.toArray)
+    val k = pts.length
+    val g = if (groups > 0) groups else math.max(1, math.ceil(math.sqrt(k)).toInt)
+    var gc: Array[Array[Double]] = pts.take(g).map(_.clone())
+    val assign = new Array[Int](k)
+    for (_ <- 1 to iters) {
+      var j = 0
+      while (j < k) {
+        var best = -1; var bestD = 0.0
+        var gi = 0
+        while (gi < g) {
+          val c = gc(gi)
+          var s = 0.0; var n2 = 0.0; var d = 0
+          while (d < c.length) { s += pts(j)(d) * c(d); n2 += c(d) * c(d); d += 1 }
+          val dist = n2 - 2.0 * s
+          if (best < 0 || java.lang.Double.compare(dist, bestD) < 0) {
+            best = gi; bestD = dist
+          }
+          gi += 1
+        }
+        assign(j) = best
+        j += 1
+      }
+      val next = Array.fill(g)(new Array[Double](pts.head.length))
+      val cnt = new Array[Int](g)
+      var j2 = 0
+      while (j2 < k) {
+        val a = assign(j2); cnt(a) += 1
+        var d = 0
+        while (d < pts(j2).length) { next(a)(d) += pts(j2)(d); d += 1 }
+        j2 += 1
+      }
+      gc = (0 until g).map { gi =>
+        if (cnt(gi) == 0) gc(gi)
+        else next(gi).map(_ / cnt(gi))
+      }.toArray
+    }
+    val members = (0 until g).map(gi =>
+      (0 until k).filter(assign(_) == gi).map(identity)).toIndexedSeq
+    HierIndex(gc.map(_.toSeq).toIndexedSeq, members.map(_.toSeq))
+  }
+
+  /** Full-corpus cell assignment through the two-level index — the
+    * k-big scale path the r13 semdedup probe called for: √k·(1+p) dots
+    * per vector instead of k. Exact wherever the true cell's group is
+    * probed; agreement vs the flat argmin is the measured quantity
+    * (probe: see `ProbeRound13 semdedup`). Same output shape as
+    * `model.cells`.
+    */
+  def assignCellsTwoLevel(embeddings: DataFrame, model: KmeansModel,
+                          index: HierIndex, nProbeGroups: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      graft.functions.VectorFunctions.nearest_cell_two_level(
+        col("embedding"), index.groupCents, index.members,
+        model.centroids.toIndexedSeq, nProbeGroups).as("cell"))
+
   /** The `nProbe` nearest cells for each input vector, ranked by the same
     * `|c|² − 2·(emb·c)` distance and (dist, cell) tie-break as the argmin
     * assignment — probe 1 is always the vector's own cell.

@@ -267,6 +267,44 @@ object SolarStreaming {
         col("l_power"), col("r_power"))
   }
 
+  /** LEFT OUTER time-interval stream-stream join — Kafka Streams'
+    * `KStream.leftJoin(other, JoinWindows)` analog and the one join
+    * flavor the inner forms above cannot express: a reading with NO
+    * co-reading inside its tolerance window still emits, null-padded,
+    * once the watermark passes the end of that window. The state-
+    * eviction point doubles as the "no match can ever arrive" proof, so
+    * append mode keeps the emit-once-final guarantee: matched rows emit
+    * as both sides finalize, unmatched rows emit exactly once at
+    * expiry — Kafka Streams' grace-period left-join emission without
+    * its spurious-early-null history (KIP-633 semantics, derived from
+    * the watermark instead of a grace config).
+    *
+    * Same demo instance as [[coReadingsStream]], so the module with the
+    * lexicographically greatest name on each panel — which can never
+    * find an `l_module < r_module` partner — is the structurally
+    * unmatched row the spec pins.
+    */
+  def coReadingsLeftOuterStream(normalized: DataFrame, tolSec: Int = 30,
+                                watermarkDelay: String = "30 seconds"): DataFrame = {
+    val l = normalized
+      .select(col("ts").as("l_ts"), col("panel"),
+        col("module").as("l_module"), col("power").as("l_power"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = normalized
+      .select(col("ts").as("r_ts"), col("panel").as("r_panel"),
+        col("module").as("r_module"), col("power").as("r_power"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r, expr(
+      s"""panel = r_panel AND l_module < r_module AND
+         |r_ts BETWEEN l_ts - INTERVAL $tolSec SECONDS
+         |         AND l_ts + INTERVAL $tolSec SECONDS""".stripMargin),
+      "leftOuter")
+      .select(unix_micros(col("l_ts")).as("l_t"), col("panel"),
+        col("l_module"), col("r_module"),
+        unix_micros(col("r_ts")).as("r_t"),
+        col("l_power"), col("r_power"))
+  }
+
   /** The ENTIRE reference topology as chained stateful streaming operators
     * — no foreachBatch anywhere: module agg and panel agg (each watermarked)
     * → stream-stream join #1 → windowed variance re-aggregation →

@@ -342,12 +342,18 @@ object ProbeRound13 {
     * so only the assignment kernel changes.
     *
     * Recorded (2026-08-14, local[32], DISK_ONLY corpus): kmeans fit
-    * k=10,000 48.0 s, full-corpus assignment 109.9 s (the 10k-centroid
-    * argmin is the dominant per-vector cost — ~0.11 ms/vector; the
-    * two-level quantizer is the fix at larger k, cutting it to
-    * √k + k/√k probes), semanticDedup total (≈50 M within-cell cosines
-    * + star CC + survivor argmin) 93.8 s → 998,088 group members /
-    * 8,088 survivors. The near-total group coverage is the EXPECTED
+    * k=10,000 48.0 s, full-corpus flat assignment 109.9–130.7 s (the
+    * 10k-centroid argmin is the dominant per-vector cost —
+    * ~0.11 ms/vector), **two-level assignment
+    * ([[Similarity.assignCellsTwoLevel]], g=100, p=4) 9.6 s — 13.6×**,
+    * with 32% flat-argmin agreement on THIS corpus — the structural
+    * worst case: uniform vectors make all 10k distances near-ties, so
+    * the probed-group heuristic lands on a different, equally-near cell
+    * (KMeansSpec pins ≥90% agreement on separated clusters, where real
+    * embedding corpora live; for IVF bucketing a near-tie miss is
+    * benign — any near-tie cell is an equally good bucket). semanticDedup
+    * total (≈50 M within-cell cosines + star CC + survivor argmin)
+    * 60.0–93.8 s → 998,088 group members / 8,088 survivors. The near-total group coverage is the EXPECTED
     * geometry, not a defect: cells are similarity-defined, so
     * within-cell cosines of uniform vectors almost always clear the
     * 0.35 gate bar — production SemDeDup runs ≥0.95, where groups are
@@ -373,6 +379,21 @@ object ProbeRound13 {
       c.count()
       c
     }
+    // the two-level fix this probe's first run named: √k·(1+p) dots per
+    // vector instead of k — A/B'd against the flat argmin with agreement
+    val idx = Similarity.hierIndex(model) // g = ⌈√k⌉ = 100
+    val twoLevel = time("assign_two_level_p4_1m") {
+      val c2 = Similarity.assignCellsTwoLevel(embs, model, idx,
+          nProbeGroups = 4)
+        .withColumnRenamed("cell", "cell2")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      c2.count()
+      c2
+    }
+    val agree = cells.join(twoLevel, "vec_id")
+      .filter(col("cell") === col("cell2")).count()
+    println(s"PROBE r13semdedup two_level_p4_agreement=$agree/1000000")
+    twoLevel.unpersist()
     time("semdedup_1m_total") {
       val out = Similarity.semanticDedup(embs,
         Similarity.KmeansModel(model.centroids, cells), threshold = 0.35)

@@ -36,4 +36,33 @@ class KMeansSpec extends SparkSpecBase {
     assert(nn.subsetOf((0 until 30).filter(_ % 3 == 0).map(_.toLong).toSet))
     assert(nn.size === 5)
   }
+
+  test("two-level assignment ≡ flat argmin when all groups are probed, " +
+    "and stays high-agreement at p=1 on separated clusters") {
+    import org.apache.spark.sql.functions._
+    // 8 separated direction clusters in 4-d, 200 vectors
+    val vecs = (0 until 200).map { i =>
+      val c = i % 8
+      val base = Array.fill(4)(0.05f * ((i / 8) % 3))
+      base(c % 4) = if (c < 4) 1.0f else -1.0f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.kmeansFit(vecs, k = 8, iters = 4, trainN = 200)
+    val idx = Similarity.hierIndex(model, groups = 3)
+    // every cell belongs to exactly one group
+    assert(idx.members.flatten.sorted === (0 until 8))
+    val flat = model.cells.as[(Long, Int)].collect().toMap
+    // probing ALL groups makes the two-level argmin exhaustive -> must
+    // equal the flat kernel bit-for-bit (same tie semantics)
+    val allP = Similarity.assignCellsTwoLevel(vecs, model, idx,
+      nProbeGroups = idx.groupCents.length).as[(Long, Int)].collect().toMap
+    assert(allP === flat)
+    // p=1 on separated clusters: near-total agreement (the probe's
+    // measured quantity; here geometry makes it exact or near-exact)
+    val p1 = Similarity.assignCellsTwoLevel(vecs, model, idx, 1)
+      .as[(Long, Int)].collect().toMap
+    val agree = p1.count { case (id, c) => flat(id) == c }
+    assert(agree >= (p1.size * 0.9).toInt,
+      s"p=1 agreement too low: $agree of ${p1.size}")
+  }
 }

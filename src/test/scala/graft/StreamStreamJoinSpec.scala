@@ -119,6 +119,55 @@ class StreamStreamJoinSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("left-outer interval join: unmatched rows emit null-padded, " +
+    "exactly once, only after state expiry; matches equal the batch join") {
+    val rows = Seq(
+      (ts("2024-01-01 00:00:01"), "p1", "m1", 1.0),
+      (ts("2024-01-01 00:00:20"), "p1", "m2", 2.0),  // m1's partner
+      (ts("2024-01-01 00:01:10"), "p1", "m3", 3.0),  // no partner > m3
+      (ts("2024-01-01 00:00:05"), "p2", "m1", 4.0))  // alone on p2
+    // batch truth: the same leftOuter plan over a static frame
+    val batch = SolarStreaming
+      .coReadingsLeftOuterStream(rows.toDF("ts", "panel", "module", "power"))
+      .select("panel", "l_module", "r_module")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(batch === Set(
+      ("p1", "m1", Some("m2")),
+      ("p1", "m2", None), ("p1", "m3", None), ("p2", "m1", None)))
+
+    val (input, df) = newInput()
+    val name = s"loj_${System.nanoTime()}"
+    val query = SolarStreaming.coReadingsLeftOuterStream(df)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      // the first batch's closing watermark is max(ts) − 30 s = 00:00:40:
+      // only p2/m1's window (ends 00:00:35) has EXPIRED, so it is the one
+      // outer row allowed out — m2 (ends 00:00:50) and m3 (ends 00:01:40)
+      // must still be held (no spurious early nulls, the KIP-633 bug
+      // class this operator must not reintroduce)
+      val early = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("r_module").isNull)
+        .select("panel", "l_module")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(early.subsetOf(Set(("p2", "m1"))),
+        s"outer rows emitted before expiry: $early")
+      input.addData((ts("2024-01-01 00:10:00"), "p9", "m9", 0.0)) // advance
+      query.processAllAvailable()
+      val got = spark.table(name).select("panel", "l_module", "r_module")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          Option(r.getString(2)))).toSet
+      // stream ≡ batch, including the p9 probe row (itself unmatched)
+      assert(got === batch + (("p9", "m9", None)) ||
+        got === batch, s"stream/batch divergence: $got")
+      // exactly once: no duplicate outer emissions
+      val n = spark.table(name).count()
+      assert(n === spark.table(name).distinct().count())
+    } finally query.stop()
+  }
+
   test("joined rows emit only after the watermark finalizes both sides") {
     val (input, df) = newInput()
     val name = s"ssj_emit_${System.nanoTime()}"
