@@ -1321,18 +1321,12 @@ object SparkEntry {
     // full recompute and the text-free plan)
     "q134_datacard_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
-      val prior = docs.filter(col("doc_id") % 5 =!= 4)
       val incoming = docs.filter(col("doc_id") % 2 === 0)
         .withColumn("text",
           when(col("doc_id") % 10 === 0,
             concat(col("text"), lit(" updated")))
             .otherwise(col("text")))
-      val it = cardStatsMemo.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue._1.sparkContext.isStopped) it.remove()
-      val stats = cardStatsMemo.computeIfAbsent(ccKey(s, dir), _ =>
-        (s, Curation.docCardStats(prior).localCheckpoint(true)))._2
-      Curation.sourceDatacardIncremental(incoming, stats)
+      Curation.sourceDatacardIncremental(incoming, cardStatsShared(s, dir))
     }),
 
     // eval-set decontamination (GPT-3 app. C / Pile §6 discipline):
@@ -1382,6 +1376,29 @@ object SparkEntry {
       Curation.sourceDatacard(merged.select("doc_id", "source", "text"))
     }),
 
+    // q139: the q130 ingestion chain through the STEADY-STATE artifact
+    // path — same WARC segment, same curation, but the refreshed cards
+    // come from the stored per-doc stats artifact + the curated batch
+    // (q134's path), so corpus text never enters the plan. The oracle is
+    // q130's VERBATIM (shared constant): the production path must
+    // hash-equal the bootstrap chain's replay — the strongest form of
+    // the CurationSpec equivalence, driver-gated
+    "q139_ingest_chain_incremental" -> ((s, dir) => {
+      val incoming = graft.sources.Warc.readWarc(s, warcShared(s, dir))
+        .filter(col("doc_id") % 2 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 20 === 0,
+            concat(col("text"), lit(" recrawled")))
+            .otherwise(col("text")))
+        .select("doc_id", "text", "lang", "source")
+      val curated = incoming
+        .join(Curation.curate(incoming, lang = "en", minQuality = 0.5)
+          .select("doc_id"), "doc_id")
+      Curation.sourceDatacardIncremental(
+        curated.select("doc_id", "source", "text"),
+        cardStatsShared(s, dir))
+    }),
+
     // classifier QUALITY gate (VERDICT r11 #6): confusion counts +
     // accuracy/precision/recall/F1 of the shipped q111 artifact per
     // content-hash split — the `test` row is a held-out generalization
@@ -1400,10 +1417,24 @@ object SparkEntry {
   private val corpusFpsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, org.apache.spark.sql.DataFrame)]()
 
-  // q134's bootstrapped per-doc card-stats artifact per (session, dir) —
-  // the corpusFpsMemo discipline applied to the reporting state relation
+  // q134/q139's bootstrapped per-doc card-stats artifact per (session,
+  // dir) — the corpusFpsMemo discipline applied to the reporting state
+  // relation; the prior snapshot is the q128 split (doc_id % 5 =!= 4)
   private val cardStatsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, org.apache.spark.sql.DataFrame)]()
+
+  private def cardStatsShared(s: SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val it = cardStatsMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    cardStatsMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      val prior = Tables.documents(s, dir)
+        .select("doc_id", "source", "text")
+        .filter(col("doc_id") % 5 =!= 4)
+      (s, Curation.docCardStats(prior).localCheckpoint(true))
+    })._2
+  }
 
   // q118-trained merge table per (session, dir): q118 produces (fresh
   // each run), q123 consumes; the fallback trains so q123 also runs
@@ -1910,6 +1941,59 @@ object SparkEntry {
        |       round(dc_tl.mc / CAST(dc_b.n_docs AS DOUBLE), 4) AS top_lang_share
        |FROM dc_b JOIN dc_tl USING (source)""".stripMargin
   }
+  /** The q130 ingestion-chain replay, shared VERBATIM by q139 (the
+    * steady-state artifact path must reproduce the bootstrap chain's
+    * cards bit-for-bit): incoming from the raw table (q110's hash gate
+    * already proves the WARC round trip is lossless), q53's curation
+    * fragment, the merge's ROW semantics, and the exact q124 card body
+    * over the merged corpus.
+    */
+  private lazy val ingestChainOracleSql: String = {
+    val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+    s"""WITH inc0 AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 20 = 0 THEN text || ' recrawled'
+       |              ELSE text END AS text,
+       |         lang, source
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |ct AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+       |         string_split(lower(text), ' ') AS ltoks
+       |  FROM inc0),
+       |cenr0 AS (
+       |  SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
+       |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+       |         $stop AS n_stop,
+       |         ${langScoreSqls.mkString(",\n         ")},
+       |         (('0x' || substr($fpSql, 1, 15))::BIGINT) AS fp64
+       |  FROM ct),
+       |cenr AS (
+       |  SELECT doc_id, fp64,
+       |         round(0.4 * least(n_words / 100.0, 1.0)
+       |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
+       |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality,
+       |         $predLangCaseSql AS pred_lang
+       |  FROM cenr0),
+       |ckept AS (
+       |  SELECT doc_id, pred_lang, quality,
+       |         min(doc_id) OVER (PARTITION BY fp64) AS keep_id
+       |  FROM cenr),
+       |cur AS (
+       |  SELECT i.doc_id, i.text, i.lang, i.source
+       |  FROM inc0 i JOIN ckept k USING (doc_id)
+       |  WHERE k.doc_id = k.keep_id AND k.pred_lang = 'en'
+       |    AND k.quality >= 0.5),
+       |ex AS (
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  WHERE doc_id % 5 <> 4),
+       |merged AS (
+       |  SELECT doc_id, text, source FROM cur
+       |  UNION ALL
+       |  SELECT doc_id, text, source FROM ex
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cur)),
+       |""".stripMargin + datacardOracleBody("merged")
+  }
+
   private lazy val predLangCaseSql: String = {
     val langs = TextAnalysis.StopwordDicts.map(_._1)
     val m = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
@@ -4571,51 +4655,11 @@ object SparkEntry {
     // semantics (incoming replaces same-id, rest carries — the change
     // TAGS are q126/q128's gates and don't alter the card), and the
     // EXACT q124 datacard body (shared helper) over the merged corpus
-    "q130_ingest_chain" -> {
-      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
-      s"""WITH inc0 AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % 20 = 0 THEN text || ' recrawled'
-         |              ELSE text END AS text,
-         |         lang, source
-         |  FROM documents WHERE doc_id % 2 = 0),
-         |ct AS (
-         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
-         |         string_split(lower(text), ' ') AS ltoks
-         |  FROM inc0),
-         |cenr0 AS (
-         |  SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
-         |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
-         |         $stop AS n_stop,
-         |         ${langScoreSqls.mkString(",\n         ")},
-         |         (('0x' || substr($fpSql, 1, 15))::BIGINT) AS fp64
-         |  FROM ct),
-         |cenr AS (
-         |  SELECT doc_id, fp64,
-         |         round(0.4 * least(n_words / 100.0, 1.0)
-         |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
-         |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality,
-         |         $predLangCaseSql AS pred_lang
-         |  FROM cenr0),
-         |ckept AS (
-         |  SELECT doc_id, pred_lang, quality,
-         |         min(doc_id) OVER (PARTITION BY fp64) AS keep_id
-         |  FROM cenr),
-         |cur AS (
-         |  SELECT i.doc_id, i.text, i.lang, i.source
-         |  FROM inc0 i JOIN ckept k USING (doc_id)
-         |  WHERE k.doc_id = k.keep_id AND k.pred_lang = 'en'
-         |    AND k.quality >= 0.5),
-         |ex AS (
-         |  SELECT doc_id, text, lang, source FROM documents
-         |  WHERE doc_id % 5 <> 4),
-         |merged AS (
-         |  SELECT doc_id, text, source FROM cur
-         |  UNION ALL
-         |  SELECT doc_id, text, source FROM ex
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM cur)),
-         |""".stripMargin + datacardOracleBody("merged")
-    },
+    "q130_ingest_chain" -> ingestChainOracleSql,
+
+    // q139: the IDENTICAL oracle — the steady-state artifact path must
+    // reproduce the bootstrap chain's cards bit-for-bit
+    "q139_ingest_chain_incremental" -> ingestChainOracleSql,
 
     // q134: the merge's ROW semantics (q128's split and drift) and the
     // EXACT q124 card body (shared helper) over the merged corpus — the

@@ -152,6 +152,18 @@ object ProbeRound13 {
         .unionByName(curated.select("doc_id", "source", "text"))
       println(s"  cards ${Curation.sourceDatacard(refreshed).count()} sources")
     }
+    // the q134/q139 steady state: cards from the stored stats artifact —
+    // after this lands, NO stage of the daily chain scans corpus text
+    val stats = time("card_stats_bootstrap") {
+      val st = Curation.docCardStats(prior.select("doc_id", "source", "text"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      st.count()
+      st
+    }
+    time("datacard_incremental") {
+      println(s"  cards ${Curation.sourceDatacardIncremental(
+        curated.select("doc_id", "source", "text"), stats).count()} sources")
+    }
   }
 
   /** `merge` mode: the incremental-state merge's value, measured

@@ -172,4 +172,55 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(z === Seq(0)) // zero vector -> the zero codebook entry
     spark.catalog.clearCache()
   }
+
+  test("late-round-13 operators return cleanly on empty and degenerate " +
+    "inputs") {
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    val docs = Seq((1L, "src0", "a b"), (2L, "src0", "c d"))
+      .toDF("doc_id", "source", "text")
+    // incremental cards: empty batch -> cards of the prior unchanged;
+    // empty prior artifact -> cards of the batch alone; both empty -> 0
+    val stats = Curation.docCardStats(docs)
+    val emptyStats = Curation.docCardStats(emptyDocs)
+    val unchanged = Curation.sourceDatacardIncremental(emptyDocs, stats)
+    assert(unchanged.collect().toSet ===
+      Curation.sourceDatacard(docs).collect().toSet)
+    val fresh = Curation.sourceDatacardIncremental(docs, emptyStats)
+    assert(fresh.collect().toSet ===
+      Curation.sourceDatacard(docs).collect().toSet)
+    assert(Curation.sourceDatacardIncremental(emptyDocs, emptyStats)
+      .count() === 0)
+    // z-order: empty input writes an empty (but readable) layout; a
+    // single row lands in one directory
+    val emptyEv = Seq.empty[(Long, Long, Double)]
+      .toDF("event_id", "user_id", "value")
+    val d1 = java.nio.file.Files.createTempDirectory("zdeg_").toString + "/e"
+    graft.sources.Writers.writeZOrdered(emptyEv, d1, "user_id", "value")
+    // partitionBy on an empty frame writes only metadata; reading the
+    // keyed derivation of the empty frame is the contract that matters
+    assert(graft.sources.Writers
+      .zOrderKeyed(emptyEv, "user_id", "value").count() === 0)
+    val one = Seq((1L, 5L, 2.0)).toDF("event_id", "user_id", "value")
+    val k1 = graft.sources.Writers.zOrderKeyed(one, "user_id", "value")
+      .select("z_file").as[Int].collect()
+    assert(k1.toSeq === Seq(0)) // min==max on both axes -> bucket 0/0
+    // semanticDedup: a corpus with no near-dup pair above threshold
+    // yields an EMPTY group relation (singletons never appear)
+    val e = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val m = graft.operators.Similarity.KmeansModel(
+      Array(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq((1L, 0), (2L, 1)).toDF("vec_id", "cell"))
+    assert(graft.operators.Similarity.semanticDedup(e, m, 0.9).count() === 0)
+    // two-level index: k == 1 degenerates to one group holding the one
+    // cell; assignment still resolves
+    val m1 = graft.operators.Similarity.KmeansModel(
+      Array(Seq(1.0, 0.0)), Seq((1L, 0)).toDF("vec_id", "cell"))
+    val idx = graft.operators.Similarity.hierIndex(m1)
+    assert(idx.groupCents.length === 1 && idx.members === IndexedSeq(Seq(0)))
+    assert(graft.operators.Similarity.assignCellsTwoLevel(e, m1, idx, 1)
+      .select("cell").as[Int].collect().toSet === Set(0))
+    spark.catalog.clearCache()
+  }
 }
