@@ -1376,14 +1376,14 @@ object SparkEntry {
       Curation.sourceDatacard(merged.select("doc_id", "source", "text"))
     }),
 
-    // q139: the q130 ingestion chain through the STEADY-STATE artifact
+    // q137: the q130 ingestion chain through the STEADY-STATE artifact
     // path — same WARC segment, same curation, but the refreshed cards
     // come from the stored per-doc stats artifact + the curated batch
     // (q134's path), so corpus text never enters the plan. The oracle is
     // q130's VERBATIM (shared constant): the production path must
     // hash-equal the bootstrap chain's replay — the strongest form of
     // the CurationSpec equivalence, driver-gated
-    "q139_ingest_chain_incremental" -> ((s, dir) => {
+    "q137_ingest_chain_incremental" -> ((s, dir) => {
       val incoming = graft.sources.Warc.readWarc(s, warcShared(s, dir))
         .filter(col("doc_id") % 2 === 0)
         .withColumn("text",
@@ -1417,7 +1417,7 @@ object SparkEntry {
   private val corpusFpsMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, org.apache.spark.sql.DataFrame)]()
 
-  // q134/q139's bootstrapped per-doc card-stats artifact per (session,
+  // q134/q137's bootstrapped per-doc card-stats artifact per (session,
   // dir) — the corpusFpsMemo discipline applied to the reporting state
   // relation; the prior snapshot is the q128 split (doc_id % 5 =!= 4)
   private val cardStatsMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -1941,7 +1941,7 @@ object SparkEntry {
        |       round(dc_tl.mc / CAST(dc_b.n_docs AS DOUBLE), 4) AS top_lang_share
        |FROM dc_b JOIN dc_tl USING (source)""".stripMargin
   }
-  /** The q130 ingestion-chain replay, shared VERBATIM by q139 (the
+  /** The q130 ingestion-chain replay, shared VERBATIM by q137 (the
     * steady-state artifact path must reproduce the bootstrap chain's
     * cards bit-for-bit): incoming from the raw table (q110's hash gate
     * already proves the WARC round trip is lossless), q53's curation
@@ -4657,9 +4657,9 @@ object SparkEntry {
     // EXACT q124 datacard body (shared helper) over the merged corpus
     "q130_ingest_chain" -> ingestChainOracleSql,
 
-    // q139: the IDENTICAL oracle — the steady-state artifact path must
+    // q137: the IDENTICAL oracle — the steady-state artifact path must
     // reproduce the bootstrap chain's cards bit-for-bit
-    "q139_ingest_chain_incremental" -> ingestChainOracleSql,
+    "q137_ingest_chain_incremental" -> ingestChainOracleSql,
 
     // q134: the merge's ROW semantics (q128's split and drift) and the
     // EXACT q124 card body (shared helper) over the merged corpus — the

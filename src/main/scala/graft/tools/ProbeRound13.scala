@@ -100,6 +100,13 @@ object ProbeRound13 {
     * artifact, datacard_refreshed 4.7 s (the one full-corpus kernel scan
     * a datacard inherently costs) — the chain's corpus-sized work is
     * exactly the reporting stage, everything upstream is batch-sized.
+    *
+    * Steady-state re-run (2026-08-14, after q134/q137 landed): the
+    * stats-artifact path retires that last corpus text scan too —
+    * card_stats_bootstrap 2.1 s ONCE, then datacard_incremental 2.0 s
+    * vs 4.9 s for the text recompute; the daily chain now touches
+    * corpus text in NO stage (fps artifact for merge classes, stats
+    * artifact for cards, both refreshed from the batch).
     */
   private def runIngest(spark: org.apache.spark.sql.SparkSession): Unit = {
     import graft.operators.Curation
@@ -152,7 +159,7 @@ object ProbeRound13 {
         .unionByName(curated.select("doc_id", "source", "text"))
       println(s"  cards ${Curation.sourceDatacard(refreshed).count()} sources")
     }
-    // the q134/q139 steady state: cards from the stored stats artifact —
+    // the q134/q137 steady state: cards from the stored stats artifact —
     // after this lands, NO stage of the daily chain scans corpus text
     val stats = time("card_stats_bootstrap") {
       val st = Curation.docCardStats(prior.select("doc_id", "source", "text"))
