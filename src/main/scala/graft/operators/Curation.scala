@@ -896,7 +896,20 @@ object Curation {
     */
   def sourceDatacardIncremental(incoming: DataFrame,
                                 priorStats: DataFrame): DataFrame =
-    datacardFromStats(docCardStatsIncremental(incoming, priorStats))
+    sourceDatacardIncrementalStage(incoming, priorStats).result
+
+  /** [[sourceDatacardIncremental]] with its cache handle — the refreshed
+    * stats relation feeds three aggregation branches (dup-fp, base
+    * counts, language argmax), so it persists exactly like the bootstrap
+    * path's projection; without it the BATCH would pay its text kernels
+    * three times and the artifact three reads.
+    */
+  def sourceDatacardIncrementalStage(incoming: DataFrame,
+                                     priorStats: DataFrame): TextAnalysis.CachedStage = {
+    val enr = docCardStatsIncremental(incoming, priorStats)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TextAnalysis.CachedStage(enr, datacardFromStats(enr))
+  }
 
   /** The card aggregation body over a stats relation — corpus text never
     * enters: three passes over ~40-byte rows (dup-fp self-aggregate,

@@ -590,8 +590,11 @@ class CurationSpec extends SparkSpecBase {
         .select("doc_id", "source", "text"))
     assert(inc.collect().toSet === full.collect().toSet)
     // 2) the artifact path reads the checkpoint, never corpus text: the
-    // only parquet scans allowed are the incoming batch's
-    val plan = inc.queryExecution.executedPlan.toString
+    // only parquet scans allowed are the incoming batch's (pinned on the
+    // refreshed stats relation itself — the card aggregation consumes it
+    // through a persist, which would hide the leaves)
+    val plan = Curation.docCardStatsIncremental(incoming, stats)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("ExistingRDD"),
       s"carry side must read the checkpointed artifact:\n$plan")
     val corpusScans = plan.linesIterator
