@@ -353,7 +353,17 @@ object Similarity {
     * join-back — no window over a (potentially viral) duplicate group.
     */
   def semanticDedup(embeddings: DataFrame, model: KmeansModel,
-                    threshold: Double): DataFrame = {
+                    threshold: Double): DataFrame =
+    semanticDedupStage(embeddings, model, threshold).result
+
+  /** [[semanticDedup]] with its cache handle: the scored member relation
+    * feeds both the argmin aggregate and the join-back, so it persists
+    * (it is group-members-sized — pairs-participating vectors only);
+    * unpersisted, the label⋈cells⋈centroid⋈embedding chain would scan
+    * the corpus twice.
+    */
+  def semanticDedupStage(embeddings: DataFrame, model: KmeansModel,
+                         threshold: Double): graft.operators.TextAnalysis.CachedStage = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val pairs = cellNearDupPairs(embeddings, model.cells, threshold)
@@ -367,12 +377,14 @@ object Similarity {
       .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("cluster"), col("vec_id"),
         round(vec_cosine(col("embedding"), col("centroid")), 6).as("c2c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = scored.groupBy(col("cluster"))
       .agg(min(struct(col("c2c"), col("vec_id"))).as("b"))
-    scored.join(best, "cluster")
+    val result = scored.join(best, "cluster")
       .select(col("cluster"), col("vec_id"),
         round(col("c2c"), 4).as("cos_centroid"),
         when(col("vec_id") === col("b.vec_id"), 1).otherwise(0).as("keep"))
+    graft.operators.TextAnalysis.CachedStage(scored, result)
   }
 
   /** Symmetric int8 quantization of the embedding column — the storage

@@ -212,7 +212,12 @@ class DegenerateInputSpec extends SparkSpecBase {
     val m = graft.operators.Similarity.KmeansModel(
       Array(Seq(1.0, 0.0), Seq(0.0, 1.0)),
       Seq((1L, 0), (2L, 1)).toDF("vec_id", "cell"))
-    assert(graft.operators.Similarity.semanticDedup(e, m, 0.9).count() === 0)
+    val sdStage = graft.operators.Similarity.semanticDedupStage(e, m, 0.9)
+    assert(sdStage.result.count() === 0)
+    sdStage.unpersist()
+    sdStage.result.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
     // two-level index: k == 1 degenerates to one group holding the one
     // cell; assignment still resolves
     val m1 = graft.operators.Similarity.KmeansModel(

@@ -526,7 +526,8 @@ class SimilaritySpec extends SparkSpecBase {
     val model = Similarity.KmeansModel(
       Array(Seq(1.0, 0.0), Seq(0.0, 1.0)),
       Seq((0L, 0), (1L, 0), (2L, 0), (3L, 1)).toDF("vec_id", "cell"))
-    val out = Similarity.semanticDedup(e, model, threshold = 0.9)
+    val stage1 = Similarity.semanticDedupStage(e, model, threshold = 0.9)
+    val out = stage1.result
       .collect()
       .map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[Long]("cluster"), r.getAs[Int]("keep"),
@@ -549,9 +550,20 @@ class SimilaritySpec extends SparkSpecBase {
     val tm = Similarity.KmeansModel(
       Array(Seq(1.0, 0.0), Seq(0.0, 1.0)),
       Seq((5L, 0), (7L, 0), (6L, 1), (8L, 1)).toDF("vec_id", "cell"))
-    val ts = Similarity.semanticDedup(t, tm, threshold = 0.99)
+    val stage2 = Similarity.semanticDedupStage(t, tm, threshold = 0.99)
+    val ts = stage2.result
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("keep"))
       .toMap
     assert(ts.getOrElse(5L, 0) === 1 && ts.getOrElse(7L, -1) === 0)
+    // release everything SYNCHRONOUSLY — the stage persists and the star-CC
+    // checkpoint blocks; left to the async ContextCleaner they release at
+    // arbitrary later points and corrupt CacheHygieneSpec's baselines
+    Seq(stage1, stage2).foreach { st =>
+      st.unpersist()
+      st.result.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.foreach(_.unpersist(false))
+    }
+    spark.catalog.clearCache()
   }
 }
