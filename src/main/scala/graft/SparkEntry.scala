@@ -978,6 +978,27 @@ object SparkEntry {
           round(avg(col("quality")), 4).as("avg_quality"))
     }),
 
+    // q138: the two-level (hierarchical) cell assignment hash-gated
+    // against the flat argmin — the custom NearestCellTwoLevel
+    // expression end-to-end, with the hier index (driver-clustered over
+    // the centroid array) published for the oracle (the q129 learned-
+    // artifact pattern). Output carries BOTH assignments + the agree
+    // flag, so the gate pins the exact disagreement structure, not just
+    // the fast path
+    "q138_twolevel_assign" -> ((s, dir) => {
+      val model = kmeansShared(s, dir)
+      val idx = Similarity.hierIndex(model, groups = 2)
+      learnedHierModel = Some((model.centroids.toIndexedSeq, idx))
+      val flat = model.cells.withColumnRenamed("cell", "cell_flat")
+      Similarity.assignCellsTwoLevel(
+          Tables.embeddings(s, dir), model, idx, nProbeGroups = 1)
+        .withColumnRenamed("cell", "cell_two_level")
+        .join(flat, "vec_id")
+        .select(col("vec_id"), col("cell_two_level"), col("cell_flat"),
+          when(col("cell_two_level") === col("cell_flat"), 1)
+            .otherwise(0).as("agree"))
+    }),
+
     // q136: SemDeDup — semantic duplicate GROUPS (within-cell cosine
     // pairs + q52 star CC over the shared quantizer's cells) with the
     // paper's survivor policy: keep the member LEAST similar to its
@@ -1642,6 +1663,13 @@ object SparkEntry {
     * round-6 the ADC tables already carry.
     */
   @volatile private[graft] var learnedPqModel: Option[operators.Similarity.PqModel] = None
+
+  /** q138's published artifacts: the session quantizer's centroid matrix
+    * plus the driver-clustered hier index (group centroids + member
+    * lists) — all Double.toString round-trip literals for the oracle.
+    */
+  @volatile private[graft] var learnedHierModel
+      : Option[(IndexedSeq[Seq[Double]], operators.Similarity.HierIndex)] = None
 
   /** The q129 IVF-PQ frontier replay: PQ codes from the interpolated
     * codebooks (same `|c|² − 2·dot` + (dist, code) tie-break as the
@@ -4450,6 +4478,59 @@ object SparkEntry {
           "CAST(0 AS BIGINT) AS n_truth, CAST(0 AS BIGINT) AS n_hit, " +
           "0.0 AS recall, CAST(0 AS BIGINT) AS n_scored WHERE false"
       case Some(model) => pqFrontierOracleSql(model)
+    }),
+
+    // q138: both assignment paths replayed from the published literals —
+    // the flat argmin over all cell centroids and the two-level pick
+    // (nearest group by the same |c|²−2·dot distance, then argmin over
+    // that group's member cells), identical index-order folds and
+    // (dist, index) tie-breaks as the NearestCells/NearestCellTwoLevel
+    // kernels
+    "q138_twolevel_assign" -> (learnedHierModel match {
+      case None =>
+        "SELECT CAST(NULL AS BIGINT) AS vec_id, 0 AS cell_two_level, " +
+          "0 AS cell_flat, 0 AS agree WHERE false"
+      case Some((cents, idx)) =>
+        val gcVals = idx.groupCents.zipWithIndex.map { case (c, gi) =>
+          s"($gi, [${c.mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        val cellVals = cents.zipWithIndex.map { case (c, ci) =>
+          val gi = idx.members.indexWhere(_.contains(ci))
+          s"($ci, $gi, [${c.mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        def dist(vec: String, cen: String) =
+          s"""(list_sum(list_transform($cen, x -> x*x))
+             | - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+             |          i -> $vec[i] * $cen[i])))""".stripMargin
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           |  FROM embeddings),
+           |gc AS (SELECT * FROM (VALUES $gcVals) t(gi, gv)),
+           |cl AS (SELECT * FROM (VALUES $cellVals) t(ci, gi, cv)),
+           |gpick AS (
+           |  SELECT vec_id, gi FROM (
+           |    SELECT v.vec_id, gc.gi,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${dist("v.emb", "gc.gv")}, gc.gi) AS rn
+           |    FROM v CROSS JOIN gc) WHERE rn = 1),
+           |two AS (
+           |  SELECT vec_id, ci AS cell_two_level FROM (
+           |    SELECT g.vec_id, cl.ci,
+           |           row_number() OVER (PARTITION BY g.vec_id
+           |             ORDER BY ${dist("v.emb", "cl.cv")}, cl.ci) AS rn
+           |    FROM gpick g
+           |    JOIN cl ON cl.gi = g.gi
+           |    JOIN v ON v.vec_id = g.vec_id) WHERE rn = 1),
+           |flat AS (
+           |  SELECT vec_id, ci AS cell_flat FROM (
+           |    SELECT v.vec_id, cl.ci,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${dist("v.emb", "cl.cv")}, cl.ci) AS rn
+           |    FROM v CROSS JOIN cl) WHERE rn = 1)
+           |SELECT two.vec_id, two.cell_two_level, flat.cell_flat,
+           |       CASE WHEN two.cell_two_level = flat.cell_flat
+           |            THEN 1 ELSE 0 END AS agree
+           |FROM two JOIN flat USING (vec_id)""".stripMargin
     }),
 
     // q133: the PCA projection replay — components + mean-dot scalars
