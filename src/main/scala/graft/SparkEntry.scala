@@ -526,6 +526,14 @@ object SparkEntry {
     // session windows (1h inactivity gap) per user over events
     "q28_session_window" -> ((s, dir) => Windows.sessionAgg(Tables.events(s, dir))),
 
+    // q139: time-bucket gap filling with LOCF (the time_bucket_gapfill +
+    // locf operator of time-series stores): missing hourly buckets
+    // between each user's first and last observation are generated via
+    // sequence+explode and filled with the last observed value, is_gap
+    // in-band; LOCF window partitioned per user, bounded by calendar
+    "q139_gapfill_locf" -> ((s, dir) =>
+      Windows.gapFillLocf(Tables.events(s, dir))),
+
     // exact continuous quantiles (median / p95) per group
     "q29_quantiles" -> ((s, dir) => Relational.quantiles(Tables.lineitem(s, dir))),
 
@@ -2462,6 +2470,27 @@ object SparkEntry {
         |SELECT min(t) AS s_start, max(t) + 3600000000 AS s_end, user_id,
         |       count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    // q139: hourly buckets (epoch-aligned, like Spark's window()), the
+    // per-user dense grid from range(), LOCF via IGNORE NULLS last_value
+    "q139_gapfill_locf" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b_start,
+        |         round(avg(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS b_start
+        |  FROM (SELECT user_id, min(b_start) AS mn, max(b_start) AS mx
+        |        FROM b GROUP BY 1)),
+        |j AS (
+        |  SELECT g.user_id, g.b_start, b.v
+        |  FROM grid g LEFT JOIN b USING (user_id, b_start))
+        |SELECT user_id, b_start,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |         ORDER BY b_start ROWS UNBOUNDED PRECEDING) AS v_filled,
+        |       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+        |FROM j""".stripMargin,
 
     "q29_quantiles" ->
       """SELECT l_returnflag,

@@ -67,6 +67,41 @@ object Windows {
     * construction — all rows sharing the order key are peers and enter the
     * frame together, so no tie-break column is needed for determinism.
     */
+  /** Time-bucket gap filling with last-observation-carried-forward — the
+    * `time_bucket_gapfill` + `locf` operator time-series stores make
+    * first-class (a telemetry stream's dashboards need dense series;
+    * sensors drop buckets): per user, hourly mean-value buckets; every
+    * missing bucket between the user's first and last observation is
+    * GENERATED (`sequence` + explode — no driver loop, no cross join
+    * against a global calendar) and filled with the last observed value;
+    * `is_gap` keeps filled rows distinguishable.
+    *
+    * Scale shape: one aggregate to buckets (map-side combining), a
+    * two-scalar span aggregate per user, and the LOCF window partitioned
+    * BY USER over bucket counts bounded by time-range/bucket — never a
+    * global sort, never a skew-prone partition (a user's series length
+    * is capped by the calendar, not by data volume).
+    */
+  def gapFillLocf(events: DataFrame, bucket: String = "1 hour"): DataFrame = {
+    val bucketSec = 3600L
+    val b = events
+      .groupBy(col("user_id"), window(col("ts"), bucket).as("w"))
+      .agg(round(avg(col("value")), 4).as("v"))
+      .select(col("user_id"), col("w.start").cast("long").as("b_start"),
+        col("v"))
+    val grid = b.groupBy(col("user_id"))
+      .agg(min(col("b_start")).as("mn"), max(col("b_start")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), lit(bucketSec)))
+          .as("b_start"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("b_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(b, Seq("user_id", "b_start"), "left")
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", when(col("v").isNull, 1).otherwise(0))
+      .select(col("user_id"), col("b_start"), col("v_filled"), col("is_gap"))
+  }
+
   def trailingHourStats(events: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"))

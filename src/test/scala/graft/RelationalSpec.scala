@@ -193,6 +193,30 @@ class RelationalSpec extends SparkSpecBase {
     assert(out((2L, h1)) === ((2L, h1, 7.0, 7.0, 7.0, 7.0, 1L)))
   }
 
+  test("gap filling generates missing buckets and carries the last " +
+    "observation forward") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (ts("2024-01-01 00:10:00"), 1L, 4.0),
+      (ts("2024-01-01 00:20:00"), 1L, 6.0),   // same bucket -> avg 5.0
+      (ts("2024-01-01 03:30:00"), 1L, 9.0),   // 2 missing buckets before
+      (ts("2024-01-01 05:00:00"), 2L, 1.0))   // other user: single bucket
+      .toDF("ts", "user_id", "value")
+    val out = Windows.gapFillLocf(ev)
+      .select("user_id", "b_start", "v_filled", "is_gap")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    // user 1: 4 buckets from 00 to 03 — observed, gap, gap, observed
+    assert(out((1L, h0)) === ((5.0, 0)))
+    assert(out((1L, h0 + 3600)) === ((5.0, 1)))  // LOCF
+    assert(out((1L, h0 + 7200)) === ((5.0, 1)))  // LOCF
+    assert(out((1L, h0 + 10800)) === ((9.0, 0)))
+    // user 2: span is one bucket, no gaps generated
+    assert(out((2L, h0 + 18000)) === ((1.0, 0)))
+    assert(out.size === 5)
+  }
+
   test("session windows split on the inactivity gap") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(
