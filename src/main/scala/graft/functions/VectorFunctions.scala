@@ -229,7 +229,10 @@ object VectorKernels {
       }
       gi += 1
     }
-    best
+    // safety net: if every probed group was memberless (an index built
+    // outside hierIndex, which prunes empty groups), fall back to the
+    // flat argmin rather than emit the -1 sentinel as a cell id
+    if (best < 0) nearestCells(x, xF, cents, norms, 1)(0) else best
   }
 }
 

@@ -858,11 +858,19 @@ object Curation {
     * cannot drift.
     */
   def docCardStats(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
-      size(TextAnalysis.tokens(col("text"))).as("n_words"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
-      TextAnalysis.predLang(col("text")).as("pred_lang"),
-      TextAnalysis.fp64Expr(col("text")).as("fp64"))
+    docs.select(col("doc_id") +: col("source") +: cardStatCols: _*)
+
+  /** The four per-document card-stat kernel columns — ONE list shared by
+    * [[docCardStats]] and the streaming twin
+    * ([[graft.streaming.StreamingCuration.cardStatsStream]]), so the
+    * batch ≡ stream guarantee holds by construction instead of by two
+    * hand-copied expression lists staying identical (review r13).
+    */
+  private[graft] def cardStatCols: Seq[org.apache.spark.sql.Column] = Seq(
+    size(TextAnalysis.tokens(col("text"))).as("n_words"),
+    TextAnalysis.qualityScore(col("text")).as("quality"),
+    TextAnalysis.predLang(col("text")).as("pred_lang"),
+    TextAnalysis.fp64Expr(col("text")).as("fp64"))
 
   /** Refresh the card-stats artifact through a merge, touching only the
     * BATCH's text: incoming rows (the merge's insert/rewrite/refresh

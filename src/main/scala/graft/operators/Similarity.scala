@@ -187,19 +187,25 @@ object Similarity {
                 iters: Int = 5): HierIndex = {
     val pts = model.centroids.map(_.toArray)
     val k = pts.length
-    val g = if (groups > 0) groups else math.max(1, math.ceil(math.sqrt(k)).toInt)
+    // clamp: more groups than cells would index past the init prefix
+    val g = math.min(k,
+      if (groups > 0) groups else math.max(1, math.ceil(math.sqrt(k)).toInt))
     var gc: Array[Array[Double]] = pts.take(g).map(_.clone())
     val assign = new Array[Int](k)
     for (_ <- 1 to iters) {
+      // group norms hoisted out of the per-point loop (the kernel's own
+      // gNorms discipline): g·dim work per iteration, not k·g·dim
+      val norms = gc.map(c => { var n2 = 0.0; var d = 0
+        while (d < c.length) { n2 += c(d) * c(d); d += 1 }; n2 })
       var j = 0
       while (j < k) {
         var best = -1; var bestD = 0.0
         var gi = 0
         while (gi < g) {
           val c = gc(gi)
-          var s = 0.0; var n2 = 0.0; var d = 0
-          while (d < c.length) { s += pts(j)(d) * c(d); n2 += c(d) * c(d); d += 1 }
-          val dist = n2 - 2.0 * s
+          var s = 0.0; var d = 0
+          while (d < c.length) { s += pts(j)(d) * c(d); d += 1 }
+          val dist = norms(gi) - 2.0 * s
           if (best < 0 || java.lang.Double.compare(dist, bestD) < 0) {
             best = gi; bestD = dist
           }
@@ -222,9 +228,15 @@ object Similarity {
         else next(gi).map(_ / cnt(gi))
       }.toArray
     }
-    val members = (0 until g).map(gi =>
-      (0 until k).filter(assign(_) == gi).map(identity)).toIndexedSeq
-    HierIndex(gc.map(_.toSeq).toIndexedSeq, members.map(_.toSeq))
+    // drop groups Lloyd left EMPTY (a stale centroid with no members):
+    // probing one could otherwise return zero candidates — with them
+    // pruned, every probed group contributes cells and the kernel's
+    // flat-scan fallback can never trigger through this index
+    val kept = (0 until g).filter(gi => assign.contains(gi))
+    HierIndex(
+      kept.map(gi => gc(gi).toSeq).toIndexedSeq,
+      kept.map(gi => (0 until k).filter(assign(_) == gi): Seq[Int])
+        .toIndexedSeq)
   }
 
   /** Full-corpus cell assignment through the two-level index — the

@@ -61,20 +61,16 @@ object Windows {
         col("open"), col("high"), col("low"), col("close"),
         col("n_events"), col("mean_value"))
 
-  /** RANGE-frame analytic window: per-user trailing-1h moving sum/count by
-    * EVENT TIME (value-based frame), vs the row-count frames of
-    * `Relational.orderRunningStats`. Range frames are tie-safe by
-    * construction — all rows sharing the order key are peers and enter the
-    * frame together, so no tie-break column is needed for determinism.
-    */
   /** Time-bucket gap filling with last-observation-carried-forward — the
     * `time_bucket_gapfill` + `locf` operator time-series stores make
     * first-class (a telemetry stream's dashboards need dense series;
-    * sensors drop buckets): per user, hourly mean-value buckets; every
-    * missing bucket between the user's first and last observation is
-    * GENERATED (`sequence` + explode — no driver loop, no cross join
-    * against a global calendar) and filled with the last observed value;
-    * `is_gap` keeps filled rows distinguishable.
+    * sensors drop buckets): per user, mean-value buckets of `bucketSec`
+    * seconds; every missing bucket between the user's first and last
+    * observation is GENERATED (`sequence` + explode — no driver loop, no
+    * cross join against a global calendar) and filled with the last
+    * observed value; `is_gap` keeps filled rows distinguishable. The
+    * bucket width is ONE integer parameter so the aggregation and the
+    * grid step cannot disagree.
     *
     * Scale shape: one aggregate to buckets (map-side combining), a
     * two-scalar span aggregate per user, and the LOCF window partitioned
@@ -82,10 +78,10 @@ object Windows {
     * global sort, never a skew-prone partition (a user's series length
     * is capped by the calendar, not by data volume).
     */
-  def gapFillLocf(events: DataFrame, bucket: String = "1 hour"): DataFrame = {
-    val bucketSec = 3600L
+  def gapFillLocf(events: DataFrame, bucketSec: Long = 3600L): DataFrame = {
     val b = events
-      .groupBy(col("user_id"), window(col("ts"), bucket).as("w"))
+      .groupBy(col("user_id"),
+        window(col("ts"), s"$bucketSec seconds").as("w"))
       .agg(round(avg(col("value")), 4).as("v"))
       .select(col("user_id"), col("w.start").cast("long").as("b_start"),
         col("v"))
@@ -102,6 +98,12 @@ object Windows {
       .select(col("user_id"), col("b_start"), col("v_filled"), col("is_gap"))
   }
 
+  /** RANGE-frame analytic window: per-user trailing-1h moving sum/count by
+    * EVENT TIME (value-based frame), vs the row-count frames of
+    * `Relational.orderRunningStats`. Range frames are tie-safe by
+    * construction — all rows sharing the order key are peers and enter the
+    * frame together, so no tie-break column is needed for determinism.
+    */
   def trailingHourStats(events: DataFrame): DataFrame = {
     val hourUs = 3600L * 1000000L
     val w = Window.partitionBy(col("user_id")).orderBy(col("t"))

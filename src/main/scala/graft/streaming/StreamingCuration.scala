@@ -140,11 +140,8 @@ object StreamingCuration {
     * (identical kernel expressions); CurationSpec pins it.
     */
   def cardStatsStream(docsStream: DataFrame): DataFrame =
-    docsStream.select(col("ts"), col("doc_id"), col("source"),
-      size(TextAnalysis.tokens(col("text"))).as("n_words"),
-      TextAnalysis.qualityScore(col("text")).as("quality"),
-      TextAnalysis.predLang(col("text")).as("pred_lang"),
-      TextAnalysis.fp64Expr(col("text")).as("fp64"))
+    docsStream.select(col("ts") +: col("doc_id") +: col("source") +:
+      graft.operators.Curation.cardStatCols: _*)
 
   def mergeClassifyStream(docsStream: DataFrame, corpusFps: DataFrame): DataFrame = {
     val art = corpusFps.select(col("doc_id"), col("fp").as("corpus_fp"))

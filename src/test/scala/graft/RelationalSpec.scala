@@ -215,6 +215,15 @@ class RelationalSpec extends SparkSpecBase {
     // user 2: span is one bucket, no gaps generated
     assert(out((2L, h0 + 18000)) === ((1.0, 0)))
     assert(out.size === 5)
+    // non-default bucket: the aggregation and the grid step share the
+    // one parameter (review r13: the grid was once hardcoded hourly)
+    val q = Windows.gapFillLocf(ev, bucketSec = 900L)
+      .select("user_id", "b_start", "is_gap")
+      .as[(Long, Long, Int)].collect()
+    val u1 = q.filter(_._1 == 1L)
+    // 00:00 (obs), 00:15 (obs), then gaps every 900s up to 03:30
+    assert(u1.length === 15 && u1.count(_._3 == 0) === 3)
+    assert(u1.map(_._2).sorted.toSeq === (0 until 15).map(h0 + _ * 900L))
   }
 
   test("session windows split on the inactivity gap") {
