@@ -595,6 +595,13 @@ object SparkEntry {
       RangeJoin.proximityPairs(Tables.events(s, dir),
         typeA = "error", typeB = "purchase", tolSec = 3600)),
 
+    // q140: the interval join's LEFT OUTER flavor — inner bin-bucketed
+    // pairs + an id anti-join for the unmatched left side (null-padded
+    // once, not per bin); the oracle is DuckDB's non-equi LEFT JOIN
+    "q140_range_join_leftouter" -> ((s, dir) =>
+      RangeJoin.proximityPairsLeftOuter(Tables.events(s, dir),
+        typeA = "error", typeB = "purchase", tolSec = 3600)),
+
     // PIVOT with a static value list (one aggregation pass)
     "q41_pivot" -> ((s, dir) => Relational.pivotQuantities(Tables.lineitem(s, dir))),
 
@@ -2609,6 +2616,18 @@ object SparkEntry {
         |  ON b.user_id = a.user_id
         | AND a.event_type = 'error' AND b.event_type = 'purchase'
         | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 3600000000""".stripMargin,
+
+    // q140: the q39 interval join as LEFT OUTER — unmatched errors keep
+    // one null-padded row; DuckDB's non-equi LEFT JOIN is the semantic
+    // truth the inner+anti-join formulation must reproduce
+    "q140_range_join_leftouter" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a LEFT JOIN events b
+        |  ON b.user_id = a.user_id
+        | AND b.event_type = 'purchase'
+        | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 3600000000
+        |WHERE a.event_type = 'error'""".stripMargin,
 
     "q40_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -41,4 +41,25 @@ object RangeJoin {
       .select(col("id_a"), col("id_b"), col("user_id"),
         (col("t_b") - col("t_a")).as("dt_us"))
   }
+
+  /** LEFT OUTER interval join — every `typeA` event keeps a row even
+    * with no `typeB` partner in its tolerance window (the "errors with
+    * no follow-up purchase" report the inner form cannot express). The
+    * scalable formulation: the bin-bucketed INNER pairs (never a
+    * non-equi NLJ) plus an 8-byte-id anti-join for the unmatched left
+    * side, null-padded — a left-outer written directly against the
+    * exploded bins would instead null-pad per BIN, tripling unmatched
+    * rows.
+    */
+  def proximityPairsLeftOuter(events: DataFrame, typeA: String,
+                              typeB: String, tolSec: Long): DataFrame = {
+    val inner = proximityPairs(events, typeA, typeB, tolSec)
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("event_id").as("id_a"), col("user_id"))
+    val unmatched = a
+      .join(inner.select(col("id_a")).distinct(), Seq("id_a"), "left_anti")
+      .select(col("id_a"), lit(null).cast("long").as("id_b"),
+        col("user_id"), lit(null).cast("long").as("dt_us"))
+    inner.unionByName(unmatched)
+  }
 }

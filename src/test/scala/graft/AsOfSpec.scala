@@ -70,6 +70,25 @@ class AsOfSpec extends SparkSpecBase {
     assert(expected.nonEmpty)
   }
 
+  test("left-outer proximity join keeps unmatched errors as ONE " +
+    "null-padded row each") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.RangeJoin
+      .proximityPairsLeftOuter(ev, "error", "purchase", tolSec = 3600)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val inner = out.filter(_._2.isDefined).map(_._1).toSet
+    val padded = out.filter(_._2.isEmpty).map(_._1)
+    // every error appears; matched ids never carry a null row; unmatched
+    // ids carry exactly one
+    val allErrors = ev.filter(col("event_type") === "error")
+      .select("event_id").as[Long].collect().toSet
+    assert((inner ++ padded).toSet === allErrors)
+    assert(padded.toSet.intersect(inner).isEmpty)
+    assert(padded.length === padded.toSet.size)
+    assert(padded.nonEmpty) // the fixture has lonely errors
+  }
+
   test("tradesWithLatestQuote matches a per-row reference on real events") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val base = ev.select(col("event_id"), unix_micros(col("ts")).as("t"),
