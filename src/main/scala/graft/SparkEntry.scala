@@ -1510,11 +1510,18 @@ object SparkEntry {
     bpeSafeMemo.computeIfAbsent(ccKey(s, dir), _ => {
       val hazard = Tables.documents(s, dir)
         .agg(sum(when(col("text").contains("|") || col("text").contains("\n")
-          || col("text").contains("\r"), 1L).otherwise(0L))).head()
+          || col("text").contains("\r")
+          // supplementary-plane hazard (review r13): the engine seeds BPE
+          // symbols as UTF-16 code units (split(word, "") halves an
+          // astral char into surrogates) while the DuckDB replay seeds
+          // per CODEPOINT — the two would train different merges
+          || col("text").rlike("[\\x{10000}-\\x{10FFFF}]"), 1L)
+          .otherwise(0L))).head()
       require(hazard.isNullAt(0) || hazard.getLong(0) == 0L,
-        "corpus text contains '|' or a newline — the q98/q118/q123 DuckDB " +
-          "replay's boundary wrap would corrupt; switch the oracle to a " +
-          "chr(1) wrap before gating this corpus")
+        "corpus text contains '|', a newline, or a supplementary-plane " +
+          "character — the q98/q118/q123 DuckDB replay's boundary wrap " +
+          "or codepoint seeding would diverge; switch the oracle to a " +
+          "chr(1) wrap / normalize astral chars before gating this corpus")
       s
     })
     ()

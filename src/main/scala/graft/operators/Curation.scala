@@ -643,7 +643,12 @@ object Curation {
     */
   def mixToTargets(docs: DataFrame, targets: Map[String, Double],
                    budgetTokens: Long): DataFrame = {
+    // the selection subtree feeds both the spent aggregate and the row
+    // side — persisted so the window-cascade selection runs ONCE
+    // (review r13; released by the session's clearCache like the other
+    // one-shot stages)
     val sel = mixSelected(docs, targets, budgetTokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spent = sel.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("spent"))
     sel.join(broadcast(spent), "source")

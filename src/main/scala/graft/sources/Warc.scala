@@ -84,6 +84,33 @@ object Warc {
     * `shards` WARC files under `path`; `compress = true` gzips each shard
     * and names it `part-NNNNN.warc.wet.gz`.
     */
+  /** Serialize ONE record in the shared grammar — the single definition
+    * BOTH writers emit ([[writeWarc]] and the V2 `format("warc")` path),
+    * so the two cannot drift (review r13: the V2 copy had already
+    * diverged on null handling). Null text writes empty; null
+    * lang/source normalize to "und"/"unknown" — the values a reader can
+    * act on, where the interpolated literal "null" only looks like data.
+    */
+  def writeRecord(out: java.io.OutputStream, docId: Long, text: String,
+                  lang: String, source: String): Unit = {
+    val lng = Option(lang).getOrElse("und")
+    val src = Option(source).getOrElse("unknown")
+    val payload = Option(text).getOrElse("").getBytes(UTF_8)
+    val headers =
+      s"""WARC/1.0\r
+         |WARC-Type: conversion\r
+         |WARC-Record-ID: <urn:graft:doc:$docId>\r
+         |WARC-Target-URI: http://$src.invalid/doc/$docId\r
+         |WARC-Identified-Content-Language: $lng\r
+         |Content-Type: text/plain\r
+         |Content-Length: ${payload.length}\r
+         |\r
+         |""".stripMargin
+    out.write(headers.getBytes(UTF_8))
+    out.write(payload)
+    out.write(Crlf); out.write(Crlf)
+  }
+
   def writeWarc(docs: DataFrame, path: String, shards: Int = 8,
                 compress: Boolean = false): Unit = {
     val sc = docs.sparkSession.sparkContext
@@ -102,21 +129,8 @@ object Warc {
           val out = new BufferedOutputStream(
             if (compress) new GZIPOutputStream(raw, 1 << 16) else raw, 1 << 16)
           try it.foreach { r =>
-            val docId = r.getLong(0)
-            val payload = Option(r.getString(1)).getOrElse("").getBytes(UTF_8)
-            val headers =
-              s"""WARC/1.0\r
-                 |WARC-Type: conversion\r
-                 |WARC-Record-ID: <urn:graft:doc:$docId>\r
-                 |WARC-Target-URI: http://${r.getString(3)}.invalid/doc/$docId\r
-                 |WARC-Identified-Content-Language: ${r.getString(2)}\r
-                 |Content-Type: text/plain\r
-                 |Content-Length: ${payload.length}\r
-                 |\r
-                 |""".stripMargin
-            out.write(headers.getBytes(UTF_8))
-            out.write(payload)
-            out.write(Crlf); out.write(Crlf)
+            writeRecord(out, r.getLong(0), r.getString(1),
+              r.getString(2), r.getString(3))
           } finally out.close()
         }
       }

@@ -163,20 +163,38 @@ private[v2] class WarcBatchWrite(path: String, compress: Boolean,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
     fs.mkdirs(dir)
-    if (truncate) {
-      // overwrite semantics: drop the prior layout before publishing the
-      // new one; temps are invisible to the shard glob either way
-      Option(fs.globStatus(new Path(s"$path/*.warc*")))
-        .getOrElse(Array.empty)
-        .foreach(s => fs.delete(s.getPath, false))
-    }
     val suffix = if (compress) ".warc.wet.gz" else ".warc"
-    messages.collect { case m: WarcCommitMessage if m.tmpFile != null => m }
-      .foreach { m =>
+    // publish FIRST — job-unique names cannot collide with the prior
+    // layout, so there is no instant where the directory holds NEITHER
+    // copy (the compactPartitioned rename-aside discipline adapted to a
+    // flat shard glob; review r13: the earlier delete-then-publish order
+    // had a crash window that destroyed the prior layout). A crash
+    // mid-commit leaves old+new both visible — for truncate jobs a
+    // DUPLICATION window recovered by re-running the overwrite, never a
+    // loss window. Production replaces the glob with a manifest swap
+    // (same caveat compactPartitioned documents).
+    val committed = messages
+      .collect { case m: WarcCommitMessage if m.tmpFile != null => m }
+      .map { m =>
         val target = new Path(path, f"part-$jobId-${m.partitionId}%05d$suffix")
         require(fs.rename(new Path(m.tmpFile), target),
           s"warc commit failed: ${m.tmpFile} -> $target")
-      }
+        target.getName
+      }.toSet
+    if (truncate) {
+      // drop the prior layout only AFTER the new one is fully visible
+      Option(fs.globStatus(new Path(s"$path/*.warc*")))
+        .getOrElse(Array.empty)
+        .filterNot(s => committed.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+      // reclaim temps orphaned by CRASHED earlier jobs (their abort never
+      // ran) — only under truncate, which declares exclusive ownership of
+      // the directory; an append commit must not race a concurrent append
+      // job's live temps
+      Option(fs.globStatus(new Path(s"$path/_tmp-*")))
+        .getOrElse(Array.empty)
+        .foreach(s => fs.delete(s.getPath, false))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -211,24 +229,12 @@ private[v2] case class WarcWriterFactory(path: String, compress: Boolean,
 
       override def write(r: InternalRow): Unit = {
         ensureOpen() // empty partitions produce no file (writeWarc parity)
-        val docId = r.getLong(idI)
-        val text = if (r.isNullAt(txtI)) "" else r.getUTF8String(txtI).toString
-        val lang = if (r.isNullAt(langI)) "und" else r.getUTF8String(langI).toString
-        val source = if (r.isNullAt(srcI)) "unknown" else r.getUTF8String(srcI).toString
-        val payload = text.getBytes(UTF_8)
-        val headers =
-          s"""WARC/1.0\r
-             |WARC-Type: conversion\r
-             |WARC-Record-ID: <urn:graft:doc:$docId>\r
-             |WARC-Target-URI: http://$source.invalid/doc/$docId\r
-             |WARC-Identified-Content-Language: $lang\r
-             |Content-Type: text/plain\r
-             |Content-Length: ${payload.length}\r
-             |\r
-             |""".stripMargin
-        out.write(headers.getBytes(UTF_8))
-        out.write(payload)
-        out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+        // ONE shared record serializer with the function-style writer —
+        // the grammar cannot drift between the two paths
+        graft.sources.Warc.writeRecord(out, r.getLong(idI),
+          if (r.isNullAt(txtI)) null else r.getUTF8String(txtI).toString,
+          if (r.isNullAt(langI)) null else r.getUTF8String(langI).toString,
+          if (r.isNullAt(srcI)) null else r.getUTF8String(srcI).toString)
       }
 
       override def commit(): WriterCommitMessage = {
