@@ -201,6 +201,36 @@ private[graft] case class SolarSimScan(panels: Int, modules: Int,
 
   override def build(): Scan = this
 
+  // Pushed state must participate in Scan equality (ADVICE r13): Spark's
+  // canonicalized-plan reuse (ReuseExchange / AQE stage reuse) compares
+  // scans with equals, and case-class equality covers only the
+  // constructor options. pushedCount is distinguishable through
+  // readSchema, but a pushed LIMIT (and exactly-handled panel filters,
+  // which are REMOVED from the plan above the scan) leave the schema
+  // identical — without this override a capped/filtered scan and an
+  // uncapped one of the same options compare equal, and a query reading
+  // the source twice could silently serve row-capped output to the
+  // uncapped branch. Runtime filters are deliberately excluded:
+  // BatchScanExec carries them as its own constructor field, so
+  // exec-level equality already distinguishes runtime-filtered reads.
+  override def equals(o: Any): Boolean = o match {
+    case s: SolarSimScan =>
+      panels == s.panels && modules == s.modules &&
+        readingsPerModule == s.readingsPerModule &&
+        startEpochSec == s.startEpochSec && periodSec == s.periodSec &&
+        readingsPerTrigger == s.readingsPerTrigger &&
+        pushedLimitN == s.pushedLimitN &&
+        panelFilters.toSeq == s.panelFilters.toSeq &&
+        pushedCount == s.pushedCount &&
+        prunedSchema == s.prunedSchema
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (panels, modules, readingsPerModule, startEpochSec, periodSec,
+      readingsPerTrigger, pushedLimitN, panelFilters.toSeq, pushedCount,
+      prunedSchema).hashCode()
+
   override def readSchema(): StructType = pushedCount match {
     case Some(true) => StructType(Seq(
       StructField("panel", StringType, nullable = false),
