@@ -192,7 +192,13 @@ object Similarity {
       if (groups > 0) groups else math.max(1, math.ceil(math.sqrt(k)).toInt))
     var gc: Array[Array[Double]] = pts.take(g).map(_.clone())
     val assign = new Array[Int](k)
-    for (_ <- 1 to iters) {
+    // one assignment pass against the CURRENT gc — factored so a final
+    // pass can run after the last centroid update (ADVICE r13: without
+    // it, `members` reflects the pre-update assignment while
+    // `groupCents` are post-update, so a cell can sit in a group whose
+    // centroid it is no longer nearest — silently worse probed-group
+    // recall at low nProbeGroups)
+    def assignPass(): Unit = {
       // group norms hoisted out of the per-point loop (the kernel's own
       // gNorms discipline): g·dim work per iteration, not k·g·dim
       val norms = gc.map(c => { var n2 = 0.0; var d = 0
@@ -214,6 +220,9 @@ object Similarity {
         assign(j) = best
         j += 1
       }
+    }
+    for (_ <- 1 to iters) {
+      assignPass()
       val next = Array.fill(g)(new Array[Double](pts.head.length))
       val cnt = new Array[Int](g)
       var j2 = 0
@@ -228,6 +237,9 @@ object Similarity {
         else next(gi).map(_ / cnt(gi))
       }.toArray
     }
+    // final assignment against the LAST centroid update, so the published
+    // members are each nearest their own group among all published groups
+    assignPass()
     // drop groups Lloyd left EMPTY (a stale centroid with no members):
     // probing one could otherwise return zero candidates — with them
     // pruned, every probed group contributes cells and the kernel's

@@ -78,18 +78,36 @@ object Windows {
     * global sort, never a skew-prone partition (a user's series length
     * is capped by the calendar, not by data volume).
     */
-  def gapFillLocf(events: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+  def gapFillLocf(events: DataFrame, bucketSec: Long = 3600L,
+                  chunkLen: Long = 65536L): DataFrame = {
+    require(chunkLen > 0, s"chunkLen must be positive, got $chunkLen")
     val b = events
       .groupBy(col("user_id"),
         window(col("ts"), s"$bucketSec seconds").as("w"))
       .agg(round(avg(col("value")), 4).as("v"))
       .select(col("user_id"), col("w.start").cast("long").as("b_start"),
         col("v"))
+    // Dense-grid generation is CHUNKED (ADVICE r13): a single
+    // sequence(mn, mx, bucketSec) array is bounded by Spark's max array
+    // length, so ONE user whose span ÷ bucket exceeds it (a multi-year
+    // sensor with a small bucket — expected at scale, not adversarial)
+    // would throw and fail the whole job. Two-level explode instead:
+    // chunk origins at `chunkLen` buckets apiece, then a bounded inner
+    // sequence per chunk — every generated array is ≤ chunkLen elements
+    // (512 KiB of longs at the default) regardless of span, and the outer
+    // array only reaches Spark's limit at spans past the representable
+    // epoch. `chunkLen` is a parameter only so specs can prove boundary
+    // behavior with a tiny chunk; the default is the production value.
+    val chunkSpan = bucketSec * chunkLen
     val grid = b.groupBy(col("user_id"))
       .agg(min(col("b_start")).as("mn"), max(col("b_start")).as("mx"))
+      .select(col("user_id"), col("mx"),
+        explode(sequence(col("mn"), col("mx"), lit(chunkSpan)))
+          .as("c_start"))
       .select(col("user_id"),
-        explode(sequence(col("mn"), col("mx"), lit(bucketSec)))
-          .as("b_start"))
+        explode(sequence(col("c_start"),
+          least(col("mx"), col("c_start") + lit(chunkSpan - bucketSec)),
+          lit(bucketSec))).as("b_start"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("b_start"))
       .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(b, Seq("user_id", "b_start"), "left")

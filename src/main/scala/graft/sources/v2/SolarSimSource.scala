@@ -143,15 +143,23 @@ private[graft] case class SolarSimScan(panels: Int, modules: Int,
   /** Conjunction of the pushed + runtime panel predicates; None =
     * unconstrained.
     */
-  private def allowedPanels: Option[Set[String]] = {
-    val fs = panelFilters ++ runtimeFilters
+  private def allowedPanels: Option[Set[String]] =
+    panelSemantics(panelFilters ++ runtimeFilters)
+
+  /** The SEMANTIC content of a panel-filter conjunction: the allowed
+    * panel set (None = unconstrained). Scan equality compares this, not
+    * the filter array — the array form is order- and duplicate-
+    * sensitive, so identical conjunctions pushed in a different order
+    * (or In values reordered) would compare unequal and legitimate plan
+    * reuse would be missed (ADVICE r14).
+    */
+  private def panelSemantics(fs: Array[Filter]): Option[Set[String]] =
     if (fs.isEmpty) None
     else Some(fs.map {
       case EqualTo("panel", v: String) => Set(v)
       case In("panel", vs) => vs.collect { case s: String => s }.toSet
       case f => throw new IllegalStateException(s"unexpected pushed filter $f")
     }.reduce(_ intersect _))
-  }
 
   // Aggregate pushdown: the simulator can answer COUNT(*) in closed form
   // (count = |panels| × modules × readingsPerModule) — the connector
@@ -220,7 +228,7 @@ private[graft] case class SolarSimScan(panels: Int, modules: Int,
         startEpochSec == s.startEpochSec && periodSec == s.periodSec &&
         readingsPerTrigger == s.readingsPerTrigger &&
         pushedLimitN == s.pushedLimitN &&
-        panelFilters.toSeq == s.panelFilters.toSeq &&
+        panelSemantics(panelFilters) == s.panelSemantics(s.panelFilters) &&
         pushedCount == s.pushedCount &&
         prunedSchema == s.prunedSchema
     case _ => false
@@ -228,8 +236,8 @@ private[graft] case class SolarSimScan(panels: Int, modules: Int,
 
   override def hashCode(): Int =
     (panels, modules, readingsPerModule, startEpochSec, periodSec,
-      readingsPerTrigger, pushedLimitN, panelFilters.toSeq, pushedCount,
-      prunedSchema).hashCode()
+      readingsPerTrigger, pushedLimitN, panelSemantics(panelFilters),
+      pushedCount, prunedSchema).hashCode()
 
   override def readSchema(): StructType = pushedCount match {
     case Some(true) => StructType(Seq(

@@ -65,4 +65,34 @@ class KMeansSpec extends SparkSpecBase {
     assert(agree >= (p1.size * 0.9).toInt,
       s"p=1 agreement too low: $agree of ${p1.size}")
   }
+
+  test("hierIndex is internally consistent: every member cell is nearest " +
+    "its OWN group among all published groups") {
+    // a deliberately non-converged geometry (cells on a line, one Lloyd
+    // iteration, init = first 3 cells): the final centroid update moves
+    // the group centers far from the pre-update assignment, so the old
+    // members-from-stale-assignment bug (ADVICE r13) fails this pin
+    val centroids: Array[Seq[Double]] =
+      (0 until 12).map(i => Seq(i.toDouble, 0.0)).toArray
+    val model = Similarity.KmeansModel(centroids, spark.emptyDataFrame)
+    for (iters <- Seq(1, 2, 5)) {
+      val idx = Similarity.hierIndex(model, groups = 3, iters = iters)
+      // partition: every cell in exactly one group
+      assert(idx.members.flatten.sorted === (0 until 12))
+      // consistency: recomputing each member's nearest group against the
+      // PUBLISHED groupCents (same |c|²−2·x·c distance, same first-wins
+      // tie) must land it in the group that lists it
+      val norms = idx.groupCents.map(c => c.map(x => x * x).sum)
+      for (gi <- idx.members.indices; cell <- idx.members(gi)) {
+        val x = centroids(cell)
+        val dists = idx.groupCents.indices.map { g =>
+          norms(g) - 2.0 * idx.groupCents(g).zip(x).map(t => t._1 * t._2).sum
+        }
+        val best = dists.indices.minBy(g => (dists(g), g))
+        assert(best === gi,
+          s"cell $cell sits in group $gi but is nearest group $best " +
+            s"(iters=$iters) — members/groupCents out of sync")
+      }
+    }
+  }
 }

@@ -226,6 +226,45 @@ class RelationalSpec extends SparkSpecBase {
     assert(u1.map(_._2).sorted.toSeq === (0 until 15).map(h0 + _ * 900L))
   }
 
+  test("gap filling survives an outlier span: the grid is chunked, " +
+    "never one unbounded sequence") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // chunk-boundary exactness first: a span crossing several chunks with
+    // a TINY chunkLen must produce the identical grid as the default
+    // (no duplicate, no dropped bucket at any boundary)
+    val ev = Seq(
+      (ts("2024-01-01 00:00:30"), 1L, 2.0),
+      (ts("2024-01-01 00:03:10"), 1L, 4.0),  // 00:03 bucket at 10s grain
+      (ts("2024-01-01 00:07:55"), 1L, 8.0))
+      .toDF("ts", "user_id", "value")
+    def rows(chunk: Long) =
+      Windows.gapFillLocf(ev, bucketSec = 10L, chunkLen = chunk)
+        .select("user_id", "b_start", "v_filled", "is_gap")
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._2).toSeq
+    val chunked = rows(4)       // 45 buckets over ~12 chunks
+    assert(chunked === rows(65536L))
+    assert(chunked.length === 45 && chunked.map(_._2).distinct.length === 45)
+    // adversarial span (ADVICE r13): ONE user with a decade of history at
+    // a 60 s bucket — 5.26 M grid buckets. The un-chunked form builds the
+    // whole span as a single array (and dies outright past Spark's max
+    // array length); the chunked grid completes cleanly.
+    val decade = Seq(
+      (ts("2014-01-01 00:00:00"), 9L, 1.0),
+      (ts("2024-01-01 00:00:00"), 9L, 5.0))
+      .toDF("ts", "user_id", "value")
+    val out = Windows.gapFillLocf(decade, bucketSec = 60L)
+    val expected = (ts("2024-01-01 00:00:00").getTime
+      - ts("2014-01-01 00:00:00").getTime) / 60000L + 1L
+    val agg = out.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.countDistinct($"b_start"),
+      org.apache.spark.sql.functions.sum($"is_gap")).head
+    assert(agg.getLong(0) === expected)      // dense: every bucket present
+    assert(agg.getLong(1) === expected)      // and exactly once
+    assert(agg.getLong(2) === expected - 2L) // all but the two observed
+  }
+
   test("session windows split on the inactivity gap") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

@@ -95,6 +95,50 @@ class SolarSimSourceSpec extends SparkSpecBase {
     assert(rows.forall(_.getAs[String]("panel") == "panel-1"))
   }
 
+  test("scan equality folds pushed state and normalizes filter order") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def mk = graft.sources.v2.SolarSimScan(panels = 4, modules = 2,
+      readingsPerModule = 10, startEpochSec = 0L, periodSec = 10L)
+    val plain = mk
+    assert(plain == mk && plain.## == mk.##)
+    // a pushed LIMIT must break equality: plan/stage reuse could
+    // otherwise serve row-capped output to an uncapped branch
+    val limited = mk
+    limited.pushLimit(3)
+    assert(limited != plain && plain != limited)
+    // pushed panel filters break equality vs the unfiltered scan...
+    val f1 = mk
+    f1.pushFilters(Array(In("panel", Array[Any]("panel-1", "panel-2"))))
+    assert(f1 != plain)
+    // ...but SEMANTICALLY identical conjunctions compare equal (and hash
+    // equal) regardless of push order or In value order — the normalized
+    // comparison keeps legitimate reuse (ADVICE r14)
+    val f2 = mk
+    f2.pushFilters(Array(In("panel", Array[Any]("panel-2", "panel-1"))))
+    assert(f1 == f2 && f1.## == f2.##)
+    val c1 = mk
+    c1.pushFilters(Array(EqualTo("panel", "panel-1"),
+      In("panel", Array[Any]("panel-1", "panel-3"))))
+    val c2 = mk
+    c2.pushFilters(Array(In("panel", Array[Any]("panel-3", "panel-1")),
+      EqualTo("panel", "panel-1")))
+    assert(c1 == c2 && c1.## == c2.##)
+    assert(c1 != f1) // different semantic panel sets stay distinct
+    // end to end: a query reading the source twice, one branch limited —
+    // the unlimited branch must still see the full inventory
+    val base = spark.read.format("solar-sim")
+      .option("panels", 2).option("modules", 3)
+      .option("readingsPerModule", 20).load()
+    val both = base.limit(5)
+      .select(org.apache.spark.sql.functions.lit(1).as("k"), $"power")
+      .unionAll(base.select(
+        org.apache.spark.sql.functions.lit(2).as("k"), $"power"))
+    val counts = both.groupBy("k").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts(1) === 5L)
+    assert(counts(2) === 2L * 3 * 20)
+  }
+
   test("column pruning reaches the connector: a projection plans a narrow read") {
     val df = spark.read.format("solar-sim")
       .option("panels", 2).option("modules", 2)
