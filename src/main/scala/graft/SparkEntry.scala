@@ -602,6 +602,18 @@ object SparkEntry {
       RangeJoin.proximityPairsLeftOuter(Tables.events(s, dir),
         typeA = "error", typeB = "purchase", tolSec = 3600)),
 
+    // q141: the RIGHT OUTER flavor — unmatched purchases keep one
+    // null-padded row (the left-outer anti-join mirrored to id_b)
+    "q141_range_join_rightouter" -> ((s, dir) =>
+      RangeJoin.proximityPairsRightOuter(Tables.events(s, dir),
+        typeA = "error", typeB = "purchase", tolSec = 3600)),
+
+    // q142: FULL OUTER — inner pairs + both unmatched sides null-padded
+    // once each, completing the interval-join flavor matrix
+    "q142_range_join_fullouter" -> ((s, dir) =>
+      RangeJoin.proximityPairsFullOuter(Tables.events(s, dir),
+        typeA = "error", typeB = "purchase", tolSec = 3600)),
+
     // PIVOT with a static value list (one aggregation pass)
     "q41_pivot" -> ((s, dir) => Relational.pivotQuantities(Tables.lineitem(s, dir))),
 
@@ -1256,10 +1268,14 @@ object SparkEntry {
     // session k-means.
     "q129_pq_frontier" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      val coarse = kmeansShared(s, dir)
       val model = Similarity.pqFit(e, dim = EmbDim)
+      val resModel = Similarity.pqFitResidual(e, coarse, dim = EmbDim)
       learnedPqModel = Some(model)
-      Similarity.pqFrontier(e, kmeansShared(s, dir), model,
-        q => q.filter(col("vec_id") < 8), kTop = 5, probes = Seq(1, 2))
+      learnedPqResModel = Some(resModel)
+      Similarity.pqFrontier(e, coarse, model,
+        q => q.filter(col("vec_id") < 8), kTop = 5, probes = Seq(1, 2),
+        resModel = Some(resModel))
     }),
 
     // PCA projection of the embedding corpus (the dimensionality-
@@ -1686,6 +1702,13 @@ object SparkEntry {
     */
   @volatile private[graft] var learnedPqModel: Option[operators.Similarity.PqModel] = None
 
+  /** q129's learned RESIDUAL PQ codebooks (trained on x − c_coarse) —
+    * published alongside [[learnedPqModel]]; the oracle recomputes the
+    * residual codes, per-cell reconstructed norms, and q·c_coarse terms
+    * in SQL from these literals plus the replayed coarse centroids.
+    */
+  @volatile private[graft] var learnedPqResModel: Option[operators.Similarity.PqModel] = None
+
   /** q138's published artifacts: the session quantizer's centroid matrix
     * plus the driver-clustered hier index (group centroids + member
     * lists) — all Double.toString round-trip literals for the oracle.
@@ -1700,7 +1723,9 @@ object SparkEntry {
     * fixed-order m-term lookup sums, and the q120 coarse-probe prefix
     * machinery for the IVF-PQ variants.
     */
-  private def pqFrontierOracleSql(model: operators.Similarity.PqModel): String = {
+  private def pqFrontierOracleSql(model: operators.Similarity.PqModel,
+                                  rModel: operators.Similarity.PqModel)
+      : String = {
     val m = model.m
     val kk = model.k
     val sub = model.subDim
@@ -1710,6 +1735,18 @@ object SparkEntry {
     val nFlat = model.cnorm2Flat.mkString(", ")
     def adcTerms(t: String, codes: String) = (0 until m)
       .map(mi => s"$t[${mi * kk} + $codes[${mi + 1}] + 1]").mkString(" + ")
+    // residual-variant literals/terms (ivfpq_res_pN): same shapes over
+    // the residual codebooks; the per-cell reconstructed-norm and
+    // q·c_coarse tables are REPLAYED from c$KmeansIters rather than
+    // interpolated, so the oracle derives them the way the engine does
+    val mr = rModel.m
+    val kkr = rModel.k
+    val subR = rModel.subDim
+    val cbrRows = (for (mi <- 0 until mr; j <- 0 until kkr) yield
+      s"($mi, $j, [${rModel.codebooks(mi)(j).mkString(", ")}]::DOUBLE[])")
+      .mkString(",\n    ")
+    def adcTermsR(t: String, codes: String) = (0 until mr)
+      .map(mi => s"$t[${mi * kkr} + $codes[${mi + 1}] + 1]").mkString(" + ")
     kmeansCtes.stripSuffix("\n") + ",\n" +
       s"""cb AS (SELECT * FROM (VALUES
          |    $cbRows) AS t(mi, j, c)),
@@ -1725,6 +1762,41 @@ object SparkEntry {
          |               cb.j) AS rn
          |      FROM v CROSS JOIN cb) WHERE rn = 1)
          |  GROUP BY vec_id),
+         |cbr AS (SELECT * FROM (VALUES
+         |    $cbrRows) AS t(mi, j, c)),
+         |rcodes AS (
+         |  SELECT vec_id, cell, list(code ORDER BY mi) AS codes FROM (
+         |    SELECT vec_id, cell, mi, code FROM (
+         |      SELECT v.vec_id, cl.cell, cbr.mi, cbr.j AS code,
+         |             row_number() OVER (PARTITION BY v.vec_id, cbr.mi ORDER BY
+         |               list_sum(list_transform(cbr.c, x -> x*x))
+         |               - 2 * list_sum(list_transform(range(1, ${subR + 1}),
+         |                     i -> (v.emb[cbr.mi * $subR + i]
+         |                           - cc.c[cbr.mi * $subR + i]) * cbr.c[i])),
+         |               cbr.j) AS rn
+         |      FROM v JOIN cells cl ON cl.vec_id = v.vec_id
+         |      JOIN c$KmeansIters cc ON cc.cell = cl.cell
+         |      CROSS JOIN cbr) WHERE rn = 1)
+         |  GROUP BY vec_id, cell),
+         |trq AS (
+         |  SELECT v.vec_id AS q_id, cbr.mi, cbr.j,
+         |         round(list_sum(list_transform(range(1, ${subR + 1}),
+         |               i -> v.emb[cbr.mi * $subR + i] * cbr.c[i])), 6) AS t
+         |  FROM v CROSS JOIN cbr WHERE v.vec_id < 8),
+         |trl AS (SELECT q_id, list(t ORDER BY mi, j) AS t FROM trq GROUP BY 1),
+         |qcr AS (
+         |  SELECT v.vec_id AS q_id, cc.cell,
+         |         round(list_sum(list_transform(range(1, ${EmbDim + 1}),
+         |               i -> v.emb[i] * cc.c[i])), 6) AS qc
+         |  FROM v CROSS JOIN c$KmeansIters cc WHERE v.vec_id < 8),
+         |nres AS (
+         |  SELECT cc.cell, cbr.mi, cbr.j,
+         |         round(list_sum(list_transform(range(1, ${subR + 1}),
+         |           i -> (cc.c[cbr.mi * $subR + i] + cbr.c[i])
+         |              * (cc.c[cbr.mi * $subR + i] + cbr.c[i]))), 6) AS n2
+         |  FROM c$KmeansIters cc CROSS JOIN cbr),
+         |nresl AS (SELECT cell, list(n2 ORDER BY mi, j) AS n2
+         |          FROM nres GROUP BY 1),
          |tq AS (
          |  SELECT v.vec_id AS q_id, cb.mi, cb.j,
          |         round(list_sum(list_transform(range(1, ${sub + 1}),
@@ -1789,6 +1861,28 @@ object SparkEntry {
          |    FROM icand ic JOIN pqs ps
          |      ON ps.q_id = ic.q_id AND ps.vec_id = ic.vec_id)
          |  WHERE rank <= 5),
+         |rpqs AS (
+         |  SELECT n_probe, q_id, vec_id,
+         |         CASE WHEN cn > 0 AND qnorm > 0
+         |              THEN s / (qnorm * sqrt(cn)) ELSE -2.0 END AS cos
+         |  FROM (
+         |    SELECT ic.n_probe, ic.q_id, ic.vec_id, qn.qnorm,
+         |           (qcr.qc + (${adcTermsR("trl.t", "rc.codes")})) AS s,
+         |           (${adcTermsR("nl.n2", "rc.codes")}) AS cn
+         |    FROM icand ic
+         |    JOIN rcodes rc ON rc.vec_id = ic.vec_id
+         |    JOIN nresl nl ON nl.cell = rc.cell
+         |    JOIN trl ON trl.q_id = ic.q_id
+         |    JOIN qn ON qn.q_id = ic.q_id
+         |    JOIN qcr ON qcr.q_id = ic.q_id AND qcr.cell = rc.cell)),
+         |ritop AS (
+         |  SELECT n_probe, q_id, vec_id FROM (
+         |    SELECT n_probe, q_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY n_probe, q_id
+         |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+         |    FROM rpqs) WHERE rank <= 5),
+         |rih AS (SELECT ritop.n_probe, bt.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |        FROM bt JOIN ritop USING (q_id, vec_id) GROUP BY 1, 2),
          |i8 AS (
          |  SELECT vec_id, amax,
          |         list_transform(emb, x -> floor(x * (127.0 / amax) + 0.5)) AS q
@@ -1842,6 +1936,14 @@ object SparkEntry {
          |       coalesce(ins.n_scored, 0)
          |FROM lv l CROSS JOIN tcnt t
          |LEFT JOIN ih ON ih.n_probe = l.n_probe AND ih.q_id = t.q_id
+         |LEFT JOIN ins ON ins.n_probe = l.n_probe AND ins.q_id = t.q_id
+         |UNION ALL
+         |SELECT 'ivfpq_res_p' || CAST(l.n_probe AS VARCHAR), t.q_id, t.n_truth,
+         |       CAST(coalesce(rih.n_hit, 0) AS BIGINT),
+         |       round(coalesce(rih.n_hit, 0) / CAST(t.n_truth AS DOUBLE), 4),
+         |       coalesce(ins.n_scored, 0)
+         |FROM lv l CROSS JOIN tcnt t
+         |LEFT JOIN rih ON rih.n_probe = l.n_probe AND rih.q_id = t.q_id
          |LEFT JOIN ins ON ins.n_probe = l.n_probe AND ins.q_id = t.q_id""".stripMargin
   }
 
@@ -2635,6 +2737,28 @@ object SparkEntry {
         | AND b.event_type = 'purchase'
         | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 3600000000
         |WHERE a.event_type = 'error'""".stripMargin,
+
+    // q141: RIGHT OUTER mirror — user_id must come from the kept (right)
+    // side, since a is null on unmatched rows
+    "q141_range_join_rightouter" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b, b.user_id,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a RIGHT JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'error'
+        | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 3600000000
+        |WHERE b.event_type = 'purchase'""".stripMargin,
+
+    // q142: FULL OUTER — the type filters must live in subqueries (a
+    // WHERE over a FULL JOIN would delete the null-padded rows)
+    "q142_range_join_fullouter" ->
+      """SELECT a.id_a, b.id_b, coalesce(a.user_id, b.user_id) AS user_id,
+        |       b.t_b - a.t_a AS dt_us
+        |FROM (SELECT event_id AS id_a, user_id, epoch_us(ts) AS t_a
+        |      FROM events WHERE event_type = 'error') a
+        |FULL JOIN (SELECT event_id AS id_b, user_id, epoch_us(ts) AS t_b
+        |           FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND abs(b.t_b - a.t_a) <= 3600000000""".stripMargin,
 
     "q40_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
@@ -4525,14 +4649,14 @@ object SparkEntry {
     // q129: the IVF-PQ frontier replay — codebooks interpolated from the
     // published learned model (Verify materializes queries before
     // serializing oracleSql), everything else recomputed in SQL
-    "q129_pq_frontier" -> (learnedPqModel match {
-      case None =>
+    "q129_pq_frontier" -> ((learnedPqModel, learnedPqResModel) match {
+      case (Some(model), Some(rModel)) => pqFrontierOracleSql(model, rModel)
+      case _ =>
         // keyset-stable placeholder (the q118 convention); Verify always
         // overwrites it with the real replay
         "SELECT '' AS variant, CAST(NULL AS BIGINT) AS q_id, " +
           "CAST(0 AS BIGINT) AS n_truth, CAST(0 AS BIGINT) AS n_hit, " +
           "0.0 AS recall, CAST(0 AS BIGINT) AS n_scored WHERE false"
-      case Some(model) => pqFrontierOracleSql(model)
     }),
 
     // q138: both assignment paths replayed from the published literals —

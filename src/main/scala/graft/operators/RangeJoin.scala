@@ -62,4 +62,46 @@ object RangeJoin {
         col("user_id"), lit(null).cast("long").as("dt_us"))
     inner.unionByName(unmatched)
   }
+
+  /** RIGHT OUTER interval join — the mirror report ("purchases with no
+    * preceding error"): every `typeB` event keeps a row even with no
+    * `typeA` partner in tolerance. Same anti-join null-pad shape as the
+    * left-outer, keyed on id_b.
+    */
+  def proximityPairsRightOuter(events: DataFrame, typeA: String,
+                               typeB: String, tolSec: Long): DataFrame = {
+    val inner = proximityPairs(events, typeA, typeB, tolSec)
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("event_id").as("id_b"), col("user_id"))
+    val unmatched = b
+      .join(inner.select(col("id_b")).distinct(), Seq("id_b"), "left_anti")
+      .select(lit(null).cast("long").as("id_a"), col("id_b"),
+        col("user_id"), lit(null).cast("long").as("dt_us"))
+    inner.unionByName(unmatched)
+  }
+
+  /** FULL OUTER interval join — inner pairs plus BOTH unmatched sides
+    * null-padded once each (the anti-join generalizes symmetrically: an
+    * unmatched-left row and an unmatched-right row are distinct outputs,
+    * so the union introduces no double-count). All three outer flavors
+    * share the one bin-bucketed inner plan; the outer decoration costs
+    * two 8-byte-id anti-joins, never a second non-equi pass.
+    */
+  def proximityPairsFullOuter(events: DataFrame, typeA: String,
+                              typeB: String, tolSec: Long): DataFrame = {
+    val inner = proximityPairs(events, typeA, typeB, tolSec)
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("event_id").as("id_a"), col("user_id"))
+    val unmatchedA = a
+      .join(inner.select(col("id_a")).distinct(), Seq("id_a"), "left_anti")
+      .select(col("id_a"), lit(null).cast("long").as("id_b"),
+        col("user_id"), lit(null).cast("long").as("dt_us"))
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("event_id").as("id_b"), col("user_id"))
+    val unmatchedB = b
+      .join(inner.select(col("id_b")).distinct(), Seq("id_b"), "left_anti")
+      .select(lit(null).cast("long").as("id_a"), col("id_b"),
+        col("user_id"), lit(null).cast("long").as("dt_us"))
+    inner.unionByName(unmatchedA).unionByName(unmatchedB)
+  }
 }

@@ -654,15 +654,66 @@ object Similarity {
         model.codebooks(mi), 1), 1)
     }: _*)
 
+  /** The coarse residual x − c_coarse(cell): what production IVF-PQ
+    * (Jégou et al. 2011, the Faiss `IndexIVFPQ` shape) encodes instead of
+    * the raw vector — residuals concentrate near zero once the coarse
+    * quantizer removes the cell offset, so a fixed code budget spends
+    * its resolution on the informative within-cell variation. Pure
+    * fixed-order arithmetic (per element: widen-to-double minus a
+    * published round-6 centroid literal), so the oracle replays it
+    * bit-exact. The centroid matrix rides in the plan as ONE typed
+    * literal (k×dim doubles — model-sized); past ~10⁵ cells the scale
+    * path swaps this for a broadcast centroid relation joined on cell,
+    * exactly like the q136 centroid-cosine stage.
+    */
+  def residualVec(emb: Column, cell: Column, coarse: KmeansModel): Column =
+    zip_with(emb,
+      element_at(typedLit(coarse.centroids.map(_.toSeq).toSeq), cell + 1),
+      (a, b) => a.cast("double") - b)
+
+  /** Train the PQ codebooks on coarse RESIDUALS (the production IVF-PQ
+    * pairing): each training vector is replaced by x − c_coarse(x) —
+    * cell assigned with the same fused argmin kernel as `coarse.cells`,
+    * so fit needs no join — then [[pqFit]] runs unchanged on the
+    * residual column. Same bounded deterministic sample, same round-6
+    * means, same (dist, code) tie-break: the reproducibility story is
+    * inherited wholesale.
+    */
+  /** Residual PQ codes via the fused [[graft.functions.PqResidualCodes]]
+    * kernel — bit-identical to `pqCodes(residualVec(emb, cell), model)`
+    * but one codegen'd pass (the compositional form pays an interpreted
+    * `zip_with` per subspace slice on the corpus-sized encode stage;
+    * measured 8× the frontier wall at 1 M vectors).
+    */
+  def pqCodesResidual(emb: Column, cell: Column, coarse: KmeansModel,
+                      model: PqModel): Column =
+    graft.functions.VectorFunctions.pq_residual_codes(emb, cell,
+      coarse.centroids.map(_.toSeq).toSeq,
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  def pqFitResidual(embeddings: DataFrame, coarse: KmeansModel, dim: Int,
+                    m: Int = PqM, k: Int = PqK, iters: Int = PqIters,
+                    trainN: Int = DefaultTrainN): PqModel = {
+    val cell = element_at(graft.functions.VectorFunctions.nearest_cells(
+      col("embedding"), coarse.centroids.toIndexedSeq, 1), 1)
+    pqFit(embeddings.select(col("vec_id"),
+      residualVec(col("embedding"), cell, coarse).as("embedding")),
+      dim, m, k, iters, trainN)
+  }
+
   /** IVF-PQ recall-vs-cost frontier (VERDICT r12 #5) — the q120 table
     * extended to the compressed layout: per golden query, the recall and
     * candidate count of (a) `float` exact brute force (the truth anchor,
     * recall 1), (b) `int8` — the q73 exact-integer scorer (4 bytes →
     * 1 byte/dim), (c) `pq` — asymmetric-distance brute force over PQ
-    * codes only (~1 bit/dim), pricing pure quantization loss, and (d)
+    * codes only (~1 bit/dim), pricing pure quantization loss, (d)
     * `ivfpq_pN` — the real production shape: coarse cells prune
     * candidates, ADC scores them, recall compounds coarse pruning ×
-    * code quantization. One table, the whole compression axis.
+    * code quantization, and (e) `ivfpq_res_pN` when `resModel` is given —
+    * the same probe/candidate set scored from RESIDUAL codes (x −
+    * c_coarse), the Jégou production pairing: most of PQ's recall at a
+    * fixed code budget comes from encoding the small residual instead of
+    * the absolute vector. One table, the whole compression axis.
     *
     * Asymmetric distance computation (ADC): each query precomputes the
     * m×k table T[m][j] = round₆(q_m · c_{m,j}) driver-side (a few KB,
@@ -683,34 +734,46 @@ object Similarity {
     */
   def pqFrontier(embeddings: DataFrame, coarse: KmeansModel, model: PqModel,
                  queryFilter: DataFrame => DataFrame, kTop: Int,
-                 probes: Seq[Int]): DataFrame = {
+                 probes: Seq[Int],
+                 resModel: Option[PqModel] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val m = model.m
     val kk = model.k
     val nAll = embeddings.count()
     val c = embeddings
-      .select(col("vec_id"), pqCodes(col("embedding"), model).as("codes"))
       .join(coarse.cells, "vec_id")
+      .select(Seq(col("vec_id"), col("cell"),
+        pqCodes(col("embedding"), model).as("codes")) ++
+        resModel.map(rm => pqCodesResidual(col("embedding"), col("cell"),
+          coarse, rm).as("rcodes")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = queryFilter(embeddings)
     // golden queries driver-side (bounded — the recall-gate sample set):
-    // T tables and |q| fold in index order, rounded at 6, so the oracle
-    // interpolates/recomputes the identical doubles
+    // T tables, |q|, residual-codebook tables, and per-cell q·c_coarse
+    // all fold in index order, rounded at 6, so the oracle recomputes
+    // the identical doubles
+    def dotTables(q: Seq[Double], books: IndexedSeq[IndexedSeq[Seq[Double]]],
+                  sub: Int): Seq[Double] =
+      books.indices.flatMap { mi =>
+        books(mi).map { cb =>
+          round6(cb.indices.map(d => q(mi * sub + d) * cb(d)).sum)
+        }
+      }
     val qRows = queries.select(col("vec_id"), col("embedding")).collect()
       .map { r =>
         val q = r.getSeq[Any](1).map {
           case f: Float => f.toDouble
           case d: Double => d
         }
-        val t = (0 until m).flatMap { mi =>
-          model.codebooks(mi).map { cb =>
-            round6(cb.indices.map(d => q(mi * model.subDim + d) * cb(d)).sum)
-          }
-        }
-        (r.getLong(0), t, round6(math.sqrt(q.map(x => x * x).sum)))
+        (r.getLong(0), dotTables(q, model.codebooks, model.subDim),
+          round6(math.sqrt(q.map(x => x * x).sum)),
+          resModel.fold(Seq.empty[Double])(rm =>
+            dotTables(q, rm.codebooks, rm.subDim)),
+          resModel.fold(Seq.empty[Double])(_ => coarse.centroids.toSeq.map(
+            cc => round6(cc.indices.map(d => q(d) * cc(d)).sum))))
       }
-    val qdf = qRows.toSeq.toDF("q_id", "t", "qnorm")
+    val qdf = qRows.toSeq.toDF("q_id", "t", "qnorm", "tr", "qc")
     val nLit = array(model.cnorm2Flat.map(lit): _*)
     def adcScore(codes: Column, t: Column, qnorm: Column): Column = {
       val adc = (0 until m).map(mi =>
@@ -759,7 +822,56 @@ object Similarity {
           col("n_hit"), col("recall"),
           coalesce(col("n_scored"), lit(0L)).as("n_scored"))
     }
-    (Seq(floatVariant, int8Variant, pqVariant) ++ ivfVariants)
+    // residual-encoded IVF-PQ (VERDICT r14 #2): the candidates and their
+    // cost are IDENTICAL to ivfpq_pN (same coarse probe, same cells) —
+    // only the scorer changes. Approximate dot q·x̂ = q·c_cell + Σ_m
+    // T_res[m][code] (the coarse term restores what the residual encoding
+    // removed), reconstructed |x̂|² = Σ_m |c_cell,m + r̂_m,code|² — a
+    // per-(cell, m, code) round-6 table, model-sized here as ONE typed
+    // literal; past ~10⁵ cells the scale path keys it as a broadcast
+    // relation joined on cell (same swap as residualVec's centroids).
+    val resVariants = resModel.toSeq.flatMap { rm =>
+      val mk = rm.m * rm.k
+      val nres: Seq[Double] = coarse.centroids.toSeq.flatMap { cc =>
+        (0 until rm.m).flatMap { mi =>
+          rm.codebooks(mi).map { cb =>
+            round6((0 until rm.subDim).map { d =>
+              val s = cc(mi * rm.subDim + d) + cb(d); s * s
+            }.sum)
+          }
+        }
+      }
+      val nresLit = typedLit(nres)
+      def adcResScore(rcodes: Column, tr: Column, qcArr: Column,
+                      cellCol: Column, qnorm: Column): Column = {
+        val adc = (0 until rm.m).map(mi =>
+          element_at(tr, lit(mi * rm.k + 1) + element_at(rcodes, mi + 1)))
+          .reduce(_ + _)
+        val cn = (0 until rm.m).map(mi =>
+          element_at(nresLit,
+            cellCol * mk + lit(mi * rm.k + 1) + element_at(rcodes, mi + 1)))
+          .reduce(_ + _)
+        val qc = element_at(qcArr, cellCol + 1)
+        when(cn > 0.0 && qnorm > 0.0, (qc + adc) / (qnorm * sqrt(cn)))
+          .otherwise(lit(-2.0))
+      }
+      probes.map { p =>
+        val qp = qpAll.filter(col("rn") <= p).select(col("q_id"), col("cell"))
+        val cand = c.join(broadcast(qp.join(qdf, "q_id")), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+        val nScored = cand.groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_scored"))
+        val approx = rankTopK(cand.select(col("q_id"), col("vec_id"),
+          adcResScore(col("rcodes"), col("tr"), col("qc"), col("cell"),
+            col("qnorm")).as("cos")), kTop)
+        recallAtK(approx, truth)
+          .join(nScored, Seq("q_id"), "left")
+          .select(lit(s"ivfpq_res_p$p").as("variant"), col("q_id"),
+            col("n_truth"), col("n_hit"), col("recall"),
+            coalesce(col("n_scored"), lit(0L)).as("n_scored"))
+      }
+    }
+    (Seq(floatVariant, int8Variant, pqVariant) ++ ivfVariants ++ resVariants)
       .reduce(_.unionByName(_))
   }
 

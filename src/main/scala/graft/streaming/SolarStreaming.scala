@@ -305,6 +305,40 @@ object SolarStreaming {
         col("l_power"), col("r_power"))
   }
 
+  /** FULL OUTER time-interval stream-stream join — completes the flavor
+    * matrix ([[coReadingsStream]] inner, [[coReadingsLeftOuterStream]]
+    * left): unmatched rows of EITHER side emit null-padded exactly once
+    * when that side's state expires (the same watermark-proved no-match
+    * argument as the left form, applied symmetrically — Spark evicts a
+    * buffered row only once the opposite watermark passes its tolerance
+    * window, which is precisely when a match is impossible). The demo
+    * instance makes both pad directions structurally reachable: the
+    * lexicographically greatest module per panel never finds an
+    * `l_module < r_module` partner as the LEFT row, and the smallest
+    * never as the RIGHT row.
+    */
+  def coReadingsFullOuterStream(normalized: DataFrame, tolSec: Int = 30,
+                                watermarkDelay: String = "30 seconds"): DataFrame = {
+    val l = normalized
+      .select(col("ts").as("l_ts"), col("panel"),
+        col("module").as("l_module"), col("power").as("l_power"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = normalized
+      .select(col("ts").as("r_ts"), col("panel").as("r_panel"),
+        col("module").as("r_module"), col("power").as("r_power"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r, expr(
+      s"""panel = r_panel AND l_module < r_module AND
+         |r_ts BETWEEN l_ts - INTERVAL $tolSec SECONDS
+         |         AND l_ts + INTERVAL $tolSec SECONDS""".stripMargin),
+      "fullOuter")
+      .select(unix_micros(col("l_ts")).as("l_t"),
+        coalesce(col("panel"), col("r_panel")).as("panel"),
+        col("l_module"), col("r_module"),
+        unix_micros(col("r_ts")).as("r_t"),
+        col("l_power"), col("r_power"))
+  }
+
   /** The ENTIRE reference topology as chained stateful streaming operators
     * — no foreachBatch anywhere: module agg and panel agg (each watermarked)
     * → stream-stream join #1 → windowed variance re-aggregation →

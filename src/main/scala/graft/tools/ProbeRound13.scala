@@ -55,12 +55,27 @@ object ProbeRound13 {
         trainN = 4096)
     }
     val coarse = time("coarse_fit_k64") { Similarity.kmeansFit(embs, 64, 2) }
+    // residual fit: same sub-k-means over x − c_coarse of the sample —
+    // the extra cost over pq_fit is one cell assignment per sample row
+    val resModel = time("pq_fit_residual_m8_k256") {
+      Similarity.pqFitResidual(embs, coarse, dim = 64, m = 8, k = 256,
+        iters = 2, trainN = 4096)
+    }
 
     // encode throughput in isolation (the storage-path write cost); an
     // aggregate over the code array forces evaluation (the ProbeCuration
     // ColumnPruning pitfall)
     time("pq_encode_1m") {
       embs.select(Similarity.pqCodes(col("embedding"), model).as("c"))
+        .agg(sum(element_at(col("c"), 1))).head()
+    }
+    // residual encode pays one extra nearest-cell lookup per row (the
+    // fused kernel folds the subtraction into the code argmin)
+    time("pq_encode_residual_1m") {
+      embs.select(Similarity.pqCodesResidual(col("embedding"),
+          element_at(graft.functions.VectorFunctions.nearest_cells(
+            col("embedding"), coarse.centroids.toIndexedSeq, 1), 1),
+          coarse, resModel).as("c"))
         .agg(sum(element_at(col("c"), 1))).head()
     }
 
@@ -70,10 +85,10 @@ object ProbeRound13 {
     }
 
     // the full gated operator at production parameters: encode + truth +
-    // ADC brute + IVF-PQ p2/p8, recall per variant
+    // ADC brute + IVF-PQ p2/p8 raw AND residual, recall per variant
     val rows = time("pq_frontier_total_p2_p8") {
       Similarity.pqFrontier(embs, coarse, model, qs, kTop = 10,
-        probes = Seq(2, 8)).collect()
+        probes = Seq(2, 8), resModel = Some(resModel)).collect()
     }
     rows.groupBy(_.getAs[String]("variant")).toSeq.sortBy(_._1)
       .foreach { case (v, rs) =>

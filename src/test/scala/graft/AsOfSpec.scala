@@ -89,6 +89,47 @@ class AsOfSpec extends SparkSpecBase {
     assert(padded.nonEmpty) // the fixture has lonely errors
   }
 
+  test("right- and full-outer proximity joins complete the flavor matrix") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val inner = graft.operators.RangeJoin
+      .proximityPairs(ev, "error", "purchase", tolSec = 3600)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val allErrors = ev.filter(col("event_type") === "error")
+      .select("event_id").as[Long].collect().toSet
+    val allPurchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id").as[Long].collect().toSet
+
+    // right outer: inner pairs exactly, plus ONE pad per lonely purchase
+    val ro = graft.operators.RangeJoin
+      .proximityPairsRightOuter(ev, "error", "purchase", tolSec = 3600)
+      .select("id_a", "id_b").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1)))
+    assert(ro.filter(_._1.isDefined).map(p => (p._1.get, p._2)).toSet
+      === inner)
+    val paddedB = ro.filter(_._1.isEmpty).map(_._2)
+    assert(paddedB.length === paddedB.toSet.size)
+    assert(paddedB.toSet === allPurchases -- inner.map(_._2))
+    assert(paddedB.nonEmpty) // the fixture has lonely purchases
+
+    // full outer: inner ∪ one pad per lonely error ∪ one per lonely
+    // purchase, and never a both-null row
+    val fo = graft.operators.RangeJoin
+      .proximityPairsFullOuter(ev, "error", "purchase", tolSec = 3600)
+      .select("id_a", "id_b").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(fo.filter(p => p._1.isDefined && p._2.isDefined)
+      .map(p => (p._1.get, p._2.get)).toSet === inner)
+    val foA = fo.filter(_._2.isEmpty).map(_._1.get)
+    val foB = fo.filter(_._1.isEmpty).map(_._2.get)
+    assert(foA.toSet === allErrors -- inner.map(_._1))
+    assert(foA.length === foA.toSet.size)
+    assert(foB.toSet === allPurchases -- inner.map(_._2))
+    assert(foB.length === foB.toSet.size)
+    assert(!fo.exists(p => p._1.isEmpty && p._2.isEmpty))
+  }
+
   test("tradesWithLatestQuote matches a per-row reference on real events") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val base = ev.select(col("event_id"), unix_micros(col("ts")).as("t"),

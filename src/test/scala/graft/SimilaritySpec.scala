@@ -511,6 +511,92 @@ class SimilaritySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("residualVec subtracts the assigned coarse centroid exactly") {
+    val coarse = Similarity.KmeansModel(
+      Array(Seq(1.0, 2.0), Seq(-3.0, 4.0)), spark.emptyDataFrame)
+    val df = Seq((0L, Array(1.0f, 2.0f), 0), (1L, Array(-3.0f, 5.0f), 1))
+      .toDF("vec_id", "embedding", "cell")
+    val out = df.select(col("vec_id"),
+        Similarity.residualVec(col("embedding"), col("cell"), coarse).as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(0L) === Seq(0.0, 0.0)) // a vector AT its centroid → zero
+    assert(out(1L) === Seq(0.0, 1.0))
+  }
+
+  test("fused pqCodesResidual ≡ pqCodes over a materialized residualVec") {
+    val coarse = Similarity.KmeansModel(
+      Array(Seq(1.0, 2.0, -1.0, 0.5), Seq(-3.0, 4.0, 2.0, -2.0)),
+      spark.emptyDataFrame)
+    val model = Similarity.PqModel(IndexedSeq(
+      IndexedSeq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, -1.0)),
+      IndexedSeq(Seq(0.5, 0.5), Seq(-0.5, 0.5), Seq(2.0, 0.0))),
+      subDim = 2)
+    val df = (0 until 32).map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 13 + d * 7) % 11 - 5) * 0.7f),
+        i % 2)
+    }.toDF("vec_id", "embedding", "cell")
+    val both = df.select(
+        Similarity.pqCodesResidual(col("embedding"), col("cell"), coarse,
+          model).as("fused"),
+        Similarity.pqCodes(Similarity.residualVec(col("embedding"),
+          col("cell"), coarse), model).as("composed"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    both.foreach { case (f, c) => assert(f === c) }
+    // zero vector at a zero-distance tie exercises the first-wins break
+    val tie = Seq((0L, Array(1.0f, 2.0f, -1.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "cell")
+      .select(Similarity.pqCodesResidual(col("embedding"), col("cell"),
+        coarse, model).as("f")).as[Seq[Int]].head()
+    assert(tie.length === 2)
+  }
+
+  test("residual-encoded IVF-PQ: recall >= raw encoding at equal candidate " +
+    "cost on a clustered corpus") {
+    // 4 well-separated clusters (corners of a 2-block pattern, ±20) with
+    // small structured within-cluster deltas: a k=4 RAW codebook per
+    // subspace must spend all its codes on the cluster offsets (every
+    // member of a cluster collapses to one code — zero within-cluster
+    // discrimination), while the RESIDUAL codebooks see only the deltas.
+    // This is exactly the geometry Jégou's residual encoding wins on.
+    val dim = 8
+    val e = (0 until 64).map { i =>
+      val c = i % 4
+      val emb = Array.tabulate(dim) { d =>
+        val base = if (d < 4) (c % 2) * 40.0f - 20.0f
+                   else (c / 2) * 40.0f - 20.0f
+        base + ((i / 4 * 7 + d * 3) % 5 - 2) * 0.3f
+      }
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding")
+    val coarse = Similarity.kmeansFit(e, k = 4, iters = 2, trainN = 64)
+    val raw = Similarity.pqFit(e, dim = dim, m = 2, k = 4, trainN = 64)
+    val res = Similarity.pqFitResidual(e, coarse, dim = dim, m = 2, k = 4,
+      trainN = 64)
+    val res2 = Similarity.pqFitResidual(e, coarse, dim = dim, m = 2, k = 4,
+      trainN = 64)
+    assert(res.codebooks === res2.codebooks) // inherited determinism
+    val rows = Similarity.pqFrontier(e, coarse, raw,
+        q => q.filter(col("vec_id") < 4), kTop = 5, probes = Seq(1),
+        resModel = Some(res)).collect()
+      .map(r => (r.getAs[String]("variant"), r.getAs[Long]("q_id"),
+        r.getAs[Double]("recall"), r.getAs[Long]("n_scored")))
+    val byV = rows.groupBy(_._1)
+    assert(byV.keySet ===
+      Set("float", "int8", "pq", "ivfpq_p1", "ivfpq_res_p1"))
+    // equal candidate cost by construction: same coarse probe, same cells
+    val rawByQ = byV("ivfpq_p1").map(r => r._2 -> r).toMap
+    val resByQ = byV("ivfpq_res_p1").map(r => r._2 -> r).toMap
+    assert(rawByQ.keySet === resByQ.keySet)
+    rawByQ.keySet.foreach(q => assert(resByQ(q)._4 === rawByQ(q)._4,
+      s"q=$q: n_scored must match between raw and residual variants"))
+    // residual dominates raw on mean recall at that equal cost
+    def mean(v: String) = byV(v).map(_._3).sum / byV(v).size
+    assert(mean("ivfpq_res_p1") >= mean("ivfpq_p1"),
+      s"residual ${mean("ivfpq_res_p1")} < raw ${mean("ivfpq_p1")}")
+    assert(mean("ivfpq_res_p1") > 0.0)
+    spark.catalog.clearCache()
+  }
+
   test("semanticDedup keeps the group member least similar to its " +
     "centroid and leaves singletons out") {
     // one tight near-dup trio around (1,0) plus a lone orthogonal vector;

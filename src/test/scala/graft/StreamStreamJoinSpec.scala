@@ -168,6 +168,59 @@ class StreamStreamJoinSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("full-outer interval join: BOTH sides' unmatched rows emit " +
+    "null-padded exactly once after expiry; matches equal the batch join") {
+    val rows = Seq(
+      (ts("2024-01-01 00:00:01"), "p1", "m1", 1.0),
+      (ts("2024-01-01 00:00:20"), "p1", "m2", 2.0),  // m1's partner
+      (ts("2024-01-01 00:01:10"), "p1", "m3", 3.0),  // no partner either way
+      (ts("2024-01-01 00:00:05"), "p2", "m1", 4.0))  // alone on p2
+    def shape(df: DataFrame) = df.select("panel", "l_module", "r_module")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toSet
+    val batch = shape(SolarStreaming
+      .coReadingsFullOuterStream(rows.toDF("ts", "panel", "module", "power")))
+    // inner pair + three left pads + three right pads (m1 never has a
+    // smaller partner; m3/p2-m1 are isolated in both directions)
+    assert(batch === Set(
+      ("p1", Some("m1"), Some("m2")),
+      ("p1", Some("m2"), None), ("p1", Some("m3"), None),
+      ("p2", Some("m1"), None),
+      ("p1", None, Some("m1")), ("p1", None, Some("m3")),
+      ("p2", None, Some("m1"))))
+
+    val (input, df) = newInput()
+    val name = s"foj_${System.nanoTime()}"
+    val query = SolarStreaming.coReadingsFullOuterStream(df)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      // first-batch watermark is max(ts) − 30 s = 00:00:40: only state
+      // whose tolerance window ended before that may pad out — p2/m1 in
+      // both directions (window ends 00:00:35) and p1/m1 as a RIGHT row
+      // (ends 00:00:31). m2/m3 must still be held on both sides.
+      val early = shape(spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("l_module").isNull ||
+          org.apache.spark.sql.functions.col("r_module").isNull))
+      assert(early.subsetOf(Set(
+        ("p2", Some("m1"), None), ("p2", None, Some("m1")),
+        ("p1", None, Some("m1")))),
+        s"outer rows emitted before expiry: $early")
+      input.addData((ts("2024-01-01 00:10:00"), "p9", "m9", 0.0)) // advance
+      query.processAllAvailable()
+      val got = shape(spark.table(name))
+      // stream ≡ batch modulo the probe row's own (still-held or emitted)
+      // pads — never a both-null row
+      assert(got.forall(r => r._2.isDefined || r._3.isDefined))
+      assert(got -- Set(("p9", Option("m9"), Option.empty[String]),
+        ("p9", Option.empty[String], Option("m9"))) === batch,
+        s"stream/batch divergence: $got")
+      // exactly once: no duplicate emissions
+      assert(spark.table(name).count() === spark.table(name).distinct().count())
+    } finally query.stop()
+  }
+
   test("joined rows emit only after the watermark finalizes both sides") {
     val (input, df) = newInput()
     val name = s"ssj_emit_${System.nanoTime()}"
