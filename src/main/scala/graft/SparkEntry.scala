@@ -284,6 +284,37 @@ object SparkEntry {
     })._2
   }
 
+  // Versioned snapshot store for q143: three committed merges over
+  // deterministic slices of `documents` (bootstrap, a rev2 rewrite
+  // batch, a re-crawl batch), built ONCE per (session, dir) — the gate
+  // then time-travels to every version and must reproduce the DuckDB
+  // replay of the same chain.
+  private val snapshotStoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  private def snapshotStoreShared(s: SparkSession, dir: String): String = {
+    val it = snapshotStoreMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    snapshotStoreMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapshots_").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val inc1 = docs.filter(col("doc_id") % 3 =!= 2)
+      val inc2 = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+      val inc3 = docs.filter(col("doc_id") % 7 === 0)
+      var fps = Curation.corpusFingerprints(docs.limit(0))
+      Seq(inc1, inc2, inc3).zipWithIndex.foreach { case (inc, i) =>
+        val merged = Curation.mergeCorpusIncremental(inc, fps)
+          .localCheckpoint(true) // one computation feeds commit + next merge
+        graft.sources.SnapshotStore.commit(s, root, i + 1L, merged)
+        fps = merged.select("doc_id", "fp")
+      }
+      (s, root)
+    })._2
+  }
+
   // Compacted event layout for q125: a deliberately FRAGMENTED
   // partitioned write (16 tasks per date — streaming-ingest debris)
   // rewritten by Writers.compactPartitioned to one file per partition.
@@ -1361,6 +1392,20 @@ object SparkEntry {
       val fps = corpusFpsMemo.computeIfAbsent(ccKey(s, dir), _ =>
         (s, Curation.corpusFingerprints(existing).localCheckpoint(true)))._2
       Curation.mergeCorpusIncremental(incoming, fps)
+    }),
+
+    // q143: snapshot time travel — the q128 merge chain COMMITTED as
+    // versions (delta feeds + manifest; SnapshotStore scaladoc) and
+    // membership reconstructed AT EVERY VERSION from the stored chain:
+    // the gate proves that what the store replays is bit-for-bit the
+    // chain the oracle recomputes from raw text. The store builds once
+    // per (session, dir); the gated plan reads only 16-byte feed rows.
+    "q143_snapshot_asof" -> ((s, dir) => {
+      val root = snapshotStoreShared(s, dir)
+      (1L to 3L).map(v =>
+        graft.sources.SnapshotStore.corpusAsOf(s, root, v)
+          .select(lit(v).as("as_of"), col("doc_id"), col("fp")))
+        .reduce(_.unionByName(_))
     }),
 
     // q134: the REPORTING twin of q128 — data cards of the refreshed
@@ -4829,6 +4874,35 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id, fp, 'carry' AS change FROM exfp
          |WHERE doc_id NOT IN (SELECT doc_id FROM inc)""".stripMargin,
+
+    // q143: the time-travel replay — the same three batch definitions,
+    // membership at version v = last-delivered fingerprint per doc over
+    // the chain prefix (refresh re-deliveries carry the same fp, so
+    // "latest version wins" is exactly what the store's delta-feed
+    // replay reconstructs)
+    "q143_snapshot_asof" ->
+      s"""WITH c1 AS (
+         |  SELECT doc_id, ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp,
+         |         1 AS v
+         |  FROM documents WHERE doc_id % 3 <> 2),
+         |c2 AS (
+         |  SELECT doc_id, ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp,
+         |         2 AS v
+         |  FROM (SELECT doc_id, text || ' rev2' AS text FROM documents
+         |        WHERE doc_id % 5 = 0)),
+         |c3 AS (
+         |  SELECT doc_id, ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp,
+         |         3 AS v
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |chain AS (
+         |  SELECT * FROM c1 UNION ALL SELECT * FROM c2
+         |  UNION ALL SELECT * FROM c3),
+         |vs AS (SELECT unnest([1, 2, 3]) AS as_of)
+         |SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, fp FROM (
+         |  SELECT vs.as_of, c.doc_id, c.fp,
+         |         row_number() OVER (PARTITION BY vs.as_of, c.doc_id
+         |                            ORDER BY c.v DESC) AS rn
+         |  FROM vs JOIN chain c ON c.v <= vs.as_of) WHERE rn = 1""".stripMargin,
 
     // q122: n is generated into the shingle concat chain from
     // Dedup.DecontamShingleN (the q100 interpolate-the-constant rule);
