@@ -1,0 +1,264 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Differential query fuzzing (VERDICT r14 #4): a SEEDED random generator
+  * of project/filter/join/aggregate compositions over the catalog tables,
+  * each emitted simultaneously as (a) a Spark DataFrame plan and (b) the
+  * equivalent ANSI SQL for DuckDB — the 143 fixed gates pin 143 fixed
+  * plans; the fuzzer hunts the semantics gaps fixed queries can't reach
+  * (rounding, null handling, overflow, predicate edge cases) by sampling
+  * the composition space. [[Fuzz]] writes the same `outDir/<name>/` +
+  * `oracle_sql.json` layout as [[graft.Verify]], so the existing
+  * `tools/check_oracle.py` rows+schema+hash comparator drives the
+  * differential run unchanged.
+  *
+  * Generation discipline (what keeps a divergence a FINDING, not noise):
+  * every double aggregate is rounded at 4 in both renderings (the
+  * repo-wide parallel-summation rule), constants render as short
+  * decimal literals both parsers bind to the identical IEEE double,
+  * modulo predicates stay on non-negative keys (Spark's `%` and SQL `%`
+  * agree there), and every output column is aliased identically on both
+  * sides (the driver compare sorts columns by name).
+  */
+object QueryFuzz {
+
+  /** A numeric column with the constant range predicates draw from. */
+  final case class NumCol(name: String, lo: Double, hi: Double)
+  /** A categorical column with its (stable, SF-independent) value set. */
+  final case class CatCol(name: String, values: Seq[String])
+
+  final case class Table(name: String,
+                         load: (SparkSession, String) => DataFrame,
+                         ints: Seq[String], nums: Seq[NumCol],
+                         cats: Seq[CatCol])
+
+  val tables: Seq[Table] = Seq(
+    Table("lineitem", Tables.lineitem,
+      ints = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+      nums = Seq(NumCol("l_quantity", 1, 50),
+        NumCol("l_extendedprice", 900, 105000),
+        NumCol("l_discount", 0, 0.1)),
+      cats = Seq(CatCol("l_returnflag", Seq("A", "N", "R")),
+        CatCol("l_linestatus", Seq("F", "O")))),
+    Table("orders", Tables.orders,
+      ints = Seq("o_orderkey", "o_custkey"),
+      nums = Seq(NumCol("o_totalprice", 1000, 500000)),
+      cats = Seq(CatCol("o_orderstatus", Seq("F", "O", "P")),
+        CatCol("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")))),
+    Table("customer", Tables.customer,
+      ints = Seq("c_custkey", "c_nationkey"),
+      nums = Seq(NumCol("c_acctbal", -1000, 10000)),
+      cats = Seq(CatCol("c_mktsegment", Seq("AUTOMOBILE", "BUILDING",
+        "FURNITURE", "HOUSEHOLD", "MACHINERY")))),
+    Table("events", (s, d) => Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value"),
+      ints = Seq("event_id", "user_id"),
+      nums = Seq(NumCol("value", 0, 490)),
+      cats = Seq(CatCol("event_type",
+        Seq("click", "error", "purchase", "signup", "view")))))
+
+  /** Joinable pairs: (left idx, right idx, left key, right key). */
+  private val joins = Seq((0, 1, "l_orderkey", "o_orderkey"),
+    (1, 2, "o_custkey", "c_custkey"))
+
+  /** One generated query: identical column names on both renderings. */
+  final case class FuzzQuery(name: String,
+                             build: (SparkSession, String) => DataFrame,
+                             sql: String)
+
+  /** A predicate/expression rendered for both engines. */
+  private final case class Both(col: Column, sql: String)
+
+  private def renderConst(x: Double): String = {
+    val r = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    r.underlying().toPlainString
+  }
+
+  private def predicate(rnd: scala.util.Random, t: Table,
+                        qualify: Boolean): Both = {
+    val alias = if (qualify) t.name.take(1) + "." else ""
+    rnd.nextInt(3) match {
+      case 0 => // numeric comparison at a 2-dp constant
+        val c = t.nums(rnd.nextInt(t.nums.length))
+        val v = c.lo + rnd.nextDouble() * (c.hi - c.lo)
+        val lit4 = renderConst(v)
+        val ops = Seq(("<", (a: Column, b: Column) => a < b),
+          ("<=", (a: Column, b: Column) => a <= b),
+          (">", (a: Column, b: Column) => a > b),
+          (">=", (a: Column, b: Column) => a >= b))
+        val (os, of) = ops(rnd.nextInt(ops.length))
+        Both(of(col(c.name), lit(lit4.toDouble)),
+          s"$alias${c.name} $os $lit4")
+      case 1 => // modulo class on a non-negative key
+        val c = t.ints(rnd.nextInt(t.ints.length))
+        val k = 2 + rnd.nextInt(6)
+        val r = rnd.nextInt(k)
+        Both(col(c) % k === r, s"$alias$c % $k = $r")
+      case _ => // categorical equality / IN
+        val c = t.cats(rnd.nextInt(t.cats.length))
+        if (rnd.nextBoolean() || c.values.length < 3) {
+          val v = c.values(rnd.nextInt(c.values.length))
+          Both(col(c.name) === v, s"$alias${c.name} = '$v'")
+        } else {
+          val vs = rnd.shuffle(c.values).take(2).sorted
+          Both(col(c.name).isin(vs: _*),
+            s"$alias${c.name} IN (${vs.map(v => s"'$v'").mkString(", ")})")
+        }
+    }
+  }
+
+  private def aggregates(rnd: scala.util.Random,
+                         ts: Seq[Table]): Seq[Both] = {
+    val nums = ts.flatMap(t => t.nums.map(_.name))
+    val ints = ts.flatMap(_.ints)
+    val picks = scala.collection.mutable.ArrayBuffer[Both]()
+    picks += Both(count(lit(1)).as("a_cnt"), "CAST(count(*) AS BIGINT) AS a_cnt")
+    val extra = 1 + rnd.nextInt(2)
+    val used = scala.collection.mutable.Set[String]()
+    for (_ <- 1 to extra) {
+      rnd.nextInt(4) match {
+        case 0 =>
+          val c = nums(rnd.nextInt(nums.length))
+          if (used.add(s"sum_$c"))
+            picks += Both(round(sum(col(c)), 4).as(s"a_sum_$c"),
+              s"round(sum($c), 4) AS a_sum_$c")
+        case 1 =>
+          val c = nums(rnd.nextInt(nums.length))
+          if (used.add(s"avg_$c"))
+            picks += Both(round(avg(col(c)), 4).as(s"a_avg_$c"),
+              s"round(avg($c), 4) AS a_avg_$c")
+        case 2 =>
+          val c = ints(rnd.nextInt(ints.length))
+          val mx = rnd.nextBoolean()
+          val f = if (mx) "max" else "min"
+          if (used.add(s"${f}_$c"))
+            picks += Both((if (mx) max(col(c)) else min(col(c)))
+              .cast("long").as(s"a_${f}_$c"),
+              s"CAST($f($c) AS BIGINT) AS a_${f}_$c")
+        case _ =>
+          val c = ints(rnd.nextInt(ints.length))
+          if (used.add(s"nd_$c"))
+            picks += Both(countDistinct(col(c)).as(s"a_nd_$c"),
+              s"CAST(count(DISTINCT $c) AS BIGINT) AS a_nd_$c")
+      }
+    }
+    picks.toSeq
+  }
+
+  /** Generate the query for one seed — pure function of the seed. */
+  def generate(seed: Long): FuzzQuery = {
+    val rnd = new scala.util.Random(seed)
+    val useJoin = rnd.nextInt(3) == 0
+    if (!useJoin) {
+      val t = tables(rnd.nextInt(tables.length))
+      val nPred = rnd.nextInt(3)
+      val preds = Seq.fill(nPred)(predicate(rnd, t, qualify = false))
+      val orNotAnd = nPred == 2 && rnd.nextBoolean()
+      val aggs = aggregates(rnd, Seq(t))
+      val nG = rnd.nextInt(3).min(t.cats.length)
+      val gCols = rnd.shuffle(t.cats).take(nG).map(_.name).sorted
+      val gs = gCols.zipWithIndex.map { case (c, i) =>
+        Both(col(c), s"$c AS g${i + 1}") }
+      val whereSql =
+        if (preds.isEmpty) ""
+        else if (orNotAnd) s"\nWHERE (${preds.map(_.sql).mkString(") OR (")})"
+        else s"\nWHERE (${preds.map(_.sql).mkString(") AND (")})"
+      val groupSql = if (gs.isEmpty) ""
+        else s"\nGROUP BY ${gs.indices.map(_ + 1).mkString(", ")}"
+      val sql = s"SELECT ${(gs ++ aggs).map(_.sql).mkString(", ")}" +
+        s"\nFROM ${t.name}$whereSql$groupSql"
+      val build = (s: SparkSession, dir: String) => {
+        var df = t.load(s, dir)
+        if (preds.nonEmpty)
+          df = df.filter(
+            if (orNotAnd) preds.map(_.col).reduce(_ || _)
+            else preds.map(_.col).reduce(_ && _))
+        if (gs.isEmpty) df.agg(aggs.head.col, aggs.tail.map(_.col): _*)
+        else {
+          gCols.zipWithIndex.foreach { case (c, i) =>
+            df = df.withColumn(s"g${i + 1}", col(c)) }
+          df.groupBy(gCols.indices.map(i => col(s"g${i + 1}")): _*)
+            .agg(aggs.head.col, aggs.tail.map(_.col): _*)
+        }
+      }
+      FuzzQuery(s"fz_$seed", build, sql)
+    } else {
+      val (li, ri, lk, rk) = joins(rnd.nextInt(joins.length))
+      val lt = tables(li); val rt = tables(ri)
+      val nPred = rnd.nextInt(2)
+      val predT = Seq.fill(nPred)(if (rnd.nextBoolean()) lt else rt)
+      val preds = predT.map(t => predicate(rnd, t, qualify = true))
+      val aggs = aggregates(rnd, Seq(lt, rt))
+      val gPool = (lt.cats.map(c => (lt, c)) ++ rt.cats.map(c => (rt, c)))
+      val nG = 1 + rnd.nextInt(2)
+      val gPicks = rnd.shuffle(gPool).take(nG)
+        .sortBy { case (t, c) => s"${t.name}.${c.name}" }
+      val gs = gPicks.zipWithIndex.map { case ((t, c), i) =>
+        Both(col(c.name), s"${t.name.take(1)}.${c.name} AS g${i + 1}") }
+      val whereSql = if (preds.isEmpty) ""
+        else s"\nWHERE (${preds.map(_.sql).mkString(") AND (")})"
+      val sql = s"SELECT ${(gs ++ aggs).map(_.sql).mkString(", ")}" +
+        s"\nFROM ${lt.name} ${lt.name.take(1)} JOIN ${rt.name} " +
+        s"${rt.name.take(1)} ON ${lt.name.take(1)}.$lk = " +
+        s"${rt.name.take(1)}.$rk$whereSql" +
+        s"\nGROUP BY ${gs.indices.map(_ + 1).mkString(", ")}"
+      val build = (s: SparkSession, dir: String) => {
+        var df = lt.load(s, dir).join(rt.load(s, dir),
+          col(lk) === col(rk))
+        if (preds.nonEmpty) df = df.filter(preds.map(_.col).reduce(_ && _))
+        gPicks.zipWithIndex.foreach { case ((_, c), i) =>
+          df = df.withColumn(s"g${i + 1}", col(c.name)) }
+        df.groupBy(gPicks.indices.map(i => col(s"g${i + 1}")): _*)
+          .agg(aggs.head.col, aggs.tail.map(_.col): _*)
+      }
+      FuzzQuery(s"fz_$seed", build, sql)
+    }
+  }
+}
+
+/** `runMain graft.tools.Fuzz <sfDir> <outDir> <nSeeds> [seedBase]` —
+  * executes the generated Spark plans to parquet + dumps the DuckDB SQL
+  * in the Verify layout; `tools/check_oracle.py <sfDir> <outDir>` then
+  * performs the rows+schema+hash differential compare.
+  */
+object Fuzz {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = args(2).toInt
+    val base = if (args.length > 3) args(3).toLong else 0L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.Engine.builder("graft-fuzz")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    val sqls = (1 to n).map { i =>
+      val q = QueryFuzz.generate(base + i)
+      q.build(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/${q.name}")
+      q.name -> q.sql
+    }
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      sqls.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+        .mkString("{", ",", "}"))
+    println(s"FUZZ wrote $n queries to $outDir")
+    spark.stop()
+  }
+}
