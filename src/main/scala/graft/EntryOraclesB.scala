@@ -1,0 +1,1456 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AsOf, Bpe, Curation, Dedup, EventAnalytics, Multimodal, RangeJoin, Relational, Similarity, Skew, Solar, TextAnalysis, Windows}
+import graft.sources.Tables
+
+/** DuckDB oracle SQL, part B (q86+ families: incremental dedup,
+  * clustering, curation, storage layouts, event analytics, learned-
+  * artifact replays).
+  */
+private[graft] trait EntryOraclesB { self: EntryShared =>
+
+  protected def oraclesB: Map[String, String] = Map(
+    // corpus band index capped like lshStage (QUALIFY); the incoming batch
+    // is never self-joined and the corpus never pairs with itself
+    "q86_incremental_dedup" ->
+      ("WITH " + incrementalBandsSql +
+        s"""cb AS (
+           |  SELECT doc_id, band_idx, band_hash FROM bands_raw
+           |  WHERE source NOT IN ('src0', 'src1')
+           |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash)
+           |    <= ${Dedup.DefaultMaxBucket}),
+           |ib AS (SELECT doc_id, band_idx, band_hash FROM bands_raw
+           |       WHERE source IN ('src0', 'src1')),
+           |cand AS (
+           |  SELECT DISTINCT ib.doc_id AS doc_id, cb.doc_id AS corp_id
+           |  FROM ib JOIN cb USING (band_idx, band_hash)),
+           |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+           |near AS (
+           |  SELECT c.doc_id, count(*) AS n_near
+           |  FROM cand c JOIN dsh a ON a.doc_id = c.doc_id
+           |              JOIN dsh b ON b.doc_id = c.corp_id
+           |  WHERE round(${jaccardSql("a.dsh", "b.dsh")}, 4) >= 0.5
+           |  GROUP BY 1),
+           |cfp AS (SELECT DISTINCT ('0x' || substr($fpSql, 1, 15))::BIGINT
+           |          AS fp64
+           |        FROM documents WHERE source NOT IN ('src0', 'src1')),
+           |inc AS (SELECT doc_id, ('0x' || substr($fpSql, 1, 15))::BIGINT
+           |          AS fp64
+           |        FROM documents WHERE source IN ('src0', 'src1'))
+           |SELECT inc.doc_id,
+           |       CASE WHEN cfp.fp64 IS NOT NULL THEN 1 ELSE 0 END
+           |         AS exact_dup,
+           |       CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near,
+           |       CAST(cfp.fp64 IS NULL AND coalesce(near.n_near, 0) = 0
+           |            AS INT) AS keep
+           |FROM inc LEFT JOIN cfp ON cfp.fp64 = inc.fp64
+           |         LEFT JOIN near ON near.doc_id = inc.doc_id""".stripMargin),
+
+    // quantile_cont = the same p(n-1) interpolation the two-pass engine
+    // path reproduces from histogram + boundary-bucket ranking
+    "q87_exact_quantile_twopass" ->
+      """SELECT l_returnflag, 0.5 AS p,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS q
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, 0.95 AS p,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS q
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // bigram construction mirrors q70's; prev comes from the bigram
+    // string (split at the first space) so both engines fingerprint the
+    // same bytes; sub-2-token docs carry NULLs on both sides
+    "q88_lm_bigram" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS ltoks
+        |            FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ltoks)),
+        |           i -> ltoks[i] || ' ' || ltoks[i+1])) AS b
+        |  FROM tk WHERE len(ltoks) >= 2),
+        |pairs AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(b), 1, 15))::BIGINT AS b_fp,
+        |         ('0x' || substr(md5(split_part(b, ' ', 1)), 1, 15))::BIGINT
+        |           AS p_fp,
+        |         count(*) AS k
+        |  FROM bg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT b_fp, CAST(sum(k) AS BIGINT) AS c2
+        |       FROM pairs GROUP BY 1),
+        |c1 AS (SELECT p_fp, CAST(sum(k) AS BIGINT) AS c1
+        |       FROM pairs GROUP BY 1),
+        |t AS (SELECT count(*) AS v FROM c1),
+        |sc AS (
+        |  SELECT pairs.doc_id, CAST(sum(k) AS BIGINT) AS nb,
+        |         sum(k * -ln((c2.c2 + 1) / CAST(c1.c1 + t.v AS DOUBLE)))
+        |           AS nll
+        |  FROM pairs JOIN c2 USING (b_fp) JOIN c1 USING (p_fp) CROSS JOIN t
+        |  GROUP BY 1)
+        |SELECT tk.doc_id, coalesce(sc.nb, 0) AS n_bigrams,
+        |       round(sc.nll / sc.nb, 4) AS avg_nll,
+        |       round(exp(sc.nll / sc.nb), 4) AS ppl
+        |FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id""".stripMargin,
+
+    "q89_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS vocab
+        |      FROM c),
+        |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT)
+        |         AS rank,
+        |       tok, cnt,
+        |       round(sum(cnt) OVER (ORDER BY cnt DESC, tok
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             / t.n_total, 4) AS cum_cov,
+        |       vocab
+        |FROM top CROSS JOIN t""".stripMargin,
+
+    // identical factored formula on both sides: present-token sums from
+    // the pair join, absent-token mass via the closed form from the
+    // one-row (N, V, sum_ln_cp1) constants
+    "q90_source_divergence" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tok_fp,
+        |         count(*) AS k
+        |  FROM tk GROUP BY 1, 2),
+        |corpus AS (SELECT tok_fp, CAST(sum(k) AS BIGINT) AS c
+        |           FROM pairs GROUP BY 1),
+        |consts AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v,
+        |                  sum(ln(CAST(c + 1 AS DOUBLE))) AS slc
+        |           FROM corpus),
+        |j AS (SELECT pairs.source, pairs.k, corpus.c,
+        |             consts.n, consts.v, consts.slc
+        |      FROM pairs JOIN corpus USING (tok_fp) CROSS JOIN consts),
+        |g AS (
+        |  SELECT source, CAST(sum(k) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct,
+        |         any_value(v) AS v, any_value(n) AS n, any_value(slc) AS slc,
+        |         sum((k + 1) * (ln(CAST(k + 1 AS DOUBLE))
+        |             - ln((c + 1) / CAST(n + v AS DOUBLE)))) AS a_raw,
+        |         sum(ln((c + 1) / CAST(n + v AS DOUBLE))) AS slqp
+        |  FROM j GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct,
+        |       round((a_raw - (n_tokens + n_distinct)
+        |                * ln(CAST(n_tokens + v AS DOUBLE)))
+        |               / CAST(n_tokens + v AS DOUBLE)
+        |             + (-ln(CAST(n_tokens + v AS DOUBLE)) * (v - n_distinct)
+        |                - ((slc - v * ln(CAST(n + v AS DOUBLE))) - slqp))
+        |               / CAST(n_tokens + v AS DOUBLE), 4) AS kl
+        |FROM g""".stripMargin,
+
+    // open/close replayed as rank-1 rows over the (ts, event_id) order —
+    // the window formulation is the semantic spec for min_by/max_by
+    "q91_ohlc_downsample" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+        |         ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id, w_start
+        |           ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY user_id, w_start
+        |           ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT user_id, w_start,
+        |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS n_events,
+        |       round(avg(value), 4) AS mean_value
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // same hash coin as q54's stratified sampling; split thresholds
+    // replay splitAssign(valPct=10, testPct=10)
+    "q92_train_split" -> {
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""scored AS (SELECT doc_id, ${langScoreSqls.mkString(", ")} FROM toks),
+           |p AS (SELECT doc_id, $predLangCaseSql AS pred_lang FROM scored)
+           |SELECT doc_id, pred_lang,
+           |       CASE WHEN b < 10 THEN 'test'
+           |            WHEN b < 20 THEN 'val'
+           |            ELSE 'train' END AS split
+           |FROM (SELECT doc_id, pred_lang,
+           |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+           |          AS b
+           |      FROM p)""".stripMargin
+    },
+
+    // H = ln n - sum(c ln c)/n from the count relation; top-k by
+    // (count desc, key) like the engine's TakeOrdered
+    "q94_key_profile" ->
+      """WITH c AS (SELECT o_custkey AS k, count(*) AS c
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct,
+        |             sum(c * ln(CAST(c AS DOUBLE))) AS clogc
+        |      FROM c),
+        |tk AS (SELECT max(c) AS top1, CAST(sum(c) AS BIGINT) AS topk
+        |       FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 10))
+        |SELECT t.n, t.n_distinct,
+        |       round(tk.top1 / CAST(t.n AS DOUBLE), 4) AS top1_frac,
+        |       round(tk.topk / CAST(t.n AS DOUBLE), 4) AS topk_frac,
+        |       round(ln(CAST(t.n AS DOUBLE)) - t.clogc / t.n, 4)
+        |         AS entropy_nats
+        |FROM t CROSS JOIN tk""".stripMargin,
+
+    // whole-token membership via the shared stopword-count formulation
+    "q95_blocklist_filter" ->
+      (docCtes.stripSuffix("\n") + "\n" +
+        s"""SELECT doc_id,
+           |       ${stopCountSql("ltoks", TextAnalysis.DemoBlocklist)}
+           |         AS n_blocked,
+           |       CAST(${stopCountSql("ltoks", TextAnalysis.DemoBlocklist)}
+           |            <= 0 AS INT) AS keep
+           |FROM toks""".stripMargin),
+
+    // the stub decode is md5-based by design, so the declarative replay
+    // checks the mapPartitions batch stage value-for-value
+    "q97_feature_extract_batch" -> {
+      val fCols = (0 until operators.Multimodal.FeatureDim).map { i =>
+        s"round(('0x' || substr(md5(text), ${4 * i + 1}, 4))::INT / 65535.0, 6) AS f$i"
+      }
+      s"""SELECT doc_id AS media_id,
+         |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+         |         AS kind,
+         |       ${fCols.mkString(",\n       ")}
+         |FROM documents""".stripMargin
+    },
+
+    // kmeans cells replayed as in q32/q33; quality + pred_lang replayed
+    // as in q53/q54 (CTE renamed to avoid colliding with kmeansCtes)
+    "q96_cluster_quality" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""toksq AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+           |         string_split(lower(text), ' ') AS ltoks
+           |  FROM documents),
+           |enr0 AS (
+           |  SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
+           |         len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |           AS n_punct,
+           |         ${stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)} AS n_stop,
+           |         ${langScoreSqls.mkString(",\n         ")}
+           |  FROM toksq),
+           |enr AS (
+           |  SELECT doc_id,
+           |         round(0.4 * least(n_words / 100.0, 1.0)
+           |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
+           |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4)
+           |           AS quality,
+           |         $predLangCaseSql AS pred_lang
+           |  FROM enr0)
+           |SELECT cells.cell, enr.pred_lang, count(*) AS n_docs,
+           |       round(avg(enr.quality), 4) AS avg_quality
+           |FROM cells JOIN enr ON enr.doc_id = cells.vec_id
+           |GROUP BY 1, 2""".stripMargin),
+
+    // q136: the q32 within-cell pair replay feeding the q52 recursive-
+    // reachability CC, centroid cosines against the final Lloyd-iteration
+    // centroid relation, survivor = (min c2c, then min vec_id) via
+    // min-aggregate + join-back — the same argmin the Spark struct-min
+    // computes
+    "q136_semantic_dedup" ->
+      (kmeansCtes.stripSuffix("\n")
+        .replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+        s"""pairs AS (
+           |  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+           |  FROM cells ca JOIN cells cb
+           |    ON cb.cell = ca.cell AND cb.vec_id > ca.vec_id
+           |  JOIN embeddings a ON a.vec_id = ca.vec_id
+           |  JOIN embeddings b ON b.vec_id = cb.vec_id
+           |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 4)
+           |        >= $SemDedupThreshold),
+           |sedges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |swalk(id, reach) AS (
+           |  SELECT src, src FROM sedges
+           |  UNION
+           |  SELECT w.id, e.dst FROM swalk w JOIN sedges e ON e.src = w.reach),
+           |lbl AS (SELECT id AS vec_id, min(reach) AS cluster
+           |        FROM swalk GROUP BY id),
+           |cc2 AS (
+           |  SELECT l.cluster, l.vec_id,
+           |         round(${cosineSql("e.embedding", "ct.c")}, 6) AS c2c
+           |  FROM lbl l
+           |  JOIN cells s ON s.vec_id = l.vec_id
+           |  JOIN c$KmeansIters ct ON ct.cell = s.cell
+           |  JOIN embeddings e ON e.vec_id = l.vec_id),
+           |bmin AS (SELECT cluster, min(c2c) AS mc FROM cc2 GROUP BY 1),
+           |bsid AS (
+           |  SELECT cc2.cluster, min(cc2.vec_id) AS sid
+           |  FROM cc2 JOIN bmin ON bmin.cluster = cc2.cluster
+           |                    AND cc2.c2c = bmin.mc
+           |  GROUP BY 1)
+           |SELECT cc2.cluster, cc2.vec_id, round(cc2.c2c, 4) AS cos_centroid,
+           |       CASE WHEN cc2.vec_id = bsid.sid THEN 1 ELSE 0 END AS keep
+           |FROM cc2 JOIN bsid ON bsid.cluster = cc2.cluster""".stripMargin),
+
+    // recall@5 of the single-probe IVF index vs brute-force truth on the
+    // vec_id < 8 golden queries: brute ranking replayed as in q15 (k=5),
+    // IVF ranking as in q33, then per-query hit counts — exact integers
+    // and a ratio rounded at 4, hash-portable by construction
+    "q99_ann_recall" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""bs AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |bt AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q_id
+           |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |    FROM bs) WHERE rank <= 5),
+           |ivs AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q
+           |  JOIN cells qc ON qc.vec_id = q.vec_id
+           |  JOIN cells cc ON cc.cell = qc.cell
+           |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |iv AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q_id
+           |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |    FROM ivs) WHERE rank <= 5),
+           |t AS (SELECT q_id, count(*) AS n_truth FROM bt GROUP BY 1),
+           |h AS (SELECT bt.q_id, count(*) AS n_hit
+           |      FROM bt JOIN iv USING (q_id, vec_id) GROUP BY 1)
+           |SELECT t.q_id, CAST(t.n_truth AS BIGINT) AS n_truth,
+           |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |       round(coalesce(h.n_hit, 0)
+           |             / CAST(t.n_truth AS DOUBLE), 4) AS recall
+           |FROM t LEFT JOIN h USING (q_id)""".stripMargin),
+
+    // literals in e-notation (0.5e0, …) are DOUBLE in DuckDB — decimal
+    // literals would pull the score into DECIMAL arithmetic and off the
+    // engine's bit pattern; the sum chain is spelled term 0 first, the
+    // same fixed order the Scala reduce folds
+    "q100_bm25_topk" -> {
+      val terms = Bm25Terms
+      // constants interpolated from the Scala defaults (ADVICE r10 —
+      // hardcoded literals would desynchronize on a parameter change);
+      // Double.toString is the shortest round-trip decimal, so DuckDB
+      // parses each literal back to the bit-identical double the engine
+      // folded (1.2 + 1.0 etc. are computed HERE, same as bm25TopK does)
+      import graft.operators.TextAnalysis.{Bm25K1, Bm25B, Bm25TopN}
+      val k1p1 = s"${(Bm25K1 + 1.0).toString}e0"
+      val k1L = s"${Bm25K1.toString}e0"
+      val oneMinusB = s"${(1.0 - Bm25B).toString}e0"
+      val bL = s"${Bm25B.toString}e0"
+      val tfDefs = terms.indices.map(i =>
+        s"len(list_filter(ltoks, x -> x = '${terms(i)}')) AS tf_$i").mkString(",\n         ")
+      val dfDefs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n         ")
+      val scoreTerms = terms.indices.map { i =>
+        s"""ln(1e0 + (n_docs - df_$i + 0.5e0) / (df_$i + 0.5e0))
+           | * ((tf_$i * $k1p1) / (tf_$i + $k1L * ($oneMinusB + $bL * (dl / avgdl))))"""
+          .stripMargin.replace("\n", "")
+      }.mkString("\n           + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ltoks
+         |  FROM documents),
+         |pd AS (
+         |  SELECT doc_id, len(ltoks) AS dl,
+         |         $tfDefs
+         |  FROM tk),
+         |c AS (
+         |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         |         $dfDefs
+         |  FROM pd)
+         |SELECT doc_id, dl, ${terms.indices.map(i => s"tf_$i").mkString(", ")},
+         |       round($scoreTerms, 4) AS score
+         |FROM pd CROSS JOIN c
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopN""".stripMargin
+    },
+
+    // all model counts are integers (exact across engines); the KN
+    // probability is one fixed-order double expression on both sides
+    "q101_lm_kneser_ney" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS ltoks
+        |            FROM documents),
+        |bgp AS (
+        |  SELECT doc_id, unnest(range(1, len(ltoks))) AS i, ltoks
+        |  FROM tk WHERE len(ltoks) >= 2),
+        |pairs AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(ltoks[i]), 1, 15))::BIGINT AS p_fp,
+        |         ('0x' || substr(md5(ltoks[i+1]), 1, 15))::BIGINT AS c_fp,
+        |         count(*) AS k
+        |  FROM bgp GROUP BY 1, 2, 3),
+        |c2 AS (SELECT p_fp, c_fp, CAST(sum(k) AS BIGINT) AS c2
+        |       FROM pairs GROUP BY 1, 2),
+        |ctx AS (SELECT p_fp, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS nf
+        |        FROM c2 GROUP BY 1),
+        |cont AS (SELECT c_fp, count(*) AS nr FROM c2 GROUP BY 1),
+        |t AS (SELECT count(*) AS tt FROM c2),
+        |sc AS (
+        |  SELECT pairs.doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |         sum(k * -ln(((c2.c2 - 0.75e0) / c1)
+        |                     + (((0.75e0 * nf) / c1)
+        |                        * (nr / CAST(tt AS DOUBLE))))) AS nll
+        |  FROM pairs JOIN c2 USING (p_fp, c_fp) JOIN ctx USING (p_fp)
+        |       JOIN cont USING (c_fp) CROSS JOIN t
+        |  GROUP BY 1)
+        |SELECT tk.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+        |       round(sc.nll / sc.n_bigrams, 4) AS avg_nll,
+        |       round(exp(sc.nll / sc.n_bigrams), 4) AS ppl
+        |FROM tk LEFT JOIN sc ON sc.doc_id = tk.doc_id""".stripMargin,
+
+    // survivor = exact-max quality (bit-identical rounded doubles on
+    // both engines), min doc_id among ties — over the q52 label oracle
+    "q102_cluster_survivor" -> {
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      s"""WITH lab AS (SELECT * FROM ($clusterLabelsSql)),
+         |tq AS (
+         |  SELECT doc_id,
+         |         round(0.4 * least(len(toks) / 100.0, 1.0)
+         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+         |                            / NULLIF(length(text), 0))
+         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |               string_split(lower(text), ' ') AS ltoks
+         |        FROM documents)),
+         |j AS (SELECT lab.cluster, lab.doc_id, tq.quality
+         |      FROM lab JOIN tq USING (doc_id)),
+         |m AS (SELECT cluster, max(quality) AS quality, count(*) AS cluster_size
+         |      FROM j GROUP BY 1)
+         |SELECT m.cluster, min(j.doc_id) AS survivor_id, m.quality,
+         |       m.cluster_size
+         |FROM j JOIN m ON j.cluster = m.cluster AND j.quality = m.quality
+         |GROUP BY 1, 3, 4""".stripMargin
+    },
+
+    "q103_shingle_novelty" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        """ds AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+          |f AS (SELECT doc_id,
+          |             ('0x' || substr(md5(s), 1, 15))::BIGINT AS s_fp
+          |      FROM ds),
+          |dfr AS (SELECT s_fp, count(*) AS df FROM f GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_shingles,
+          |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |         AS n_unique,
+          |       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+          |             / count(*), 4) AS novelty
+          |FROM f JOIN dfr USING (s_fp)
+          |GROUP BY 1""".stripMargin),
+
+    // quality replayed from the q18/q53 expressions; the cumulative
+    // window runs over the (source, quality) histogram only
+    "q104_quality_percentile" -> {
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      s"""WITH q0 AS (
+         |  SELECT doc_id, source,
+         |         round(0.4 * least(len(toks) / 100.0, 1.0)
+         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+         |                            / NULLIF(length(text), 0))
+         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+         |  FROM (SELECT doc_id, source, text,
+         |               string_split(text, ' ') AS toks,
+         |               string_split(lower(text), ' ') AS ltoks
+         |        FROM documents)),
+         |-- mirror the engine's NULL-quality filter: a NULL histogram row
+         |-- would sort NULLS FIRST in Spark but NULLS LAST here
+         |q AS (SELECT * FROM q0 WHERE quality IS NOT NULL),
+         |h AS (SELECT source, quality, count(*) AS cnt FROM q GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+         |hh AS (
+         |  SELECT source, quality, cnt,
+         |         sum(cnt) OVER (PARTITION BY source ORDER BY quality
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h)
+         |SELECT q.doc_id, q.source, q.quality,
+         |       round((hh.cum - 0.5e0 * hh.cnt) / n.n, 4) AS pctl
+         |FROM q JOIN hh USING (source, quality) JOIN n USING (source)""".stripMargin
+    },
+
+    // the estimate is a fixed-order sum of k integer signature-equality
+    // terms over the SAME md5 signatures the q11 oracle builds; exact
+    // Jaccard replayed over the distinct shingle sets
+    "q105_minhash_calibration" -> {
+      val agreeSql = (1 to Dedup.MinhashK)
+        .map(i => s"(CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END)")
+        .mkString("\n             + ")
+      docCtes.stripSuffix("\n") + ",\n" + lshCtes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh)
+           |SELECT id_a, id_b,
+           |       round(($agreeSql) / ${Dedup.MinhashK}e0, 4) AS est_jaccard,
+           |       ${jaccardSql("da.dsh", "db.dsh")} AS jaccard,
+           |       round(abs(round(($agreeSql) / ${Dedup.MinhashK}e0, 4)
+           |                 - ${jaccardSql("da.dsh", "db.dsh")}), 4) AS abs_err
+           |FROM cands
+           |JOIN sig sa ON sa.doc_id = cands.id_a
+           |JOIN sig sb ON sb.doc_id = cands.id_b
+           |JOIN shd da ON da.doc_id = cands.id_a
+           |JOIN shd db ON db.doc_id = cands.id_b""".stripMargin
+    },
+
+    // the q52 nd CTE (capped bands + exact-Jaccard >= 0.5 verify)
+    // re-used; sources attach by doc_id, unordered pair via least/greatest
+    "q106_source_overlap" ->
+      (docCtes.stripSuffix("\n") + ",\n" + lshCtes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+           |nd AS (
+           |  SELECT id_a, id_b
+           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |             JOIN shd b ON cands.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5)
+           |SELECT least(da.source, db.source) AS source_x,
+           |       greatest(da.source, db.source) AS source_y,
+           |       count(*) AS n_pairs
+           |FROM nd JOIN documents da ON da.doc_id = nd.id_a
+           |        JOIN documents db ON db.doc_id = nd.id_b
+           |GROUP BY 1, 2""".stripMargin),
+
+    "q107_top_boilerplate" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        """pd AS (
+          |  SELECT doc_id, unnest(list_distinct(sh)) AS s FROM sh),
+          |f AS (SELECT s, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s_fp
+          |      FROM pd),
+          |top AS (
+          |  SELECT s_fp, count(*) AS df FROM f GROUP BY 1
+          |  ORDER BY df DESC, s_fp LIMIT 20),
+          |n AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT min(f.s) AS shingle, CAST(top.df AS BIGINT) AS df,
+          |       round(top.df / n.n_docs, 4) AS doc_share
+          |FROM f JOIN top USING (s_fp) CROSS JOIN n
+          |GROUP BY top.s_fp, top.df, n.n_docs""".stripMargin),
+
+    // both pair pipelines replayed (q11's nd + q31's block join), counts
+    // as scalar one-row CTEs; NULLIF guards the 0/0 (NaN-vs-NULL) edge
+    "q108_dedup_agreement" ->
+      (docCtes.stripSuffix("\n") + ",\n" + lshCtes + simhash64Ctes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+           |mh AS (
+           |  SELECT id_a, id_b
+           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |             JOIN shd b ON cands.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+           |blocks AS (
+           |  SELECT doc_id, simhash, p.block_idx,
+           |         (simhash >> (p.block_idx * 16)) & 65535 AS block_val
+           |  FROM simhash_t CROSS JOIN (SELECT unnest(range(0, 4)) AS block_idx) p),
+           |sp AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM blocks a JOIN blocks b
+           |    ON b.block_idx = a.block_idx AND b.block_val = a.block_val
+           |   AND b.doc_id > a.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |nm AS (SELECT count(*) AS n_minhash FROM mh),
+           |ns AS (SELECT count(*) AS n_simhash FROM sp),
+           |nb AS (SELECT count(*) AS n_both
+           |       FROM mh JOIN sp USING (id_a, id_b))
+           |SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
+           |       CAST(n_simhash AS BIGINT) AS n_simhash,
+           |       CAST(n_both AS BIGINT) AS n_both,
+           |       round(n_both / NULLIF(n_minhash + n_simhash - n_both, 0), 4)
+           |         AS pair_jaccard
+           |FROM nm CROSS JOIN ns CROSS JOIN nb""".stripMargin),
+
+    // q109 reads the PARTITIONED layout in Spark; the oracle replays the
+    // rollup over the raw table — a value mismatch would mean the
+    // partition round-trip (to_date, directory encoding) lost or moved
+    // rows. UTC session timezone on the Spark side makes to_date(ts)
+    // equal DuckDB's naive CAST(ts AS DATE).
+    "q109_partitioned_rollup" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q110 reads the WARC layout in Spark; the oracle rolls up the raw
+    // table. strlen = BYTE length in DuckDB (Spark octet_length); sums
+    // cast back to BIGINT (DuckDB widens BIGINT sums to HUGEINT).
+    "q110_warc_roundtrip" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // q132: identical oracle to q110 — the layout and rollup are the
+    // same; only the ENGINE-side read path differs (DSv2 vs binaryFiles)
+    "q132_warc_v2_read" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // q135: the Morton key replayed from the raw table — identical
+    // equi-width bucket arithmetic (global min/max from a subquery, the
+    // same IEEE-754 term order) and the same generated interleave
+    // expression the writer uses; box + hit from raw min/max, rounded at
+    // the output only
+    "q135_zorder_layout" -> {
+      val bits = graft.sources.Writers.ZOrderBits
+      val n = (1 << bits).toDouble
+      def bucketSql(x: String, mn: String, mx: String) =
+        s"CAST(least(greatest(floor(($x - $mn) / " +
+          s"(CASE WHEN $mx > $mn THEN $mx - $mn ELSE 1.0 END) * $n), 0.0), " +
+          s"${n - 1.0}) AS INT)"
+      val mortonSql = (0 until bits).map { j =>
+        s"(((ba & ${1 << j}) << $j) | ((bb & ${1 << j}) << ${j + 1}))"
+      }.mkString(" | ")
+      s"""WITH rng AS (
+         |  SELECT min(CAST(user_id AS DOUBLE)) AS amn,
+         |         max(CAST(user_id AS DOUBLE)) AS amx,
+         |         min(value) AS bmn, max(value) AS bmx FROM events),
+         |k AS (
+         |  SELECT event_id, user_id, value,
+         |         ${bucketSql("CAST(user_id AS DOUBLE)", "amn", "amx")} AS ba,
+         |         ${bucketSql("value", "bmn", "bmx")} AS bb
+         |  FROM events CROSS JOIN rng),
+         |z AS (SELECT event_id, user_id, value, $mortonSql AS z_file FROM k)
+         |SELECT z_file, count(*) AS n_rows,
+         |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |       min(user_id) AS u_min, max(user_id) AS u_max,
+         |       round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+         |       CASE WHEN max(user_id) >= $ZBoxUMin AND min(user_id) <= $ZBoxUMax
+         |             AND max(value) >= $ZBoxVMin AND min(value) <= $ZBoxVMax
+         |            THEN 1 ELSE 0 END AS hit
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
+    // q111: the weight literals interpolate from the shipped artifact
+    // (Double.toString round-trips, so DuckDB folds the identical
+    // doubles); the z chain is spelled left-to-right exactly as the
+    // Scala reduce folds it, and `accept` branches on the ROUNDED
+    // probability in both engines
+    "q111_quality_classifier" -> {
+      val w = graft.operators.QualityModel.DefaultWeights
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""f AS (
+           |  SELECT doc_id,
+           |         least(len(toks) / 100.0, 1.0) AS x1,
+           |         CASE WHEN length(text) > 0
+           |              THEN len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                   / length(text)
+           |              ELSE 0.0e0 END AS x2,
+           |         least($stop / len(toks) * 5.0, 1.0) AS x3
+           |  FROM toks),
+           |s AS (
+           |  SELECT doc_id,
+           |         ${w(0)}e0 * 1.0e0 + ${w(1)}e0 * x1
+           |           + ${w(2)}e0 * x2 + ${w(3)}e0 * x3 AS z
+           |  FROM f)
+           |SELECT doc_id, round(z, 4) AS logit,
+           |       round(1.0e0 / (1.0e0 + exp(-z)), 4) AS p_good,
+           |       CASE WHEN round(1.0e0 / (1.0e0 + exp(-z)), 4) >= 0.5e0
+           |            THEN 1 ELSE 0 END AS accept
+           |FROM s""".stripMargin
+    },
+
+    // q112 reads the bucketed catalog tables in Spark; the oracle joins
+    // the raw parquet — a mismatch means the bucketed write/read moved
+    // or lost rows
+    "q112_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // q113: truth = raw exact Jaccard over the id-window pair sample;
+    // caught = the q11 LSH pipeline (lshCtes bands + cap) restricted to
+    // the same window; NULLIF guards the empty-truth edge like q108
+    "q113_lsh_recall" ->
+      (docCtes.stripSuffix("\n") + ",\n" + lshCtes +
+        s"""shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh
+           |        WHERE len(list_distinct(sh)) > 0),
+           |truth AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM shd a JOIN shd b
+           |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+           |cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |caught AS (
+           |  SELECT id_a, id_b
+           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |             JOIN shd b ON cands.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5
+           |    AND id_b - id_a <= 25),
+           |nt AS (SELECT count(*) AS n_truth FROM truth),
+           |nc AS (SELECT count(*) AS n_caught
+           |       FROM truth JOIN caught USING (id_a, id_b))
+           |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           |       CAST(n_caught AS BIGINT) AS n_caught,
+           |       round(n_caught / NULLIF(n_truth, 0), 4) AS recall
+           |FROM nt CROSS JOIN nc""".stripMargin),
+
+    // q114: the q11 verified-pair chain, symmetrized, then a per-doc
+    // row_number over (rounded jaccard DESC, neighbor ASC) — the same
+    // deterministic rank-key discipline as q48
+    "q114_similar_topk" ->
+      (docCtes.stripSuffix("\n") + ",\n" + lshCtes +
+        s"""cands AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           |   AND a.doc_id < b.doc_id),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+           |pairs AS (
+           |  SELECT id_a, id_b, ${jaccardSql("a.dsh", "b.dsh")} AS jaccard
+           |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+           |             JOIN shd b ON cands.id_b = b.doc_id
+           |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+           |sym AS (
+           |  SELECT id_a AS doc_id, id_b AS neighbor_id, jaccard FROM pairs
+           |  UNION ALL
+           |  SELECT id_b AS doc_id, id_a AS neighbor_id, jaccard FROM pairs),
+           |r AS (
+           |  SELECT doc_id, neighbor_id, jaccard,
+           |         CAST(row_number() OVER (PARTITION BY doc_id
+           |           ORDER BY jaccard DESC, neighbor_id ASC) AS INTEGER) AS rnk
+           |  FROM sym)
+           |SELECT doc_id, rnk, neighbor_id, jaccard FROM r
+           |WHERE rnk <= ${Dedup.DefaultSimilarK}""".stripMargin),
+
+    // q115: the stage chain, names, and strictly-after semantics all
+    // interpolate from EventAnalytics.DefaultFunnelStages so operator and
+    // oracle can't desynchronize
+    "q115_funnel" -> {
+      val st = EventAnalytics.DefaultFunnelStages
+      val chain = st.zipWithIndex.map { case (name, i) =>
+        if (i == 0)
+          s"""s0 AS (
+             |  SELECT user_id, t, event_type,
+             |         min(CASE WHEN event_type = '$name' THEN t END)
+             |           OVER (PARTITION BY user_id) AS t_0
+             |  FROM e)""".stripMargin
+        else
+          s"""s$i AS (
+             |  SELECT *, min(CASE WHEN event_type = '$name'
+             |                      AND t > t_${i - 1} THEN t END)
+             |              OVER (PARTITION BY user_id) AS t_$i
+             |  FROM s${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val uCols = st.indices.map(i => s"any_value(t_$i) AS t_$i").mkString(", ")
+      val aCols = (st.indices.map(i => s"count(t_$i) AS n_$i") ++
+        st.indices.drop(1).map(i =>
+          s"round(avg((t_$i - t_${i - 1}) / 3.6e9), 4) AS h_$i")).mkString(", ")
+      val branches = st.zipWithIndex.map { case (name, i) =>
+        val conv = if (i == 0) "CAST(NULL AS DOUBLE)"
+          else s"round(n_$i / NULLIF(n_${i - 1}, 0), 4)"
+        val hrs = if (i == 0) "CAST(NULL AS DOUBLE)" else s"h_$i"
+        s"""SELECT CAST($i AS INTEGER) AS stage_idx, '$name' AS stage,
+           |       CAST(n_$i AS BIGINT) AS n_users,
+           |       $conv AS conv_from_prev,
+           |       $hrs AS avg_hours_from_prev FROM a""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         |$chain,
+         |u AS (SELECT user_id, $uCols FROM s${st.length - 1} GROUP BY 1),
+         |a AS (SELECT $aCols FROM u)
+         |$branches""".stripMargin
+    },
+
+    // q116: (user, day) distinct → first-day cohorts → (cohort, offset)
+    // counts; DuckDB date-minus-date is BIGINT days, cast to match
+    // Spark's datediff INT
+    "q116_retention_cohorts" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1),
+        |act AS (
+        |  SELECT cohort_day, CAST(day - cohort_day AS INTEGER) AS day_offset,
+        |         count(*) AS n_active
+        |  FROM active JOIN fd USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, count(*) AS n_cohort FROM fd GROUP BY 1)
+        |SELECT cohort_day, day_offset, n_active, n_cohort,
+        |       round(n_active / NULLIF(n_cohort, 0), 4) AS retention
+        |FROM act JOIN sz USING (cohort_day)""".stripMargin,
+
+    // q117: the q84 md5-fp + Laplace chain, two distributions folded from
+    // one tf relation with conditional sums; selection replays the
+    // rounded-weight ordering with the doc_id tie-break
+    "q117_importance_resample" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, source,
+         |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS fp,
+         |         count(*) AS k
+         |  FROM tk GROUP BY 1, 2, 3),
+         |voc AS (
+         |  SELECT fp,
+         |         CAST(sum(CASE WHEN source = 'src0' THEN k ELSE 0 END)
+         |              AS BIGINT) AS tcnt,
+         |         CAST(sum(CASE WHEN source <> 'src0' THEN k ELSE 0 END)
+         |              AS BIGINT) AS rcnt
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tcnt) AS BIGINT) AS tn,
+         |               CAST(sum(rcnt) AS BIGINT) AS rn,
+         |               count(*) AS v FROM voc),
+         |model AS (
+         |  SELECT fp, ln((tcnt + 1) / CAST(tn + v AS DOUBLE)) -
+         |             ln((rcnt + 1) / CAST(rn + v AS DOUBLE)) AS lr
+         |  FROM voc CROSS JOIN tot),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.source, CAST(sum(tf.k) AS BIGINT) AS n_tokens,
+         |         sum(tf.k * m.lr) AS w
+         |  FROM tf JOIN model m USING (fp)
+         |  WHERE tf.source <> 'src0'
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, source, n_tokens, round(w, 4) AS weight,
+         |       round(w / n_tokens, 4) AS avg_lr
+         |FROM sc
+         |ORDER BY round(w / n_tokens, 4) DESC, doc_id ASC
+         |LIMIT ${Curation.DefaultImportanceN}""".stripMargin,
+
+    // q98: BPE TRAINING replay — the full sequential greedy loop as
+    // generated CTE rounds (see bpeTrainOracleSql); unlike q118 this
+    // interpolates nothing learned, so it is a genuinely independent
+    // re-derivation of the merge table
+    "q98_bpe_train" -> bpeTrainOracleSql(Q98Merges),
+
+    // q118: BPE APPLY replay — the learned merge table (published by the
+    // query run; Verify serializes oracleSql only after every query has
+    // materialized) interpolates as nMerges nested replace() calls over
+    // the boundary-wrapped character segmentation '|c1||c2|…|cn|'.
+    // replace() is left-to-right non-overlapping — exactly BpeApply's
+    // scan order — matches only align at symbol boundaries ('|' never
+    // occurs inside a symbol, asserted at interpolation time), and the
+    // DOUBLE separator between symbols keeps adjacent matches from
+    // sharing characters (a single shared '|' would make the second of
+    // two back-to-back (a,b) pairs invisible to the scan). The string
+    // fold is therefore bit-identical to the sequential array fold,
+    // which for training words — every corpus word, since q118 trains on
+    // the same corpus it encodes — is bit-identical to BpeEncode's
+    // rank-priority loop (the BpeSpec equivalence pin).
+    "q118_bpe_encode" -> (learnedBpeMerges match {
+      case None =>
+        // keyset-stable placeholder for contexts that read oracleSql
+        // without running the query (ContractSpec); Verify always
+        // overwrites it with the real replay
+        "SELECT CAST(NULL AS BIGINT) AS doc_id, 0 AS n_words, " +
+          "0 AS n_tokens, '' AS token_str WHERE false"
+      case Some(merges) =>
+        require(merges.forall { case (a, b) => !(a + b).contains("|") },
+          "oracle wrap char '|' appears in a learned symbol — switch the replay to chr(1)")
+        val folded = merges.foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
+          case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+        }
+        s"""SELECT doc_id, len(words) AS n_words,
+           |       len(flatten(pieces)) AS n_tokens,
+           |       array_to_string(flatten(pieces), ' ') AS token_str
+           |FROM (
+           |  SELECT doc_id, words,
+           |         list_transform(words,
+           |           w -> string_split(trim($folded, '|'), '||')) AS pieces
+           |  FROM (
+           |    SELECT doc_id,
+           |           list_filter(string_split(lower(text), ' '),
+           |                       w -> len(w) > 0) AS words
+           |    FROM documents))""".stripMargin
+    }),
+
+    // q119: the composed curation DAG replayed end to end — q104's
+    // percentile (keep pctl >= 0.5), q11/q52's LSH+CC over the KEPT
+    // subset (band cap re-applied on the subset's bucket sizes), q102's
+    // keep-best survivor, q80's bucket-wise budget cutoff at HALF the
+    // deduped corpus's tokens (a scalar subquery — the budget derives
+    // from the data in both engines), and q77's block-sharded packing of
+    // the selected docs. Each fragment is the established bit-exact
+    // oracle of its standalone gate; this chains them.
+    "q119_curation_dag" -> {
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      val qual =
+        s"""round(0.4 * least(len(toks) / 100.0, 1.0)
+           |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                            / NULLIF(length(text), 0))
+           |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4)""".stripMargin
+      val bandSelects = (0 until Dedup.LshBands).map { b =>
+        val idx = (1 to Dedup.LshRows).map(r => s"sig[${b * Dedup.LshRows + r}]")
+        s"SELECT doc_id, $b AS band_idx, md5(${idx.mkString(" || '|' || ")}) AS band_hash FROM sig"
+      }
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         |         string_split(lower(text), ' ') AS ltoks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+         |  FROM toks),
+         |q0 AS (
+         |  SELECT doc_id, source, $qual AS quality
+         |  FROM (SELECT d.doc_id, d.source, d.text, t.toks, t.ltoks
+         |        FROM documents d JOIN toks t USING (doc_id))),
+         |q AS (SELECT * FROM q0 WHERE quality IS NOT NULL),
+         |h AS (SELECT source, quality, count(*) AS cnt FROM q GROUP BY 1, 2),
+         |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+         |hh AS (
+         |  SELECT source, quality, cnt,
+         |         sum(cnt) OVER (PARTITION BY source ORDER BY quality
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |kept AS (
+         |  SELECT q.doc_id
+         |  FROM q JOIN hh USING (source, quality) JOIN n USING (source)
+         |  WHERE round((hh.cum - 0.5e0 * hh.cnt) / n.n, 4) >= 0.5),
+         |shk AS (
+         |  SELECT doc_id, sh FROM sh
+         |  WHERE doc_id IN (SELECT doc_id FROM kept)),
+         |sig AS (
+         |  SELECT doc_id, list_transform(range(0, ${Dedup.MinhashK}),
+         |           j -> list_min(list_transform(sh, s -> md5(j::VARCHAR || '|' || s)))) AS sig
+         |  FROM shk WHERE len(sh) > 0),
+         |bands_raw AS (
+         |${bandSelects.mkString("  ", "\n  UNION ALL ", "")}),
+         |bands AS (
+         |  SELECT doc_id, band_idx, band_hash FROM bands_raw
+         |  QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.DefaultMaxBucket}),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM shk),
+         |nd AS (
+         |  SELECT id_a, id_b
+         |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+         |             JOIN shd b ON cands.id_b = b.doc_id
+         |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM nd
+         |  UNION ALL SELECT id_b, id_a FROM nd),
+         |walk(id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+         |labels AS (
+         |  SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id),
+         |j2 AS (SELECT labels.cluster, labels.doc_id, q0.quality
+         |       FROM labels JOIN q0 USING (doc_id)),
+         |m2 AS (SELECT cluster, max(quality) AS bq FROM j2 GROUP BY 1),
+         |surv AS (
+         |  SELECT j2.cluster, min(j2.doc_id) AS survivor_id
+         |  FROM j2 JOIN m2 ON j2.cluster = m2.cluster AND j2.quality = m2.bq
+         |  GROUP BY 1),
+         |dd AS (
+         |  SELECT doc_id FROM kept
+         |  WHERE doc_id NOT IN (
+         |    SELECT doc_id FROM labels
+         |    WHERE doc_id NOT IN (SELECT survivor_id FROM surv))),
+         |tot AS (
+         |  SELECT CAST(sum(len(t.toks)) AS BIGINT) // 2 AS budget
+         |  FROM toks t WHERE t.doc_id IN (SELECT doc_id FROM dd)),
+         |e2 AS (
+         |  SELECT t.doc_id, len(t.toks) AS n_tokens, q0.quality AS qv,
+         |         CAST(floor(q0.quality * 100) AS INT) AS qb
+         |  FROM toks t JOIN q0 USING (doc_id)
+         |  WHERE t.doc_id IN (SELECT doc_id FROM dd)
+         |    AND q0.quality IS NOT NULL),
+         |b AS (SELECT qb, CAST(sum(n_tokens) AS BIGINT) AS b_tokens
+         |      FROM e2 GROUP BY 1),
+         |bc AS (SELECT qb, b_tokens,
+         |              CAST(coalesce(sum(b_tokens) OVER (ORDER BY qb DESC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                AS BIGINT) AS cum_before
+         |       FROM b),
+         |j3 AS (SELECT e2.doc_id, e2.qb, e2.n_tokens,
+         |              bc.b_tokens, bc.cum_before
+         |       FROM e2 JOIN bc USING (qb)),
+         |whole AS (
+         |  SELECT doc_id FROM j3
+         |  WHERE cum_before + b_tokens <= (SELECT budget FROM tot)),
+         |bnd AS (
+         |  SELECT doc_id FROM (
+         |    SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY qb
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
+         |    FROM j3 WHERE cum_before < (SELECT budget FROM tot)
+         |      AND cum_before + b_tokens > (SELECT budget FROM tot))
+         |  WHERE cum_before + cum_in + n_tokens <= (SELECT budget FROM tot)),
+         |sel AS (SELECT doc_id FROM whole UNION ALL SELECT doc_id FROM bnd),
+         |pt AS (
+         |  SELECT d.doc_id, d.lang, len(t.toks) AS n_tokens,
+         |         ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT
+         |           % ${Curation.DefaultPackBlocks} AS block
+         |  FROM documents d JOIN toks t USING (doc_id)
+         |  WHERE d.doc_id IN (SELECT doc_id FROM sel)),
+         |pc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(coalesce(sum(n_tokens) OVER (
+         |           PARTITION BY lang ORDER BY block, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS cum_before
+         |  FROM pt)
+         |SELECT doc_id, lang, n_tokens, cum_before,
+         |       CAST(floor(cum_before / 256.0) AS BIGINT) AS seq_id,
+         |       cum_before % 256 AS offset,
+         |       CAST(cum_before % 256 + n_tokens > 256 AS INT)
+         |         AS spans_boundary
+         |FROM pc""".stripMargin
+    },
+
+    // q120: the q99 brute-truth + q51 probe-ranking replays, swept over
+    // probe levels with a level relation; n_scored counts each level's
+    // candidate set (integers), recall rounds at 4 (the q99 rational)
+    "q120_ann_frontier" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""bs AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |bt AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY q_id
+           |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |    FROM bs) WHERE rank <= 5),
+           |qprobe AS (
+           |  SELECT vec_id, cell, rn FROM (
+           |    SELECT v.vec_id, cc.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |             list_sum(list_transform(cc.c, x -> x*x))
+           |             - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+           |                              i -> v.emb[i] * cc.c[i])),
+           |             cc.cell) AS rn
+           |    FROM v CROSS JOIN c$KmeansIters cc WHERE v.vec_id < 8)
+           |  WHERE rn <= 4),
+           |lv AS (SELECT unnest([1, 2, 4]) AS n_probe),
+           |cand AS (
+           |  SELECT l.n_probe, q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM lv l
+           |  JOIN qprobe qp ON qp.rn <= l.n_probe
+           |  JOIN embeddings q ON q.vec_id = qp.vec_id
+           |  JOIN cells cc ON cc.cell = qp.cell
+           |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id),
+           |ns AS (SELECT n_probe, q_id, CAST(count(*) AS BIGINT) AS n_scored
+           |       FROM cand GROUP BY 1, 2),
+           |iv AS (
+           |  SELECT n_probe, q_id, vec_id FROM (
+           |    SELECT n_probe, q_id, vec_id,
+           |           ROW_NUMBER() OVER (PARTITION BY n_probe, q_id
+           |             ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |    FROM cand) WHERE rank <= 5),
+           |t AS (SELECT q_id, count(*) AS n_truth FROM bt GROUP BY 1),
+           |h AS (SELECT iv.n_probe, bt.q_id, count(*) AS n_hit
+           |      FROM bt JOIN iv USING (q_id, vec_id) GROUP BY 1, 2)
+           |SELECT l.n_probe, t.q_id, CAST(t.n_truth AS BIGINT) AS n_truth,
+           |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |       round(coalesce(h.n_hit, 0)
+           |             / CAST(t.n_truth AS DOUBLE), 4) AS recall,
+           |       coalesce(ns.n_scored, 0) AS n_scored
+           |FROM lv l CROSS JOIN t
+           |LEFT JOIN h ON h.n_probe = l.n_probe AND h.q_id = t.q_id
+           |LEFT JOIN ns ON ns.n_probe = l.n_probe AND ns.q_id = t.q_id""".stripMargin),
+
+    // q129: the IVF-PQ frontier replay — codebooks interpolated from the
+    // published learned model (Verify materializes queries before
+    // serializing oracleSql), everything else recomputed in SQL
+    "q129_pq_frontier" -> ((learnedPqModel, learnedPqResModel) match {
+      case (Some(model), Some(rModel)) => pqFrontierOracleSql(model, rModel)
+      case _ =>
+        // keyset-stable placeholder (the q118 convention); Verify always
+        // overwrites it with the real replay
+        "SELECT '' AS variant, CAST(NULL AS BIGINT) AS q_id, " +
+          "CAST(0 AS BIGINT) AS n_truth, CAST(0 AS BIGINT) AS n_hit, " +
+          "0.0 AS recall, CAST(0 AS BIGINT) AS n_scored WHERE false"
+    }),
+
+    // q138: both assignment paths replayed from the published literals —
+    // the flat argmin over all cell centroids and the two-level pick
+    // (nearest group by the same |c|²−2·dot distance, then argmin over
+    // that group's member cells), identical index-order folds and
+    // (dist, index) tie-breaks as the NearestCells/NearestCellTwoLevel
+    // kernels
+    "q138_twolevel_assign" -> (learnedHierModel match {
+      case None =>
+        "SELECT CAST(NULL AS BIGINT) AS vec_id, 0 AS cell_two_level, " +
+          "0 AS cell_flat, 0 AS agree WHERE false"
+      case Some((cents, idx)) =>
+        val gcVals = idx.groupCents.zipWithIndex.map { case (c, gi) =>
+          s"($gi, [${c.mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        val cellVals = cents.zipWithIndex.map { case (c, ci) =>
+          val gi = idx.members.indexWhere(_.contains(ci))
+          s"($ci, $gi, [${c.mkString(", ")}]::DOUBLE[])"
+        }.mkString(", ")
+        def dist(vec: String, cen: String) =
+          s"""(list_sum(list_transform($cen, x -> x*x))
+             | - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+             |          i -> $vec[i] * $cen[i])))""".stripMargin
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           |  FROM embeddings),
+           |gc AS (SELECT * FROM (VALUES $gcVals) t(gi, gv)),
+           |cl AS (SELECT * FROM (VALUES $cellVals) t(ci, gi, cv)),
+           |gpick AS (
+           |  SELECT vec_id, gi FROM (
+           |    SELECT v.vec_id, gc.gi,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${dist("v.emb", "gc.gv")}, gc.gi) AS rn
+           |    FROM v CROSS JOIN gc) WHERE rn = 1),
+           |two AS (
+           |  SELECT vec_id, ci AS cell_two_level FROM (
+           |    SELECT g.vec_id, cl.ci,
+           |           row_number() OVER (PARTITION BY g.vec_id
+           |             ORDER BY ${dist("v.emb", "cl.cv")}, cl.ci) AS rn
+           |    FROM gpick g
+           |    JOIN cl ON cl.gi = g.gi
+           |    JOIN v ON v.vec_id = g.vec_id) WHERE rn = 1),
+           |flat AS (
+           |  SELECT vec_id, ci AS cell_flat FROM (
+           |    SELECT v.vec_id, cl.ci,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY ${dist("v.emb", "cl.cv")}, cl.ci) AS rn
+           |    FROM v CROSS JOIN cl) WHERE rn = 1)
+           |SELECT two.vec_id, two.cell_two_level, flat.cell_flat,
+           |       CASE WHEN two.cell_two_level = flat.cell_flat
+           |            THEN 1 ELSE 0 END AS agree
+           |FROM two JOIN flat USING (vec_id)""".stripMargin
+    }),
+
+    // q133: the PCA projection replay — components + mean-dot scalars
+    // interpolated from the published fitted basis, the dot folding in
+    // index order exactly as VectorDot does
+    "q133_pca_project" -> (learnedPcaModel match {
+      case None =>
+        "SELECT CAST(NULL AS BIGINT) AS vec_id, " +
+          (1 to PcaK).map(j => s"0.0 AS p$j").mkString(", ") + " WHERE false"
+      case Some(model) =>
+        val lits = model.components.indices.map { j =>
+          s"[${model.components(j).mkString(", ")}]::DOUBLE[] AS v${j + 1}"
+        }.mkString(", ")
+        val projs = model.components.indices.map { j =>
+          s"""round(list_sum(list_transform(range(1, ${EmbDim + 1}),
+             |         i -> e.emb[i] * m.v${j + 1}[i]))
+             |       - ${model.meanDots(j)}, 4) AS p${j + 1}""".stripMargin
+        }.mkString(",\n       ")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           |  FROM embeddings),
+           |m AS (SELECT $lits)
+           |SELECT e.vec_id,
+           |       $projs
+           |FROM e CROSS JOIN m""".stripMargin
+    }),
+
+    // q125: the q109 rollup without the date slice — full-range equality
+    // against the raw table is the losslessness proof for the compacted
+    // rewrite
+    "q125_compacted_rollup" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q127: the q80 budget replay partitioned by source, budgets
+    // interpolated from the shipped recipe (floor(budget * share)
+    // computed HERE, the same longs the engine folds)
+    "q127_source_mix" ->
+      ("WITH " + mixSelCtes(MixTargets) + s""",
+         |sp AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS spent
+         |       FROM sel GROUP BY 1)
+         |SELECT sel.doc_id, sel.source, sel.n_tokens, sel.hb,
+         |       CAST(bud.budget AS BIGINT) AS budget, sp.spent,
+         |       CAST(bud.budget AS BIGINT) - sp.spent AS unspent
+         |FROM sel JOIN bud USING (source) JOIN sp USING (source)""".stripMargin),
+
+    // q131: the accounting report over the SAME selection replay, with
+    // the ghost target's zero-spent row surfaced by the LEFT JOIN from
+    // the budget relation
+    "q131_mix_accounting" ->
+      ("WITH " +
+        mixSelCtes(MixTargets :+ (MixGhostSource -> MixGhostShare)) + s""",
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(n_tokens) AS BIGINT) AS spent
+         |        FROM sel GROUP BY 1)
+         |SELECT bud.source, CAST(bud.budget AS BIGINT) AS budget,
+         |       coalesce(agg.n_docs, 0) AS n_docs,
+         |       coalesce(agg.spent, 0) AS spent,
+         |       CAST(bud.budget AS BIGINT) - coalesce(agg.spent, 0) AS unspent
+         |FROM bud LEFT JOIN agg USING (source)""".stripMargin),
+
+    // q126: the merge replay — change classes from a left join on the
+    // normalized-fp equality (the same fpSql the q10 dedup gate uses),
+    // carry set via NOT IN on the incoming ids
+    "q126_corpus_merge" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  WHERE doc_id % 5 <> 4),
+         |inc AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+         |              ELSE text END AS text,
+         |         lang, source
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |exfp AS (SELECT doc_id, $fpSql AS fp FROM ex),
+         |incfp AS (SELECT doc_id, text, lang, source, $fpSql AS fp FROM inc),
+         |m AS (
+         |  SELECT i.doc_id, i.text, i.lang, i.source,
+         |         CASE WHEN e.fp IS NULL THEN 'insert'
+         |              WHEN i.fp = e.fp THEN 'refresh'
+         |              ELSE 'rewrite' END AS change
+         |  FROM incfp i LEFT JOIN exfp e USING (doc_id))
+         |SELECT doc_id, text, lang, source, change FROM m
+         |UNION ALL
+         |SELECT doc_id, text, lang, source, 'carry' AS change FROM ex
+         |WHERE doc_id NOT IN (SELECT doc_id FROM inc)""".stripMargin,
+
+    // q128: the incremental merge replay — identical change-class logic
+    // to q126 but the gated relation is (doc_id, fp, change): the
+    // refreshed 60-bit-fingerprint artifact with the audit tags. The
+    // oracle MAY scan text (it is a replay); the engine plan may NOT
+    // (the artifact-reuse point, pinned by CurationSpec).
+    "q128_corpus_merge_incremental" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+         |inc AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |exfp AS (SELECT doc_id,
+         |                ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp
+         |         FROM ex),
+         |incfp AS (SELECT doc_id,
+         |                 ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp
+         |          FROM inc),
+         |m AS (
+         |  SELECT i.doc_id, i.fp,
+         |         CASE WHEN e.fp IS NULL THEN 'insert'
+         |              WHEN i.fp = e.fp THEN 'refresh'
+         |              ELSE 'rewrite' END AS change
+         |  FROM incfp i LEFT JOIN exfp e USING (doc_id))
+         |SELECT doc_id, fp, change FROM m
+         |UNION ALL
+         |SELECT doc_id, fp, 'carry' AS change FROM exfp
+         |WHERE doc_id NOT IN (SELECT doc_id FROM inc)""".stripMargin,
+
+    // q143: the time-travel replay — the same three batch definitions,
+    // membership at version v = last-delivered fingerprint per doc over
+    // the chain prefix (refresh re-deliveries carry the same fp, so
+    // "latest version wins" is exactly what the store's delta-feed
+    // replay reconstructs)
+    "q143_snapshot_asof" ->
+      s"""WITH c1 AS (
+         |  SELECT doc_id, ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp,
+         |         1 AS v
+         |  FROM documents WHERE doc_id % 3 <> 2),
+         |c2 AS (
+         |  SELECT doc_id, ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp,
+         |         2 AS v
+         |  FROM (SELECT doc_id, text || ' rev2' AS text FROM documents
+         |        WHERE doc_id % 5 = 0)),
+         |c3 AS (
+         |  SELECT doc_id, ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp,
+         |         3 AS v
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |chain AS (
+         |  SELECT * FROM c1 UNION ALL SELECT * FROM c2
+         |  UNION ALL SELECT * FROM c3),
+         |vs AS (SELECT unnest([1, 2, 3]) AS as_of)
+         |SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, fp FROM (
+         |  SELECT vs.as_of, c.doc_id, c.fp,
+         |         row_number() OVER (PARTITION BY vs.as_of, c.doc_id
+         |                            ORDER BY c.v DESC) AS rn
+         |  FROM vs JOIN chain c ON c.v <= vs.as_of) WHERE rn = 1""".stripMargin,
+
+    // q122: n is generated into the shingle concat chain from
+    // Dedup.DecontamShingleN (the q100 interpolate-the-constant rule);
+    // zero-shingle pool docs survive via the LEFT JOIN with n_hits 0,
+    // mirroring the engine's explode_outer accounting
+    "q122_decontamination" -> {
+      val n = Dedup.DecontamShingleN
+      val cat = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |shn AS (
+         |  SELECT doc_id, source,
+         |         list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+         |           i -> $cat)) AS sh
+         |  FROM toks),
+         |b AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS fp
+         |  FROM (SELECT unnest(sh) AS s FROM shn
+         |        WHERE source = '$DecontamBenchmarkSource')),
+         |pd AS (SELECT doc_id, len(sh) AS n_shingles FROM shn
+         |       WHERE source <> '$DecontamBenchmarkSource'),
+         |pf AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS fp
+         |       FROM (SELECT doc_id, unnest(sh) AS s FROM shn
+         |             WHERE source <> '$DecontamBenchmarkSource')),
+         |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM pf WHERE fp IN (SELECT fp FROM b) GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_shingles,
+         |       coalesce(h.n_hits, 0) AS n_hits,
+         |       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+         |FROM pd LEFT JOIN h USING (doc_id)""".stripMargin
+    },
+
+    // q123: the q118 merge replay grouped to tokenizer economics per
+    // source — integer word/piece/char sums, ratios rounded at 4
+    "q123_bpe_fertility" -> (learnedBpeMerges match {
+      case None =>
+        // keyset-stable placeholder (the q118 convention); Verify always
+        // overwrites it with the real replay
+        "SELECT '' AS source, CAST(0 AS BIGINT) AS n_docs, " +
+          "CAST(0 AS BIGINT) AS n_words, CAST(0 AS BIGINT) AS n_pieces, " +
+          "0.0 AS fertility, 0.0 AS chars_per_piece WHERE false"
+      case Some(merges) =>
+        require(merges.forall { case (a, b) => !(a + b).contains("|") },
+          "oracle wrap char '|' appears in a learned symbol — switch the replay to chr(1)")
+        val folded = merges.foldLeft("regexp_replace(w, '(.)', '|\\1|', 'g')") {
+          case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+        }
+        s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_words) AS BIGINT) AS n_words,
+           |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           |       round(sum(n_pieces) / CAST(NULLIF(sum(n_words), 0) AS DOUBLE), 4)
+           |         AS fertility,
+           |       round(sum(n_chars) / CAST(NULLIF(sum(n_pieces), 0) AS DOUBLE), 4)
+           |         AS chars_per_piece
+           |FROM (
+           |  SELECT source, len(words) AS n_words,
+           |         len(flatten(pieces)) AS n_pieces,
+           |         coalesce(list_sum(list_transform(flatten(pieces),
+           |                                          p -> len(p))), 0) AS n_chars
+           |  FROM (
+           |    SELECT source, words,
+           |           list_transform(words,
+           |             w -> string_split(trim($folded, '|'), '||')) AS pieces
+           |    FROM (
+           |      SELECT source,
+           |             list_filter(string_split(lower(text), ' '),
+           |                         w -> len(w) > 0) AS words
+           |      FROM documents)))
+           |GROUP BY 1""".stripMargin
+    }),
+
+    // q124: q104's quality, q17's language argmax, q10's normalized-fp
+    // dup definition, rolled to one row per source; ratios all derive
+    // from integer counts; majority-language argmax replays the q102
+    // join-back with (count desc, lang asc) resolution
+    "q124_source_datacard" ->
+      ("WITH " + datacardOracleBody("documents")),
+
+    // q130: the ingestion chain replayed stage by stage — incoming from
+    // the raw table (q110's hash gate already proves the WARC round trip
+    // is lossless, so the oracle reads `documents` directly), q53's
+    // curation fragment over the incoming relation, the merge's ROW
+    // semantics (incoming replaces same-id, rest carries — the change
+    // TAGS are q126/q128's gates and don't alter the card), and the
+    // EXACT q124 datacard body (shared helper) over the merged corpus
+    "q130_ingest_chain" -> ingestChainOracleSql,
+
+    // q137: the IDENTICAL oracle — the steady-state artifact path must
+    // reproduce the bootstrap chain's cards bit-for-bit
+    "q137_ingest_chain_incremental" -> ingestChainOracleSql,
+
+    // q134: the merge's ROW semantics (q128's split and drift) and the
+    // EXACT q124 card body (shared helper) over the merged corpus — the
+    // artifact path must equal a from-scratch recompute, so the oracle
+    // IS the recompute
+    "q134_datacard_incremental" ->
+      ("""WITH docs0 AS (SELECT doc_id, source, text FROM documents),
+         |incoming AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+         |              ELSE text END AS text
+         |  FROM docs0 WHERE doc_id % 2 = 0),
+         |merged AS (
+         |  SELECT doc_id, source, text FROM incoming
+         |  UNION ALL
+         |  SELECT doc_id, source, text FROM docs0
+         |  WHERE doc_id % 5 <> 4
+         |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
+         |""".stripMargin + datacardOracleBody("merged")),
+
+    // q121: q111's score chain (same weight literals) vs the q104/q18
+    // quality label at the labelHeuristic threshold, confusion-counted
+    // per q92's split coin; every metric derives from the integer cells
+    "q121_classifier_eval" -> {
+      val w = graft.operators.QualityModel.DefaultWeights
+      val thr = graft.operators.QualityModel.HeuristicLabelThreshold
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""f AS (
+           |  SELECT doc_id,
+           |         least(len(toks) / 100.0, 1.0) AS x1,
+           |         CASE WHEN length(text) > 0
+           |              THEN len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                   / length(text)
+           |              ELSE 0.0e0 END AS x2,
+           |         least($stop / len(toks) * 5.0, 1.0) AS x3,
+           |         round(0.4 * least(len(toks) / 100.0, 1.0)
+           |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                            / NULLIF(length(text), 0))
+           |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+           |  FROM toks),
+           |s AS (
+           |  SELECT doc_id,
+           |         ${w(0)}e0 * 1.0e0 + ${w(1)}e0 * x1
+           |           + ${w(2)}e0 * x2 + ${w(3)}e0 * x3 AS z,
+           |         CASE WHEN quality >= ${thr}e0 THEN 1 ELSE 0 END AS y
+           |  FROM f),
+           |j AS (
+           |  SELECT CASE WHEN b < 10 THEN 'test'
+           |              WHEN b < 20 THEN 'val'
+           |              ELSE 'train' END AS split,
+           |         CASE WHEN round(1.0e0 / (1.0e0 + exp(-z)), 4) >= 0.5e0
+           |              THEN 1 ELSE 0 END AS accept,
+           |         y
+           |  FROM (SELECT doc_id, z, y,
+           |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+           |            AS b
+           |        FROM s)),
+           |c AS (
+           |  SELECT split, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN accept = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |         CAST(sum(CASE WHEN accept = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |         CAST(sum(CASE WHEN accept = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           |         CAST(sum(CASE WHEN accept = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM j GROUP BY 1)
+           |SELECT split, n, tp, fp, tn, fn,
+           |       round((tp + tn) / CAST(n AS DOUBLE), 4) AS accuracy,
+           |       round(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 4) AS precision,
+           |       round(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 4) AS recall,
+           |       round(2 * tp / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE), 4)
+           |         AS f1
+           |FROM c""".stripMargin
+    },
+  )
+}
