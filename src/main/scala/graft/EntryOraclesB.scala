@@ -215,16 +215,55 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
 
     // the stub decode is md5-based by design, so the declarative replay
     // checks the mapPartitions batch stage value-for-value
-    "q97_feature_extract_batch" -> {
-      val fCols = (0 until operators.Multimodal.FeatureDim).map { i =>
-        s"round(('0x' || substr(md5(text), ${4 * i + 1}, 4))::INT / 65535.0, 6) AS f$i"
-      }
-      s"""SELECT doc_id AS media_id,
-         |       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
-         |         AS kind,
-         |       ${fCols.mkString(",\n       ")}
-         |FROM documents""".stripMargin
-    },
+    // q97: the REAL-decode rewrite (r15) — eight exact integer pixel
+    // features replayed from the closed-form pixel relation; any decoder
+    // bug (inflate, any of the five filter arms, luminance weights)
+    // breaks the hash
+    "q97_feature_extract_batch" ->
+      s"""WITH $imagePixelCtes,
+         |hs AS (
+         |  SELECT a.media_id,
+         |         CAST(sum(CASE WHEN b.v > a.v THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS f7
+         |  FROM px a JOIN px b
+         |    ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+         |  GROUP BY 1),
+         |base AS (
+         |  SELECT media_id,
+         |         CAST(count(*) AS BIGINT) AS f0,
+         |         CAST(sum(v) AS BIGINT) AS f1,
+         |         CAST(min(v) AS BIGINT) AS f2,
+         |         CAST(max(v) AS BIGINT) AS f3,
+         |         CAST(sum(CASE WHEN x < w // 2 THEN v ELSE 0 END)
+         |              AS BIGINT) AS f4,
+         |         CAST(sum(CASE WHEN y < h // 2 THEN v ELSE 0 END)
+         |              AS BIGINT) AS f5,
+         |         CAST(sum(CASE WHEN v > 128 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS f6
+         |  FROM px GROUP BY 1)
+         |SELECT base.media_id, f0, f1, f2, f3, f4, f5, f6,
+         |       coalesce(hs.f7, 0) AS f7
+         |FROM base LEFT JOIN hs USING (media_id)""".stripMargin,
+
+    // q144: decoded dimensions + dHash, bits replayed from closed-form
+    // cell means
+    "q144_image_dhash" ->
+      s"""WITH $imagePixelCtes,
+         |$imageDhashCtes
+         |SELECT d.media_id, CAST(d.w AS INTEGER) AS width,
+         |       CAST(d.h AS INTEGER) AS height, dh.dhash
+         |FROM dims d JOIN dh ON dh.media_id = d.media_id""".stripMargin,
+
+    // q145: all-pairs hamming truth over the replayed hashes — the
+    // engine's pigeonhole must reproduce it exactly (completeness is
+    // the Manku block guarantee, precision is the verify filter)
+    "q145_image_neardup" ->
+      s"""WITH $imagePixelCtes,
+         |$imageDhashCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         |FROM dh a JOIN dh b ON b.media_id > a.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
 
     // kmeans cells replayed as in q32/q33; quality + pred_lang replayed
     // as in q53/q54 (CTE renamed to avoid colliding with kmeansCtes)

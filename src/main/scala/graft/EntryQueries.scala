@@ -601,11 +601,28 @@ private[graft] trait EntryQueries { self: EntryShared =>
       TextAnalysis.blocklistFilter(Tables.documents(s, dir))),
 
     // mapInPandas-shaped batch feature extraction over binary payloads:
-    // mapPartitions in bounded batches, stub decode, oracle-gated so the
-    // escape-hatch plumbing provably drops/duplicates/reorders nothing
+    // mapPartitions in bounded batches over the synthetic pixel-PNG
+    // corpus, REAL decode (the r14 md5 stub is retired — VERDICT r14
+    // #3), eight exact integer pixel features; the oracle replays them
+    // from the closed-form pixel function, so a decoder bug anywhere in
+    // inflate/filter reconstruction breaks the hash
     "q97_feature_extract_batch" -> ((s, dir) =>
       Multimodal.featureExtractBatches(
-        Multimodal.mediaFromDocuments(Tables.documents(s, dir)))),
+        Multimodal.imageMedia(Tables.documents(s, dir).select("doc_id")))),
+
+    // q144: pixel-level perceptual hash — PNG decode (IDAT inflate + all
+    // five scanline filters) + 64-bit dHash, with DECODED dimensions
+    // gated alongside; oracle replays hash bits from closed-form pixels
+    "q144_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDhashes(
+        Multimodal.imageMedia(Tables.documents(s, dir).select("doc_id")))),
+
+    // q145: perceptual image near-dup pairs — dHash through the Manku
+    // pigeonhole (equi-join candidates, exact hamming verify, never
+    // all-pairs); oracle is the all-pairs truth over replayed hashes
+    "q145_image_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDups(
+        Multimodal.imageMedia(Tables.documents(s, dir).select("doc_id")))),
 
     // BPE tokenizer TRAINING, fully oracle-gated (VERDICT r12 #1 retires
     // the last exemption): the engine's batched rounds are provably

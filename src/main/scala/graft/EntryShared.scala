@@ -964,6 +964,52 @@ private[graft] trait EntryShared {
     * (DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
     * global-by-default behavior).
     */
+  /** The synthetic pixel-PNG corpus's closed-form pixel relation
+    * (mirrors [[graft.functions.ImageKernels]] synthWidth/Height/Pix):
+    * one row per (media, x, y) with the luminance value — what lets
+    * DuckDB gate pixel-level operators (q97/q144/q145) without being
+    * able to inflate PNG bytes itself. Bounded: ≤ 18×14 px per image.
+    */
+  protected val imagePixelCtes: String =
+    """im AS (
+      |  SELECT doc_id AS media_id, doc_id // 2 AS g,
+      |         (doc_id % 2) * 20 AS off
+      |  FROM documents),
+      |dims AS (
+      |  SELECT media_id, g, off, 12 + g % 7 AS w, 10 + g % 5 AS h
+      |  FROM im),
+      |px AS (
+      |  SELECT d.media_id, d.w, d.h, x.x, y.y,
+      |         ((11 * x.x + 17 * y.y + 23 * d.g) % 200 + d.off) AS v
+      |  FROM dims d
+      |  JOIN (SELECT unnest(range(0, 18)) AS x) x ON x.x < d.w
+      |  JOIN (SELECT unnest(range(0, 14)) AS y) y ON y.y < d.h)""".stripMargin
+
+  /** 8×9-cell integer means + dHash bits over [[imagePixelCtes]]'s px —
+    * shared by the q144 hash gate and the q145 pair truth. The bit-63
+    * weight is the SIGNED long minimum (the simhash64Ctes HUGEINT-sum
+    * trick), so the CAST back to BIGINT restores Spark's two's-
+    * complement long.
+    */
+  protected val imageDhashCtes: String =
+    s"""cellv AS (
+       |  SELECT media_id, (y * 8) // h AS r, (x * 9) // w AS c,
+       |         sum(v) // count(*) AS cv
+       |  FROM px GROUP BY 1, 2, 3),
+       |dh AS (
+       |  SELECT a.media_id,
+       |         CAST(sum(CASE WHEN b.cv > a.cv THEN
+       |                    CASE WHEN a.r = 7 AND a.c = 7
+       |                         THEN -9223372036854775807 - 1
+       |                         ELSE (CAST(1 AS BIGINT)
+       |                               << CAST(a.r * 8 + a.c AS INTEGER))
+       |                    END
+       |                  ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM cellv a JOIN cellv b
+       |    ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1
+       |  WHERE a.c < 8
+       |  GROUP BY 1)""".stripMargin
+
   protected val fpSql =
     "md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))"
 

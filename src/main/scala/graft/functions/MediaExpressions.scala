@@ -159,10 +159,87 @@ object ParseMedia {
     StructField("bit_depth", IntegerType, nullable = true)))
 }
 
+/** `image_dhash(payload)` — decode a PNG payload to pixels
+  * ([[ImageKernels.decodePng]]) and emit struct(width, height, dhash):
+  * the 64-bit perceptual difference hash plus the DECODED dimensions
+  * (pinning the pixel path, not just header parsing). Null for
+  * undecodable/unsupported payloads; null `dhash` for images too small
+  * for the 9×8 grid. One bounded per-blob decode, CodegenFallback for
+  * the same reason as [[ParseMedia]] (inflate dwarfs dispatch).
+  */
+case class ImageDhash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "image_dhash"
+
+  override def dataType: DataType = ImageDhash.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_dhash needs a BINARY argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val img = ImageKernels.decodePng(v.asInstanceOf[Array[Byte]])
+    if (img == null) null
+    else InternalRow(img.width, img.height, ImageKernels.dhash64(img))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDhash =
+    copy(child = newChild)
+}
+
+object ImageDhash {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = true)))
+}
+
+/** `synthetic_png(id)` — the closed-form synthetic image corpus
+  * ([[ImageKernels.synthPng]]) as a distributed projection: real
+  * spec-conformant PNGs (all four supported color types, all five
+  * scanline filters) whose pixel content is a pure function of the id,
+  * which is what lets the DuckDB oracle replay pixel-level operators
+  * without a PNG decoder of its own.
+  */
+case class SyntheticPng(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "synthetic_png"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synthetic_png needs a BIGINT argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    ImageKernels.synthPng(v.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): SyntheticPng =
+    copy(child = newChild)
+}
+
 object MediaFunctions {
   /** Header metadata struct (format/width/height/sample_rate/bit_depth)
     * parsed from a binary payload column.
     */
   def parse_media(c: Column): Column =
     Bridge.column(ParseMedia(Bridge.expression(c)))
+
+  /** struct(width, height, dhash) from a PNG payload (see [[ImageDhash]]). */
+  def image_dhash(c: Column): Column =
+    Bridge.column(ImageDhash(Bridge.expression(c)))
+
+  /** Deterministic synthetic PNG payload for a row id (see [[SyntheticPng]]). */
+  def synthetic_png(c: Column): Column =
+    Bridge.column(SyntheticPng(Bridge.expression(c)))
 }

@@ -96,53 +96,123 @@ object Multimodal {
 
   val FeatureDim = 8
 
+  /** Synthetic pixel-PNG corpus: one REAL spec-conformant PNG per row id
+    * ([[graft.functions.ImageKernels.synthPng]] — four color types, all
+    * five scanline filters, pixel content a closed form of the id), so
+    * pixel-level operators gate against an oracle that replays the
+    * closed form. Images 2k and 2k+1 differ only by a uniform +20
+    * brightness shift — the planted perceptual near-dup pairs.
+    */
+  def imageMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      graft.functions.MediaFunctions.synthetic_png(col("doc_id"))
+        .as("payload"))
+
+  /** Per-image perceptual hash: PNG pixel decode + 64-bit dHash in one
+    * fused expression, with the DECODED dimensions emitted alongside so
+    * the gate pins the pixel path (IDAT inflate + filter reconstruction),
+    * not just header parsing. Undecodable payloads yield null columns,
+    * never an error — one narrow scan-fused projection at any scale.
+    */
+  def imageDhashes(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.MediaFunctions.image_dhash(col("payload")).as("d"))
+      .select(col("media_id"), col("d.width").as("width"),
+        col("d.height").as("height"), col("d.dhash").as("dhash"))
+
+  /** Perceptual image near-dup pairs: dHash → the Manku pigeonhole
+    * (maxHamming+1 blocks; ≤ maxHamming differing bits leave at least
+    * one block EXACTLY equal) → equi-join candidates → exact hamming
+    * verify. The [[Dedup.simhashBucketedNearDups]] layout applied to
+    * image content: every stage an equi-shuffle, no all-pairs anywhere,
+    * bucket fan-out ~n/2^16 per block at the default 16-bit blocks.
+    */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    require(64 % blocks == 0, s"64 bits not divisible into $blocks blocks")
+    val blockBits = 64 / blocks
+    val mask = (1L << blockBits) - 1
+    val h = imageDhashes(media).filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"))
+    val keyed = h.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until blocks).map(b =>
+        shiftright(col("dhash"), b * blockBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "block_idx")
+      .withColumnRenamed("col", "block_val")
+    val a = keyed.select(col("block_idx"), col("block_val"),
+      col("media_id").as("id_a"), col("dhash").as("h_a"))
+    val b = keyed.select(col("block_idx"), col("block_val"),
+      col("media_id").as("id_b"), col("dhash").as("h_b"))
+    a.join(b, Seq("block_idx", "block_val"))
+      .filter(col("id_b") > col("id_a"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several blocks
+  }
+
   /** Batched feature extraction over binary payloads — the
     * `mapInPandas`-shaped escape-hatch stage (Scala analog:
     * `mapPartitions` over grouped row batches) a production pipeline uses
-    * for model-based embedding of images/audio. The plumbing is REAL and
-    * gated: per-partition iteration in bounded `batchSize` groups (one
-    * batch in memory at a time — the exact memory contract of an arrow
-    * batch UDF), typed input/output rows, features as scalar columns.
-    * The decode-to-pixels step is the documented STUB: a real deployment
-    * replaces `stubDecodeFeature` with the codec + model call; the
-    * deterministic stand-in hashes the payload so the whole stage stays
-    * oracle-replayable — which is what proves the batch plumbing neither
-    * drops, duplicates, nor reorders values.
+    * for model-based embedding of images. The plumbing is gated as
+    * before (bounded `batchSize` groups, one batch in memory at a time —
+    * the memory contract of an arrow batch UDF; a batch boundary must
+    * never drop/duplicate/reorder), and since round 15 the decode step
+    * is REAL: [[graft.functions.ImageKernels.decodePng]] pixels feed
+    * eight exact integer features (pixel count, luminance sum/min/max,
+    * left-half and top-half sums, bright-pixel count, horizontal-
+    * gradient count) — the r14 md5 stub is retired; undecodable payloads
+    * yield null features in-band.
     */
   def featureExtractBatches(media: DataFrame,
                             batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val ds = media
-      .select(col("media_id"), col("kind"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
     val feats = ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // production: decode `batch` payloads + run the model ONCE per
-        // batch; here the per-item stub keeps values deterministic.
-        // NULL payloads yield NULL features (matching md5(NULL) in the
-        // oracle), never a task-killing NPE
-        batch.iterator.map { case (id, kind, payload) =>
-          (id, kind,
-            if (payload == null) null else stubDecodeFeature(payload))
+        // production: decode the batch + run the model ONCE per batch;
+        // the decode below is the real pixel path
+        batch.iterator.map { case (id, payload) =>
+          val img =
+            if (payload == null) null
+            else graft.functions.ImageKernels.decodePng(payload)
+          (id, if (img == null) null else pixelFeatures(img))
         }
       }
-    }.toDF("media_id", "kind", "feat")
+    }.toDF("media_id", "feat")
     feats.select(
-      Seq(col("media_id"), col("kind")) ++
+      col("media_id") +:
         (0 until FeatureDim).map(i => col("feat")(i).as(s"f$i")): _*)
   }
 
-  /** STUB decode (the production plug-in point): 16 md5 bytes of the
-    * payload as [[FeatureDim]] doubles in [0, 1], rounded for
-    * cross-engine comparison.
+  /** Eight exact integer pixel features (no floats → no rounding
+    * scaffolding in the oracle): [w·h, Σlum, min, max, Σlum where
+    * x < w/2, Σlum where y < h/2, #(lum > 128), #(lum(x+1,y) > lum(x,y))].
     */
-  private def stubDecodeFeature(payload: Array[Byte]): Array[Double] = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
-    Array.tabulate(FeatureDim) { i =>
-      val v = ((md(2 * i) & 0xff) << 8 | (md(2 * i + 1) & 0xff)).toDouble / 65535.0
-      java.math.BigDecimal.valueOf(v)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def pixelFeatures(img: graft.functions.ImageKernels.GrayImage)
+      : Array[Long] = {
+    val w = img.width; val h = img.height; val lum = img.lum
+    var sum = 0L; var mn = 255L; var mx = 0L
+    var left = 0L; var top = 0L; var bright = 0L; var grad = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = lum(y * w + x).toLong
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        if (x < w / 2) left += v
+        if (y < h / 2) top += v
+        if (v > 128) bright += 1
+        if (x + 1 < w && lum(y * w + x + 1) > v) grad += 1
+        x += 1
+      }
+      y += 1
     }
+    Array(w.toLong * h, sum, mn, mx, left, top, bright, grad)
   }
 }

@@ -91,11 +91,11 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f === "jpeg")
   }
 
-  test("batched feature extraction is invariant to batch size and bounded") {
+  test("batched feature extraction is invariant to batch size and the " +
+    "decode step is REAL pixels") {
     import spark.implicits._
-    val docs = (1L to 10L).map(i => (i, s"payload number $i"))
-      .toDF("doc_id", "text")
-    val media = Multimodal.mediaFromDocuments(docs)
+    val docs = (1L to 10L).map(i => Tuple1(i)).toDF("doc_id")
+    val media = Multimodal.imageMedia(docs)
     def run(bs: Int) = Multimodal.featureExtractBatches(media, batchSize = bs)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     // a batch boundary mid-partition must not drop, duplicate, or
@@ -103,19 +103,77 @@ class MultimodalSpec extends SparkSpecBase {
     val small = run(3)
     assert(small === run(1000))
     assert(small.size === 10)
-    val feats = Multimodal.featureExtractBatches(media)
-      .select((0 until Multimodal.FeatureDim)
-        .map(i => org.apache.spark.sql.functions.col(s"f$i")): _*)
-      .collect().flatMap(_.toSeq.map(_.asInstanceOf[Double]))
-    assert(feats.forall(v => v >= 0.0 && v <= 1.0))
-    // a NULL payload yields NULL features (matching md5(NULL) in SQL),
-    // never a task-killing NPE
-    val withNull = Seq((1L, "x"), (2L, null.asInstanceOf[String]))
-      .toDF("doc_id", "text")
-    val nf = Multimodal.featureExtractBatches(
-        Multimodal.mediaFromDocuments(withNull))
+    // features are the exact closed-form pixel statistics (the decode
+    // is real — the r14 md5 stub is gone): check one image end to end
+    val id = 4L
+    val w = graft.functions.ImageKernels.synthWidth(id)
+    val h = graft.functions.ImageKernels.synthHeight(id)
+    val pix = graft.functions.ImageKernels.synthPix(id) _
+    val lums = for (y <- 0 until h; x <- 0 until w) yield (x, y, pix(x, y))
+    val expected = Seq(
+      w.toLong * h, lums.map(_._3.toLong).sum,
+      lums.map(_._3).min.toLong, lums.map(_._3).max.toLong,
+      lums.filter(_._1 < w / 2).map(_._3.toLong).sum,
+      lums.filter(_._2 < h / 2).map(_._3.toLong).sum,
+      lums.count(_._3 > 128).toLong,
+      lums.count { case (x, y, v) => x + 1 < w && pix(x + 1, y) > v }.toLong)
+    assert(small(id).drop(1) === expected)
+    // a NULL/undecodable payload yields NULL features in-band, never a
+    // task-killing NPE
+    val bad = Seq((1L, graft.functions.ImageKernels.synthPng(1L)),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val nf = Multimodal.featureExtractBatches(bad)
       .select("media_id", "f0").collect()
       .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
-    assert(nf === Map(1L -> false, 2L -> true))
+    assert(nf === Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("PNG codec round-trips closed-form pixels through every color " +
+    "type and all five scanline filters") {
+    import graft.functions.ImageKernels
+    for (colorType <- Seq(0, 2, 4, 6)) {
+      val w = 13; val h = 11 // h > 5 → filters None/Sub/Up/Avg/Paeth all hit
+      def pix(x: Int, y: Int) = (x * 31 + y * 57 + colorType * 7) % 256
+      val png = ImageKernels.encodePng(w, h, colorType, pix)
+      val img = ImageKernels.decodePng(png)
+      assert(img != null, s"colorType $colorType failed to decode")
+      assert(img.width === w && img.height === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.lum(y * w + x) === pix(x, y),
+          s"pixel ($x,$y) colorType $colorType")
+    }
+  }
+
+  test("dHash: invariant to uniform brightness, sensitive to content; " +
+    "small/undecodable images degrade in-band") {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    // the planted pairs: 2k vs 2k+1 differ by +20 brightness → equal hash
+    val media = Multimodal.imageMedia((0L to 9L).map(Tuple1(_)).toDF("doc_id"))
+    val hs = Multimodal.imageDhashes(media)
+      .select("media_id", "dhash").as[(Long, Long)].collect().toMap
+    (0L to 8L by 2).foreach(k =>
+      assert(hs(k) === hs(k + 1), s"pair ($k,${k + 1}) should collide"))
+    // distinct groups produce distinct hashes somewhere in the fixture
+    assert(hs.values.toSet.size > 1)
+    // near-dup operator finds every planted pair at hamming 0
+    val pairs = Multimodal.imageNearDups(media)
+      .filter(org.apache.spark.sql.functions.col("hamming") === 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L to 8L by 2).foreach(k => assert(pairs.contains((k, k + 1))))
+    // 8×8 decodes (dimensions real) but is too small for the 9×8 grid →
+    // null hash; garbage bytes → all-null row
+    val edge = Seq(
+      (1L, ImageKernels.encodePng(8, 8, 0, (x, y) => x + y)),
+      (2L, "notapng".getBytes))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.imageDhashes(edge).collect()
+      .map(r => r.getLong(0) ->
+        ((r.isNullAt(1), if (r.isNullAt(1)) 0 else r.getInt(1),
+          r.isNullAt(3)))).toMap
+    assert(rows(1L) === ((false, 8, true)))
+    assert(rows(2L)._1 === true)
   }
 }
