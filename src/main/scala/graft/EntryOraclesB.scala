@@ -265,6 +265,46 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |FROM dh a JOIN dh b ON b.media_id > a.media_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
 
+    // q146: audio sample statistics + fingerprint replayed from the
+    // closed-form sample relation (the q144 discipline on audio)
+    "q146_audio_analysis" ->
+      s"""WITH $audioSampleCtes,
+         |fq AS (
+         |  SELECT media_id,
+         |         CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |         CAST(max(abs(s)) AS BIGINT) AS max_abs,
+         |         CAST(sum(CASE WHEN t < n // 2 THEN abs(s) ELSE 0 END)
+         |              AS BIGINT) AS first_half_abs,
+         |         CAST(sum(CASE WHEN abs(s) > 500 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS loud,
+         |         CAST(sum(s) AS BIGINT) AS sum_signed
+         |  FROM smp GROUP BY 1),
+         |zc AS (
+         |  SELECT a.media_id,
+         |         CAST(sum(CASE WHEN (a.s >= 0) <> (p.s >= 0)
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+         |  FROM smp a JOIN smp p
+         |    ON p.media_id = a.media_id AND p.t = a.t - 1
+         |  GROUP BY 1)
+         |SELECT d.media_id, CAST(d.rate AS INTEGER) AS sample_rate,
+         |       CAST(d.n AS INTEGER) AS n_samples, afp.fingerprint,
+         |       fq.sum_abs, fq.max_abs, zc.zero_cross, fq.first_half_abs,
+         |       fq.loud, fq.sum_signed
+         |FROM adims d
+         |JOIN afp ON afp.media_id = d.media_id
+         |JOIN fq ON fq.media_id = d.media_id
+         |JOIN zc ON zc.media_id = d.media_id""".stripMargin,
+
+    // q147: all-pairs fingerprint hamming truth (amplitude-scaled pairs
+    // land at hamming 0 by the fingerprint's scale invariance)
+    "q147_audio_neardup" ->
+      s"""WITH $audioSampleCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |       CAST(bit_count(xor(a.fingerprint, b.fingerprint))
+         |            AS INTEGER) AS hamming
+         |FROM afp a JOIN afp b ON b.media_id > a.media_id
+         |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3""".stripMargin,
+
     // kmeans cells replayed as in q32/q33; quality + pred_lang replayed
     // as in q53/q54 (CTE renamed to avoid colliding with kmeansCtes)
     "q96_cluster_quality" ->

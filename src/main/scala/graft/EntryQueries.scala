@@ -624,6 +624,21 @@ private[graft] trait EntryQueries { self: EntryShared =>
       Multimodal.imageNearDups(
         Multimodal.imageMedia(Tables.documents(s, dir).select("doc_id")))),
 
+    // q146: sample-level audio analysis — real 16-bit PCM WAV decode +
+    // six exact integer sample statistics + the block-energy
+    // fingerprint, one fused pass; oracle replays samples from the
+    // closed form (the q144 discipline applied to audio)
+    "q146_audio_analysis" -> ((s, dir) =>
+      Multimodal.audioAnalysis(
+        Multimodal.audioMedia(Tables.documents(s, dir).select("doc_id")))),
+
+    // q147: perceptual audio near-dup pairs — amplitude-scaled
+    // re-encodes collide at hamming 0 (the fingerprint is scale-
+    // invariant by construction); same pigeonhole plan as q145
+    "q147_audio_neardup" -> ((s, dir) =>
+      Multimodal.audioNearDups(
+        Multimodal.audioMedia(Tables.documents(s, dir).select("doc_id")))),
+
     // BPE tokenizer TRAINING, fully oracle-gated (VERDICT r12 #1 retires
     // the last exemption): the engine's batched rounds are provably
     // bit-identical to sequential greedy training (the acceptBatch

@@ -1010,6 +1010,43 @@ private[graft] trait EntryShared {
        |  WHERE a.c < 8
        |  GROUP BY 1)""".stripMargin
 
+  /** The synthetic PCM corpus's closed-form sample relation + block-
+    * energy fingerprint (mirrors [[graft.functions.AudioKernels]]) — the
+    * audio analog of [[imagePixelCtes]]/[[imageDhashCtes]]. Bounded:
+    * ≤ 950 samples per clip.
+    */
+  protected val audioSampleCtes: String =
+    s"""am AS (
+       |  SELECT doc_id AS media_id, doc_id // 2 AS g, 1 + doc_id % 2 AS amp
+       |  FROM documents),
+       |adims AS (
+       |  SELECT media_id, g, amp, 650 + (g % 7) * 50 AS n,
+       |         CASE g % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |              WHEN 2 THEN 22050 WHEN 3 THEN 44100
+       |              ELSE 48000 END AS rate
+       |  FROM am),
+       |smp AS (
+       |  SELECT d.media_id, d.n, d.rate, t.t,
+       |         ((t.t * (7 + d.g % 5) + 13 * d.g) % 2003 - 1001) * d.amp AS s
+       |  FROM adims d
+       |  JOIN (SELECT unnest(range(0, 950)) AS t) t ON t.t < d.n),
+       |aeng AS (
+       |  SELECT media_id, (t * 65) // n AS b, sum(abs(s)) AS e
+       |  FROM smp GROUP BY 1, 2),
+       |afp AS (
+       |  SELECT a.media_id,
+       |         CAST(sum(CASE WHEN b2.e > a.e THEN
+       |                    CASE WHEN a.b = 63
+       |                         THEN -9223372036854775807 - 1
+       |                         ELSE (CAST(1 AS BIGINT)
+       |                               << CAST(a.b AS INTEGER))
+       |                    END
+       |                  ELSE 0 END) AS BIGINT) AS fingerprint
+       |  FROM aeng a JOIN aeng b2
+       |    ON b2.media_id = a.media_id AND b2.b = a.b + 1
+       |  WHERE a.b < 64
+       |  GROUP BY 1)""".stripMargin
+
   protected val fpSql =
     "md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))"
 

@@ -228,12 +228,107 @@ case class SyntheticPng(child: Expression)
     copy(child = newChild)
 }
 
+/** `audio_stats(payload)` — decode a 16-bit PCM WAV
+  * ([[AudioKernels.decodeWav]]) and emit, in ONE per-blob pass, the
+  * sample rate, sample count, the 64-bit block-energy fingerprint, and
+  * six exact integer sample statistics (Σ|s|, max|s|, zero crossings,
+  * first-half Σ|s|, loud-sample count, signed Σs). Null row for
+  * undecodable payloads; null fingerprint for clips under 65 samples.
+  */
+case class AudioStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "audio_stats"
+  override def dataType: DataType = AudioStats.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"audio_stats needs a BINARY argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val clip = AudioKernels.decodeWav(v.asInstanceOf[Array[Byte]])
+    if (clip == null) return null
+    val s = clip.samples
+    var sumAbs = 0L; var maxAbs = 0L; var zc = 0L
+    var firstHalf = 0L; var loud = 0L; var sumSigned = 0L
+    var t = 0
+    while (t < s.length) {
+      val a = math.abs(s(t)).toLong
+      sumAbs += a
+      if (a > maxAbs) maxAbs = a
+      if (t > 0 && ((s(t) >= 0) != (s(t - 1) >= 0))) zc += 1
+      if (t < s.length / 2) firstHalf += a
+      if (a > 500) loud += 1
+      sumSigned += s(t)
+      t += 1
+    }
+    InternalRow(clip.sampleRate, s.length,
+      AudioKernels.audioFingerprint(clip),
+      sumAbs, maxAbs, zc, firstHalf, loud, sumSigned)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioStats =
+    copy(child = newChild)
+}
+
+object AudioStats {
+  val schema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("fingerprint", LongType, nullable = true),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("max_abs", LongType, nullable = false),
+    StructField("zero_cross", LongType, nullable = false),
+    StructField("first_half_abs", LongType, nullable = false),
+    StructField("loud", LongType, nullable = false),
+    StructField("sum_signed", LongType, nullable = false)))
+}
+
+/** `synthetic_wav(id)` — the closed-form synthetic audio corpus
+  * ([[AudioKernels.synthWav]]): real canonical-header PCM files whose
+  * samples are a pure function of the id, the audio analog of
+  * [[SyntheticPng]].
+  */
+case class SyntheticWav(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "synthetic_wav"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synthetic_wav needs a BIGINT argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    AudioKernels.synthWav(v.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): SyntheticWav =
+    copy(child = newChild)
+}
+
 object MediaFunctions {
   /** Header metadata struct (format/width/height/sample_rate/bit_depth)
     * parsed from a binary payload column.
     */
   def parse_media(c: Column): Column =
     Bridge.column(ParseMedia(Bridge.expression(c)))
+
+  /** Audio decode + stats + fingerprint struct (see [[AudioStats]]). */
+  def audio_stats(c: Column): Column =
+    Bridge.column(AudioStats(Bridge.expression(c)))
+
+  /** Deterministic synthetic WAV payload for a row id (see [[SyntheticWav]]). */
+  def synthetic_wav(c: Column): Column =
+    Bridge.column(SyntheticWav(Bridge.expression(c)))
 
   /** struct(width, height, dhash) from a PNG payload (see [[ImageDhash]]). */
   def image_dhash(c: Column): Column =

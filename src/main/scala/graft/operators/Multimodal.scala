@@ -127,22 +127,29 @@ object Multimodal {
     * image content: every stage an equi-shuffle, no all-pairs anywhere,
     * bucket fan-out ~n/2^16 per block at the default 16-bit blocks.
     */
-  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashNearDups(imageDhashes(media).filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash").as("hash")), maxHamming)
+
+  /** The Manku pigeonhole over any (media_id, hash) relation — shared by
+    * the image and audio near-dup operators: maxHamming+1 blocks, ≤
+    * maxHamming differing bits leave at least one block exactly equal,
+    * so candidates are an equi-join and verification is exact hamming.
+    */
+  private def hashNearDups(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     require(64 % blocks == 0, s"64 bits not divisible into $blocks blocks")
     val blockBits = 64 / blocks
     val mask = (1L << blockBits) - 1
-    val h = imageDhashes(media).filter(col("dhash").isNotNull)
-      .select(col("media_id"), col("dhash"))
-    val keyed = h.select(col("media_id"), col("dhash"),
+    val keyed = hashes.select(col("media_id"), col("hash"),
       posexplode(array((0 until blocks).map(b =>
-        shiftright(col("dhash"), b * blockBits).bitwiseAND(lit(mask))): _*)))
+        shiftright(col("hash"), b * blockBits).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "block_idx")
       .withColumnRenamed("col", "block_val")
     val a = keyed.select(col("block_idx"), col("block_val"),
-      col("media_id").as("id_a"), col("dhash").as("h_a"))
+      col("media_id").as("id_a"), col("hash").as("h_a"))
     val b = keyed.select(col("block_idx"), col("block_val"),
-      col("media_id").as("id_b"), col("dhash").as("h_b"))
+      col("media_id").as("id_b"), col("hash").as("h_b"))
     a.join(b, Seq("block_idx", "block_val"))
       .filter(col("id_b") > col("id_a"))
       .select(col("id_a"), col("id_b"),
@@ -150,6 +157,41 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several blocks
   }
+
+  /** Synthetic PCM-WAV corpus — the audio sibling of [[imageMedia]]:
+    * real canonical-header 16-bit mono files, samples a closed form of
+    * the id, clips 2k/2k+1 differing only by an exact ×2 amplitude
+    * scale (the planted fingerprint near-dups).
+    */
+  def audioMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      graft.functions.MediaFunctions.synthetic_wav(col("doc_id"))
+        .as("payload"))
+
+  /** Sample-level audio analysis: PCM decode + six exact integer sample
+    * statistics + the block-energy fingerprint, one fused per-blob pass
+    * ([[graft.functions.AudioStats]]). Undecodable payloads yield null
+    * columns in-band.
+    */
+  def audioAnalysis(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.MediaFunctions.audio_stats(col("payload")).as("a"))
+      .select(col("media_id"), col("a.sample_rate").as("sample_rate"),
+        col("a.n_samples").as("n_samples"),
+        col("a.fingerprint").as("fingerprint"),
+        col("a.sum_abs").as("sum_abs"), col("a.max_abs").as("max_abs"),
+        col("a.zero_cross").as("zero_cross"),
+        col("a.first_half_abs").as("first_half_abs"),
+        col("a.loud").as("loud"), col("a.sum_signed").as("sum_signed"))
+
+  /** Perceptual audio near-dup pairs: the block-energy fingerprint
+    * through the same pigeonhole as [[imageNearDups]] — amplitude-
+    * scaled re-encodes of the same material collide at hamming 0.
+    */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashNearDups(audioAnalysis(media)
+      .filter(col("fingerprint").isNotNull)
+      .select(col("media_id"), col("fingerprint").as("hash")), maxHamming)
 
   /** Batched feature extraction over binary payloads — the
     * `mapInPandas`-shaped escape-hatch stage (Scala analog:

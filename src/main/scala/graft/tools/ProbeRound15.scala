@@ -62,6 +62,13 @@ object ProbeRound15 {
         Multimodal.imageMedia(spark.range(sparseN)
           .select(col("id").as("doc_id")))).count())
     }
+    // audio: fused encode+decode+stats+fingerprint per clip (~650-950
+    // samples each — ~800 M samples at 1 M clips)
+    time(s"audio_stats_${n / 1000}k") {
+      ids.select(MediaFunctions.audio_stats(
+          MediaFunctions.synthetic_wav(col("media_id"))).as("a"))
+        .agg(sum(col("a.sum_abs")), count(col("a.fingerprint"))).head()
+    }
     // dense regime capped: with ~7,000 hash classes, pair count grows
     // quadratically in ids-per-class (C(k,2) per class) — at 100 k ids
     // that is already ~700 k planted-exact pairs; pricing 1 M here would

@@ -176,4 +176,72 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(1L) === ((false, 8, true)))
     assert(rows(2L)._1 === true)
   }
+
+  test("WAV codec round-trips samples; stereo mixes down (l+r)>>1; " +
+    "malformed and short clips degrade in-band") {
+    import graft.functions.AudioKernels
+    val samples = Array.tabulate(200)(t => (t * 37 % 4001) - 2000)
+    val clip = AudioKernels.decodeWav(AudioKernels.encodeWav(22050, samples))
+    assert(clip != null && clip.sampleRate === 22050)
+    assert(clip.samples.toSeq === samples.toSeq)
+    // stereo: hand-build a 2-channel file (encodeWav is mono-only) and
+    // pin the exact (l+r)>>1 mixdown incl. a negative odd sum (floor)
+    val l = Array(100, -101, 32000); val r = Array(50, -100, 32000)
+    val mono = AudioKernels.encodeWav(8000, Array(0, 0, 0))
+    val stereo = mono.clone()
+    def putLe16(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+    }
+    putLe16(stereo, 22, 2)          // channels = 2
+    putLe16(stereo, 32, 4)          // block align = 4
+    putLe16(stereo, 28, 8000 * 4)   // byte rate (low half is enough here)
+    val data = new Array[Byte](44 + 12)
+    System.arraycopy(stereo, 0, data, 0, 44)
+    putLe16(data, 40, 12)           // data size = 3 frames × 4 bytes
+    for (i <- 0 until 3) {
+      putLe16(data, 44 + i * 4, l(i) & 0xffff)
+      putLe16(data, 44 + i * 4 + 2, r(i) & 0xffff)
+    }
+    putLe16(data, 4, 36 + 12)       // RIFF size (low half)
+    val st = AudioKernels.decodeWav(data)
+    assert(st != null)
+    assert(st.samples.toSeq === l.zip(r).map(p => (p._1 + p._2) >> 1).toSeq)
+    // malformed bytes and a sub-65-sample clip degrade in-band
+    assert(AudioKernels.decodeWav("noise".getBytes) == null)
+    val short = AudioKernels.decodeWav(
+      AudioKernels.encodeWav(8000, Array.fill(64)(1)))
+    assert(short != null &&
+      AudioKernels.audioFingerprint(short) == null)
+  }
+
+  test("audio fingerprint is amplitude-scale invariant; near-dup finds " +
+    "the planted pairs; stats match the closed form") {
+    import spark.implicits._
+    import graft.functions.AudioKernels
+    val media = Multimodal.audioMedia((0L to 9L).map(Tuple1(_)).toDF("doc_id"))
+    val an = Multimodal.audioAnalysis(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // pairs 2k/2k+1: ×2 amplitude → identical fingerprint, 2× sums
+    (0L to 8L by 2).foreach { k =>
+      assert(an(k).getLong(3) === an(k + 1).getLong(3),
+        s"pair ($k,${k + 1}) fingerprints differ")
+      assert(an(k + 1).getLong(4) === 2 * an(k).getLong(4)) // sum_abs
+      assert(an(k + 1).getLong(5) === 2 * an(k).getLong(5)) // max_abs
+    }
+    // one clip's stats against the closed form
+    val id = 3L
+    val n = AudioKernels.synthLen(id)
+    val ss = Array.tabulate(n)(AudioKernels.synthSample(id))
+    assert(an(id).getInt(1) === AudioKernels.synthRate(id))
+    assert(an(id).getInt(2) === n)
+    assert(an(id).getLong(4) === ss.map(s => math.abs(s).toLong).sum)
+    assert(an(id).getLong(6) ===
+      (1 until n).count(t => (ss(t) >= 0) != (ss(t - 1) >= 0)).toLong)
+    assert(an(id).getLong(9) === ss.map(_.toLong).sum)
+    // near-dup operator recovers every planted pair at hamming 0
+    val pairs = Multimodal.audioNearDups(media)
+      .filter(org.apache.spark.sql.functions.col("hamming") === 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L to 8L by 2).foreach(k => assert(pairs.contains((k, k + 1))))
+  }
 }
