@@ -305,6 +305,84 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |FROM afp a JOIN afp b ON b.media_id > a.media_id
          |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3""".stripMargin,
 
+    // q148: box-average the closed-form pixels to the 10×9 thumbnail,
+    // then the q97 feature battery over the thumbnail pixels
+    "q148_image_resize" ->
+      s"""WITH $imagePixelCtes,
+         |rpx AS (
+         |  SELECT media_id, (x * 10) // w AS cx, (y * 9) // h AS cy,
+         |         sum(v) // count(*) AS rv
+         |  FROM px GROUP BY 1, 2, 3),
+         |hs AS (
+         |  SELECT a.media_id,
+         |         CAST(sum(CASE WHEN b.rv > a.rv THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS f7
+         |  FROM rpx a JOIN rpx b
+         |    ON b.media_id = a.media_id AND b.cy = a.cy AND b.cx = a.cx + 1
+         |  GROUP BY 1)
+         |SELECT r.media_id,
+         |       CAST(90 AS BIGINT) AS f0,
+         |       CAST(sum(rv) AS BIGINT) AS f1,
+         |       CAST(min(rv) AS BIGINT) AS f2,
+         |       CAST(max(rv) AS BIGINT) AS f3,
+         |       CAST(sum(CASE WHEN cx < 5 THEN rv ELSE 0 END)
+         |            AS BIGINT) AS f4,
+         |       CAST(sum(CASE WHEN cy < 4 THEN rv ELSE 0 END)
+         |            AS BIGINT) AS f5,
+         |       CAST(sum(CASE WHEN rv > 128 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS f6,
+         |       max(hs.f7) AS f7
+         |FROM rpx r JOIN hs ON hs.media_id = r.media_id
+         |GROUP BY 1""".stripMargin,
+
+    // q149: every sampled frame's pixels replayed from the
+    // (video_id, frame_idx) closed form (frame seed = id·31 + f), then
+    // the q144 cell/bit machinery per frame
+    "q149_video_framesample" ->
+      s"""WITH vfr AS (
+         |  SELECT doc_id AS video_id, 4 + doc_id % 4 AS nf FROM documents),
+         |fr AS (
+         |  SELECT video_id, f.f AS frame_idx, video_id * 31 + f.f AS fid
+         |  FROM vfr JOIN (SELECT unnest(range(0, 8)) AS f) f ON f.f < nf
+         |  WHERE f.f % 2 = 0),
+         |fdm AS (
+         |  SELECT video_id, frame_idx, fid // 2 AS g, (fid % 2) * 20 AS off
+         |  FROM fr),
+         |fdm2 AS (
+         |  SELECT video_id, frame_idx, g, off, 12 + g % 7 AS w,
+         |         10 + g % 5 AS h
+         |  FROM fdm),
+         |fpx AS (
+         |  SELECT d.video_id, d.frame_idx, d.w, d.h, x.x, y.y,
+         |         ((11 * x.x + 17 * y.y + 23 * d.g) % 200 + d.off) AS v
+         |  FROM fdm2 d
+         |  JOIN (SELECT unnest(range(0, 18)) AS x) x ON x.x < d.w
+         |  JOIN (SELECT unnest(range(0, 14)) AS y) y ON y.y < d.h),
+         |fcell AS (
+         |  SELECT video_id, frame_idx, (y * 8) // h AS r, (x * 9) // w AS c,
+         |         sum(v) // count(*) AS cv
+         |  FROM fpx GROUP BY 1, 2, 3, 4),
+         |fdh AS (
+         |  SELECT a.video_id, a.frame_idx,
+         |         CAST(sum(CASE WHEN b.cv > a.cv THEN
+         |                    CASE WHEN a.r = 7 AND a.c = 7
+         |                         THEN -9223372036854775807 - 1
+         |                         ELSE (CAST(1 AS BIGINT)
+         |                               << CAST(a.r * 8 + a.c AS INTEGER))
+         |                    END
+         |                  ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM fcell a JOIN fcell b
+         |    ON b.video_id = a.video_id AND b.frame_idx = a.frame_idx
+         |   AND b.r = a.r AND b.c = a.c + 1
+         |  WHERE a.c < 8
+         |  GROUP BY 1, 2)
+         |SELECT d.video_id, CAST(d.frame_idx AS INTEGER) AS frame_idx,
+         |       CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+         |       fdh.dhash
+         |FROM fdm2 d JOIN fdh
+         |  ON fdh.video_id = d.video_id
+         | AND fdh.frame_idx = d.frame_idx""".stripMargin,
+
     // kmeans cells replayed as in q32/q33; quality + pred_lang replayed
     // as in q53/q54 (CTE renamed to avoid colliding with kmeansCtes)
     "q96_cluster_quality" ->

@@ -639,6 +639,25 @@ private[graft] trait EntryQueries { self: EntryShared =>
       Multimodal.audioNearDups(
         Multimodal.audioMedia(Tables.documents(s, dir).select("doc_id")))),
 
+    // q148: the "resize" verb end to end — every image thumbnailed to
+    // 10×9 by area-average (re-encoded as a real grayscale PNG), then
+    // the q97 feature extractor runs on the THUMBNAILS; the oracle
+    // box-averages the closed-form pixels and recomputes the features,
+    // so both the resize arithmetic and the re-encode→decode round trip
+    // are hash-gated
+    "q148_image_resize" -> ((s, dir) =>
+      Multimodal.featureExtractBatches(Multimodal.resizeMedia(
+        Multimodal.imageMedia(Tables.documents(s, dir).select("doc_id")),
+        tw = 10, th = 9))),
+
+    // q149: the "frame-sample" verb — GVID containers split, every 2nd
+    // frame kept, per-frame decode+dHash; the oracle replays each
+    // sampled frame's pixels from the (video_id, frame_idx) closed form
+    "q149_video_framesample" -> ((s, dir) =>
+      Multimodal.videoFrameSample(
+        Multimodal.videoMedia(Tables.documents(s, dir).select("doc_id")),
+        stride = 2)),
+
     // BPE tokenizer TRAINING, fully oracle-gated (VERDICT r12 #1 retires
     // the last exemption): the engine's batched rounds are provably
     // bit-identical to sequential greedy training (the acceptBatch

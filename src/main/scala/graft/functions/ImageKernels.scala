@@ -270,6 +270,85 @@ object ImageKernels {
     out.toByteArray
   }
 
+  /** Area-average downsample to (tw, th): target pixel (cx, cy) is the
+    * integer mean of the source pixels mapping to it under the same
+    * forward cell rule as [[dhash64]] (cx = x·tw div w). Downsample
+    * ONLY (every target cell provably nonempty); tw/th larger than the
+    * source returns null — the in-band contract, upscaling is a
+    * different operator.
+    */
+  def resizeGray(img: GrayImage, tw: Int, th: Int): GrayImage = {
+    val w = img.width; val h = img.height
+    if (tw < 1 || th < 1 || tw > w || th > h) return null
+    val sum = new Array[Long](tw * th)
+    val cnt = new Array[Long](tw * th)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * th / h).toInt
+      var x = 0
+      while (x < w) {
+        val cell = cy * tw + (x.toLong * tw / w).toInt
+        sum(cell) += img.lum(y * w + x)
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](tw * th)
+    var i = 0
+    while (i < tw * th) { out(i) = (sum(i) / cnt(i)).toInt; i += 1 }
+    new GrayImage(tw, th, out)
+  }
+
+  // --- GVID: the synthetic video container (frame-sample operand) -----
+
+  private val VideoMagic = "GVID".getBytes("US-ASCII")
+
+  /** Pack PNG frames into the toy container: magic + u32 BE count +
+    * per-frame (u32 BE length + bytes). The format exists to carry the
+    * frame-sampling operator; production swaps this parser for a real
+    * demuxer behind the same array-of-binary column shape.
+    */
+  def encodeVideo(frames: Array[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VideoMagic)
+    def u32be(v: Int): Unit = out.write(Array((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    u32be(frames.length)
+    frames.foreach { f => u32be(f.length); out.write(f) }
+    out.toByteArray
+  }
+
+  /** Split a GVID payload into frame payloads; null on malformed. */
+  def decodeVideo(bytes: Array[Byte]): Array[Array[Byte]] = {
+    if (bytes == null || bytes.length < 8) return null
+    var i = 0
+    while (i < 4) { if (bytes(i) != VideoMagic(i)) return null; i += 1 }
+    val n = u32(bytes, 4)
+    if (n < 0 || n > (1 << 20)) return null
+    val frames = new Array[Array[Byte]](n)
+    var pos = 8
+    var f = 0
+    while (f < n) {
+      if (pos + 4 > bytes.length) return null
+      val len = u32(bytes, pos)
+      if (len < 0 || pos + 4 + len > bytes.length) return null
+      frames(f) = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
+      pos += 4 + len
+      f += 1
+    }
+    frames
+  }
+
+  /** Synthetic video: 4 + id mod 4 frames, frame f's image being the
+    * [[synthPng]] closed form at seed id·31 + f (so the oracle replays
+    * every sampled frame's pixels from (video_id, frame_idx) alone).
+    */
+  def synthVideoFrames(id: Long): Int = (4 + id % 4).toInt
+  def synthVideo(id: Long): Array[Byte] =
+    encodeVideo(Array.tabulate(synthVideoFrames(id))(f =>
+      synthPng(id * 31 + f)))
+
   // --- the synthetic corpus's closed-form geometry/content (shared by
   // the engine expression and interpolated into the oracle SQL) --------
 

@@ -315,12 +315,115 @@ case class SyntheticWav(child: Expression)
     copy(child = newChild)
 }
 
+/** `image_resize(payload, tw, th)` — decode, area-average downsample to
+  * tw×th ([[ImageKernels.resizeGray]] — same forward cell rule as the
+  * dHash grid), re-encode as an 8-bit grayscale PNG. Null in-band for
+  * undecodable payloads or an upscale request. The training-pipeline
+  * "resize" verb: thumbnails for models, done where the data lives.
+  */
+case class ImageResize(child: Expression, tw: Int, th: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(tw >= 1 && th >= 1, s"target $tw x $th must be positive")
+
+  override def prettyName: String = "image_resize"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_resize needs a BINARY argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val img = ImageKernels.decodePng(v.asInstanceOf[Array[Byte]])
+    if (img == null) return null
+    val r = ImageKernels.resizeGray(img, tw, th)
+    if (r == null) null
+    else ImageKernels.encodePng(r.width, r.height, 0,
+      (x, y) => r.lum(y * r.width + x))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageResize =
+    copy(child = newChild)
+}
+
+/** `video_frames(payload)` — split a GVID container into its frame
+  * payloads ([[ImageKernels.decodeVideo]]); null in-band on malformed
+  * input. Compose with `posexplode` + a stride filter for frame
+  * sampling, and with [[ImageDhash]]/[[ImageResize]] per frame.
+  */
+case class VideoFrames(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "video_frames"
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"video_frames needs a BINARY argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val frames = ImageKernels.decodeVideo(v.asInstanceOf[Array[Byte]])
+    if (frames == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      frames.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VideoFrames =
+    copy(child = newChild)
+}
+
+/** `synthetic_video(id)` — the closed-form GVID corpus
+  * ([[ImageKernels.synthVideo]]): 4 + id mod 4 real PNG frames, frame
+  * f's pixels the [[SyntheticPng]] closed form at seed id·31 + f.
+  */
+case class SyntheticVideo(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "synthetic_video"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"synthetic_video needs a BIGINT argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    ImageKernels.synthVideo(v.asInstanceOf[Long])
+
+  override protected def withNewChildInternal(newChild: Expression): SyntheticVideo =
+    copy(child = newChild)
+}
+
 object MediaFunctions {
   /** Header metadata struct (format/width/height/sample_rate/bit_depth)
     * parsed from a binary payload column.
     */
   def parse_media(c: Column): Column =
     Bridge.column(ParseMedia(Bridge.expression(c)))
+
+  /** Area-average PNG downsample to tw×th (see [[ImageResize]]). */
+  def image_resize(c: Column, tw: Int, th: Int): Column =
+    Bridge.column(ImageResize(Bridge.expression(c), tw, th))
+
+  /** GVID container → array of frame payloads (see [[VideoFrames]]). */
+  def video_frames(c: Column): Column =
+    Bridge.column(VideoFrames(Bridge.expression(c)))
+
+  /** Deterministic synthetic GVID payload for a row id (see [[SyntheticVideo]]). */
+  def synthetic_video(c: Column): Column =
+    Bridge.column(SyntheticVideo(Bridge.expression(c)))
 
   /** Audio decode + stats + fingerprint struct (see [[AudioStats]]). */
   def audio_stats(c: Column): Column =

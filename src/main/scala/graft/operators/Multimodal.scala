@@ -193,6 +193,43 @@ object Multimodal {
       .filter(col("fingerprint").isNotNull)
       .select(col("media_id"), col("fingerprint").as("hash")), maxHamming)
 
+  /** Thumbnail the corpus: area-average downsample every payload to
+    * tw×th (re-encoded grayscale PNG) — the training-pipeline "resize"
+    * verb as a scan-fused projection; undecodable/upscale rows carry a
+    * null payload in-band.
+    */
+  def resizeMedia(media: DataFrame, tw: Int, th: Int): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.MediaFunctions.image_resize(col("payload"), tw, th)
+        .as("payload"))
+
+  /** Synthetic GVID video corpus: 4 + id mod 4 real PNG frames per
+    * clip, each frame's pixels a closed form of (id, frame_idx).
+    */
+  def videoMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      graft.functions.MediaFunctions.synthetic_video(col("doc_id"))
+        .as("payload"))
+
+  /** Frame sampling + per-frame perceptual hash: split the container,
+    * keep every `stride`-th frame, decode+dHash each — the
+    * training-pipeline "frame-sample" verb. The explode keeps payloads
+    * binary end-to-end; frame count per row is container-bounded, so
+    * the fan-out is a constant factor, never a skew source.
+    */
+  def videoFrameSample(videos: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    videos.select(col("media_id").as("video_id"),
+        posexplode(graft.functions.MediaFunctions
+          .video_frames(col("payload"))))
+      .filter(pmod(col("pos"), lit(stride)) === 0)
+      .select(col("video_id"), col("pos").as("frame_idx"),
+        graft.functions.MediaFunctions.image_dhash(col("col")).as("d"))
+      .select(col("video_id"), col("frame_idx"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.dhash").as("dhash"))
+  }
+
   /** Batched feature extraction over binary payloads — the
     * `mapInPandas`-shaped escape-hatch stage (Scala analog:
     * `mapPartitions` over grouped row batches) a production pipeline uses

@@ -177,6 +177,60 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(2L)._1 === true)
   }
 
+  test("resize: area-average means exact, re-encode round-trips, " +
+    "upscale refuses in-band") {
+    import graft.functions.ImageKernels
+    // 4×2 → 2×1: cells are the quadrant pairs; integer means exact
+    val img = new ImageKernels.GrayImage(4, 2,
+      Array(10, 20, 30, 40,
+            50, 60, 70, 81))
+    val r = ImageKernels.resizeGray(img, 2, 1)
+    assert(r.width === 2 && r.height === 1)
+    assert(r.lum.toSeq === Seq((10 + 20 + 50 + 60) / 4,
+      (30 + 40 + 70 + 81) / 4)) // floor division: 55
+    // upscale refuses (null), as does a degenerate target
+    assert(ImageKernels.resizeGray(img, 8, 2) == null)
+    assert(ImageKernels.resizeGray(img, 4, 3) == null)
+    // the expression path: resize → re-encode → decode reproduces the
+    // kernel's pixels exactly (the PNG round trip loses nothing)
+    import spark.implicits._
+    val df = Seq((7L, ImageKernels.synthPng(7L))).toDF("media_id", "payload")
+    val thumb = Multimodal.resizeMedia(df, 5, 4).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    val dec = ImageKernels.decodePng(thumb)
+    val src = ImageKernels.decodePng(ImageKernels.synthPng(7L))
+    val expect = ImageKernels.resizeGray(src, 5, 4)
+    assert(dec.width === 5 && dec.height === 4)
+    assert(dec.lum.toSeq === expect.lum.toSeq)
+    // grayscale re-encode: half the bytes of an RGBA original's class
+    assert(thumb.length < ImageKernels.synthPng(7L).length)
+  }
+
+  test("video container round-trips frames; sampling keeps every " +
+    "stride-th; malformed payloads degrade in-band") {
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    val frames = Array.tabulate(5)(f => ImageKernels.synthPng(100L + f))
+    val vid = ImageKernels.encodeVideo(frames)
+    val back = ImageKernels.decodeVideo(vid)
+    assert(back.length === 5)
+    frames.indices.foreach(f => assert(back(f).toSeq === frames(f).toSeq))
+    assert(ImageKernels.decodeVideo("AVI?junk".getBytes) == null)
+    assert(ImageKernels.decodeVideo(vid.take(20)) == null) // truncated
+    // operator: stride-2 sampling of the synthetic corpus keeps frames
+    // 0,2,4,... and each sampled frame's dhash equals the dhash of its
+    // closed-form seed image
+    val vm = Multimodal.videoMedia(Seq(3L).toDF("doc_id")) // 4+3%4 = 7 frames
+    val out = Multimodal.videoFrameSample(vm, stride = 2)
+      .select("video_id", "frame_idx", "dhash")
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq === Seq(0, 2, 4, 6))
+    out.foreach { case (_, f, dh) =>
+      val seed = ImageKernels.decodePng(ImageKernels.synthPng(3L * 31 + f))
+      assert(dh === ImageKernels.dhash64(seed).longValue, s"frame $f")
+    }
+  }
+
   test("WAV codec round-trips samples; stereo mixes down (l+r)>>1; " +
     "malformed and short clips degrade in-band") {
     import graft.functions.AudioKernels
