@@ -76,6 +76,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("parse_media",
         "parse_media(payload) - media header metadata struct (png/jpeg/wav)"),
       (es: Seq[Expression]) => ParseMedia(es(0))))
+    // pixel/sample-level media functions (r15), so SQL users get the
+    // same decode surface as the DataFrame operators
+    ext.injectFunction((FunctionIdentifier("image_dhash"),
+      info("image_dhash",
+        "image_dhash(payload) - struct(width, height, dhash) from a PNG payload"),
+      (es: Seq[Expression]) => graft.functions.ImageDhash(es(0))))
+    ext.injectFunction((FunctionIdentifier("image_resize"),
+      info("image_resize",
+        "image_resize(payload, tw, th) - area-average grayscale PNG thumbnail"),
+      (es: Seq[Expression]) => graft.functions.ImageResize(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("audio_stats"),
+      info("audio_stats",
+        "audio_stats(payload) - PCM WAV sample stats + block-energy fingerprint"),
+      (es: Seq[Expression]) => graft.functions.AudioStats(es(0))))
+    ext.injectFunction((FunctionIdentifier("video_frames"),
+      info("video_frames",
+        "video_frames(payload) - GVID container split into frame payloads"),
+      (es: Seq[Expression]) => graft.functions.VideoFrames(es(0))))
 
     // Custom AGGREGATES (+ the sketch probe), so the SQL surface matches
     // the DataFrame surface (VERDICT r4 #4). A bare AggregateFunction

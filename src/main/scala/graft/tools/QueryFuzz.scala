@@ -170,8 +170,20 @@ object QueryFuzz {
         else s"\nWHERE (${preds.map(_.sql).mkString(") AND (")})"
       val groupSql = if (gs.isEmpty) ""
         else s"\nGROUP BY ${gs.indices.map(_ + 1).mkString(", ")}"
+      // HAVING: a post-aggregation filter on the always-present count
+      val havingN = if (gs.nonEmpty && rnd.nextInt(3) == 0)
+        Some(1L + rnd.nextInt(20)) else None
+      val havingSql = havingN.fold("")(k => s"\nHAVING count(*) > $k")
+      // ORDER BY count DESC + every group key, LIMIT k: the row SET is
+      // deterministic because the full group key breaks all ties (the
+      // compare sorts rows, so only the selection must be unique)
+      val limitN = if (gs.nonEmpty && rnd.nextInt(3) == 0)
+        Some(1 + rnd.nextInt(5)) else None
+      val orderSql = limitN.fold("")(k =>
+        s"\nORDER BY a_cnt DESC, ${gs.indices.map(i => s"g${i + 1}")
+          .mkString(", ")}\nLIMIT $k")
       val sql = s"SELECT ${(gs ++ aggs).map(_.sql).mkString(", ")}" +
-        s"\nFROM ${t.name}$whereSql$groupSql"
+        s"\nFROM ${t.name}$whereSql$groupSql$havingSql$orderSql"
       val build = (s: SparkSession, dir: String) => {
         var df = t.load(s, dir)
         if (preds.nonEmpty)
@@ -182,8 +194,13 @@ object QueryFuzz {
         else {
           gCols.zipWithIndex.foreach { case (c, i) =>
             df = df.withColumn(s"g${i + 1}", col(c)) }
-          df.groupBy(gCols.indices.map(i => col(s"g${i + 1}")): _*)
+          var out = df.groupBy(gCols.indices.map(i => col(s"g${i + 1}")): _*)
             .agg(aggs.head.col, aggs.tail.map(_.col): _*)
+          havingN.foreach(k => out = out.filter(col("a_cnt") > k))
+          limitN.foreach(k => out = out.orderBy(
+            col("a_cnt").desc +: gCols.indices.map(i =>
+              col(s"g${i + 1}").asc): _*).limit(k))
+          out
         }
       }
       FuzzQuery(s"fz_$seed", build, sql)
@@ -202,14 +219,19 @@ object QueryFuzz {
         Both(col(c.name), s"${t.name.take(1)}.${c.name} AS g${i + 1}") }
       val whereSql = if (preds.isEmpty) ""
         else s"\nWHERE (${preds.map(_.sql).mkString(") AND (")})"
+      // join flavor: inner, or LEFT OUTER (null-padded right side flows
+      // through grouping and null-skipping aggregates — both engines
+      // group the null key together and skip nulls in min/max/distinct)
+      val leftOuter = rnd.nextInt(3) == 0
+      val joinSql = if (leftOuter) "LEFT JOIN" else "JOIN"
       val sql = s"SELECT ${(gs ++ aggs).map(_.sql).mkString(", ")}" +
-        s"\nFROM ${lt.name} ${lt.name.take(1)} JOIN ${rt.name} " +
+        s"\nFROM ${lt.name} ${lt.name.take(1)} $joinSql ${rt.name} " +
         s"${rt.name.take(1)} ON ${lt.name.take(1)}.$lk = " +
         s"${rt.name.take(1)}.$rk$whereSql" +
         s"\nGROUP BY ${gs.indices.map(_ + 1).mkString(", ")}"
       val build = (s: SparkSession, dir: String) => {
         var df = lt.load(s, dir).join(rt.load(s, dir),
-          col(lk) === col(rk))
+          col(lk) === col(rk), if (leftOuter) "left" else "inner")
         if (preds.nonEmpty) df = df.filter(preds.map(_.col).reduce(_ && _))
         gPicks.zipWithIndex.foreach { case ((_, c), i) =>
           df = df.withColumn(s"g${i + 1}", col(c.name)) }

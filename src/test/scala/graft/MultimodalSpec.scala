@@ -91,6 +91,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f === "jpeg")
   }
 
+  test("pixel/sample media functions are callable from SQL") {
+    import graft.functions.ImageKernels
+    val png = ImageKernels.synthPng(6L)
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(png)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.BinaryType))))
+      .createOrReplaceTempView("media_sql_t")
+    val r = spark.sql(
+      """SELECT image_dhash(p).dhash AS dh,
+        |       image_dhash(image_resize(p, 10, 9)).width AS rw,
+        |       audio_stats(p) IS NULL AS not_audio,
+        |       video_frames(p) IS NULL AS not_video
+        |FROM media_sql_t""".stripMargin).collect().head
+    assert(r.getLong(0) === ImageKernels.dhash64(
+      ImageKernels.decodePng(png)).longValue)
+    assert(r.getInt(1) === 10)
+    assert(r.getBoolean(2) && r.getBoolean(3)) // wrong-format → null in-band
+  }
+
   test("batched feature extraction is invariant to batch size and the " +
     "decode step is REAL pixels") {
     import spark.implicits._
