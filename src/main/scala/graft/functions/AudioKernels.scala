@@ -15,14 +15,7 @@ object AudioKernels {
   /** Decoded clip: sample rate + mono 16-bit samples (as Ints). */
   final class PcmClip(val sampleRate: Int, val samples: Array[Int])
 
-  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
-    b.length >= i + s.length &&
-      s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
-  private def le16(b: Array[Byte], i: Int): Int =
-    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
-  private def le32(b: Array[Byte], i: Int): Int =
-    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
-      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  import ByteReads.{ascii, le16, le32}
 
   /** Decode 16-bit PCM WAV; null for anything unsupported/malformed
     * (the in-band failure contract — this runs over untrusted payloads).

@@ -23,12 +23,9 @@ object ImageKernels {
   final class GrayImage(val width: Int, val height: Int,
                         val lum: Array[Int])
 
-  private val Signature =
-    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val Signature = ByteReads.PngSignature
 
-  private def u32(b: Array[Byte], off: Int): Int =
-    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
-      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def u32(b: Array[Byte], off: Int): Int = ByteReads.be32(b, off)
 
   /** Decode a PNG to its luminance plane; null on any unsupported or
     * malformed input (never an exception — this runs inside codegen'd
@@ -83,7 +80,11 @@ object ImageKernels {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // ALL input was provided up front, so a zero-byte step that
+        // hasn't finished is stuck for good — truncated stream OR a
+        // preset-dictionary (FDICT) header (review r15: the needsInput-
+        // only guard spun forever on a crafted FDICT zlib stream)
+        if (n == 0) return null
         off += n
       }
       if (off != raw.length) return null

@@ -41,21 +41,9 @@ object MediaHeaders {
 
   private val Unknown = Meta("unknown", None, None, None, None)
 
-  private def be16(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
-      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-  private def le16(b: Array[Byte], i: Int): Int =
-    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
-  private def le32(b: Array[Byte], i: Int): Int =
-    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
-      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
-  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
-    s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+  import ByteReads.{ascii, be16, be32, le16, le32}
 
-  private val PngSig =
-    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val PngSig = ByteReads.PngSignature
 
   def parse(b: Array[Byte]): Meta =
     if (b.length >= 29 && b.startsWith(PngSig)) parsePng(b)

@@ -219,10 +219,14 @@ object Multimodal {
     */
   def videoFrameSample(videos: DataFrame, stride: Int = 2): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // posexplode_OUTER + a null-pos pass-through: a malformed container
+    // must keep its video_id as one all-null row (the in-band failure
+    // contract imageDhashes/audioAnalysis follow) — a plain posexplode
+    // would silently erase corrupt videos from the output (review r15)
     videos.select(col("media_id").as("video_id"),
-        posexplode(graft.functions.MediaFunctions
+        posexplode_outer(graft.functions.MediaFunctions
           .video_frames(col("payload"))))
-      .filter(pmod(col("pos"), lit(stride)) === 0)
+      .filter(col("pos").isNull || pmod(col("pos"), lit(stride)) === 0)
       .select(col("video_id"), col("pos").as("frame_idx"),
         graft.functions.MediaFunctions.image_dhash(col("col")).as("d"))
       .select(col("video_id"), col("frame_idx"),

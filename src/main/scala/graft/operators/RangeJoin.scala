@@ -54,13 +54,7 @@ object RangeJoin {
   def proximityPairsLeftOuter(events: DataFrame, typeA: String,
                               typeB: String, tolSec: Long): DataFrame = {
     val inner = proximityPairs(events, typeA, typeB, tolSec)
-    val a = events.filter(col("event_type") === typeA)
-      .select(col("event_id").as("id_a"), col("user_id"))
-    val unmatched = a
-      .join(inner.select(col("id_a")).distinct(), Seq("id_a"), "left_anti")
-      .select(col("id_a"), lit(null).cast("long").as("id_b"),
-        col("user_id"), lit(null).cast("long").as("dt_us"))
-    inner.unionByName(unmatched)
+    inner.unionByName(padUnmatched(events, inner, typeA, "id_a"))
   }
 
   /** RIGHT OUTER interval join — the mirror report ("purchases with no
@@ -71,13 +65,7 @@ object RangeJoin {
   def proximityPairsRightOuter(events: DataFrame, typeA: String,
                                typeB: String, tolSec: Long): DataFrame = {
     val inner = proximityPairs(events, typeA, typeB, tolSec)
-    val b = events.filter(col("event_type") === typeB)
-      .select(col("event_id").as("id_b"), col("user_id"))
-    val unmatched = b
-      .join(inner.select(col("id_b")).distinct(), Seq("id_b"), "left_anti")
-      .select(lit(null).cast("long").as("id_a"), col("id_b"),
-        col("user_id"), lit(null).cast("long").as("dt_us"))
-    inner.unionByName(unmatched)
+    inner.unionByName(padUnmatched(events, inner, typeB, "id_b"))
   }
 
   /** FULL OUTER interval join — inner pairs plus BOTH unmatched sides
@@ -90,18 +78,24 @@ object RangeJoin {
   def proximityPairsFullOuter(events: DataFrame, typeA: String,
                               typeB: String, tolSec: Long): DataFrame = {
     val inner = proximityPairs(events, typeA, typeB, tolSec)
-    val a = events.filter(col("event_type") === typeA)
-      .select(col("event_id").as("id_a"), col("user_id"))
-    val unmatchedA = a
-      .join(inner.select(col("id_a")).distinct(), Seq("id_a"), "left_anti")
-      .select(col("id_a"), lit(null).cast("long").as("id_b"),
-        col("user_id"), lit(null).cast("long").as("dt_us"))
-    val b = events.filter(col("event_type") === typeB)
-      .select(col("event_id").as("id_b"), col("user_id"))
-    val unmatchedB = b
-      .join(inner.select(col("id_b")).distinct(), Seq("id_b"), "left_anti")
-      .select(lit(null).cast("long").as("id_a"), col("id_b"),
-        col("user_id"), lit(null).cast("long").as("dt_us"))
-    inner.unionByName(unmatchedA).unionByName(unmatchedB)
+    inner.unionByName(padUnmatched(events, inner, typeA, "id_a"))
+      .unionByName(padUnmatched(events, inner, typeB, "id_b"))
+  }
+
+  /** One null-padded row per `eventType` event with no partner in the
+    * inner pairs — the shared pad all three outer flavors decorate the
+    * single bin-bucketed inner plan with (`idCol` ∈ {id_a, id_b} names
+    * the side being kept; the opposite id and dt_us pad with nulls).
+    */
+  private def padUnmatched(events: DataFrame, inner: DataFrame,
+                           eventType: String, idCol: String): DataFrame = {
+    val kept = events.filter(col("event_type") === eventType)
+      .select(col("event_id").as(idCol), col("user_id"))
+      .join(inner.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    val otherCol = if (idCol == "id_a") "id_b" else "id_a"
+    kept
+      .withColumn(otherCol, lit(null).cast("long"))
+      .withColumn("dt_us", lit(null).cast("long"))
+      .select(col("id_a"), col("id_b"), col("user_id"), col("dt_us"))
   }
 }

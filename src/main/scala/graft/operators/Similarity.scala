@@ -671,14 +671,6 @@ object Similarity {
       element_at(typedLit(coarse.centroids.map(_.toSeq).toSeq), cell + 1),
       (a, b) => a.cast("double") - b)
 
-  /** Train the PQ codebooks on coarse RESIDUALS (the production IVF-PQ
-    * pairing): each training vector is replaced by x − c_coarse(x) —
-    * cell assigned with the same fused argmin kernel as `coarse.cells`,
-    * so fit needs no join — then [[pqFit]] runs unchanged on the
-    * residual column. Same bounded deterministic sample, same round-6
-    * means, same (dist, code) tie-break: the reproducibility story is
-    * inherited wholesale.
-    */
   /** Residual PQ codes via the fused [[graft.functions.PqResidualCodes]]
     * kernel — bit-identical to `pqCodes(residualVec(emb, cell), model)`
     * but one codegen'd pass (the compositional form pays an interpreted
@@ -691,6 +683,14 @@ object Similarity {
       coarse.centroids.map(_.toSeq).toSeq,
       model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
 
+  /** Train the PQ codebooks on coarse RESIDUALS (the production IVF-PQ
+    * pairing): each training vector is replaced by x − c_coarse(x) —
+    * cell assigned with the same fused argmin kernel as `coarse.cells`,
+    * so fit needs no join — then [[pqFit]] runs unchanged on the
+    * residual column. Same bounded deterministic sample, same round-6
+    * means, same (dist, code) tie-break: the reproducibility story is
+    * inherited wholesale.
+    */
   def pqFitResidual(embeddings: DataFrame, coarse: KmeansModel, dim: Int,
                     m: Int = PqM, k: Int = PqK, iters: Int = PqIters,
                     trainN: Int = DefaultTrainN): PqModel = {

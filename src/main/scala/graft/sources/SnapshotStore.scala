@@ -78,12 +78,19 @@ object SnapshotStore {
     val head = headVersion(spark, root)
     require(version == head + 1,
       s"commit must be sequential: head=$head, got version=$version")
-    // one pass: class counts + total + membership checksum
+    // one pass: class counts + total + membership checksum (sums
+    // coalesced — a zero-row merge output, e.g. an empty bootstrap or
+    // an empty daily batch over an empty corpus, must commit an empty
+    // version, not NPE on null aggregates; review r15)
     val row = merged.agg(
-      sum(when(col("change") === "insert", 1L).otherwise(0L)).as("i"),
-      sum(when(col("change") === "rewrite", 1L).otherwise(0L)).as("rw"),
-      sum(when(col("change") === "refresh", 1L).otherwise(0L)).as("rf"),
-      sum(when(col("change") === "carry", 1L).otherwise(0L)).as("c"),
+      coalesce(sum(when(col("change") === "insert", 1L).otherwise(0L)),
+        lit(0L)).as("i"),
+      coalesce(sum(when(col("change") === "rewrite", 1L).otherwise(0L)),
+        lit(0L)).as("rw"),
+      coalesce(sum(when(col("change") === "refresh", 1L).otherwise(0L)),
+        lit(0L)).as("rf"),
+      coalesce(sum(when(col("change") === "carry", 1L).otherwise(0L)),
+        lit(0L)).as("c"),
       count(lit(1)).as("n"),
       expr("bit_xor(xxhash64(doc_id, fp))").as("ck")).head()
     val m = Manifest(version, head, row.getLong(0), row.getLong(1),

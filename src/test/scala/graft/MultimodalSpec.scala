@@ -198,6 +198,38 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(2L)._1 === true)
   }
 
+  test("decodePng returns null (no hang) on an FDICT zlib stream, and " +
+    "a malformed video keeps its id as one null row") {
+    import graft.functions.ImageKernels
+    // hand-build: signature + IHDR(1x1 gray) + IDAT whose zlib header
+    // sets the preset-dictionary flag (0x78 0xBB) — inflate then yields
+    // zero bytes with needsDictionary(); the old needsInput-only guard
+    // spun forever here (review r15)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+        (len >>> 8).toByte, len.toByte))
+      out.write(t.getBytes("US-ASCII")); out.write(data)
+      out.write(Array[Byte](0, 0, 0, 0)) // CRC unchecked by the decoder
+    }
+    chunk("IHDR", Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 8, 0, 0, 0, 0))
+    chunk("IDAT", Array(0x78, 0xBB, 0x11, 0x22, 0x33).map(_.toByte))
+    chunk("IEND", Array.empty)
+    assert(ImageKernels.decodePng(out.toByteArray) == null)
+    // malformed GVID through the operator: the video_id survives as a
+    // single all-null row (in-band), never silently vanishes
+    import spark.implicits._
+    val bad = Seq((5L, "GVIDjunk!".getBytes))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.videoFrameSample(bad).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(0) === 5L && rows(0).isNullAt(1) &&
+      rows(0).isNullAt(4))
+  }
+
   test("resize: area-average means exact, re-encode round-trips, " +
     "upscale refuses in-band") {
     import graft.functions.ImageKernels

@@ -99,6 +99,22 @@ class SnapshotSpec extends SparkSpecBase {
     assert(bases === Set("v=3"))
   }
 
+  test("an empty merge output commits an empty version cleanly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("snapspec_empty_").toString
+    val empty = Curation.mergeCorpusIncremental(
+      docsDf().limit(0), Curation.corpusFingerprints(docsDf().limit(0)))
+    val m = SnapshotStore.commit(spark, root, 1L, empty)
+    assert(m.nDocs === 0L && m.nInsert === 0L && m.checksum === 0L)
+    assert(SnapshotStore.corpusAsOf(spark, root, 1L).count() === 0L)
+    assert(SnapshotStore.verify(spark, root, 1L))
+    // and a real version can follow the empty bootstrap
+    val v2 = Curation.mergeCorpusIncremental(docsDf(1L -> "a"),
+      SnapshotStore.corpusAsOf(spark, root, 1L).select("doc_id", "fp"))
+    SnapshotStore.commit(spark, root, 2L, v2)
+    assert(membership(root, 2).keySet === Set(1L))
+  }
+
   test("commits are strictly sequential and uncommitted orphans are " +
     "invisible until their manifest row lands") {
     val root = buildChain()
