@@ -25,6 +25,10 @@ import graft.operators.Multimodal
   *   neardup_dense_100k 11.9 s  (34.8 M pairs — the dup-heavy regime;
   *                               cost is the pair volume itself, the
   *                               equi-join plan never degrades to NLJ)
+  *   audio_stats_1000k   1.5 s  (~800 M samples decoded + fingerprinted)
+  *   video_framesample_200k 4.7 s (600 k frame decode+dHash at stride 2,
+  *                               ~128 k frames/s; slower epoch — image
+  *                               encode read 8.3 s in the same run)
   */
 object ProbeRound15 {
   def main(args: Array[String]): Unit = {
@@ -68,6 +72,14 @@ object ProbeRound15 {
       ids.select(MediaFunctions.audio_stats(
           MediaFunctions.synthetic_wav(col("media_id"))).as("a"))
         .agg(sum(col("a.sum_abs")), count(col("a.fingerprint"))).head()
+    }
+    // video: container split + per-frame decode+dHash at stride 2
+    // (4–7 frames/clip → ~3 sampled decodes per video)
+    val nv = math.min(n, 200000L)
+    time(s"video_framesample_${nv / 1000}k") {
+      println("  frames=" + Multimodal.videoFrameSample(
+        Multimodal.videoMedia(spark.range(nv)
+          .select(col("id").as("doc_id"))), stride = 2).count())
     }
     // dense regime capped: with ~7,000 hash classes, pair count grows
     // quadratically in ids-per-class (C(k,2) per class) — at 100 k ids

@@ -198,6 +198,53 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(2L)._1 === true)
   }
 
+  test("streaming image dedup flags exact perceptual dups against a " +
+    "static corpus index, batch ≡ stream") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    // known corpus: images 0 and 2 (by their even-id base form)
+    val known = Seq(0L, 2L).map(id => (id,
+      ImageKernels.dhash64(ImageKernels.decodePng(
+        ImageKernels.synthPng(id))).longValue))
+      .toDF("known_id", "hash")
+    // arriving: 1 (brightness twin of 0 → dup), 2 (exact → dup),
+    // 5 (twin of known-absent 4 → new), garbage (null hash → not a dup)
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (ts("2024-01-01 00:00:01"), 1L, ImageKernels.synthPng(1L)),
+      (ts("2024-01-01 00:00:02"), 2L, ImageKernels.synthPng(2L)),
+      (ts("2024-01-01 00:00:03"), 5L, ImageKernels.synthPng(5L)),
+      (ts("2024-01-01 00:00:04"), 9L, "junk".getBytes))
+    val batch = graft.streaming.StreamingMedia
+      .imageDedupStream(rows.toDF("ts", "media_id", "payload"), known)
+      .select("media_id", "dup_of", "is_dup").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2))))
+      .toMap
+    assert(batch === Map(1L -> ((Some(0L), 1)), 2L -> ((Some(2L), 1)),
+      5L -> ((None, 0)), 9L -> ((None, 0))))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val name = s"imgdedup_${System.nanoTime()}"
+    val q = graft.streaming.StreamingMedia.imageDedupStream(
+        input.toDF().toDF("ts", "media_id", "payload"), known)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("media_id", "dup_of", "is_dup").collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2))))
+        .toMap
+      assert(got === batch) // stateless projection+join: batch ≡ stream
+    } finally q.stop()
+  }
+
   test("decodePng returns null (no hang) on an FDICT zlib stream, and " +
     "a malformed video keeps its id as one null row") {
     import graft.functions.ImageKernels
