@@ -13,8 +13,9 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * mismatches end-to-end).
   *
   * Supported decode surface: 8-bit, non-interlaced, color types 0
-  * (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA). Anything else (16-bit,
-  * palette, Adam7) returns null rather than wrong pixels — the in-band
+  * (gray), 2 (RGB), 3 (palette, 8-bit indices via PLTE), 4
+  * (gray+alpha), 6 (RGBA). Anything else (16-bit, sub-byte palette
+  * depths, Adam7) returns null rather than wrong pixels — the in-band
   * failure contract every decoder here follows.
   */
 object ImageKernels {
@@ -42,6 +43,7 @@ object ImageKernels {
     var pos = 8
     var width = 0; var height = 0
     var bitDepth = -1; var colorType = -1; var interlace = -1
+    var palette: Array[Int] = null // per-entry luminance, from PLTE
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     try {
@@ -57,6 +59,13 @@ object ImageKernels {
             bitDepth = bytes(pos + 16) & 0xff
             colorType = bytes(pos + 17) & 0xff
             interlace = bytes(pos + 20) & 0xff
+          case "PLTE" =>
+            if (len % 3 != 0 || len > 3 * 256) return null
+            palette = Array.tabulate(len / 3) { j =>
+              val o = pos + 8 + 3 * j
+              (77 * (bytes(o) & 0xff) + 151 * (bytes(o + 1) & 0xff) +
+                28 * (bytes(o + 2) & 0xff)) >> 8
+            }
           case "IDAT" => idat.write(bytes, pos + 8, len)
           case "IEND" => sawEnd = true
           case _ => () // ancillary chunks skipped
@@ -67,9 +76,10 @@ object ImageKernels {
     if (width <= 0 || height <= 0 || bitDepth != 8 || interlace != 0)
       return null
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => return null
     }
+    if (colorType == 3 && palette == null) return null // PLTE is mandatory
     // guard absurd dimensions before allocating (payloads are untrusted)
     if (width.toLong * height > 64L * 1024 * 1024) return null
     val stride = width * channels
@@ -126,6 +136,10 @@ object ImageKernels {
         val base = px * channels
         out(y * width + px) = colorType match {
           case 0 | 4 => cur(base)
+          case 3 =>
+            val idx = cur(base)
+            if (idx >= palette.length) return null // out-of-range index
+            palette(idx)
           case _ =>
             (77 * cur(base) + 151 * cur(base + 1) + 28 * cur(base + 2)) >> 8
         }

@@ -198,6 +198,52 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(2L)._1 === true)
   }
 
+  test("palette (color type 3) PNGs decode through PLTE; bad indices " +
+    "and a missing palette degrade in-band") {
+    import graft.functions.ImageKernels
+    def build(plte: Array[Byte], indices: Array[Array[Byte]],
+              withPlte: Boolean = true): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      def chunk(t: String, data: Array[Byte]): Unit = {
+        val len = data.length
+        out.write(Array((len >>> 24).toByte, (len >>> 16).toByte,
+          (len >>> 8).toByte, len.toByte))
+        out.write(t.getBytes("US-ASCII")); out.write(data)
+        out.write(Array[Byte](0, 0, 0, 0)) // CRC unchecked
+      }
+      val w = indices.head.length; val h = indices.length
+      chunk("IHDR", Array[Byte](0, 0, 0, w.toByte, 0, 0, 0, h.toByte,
+        8, 3, 0, 0, 0))
+      if (withPlte) chunk("PLTE", plte)
+      val raw = indices.flatMap(row => 0.toByte +: row) // filter 0 rows
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+      d.end()
+      chunk("IDAT", comp.toByteArray)
+      chunk("IEND", Array.empty)
+      out.toByteArray
+    }
+    // palette: red/green/blue/gray → luminances 76/150/27/128 under the
+    // 77/151/28 integer weights
+    val plte = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 128.toByte, 128.toByte, 128.toByte)
+    val img = ImageKernels.decodePng(build(plte,
+      Array(Array[Byte](0, 1, 2), Array[Byte](3, 0, 1))))
+    assert(img != null && img.width === 3 && img.height === 2)
+    assert(img.lum.toSeq === Seq(76, 150, 27, 128, 76, 150))
+    // an index past the palette, or a palette-less type-3 file → null
+    assert(ImageKernels.decodePng(build(plte,
+      Array(Array[Byte](0, 9, 2), Array[Byte](3, 0, 1)))) == null)
+    assert(ImageKernels.decodePng(build(plte,
+      Array(Array[Byte](0, 1, 2), Array[Byte](3, 0, 1)),
+      withPlte = false)) == null)
+  }
+
   test("streaming image dedup flags exact perceptual dups against a " +
     "static corpus index, batch ≡ stream") {
     import java.sql.Timestamp
