@@ -13,12 +13,17 @@ class CacheHygieneSpec extends SparkSpecBase {
   // Relative to a per-test baseline: suites share one SparkContext, and a
   // prior suite may legitimately hold a nearDupClusters checkpoint (those
   // are released via Dedup.releaseClusters, not clearCache).
-  private var baseline = 0
-  private def cachedCount = spark.sparkContext.getPersistentRDDs.size - baseline
+  // Baseline is the SET of pre-existing persistent-RDD ids, and
+  // cachedCount counts only ids created after it: a plain size delta
+  // goes negative when the async ContextCleaner collects another
+  // suite's leftover checkpoints mid-test (observed flake, r15)
+  private var baselineIds: Set[Int] = Set.empty
+  private def cachedCount =
+    spark.sparkContext.getPersistentRDDs.keySet.diff(baselineIds).size
 
   test("Solar.stages cache is released by Stages.unpersist") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val st = Solar.stages(graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
     st.joined.count()
     assert(cachedCount > 0)          // the shared module aggregate is cached
@@ -30,7 +35,7 @@ class CacheHygieneSpec extends SparkSpecBase {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.releaseSolarShared(spark, dir) // a prior suite may have published
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     // first chain query computes and publishes the checkpoint-backed module
     val q4 = SparkEntry.queries("q04_join_panel_module")(spark, dir)
     q4.count()
@@ -63,7 +68,7 @@ class CacheHygieneSpec extends SparkSpecBase {
     val dir = "/root/testdata/sf0.001"
     SparkEntry.releaseLshShared(spark, dir) // a prior suite may have published
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     // the producer computes fresh, publishes, and releases the stage's own
     // shingle-index cache — only the calibration checkpoint remains
     SparkEntry.queries("q11_dedup_minhash_lsh")(spark, dir).count()
@@ -94,7 +99,7 @@ class CacheHygieneSpec extends SparkSpecBase {
   test("r11 one-shot stage handles release their persisted intermediates") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stages = Seq[graft.operators.TextAnalysis.CachedStage](
       TextAnalysis.bm25TopKStage(docs, Seq("dup", "spark")),
       TextAnalysis.shingleNoveltyStage(docs),
@@ -110,7 +115,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("Dedup near-dup caches are released by NearDupStage.unpersist") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = Dedup.minhashNearDupsStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
       threshold = 0.5)
@@ -122,7 +127,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("windowedJaccardPairsStage posting index is released by the handle") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = Dedup.windowedJaccardPairsStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
       idWindow = 25, threshold = 0.2)
@@ -134,7 +139,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("heavyHitters shared token explode is released by the stage handle") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = TextAnalysis.heavyHittersStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     stage.result.count()
@@ -145,7 +150,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("packStage shared token-count projection is released by the handle") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = graft.operators.Curation.packStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     stage.result.count()
@@ -156,7 +161,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("budgetStage shared scored projection is released by the handle") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = graft.operators.Curation.budgetStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"), 5000L)
     stage.result.count()
@@ -167,7 +172,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("boilerplateStage shared chunk explode is released by the handle") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = Dedup.boilerplateStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     stage.result.count()
@@ -178,7 +183,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("lmScoreStage shared term-frequency pairs are released by the handle") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = TextAnalysis.lmScoreStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     stage.result.count()
@@ -189,7 +194,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("lmFusedStage scores both models from ONE shared pair stream") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = TextAnalysis.lmFusedStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     stage.unigram.count()
@@ -201,7 +206,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("lmScoreBigramStage shared pair stream is released by the handle") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = TextAnalysis.lmScoreBigramStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     // aggregate over ppl: a bare count() lets Catalyst skip the scored
@@ -214,7 +219,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("srpStage and exactQuantilesTwoPassStage release their caches") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val srp = graft.operators.Similarity.srpStage(
       graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"))
     srp.result.count()
@@ -232,7 +237,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("dedupAgainstCorpusStage releases both side indexes via the handle") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val stage = Dedup.dedupAgainstCorpusStage(
       docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
@@ -245,7 +250,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("vocabCoverageStage and sourceDivergenceStage release their caches") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val vc = TextAnalysis.vocabCoverageStage(docs)
     vc.result.count()
@@ -261,7 +266,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("spanDedupStage shared span pairs are released by the handle") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val stage = Dedup.spanDedupStage(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
     stage.result.count()
@@ -272,7 +277,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("Bpe.train releases the vocab persist AND training checkpoints") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     // 30 merges crosses CheckpointEvery=25, so the handle must release
     // both the persisted base relation and the final localCheckpoint's
     // raw-RDD blocks (ADVICE r6: unpersisting the derived vocab plan
@@ -288,7 +293,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("streaming nearDupsAgainstCorpusStage releases the corpus index") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime
@@ -304,7 +309,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("kmeansFit leaves no cached RDDs behind (training sample released)") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     Similarity.kmeansFit(e, k = 2, iters = 1).cells.count()
     assert(cachedCount === 0)        // the train-sample persist is scoped
@@ -313,7 +318,7 @@ class CacheHygieneSpec extends SparkSpecBase {
   test("q130 ingestion chain releases everything under the Verify clearCache " +
     "(lifecycle — VERDICT r12 #6)") {
     spark.catalog.clearCache()
-    baseline = spark.sparkContext.getPersistentRDDs.size
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val out = SparkEntry.queries("q130_ingest_chain")(
       spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)

@@ -16,6 +16,16 @@ class SnapshotSpec extends SparkSpecBase {
   private def docsDf(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
+  /** Release an eager localCheckpoint's persisted RDD (the EntryShared
+    * helper's shape): checkpoints left behind by a suite destabilize
+    * CacheHygieneSpec's persistent-RDD baseline when the async
+    * ContextCleaner collects them mid-test (observed flake, r15).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
+
   /** Build a 3-version chain in a fresh store root; returns the root. */
   private def buildChain(): String = {
     val root = java.nio.file.Files
@@ -24,12 +34,17 @@ class SnapshotSpec extends SparkSpecBase {
     val v2 = docsDf(2L -> "beta revised", 4L -> "delta") // rewrite + insert
     val v3 = docsDf(2L -> "beta revised", 5L -> "eps")   // refresh + insert
     var fps = Curation.corpusFingerprints(v1.limit(0))
+    val ckpts = scala.collection.mutable.Buffer[DataFrame]()
     Seq(v1, v2, v3).zipWithIndex.foreach { case (inc, i) =>
       val merged = Curation.mergeCorpusIncremental(inc, fps)
         .localCheckpoint(true)
+      ckpts += merged
       SnapshotStore.commit(spark, root, i + 1L, merged)
       fps = merged.select("doc_id", "fp")
     }
+    // everything downstream reads the store from DISK; the checkpoints
+    // are spent once the last commit lands
+    ckpts.foreach(releaseCheckpoint)
     root
   }
 
