@@ -122,6 +122,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cms_query(sketch, key, depth, width) - point estimate from a count_min_agg sketch"),
       (es: Seq[Expression]) => CmsQuery(es(0), Cast(es(1), StringType),
         intArg(es(2)), intArg(es(3)))))
+
+    // Optimizer rules (r15): plan-level rewrites of scale-killer shapes —
+    // keyless joins whose condition is really a bucketable geometry. A
+    // SQL user who writes the naive predicate gets the equi-join plan the
+    // operators hand-build. Order matters: a condition carrying BOTH a
+    // hamming bound and an id/time window takes the hamming buckets, and
+    // the band rule then sees an equi key and stands down.
+    ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
 

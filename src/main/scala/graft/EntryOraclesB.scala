@@ -383,6 +383,20 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |  ON fdh.video_id = d.video_id
          | AND fdh.frame_idx = d.frame_idx""".stripMargin,
 
+    // q150: the NAIVE global hamming join, verbatim — the engine runs
+    // the same declarative query and HammingJoinRewrite supplies the
+    // pigeonhole plan; hash-equality proves the rewrite is semantics-
+    // preserving (q31's oracle replays the bucketed construction
+    // instead, so the two gates pin the plan from both ends)
+    "q150_hamming_join_rewrite" ->
+      (docCtes.stripSuffix("\n") + ",\n" + simhash64Ctes +
+        """pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+          |           AS hamming
+          |  FROM simhash_t a JOIN simhash_t b ON b.doc_id > a.doc_id)
+          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin),
+
     // kmeans cells replayed as in q32/q33; quality + pred_lang replayed
     // as in q53/q54 (CTE renamed to avoid colliding with kmeansCtes)
     "q96_cluster_quality" ->

@@ -658,6 +658,23 @@ private[graft] trait EntryQueries { self: EntryShared =>
         Multimodal.videoMedia(Tables.documents(s, dir).select("doc_id")),
         stride = 2)),
 
+    // q150: the OPTIMIZER-LEVEL twin of q31 — written as the naive
+    // global hamming self-join (no equi key, the cross-product shape a
+    // SQL user writes first); graft.plans.HammingJoinRewrite rebuilds it
+    // into the Manku pigeonhole equi-join at plan time. The gate proves
+    // the rewrite preserves semantics exactly (the oracle replays the
+    // NAIVE join); HammingJoinRewriteSpec pins the plan shape (Generate
+    // + hash join, no BroadcastNestedLoopJoin)
+    "q150_hamming_join_rewrite" -> ((s, dir) => {
+      val sh = Dedup.simhash(Tables.documents(s, dir))
+      val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+      a.join(b, col("id_b") > col("id_a") &&
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    }),
+
     // BPE tokenizer TRAINING, fully oracle-gated (VERDICT r12 #1 retires
     // the last exemption): the engine's batched rounds are provably
     // bit-identical to sequential greedy training (the acceptBatch

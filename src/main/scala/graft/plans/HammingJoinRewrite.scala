@@ -1,0 +1,173 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite a hamming-threshold join into the Manku
+  * pigeonhole band equi-join.
+  *
+  * The declarative spelling of fingerprint near-dup pairing —
+  *
+  * {{{
+  *   SELECT ... FROM a JOIN b
+  *   ON bit_count(a.hash ^ b.hash) <= 3 AND <anything else>
+  * }}}
+  *
+  * has no equi-join key, so Spark plans a BroadcastNestedLoopJoin (or a
+  * CartesianProduct), paying |A|·|B| xor+popcount evaluations. That plan
+  * is the canonical 100 TB scale-killer: at a billion fingerprints the
+  * cross product is 10^18 pairs and never finishes, even though the
+  * qualifying output is tiny. [[graft.operators.Dedup.simhashBucketedNearDups]]
+  * hand-builds the scalable shape; this rule gives the SAME shape to
+  * anyone who writes the naive predicate — SQL users, BI tools, the
+  * fuzzer — without knowing the trick exists.
+  *
+  * Rewrite (Manku et al., WWW'07 pigeonhole): split the `bits`-wide
+  * fingerprint into `t+1` blocks. Any pair within hamming distance `t`
+  * agrees EXACTLY on at least one block, so
+  *
+  *  - posexplode each side into its `t+1` (block_idx, block_value) rows
+  *    (one Generate per side — one scan, no per-block re-reads),
+  *  - equi-join on (block_idx, block_value) — a hash-partitioned shuffle
+  *    with ~n/2^blockBits rows per bucket per index, sub-quadratic at
+  *    corpus scale and AQE-skew-splittable,
+  *  - keep every ORIGINAL conjunct (the hamming bound itself becomes the
+  *    exact verification; user predicates like id windows ride along),
+  *  - and keep only the FIRST agreeing block per pair: the extra
+  *    conjunct `∀ j < block_idx: blockⱼ(a) ≠ blockⱼ(b)` admits exactly
+  *    one of the agreeing blocks, so join MULTIPLICITY is preserved
+  *    bit-for-bit and no `distinct` (which would change bag semantics
+  *    and force a second shuffle) is needed.
+  *
+  * The final Project restores the original join's output attributes
+  * (same expr ids — parents are untouched). The rewritten join HAS equi
+  * keys, so the eligibility guard (fires only on joins with no equi
+  * conjunct) makes the rule idempotent under the optimizer's fix-point
+  * batch.
+  *
+  * Scope guards (each one is a semantics guard, not a heuristic): inner
+  * joins only (outer/semi pad or dedup rows — exploding a side would
+  * change their multiplicity contract), both hash sides deterministic,
+  * same integral type (64-bit long or 32-bit int fingerprints), one side
+  * per child, `0 <= t < bits` (t ≥ bits is always-true — nothing to
+  * prune; negative is always-false — constant folding's job). Joins that
+  * already carry an equi conjunct are left alone: Spark already plans a
+  * hash join there, and the residual hamming check is evaluated only on
+  * the equi bucket's matches.
+  *
+  * 32-bit nuance: Spark's `bit_count` sign-extends ints to 64 bits, so
+  * int pairs differing in the sign bit score >= 33, never <= a small t.
+  * The 32-bit pigeonhole remains sound — `bit_count(signext(x ^ y)) <= t`
+  * implies the low-32 hamming is <= t, so some block agrees — and the
+  * retained original conjunct verifies with Spark's own semantics
+  * (pinned in HammingJoinRewriteSpec).
+  *
+  * Disable with `spark.graft.hammingJoinRewrite.enabled=false` (the
+  * naive plan is still correct, just cross-product-shaped — the A/B
+  * lever the spec and the probe use).
+  *
+  * Why a `Rule[LogicalPlan]` and not a custom `SparkPlan`: the rewritten
+  * shape is Generate + ShuffledHashJoin/SortMergeJoin — operators
+  * Tungsten already executes with whole-stage codegen. A custom physical
+  * operator would re-implement that executor for zero plan advantage;
+  * the optimizer-level rewrite is the whole value.
+  */
+object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+  import JoinRewriteSupport.hasEquiKey
+
+  private val EnabledKey = "spark.graft.hammingJoinRewrite.enabled"
+
+  /** A matched `bit_count(x ^ y) <= t` conjunct, oriented so `x` only
+    * references the left child and `y` only the right.
+    */
+  private case class Hamming(x: Expression, y: Expression, t: Int, bits: Int)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(EnabledKey, "true") != "true") plan
+    else plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        if (hasEquiKey(conjuncts, left, right)) j
+        else findHamming(conjuncts, left, right) match {
+          case Some(h) => rewrite(j, conjuncts, h)
+          case None => j
+        }
+    }
+
+  private def findHamming(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Option[Hamming] = {
+    // bit_count(x ^ y) bounded above by an int literal, all four
+    // comparison spellings
+    def bound(e: Expression): Option[(Expression, Expression, Int)] = e match {
+      case LessThanOrEqual(BitwiseCount(BitwiseXor(a, b)), IntegerLiteral(t)) => Some((a, b, t))
+      case LessThan(BitwiseCount(BitwiseXor(a, b)), IntegerLiteral(t)) => Some((a, b, t - 1))
+      case GreaterThanOrEqual(IntegerLiteral(t), BitwiseCount(BitwiseXor(a, b))) => Some((a, b, t))
+      case GreaterThan(IntegerLiteral(t), BitwiseCount(BitwiseXor(a, b))) => Some((a, b, t - 1))
+      case EqualTo(BitwiseCount(BitwiseXor(a, b)), IntegerLiteral(0)) => Some((a, b, 0))
+      case EqualTo(IntegerLiteral(0), BitwiseCount(BitwiseXor(a, b))) => Some((a, b, 0))
+      case _ => None
+    }
+    conjuncts.iterator.flatMap(bound(_).iterator).flatMap { case (a, b, t) =>
+      val bits = (a.dataType, b.dataType) match {
+        case (LongType, LongType) => Some(64)
+        case (IntegerType, IntegerType) => Some(32)
+        case _ => None
+      }
+      def from(e: Expression, side: LogicalPlan) =
+        e.references.nonEmpty && e.references.subsetOf(side.outputSet) && e.deterministic
+      bits.filter(w => t >= 0 && t < w).flatMap { w =>
+        if (from(a, left) && from(b, right)) Some(Hamming(a, b, t, w))
+        else if (from(a, right) && from(b, left)) Some(Hamming(b, a, t, w))
+        else None
+      }
+    }.nextOption()
+  }
+
+  private def rewrite(j: Join, conjuncts: Seq[Expression], h: Hamming): LogicalPlan = {
+    val blocks = h.t + 1
+    // widths as even as possible; the first (bits % blocks) blocks get
+    // the extra bit. Uneven widths are fine for the pigeonhole — only
+    // "blocks > t blocks cover all bits" matters.
+    val base = h.bits / blocks
+    val widths = (0 until blocks).map(i => if (i < h.bits % blocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+
+    def blockExpr(hash: Expression, i: Int): Expression = {
+      // shift + mask in the hash's own integral type
+      val (shift, mask) =
+        if (h.bits == 64)
+          (Literal(offsets(i)),
+            Literal(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
+        else
+          (Literal(offsets(i)),
+            Literal(if (widths(i) == 32) -1 else (1 << widths(i)) - 1))
+      BitwiseAnd(ShiftRightUnsigned(hash, shift), mask)
+    }
+
+    def explodeSide(child: LogicalPlan, hash: Expression, tag: String): (LogicalPlan, Attribute, Attribute) = {
+      val gen = PosExplode(CreateArray((0 until blocks).map(blockExpr(hash, _))))
+      val out = gen.elementSchema.map(f =>
+        AttributeReference(s"__graft_hblock_${tag}_${f.name}", f.dataType, f.nullable)())
+      (Generate(gen, unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = out, child = child), out(0), out(1))
+    }
+
+    val (lGen, lPos, lVal) = explodeSide(j.left, h.x, "l")
+    val (rGen, rPos, rVal) = explodeSide(j.right, h.y, "r")
+
+    // first-agreeing-block conjunct: ∀ blockIdx j < pos, blocks differ.
+    // (pos is shared across sides via the equi key.) Preserves exact join
+    // multiplicity without a distinct.
+    val firstMatch = (0 until blocks - 1).map { i =>
+      Or(GreaterThanOrEqual(Literal(i), lPos),
+        Not(EqualTo(blockExpr(h.x, i), blockExpr(h.y, i))))
+    }
+
+    val newCond = (Seq[Expression](EqualTo(lPos, rPos), EqualTo(lVal, rVal)) ++
+      firstMatch ++ conjuncts).reduce(And)
+    Project(j.output, Join(lGen, rGen, Inner, Some(newCond), j.hint))
+  }
+}

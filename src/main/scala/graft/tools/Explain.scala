@@ -11,10 +11,13 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q08_flagship_anomalies")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
+    // Engine.builder, not a bare session: the audit must see the plans
+    // the engine actually runs — with GraftExtensions' optimizer rules
+    // (HammingJoinRewrite/BandJoinRewrite) injected, exactly like
+    // Verify/Bench/tests
+    val spark = graft.Engine.builder("graft-explain")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

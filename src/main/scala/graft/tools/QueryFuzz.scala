@@ -150,10 +150,111 @@ object QueryFuzz {
     picks.toSeq
   }
 
-  /** Generate the query for one seed — pure function of the seed. */
+  /** Band self-join (r15): random constant-band conditions over an int
+    * key — the [[graft.plans.BandJoinRewrite]] input space. The engine
+    * plans these through the bin rewrite; DuckDB evaluates the naive
+    * band (its IEJoin), so every seed differentially tests the rule:
+    * bound spellings (two-sided, abs, crossed upper bounds), strict vs
+    * non-strict edges, negative offsets, and duplicate keys
+    * (lineitem's l_orderkey repeats ~4×) for multiplicity.
+    */
+  private def bandJoin(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val t = if (rnd.nextBoolean()) tables.head else tables(3) // lineitem | events
+    val k = t.ints(rnd.nextInt(t.ints.length))
+    val m = 2 + rnd.nextInt(5)
+    val r = rnd.nextInt(m)
+    val lo = rnd.nextInt(13) - 6
+    val hi = lo + rnd.nextInt(10)
+    val (condCol, condSql) = rnd.nextInt(3) match {
+      case 0 => // two-sided, independently strict/non-strict
+        val sLo = rnd.nextBoolean(); val sHi = rnd.nextBoolean()
+        val cl = if (sLo) col("kb") > col("ka") + lo else col("kb") >= col("ka") + lo
+        val ch = if (sHi) col("kb") < col("ka") + hi else col("kb") <= col("ka") + hi
+        (cl && ch,
+          s"b.kb ${if (sLo) ">" else ">="} a.ka + ($lo) AND " +
+            s"b.kb ${if (sHi) "<" else "<="} a.ka + ($hi)")
+      case 1 => // absolute tolerance
+        val tol = rnd.nextInt(10)
+        (abs(col("kb") - col("ka")) <= tol, s"abs(b.kb - a.ka) <= $tol")
+      case _ => // crossed upper bounds: d ∈ [-p, q]
+        val p = rnd.nextInt(8); val q = rnd.nextInt(8)
+        (col("ka") <= col("kb") + p && col("kb") <= col("ka") + q,
+          s"a.ka <= b.kb + $p AND b.kb <= a.ka + $q")
+    }
+    val sql = s"SELECT CAST(count(*) AS BIGINT) AS a_cnt, " +
+      s"CAST(sum(a.ka + 3 * b.kb) AS BIGINT) AS a_chk, " +
+      s"CAST(min(b.kb - a.ka) AS BIGINT) AS a_mind, " +
+      s"CAST(max(b.kb - a.ka) AS BIGINT) AS a_maxd" +
+      s"\nFROM (SELECT $k AS ka FROM ${t.name} WHERE $k % $m = $r) a " +
+      s"JOIN (SELECT $k AS kb FROM ${t.name} WHERE $k % $m = $r) b " +
+      s"ON $condSql"
+    val build = (s: SparkSession, dir: String) => {
+      val base = t.load(s, dir).filter(col(k) % m === r)
+      val a = base.select(col(k).as("ka"))
+      val b = base.select(col(k).as("kb"))
+      a.join(b, condCol)
+        .agg(count(lit(1)).as("a_cnt"),
+          sum(col("ka") + col("kb") * 3).cast("long").as("a_chk"),
+          min(col("kb") - col("ka")).cast("long").as("a_mind"),
+          max(col("kb") - col("ka")).cast("long").as("a_maxd"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
+  /** Hamming self-join (r15): the [[graft.plans.HammingJoinRewrite]]
+    * input space, differentially tested — DuckDB evaluates the naive
+    * popcount join. Hashes are CORRELATED by construction (groups of 8
+    * consecutive keys share a 60-bit md5 base, perturbed by the low 3
+    * key bits), so within-group pairs sit at hamming <= 3 and thresholds
+    * 1..3 produce real matches; duplicate keys (lineitem) exercise the
+    * first-agreeing-block multiplicity machinery. Both engines derive
+    * the hash from md5 hex — bit-identical inputs.
+    */
+  private def hammingJoin(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val t = if (rnd.nextBoolean()) tables.head else tables(3)
+    val k = t.ints(rnd.nextInt(t.ints.length))
+    val m = 10 + rnd.nextInt(9) // sampled side stays <= ~6k rows
+    val r = rnd.nextInt(m)
+    val ham = 1 + rnd.nextInt(3)
+    val neq = rnd.nextBoolean() // kb > ka, or kb <> ka (both directions)
+    val keySql = if (neq) "b.kb <> a.ka" else "b.kb > a.ka"
+    val hashSqlDuck = (kc: String) =>
+      s"xor(('0x' || substr(md5(($kc // 8)::VARCHAR), 1, 15))::BIGINT, $kc % 8)"
+    val sql = s"SELECT CAST(count(*) AS BIGINT) AS a_cnt, " +
+      s"CAST(sum(a.ka + 3 * b.kb) AS BIGINT) AS a_chk, " +
+      s"CAST(max(bit_count(xor(a.ha, b.hb))) AS INTEGER) AS a_maxham" +
+      s"\nFROM (SELECT $k AS ka, ${hashSqlDuck(k)} AS ha FROM ${t.name} " +
+      s"WHERE ($k // 8) % $m = $r) a " +
+      s"JOIN (SELECT $k AS kb, ${hashSqlDuck(k)} AS hb FROM ${t.name} " +
+      s"WHERE ($k // 8) % $m = $r) b " +
+      s"ON $keySql AND bit_count(xor(a.ha, b.hb)) <= $ham"
+    val build = (s: SparkSession, dir: String) => {
+      val hash = expr(s"conv(substring(md5(cast($k div 8 as string)), 1, 15)" +
+        s", 16, 10)").cast("long").bitwiseXOR(col(k) % 8)
+      val base = t.load(s, dir).filter(expr(s"($k div 8) % $m = $r"))
+      val a = base.select(col(k).as("ka"), hash.as("ha"))
+      val b = base.select(col(k).as("kb"), hash.as("hb"))
+      val keyCond = if (neq) col("kb") =!= col("ka") else col("kb") > col("ka")
+      a.join(b, keyCond &&
+          bit_count(col("ha").bitwiseXOR(col("hb"))) <= ham)
+        .agg(count(lit(1)).as("a_cnt"),
+          sum(col("ka") + col("kb") * 3).cast("long").as("a_chk"),
+          max(bit_count(col("ha").bitwiseXOR(col("hb"))))
+            .cast("int").as("a_maxham"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
+  /** Generate the query for one seed — pure function of the seed.
+    * Kind mix: 3/6 single-table, 1/6 equi-join, 1/6 band self-join,
+    * 1/6 hamming self-join (the two rewrite-rule spaces).
+    */
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
-    val useJoin = rnd.nextInt(3) == 0
+    val kind = rnd.nextInt(6)
+    if (kind == 4) return bandJoin(seed, rnd)
+    if (kind == 5) return hammingJoin(seed, rnd)
+    val useJoin = kind == 3
     if (!useJoin) {
       val t = tables(rnd.nextInt(tables.length))
       val nPred = rnd.nextInt(3)
