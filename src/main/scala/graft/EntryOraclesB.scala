@@ -397,6 +397,17 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |  FROM simhash_t a JOIN simhash_t b ON b.doc_id > a.doc_id)
           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin),
 
+    // q151: the NAIVE point-in-interval join, verbatim (DuckDB plans it
+    // as an IEJoin); the engine's width-8 bin rewrite must hash-equal it
+    "q151_interval_join_rewrite" ->
+      """SELECT CAST(o.o_orderkey % 10 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(l.l_orderkey + 3 * o.o_orderkey) AS BIGINT) AS chk
+        |FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey >= o.o_orderkey - o.o_orderkey % 5
+        | AND l.l_orderkey <= o.o_orderkey + o.o_orderkey % 7
+        |GROUP BY 1""".stripMargin,
+
     // kmeans cells replayed as in q32/q33; quality + pred_lang replayed
     // as in q53/q54 (CTE renamed to avoid colliding with kmeansCtes)
     "q96_cluster_quality" ->

@@ -675,6 +675,26 @@ private[graft] trait EntryQueries { self: EntryShared =>
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
     }),
 
+    // q151: the conf-gated POINT-IN-INTERVAL rewrite (BandJoinRewrite's
+    // variable-span case, the Databricks RANGE_JOIN-hint shape) — the
+    // naive "point between two derived interval bounds" join over real
+    // tables, planned through width-8 bins; DuckDB replays the naive
+    // join (its IEJoin), so the gate proves the bin plan is exact:
+    // per-row spans, duplicate points (lineitem repeats l_orderkey),
+    // boundary inclusivity
+    "q151_interval_join_rewrite" -> ((s, dir) => {
+      s.conf.set("spark.graft.bandJoinRewrite.intervalBinWidth", "8")
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"))
+      l.join(o,
+          col("l_orderkey") >= col("o_orderkey") - col("o_orderkey") % 5 &&
+          col("l_orderkey") <= col("o_orderkey") + col("o_orderkey") % 7)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("l_orderkey") + col("o_orderkey") * 3)
+            .cast("long").as("chk"))
+    }),
+
     // BPE tokenizer TRAINING, fully oracle-gated (VERDICT r12 #1 retires
     // the last exemption): the engine's batched rounds are provably
     // bit-identical to sequential greedy training (the acceptBatch

@@ -96,6 +96,16 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** lo <= y − x <= hi with x from the left child, y from the right. */
   private case class Band(x: Expression, y: Expression, lo: Long, hi: Long)
 
+  /** Opt-in bin width for the POINT-IN-INTERVAL case (variable-width
+    * intervals — `p BETWEEN r.lo AND r.hi`). Unset (default) leaves
+    * those joins alone: unlike the constant band, the right bin fan-out
+    * is `span/width + 1` per row, so the width is a statement about the
+    * data only the user can make (the same contract as the Databricks
+    * RANGE_JOIN bin hint). A too-small width is still CORRECT — every
+    * original conjunct verifies — just explodes more bins.
+    */
+  private val IntervalWidthKey = "spark.graft.bandJoinRewrite.intervalBinWidth"
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(EnabledKey, "true") != "true") plan
     else plan.transform {
@@ -104,7 +114,13 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         if (hasEquiKey(conjuncts, left, right)) j
         else findBand(conjuncts, j.left, j.right) match {
           case Some(b) => rewrite(j, conjuncts, b)
-          case None => j
+          case None =>
+            val width = scala.util.Try(
+              conf.getConfString(IntervalWidthKey, "").toLong).toOption
+            width.filter(_ > 0)
+              .flatMap(w => findInterval(conjuncts, j.left, j.right)
+                .map(iv => rewriteInterval(j, conjuncts, iv, w)))
+              .getOrElse(j)
         }
     }
 
@@ -201,6 +217,58 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }.nextOption()
   }
 
+  /** Point-in-interval: `pt` (one child) bounded below by `lo + loOff`
+    * and above by `hi + hiOff` (both bounds from the other child).
+    */
+  private case class Interval(pt: Expression, ptOnLeft: Boolean,
+      lo: Expression, loOff: Long, hi: Expression, hiOff: Long)
+
+  private def findInterval(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Option[Interval] = {
+    // pt >= bound + off / pt <= bound + off, with pt and bound on
+    // opposite children
+    sealed trait C { def pt: Expression; def ptLeft: Boolean }
+    case class LowerC(pt: Expression, ptLeft: Boolean,
+        bound: Expression, off: Long) extends C
+    case class UpperC(pt: Expression, ptLeft: Boolean,
+        bound: Expression, off: Long) extends C
+
+    def ok(e: Expression, side: LogicalPlan) =
+      integral(e) && oneSided(e, side)
+
+    // a + t <= b, decomposed: baseA + (oa + t) <= baseB + ob
+    def le(a: Expression, b: Expression, t: Long): Seq[C] = {
+      val (ba, oa) = decompose(a)
+      val (bb, ob) = decompose(b)
+      if (ok(ba, left) && ok(bb, right))
+        Seq(UpperC(ba, ptLeft = true, bb, ob - oa - t),
+          LowerC(bb, ptLeft = false, ba, oa + t - ob))
+      else if (ok(ba, right) && ok(bb, left))
+        Seq(UpperC(ba, ptLeft = false, bb, ob - oa - t),
+          LowerC(bb, ptLeft = true, ba, oa + t - ob))
+      else Nil
+    }
+
+    val cs: Seq[C] = conjuncts.flatMap {
+      case LessThanOrEqual(a, b) => le(a, b, 0L)
+      case LessThan(a, b) => le(a, b, 1L)
+      case GreaterThanOrEqual(a, b) => le(b, a, 0L)
+      case GreaterThan(a, b) => le(b, a, 1L)
+      case _ => Nil
+    }
+    cs.iterator.flatMap { c =>
+      val mine = cs.filter(o => o.ptLeft == c.ptLeft &&
+        o.pt.semanticEquals(c.pt))
+      val lower = mine.collectFirst { case l: LowerC => l }
+      val upper = mine.collectFirst { case u: UpperC => u }
+      (lower, upper) match {
+        case (Some(l), Some(u)) =>
+          Some(Interval(c.pt, c.ptLeft, l.bound, l.off, u.bound, u.off))
+        case _ => None
+      }
+    }.nextOption()
+  }
+
   /** floor(a / w) from integral ops only: (a − pmod(a, w)) div w. */
   private def floorDiv(a: Expression, w: Long): Expression = {
     val la = Cast(a, LongType)
@@ -228,5 +296,42 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val newCond = (Seq[Expression](EqualTo(lBin.head, rBin.toAttribute)) ++
       conjuncts).reduce(And)
     Project(j.output, Join(lGen, rProj, Inner, Some(newCond), j.hint))
+  }
+
+  /** Point-in-interval rewrite at user-declared bin width `w`: the point
+    * side is keyed by its single floor-div bin (a projection); the
+    * interval side explodes into the `span/w + 1` bins its window
+    * covers. The point's bin is unique and the interval's bins are
+    * distinct, so each qualifying pair matches in exactly one bin —
+    * multiplicity preserved, originals verify. Malformed rows (hi < lo,
+    * or a null bound) explode into nothing — they could never match.
+    * A row whose span/w exceeds Spark's array cap fails loudly at
+    * runtime; the width conf is the user's statement that spans are
+    * bounded (a too-small width is correct but explodes more bins).
+    */
+  private def rewriteInterval(j: Join, conjuncts: Seq[Expression],
+      iv: Interval, w: Long): LogicalPlan = {
+    val ptBin = Alias(floorDiv(iv.pt, w), "__graft_ivl_p_bin")()
+    val b0 = floorDiv(Add(Cast(iv.lo, LongType), Literal(iv.loOff)), w)
+    val b1 = floorDiv(Add(Cast(iv.hi, LongType), Literal(iv.hiOff)), w)
+    // Sequence is TimeZoneAwareExpression: resolution requires a zone id
+    // even for integral sequences
+    val bins = If(LessThanOrEqual(b0, b1),
+      new Sequence(b0, b1, Some(Literal(1L)),
+        Some(conf.sessionLocalTimeZone)),
+      Literal.create(Seq.empty[Long], org.apache.spark.sql.types
+        .ArrayType(LongType, containsNull = false)))
+    val gen = Explode(bins)
+    val genOut = gen.elementSchema.map(f =>
+      AttributeReference(s"__graft_ivl_i_${f.name}", f.dataType, f.nullable)())
+
+    val (ptChild, ivChild) = if (iv.ptOnLeft) (j.left, j.right) else (j.right, j.left)
+    val ptProj = Project(ptChild.output :+ ptBin, ptChild)
+    val ivGen = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = genOut, child = ivChild)
+    val (newLeft, newRight) = if (iv.ptOnLeft) (ptProj, ivGen) else (ivGen, ptProj)
+    val newCond = (Seq[Expression](EqualTo(ptBin.toAttribute, genOut.head)) ++
+      conjuncts).reduce(And)
+    Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
   }
 }

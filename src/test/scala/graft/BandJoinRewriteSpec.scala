@@ -131,6 +131,79 @@ class BandJoinRewriteSpec extends SparkSpecBase {
     assert(keyless === operator)
   }
 
+  // ---- point-in-interval (conf-gated bin width) ----
+
+  private val WidthKey = "spark.graft.bandJoinRewrite.intervalBinWidth"
+
+  private def withWidth[T](w: Long)(f: => T): T = {
+    spark.conf.set(WidthKey, w.toString)
+    try f finally spark.conf.unset(WidthKey)
+  }
+
+  // intervals with variable spans, a malformed row (hi < lo), a null
+  // bound, negative coordinates, and exact-boundary points
+  private def points = Seq(1L -> -20L, 2L -> -7L, 3L -> 0L, 4L -> 9L,
+    5L -> 35L, 6L -> 35L).toDF("id_p", "p")
+  private def intervals = (Seq(
+    (11L, Option(-25L), Option(-20L)), // p=-20 sits on the hi boundary
+    (12L, Option(-10L), Option(5L)),
+    (13L, Option(9L), Option(9L)),     // degenerate single-point interval
+    (14L, Option(30L), Option(40L)),   // catches the duplicate points
+    (15L, Option(50L), Option(20L)),   // malformed: hi < lo, matches nothing
+    (16L, Option.empty[Long], Option(8L)))) // null lo never matches
+    .toDF("id_i", "lo", "hi")
+
+  // NOTE: the width conf is read at OPTIMIZATION time, so withWidth must
+  // wrap the ACTION (ab's collects / plan accesses), not just the lazy
+  // DataFrame construction — the first draft wrapped construction only
+  // and the "rewritten" leg silently ran naive.
+
+  test("interval parity at several widths: spans, nulls, malformed, dups") {
+    for (w <- Seq(1L, 7L, 64L)) {
+      def q = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("id_p", "id_i")
+      val (naive, rewritten) = withWidth(w) { ab(q) }
+      assert(naive === rewritten, s"w=$w")
+      assert(naive === Seq("[1,11]", "[2,12]", "[3,12]", "[4,13]",
+        "[5,14]", "[6,14]"), s"w=$w")
+      assert(withWidth(w) {
+        q.queryExecution.executedPlan.toString.contains("Generate")
+      }, s"w=$w rewrite did not fire")
+    }
+  }
+
+  test("interval with strict bounds and constant offsets") {
+    def q = points.join(intervals,
+      col("p") > col("lo") - 2 && col("p") < col("hi") + 3)
+      .select("id_p", "id_i")
+    val (naive, rewritten) = withWidth(5L) { ab(q) }
+    assert(naive === rewritten)
+    assert(withWidth(5L) {
+      q.queryExecution.executedPlan.toString.contains("Generate") })
+  }
+
+  test("interval side on the LEFT (orientation swap)") {
+    def q = intervals.join(points,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("id_i", "id_p")
+    val (naive, rewritten) = withWidth(7L) { ab(q) }
+    assert(naive === rewritten)
+    assert(withWidth(7L) {
+      q.queryExecution.executedPlan.toString.contains("Generate") })
+  }
+
+  test("interval plan: Generate + no NLJ with the width set; NLJ without") {
+    def q = points.join(intervals,
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    val plan = withWidth(7L) { q.queryExecution.executedPlan.toString }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    assert(plan.contains("Generate"))
+    // without the conf the rule has no width to bin by — untouched
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Generate"))
+  }
+
   test("seeded random sweep: bands and values across sign boundaries") {
     val rnd = new scala.util.Random(421)
     for (trial <- 0 until 8) {
