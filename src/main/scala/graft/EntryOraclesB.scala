@@ -397,6 +397,14 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |  FROM simhash_t a JOIN simhash_t b ON b.doc_id > a.doc_id)
           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin),
 
+    // q152: the near-dup edge graph (q52's construction) + generated
+    // fixed-point iteration CTEs; every arithmetic step integer, so the
+    // replay is exact at any summation order
+    "q152_pagerank_centrality" ->
+      (docCtes.stripSuffix("\n") + ",\n" + ndEdgesCtes +
+        pagerankCtes(3).stripSuffix(",\n") +
+        "\nSELECT id AS doc_id, pr FROM r3"),
+
     // q151: the NAIVE point-in-interval join, verbatim (DuckDB plans it
     // as an IEJoin); the engine's width-8 bin rewrite must hash-equal it
     "q151_interval_join_rewrite" ->

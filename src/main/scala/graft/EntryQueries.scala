@@ -682,6 +682,18 @@ private[graft] trait EntryQueries { self: EntryShared =>
     // join (its IEJoin), so the gate proves the bin plan is exact:
     // per-row spans, duplicate points (lineitem repeats l_orderkey),
     // boundary inclusivity
+    // q152: fixed-point PageRank over the verified near-dup pair graph
+    // (centrality within duplicate clusters — the ranking complement to
+    // q52's CC labels). Integer micro-unit ranks make the 3-iteration
+    // recurrence bit-replayable in DuckDB (floating-point PageRank never
+    // hash-gates: inbound sums reassociate); isolated docs ride the left
+    // join at base rank
+    "q152_pagerank_centrality" -> ((s, dir) =>
+      graft.operators.Graph.pageRankOverPairs(
+        Tables.documents(s, dir).select(col("doc_id").as("id")),
+        lshPairsShared(s, dir), iters = 3)
+        .select(col("id").as("doc_id"), col("pr"))),
+
     "q151_interval_join_rewrite" -> ((s, dir) => {
       s.conf.set("spark.graft.bandJoinRewrite.intervalBinWidth", "8")
       val l = Tables.lineitem(s, dir).select(col("l_orderkey"))

@@ -1314,27 +1314,65 @@ private[graft] trait EntryShared {
   /** The q52 connected-components oracle (recursive reachability +
     * min-label), shared by q93's savings histogram.
     */
+  /** The verified near-dup pair graph (threshold 0.5) as a symmetric
+    * `edges` CTE — the shared tail of q52's connected components and
+    * q152's PageRank (both replay the SAME graph the engine derives from
+    * [[lshPairsShared]]).
+    */
+  protected lazy val ndEdgesCtes: String = lshCtes +
+    s"""cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
+       |nd AS (
+       |  SELECT id_a, id_b
+       |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
+       |             JOIN shd b ON cands.id_b = b.doc_id
+       |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM nd
+       |  UNION ALL SELECT id_b, id_a FROM nd),
+       |""".stripMargin
+
   protected lazy val clusterLabelsSql: String =
-    docCtes.stripSuffix("\n").replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" + lshCtes +
-      s"""cands AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id),
-         |shd AS (SELECT doc_id, list_distinct(sh) AS dsh FROM sh),
-         |nd AS (
-         |  SELECT id_a, id_b
-         |  FROM cands JOIN shd a ON cands.id_a = a.doc_id
-         |             JOIN shd b ON cands.id_b = b.doc_id
-         |  WHERE ${jaccardSql("a.dsh", "b.dsh")} >= 0.5),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM nd
-         |  UNION ALL SELECT id_b, id_a FROM nd),
-         |walk(id, reach) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
-         |SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id""".stripMargin
+    docCtes.stripSuffix("\n").replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      ndEdgesCtes +
+      """walk(id, reach) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+        |SELECT id AS doc_id, min(reach) AS cluster FROM walk GROUP BY id""".stripMargin
+
+  /** q152's fixed-point PageRank iterations as generated CTEs (the BPE
+    * merge-round precedent): rank in integer micro-units, every step
+    * `//`-floored on positive operands — bit-identical to the engine's
+    * `div`-truncated longs. Mirrors [[graft.operators.Graph
+    * .pageRankIntScaled]] at damp 85/100, scale 10⁶.
+    */
+  protected def pagerankCtes(iters: Int): String = {
+    val head =
+      """outdeg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY 1),
+        |eo AS (SELECT e.src, e.dst, o.od
+        |       FROM edges e JOIN outdeg o ON o.src = e.src),
+        |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS pr
+        |       FROM documents),
+        |""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (SELECT eo.dst AS id, r.pr // eo.od AS c
+         |  FROM eo JOIN r${i - 1} r ON r.id = eo.src),
+         |s$i AS (SELECT id, CAST(sum(c) AS BIGINT) AS insum
+         |  FROM c$i GROUP BY 1),
+         |r$i AS (SELECT n.id,
+         |    CAST(150000 + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS pr
+         |  FROM (SELECT doc_id AS id FROM documents) n
+         |  LEFT JOIN s$i s ON s.id = n.id),
+         |""".stripMargin
+    }.mkString
+    head + its
+  }
 
   /** q86's band CTEs: the q11/lshCtes construction with `source` carried
     * through so the corpus/incoming split can happen after banding.

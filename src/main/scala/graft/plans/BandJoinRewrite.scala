@@ -283,18 +283,33 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       return Project(j.output,
         j.copy(condition = Some((key +: conjuncts).reduce(And))))
     }
+    // Project each side's key expression once per row (original type) and
+    // reference the attribute in bin math AND the retained verification —
+    // never re-evaluate a possibly-expensive key per candidate pair (the
+    // HammingJoinRewrite lesson).
+    val xAlias = Alias(b.x, "__graft_band_l_key")()
+    val xAttr = xAlias.toAttribute
+    val yAlias = Alias(b.y, "__graft_band_r_key")()
+    val yAttr = yAlias.toAttribute
     // left: explode into the two bins [x+lo, x+lo+w] can touch
-    val b0 = floorDiv(Add(Cast(b.x, LongType), Literal(b.lo)), w)
+    val b0 = floorDiv(Add(Cast(xAttr, LongType), Literal(b.lo)), w)
     val gen = Explode(CreateArray(Seq(b0, Add(b0, Literal(1L)))))
     val lBin = gen.elementSchema.map(f =>
       AttributeReference(s"__graft_band_l_${f.name}", f.dataType, f.nullable)())
     val lGen = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = lBin, child = j.left)
-    // right: its single bin, as a projected column
-    val rBin = Alias(floorDiv(b.y, w), "__graft_band_r_bin")()
-    val rProj = Project(j.right.output :+ rBin, j.right)
+      qualifier = None, generatorOutput = lBin,
+      child = Project(j.left.output :+ xAlias, j.left))
+    // right: its single bin, as a projected column (stacked projections —
+    // a projection cannot reference a sibling alias)
+    val rKeyed = Project(j.right.output :+ yAlias, j.right)
+    val rBin = Alias(floorDiv(yAttr, w), "__graft_band_r_bin")()
+    val rProj = Project(rKeyed.output :+ rBin, rKeyed)
+    val verification = conjuncts.map(_.transform {
+      case e if e.semanticEquals(b.x) => xAttr
+      case e if e.semanticEquals(b.y) => yAttr
+    })
     val newCond = (Seq[Expression](EqualTo(lBin.head, rBin.toAttribute)) ++
-      conjuncts).reduce(And)
+      verification).reduce(And)
     Project(j.output, Join(lGen, rProj, Inner, Some(newCond), j.hint))
   }
 
@@ -311,9 +326,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private def rewriteInterval(j: Join, conjuncts: Seq[Expression],
       iv: Interval, w: Long): LogicalPlan = {
-    val ptBin = Alias(floorDiv(iv.pt, w), "__graft_ivl_p_bin")()
-    val b0 = floorDiv(Add(Cast(iv.lo, LongType), Literal(iv.loOff)), w)
-    val b1 = floorDiv(Add(Cast(iv.hi, LongType), Literal(iv.hiOff)), w)
+    // hoist pt/lo/hi into per-row projections at their original types
+    // and verify against the attributes (the HammingJoinRewrite lesson:
+    // never re-evaluate a key expression per candidate pair)
+    val ptAlias = Alias(iv.pt, "__graft_ivl_p_key")()
+    val ptAttr = ptAlias.toAttribute
+    val loAlias = Alias(iv.lo, "__graft_ivl_i_lo")()
+    val hiAlias = Alias(iv.hi, "__graft_ivl_i_hi")()
+
+    val b0 = floorDiv(Add(Cast(loAlias.toAttribute, LongType),
+      Literal(iv.loOff)), w)
+    val b1 = floorDiv(Add(Cast(hiAlias.toAttribute, LongType),
+      Literal(iv.hiOff)), w)
     // Sequence is TimeZoneAwareExpression: resolution requires a zone id
     // even for integral sequences
     val bins = If(LessThanOrEqual(b0, b1),
@@ -326,12 +350,20 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       AttributeReference(s"__graft_ivl_i_${f.name}", f.dataType, f.nullable)())
 
     val (ptChild, ivChild) = if (iv.ptOnLeft) (j.left, j.right) else (j.right, j.left)
-    val ptProj = Project(ptChild.output :+ ptBin, ptChild)
+    val ptKeyed = Project(ptChild.output :+ ptAlias, ptChild)
+    val ptBin = Alias(floorDiv(ptAttr, w), "__graft_ivl_p_bin")()
+    val ptProj = Project(ptKeyed.output :+ ptBin, ptKeyed)
     val ivGen = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = genOut, child = ivChild)
+      qualifier = None, generatorOutput = genOut,
+      child = Project(ivChild.output ++ Seq(loAlias, hiAlias), ivChild))
+    val verification = conjuncts.map(_.transform {
+      case e if e.semanticEquals(iv.pt) => ptAttr
+      case e if e.semanticEquals(iv.lo) => loAlias.toAttribute
+      case e if e.semanticEquals(iv.hi) => hiAlias.toAttribute
+    })
     val (newLeft, newRight) = if (iv.ptOnLeft) (ptProj, ivGen) else (ivGen, ptProj)
     val newCond = (Seq[Expression](EqualTo(ptBin.toAttribute, genOut.head)) ++
-      conjuncts).reduce(And)
+      verification).reduce(And)
     Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
   }
 }

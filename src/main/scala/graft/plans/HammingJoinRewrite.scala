@@ -58,6 +58,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * hash join there, and the residual hamming check is evaluated only on
   * the equi bucket's matches.
   *
+  * Duplicate-heavy fingerprints: when one hash value repeats k times,
+  * the qualifying OUTPUT already contains its k² pairs, so candidate
+  * volume is output-bound — no exact rewrite can do better. The lossy
+  * hand-built operators (q31's `capHotBuckets` lineage) may cap hot
+  * buckets because their CONTRACT tolerates dropped pairs; an optimizer
+  * rewrite must be exact, so it does not. The fingerprint expression is
+  * hoisted into a per-row projection (see `rewrite`), so even the
+  * degenerate case pays cheap shift/mask/popcount per candidate, never
+  * the fingerprint function itself.
+  *
   * 32-bit nuance: Spark's `bit_count` sign-extends ints to 64 bits, so
   * int pairs differing in the sign bit score >= 33, never <= a small t.
   * The 32-bit pigeonhole remains sound — `bit_count(signext(x ^ y)) <= t`
@@ -147,27 +157,45 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       BitwiseAnd(ShiftRightUnsigned(hash, shift), mask)
     }
 
-    def explodeSide(child: LogicalPlan, hash: Expression, tag: String): (LogicalPlan, Attribute, Attribute) = {
-      val gen = PosExplode(CreateArray((0 until blocks).map(blockExpr(hash, _))))
+    // Project the fingerprint ONCE per row below the explode and use the
+    // attribute everywhere above — block values, first-match checks, and
+    // the retained verification. Without this, an expensive fingerprint
+    // expression (md5-derived hashes, a fused media hash) is re-evaluated
+    // PER CANDIDATE PAIR inside the join condition — the fuzzer caught a
+    // duplicate-heavy corpus where that turned a seconds-sized join into
+    // hours of per-pair md5.
+    def explodeSide(child: LogicalPlan, hash: Expression,
+        tag: String): (LogicalPlan, Attribute, Attribute, Attribute) = {
+      val hashAlias = Alias(hash, s"__graft_hblock_${tag}_hash")()
+      val proj = Project(child.output :+ hashAlias, child)
+      val hAttr = hashAlias.toAttribute
+      val gen = PosExplode(CreateArray((0 until blocks).map(blockExpr(hAttr, _))))
       val out = gen.elementSchema.map(f =>
         AttributeReference(s"__graft_hblock_${tag}_${f.name}", f.dataType, f.nullable)())
       (Generate(gen, unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = out, child = child), out(0), out(1))
+        qualifier = None, generatorOutput = out, child = proj), out(0), out(1), hAttr)
     }
 
-    val (lGen, lPos, lVal) = explodeSide(j.left, h.x, "l")
-    val (rGen, rPos, rVal) = explodeSide(j.right, h.y, "r")
+    val (lGen, lPos, lVal, lHash) = explodeSide(j.left, h.x, "l")
+    val (rGen, rPos, rVal, rHash) = explodeSide(j.right, h.y, "r")
 
     // first-agreeing-block conjunct: ∀ blockIdx j < pos, blocks differ.
     // (pos is shared across sides via the equi key.) Preserves exact join
     // multiplicity without a distinct.
     val firstMatch = (0 until blocks - 1).map { i =>
       Or(GreaterThanOrEqual(Literal(i), lPos),
-        Not(EqualTo(blockExpr(h.x, i), blockExpr(h.y, i))))
+        Not(EqualTo(blockExpr(lHash, i), blockExpr(rHash, i))))
     }
 
+    // retained originals verify against the projected attributes too
+    // (h.x/h.y are deterministic, so the substitution is sound)
+    val verification = conjuncts.map(_.transform {
+      case e if e.semanticEquals(h.x) => lHash
+      case e if e.semanticEquals(h.y) => rHash
+    })
+
     val newCond = (Seq[Expression](EqualTo(lPos, rPos), EqualTo(lVal, rVal)) ++
-      firstMatch ++ conjuncts).reduce(And)
+      firstMatch ++ verification).reduce(And)
     Project(j.output, Join(lGen, rGen, Inner, Some(newCond), j.hint))
   }
 }

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Probe: fixed-point PageRank beyond the 500-doc gate SF — a synthetic
+  * web-ish graph (each node links to 3 closed-form neighbors, so the
+  * whole edge relation is generated, never shuffled in).
+  *
+  * Recorded (2026-08-15, local[32]):
+  *   pagerank_2M_nodes_6M_edges_3it   15.3 s  (first timed run — pays
+  *                                    codegen for the whole chain)
+  *   pagerank_2M_nodes_6M_edges_6it   14.3 s  (6 warm iterations cost no
+  *                                    more than 3 cold ones: at this size
+  *                                    the fixed edge-shuffle dominates the
+  *                                    per-iteration Pregel step — 3
+  *                                    equi-shuffles of 16-byte rows each)
+  * The closed-form graph is REGULAR (outdeg 3 everywhere), so ranks stay
+  * uniform and total_pr pins the arithmetic: 2 M × (150000 + 849999) —
+  * each node's inbound sum is 999999·85//100 after the div-truncation,
+  * exactly what the fixed-point recurrence predicts.
+  * At 100 TB the rank/edge relations hash-partition by id; nothing in
+  * the plan is driver-sided or quadratic. Lineage grows linearly with
+  * iterations — localCheckpoint every ~10 rounds for deep runs (the BPE
+  * trainer's discipline).
+  */
+object ProbeGraph {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Engine.builder("probe-graph").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"PROBE graph $name sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    val n = if (args.length > 0) args(0).toLong else 2000000L
+    val nodes = spark.range(n).select(col("id"))
+    val edges = spark.range(n).select(col("id").as("src"),
+        explode(array((1 to 3).map(j =>
+          (col("id") * 31 + j * 1009) % n): _*)).as("dst"))
+    for (iters <- Seq(3, 6)) {
+      time(s"pagerank_${n / 1000000}M_nodes_${3 * n / 1000000}M_edges_${iters}it") {
+        val r = graft.operators.Graph.pageRankIntScaled(nodes, edges, iters)
+          .agg(sum(col("pr")), count(lit(1))).head()
+        println(s"  total_pr=${r.getLong(0)} nodes=${r.getLong(1)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -160,7 +160,11 @@ object QueryFuzz {
     */
   private def bandJoin(seed: Long, rnd: scala.util.Random): FuzzQuery = {
     val t = if (rnd.nextBoolean()) tables.head else tables(3) // lineitem | events
-    val k = t.ints(rnd.nextInt(t.ints.length))
+    // high-cardinality keys only (the first two): a tiny-domain key like
+    // l_linenumber collapses every row into one band/hash neighborhood,
+    // and the query's OUTPUT is quadratic — not a rewrite pathology, a
+    // degenerate query (the fuzzer's job is parity, not stress)
+    val k = t.ints(rnd.nextInt(math.min(2, t.ints.length)))
     val m = 2 + rnd.nextInt(5)
     val r = rnd.nextInt(m)
     val lo = rnd.nextInt(13) - 6
@@ -212,7 +216,7 @@ object QueryFuzz {
     */
   private def hammingJoin(seed: Long, rnd: scala.util.Random): FuzzQuery = {
     val t = if (rnd.nextBoolean()) tables.head else tables(3)
-    val k = t.ints(rnd.nextInt(t.ints.length))
+    val k = t.ints(rnd.nextInt(math.min(2, t.ints.length))) // high-card keys
     val m = 10 + rnd.nextInt(9) // sampled side stays <= ~6k rows
     val r = rnd.nextInt(m)
     val ham = 1 + rnd.nextInt(3)
@@ -245,15 +249,57 @@ object QueryFuzz {
     FuzzQuery(s"fz_$seed", build, sql)
   }
 
+  /** Point-in-interval join (r15): the conf-gated variable-span case of
+    * [[graft.plans.BandJoinRewrite]] — per-row interval bounds derived
+    * from the right key, a seed-chosen bin width set by the build (the
+    * same session-conf contract q151 uses), DuckDB replaying the naive
+    * IEJoin. Width varies 2..16 so bins both wider and narrower than
+    * typical spans are exercised.
+    */
+  private def intervalJoin(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val tp = if (rnd.nextBoolean()) tables.head else tables(3)
+    val ti = if (rnd.nextBoolean()) tables(1) else tables(3)
+    val kp = tp.ints(rnd.nextInt(math.min(2, tp.ints.length)))
+    val ki = ti.ints(rnd.nextInt(math.min(2, ti.ints.length)))
+    val mp = 2 + rnd.nextInt(4); val rp = rnd.nextInt(mp)
+    val mi = 2 + rnd.nextInt(4); val ri = rnd.nextInt(mi)
+    val m1 = 3 + rnd.nextInt(7); val m2 = 3 + rnd.nextInt(7)
+    val width = 2 + rnd.nextInt(15)
+    val sql = s"SELECT CAST(count(*) AS BIGINT) AS a_cnt, " +
+      s"CAST(sum(p.kp + 3 * i.ki) AS BIGINT) AS a_chk, " +
+      s"CAST(min(p.kp - i.ki) AS BIGINT) AS a_mind, " +
+      s"CAST(max(p.kp - i.ki) AS BIGINT) AS a_maxd" +
+      s"\nFROM (SELECT $kp AS kp FROM ${tp.name} WHERE $kp % $mp = $rp) p " +
+      s"JOIN (SELECT $ki AS ki FROM ${ti.name} WHERE $ki % $mi = $ri) i " +
+      s"ON p.kp >= i.ki - i.ki % $m1 AND p.kp <= i.ki + i.ki % $m2"
+    val build = (s: SparkSession, dir: String) => {
+      s.conf.set("spark.graft.bandJoinRewrite.intervalBinWidth",
+        width.toString)
+      val p = tp.load(s, dir).filter(col(kp) % mp === rp)
+        .select(col(kp).as("kp"))
+      val i = ti.load(s, dir).filter(col(ki) % mi === ri)
+        .select(col(ki).as("ki"))
+      p.join(i, col("kp") >= col("ki") - col("ki") % m1 &&
+          col("kp") <= col("ki") + col("ki") % m2)
+        .agg(count(lit(1)).as("a_cnt"),
+          sum(col("kp") + col("ki") * 3).cast("long").as("a_chk"),
+          min(col("kp") - col("ki")).cast("long").as("a_mind"),
+          max(col("kp") - col("ki")).cast("long").as("a_maxd"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
   /** Generate the query for one seed — pure function of the seed.
-    * Kind mix: 3/6 single-table, 1/6 equi-join, 1/6 band self-join,
-    * 1/6 hamming self-join (the two rewrite-rule spaces).
+    * Kind mix: 3/7 single-table, 1/7 equi-join, 1/7 band self-join,
+    * 1/7 hamming self-join, 1/7 point-in-interval join (the rewrite-rule
+    * input spaces).
     */
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
-    val kind = rnd.nextInt(6)
+    val kind = rnd.nextInt(7)
     if (kind == 4) return bandJoin(seed, rnd)
     if (kind == 5) return hammingJoin(seed, rnd)
+    if (kind == 6) return intervalJoin(seed, rnd)
     val useJoin = kind == 3
     if (!useJoin) {
       val t = tables(rnd.nextInt(tables.length))

@@ -141,6 +141,26 @@ class HammingJoinRewriteSpec extends SparkSpecBase {
     assert(viaRule === viaOperator)
   }
 
+  test("fingerprint exprs are hoisted below the explode, not re-evaluated per pair") {
+    // the join condition (evaluated per candidate pair) must reference
+    // only the projected hash attributes — an expensive fingerprint
+    // (here sim_hash64 over tokenized text) re-evaluated per pair turned
+    // a duplicate-heavy fuzz seed from seconds into hours
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = graft.operators.Dedup.simhash(docs)
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val q = a.join(b, col("id_b") > col("id_a") &&
+      bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+    val joinConds = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+    }
+    assert(joinConds.nonEmpty)
+    assert(!joinConds.exists(_.contains("sim_hash64")),
+      "fingerprint function leaked into a per-pair join condition")
+  }
+
   test("exhaustive 10-bit sweep: every pair at every distance, t=1..5") {
     // 64-bit hashes whose low 10 bits enumerate 0..1023 over a fixed
     // high pattern: all pairwise hamming distances 0..10 appear; parity
