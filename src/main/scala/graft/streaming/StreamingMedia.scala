@@ -44,4 +44,35 @@ object StreamingMedia {
       .select(col("ts"), col("media_id"), col("dhash"), col("dup_of"),
         col("dup_of").isNotNull.cast("int").as("is_dup"))
   }
+
+  /** Streaming FUZZY near-dup alerting against a known corpus: one row
+    * per (arriving image, corpus hash within hamming `maxHamming`).
+    *
+    * Before the r15 optimizer rules this shape was a streaming
+    * non-starter: `bit_count(dhash ^ hash) <= t` has no equi key, so
+    * every micro-batch would nested-loop the whole corpus per arrival —
+    * which is why [[imageDedupStream]] limited streaming to the exact
+    * (hamming-0) class and deferred hamming ≤ t to the batch q145 job.
+    * [[graft.plans.HammingJoinRewrite]] changes the calculus: the naive
+    * condition below is rebuilt into the Manku block equi-join, with the
+    * stream side's Generate a STATELESS per-row explode — no state
+    * store, no watermark, append-safe, and per-batch cost proportional
+    * to block-bucket overlap instead of corpus size.
+    *
+    * INNER join deliberately: near-dup ALERTING emits on match (possibly
+    * several corpus neighbors per arrival — the t>0 classes genuinely
+    * overlap); per-arrival "is there any dup" rows stay with
+    * [[imageDedupStream]], whose left join is equi-keyed. A left-outer
+    * spelling here would put the non-equi condition back on a
+    * BroadcastNestedLoopJoin (the rewrite is inner-only by its
+    * multiplicity argument).
+    */
+  def nearDupPairsStream(mediaStream: DataFrame, knownHashes: DataFrame,
+                         maxHamming: Int = 3): DataFrame = {
+    val hamming = bit_count(col("dhash").bitwiseXOR(col("hash")))
+    dhashStream(mediaStream)
+      .join(knownHashes, hamming <= maxHamming)
+      .select(col("ts"), col("media_id"), col("dhash"),
+        col("known_id"), hamming.cast("int").as("hamming"))
+  }
 }

@@ -44,6 +44,19 @@ import org.apache.spark.sql.functions._
   *   band_rewritten_1M    3.8 s   (~100× vs extrapolated naive; cost is
   *                                 dominated by the ~6 M-pair output and
   *                                 the two bin shuffles)
+  *
+  * Stream-static micro-batch leg (the nearDupPairsStream shape — a
+  * batch of arrivals vs a corpus index at hamming <= 3; same session):
+  *   stream_naive_1k_arrivals_100k_corpus      0.4 s  (1e8 popcounts —
+  *                                 naive cost is arrivals × corpus, so
+  *                                 10k × 4M would be ~160 s per batch
+  *                                 plus re-broadcasting 4M hashes)
+  *   stream_rewritten_1k_arrivals_100k_corpus  0.3 s
+  *   stream_rewritten_10k_arrivals_1M_corpus   0.7 s
+  *   stream_rewritten_10k_arrivals_4M_corpus   1.3 s  (cost tracks block-
+  *                                 bucket OVERLAP, not corpus size —
+  *                                 what makes fuzzy streaming dedup
+  *                                 viable at crawl corpus scale)
   */
 object ProbeRewrite {
   def main(args: Array[String]): Unit = {
@@ -102,6 +115,25 @@ object ProbeRewrite {
       time(s"band_rewritten_${n / 1000}k") { bq(n).head() }
     }
     time("band_rewritten_1M") { bq(1000000L).head() }
+
+    // ---- the stream-static micro-batch shape behind
+    // StreamingMedia.nearDupPairsStream: a batch of arrivals joined to a
+    // corpus index at hamming <= 3. Per-micro-batch cost is what decides
+    // whether fuzzy streaming dedup is viable at all.
+    def mb(nArr: Long, nCorpus: Long): DataFrame = {
+      val arr = spark.range(nArr)
+        .select(col("id").as("media_id"), xxhash64(col("id") + 7L).as("dh"))
+      val corpus = spark.range(nCorpus)
+        .select(col("id").as("known_id"), xxhash64(col("id")).as("h"))
+      arr.join(corpus, bit_count(col("dh").bitwiseXOR(col("h"))) <= 3)
+        .agg(count(lit(1)).as("pairs"))
+    }
+    spark.conf.set(key, "false")
+    time("stream_naive_1k_arrivals_100k_corpus") { mb(1000L, 100000L).head() }
+    spark.conf.set(key, "true")
+    time("stream_rewritten_1k_arrivals_100k_corpus") { mb(1000L, 100000L).head() }
+    time("stream_rewritten_10k_arrivals_1M_corpus") { mb(10000L, 1000000L).head() }
+    time("stream_rewritten_10k_arrivals_4M_corpus") { mb(10000L, 4000000L).head() }
     spark.stop()
   }
 }

@@ -291,6 +291,63 @@ class MultimodalSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming FUZZY near-dup (hamming <= t) rides the hamming-join " +
+    "rewrite: batch ≡ stream, micro-batch plan is equi-join shaped") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.functions.ImageKernels
+    // corpus hashes planted at controlled hamming distances from the
+    // arriving images' dHashes: 0, 1, 2, and 4 bit flips
+    def dh(id: Long): Long =
+      ImageKernels.dhash64(ImageKernels.decodePng(
+        ImageKernels.synthPng(id))).longValue
+    val known = Seq(
+      (100L, dh(0L)),                               // hamming 0 of image 0
+      (101L, dh(0L) ^ (1L << 17)),                  // hamming 1 of image 0
+      (102L, dh(2L) ^ (1L << 63) ^ 1L),             // hamming 2 of image 2
+      (103L, dh(4L) ^ 0xf0L))                       // hamming 4 of image 4
+      .toDF("known_id", "hash")
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (ts("2024-01-01 00:00:01"), 0L, ImageKernels.synthPng(0L)),
+      (ts("2024-01-01 00:00:02"), 2L, ImageKernels.synthPng(2L)),
+      (ts("2024-01-01 00:00:03"), 4L, ImageKernels.synthPng(4L)),
+      (ts("2024-01-01 00:00:04"), 9L, "junk".getBytes))
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id", "known_id", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val batch = collectPairs(graft.streaming.StreamingMedia
+      .nearDupPairsStream(rows.toDF("ts", "media_id", "payload"), known,
+        maxHamming = 2))
+    // image 0 matches 100 (h0) and 101 (h1); image 2 matches 102 (h2 —
+    // incl. a sign-bit flip); image 4's only neighbor is at h4 → out;
+    // junk decodes to null → never matches
+    assert(batch === Seq((0L, 100L, 0), (0L, 101L, 1), (2L, 102L, 2)))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val name = s"imgneardup_${System.nanoTime()}"
+    val q = graft.streaming.StreamingMedia.nearDupPairsStream(
+        input.toDF().toDF("ts", "media_id", "payload"), known,
+        maxHamming = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      assert(collectPairs(spark.table(name)) === batch)
+      // the micro-batch physical plan must be the rewritten shape:
+      // block explodes + hash join, never a per-arrival corpus NLJ
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos)) { q.explain() }
+      val plan = baos.toString
+      assert(plan.contains("Generate"), plan.take(400))
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(400))
+    } finally q.stop()
+  }
+
   test("decodePng returns null (no hang) on an FDICT zlib stream, and " +
     "a malformed video keeps its id as one null row") {
     import graft.functions.ImageKernels
