@@ -405,6 +405,17 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         pagerankCtes(3).stripSuffix(",\n") +
         "\nSELECT id AS doc_id, pr FROM r3"),
 
+    // q153: NOT EXISTS at hamming <= 6, naive — the engine's value-set
+    // factored anti join must hash-equal it
+    "q153_fuzzy_decontamination" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        simhash64Ctes.stripSuffix("\n").stripSuffix(",") + "\n" +
+        """SELECT a.doc_id, a.simhash FROM simhash_t a
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM simhash_t b
+          |  WHERE b.doc_id % 101 = 0
+          |    AND bit_count(xor(a.simhash, b.simhash)) <= 6)""".stripMargin),
+
     // q151: the NAIVE point-in-interval join, verbatim (DuckDB plans it
     // as an IEJoin); the engine's width-8 bin rewrite must hash-equal it
     "q151_interval_join_rewrite" ->

@@ -682,6 +682,21 @@ private[graft] trait EntryQueries { self: EntryShared =>
     // join (its IEJoin), so the gate proves the bin plan is exact:
     // per-row spans, duplicate points (lineitem repeats l_orderkey),
     // boundary inclusivity
+    // q153: FUZZY decontamination through the semi/anti hamming rewrite —
+    // keep documents whose 64-bit simhash is NOT within hamming 6 of any
+    // benchmark fingerprint (doc_id % 101 == 0 plays the benchmark set),
+    // spelled as the naive LEFT ANTI non-equi join; HammingJoinRewrite
+    // factors it through the distinct-fingerprint value set (three equi
+    // shuffles, never a per-document benchmark scan). Complements q122's
+    // exact-fp decontamination; the oracle replays NOT EXISTS verbatim
+    "q153_fuzzy_decontamination" -> ((s, dir) => {
+      val sh = Dedup.simhash(Tables.documents(s, dir))
+      val bench = sh.filter(col("doc_id") % 101 === 0)
+        .select(col("simhash").as("bh"))
+      sh.join(bench,
+        bit_count(col("simhash").bitwiseXOR(col("bh"))) <= 6, "left_anti")
+    }),
+
     // q152: fixed-point PageRank over the verified near-dup pair graph
     // (centrality within duplicate clusters — the ranking complement to
     // q52's CC labels). Integer micro-unit ranks make the 3-iteration

@@ -211,7 +211,11 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
       val los = mine.collect { case Lower(_, _, v) => v }
       val his = mine.collect { case Upper(_, _, v) => v }
-      if (los.nonEmpty && his.nonEmpty && los.max <= his.min)
+      // subtractExact: a band so wide that (hi − lo) overflows a long
+      // would floor-div by a NEGATIVE width and silently drop qualifying
+      // pairs — stand down instead (such a band prunes nothing anyway)
+      if (los.nonEmpty && his.nonEmpty && los.max <= his.min &&
+          scala.util.Try(Math.subtractExact(his.min, los.max)).isSuccess)
         Some(Band(x0, y0, los.max, his.min))
       else None
     }.nextOption()
@@ -262,7 +266,13 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val lower = mine.collectFirst { case l: LowerC => l }
       val upper = mine.collectFirst { case u: UpperC => u }
       (lower, upper) match {
-        case (Some(l), Some(u)) =>
+        // same-base bounds are the CONSTANT band (pt between y+a and
+        // y+b) — findBand's domain. If findBand declined (unsatisfiable,
+        // or a width too wide to bin without overflow), the interval
+        // path must decline too: binning it would explode a
+        // constant-offset span per row (observed: a leaked width conf +
+        // a ±2^62 band drove sequence() to the array-size wall)
+        case (Some(l), Some(u)) if !l.bound.semanticEquals(u.bound) =>
           Some(Interval(c.pt, c.ptLeft, l.bound, l.off, u.bound, u.off))
         case _ => None
       }

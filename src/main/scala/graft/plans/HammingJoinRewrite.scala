@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -49,8 +49,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * batch.
   *
   * Scope guards (each one is a semantics guard, not a heuristic): inner
-  * joins only (outer/semi pad or dedup rows — exploding a side would
-  * change their multiplicity contract), both hash sides deterministic,
+  * joins take the explode rewrite; LeftSemi/LeftAnti take the value-set
+  * factoring in [[rewriteSemiAnti]] (exploding a semi/anti side directly
+  * would change its multiplicity contract, and is never needed — the
+  * verdict depends only on the fingerprint value); outer joins are left
+  * alone (padding per exploded copy would multiply null rows). Both
+  * hash sides deterministic,
   * same integral type (64-bit long or 32-bit int fingerprints), one side
   * per child, `0 <= t < bits` (t ≥ bits is always-true — nothing to
   * prune; negative is always-false — constant folding's job). Joins that
@@ -105,7 +109,99 @@ object HammingJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           case Some(h) => rewrite(j, conjuncts, h)
           case None => j
         }
+      case j @ Join(left, right, LeftSemi | LeftAnti, Some(cond), _) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        if (hasEquiKey(conjuncts, left, right)) j
+        else findHamming(conjuncts, left, right) match {
+          case Some(h) if semiEligible(conjuncts, h, left) =>
+            rewriteSemiAnti(j, conjuncts, h)
+          case _ => j
+        }
     }
+
+  /** Semi/anti eligibility: the join's verdict for a left row may depend
+    * on the LEFT side only through the fingerprint `h.x` (right-side and
+    * constant conjuncts ride along fine) — that is what lets the rewrite
+    * factor matching through the distinct fingerprint VALUE set. Checked
+    * by substituting `h.x` with a fresh marker: no left reference may
+    * survive.
+    */
+  private def semiEligible(conjuncts: Seq[Expression], h: Hamming,
+      left: LogicalPlan): Boolean = {
+    val marker = AttributeReference("__graft_hsemi_marker", h.x.dataType)()
+    conjuncts.forall { c =>
+      c.transform { case e if e.semanticEquals(h.x) => marker }
+        .references.intersect(left.outputSet).isEmpty
+    }
+  }
+
+  /** LeftSemi/LeftAnti rewrite by VALUE-SET FACTORING: a left row
+    * qualifies iff its fingerprint value has a neighbor in the right
+    * side (eligibility guarantees nothing else about the row matters),
+    * so
+    *
+    *  1. Distinct-project the left fingerprints (an 8-byte shuffle),
+    *  2. run the pigeonhole block inner-join of that value set against
+    *     the right side (no first-match conjunct needed — the result is
+    *     distinct-ed anyway),
+    *  3. semi/anti equi-join the ORIGINAL left against the matched
+    *     value set on `x = matched` — left multiplicity is preserved
+    *     1:1 by the semi/anti contract itself.
+    *
+    * Null fingerprints: `x = matched` evaluates null → no match — a
+    * null-fingerprint row is dropped by semi and KEPT by anti, exactly
+    * like the original condition (bit_count over null is null). This is
+    * the fuzzy-decontamination shape: `documents ANTI JOIN benchmarks
+    * ON hamming(fp_d, fp_b) <= t` stops being a per-document benchmark
+    * scan and becomes three equi-shuffles.
+    */
+  private def rewriteSemiAnti(j: Join, conjuncts: Seq[Expression],
+      h: Hamming): LogicalPlan = {
+    // Aggregate, not Distinct: ReplaceDistinctWithAggregate runs in an
+    // earlier batch, so a Distinct introduced here would reach the
+    // planner unreplaced and fail planning
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def distinctOn(attr: Attribute, child: LogicalPlan): LogicalPlan =
+      Aggregate(Seq(attr), Seq(attr), child)
+    val xAlias = Alias(h.x, "__graft_hsemi_x")()
+    val xAttr = xAlias.toAttribute
+    val distinctX = distinctOn(xAttr, Project(Seq(xAlias), j.left))
+
+    val blocks = h.t + 1
+    val base = h.bits / blocks
+    val widths = (0 until blocks).map(i => if (i < h.bits % blocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockExpr(hash: Expression, i: Int): Expression = {
+      val mask =
+        if (h.bits == 64) Literal(if (widths(i) == 64) -1L else (1L << widths(i)) - 1)
+        else Literal(if (widths(i) == 32) -1 else (1 << widths(i)) - 1)
+      BitwiseAnd(ShiftRightUnsigned(hash, Literal(offsets(i))), mask)
+    }
+    def explodeSide(child: LogicalPlan, hash: Expression,
+        tag: String): (LogicalPlan, Attribute, Attribute) = {
+      val gen = PosExplode(CreateArray((0 until blocks).map(blockExpr(hash, _))))
+      val out = gen.elementSchema.map(f =>
+        AttributeReference(s"__graft_hsemi_${tag}_${f.name}", f.dataType, f.nullable)())
+      (Generate(gen, unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = out, child = child), out(0), out(1))
+    }
+    // right fingerprint hoisted exactly like the inner rewrite
+    val yAlias = Alias(h.y, "__graft_hsemi_y")()
+    val yAttr = yAlias.toAttribute
+    val (lGen, lPos, lVal) = explodeSide(distinctX, xAttr, "l")
+    val (rGen, rPos, rVal) =
+      explodeSide(Project(j.right.output :+ yAlias, j.right), yAttr, "r")
+    val verification = conjuncts.map(_.transform {
+      case e if e.semanticEquals(h.x) => xAttr
+      case e if e.semanticEquals(h.y) => yAttr
+    })
+    val matchCond = (Seq[Expression](EqualTo(lPos, rPos),
+      EqualTo(lVal, rVal)) ++ verification).reduce(And)
+    val matched = distinctOn(xAttr, Project(Seq(xAttr),
+      Join(lGen, rGen, Inner, Some(matchCond), JoinHint.NONE)))
+
+    Join(j.left, matched, j.joinType, Some(EqualTo(h.x, xAttr)), j.hint)
+  }
 
   private def findHamming(conjuncts: Seq[Expression],
       left: LogicalPlan, right: LogicalPlan): Option[Hamming] = {

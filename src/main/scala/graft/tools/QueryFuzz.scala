@@ -220,6 +220,9 @@ object QueryFuzz {
     val m = 10 + rnd.nextInt(9) // sampled side stays <= ~6k rows
     val r = rnd.nextInt(m)
     val ham = 1 + rnd.nextInt(3)
+    // 1/3 of hamming seeds take the LEFT ANTI (fuzzy decontamination)
+    // flavor — the value-set-factored semi/anti rewrite's input space
+    if (rnd.nextInt(3) == 0) return hammingAnti(seed, rnd, t, k, m, r, ham)
     val neq = rnd.nextBoolean() // kb > ka, or kb <> ka (both directions)
     val keySql = if (neq) "b.kb <> a.ka" else "b.kb > a.ka"
     val hashSqlDuck = (kc: String) =>
@@ -245,6 +248,46 @@ object QueryFuzz {
           sum(col("ka") + col("kb") * 3).cast("long").as("a_chk"),
           max(bit_count(col("ha").bitwiseXOR(col("hb"))))
             .cast("int").as("a_maxham"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
+  /** The LEFT ANTI hamming flavor: keep left rows with NO right neighbor
+    * within hamming `ham` — the q153 fuzzy-decontamination shape,
+    * rewritten by value-set factoring while DuckDB evaluates the
+    * correlated NOT EXISTS. The benchmark side optionally carries a
+    * right-only filter conjunct (which the factoring must apply to the
+    * matched set, not the kept rows).
+    */
+  private def hammingAnti(seed: Long, rnd: scala.util.Random,
+      t: Table, k: String, m: Int, r: Int, ham: Int): FuzzQuery = {
+    // the benchmark is the SAME sample class thinned to one key parity —
+    // group-mates of the opposite parity then sit at genuine small
+    // hamming distances, so the kept set is a nontrivial function of
+    // `ham` (a disjoint class would remove ~nothing, an unthinned one
+    // everything). The parity conjunct is also right-only — exactly the
+    // rider the value-set factoring must apply to the matched set.
+    val par = rnd.nextInt(2)
+    val hashSqlDuck = (kc: String) =>
+      s"xor(('0x' || substr(md5(($kc // 8)::VARCHAR), 1, 15))::BIGINT, $kc % 8)"
+    val sql = s"SELECT CAST(count(*) AS BIGINT) AS a_cnt, " +
+      s"CAST(sum(a.ka) AS BIGINT) AS a_chk" +
+      s"\nFROM (SELECT $k AS ka, ${hashSqlDuck(k)} AS ha FROM ${t.name} " +
+      s"WHERE ($k // 8) % $m = $r) a " +
+      s"WHERE NOT EXISTS (SELECT 1 " +
+      s"FROM (SELECT $k AS kb, ${hashSqlDuck(k)} AS hb FROM ${t.name} " +
+      s"WHERE ($k // 8) % $m = $r) b " +
+      s"WHERE bit_count(xor(a.ha, b.hb)) <= $ham AND b.kb % 2 = $par)"
+    val build = (s: SparkSession, dir: String) => {
+      val hash = expr(s"conv(substring(md5(cast($k div 8 as string)), 1, 15)" +
+        s", 16, 10)").cast("long").bitwiseXOR(col(k) % 8)
+      val base = t.load(s, dir).filter(expr(s"($k div 8) % $m = $r"))
+      val a = base.select(col(k).as("ka"), hash.as("ha"))
+      val b = base.select(col(k).as("kb"), hash.as("hb"))
+      a.join(b, bit_count(col("ha").bitwiseXOR(col("hb"))) <= ham &&
+          col("kb") % 2 === par, "left_anti")
+        .agg(count(lit(1)).as("a_cnt"),
+          sum(col("ka")).cast("long").as("a_chk"))
     }
     FuzzQuery(s"fz_$seed", build, sql)
   }

@@ -131,6 +131,27 @@ class BandJoinRewriteSpec extends SparkSpecBase {
     assert(keyless === operator)
   }
 
+  test("a band wide enough to overflow its width stands down, stays correct") {
+    val a = Seq(1L -> 10L).toDF("id_a", "t_a")
+    val b = Seq(2L -> -5L).toDF("id_b", "t_b")
+    val k = Long.MaxValue / 2 + 1 // hi − lo = 2k overflows a long
+    def q = a.join(b,
+      col("t_b") >= col("t_a") - k && col("t_b") <= col("t_a") + k)
+      .select("id_a", "id_b")
+    val (naive, rewritten) = ab(q)
+    assert(naive === rewritten)
+    assert(naive === Seq("[1,2]"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Generate"))
+    // and the INTERVAL path must decline the same-base fallthrough even
+    // with a bin width set (a leaked session conf once drove this shape
+    // into a 4.6e18-element sequence — the full-suite flake of r15)
+    spark.conf.set("spark.graft.bandJoinRewrite.intervalBinWidth", "7")
+    try {
+      assert(!q.queryExecution.optimizedPlan.toString.contains("Generate"))
+      assert(q.collect().map(_.toString).sorted.toSeq === Seq("[1,2]"))
+    } finally spark.conf.unset("spark.graft.bandJoinRewrite.intervalBinWidth")
+  }
+
   // ---- point-in-interval (conf-gated bin width) ----
 
   private val WidthKey = "spark.graft.bandJoinRewrite.intervalBinWidth"
@@ -201,6 +222,9 @@ class BandJoinRewriteSpec extends SparkSpecBase {
       !plan.contains("CartesianProduct"))
     assert(plan.contains("Generate"))
     // without the conf the rule has no width to bin by — untouched
+    // (unset defensively: other suites' builds may have leaked a width
+    // into the shared session)
+    spark.conf.unset(WidthKey)
     assert(!q.queryExecution.optimizedPlan.toString.contains("Generate"))
   }
 

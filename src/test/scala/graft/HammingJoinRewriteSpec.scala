@@ -161,6 +161,53 @@ class HammingJoinRewriteSpec extends SparkSpecBase {
       "fingerprint function leaked into a per-pair join condition")
   }
 
+  test("semi/anti joins rewrite via value-set factoring: parity + nulls + dups") {
+    // left carries DUPLICATE rows (multiplicity must survive 1:1), a
+    // null fingerprint (anti KEEPS it, semi drops it), and hashes at
+    // hamming 0/1/4 of the right side
+    val l = Seq((1L, Option(h1)), (2L, Option(h1)), (3L, Option(h1 ^ 1L)),
+      (4L, Option(h1 ^ 0xf0L)), (5L, Option.empty[Long]), (4L, Option(h1 ^ 0xf0L)))
+      .toDF("id_a", "h_a")
+    val r = Seq(10L -> h1).toDF("id_b", "h_b")
+    for (flavor <- Seq("left_semi", "left_anti")) {
+      def q = l.join(r,
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 3, flavor)
+      val (naive, rewritten) = ab(q)
+      assert(naive === rewritten, flavor)
+      if (flavor == "left_semi")
+        assert(naive === Seq("[1," + h1 + "]", "[2," + h1 + "]",
+          "[3," + (h1 ^ 1L) + "]").map(_.toString).sorted)
+      else {
+        // hamming-4 rows kept TWICE (duplicate left rows), null kept
+        assert(naive.count(_.startsWith("[4,")) === 2, naive.mkString(","))
+        assert(naive.exists(_.startsWith("[5,")), naive.mkString(","))
+        assert(naive.size === 3)
+      }
+      // plan: equi semi/anti against the matched value set, no NLJ
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), flavor)
+      assert(plan.contains("Generate"), flavor)
+    }
+  }
+
+  test("semi/anti stand down when the verdict depends on more than the hash") {
+    val l = Seq((1L, 5L, h1)).toDF("id_a", "v_a", "h_a")
+    val r = Seq((10L, 7L, h1)).toDF("id_b", "v_b", "h_b")
+    // the extra conjunct references a LEFT column other than the hash —
+    // value-set factoring would be unsound, so the rule must not fire
+    val q = l.join(r,
+      bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 3 &&
+        col("v_a") < col("v_b"), "left_semi")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Generate"))
+    // right-only extras are fine: they filter the benchmark side
+    val q2 = l.join(r,
+      bit_count(col("h_a").bitwiseXOR(col("h_b"))) <= 3 &&
+        col("v_b") > 0L, "left_anti")
+    assert(q2.queryExecution.optimizedPlan.toString.contains("Generate"))
+    val (naive, rewritten) = ab(q2.select("id_a"))
+    assert(naive === rewritten)
+  }
+
   test("exhaustive 10-bit sweep: every pair at every distance, t=1..5") {
     // 64-bit hashes whose low 10 bits enumerate 0..1023 over a fixed
     // high pattern: all pairwise hamming distances 0..10 appear; parity
