@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   * uniform and total_pr pins the arithmetic: 2 M × (150000 + 849999) —
   * each node's inbound sum is 999999·85//100 after the div-truncation,
   * exactly what the fixed-point recurrence predicts.
+  *
+  * 10 M nodes / 30 M edges (same session): 3 iters 24.1 s, 6 iters
+  * 29.2 s — 5× the data for ~1.6–2× the wall at 3 iters (fixed costs
+  * amortizing), total_pr = 10 M × 999999 exact again.
   * At 100 TB the rank/edge relations hash-partition by id; nothing in
   * the plan is driver-sided or quadratic. Lineage grows linearly with
   * iterations — localCheckpoint every ~10 rounds for deep runs (the BPE
