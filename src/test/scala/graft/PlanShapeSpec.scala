@@ -4,8 +4,9 @@ package graft
   * the solar join chain and the round-2 bucketed candidate generators must
   * contain no BroadcastNestedLoopJoin and no CartesianProduct — those are
   * the O(n²) shapes that kill a 100 TB run even when small-SF correctness
-  * is green. (q12/q14 keep their documented id-window NLJ as
-  * correctness demos; their scale twins are q31/q32.)
+  * is green. (q12/q14 were originally documented id-window NLJ demos with
+  * scale twins q31/q32 — since the r15 optimizer rules they auto-rewrite
+  * to equi plans, so they are now IN the gate.)
   */
 class PlanShapeSpec extends SparkSpecBase {
 
@@ -33,7 +34,14 @@ class PlanShapeSpec extends SparkSpecBase {
     // queries) with a <>-condition — a safe-by-construction BNLJ whose
     // broadcast side is the bounded query sample; the IVF-PQ variants
     // inside the same query are cell equi-joins.
-    "q128_corpus_merge_incremental", "q130_ingest_chain")
+    "q128_corpus_merge_incremental", "q130_ingest_chain",
+    // r15: the ex-NLJ demos now rewrite to equi plans automatically...
+    "q12_dedup_simhash", "q14_dedup_embedding_cosine",
+    // ...and the optimizer-rule gates themselves must stay rewritten
+    // (q151's lambda sets its bin-width conf; the rules read confs at
+    // optimization time, which happens inside queryExecution below)
+    "q150_hamming_join_rewrite", "q151_interval_join_rewrite",
+    "q152_pagerank_centrality", "q153_fuzzy_decontamination")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {
