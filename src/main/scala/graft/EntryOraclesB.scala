@@ -416,6 +416,26 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |  WHERE b.doc_id % 101 = 0
           |    AND bit_count(xor(a.simhash, b.simhash)) <= 6)""".stripMargin),
 
+    // q154: the NAIVE all-pairs set-similarity join, verbatim — the
+    // engine's prefix-filtered candidates + exact verification must
+    // hash-equal it (completeness is the claim under test). The filter
+    // compares the UNROUNDED quotient of two exact integers, exactly
+    // like the engine; `jaccard` is display-rounded after the cut.
+    "q154_set_similarity_exact" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        """fpd AS (
+          |  SELECT doc_id,
+          |         list_distinct(list_transform(list_distinct(sh),
+          |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS f
+          |  FROM sh WHERE len(list_distinct(sh)) > 0),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         len(list_intersect(a.f, b.f)) AS i,
+          |         len(a.f) AS na, len(b.f) AS nb
+          |  FROM fpd a JOIN fpd b ON b.doc_id > a.doc_id)
+          |SELECT id_a, id_b, round(i / (na + nb - i), 4) AS jaccard
+          |FROM pairs WHERE i / (na + nb - i) >= 0.5""".stripMargin),
+
     // q151: the NAIVE point-in-interval join, verbatim (DuckDB plans it
     // as an IEJoin); the engine's width-8 bin rewrite must hash-equal it
     "q151_interval_join_rewrite" ->

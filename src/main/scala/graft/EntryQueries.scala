@@ -96,6 +96,14 @@ private[graft] trait EntryQueries { self: EntryShared =>
     "q13_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.windowedJaccardPairs(Tables.documents(s, dir), idWindow = 25, threshold = 0.2)),
 
+    // EXACT all-pairs set-similarity join via prefix filtering (the
+    // AllPairs/PPJoin family): no id window, no posting-list cap, no
+    // banding loss — the completeness ceiling of the q11 LSH family,
+    // gated against the NAIVE all-pairs oracle (PrefixSimilaritySpec
+    // pins brute-force equality and LSH ⊆ exact)
+    "q154_set_similarity_exact" -> ((s, dir) =>
+      Dedup.prefixSimilarityJoin(Tables.documents(s, dir), threshold = 0.5)),
+
     // embedding-space near-duplicates (cosine >= 0.35) in a vec_id window
     // (labeled NLJ demo; scale twins q32/q85). Its r8 bench weight was NOT
     // pair volume — it was predicate ORDER: the optimizer folded the

@@ -1087,4 +1087,114 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"), col("n_hits"),
         (col("n_hits") > 0).cast("int").as("contaminated"))
   }
+
+  /** [[prefixSimilarityJoinStage]]'s shared per-doc fingerprint relation
+    * with its cache handle: the document-frequency aggregate and the
+    * per-doc ordered-set fold both consume the persisted (doc_id, fp)
+    * relation, so the corpus is shingled exactly once.
+    */
+  case class PrefixJoinStage(fps: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = { fps.unpersist(); () }
+  }
+
+  def prefixSimilarityJoin(docs: DataFrame, threshold: Double): DataFrame =
+    prefixSimilarityJoinStage(docs, threshold).result
+
+  /** EXACT all-pairs set-similarity join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): every document pair whose shingle-set Jaccard is >= the
+    * threshold, with NO id window, NO posting-list cap, and NO hashing
+    * loss — the exact counterpart of the MinHash-LSH family (the q11
+    * shape), for the regimes where a recall gate (q113) is not enough
+    * and the dedup sweep must be provably complete.
+    *
+    * Candidate completeness (the prefix-filter lemma): order every
+    * document's distinct shingle fingerprints by one GLOBAL key —
+    * ascending (document frequency, fp) — and keep each document's
+    * PREFIX of length `n − ceil(t·n) + 1`. If J(a,b) >= t then
+    * |a∩b| >= t·|a∪b| >= t·max(|a|,|b|), so |a∩b| >= ceil(t·|x|) for
+    * both sides, and two sets sharing that many elements under a common
+    * total order must share at least one element inside those prefixes.
+    * Every qualifying pair therefore surfaces from an EQUI-join on a
+    * prefix fingerprint; candidates are then verified with the exact
+    * Jaccard, so the output is precisely the naive all-pairs result.
+    * (`ceil` runs on doubles with a 1e-9 downward slack, which can only
+    * LENGTHEN a prefix — double rounding can never shorten one below the
+    * lemma's bound. Same slack on the length filter `min >= t·max`,
+    * which prunes candidates but is not needed for completeness.)
+    *
+    * Threshold semantics: the filter compares the UNROUNDED quotient of
+    * two exact integers — one correctly-rounded double division,
+    * bit-identical in any engine — because the prefix lemma speaks about
+    * the true Jaccard; filtering on a display-rounded value would admit
+    * pairs (round4(J) >= t > J) the candidate generation is allowed to
+    * miss. The emitted `jaccard` column is rounded to 4 decimals for
+    * output stability, like every similarity gate.
+    *
+    * Scale shape (100 TB posture): the corpus is shingled ONCE into the
+    * persisted (doc_id, fp) relation; document frequencies are one
+    * map-side-combining aggregate on 8-byte fps; the per-doc ordered
+    * fold is doc-bounded (`sort_array(collect_list)` over one document's
+    * shingles — never a cross-doc window); the candidate join exchanges
+    * slim (doc_id, n, fp) rows (~20 B — the q85 discipline: full sets
+    * re-enter only by id for the verified candidates). Skew is bounded
+    * by CONSTRUCTION, not by a cap: df-ascending ordering puts each
+    * document's RAREST shingles in its prefix, so a shingle of global
+    * frequency D joins at most D prefix rows, and corpus-wide
+    * boilerplate ("all rights reserved") sorts LAST in every document —
+    * it enters a prefix only for documents made almost entirely of hot
+    * shingles, the pairs that are near-dups anyway. This is why AllPairs
+    * beats the naive inverted index (q13's shape, which must cap hot
+    * posting lists and lose exactness) at web scale.
+    */
+  def prefixSimilarityJoinStage(docs: DataFrame,
+                                threshold: Double): PrefixJoinStage = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = lit(threshold)
+    // distinct 60-bit shingle fps per doc; fp-level distinct so a
+    // same-doc string collision merges identically in engine and oracle
+    val inv = docs
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text")))).as("s"))
+      .select(col("doc_id"), TextAnalysis.fp60(col("s")).as("fp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfRel = inv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    // per-doc set ordered by the global (df asc, fp asc) key; the fold
+    // buffers one document's shingles — doc-bounded by construction
+    val sets = inv.join(dfRel, "fp")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("fp")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), x => x.getField("fp")).as("fps"),
+        size(col("ord")).cast("long").as("n"))
+    // prefix length n − ceil(t·n) + 1 (slack only ever lengthens it)
+    val pref = sets.select(col("doc_id"), col("n"),
+      explode(slice(col("fps"), lit(1),
+        (col("n") - ceil(col("n") * t - lit(1e-9)) + 1).cast("int"))).as("fp"))
+    // equi-join on the prefix fp; length filter prunes (never decides)
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("b.doc_id") > col("a.doc_id") &&
+          col("a.n") >= col("b.n") * t - lit(1e-9) &&
+          col("b.n") >= col("a.n") * t - lit(1e-9))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_prefix"))
+      .select(col("id_a"), col("id_b"))
+    // exact verification: full sets re-enter by 8-byte id, only for
+    // candidates; the filter uses the UNROUNDED quotient (see scaladoc)
+    val inter = size(array_intersect(col("fa"), col("fb"))).cast("long")
+    val result = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("fps").as("fa"),
+        col("n").as("na")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("fps").as("fb"),
+        col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (inter / (col("na") + col("nb") - inter)).as("j"))
+      .filter(col("j") >= t)
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
+    PrefixJoinStage(inv, result)
+  }
 }
