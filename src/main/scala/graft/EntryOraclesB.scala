@@ -436,6 +436,35 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |SELECT id_a, id_b, round(i / (na + nb - i), 4) AS jaccard
           |FROM pairs WHERE i / (na + nb - i) >= 0.5""".stripMargin),
 
+    // q155: the q51 multi-probe replay with the query-sample filter
+    // DROPPED — every vector probes its top-2 cells and ranks its top-5
+    // neighbors; kmeans cells replayed as in q32/q33/q51
+    "q155_knn_join" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        s"""qprobe AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, cc.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |             list_sum(list_transform(cc.c, x -> x*x))
+           |             - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+           |                              i -> v.emb[i] * cc.c[i])),
+           |             cc.cell) AS rn
+           |    FROM v CROSS JOIN c$KmeansIters cc) WHERE rn <= 2),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+           |  FROM embeddings q
+           |  JOIN qprobe qp ON qp.vec_id = q.vec_id
+           |  JOIN cells cc ON cc.cell = qp.cell
+           |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT q_id, vec_id, cos,
+           |         ROW_NUMBER() OVER (PARTITION BY q_id
+           |           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
+           |FROM ranked WHERE rank <= 5""".stripMargin),
+
     // q151: the NAIVE point-in-interval join, verbatim (DuckDB plans it
     // as an IEJoin); the engine's width-8 bin rewrite must hash-equal it
     "q151_interval_join_rewrite" ->

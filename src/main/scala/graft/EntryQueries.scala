@@ -104,6 +104,15 @@ private[graft] trait EntryQueries { self: EntryShared =>
     "q154_set_similarity_exact" -> ((s, dir) =>
       Dedup.prefixSimilarityJoin(Tables.documents(s, dir), threshold = 0.5)),
 
+    // corpus-wide k-NN JOIN (kNN-graph construction / pair mining):
+    // EVERY vector's IVF multi-probe top-5 — the symmetric-shuffle plan,
+    // never a broadcast of the corpus-sized query side (q51 is the
+    // query-sample twin); consumes the shared session quantizer
+    "q155_knn_join" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      Similarity.knnJoin(embs, embs, kmeansShared(s, dir), k = 5, nProbe = 2)
+    }),
+
     // embedding-space near-duplicates (cosine >= 0.35) in a vec_id window
     // (labeled NLJ demo; scale twins q32/q85). Its r8 bench weight was NOT
     // pair volume — it was predicate ORDER: the optimizer folded the

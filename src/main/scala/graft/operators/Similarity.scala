@@ -308,6 +308,56 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Corpus-wide k-NN JOIN: every left-relation vector's top-k cosine
+    * neighbors among the right relation, through the shared IVF coarse
+    * quantizer — the batch pair-mining primitive (kNN-graph construction
+    * for SemDeDup-style analyses, bitext/parallel-pair mining when the
+    * two sides are different corpora, retrieval-pair generation).
+    *
+    * This is NOT [[ivfTopKMultiProbeModel]] with more queries: that
+    * operator BROADCASTS the query side, which is correct for a golden
+    * query sample and catastrophic when the query side IS a corpus. Here
+    * both sides are corpus-sized, so the plan is the symmetric-shuffle
+    * IVF join: the right side assigns its one coarse cell inside the
+    * scan projection (fused [[graft.functions.NearestCells]] argmin — no
+    * join against a stored assignment, so ANY relation with an
+    * `embedding` column works), the left side explodes into its
+    * `nProbe` nearest cells, and the two exchange hash-partitioned BY
+    * CELL — the only shuffle wider than the embedding itself. Ranking is
+    * the bounded [[graft.functions.TopKByScoreAgg]] heap (O(queries × k)
+    * state, map-side combined), never a window over the candidate
+    * stream. Probed cells are ranked by the same `|c|² − 2·(emb·c)`
+    * distance and (dist, cell) tie-break as every IVF operator, so the
+    * result is exactly the multi-probe answer at any scale.
+    *
+    * 100 TB posture: cost is Σ_q Σ_{probed cells} |cell| candidate dots
+    * — cells must stay bounded, so k grows with the corpus (the SemDeDup
+    * cell contract; the two-level assignment of q138 keeps large k
+    * affordable). A viral cell (similarity-defined skew) is an AQE
+    * skew-join split, not a straggler by construction. Self-pairs are
+    * excluded by id equality — callers mining ACROSS relations with
+    * overlapping id spaces should disable `excludeSameId`.
+    */
+  def knnJoin(left: DataFrame, right: DataFrame, model: KmeansModel,
+              k: Int, nProbe: Int, excludeSameId: Boolean = true): DataFrame = {
+    val c = right.select(col("vec_id"),
+      col("embedding").as("emb"),
+      element_at(graft.functions.VectorFunctions.nearest_cells(
+        col("embedding"), model.centroids.toIndexedSeq, 1), 1).as("cell"))
+    // probe explode fused into the scan projection (embedding carried —
+    // no (q_id → embedding) join-back; the left side is scanned once)
+    val q = left.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      explode(graft.functions.VectorFunctions.nearest_cells(
+        col("embedding"), model.centroids.toIndexedSeq, nProbe)).as("cell"))
+    val joined = c.join(q, Seq("cell"))
+    val candidates =
+      if (excludeSameId) joined.filter(col("vec_id") =!= col("q_id"))
+      else joined
+    rankTopK(candidates.select(col("q_id"), col("vec_id"),
+      vec_cosine(col("q_emb"), col("emb")).as("cos")), k)
+  }
+
   /** Embedding-space near-duplicate pairs: cosine >= threshold within a
     * vec_id window. Correctness demo only — the id-window predicate is
     * non-equi (nested-loop join); the scale path is [[cellNearDupPairs]].
