@@ -465,6 +465,40 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
            |FROM ranked WHERE rank <= 5""".stripMargin),
 
+    // q156: the DP release replayed end to end — quality kernel, exact
+    // per-source counts, then the SAME md5 noise stream: u = (first 52
+    // md5 bits + 0.5)/2^52, G = floor(ln(u)/−(ε/2)), noise = G_a − G_b.
+    // Noise values are integers; epsilon is the only non-count column
+    "q156_dp_source_release" -> {
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      def u(k: String) =
+        s"((('0x' || substr(md5($k), 1, 13))::BIGINT + 0.5) / 4503599627370496.0)"
+      def noise(k: String) =
+        s"""(CAST(floor(ln(${u(s"$k || ':a'")}) / -0.5) AS BIGINT)
+           | - CAST(floor(ln(${u(s"$k || ':b'")}) / -0.5) AS BIGINT))""".stripMargin
+      s"""WITH t AS (
+         |  SELECT source, text, string_split(text, ' ') AS toks,
+         |         string_split(lower(text), ' ') AS ltoks
+         |  FROM documents),
+         |q AS (
+         |  SELECT source,
+         |         round(0.4 * least(len(toks) / 100.0, 1.0)
+         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+         |                            / NULLIF(length(text), 0))
+         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+         |  FROM t),
+         |c AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hi
+         |  FROM q GROUP BY 1)
+         |SELECT source,
+         |       n_docs + ${noise("source || ':0:docs'")} AS n_docs_dp,
+         |       n_hi + ${noise("source || ':0:hi'")} AS n_hi_quality_dp,
+         |       1.0e0 AS epsilon
+         |FROM c""".stripMargin
+    },
+
     // q151: the NAIVE point-in-interval join, verbatim (DuckDB plans it
     // as an IEJoin); the engine's width-8 bin rewrite must hash-equal it
     "q151_interval_join_rewrite" ->

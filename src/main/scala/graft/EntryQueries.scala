@@ -113,6 +113,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
       Similarity.knnJoin(embs, embs, kmeansShared(s, dir), k = 5, nProbe = 2)
     }),
 
+    // ε-DP per-source release (two-sided geometric mechanism, seeded
+    // md5 noise stream — reproducible AND oracle-replayable): the
+    // publishable form of the q124 data card; no un-noised count leaves
+    // the aggregation
+    "q156_dp_source_release" -> ((s, dir) =>
+      graft.operators.Privacy.dpSourceRelease(Tables.documents(s, dir))),
+
     // embedding-space near-duplicates (cosine >= 0.35) in a vec_id window
     // (labeled NLJ demo; scale twins q32/q85). Its r8 bench weight was NOT
     // pair volume — it was predicate ORDER: the optimizer folded the

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Privacy
+
+/** Pins the ε-DP release (q156): determinism under the seed, seed
+  * sensitivity, the two-sided-geometric shape of the noise stream, and
+  * the no-raw-counts contract of the released schema.
+  */
+class PrivacySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta", "src0"),
+    (2L, "the quick brown fox jumps over the lazy dog", "src0"),
+    (3L, "one two three four five six seven eight", "src1"),
+    (4L, "short", "src1"),
+    (5L, "the and of to in it is was for on", "src2")
+  ).toDF("doc_id", "text", "source")
+
+  test("release is deterministic under the seed and moves with it") {
+    val a = Privacy.dpSourceRelease(docs, eps = 1.0, seed = 7L)
+      .collect().map(_.toSeq).toSet
+    val b = Privacy.dpSourceRelease(docs, eps = 1.0, seed = 7L)
+      .collect().map(_.toSeq).toSet
+    val c = Privacy.dpSourceRelease(docs, eps = 1.0, seed = 8L)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a !== c) // a different seed draws a different noise stream
+  }
+
+  test("released schema carries no un-noised count") {
+    val cols = Privacy.dpSourceRelease(docs).columns.toSet
+    assert(cols === Set("source", "n_docs_dp", "n_hi_quality_dp", "epsilon"))
+  }
+
+  test("noise is integer-valued, centered, and two-sided over many keys") {
+    // 20k independent keys at eps=0.5: the two-sided geometric has mean 0,
+    // P(N=0) = (1-a)/(1+a) ≈ 0.2449 with a = e^-0.5, and symmetric tails.
+    // The stream is deterministic, so these are fixed-fixture assertions
+    // with generous tolerances, not flaky statistics.
+    val keys = (1 to 20000).toDF("i").select(concat(lit("k"), col("i")).as("k"))
+    val drawn = keys.select(
+        Privacy.twoSidedGeometric(col("k"), eps = 0.5).as("n"))
+      .as[Long].collect()
+    assert(drawn.forall(n => n == n.toInt.toLong)) // integers (longs)
+    val mean = drawn.sum.toDouble / drawn.length
+    assert(math.abs(mean) < 0.1, s"mean $mean")
+    val pZero = drawn.count(_ == 0L).toDouble / drawn.length
+    assert(math.abs(pZero - 0.2449) < 0.02, s"P(0) $pZero")
+    val pos = drawn.count(_ > 0L); val neg = drawn.count(_ < 0L)
+    assert(math.abs(pos - neg).toDouble / drawn.length < 0.02)
+    // eps controls the spread: a tighter eps concentrates the noise
+    val tight = keys.select(
+        Privacy.twoSidedGeometric(col("k"), eps = 2.0).as("n"))
+      .as[Long].collect()
+    assert(tight.map(math.abs).sum < drawn.map(math.abs).sum)
+  }
+
+  test("released counts sit within the mechanism's plausible band") {
+    // at eps/2 = 0.5 per stat, P(|noise| > 40) < 2e-9: for this fixed
+    // seed the release must stay within ±40 of the true counts
+    val out = Privacy.dpSourceRelease(docs, eps = 1.0, seed = 0L)
+      .select("source", "n_docs_dp").as[(String, Long)].collect().toMap
+    val truth = Map("src0" -> 2L, "src1" -> 2L, "src2" -> 1L)
+    truth.foreach { case (s, n) =>
+      assert(math.abs(out(s) - n) <= 40, s"$s released ${out(s)} vs $n")
+    }
+  }
+
+  test("invalid epsilon is rejected") {
+    intercept[IllegalArgumentException] {
+      Privacy.dpSourceRelease(docs, eps = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.twoSidedGeometric(lit("k"), eps = -1.0)
+    }
+  }
+}
