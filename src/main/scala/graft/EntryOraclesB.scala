@@ -499,6 +499,66 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |FROM c""".stripMargin
     },
 
+    // q157: the HLL register relation + set algebra replayed end to end —
+    // bucket/rho from md5 integer arithmetic, the register sum as the
+    // EXACT scaled long (order-free), linear counting below 2.5m; the
+    // pair merge is the same (key, bucket) max aggregate as the build
+    "q157_hll_source_algebra" -> {
+      val alpha = s"${graft.operators.Sketches.HllAlpha}e0"
+      def estSql(name: String, src: String, keys: String) =
+        s"""$name AS (
+           |  SELECT $keys,
+           |         round(CASE WHEN ($alpha * 65536.0 /
+           |             ((CAST(sum(1::BIGINT << (53 - m)) AS BIGINT)
+           |               + (256 - count(*)) * 9007199254740992)
+           |              / 9007199254740992.0)) <= 640.0
+           |            AND 256 - count(*) > 0
+           |           THEN 256.0 * ln(256.0 / (256 - count(*)))
+           |           ELSE $alpha * 65536.0 /
+           |             ((CAST(sum(1::BIGINT << (53 - m)) AS BIGINT)
+           |               + (256 - count(*)) * 9007199254740992)
+           |              / 9007199254740992.0)
+           |         END, 4) AS est
+           |  FROM $src GROUP BY ${(1 to keys.split(",").length).mkString(", ")})"""
+          .stripMargin
+      val rhoTerms = (0 until 53)
+        .map(j => s"CASE WHEN (v >> $j) > 0 THEN ${j + 1} ELSE 0 END")
+        .mkString(", ")
+      s"""WITH tk AS (
+         |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |hv AS (
+         |  SELECT source,
+         |         ('0x' || substr(md5(tok), 1, 2))::INT AS bucket,
+         |         ('0x' || substr(md5(tok), 3, 13))::BIGINT AS v
+         |  FROM tk),
+         |up AS (
+         |  SELECT source, bucket,
+         |         53 - greatest($rhoTerms) AS rho
+         |  FROM hv),
+         |sk AS (SELECT source, bucket, max(rho) AS m FROM up GROUP BY 1, 2),
+         |${estSql("est1", "sk", "source")},
+         |prs AS (
+         |  SELECT a.source AS sa, b.source AS sb
+         |  FROM (SELECT DISTINCT source FROM sk) a
+         |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+         |unregs AS (
+         |  SELECT sa, sb, bucket, max(m) AS m FROM (
+         |    SELECT p.sa, p.sb, s.bucket, s.m
+         |    FROM prs p JOIN sk s ON s.source = p.sa
+         |    UNION ALL
+         |    SELECT p.sa, p.sb, s.bucket, s.m
+         |    FROM prs p JOIN sk s ON s.source = p.sb)
+         |  GROUP BY 1, 2, 3),
+         |${estSql("estu", "unregs", "sa, sb")}
+         |SELECT u.sa AS source_a, u.sb AS source_b,
+         |       ea.est AS est_a, eb.est AS est_b, u.est AS est_union,
+         |       round(ea.est + eb.est - u.est, 4) AS est_inter
+         |FROM estu u
+         |JOIN est1 ea ON ea.source = u.sa
+         |JOIN est1 eb ON eb.source = u.sb""".stripMargin
+    },
+
     // q151: the NAIVE point-in-interval join, verbatim (DuckDB plans it
     // as an IEJoin); the engine's width-8 bin rewrite must hash-equal it
     "q151_interval_join_rewrite" ->

@@ -120,6 +120,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
     "q156_dp_source_release" -> ((s, dir) =>
       graft.operators.Privacy.dpSourceRelease(Tables.documents(s, dir))),
 
+    // HLL sketch ALGEBRA (registers as relations): pairwise per-source
+    // distinct-token estimates with union (bucket-wise max merge) and
+    // inclusion-exclusion intersection — the cross-source overlap
+    // report at register cost, next to q36's single-relation built-in
+    "q157_hll_source_algebra" -> ((s, dir) =>
+      graft.operators.Sketches.tokenAlgebra(Tables.documents(s, dir))),
+
     // embedding-space near-duplicates (cosine >= 0.35) in a vec_id window
     // (labeled NLJ demo; scale twins q32/q85). Its r8 bench weight was NOT
     // pair volume — it was predicate ORDER: the optimizer folded the

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Pins the HLL sketch-algebra family (q157): register validity, the
+  * merge-equals-sketch-of-union law, estimate accuracy against exact
+  * distinct counts, inclusion–exclusion coherence, and determinism.
+  */
+class SketchesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val corpus =
+    graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  private def exactDistinct(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("source").agg(countDistinct("tok").as("n"))
+      .as[(String, Long)].collect().toMap
+
+  test("registers are valid: bucket in [0,256), rho in [1,53]") {
+    val regs = Sketches.registerUpdates(corpus, col("source"), col("text"))
+      .agg(min("bucket"), max("bucket"), min("rho"), max("rho"))
+      .as[(Int, Int, Int, Int)].head()
+    assert(regs._1 >= 0 && regs._2 < 256)
+    assert(regs._3 >= 1 && regs._4 <= 53)
+  }
+
+  test("merging two sketch relations equals the sketch of the union") {
+    // the lossless-merge law that makes the register relation a storable,
+    // incrementally-maintainable artifact
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val half2 = corpus.filter(col("doc_id") % 2 === 1)
+    val merged = Sketches.tokenSketches(half1)
+      .union(Sketches.tokenSketches(half2))
+      .groupBy(col("g"), col("bucket")).agg(max(col("m")).as("m"))
+      .as[(String, Int, Int)].collect().toSet
+    val direct = Sketches.tokenSketches(corpus)
+      .as[(String, Int, Int)].collect().toSet
+    assert(merged === direct)
+  }
+
+  test("per-source estimates sit within the ~6.5% HLL error band (4 sd)") {
+    val exact = exactDistinct(corpus)
+    val est = Sketches.hllEstimate(Sketches.tokenSketches(corpus))
+      .as[(String, Double)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (s, n) =>
+      val rel = math.abs(est(s) - n) / n.toDouble
+      assert(rel < 0.26, s"source $s: est ${est(s)} vs exact $n (rel $rel)")
+    }
+  }
+
+  test("algebra coherence: union bounds, symmetry with exact overlap") {
+    val exact = exactDistinct(corpus)
+    val rows = Sketches.tokenAlgebra(corpus)
+      .as[(String, String, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, ea, eb, eu, ei) =>
+      assert(a < b)
+      // union estimate at least each side's (max-merge can only raise
+      // registers, and the estimator is monotone in registers)
+      assert(eu >= math.max(ea, eb) - 1e-9, s"($a,$b)")
+      assert(math.abs(ea + eb - eu - ei) < 1e-6) // inclusion-exclusion
+      // the sf0.001 sources share most of the synthetic vocabulary: the
+      // intersection estimate must be positive and union below the sum
+      assert(ei > 0, s"($a,$b) est_inter $ei")
+    }
+    // spot-check one pair against exact set arithmetic
+    val (a, b, _, _, eu, ei) = rows.head
+    val ta = corpus.filter(col("source") === a)
+    val tb = corpus.filter(col("source") === b)
+    val exactU = exactDistinct(
+      ta.union(tb).withColumn("source", lit("u")))("u")
+    val exactI = exact(a) + exact(b) - exactU
+    assert(math.abs(eu - exactU) / exactU < 0.26, s"union $eu vs $exactU")
+    assert(math.abs(ei - exactI) / math.max(exactI, 1L) < 0.6,
+      s"inter $ei vs $exactI") // intersection error compounds 3 estimates
+  }
+
+  test("identical groups estimate identically (union = each side)") {
+    val dup = corpus.withColumn("source", lit("x"))
+      .union(corpus.withColumn("source", lit("y")))
+    val rows = Sketches.tokenAlgebra(dup)
+      .as[(String, String, Double, Double, Double, Double)].collect()
+    assert(rows.length === 1)
+    val (_, _, ea, eb, eu, ei) = rows.head
+    assert(ea === eb)
+    assert(eu === ea) // same registers -> same union estimate
+    assert(ei === ea) // inclusion-exclusion collapses
+  }
+
+  test("small-range linear counting is near-exact on a tiny vocabulary") {
+    val tiny = Seq((1L, "alpha beta gamma", "s")).toDF("doc_id", "text", "source")
+    val est = Sketches.hllEstimate(Sketches.tokenSketches(tiny))
+      .as[(String, Double)].head()._2
+    assert(math.abs(est - 3.0) < 0.2, s"est $est")
+  }
+
+  test("sketches and estimates are deterministic") {
+    val a = Sketches.tokenAlgebra(corpus).collect().map(_.toSeq).toSet
+    val b = Sketches.tokenAlgebra(corpus).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}
