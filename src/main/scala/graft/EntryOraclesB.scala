@@ -559,6 +559,25 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |JOIN est1 eb ON eb.source = u.sb""".stripMargin
     },
 
+    // q158: the NAIVE cross-relation all-pairs join, verbatim — the
+    // incremental prefix join's completeness gate (same unrounded-
+    // quotient filter discipline as q154)
+    "q158_set_similarity_incremental" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        """fpd AS (
+          |  SELECT doc_id,
+          |         list_distinct(list_transform(list_distinct(sh),
+          |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS f
+          |  FROM sh WHERE len(list_distinct(sh)) > 0),
+          |pairs AS (
+          |  SELECT i.doc_id AS id_a, c.doc_id AS id_b,
+          |         len(list_intersect(i.f, c.f)) AS iv,
+          |         len(i.f) AS na, len(c.f) AS nb
+          |  FROM fpd i JOIN fpd c
+          |    ON i.doc_id % 4 = 0 AND c.doc_id % 4 <> 0)
+          |SELECT id_a, id_b, round(iv / (na + nb - iv), 4) AS jaccard
+          |FROM pairs WHERE iv / (na + nb - iv) >= 0.5""".stripMargin),
+
     // q151: the NAIVE point-in-interval join, verbatim (DuckDB plans it
     // as an IEJoin); the engine's width-8 bin rewrite must hash-equal it
     "q151_interval_join_rewrite" ->

@@ -127,6 +127,17 @@ private[graft] trait EntryQueries { self: EntryShared =>
     "q157_hll_source_algebra" -> ((s, dir) =>
       graft.operators.Sketches.tokenAlgebra(Tables.documents(s, dir))),
 
+    // EXACT incremental set-similarity (q154's daily-ingestion twin, the
+    // exact counterpart of q86's LSH incremental): incoming docs vs the
+    // stored corpus under the corpus-df prefix order; corpus never
+    // self-joins, completeness unconditional
+    "q158_set_similarity_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.prefixJoinAgainstCorpus(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0), threshold = 0.5)
+    }),
+
     // embedding-space near-duplicates (cosine >= 0.35) in a vec_id window
     // (labeled NLJ demo; scale twins q32/q85). Its r8 bench weight was NOT
     // pair volume — it was predicate ORDER: the optimizer folded the

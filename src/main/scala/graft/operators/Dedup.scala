@@ -1152,27 +1152,11 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = lit(threshold)
-    // distinct 60-bit shingle fps per doc; fp-level distinct so a
-    // same-doc string collision merges identically in engine and oracle
-    val inv = docs
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text")))).as("s"))
-      .select(col("doc_id"), TextAnalysis.fp60(col("s")).as("fp"))
-      .distinct()
+    val inv = shingleFps(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfRel = inv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    // per-doc set ordered by the global (df asc, fp asc) key; the fold
-    // buffers one document's shingles — doc-bounded by construction
-    val sets = inv.join(dfRel, "fp")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("fp")))).as("ord"))
-      .select(col("doc_id"),
-        transform(col("ord"), x => x.getField("fp")).as("fps"),
-        size(col("ord")).cast("long").as("n"))
-    // prefix length n − ceil(t·n) + 1 (slack only ever lengthens it)
-    val pref = sets.select(col("doc_id"), col("n"),
-      explode(slice(col("fps"), lit(1),
-        (col("n") - ceil(col("n") * t - lit(1e-9)) + 1).cast("int"))).as("fp"))
+    val sets = orderedSets(inv, dfRel)
+    val pref = prefixOf(sets, t)
     // equi-join on the prefix fp; length filter prunes (never decides)
     val cand = pref.as("a")
       .join(pref.as("b"),
@@ -1183,18 +1167,108 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared_prefix"))
       .select(col("id_a"), col("id_b"))
-    // exact verification: full sets re-enter by 8-byte id, only for
-    // candidates; the filter uses the UNROUNDED quotient (see scaladoc)
+    PrefixJoinStage(inv, verifyPairs(cand, sets, sets, t))
+  }
+
+  /** Distinct 60-bit shingle fps per doc; fp-level distinct so a same-doc
+    * string collision merges identically in engine and oracle.
+    */
+  private def shingleFps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(shingles(col("text")))).as("s"))
+      .select(col("doc_id"), TextAnalysis.fp60(col("s")).as("fp"))
+      .distinct()
+
+  /** Per-doc set ordered by the global (df asc, fp asc) key; the fold
+    * buffers one document's shingles — doc-bounded by construction.
+    * Tokens absent from the df relation (possible in the incremental
+    * form, where the ORDER comes from the stored corpus df) coalesce to
+    * df = 0: any fixed total order satisfies the prefix lemma, and
+    * never-seen tokens are the rarest by definition.
+    */
+  private def orderedSets(inv: DataFrame, dfRel: DataFrame): DataFrame =
+    inv.join(dfRel, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"), coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("fp")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), x => x.getField("fp")).as("fps"),
+        size(col("ord")).cast("long").as("n"))
+
+  /** Prefix rows (doc_id, n, fp): the first n − ceil(t·n) + 1 ordered
+    * fps (the 1e-9 slack can only LENGTHEN a prefix — double rounding
+    * never shortens one below the lemma's bound).
+    */
+  private def prefixOf(sets: DataFrame, t: Column): DataFrame =
+    sets.select(col("doc_id"), col("n"),
+      explode(slice(col("fps"), lit(1),
+        (col("n") - ceil(col("n") * t - lit(1e-9)) + 1).cast("int"))).as("fp"))
+
+  /** Exact verification: full sets re-enter by 8-byte id, only for
+    * candidate pairs; the threshold filter uses the UNROUNDED quotient
+    * of two exact integers (see [[prefixSimilarityJoinStage]]), the
+    * emitted `jaccard` is display-rounded.
+    */
+  private def verifyPairs(cand: DataFrame, setsA: DataFrame,
+                          setsB: DataFrame, t: Column): DataFrame = {
     val inter = size(array_intersect(col("fa"), col("fb"))).cast("long")
-    val result = cand
-      .join(sets.select(col("doc_id").as("id_a"), col("fps").as("fa"),
+    cand
+      .join(setsA.select(col("doc_id").as("id_a"), col("fps").as("fa"),
         col("n").as("na")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("fps").as("fb"),
+      .join(setsB.select(col("doc_id").as("id_b"), col("fps").as("fb"),
         col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (inter / (col("na") + col("nb") - inter)).as("j"))
       .filter(col("j") >= t)
       .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
-    PrefixJoinStage(inv, result)
+  }
+
+  /** [[prefixJoinAgainstCorpusStage]]'s handles: both sides' fingerprint
+    * relations persist (each corpus is shingled once).
+    */
+  case class PrefixIncStage(corpusFps: DataFrame, incomingFps: DataFrame,
+                            result: DataFrame) {
+    def unpersist(): Unit = { corpusFps.unpersist(); incomingFps.unpersist(); () }
+  }
+
+  def prefixJoinAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                              threshold: Double): DataFrame =
+    prefixJoinAgainstCorpusStage(corpus, incoming, threshold).result
+
+  /** EXACT incremental set-similarity: every (incoming, corpus) pair with
+    * Jaccard >= threshold — the exact counterpart of the LSH-based
+    * [[dedupAgainstCorpus]] (q86), for the daily-ingestion sweep that
+    * must be provably complete (contamination audits, legal-hold dedup).
+    *
+    * The corpus NEVER self-joins: candidates are incoming-prefix ×
+    * corpus-prefix on the fingerprint. Both prefixes order by ONE global
+    * key — the CORPUS document frequency (the stored artifact production
+    * precomputes), ties by fp; incoming-only tokens coalesce to df 0.
+    * The prefix lemma needs only a shared total order, so completeness
+    * is unconditional — a stale corpus df costs pruning efficiency,
+    * never a missed pair. Output: (id_a = incoming doc, id_b = corpus
+    * doc, jaccard).
+    */
+  def prefixJoinAgainstCorpusStage(corpus: DataFrame, incoming: DataFrame,
+                                   threshold: Double): PrefixIncStage = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = lit(threshold)
+    val corpInv = shingleFps(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val incInv = shingleFps(incoming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfRel = corpInv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val corpSets = orderedSets(corpInv, dfRel)
+    val incSets = orderedSets(incInv, dfRel)
+    val cand = prefixOf(incSets, t).as("a")
+      .join(prefixOf(corpSets, t).as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.n") >= col("b.n") * t - lit(1e-9) &&
+          col("b.n") >= col("a.n") * t - lit(1e-9))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_prefix"))
+      .select(col("id_a"), col("id_b"))
+    PrefixIncStage(corpInv, incInv, verifyPairs(cand, incSets, corpSets, t))
   }
 }

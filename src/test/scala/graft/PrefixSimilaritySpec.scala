@@ -111,6 +111,70 @@ class PrefixSimilaritySpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  private def bruteCross(corpus: DataFrame, incoming: DataFrame,
+                         t: Double): Set[(Long, Long, Double)] = {
+    def sets(d: DataFrame) = d.select(col("doc_id"),
+        array_distinct(transform(
+          array_distinct(Dedup.shingles(col("text"))),
+          s => TextAnalysis.fp60(s))).as("f"))
+      .filter(size(col("f")) > 0)
+    val a = sets(incoming).select(col("doc_id").as("id_a"), col("f").as("fa"))
+    val b = sets(corpus).select(col("doc_id").as("id_b"), col("f").as("fb"))
+    val inter = size(array_intersect(col("fa"), col("fb"))).cast("long")
+    a.crossJoin(b)
+      .select(col("id_a"), col("id_b"),
+        (inter / (size(col("fa")).cast("long") + size(col("fb")).cast("long") - inter)).as("j"))
+      .filter(col("j") >= lit(t))
+      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("incremental prefix join equals brute cross-relation force") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 0)
+    for (t <- Seq(0.2, 0.5)) {
+      val st = Dedup.prefixJoinAgainstCorpusStage(corpus, incoming, t)
+      val got = st.result.as[(Long, Long, Double)].collect().toSet
+      st.unpersist()
+      val expected = bruteCross(corpus, incoming, t)
+      assert(got === expected, s"threshold $t")
+      if (t == 0.2) assert(expected.nonEmpty)
+    }
+  }
+
+  test("incremental join = full join restricted to cross pairs") {
+    // consistency across the two operators: the incremental answer is
+    // exactly the corpus-wide q154 answer filtered to (incoming, corpus)
+    // pairs, even though the two run under DIFFERENT df orders (the
+    // lemma needs only a total order — the result must not move)
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = enginePairs(docs, 0.5).map { case (a, b, j) =>
+      (math.min(a, b), math.max(a, b), j)
+    }
+    val crossOnly = full.filter { case (a, b, _) =>
+      (a % 4 == 0) != (b % 4 == 0)
+    }
+    val st = Dedup.prefixJoinAgainstCorpusStage(
+      docs.filter(col("doc_id") % 4 =!= 0),
+      docs.filter(col("doc_id") % 4 === 0), 0.5)
+    val inc = st.result.as[(Long, Long, Double)].collect().toSet
+      .map((p: (Long, Long, Double)) =>
+        (math.min(p._1, p._2), math.max(p._1, p._2), p._3))
+    st.unpersist()
+    assert(inc === crossOnly)
+  }
+
+  test("incremental join: novel incoming text yields no pairs, no error") {
+    val corpus = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "totally novel words never seen before anywhere"),
+      (101L, "xy")).toDF("doc_id", "text")
+    val st = Dedup.prefixJoinAgainstCorpusStage(corpus, incoming, 0.5)
+    assert(st.result.count() === 0)
+    st.unpersist()
+  }
+
   test("stage handle releases the persisted fingerprint relation") {
     val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val stage = Dedup.prefixSimilarityJoinStage(corpus, 0.5)
