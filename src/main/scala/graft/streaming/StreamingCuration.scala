@@ -175,4 +175,22 @@ object StreamingCuration {
       .select(col("ts"), col("doc_id"), col("n_shingles"), col("n_hits"),
         (col("n_hits") > 0).cast("int").as("contaminated"))
   }
+
+  /** Continuous HLL register maintenance — the streaming twin of
+    * [[graft.operators.Sketches.tokenSketches]] (q157): per-(source,
+    * bucket) max-rho over the arriving token stream. A rare beast among
+    * stateful streaming aggregations: NO watermark and no eviction, yet
+    * the state is STRUCTURALLY bounded at #sources × 256 registers —
+    * the sketch's fixed size is the state bound, so the distinct-token
+    * monitor runs forever on unbounded input (the register relation at
+    * any instant IS the batch sketch of everything ingested so far,
+    * and max-merges losslessly into the stored artifact).
+    */
+  def tokenSketchStream(docsStream: DataFrame): DataFrame =
+    graft.operators.Sketches.registerUpdates(
+        docsStream.select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("tok")),
+        col("source"), col("tok"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
 }

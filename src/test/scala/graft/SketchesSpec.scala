@@ -98,6 +98,32 @@ class SketchesSpec extends SparkSpecBase {
     assert(math.abs(est - 3.0) < 0.2, s"est $est")
   }
 
+  test("streaming register maintenance equals the batch sketch") {
+    // two micro-batches through the no-watermark bounded-state
+    // aggregation: the final register relation must equal the batch
+    // sketch of everything ingested
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val stream = graft.streaming.StreamingCuration.tokenSketchStream(
+      input.toDF.toDF("doc_id", "text", "source"))
+    val q = stream.writeStream.format("memory").queryName("hll_regs_test")
+      .outputMode("complete").start()
+    try {
+      val rows = corpus.select("doc_id", "text", "source")
+        .as[(Long, String, String)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("hll_regs_test")
+        .as[(String, Int, Int)].collect().toSet
+      val batch = Sketches.tokenSketches(corpus)
+        .as[(String, Int, Int)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size <= 20 * 256) // the structural state bound
+    } finally q.stop()
+  }
+
   test("sketches and estimates are deterministic") {
     val a = Sketches.tokenAlgebra(corpus).collect().map(_.toSeq).toSet
     val b = Sketches.tokenAlgebra(corpus).collect().map(_.toSeq).toSet
