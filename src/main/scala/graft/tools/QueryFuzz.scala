@@ -332,17 +332,74 @@ object QueryFuzz {
     FuzzQuery(s"fz_$seed", build, sql)
   }
 
+  /** Set-similarity join (r16): the [[graft.operators.Dedup]] prefix-
+    * filter operators, differentially tested — the engine runs the
+    * prefix-candidate + exact-verify pipeline while DuckDB evaluates the
+    * NAIVE all-pairs Jaccard over the same distinct fp60 shingle sets.
+    * Seeds vary the threshold (0.15..0.75), a doc-sample class, and 1/3
+    * take the cross-relation incremental flavor (corpus-df order, the
+    * q158 shape). Output folds to one checksum row so alias scanning
+    * sees only the outer select list.
+    */
+  private def setSimJoin(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val m = 1 + rnd.nextInt(3)
+    val r = rnd.nextInt(m)
+    val t = (15 + 5 * rnd.nextInt(13)) / 100.0
+    val incremental = rnd.nextInt(3) == 0
+    val innerSql = {
+      val base =
+        s"WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+          s"FROM documents WHERE doc_id % $m = $r), " +
+          "sh0 AS (SELECT doc_id, list_transform(range(1, len(toks) - 1), " +
+          "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM toks), " +
+          "fpd AS (SELECT doc_id, list_distinct(list_transform(" +
+          "list_distinct(sh), s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) " +
+          "AS f FROM sh0 WHERE len(list_distinct(sh)) > 0) "
+      val joinOn = if (incremental)
+        "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"
+      else "b.doc_id > a.doc_id"
+      base +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(len(list_intersect(a.f, b.f)) / (len(a.f) + len(b.f) " +
+        "- len(list_intersect(a.f, b.f))), 4) AS jaccard " +
+        s"FROM fpd a JOIN fpd b ON $joinOn " +
+        "WHERE len(list_intersect(a.f, b.f)) / (len(a.f) + len(b.f) " +
+        s"- len(list_intersect(a.f, b.f))) >= ${t}e0"
+    }
+    val sql = "SELECT CAST(count(*) AS BIGINT) AS a_cnt, " +
+      "CAST(sum(id_a + 3 * id_b) AS BIGINT) AS a_chk, " +
+      "CAST(sum(CAST(round(jaccard * 10000, 0) AS BIGINT)) AS BIGINT) AS a_jsum" +
+      s"\nFROM ($innerSql) z"
+    val build = (s: SparkSession, dir: String) => {
+      val docs = graft.sources.Tables.documents(s, dir)
+        .filter(col("doc_id") % m === r)
+      val pairs =
+        if (incremental)
+          graft.operators.Dedup.prefixJoinAgainstCorpus(
+            docs.filter(col("doc_id") % 2 === 1), // corpus = odd ids (id_b)
+            docs.filter(col("doc_id") % 2 === 0), t)
+        else graft.operators.Dedup.prefixSimilarityJoin(docs, t)
+      pairs.agg(count(lit(1)).as("a_cnt"),
+        sum(col("id_a") + col("id_b") * 3).cast("long").as("a_chk"),
+        sum(round(col("jaccard") * 10000, 0).cast("long")).cast("long")
+          .as("a_jsum"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
   /** Generate the query for one seed — pure function of the seed.
-    * Kind mix: 3/7 single-table, 1/7 equi-join, 1/7 band self-join,
-    * 1/7 hamming self-join, 1/7 point-in-interval join (the rewrite-rule
-    * input spaces).
+    * Kind mix: 3/8 single-table, 1/8 equi-join, 1/8 band self-join,
+    * 1/8 hamming self-join, 1/8 point-in-interval join, 1/8
+    * set-similarity join (the rewrite-rule and prefix-filter input
+    * spaces).
     */
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
-    val kind = rnd.nextInt(7)
+    val kind = rnd.nextInt(8)
     if (kind == 4) return bandJoin(seed, rnd)
     if (kind == 5) return hammingJoin(seed, rnd)
     if (kind == 6) return intervalJoin(seed, rnd)
+    if (kind == 7) return setSimJoin(seed, rnd)
     val useJoin = kind == 3
     if (!useJoin) {
       val t = tables(rnd.nextInt(tables.length))
