@@ -440,30 +440,28 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
     // DROPPED — every vector probes its top-2 cells and ranks its top-5
     // neighbors; kmeans cells replayed as in q32/q33/q51
     "q155_knn_join" ->
-      (kmeansCtes.stripSuffix("\n") + ",\n" +
-        s"""qprobe AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT v.vec_id, cc.cell,
-           |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           |             list_sum(list_transform(cc.c, x -> x*x))
-           |             - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
-           |                              i -> v.emb[i] * cc.c[i])),
-           |             cc.cell) AS rn
-           |    FROM v CROSS JOIN c$KmeansIters cc) WHERE rn <= 2),
-           |scored AS (
-           |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-           |         ${cosineSql("q.embedding", "c.embedding")} AS cos
-           |  FROM embeddings q
-           |  JOIN qprobe qp ON qp.vec_id = q.vec_id
-           |  JOIN cells cc ON cc.cell = qp.cell
-           |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id),
-           |ranked AS (
-           |  SELECT q_id, vec_id, cos,
-           |         ROW_NUMBER() OVER (PARTITION BY q_id
-           |           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
-           |  FROM scored)
-           |SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS cos
-           |FROM ranked WHERE rank <= 5""".stripMargin),
+      (kmeansCtes.stripSuffix("\n") + ",\n" + knnRankedCtes +
+        "\nSELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, " +
+        "round(cos, 4) AS cos FROM ranked WHERE rank <= 5"),
+
+    // q159: PageRank centrality over the q155 kNN graph — the composed
+    // "most representative vectors" query; edges are the top-5 directed
+    // kNN pairs symmetrized with multigraph semantics (mutual pairs
+    // contribute twice, exactly like the engine's unionByName), ranks
+    // replayed by the same integer fixed-point CTEs as q152 over the
+    // embeddings node set
+    "q159_knn_pagerank" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" + knnRankedCtes + ",\n" +
+        """knnp AS (SELECT q_id AS id_a, vec_id AS id_b
+          |         FROM ranked WHERE rank <= 5),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM knnp
+          |  UNION ALL
+          |  SELECT id_b AS src, id_a AS dst FROM knnp),
+          |""".stripMargin +
+        pagerankCtes(3, "SELECT vec_id AS id FROM embeddings", p = "pg")
+          .stripSuffix(",\n") +
+        "\nSELECT id AS vec_id, pr FROM pgr3"),
 
     // q156: the DP release replayed end to end — quality kernel, exact
     // per-source counts, then the SAME md5 noise stream: u = (first 52

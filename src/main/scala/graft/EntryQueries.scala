@@ -138,6 +138,20 @@ private[graft] trait EntryQueries { self: EntryShared =>
         docs.filter(col("doc_id") % 4 === 0), threshold = 0.5)
     }),
 
+    // composed gate: PageRank centrality over the q155 kNN graph — the
+    // "most representative vectors" query; the two operator families
+    // (IVF kNN join + fixed-point graph iteration) chained as one plan,
+    // hash-gated end to end
+    "q159_knn_pagerank" -> ((s, dir) => {
+      val embs = Tables.embeddings(s, dir)
+      val knn = Similarity
+        .knnJoin(embs, embs, kmeansShared(s, dir), k = 5, nProbe = 2)
+        .select(col("q_id").as("id_a"), col("vec_id").as("id_b"))
+      graft.operators.Graph.pageRankOverPairs(
+        embs.select(col("vec_id").as("id")), knn, iters = 3)
+        .select(col("id").as("vec_id"), col("pr"))
+    }),
+
     // embedding-space near-duplicates (cosine >= 0.35) in a vec_id window
     // (labeled NLJ demo; scale twins q32/q85). Its r8 bench weight was NOT
     // pair volume — it was predicate ORDER: the optimizer folded the

@@ -1351,24 +1351,57 @@ private[graft] trait EntryShared {
     * `div`-truncated longs. Mirrors [[graft.operators.Graph
     * .pageRankIntScaled]] at damp 85/100, scale 10⁶.
     */
-  protected def pagerankCtes(iters: Int): String = {
+  /** The corpus-wide multi-probe kNN replay (q155's CTE chain, shared
+    * with q159's composed centrality gate so the two cannot drift):
+    * every vector probes its top-2 cells by the kmeans distance
+    * tie-break, scores its probed candidates, and ranks by
+    * (round(cos,6) desc, vec_id). Ends in `ranked` (q_id, vec_id, cos,
+    * rank). Requires [[kmeansCtes]] (v, c$KmeansIters, cells) upstream.
+    */
+  protected def knnRankedCtes: String =
+    s"""qprobe AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, cc.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             list_sum(list_transform(cc.c, x -> x*x))
+       |             - 2 * list_sum(list_transform(range(1, ${EmbDim + 1}),
+       |                              i -> v.emb[i] * cc.c[i])),
+       |             cc.cell) AS rn
+       |    FROM v CROSS JOIN c$KmeansIters cc) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+       |         ${cosineSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q
+       |  JOIN qprobe qp ON qp.vec_id = q.vec_id
+       |  JOIN cells cc ON cc.cell = qp.cell
+       |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY q_id
+       |           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
+       |  FROM scored)""".stripMargin
+
+  protected def pagerankCtes(
+      iters: Int,
+      nodesSql: String = "SELECT doc_id AS id FROM documents",
+      p: String = ""): String = {
     val head =
-      """outdeg AS (
-        |  SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY 1),
-        |eo AS (SELECT e.src, e.dst, o.od
-        |       FROM edges e JOIN outdeg o ON o.src = e.src),
-        |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS pr
-        |       FROM documents),
-        |""".stripMargin
+      s"""${p}outdeg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY 1),
+         |${p}eo AS (SELECT e.src, e.dst, o.od
+         |       FROM edges e JOIN ${p}outdeg o ON o.src = e.src),
+         |${p}r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr
+         |       FROM ($nodesSql) n0),
+         |""".stripMargin
     val its = (1 to iters).map { i =>
-      s"""c$i AS (SELECT eo.dst AS id, r.pr // eo.od AS c
-         |  FROM eo JOIN r${i - 1} r ON r.id = eo.src),
-         |s$i AS (SELECT id, CAST(sum(c) AS BIGINT) AS insum
-         |  FROM c$i GROUP BY 1),
-         |r$i AS (SELECT n.id,
+      s"""${p}c$i AS (SELECT eo.dst AS id, r.pr // eo.od AS c
+         |  FROM ${p}eo eo JOIN ${p}r${i - 1} r ON r.id = eo.src),
+         |${p}s$i AS (SELECT id, CAST(sum(c) AS BIGINT) AS insum
+         |  FROM ${p}c$i GROUP BY 1),
+         |${p}r$i AS (SELECT n.id,
          |    CAST(150000 + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS pr
-         |  FROM (SELECT doc_id AS id FROM documents) n
-         |  LEFT JOIN s$i s ON s.id = n.id),
+         |  FROM ($nodesSql) n
+         |  LEFT JOIN ${p}s$i s ON s.id = n.id),
          |""".stripMargin
     }.mkString
     head + its
