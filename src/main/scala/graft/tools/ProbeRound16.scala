@@ -21,7 +21,7 @@ import graft.operators.{Dedup, Similarity}
   *    symmetric-shuffle IVF join where per-query cost is
   *    nProbe × corpus/kCells candidate dots — the knob the probe sweeps.
   *
-  * Recorded (2026-08-15, local[32]): see SURVEY.md round-16 table.
+  * Recorded (2026-08-15, local[32]): see the SURVEY.md round-16 additions table.
   */
 object ProbeRound16 {
   def main(args: Array[String]): Unit = {
