@@ -13,6 +13,28 @@ import graft.sources.Tables
   */
 private[graft] trait EntryOraclesB { self: EntryShared =>
 
+  /** Shared CTE chain for the q160/q161 SCD2 replays: the orders feed,
+    * null-safe change compaction, and the kept version rows — verbatim in
+    * both oracles so the build gate and the enrichment gate cannot drift.
+    */
+  private def scd2KeptCtes: String =
+    """feed AS (
+      |  SELECT o_custkey AS custkey, o_orderdate, o_orderkey,
+      |         o_orderstatus AS status, o_orderpriority AS priority
+      |  FROM orders),
+      |marked AS (
+      |  SELECT *,
+      |         lag(o_orderkey) OVER w IS NULL AS first_obs,
+      |         (status IS DISTINCT FROM lag(status) OVER w)
+      |           OR (priority IS DISTINCT FROM lag(priority) OVER w)
+      |           AS changed
+      |  FROM feed
+      |  WINDOW w AS (PARTITION BY custkey ORDER BY o_orderdate, o_orderkey)),
+      |kept AS (
+      |  SELECT custkey, o_orderdate, o_orderkey, status, priority
+      |  FROM marked WHERE first_obs OR changed),
+      |""".stripMargin
+
   protected def oraclesB: Map[String, String] = Map(
     // corpus band index capped like lshStage (QUALIFY); the incoming batch
     // is never self-joined and the corpus never pairs with itself
@@ -462,6 +484,51 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         pagerankCtes(3, "SELECT vec_id AS id FROM embeddings", p = "pg")
           .stripSuffix(",\n") +
         "\nSELECT id AS vec_id, pr FROM pgr3"),
+
+    // q160: the SCD2 build replayed — change compaction + version
+    // numbering + [valid_from, valid_to) intervals over the same
+    // deterministic (o_orderdate, o_orderkey) order
+    "q160_scd2_build" ->
+      ("WITH " + scd2KeptCtes.stripSuffix(",\n") +
+        """
+          |SELECT custkey,
+          |       CAST(row_number() OVER w2 AS INTEGER) AS version,
+          |       o_orderdate AS valid_from_ts,
+          |       lead(o_orderdate) OVER w2 AS valid_to_ts,
+          |       CAST(lead(o_orderdate) OVER w2 IS NULL AS INTEGER)
+          |         AS is_current,
+          |       status, priority
+          |FROM kept
+          |WINDOW w2 AS (PARTITION BY custkey ORDER BY o_orderdate, o_orderkey)"""
+          .stripMargin),
+
+    // q161: the point-in-time enrichment replayed end to end — dim from
+    // the SAME kept CTEs, facts get custkey via the orderkey equi-join,
+    // LEFT interval join (facts predating the first version → null
+    // group), grouping-cardinality rollup
+    "q161_scd2_pointintime" ->
+      ("WITH " + scd2KeptCtes +
+        """dim AS (
+          |  SELECT custkey, o_orderdate AS valid_from,
+          |         lead(o_orderdate) OVER
+          |           (PARTITION BY custkey
+          |            ORDER BY o_orderdate, o_orderkey) AS valid_to,
+          |         status, priority
+          |  FROM kept),
+          |facts AS (
+          |  SELECT l.l_shipdate, o.o_custkey AS custkey,
+          |         l.l_quantity, l.l_extendedprice
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          |enriched AS (
+          |  SELECT f.l_quantity, f.l_extendedprice, d.status, d.priority
+          |  FROM facts f LEFT JOIN dim d
+          |    ON f.custkey = d.custkey AND f.l_shipdate >= d.valid_from
+          |       AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to))
+          |SELECT status AS ship_status, priority AS ship_priority,
+          |       count(*) AS n_items,
+          |       round(sum(l_quantity), 4) AS sum_qty,
+          |       round(sum(l_extendedprice), 4) AS sum_price
+          |FROM enriched GROUP BY 1, 2""".stripMargin),
 
     // q156: the DP release replayed end to end — quality kernel, exact
     // per-source counts, then the SAME md5 noise stream: u = (first 52

@@ -152,6 +152,22 @@ private[graft] trait EntryQueries { self: EntryShared =>
         .select(col("id").as("vec_id"), col("pr"))
     }),
 
+    // SCD2 dimension build: per-customer (status, priority) version
+    // history compacted from the orders observation feed — null-safe
+    // change detection, [valid_from, valid_to) intervals, deterministic
+    // (o_orderdate, o_orderkey) order
+    "q160_scd2_build" -> ((s, dir) =>
+      graft.operators.Scd.customerStatusDim(Tables.orders(s, dir))),
+
+    // point-in-time-correct enrichment: every lineitem priced under the
+    // customer state valid AT ITS SHIP DATE (the anti-leakage join —
+    // current-row enrichment would leak future attributes into past
+    // facts), rolled up per ship-time state; dim broadcast, facts never
+    // shuffle on the dimension key
+    "q161_scd2_pointintime" -> ((s, dir) =>
+      graft.operators.Scd.shipTimeStateRollup(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
+
     // embedding-space near-duplicates (cosine >= 0.35) in a vec_id window
     // (labeled NLJ demo; scale twins q32/q85). Its r8 bench weight was NOT
     // pair volume — it was predicate ORDER: the optimizer folded the
