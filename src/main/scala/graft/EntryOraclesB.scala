@@ -427,6 +427,35 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         pagerankCtes(3).stripSuffix(",\n") +
         "\nSELECT id AS doc_id, pr FROM r3"),
 
+    // q162: triangles + local clustering coefficient over the SAME
+    // verified near-dup graph as q52/q152 (shared nd CTE). The oracle
+    // counts each triangle once as its id-ordered (x<y<z) triple — a
+    // different orientation than the engine's degree-ordered
+    // compact-forward, but the same triangle SET, so per-node counts
+    // agree exactly; lcc's one double division replays bit-for-bit
+    "q162_triangle_lcc" ->
+      (docCtes.stripSuffix("\n") + ",\n" + ndEdgesCtes +
+        """deg AS (
+          |  SELECT id, count(*) AS degree
+          |  FROM (SELECT id_a AS id FROM nd UNION ALL SELECT id_b FROM nd)
+          |  GROUP BY 1),
+          |tri AS (
+          |  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+          |  FROM nd e1 JOIN nd e2 ON e2.id_a = e1.id_b
+          |       JOIN nd e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+          |tcnt AS (
+          |  SELECT id, count(*) AS n_tri
+          |  FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+          |        UNION ALL SELECT z FROM tri)
+          |  GROUP BY 1)
+          |SELECT d.id AS doc_id, d.degree,
+          |       COALESCE(t.n_tri, 0) AS n_tri,
+          |       CASE WHEN d.degree >= 2
+          |            THEN round(2.0 * COALESCE(t.n_tri, 0)
+          |                       / (d.degree * (d.degree - 1)), 4)
+          |       END AS lcc
+          |FROM deg d LEFT JOIN tcnt t USING (id)""".stripMargin),
+
     // q153: NOT EXISTS at hamming <= 6, naive — the engine's value-set
     // factored anti join must hash-equal it
     "q153_fuzzy_decontamination" ->

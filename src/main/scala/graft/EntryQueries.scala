@@ -781,6 +781,15 @@ private[graft] trait EntryQueries { self: EntryShared =>
         lshPairsShared(s, dir), iters = 3)
         .select(col("id").as("doc_id"), col("pr"))),
 
+    // triangles + local clustering coefficient over the same verified
+    // near-dup graph (cohesion next to q52's labels and q152's ranks:
+    // LCC≈1 = genuine template family, low LCC at high degree = the
+    // boilerplate-hub over-deletion hazard); degree-ordered
+    // compact-forward orientation, all equi-joins
+    "q162_triangle_lcc" -> ((s, dir) =>
+      graft.operators.Graph.triangleStats(lshPairsShared(s, dir))
+        .withColumnRenamed("id", "doc_id")),
+
     "q151_interval_join_rewrite" -> ((s, dir) => {
       s.conf.set("spark.graft.bandJoinRewrite.intervalBinWidth", "8")
       val l = Tables.lineitem(s, dir).select(col("l_orderkey"))

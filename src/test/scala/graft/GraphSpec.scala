@@ -78,4 +78,50 @@ class GraphSpec extends SparkSpecBase {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.values.toSet === Set(1000000L))
   }
+
+  private def triMap(pairs: Seq[(Long, Long)]) =
+    Graph.triangleStats(pairs.toDF("id_a", "id_b"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))))
+      .toMap
+
+  test("triangleStats: K4 — every node in 3 triangles, lcc 1") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r = triMap(k4)
+    assert(r.keySet === Set(1L, 2L, 3L, 4L))
+    assert(r.values.forall(_ == ((3L, 3L, 1.0))))
+  }
+
+  test("triangleStats: square has wedges but zero triangles") {
+    val r = triMap(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    assert(r.values.forall { case (d, t, l) => d == 2L && t == 0L && l == 0.0 })
+  }
+
+  test("triangleStats: hub star — high degree, lcc 0; leaves lcc NULL") {
+    val star = (2L to 6L).map(b => (1L, b))
+    val r = triMap(star)
+    assert(r(1L) === ((5L, 0L, 0.0)))
+    (2L to 6L).foreach(b => assert(r(b)._1 == 1L && r(b)._3.isNaN,
+      s"leaf $b: degree-1 lcc must be NULL, not 0"))
+  }
+
+  test("triangleStats: triangle + pendant — counts and lcc exact") {
+    val r = triMap(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(r(1L) === ((2L, 1L, 1.0)))
+    assert(r(2L) === ((2L, 1L, 1.0)))
+    assert(r(3L) === ((3L, 1L, round4(2.0 * 1 / (3 * 2)))))
+    assert(r(4L)._2 == 0L)
+  }
+
+  test("triangleStats: reversed/duplicate pairs and self-loops collapse") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (2L, 2L))
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(triMap(messy) === triMap(clean))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
