@@ -456,6 +456,52 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |       END AS lcc
           |FROM deg d LEFT JOIN tcnt t USING (id)""".stripMargin),
 
+    // q163: the validation battery replayed metric by metric — same
+    // labels, same null-skipping range/pattern semantics, violations
+    // cast back to BIGINT (DuckDB widens CASE sums to HUGEINT)
+    "q163_validation_report" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS v1,
+        |    sum(CASE WHEN l_quantity IS NOT NULL
+        |             AND (l_quantity < 1 OR l_quantity > 50)
+        |        THEN 1 ELSE 0 END) AS v2,
+        |    sum(CASE WHEN l_discount IS NOT NULL
+        |             AND (l_discount < 0 OR l_discount > 0.1)
+        |        THEN 1 ELSE 0 END) AS v3,
+        |    sum(CASE WHEN l_returnflag IS NOT NULL
+        |             AND NOT regexp_matches(l_returnflag, '^[ANR]$')
+        |        THEN 1 ELSE 0 END) AS v4
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT (SELECT count(*) FROM lineitem) - count(*) AS v5
+        |  FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+        |fk AS (
+        |  SELECT count(*) AS v6 FROM lineitem l
+        |  WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |rpt AS (
+        |  SELECT 'not_null(l_orderkey)' AS check_name, v0 AS violations, n
+        |  FROM m
+        |  UNION ALL SELECT 'not_null(l_quantity)', v1, n FROM m
+        |  UNION ALL SELECT 'in_range(l_quantity, 1.0, 50.0)', v2, n FROM m
+        |  UNION ALL SELECT 'in_range(l_discount, 0.0, 0.1)', v3, n FROM m
+        |  UNION ALL SELECT 'matches(l_returnflag, ^[ANR]$)', v4, n FROM m
+        |  UNION ALL SELECT 'unique(l_orderkey, l_linenumber)', v5, n
+        |            FROM m CROSS JOIN u
+        |  UNION ALL
+        |    SELECT 'foreign_key(l_orderkey -> orders.o_orderkey)', v6, n
+        |    FROM m CROSS JOIN fk
+        |  UNION ALL SELECT 'min_rows(1)',
+        |                   CASE WHEN n < 1 THEN 1 ELSE 0 END, n FROM m)
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
+        |       n AS n_rows,
+        |       round(violations / nullif(n, 0), 4) AS violation_frac,
+        |       CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END
+        |         AS status
+        |FROM rpt""".stripMargin,
+
     // q153: NOT EXISTS at hamming <= 6, naive — the engine's value-set
     // factored anti join must hash-equal it
     "q153_fuzzy_decontamination" ->

@@ -790,6 +790,14 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Graph.triangleStats(lshPairsShared(s, dir))
         .withColumnRenamed("id", "doc_id")),
 
+    // declarative data-quality validation (Deequ shape): the lineitem
+    // ingestion contract — completeness, domain ranges, flag vocabulary,
+    // key uniqueness, orders FK — compiled into ONE aggregation pass +
+    // one broadcast anti-join, exact violation counts per constraint
+    "q163_validation_report" -> ((s, dir) =>
+      graft.operators.Validation.lineitemChecks(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
+
     "q151_interval_join_rewrite" -> ((s, dir) => {
       s.conf.set("spark.graft.bandJoinRewrite.intervalBinWidth", "8")
       val l = Tables.lineitem(s, dir).select(col("l_orderkey"))

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the expectation-check step
+  * (Deequ / Great Expectations shape) every ingestion pipeline runs
+  * before promoting a batch: a small constraint ADT is compiled into ONE
+  * aggregation pass over the table (plus one anti-join per referential
+  * constraint), producing a per-constraint report row with exact
+  * violation counts and a pass/fail verdict. The reference has no
+  * validation surface; this is §2.13 extension territory, the gate a
+  * snapshot-store commit (q143) or ingestion chain (q130) would consult
+  * before publishing.
+  *
+  * Scale shape: all row-local constraints (null, range, pattern) fold
+  * into a single map-side-combining aggregate — one scan, partials of a
+  * few longs per partition, never a second pass per constraint (the
+  * Deequ design point). [[Unique]] adds a distinct aggregate over its
+  * key struct (Spark plans the mixed distinct/non-distinct agg with one
+  * Expand — still one scan). [[ForeignKey]] is a LEFT ANTI join against
+  * the (broadcast when dimension-sized) reference keys, counted to one
+  * row and stitched to the metrics row by a broadcast one-row cross
+  * join — the established q94/q131 report-assembly idiom. Nothing about
+  * the report grows with table size.
+  */
+object Validation {
+
+  /** A declarative table expectation. Violation semantics per case are
+    * documented on the field; `NotNull` is the only constraint a null
+    * violates — range/pattern checks skip nulls so each failure mode is
+    * reported by exactly one constraint.
+    */
+  sealed trait Constraint
+
+  /** Violated by rows where `column` IS NULL. */
+  final case class NotNull(column: String) extends Constraint
+
+  /** Violated by non-null values outside [lo, hi] (inclusive). */
+  final case class InRange(column: String, lo: Double, hi: Double)
+    extends Constraint
+
+  /** Violated by non-null values not matching `regex` (Java syntax,
+    * Spark `rlike` / DuckDB `regexp_matches` find-anywhere semantics —
+    * anchor explicitly for full-match checks).
+    */
+  final case class MatchesPattern(column: String, regex: String)
+    extends Constraint
+
+  /** Violated once per surplus row: violations = count(*) − count
+    * (DISTINCT key struct); 0 iff `columns` is a candidate key.
+    */
+  final case class Unique(columns: Seq[String]) extends Constraint
+
+  /** Violated by rows whose non-null `column` has no match in
+    * `refColumn` of `ref` (null FK values are not orphans — pair with
+    * [[NotNull]] to forbid them). `refName` labels the report row.
+    */
+  final case class ForeignKey(column: String, ref: DataFrame,
+                              refColumn: String, refName: String)
+    extends Constraint
+
+  /** Violated (once) when the table has fewer than `n` rows. */
+  final case class MinRows(n: Long) extends Constraint
+
+  private def label(c: Constraint): String = c match {
+    case NotNull(col) => s"not_null($col)"
+    case InRange(col, lo, hi) => s"in_range($col, $lo, $hi)"
+    case MatchesPattern(col, re) => s"matches($col, $re)"
+    case Unique(cols) => s"unique(${cols.mkString(", ")})"
+    case ForeignKey(col, _, refCol, refName) =>
+      s"foreign_key($col -> $refName.$refCol)"
+    case MinRows(n) => s"min_rows($n)"
+  }
+
+  /** One report row per constraint: `(check_name, violations, n_rows,
+    * violation_frac, status)`. Counts are exact longs; the fraction is
+    * violations / n_rows rounded to 4 (null on an empty table); status
+    * is "pass" iff violations = 0.
+    */
+  def report(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "validation needs at least one constraint")
+    val cs = constraints.zipWithIndex
+    // every non-FK constraint folds into the single metrics aggregate
+    // sums coalesce to 0 so an EMPTY table reports zero violations
+    // (null counts would poison the report row) — MinRows is the one
+    // constraint an empty table fails
+    val aggCols: Seq[Column] = count(lit(1)).as("_n") +: cs.flatMap {
+      case (NotNull(c), i) =>
+        Some(coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"_v$i"))
+      case (InRange(c, lo, hi), i) =>
+        Some(coalesce(sum((col(c).isNotNull &&
+          (col(c) < lo || col(c) > hi)).cast("long")), lit(0L)).as(s"_v$i"))
+      case (MatchesPattern(c, re), i) =>
+        Some(coalesce(sum((col(c).isNotNull && !col(c).rlike(re))
+          .cast("long")), lit(0L)).as(s"_v$i"))
+      case (Unique(cols), i) =>
+        Some((count(lit(1)) -
+          count_distinct(struct(cols.map(col): _*))).as(s"_v$i"))
+      case (MinRows(_), _) => None // derived from _n below
+      case (_: ForeignKey, _) => None // separate anti-join branch
+    }
+    val base = cs.foldLeft(df.agg(aggCols.head, aggCols.tail: _*)) {
+      case (acc, (ForeignKey(c, ref, refCol, _), i)) =>
+        val orphans = df.select(col(c)).filter(col(c).isNotNull)
+          .join(broadcast(ref.select(col(refCol).as(c)).distinct()),
+            Seq(c), "left_anti")
+          .agg(count(lit(1)).as(s"_v$i"))
+        acc.crossJoin(broadcast(orphans))
+      case (acc, _) => acc
+    }
+    val rows = array(cs.map { case (c, i) =>
+      val v = c match {
+        case MinRows(n) => (col("_n") < n).cast("long")
+        case _ => col(s"_v$i")
+      }
+      struct(lit(label(c)).as("check_name"), v.as("violations"))
+    }: _*)
+    base.select(explode(rows).as("r"), col("_n"))
+      .select(col("r.check_name").as("check_name"),
+        col("r.violations").as("violations"),
+        col("_n").as("n_rows"),
+        round(col("r.violations") / nullif(col("_n"), lit(0L)), 4)
+          .as("violation_frac"),
+        when(col("r.violations") === 0L, lit("pass")).otherwise(lit("fail"))
+          .as("status"))
+  }
+
+  /** The gated battery: the lineitem contract a TPC-H-shaped ingestion
+    * would enforce — key completeness and uniqueness, domain ranges,
+    * flag vocabulary, and the orders foreign key.
+    */
+  def lineitemChecks(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    report(lineitem, Seq(
+      NotNull("l_orderkey"),
+      NotNull("l_quantity"),
+      InRange("l_quantity", 1, 50),
+      InRange("l_discount", 0, 0.1),
+      MatchesPattern("l_returnflag", "^[ANR]$"),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      ForeignKey("l_orderkey", orders, "o_orderkey", "orders"),
+      MinRows(1)))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Validation
+import graft.operators.Validation._
+
+/** Constraint-report semantics (q163). */
+class ValidationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // id, qty, flag — two null ids, one dup key pair, one out-of-range,
+  // one bad flag, two FK orphans (ids 8, 9)
+  private def tbl: DataFrame = Seq(
+    (Option(1L), Option(5.0), "A"),
+    (Option(1L), Option(5.0), "A"), // duplicate (id, qty) key
+    (Option(2L), Option(99.0), "N"), // qty out of range
+    (Option(3L), Option(7.0), "X"), // bad flag
+    (None: Option[Long], Option(1.0), "R"), // null id (not an FK orphan)
+    (None: Option[Long], None: Option[Double], "R"), // null id + null qty
+    (Option(8L), Option(2.0), "R"), // FK orphan
+    (Option(9L), Option(3.0), "R") // FK orphan
+  ).toDF("id", "qty", "flag")
+
+  private def ref: DataFrame = Seq(1L, 2L, 3L).toDF("rid")
+
+  private def rep: Map[String, (Long, Long, String)] =
+    Validation.report(tbl, Seq(
+      NotNull("id"), NotNull("qty"),
+      InRange("qty", 1, 50),
+      MatchesPattern("flag", "^[ANR]$"),
+      Unique(Seq("id", "qty")),
+      ForeignKey("id", ref, "rid", "ref"),
+      MinRows(10)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+      .toMap
+
+  test("every constraint counts exactly its own violations") {
+    val m = rep
+    assert(m("not_null(id)") === ((2L, 8L, "fail")))
+    assert(m("not_null(qty)") === ((1L, 8L, "fail")))
+    // nulls are NOT range violations — reported by not_null alone
+    assert(m("in_range(qty, 1.0, 50.0)") === ((1L, 8L, "fail")))
+    assert(m("matches(flag, ^[ANR]$)") === ((1L, 8L, "fail")))
+    // the two (null, ...) rows differ in qty: only the (1, 5.0) pair dups
+    assert(m("unique(id, qty)") === ((1L, 8L, "fail")))
+    // null FKs are not orphans; 8 and 9 are
+    assert(m("foreign_key(id -> ref.rid)") === ((2L, 8L, "fail")))
+    assert(m("min_rows(10)") === ((1L, 8L, "fail")))
+  }
+
+  test("a clean table passes everything") {
+    val clean = Seq((1L, 5.0, "A"), (2L, 6.0, "R")).toDF("id", "qty", "flag")
+    val out = Validation.report(clean, Seq(
+      NotNull("id"), InRange("qty", 1, 50), Unique(Seq("id")),
+      ForeignKey("id", ref, "rid", "ref"), MinRows(1)))
+      .collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getString(4) == "pass"))
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  test("empty table: zero counts, null fraction, min_rows fails") {
+    val empty = spark.emptyDataset[(Long, Double, String)]
+      .toDF("id", "qty", "flag")
+    val out = Validation.report(empty, Seq(NotNull("id"), MinRows(1)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.isNullAt(3), r.getString(4)))).toMap
+    assert(out("not_null(id)") === ((0L, 0L, true, "pass")))
+    assert(out("min_rows(1)") === ((1L, 0L, true, "fail")))
+  }
+
+  test("gated battery on the generated lineitem: unique fails, rest pass") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Validation.lineitemChecks(
+      sources.Tables.lineitem(spark, dir), sources.Tables.orders(spark, dir))
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(out.size == 8)
+    // the synthetic generator does NOT enforce TPC-H's (orderkey,
+    // linenumber) key — 1,401 duplicate pairs at sf0.001. The report's
+    // job is to SAY so, which is exactly what makes it a useful gate
+    assert(out("unique(l_orderkey, l_linenumber)") == "fail")
+    assert((out - "unique(l_orderkey, l_linenumber)")
+      .values.forall(_ == "pass"))
+  }
+}
