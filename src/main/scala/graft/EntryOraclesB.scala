@@ -502,6 +502,17 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |         AS status
         |FROM rpt""".stripMargin,
 
+    // q164: the oracle is the NAIVE quadratic join — the engine's
+    // segment-pigeonhole candidates + early-exit verify must reproduce
+    // its pair set and distances exactly (completeness of the
+    // multi-match-aware window is what's being gated)
+    "q164_edit_distance_join" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
     // q153: NOT EXISTS at hamming <= 6, naive — the engine's value-set
     // factored anti join must hash-equal it
     "q153_fuzzy_decontamination" ->

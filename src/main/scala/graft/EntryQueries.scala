@@ -798,6 +798,16 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Validation.lineitemChecks(
         Tables.lineitem(s, dir), Tables.orders(s, dir))),
 
+    // EXACT edit-distance join (PassJoin segment pigeonhole): every part
+    // pair whose names are within 2 edits — typo-tolerant entity
+    // matching, the exact ceiling of the n-gram Jaccard approximation;
+    // candidates equi-join on (segment, idx, len), never all-pairs, and
+    // the 64-distinct-names/2,000-parts fixture exercises the
+    // value-set factoring + ed=0 group expansion
+    "q164_edit_distance_join" -> ((s, dir) =>
+      graft.operators.EditDistance.editDistanceJoin(
+        Tables.part(s, dir), "p_partkey", "p_name", k = 2)),
+
     "q151_interval_join_rewrite" -> ((s, dir) => {
       s.conf.set("spark.graft.bandJoinRewrite.intervalBinWidth", "8")
       val l = Tables.lineitem(s, dir).select(col("l_orderkey"))

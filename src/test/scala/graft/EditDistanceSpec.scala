@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.EditDistance
+
+/** Exact edit-distance join semantics (q164): the pigeonhole candidates
+  * + verify must equal the naive quadratic join on any input.
+  */
+class EditDistanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def naive(rows: DataFrame, k: Int): Set[(Long, Long, Int)] = {
+    val a = rows.select(col("id").as("ia"), col("s").as("sa"))
+    val b = rows.select(col("id").as("ib"), col("s").as("sb"))
+    a.crossJoin(b)
+      .filter(col("ia") < col("ib") &&
+        levenshtein(col("sa"), col("sb")) <= k)
+      .select(col("ia"), col("ib"),
+        levenshtein(col("sa"), col("sb")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  private def run(rows: DataFrame, k: Int): Set[(Long, Long, Int)] = {
+    val st = EditDistance.editDistanceJoinStage(rows, "id", "s", k)
+    val out = st.result.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    st.unpersist()
+    out
+  }
+
+  test("hand fixture: substitutions, indels, boundary edits, duplicates") {
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"), // sub, d=1
+      (3L, "sittin"), // d(2,3)=1, d(1,3)=2
+      (4L, "sitting"), // insert at end: d(3,4)=1
+      (5L, "itten"), // delete at front: d(1,5)=1
+      (6L, "kitten"), // duplicate of 1: d=0
+      (7L, "banana") // far from everything
+    ).toDF("id", "s")
+    for (k <- 0 to 3)
+      assert(run(rows, k) === naive(rows, k), s"k=$k")
+  }
+
+  test("short strings route through the fallback branch") {
+    val rows = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "abc"),
+      (5L, "abcd"), (6L, "b"), (7L, "zzzz")).toDF("id", "s")
+    for (k <- 1 to 3)
+      assert(run(rows, k) === naive(rows, k), s"k=$k")
+  }
+
+  test("seeded random sweep equals the naive join at k=0..3") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (1L to 80L).map { id =>
+      val len = rnd.nextInt(9) // 0..8: includes empty + short strings
+      (id, Seq.fill(len)(if (rnd.nextBoolean()) 'a' else 'b').mkString)
+    }.toDF("id", "s")
+    for (k <- 0 to 3) {
+      val got = run(rows, k)
+      val want = naive(rows, k)
+      assert(got === want,
+        s"k=$k missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("longer realistic strings: one edit anywhere is found") {
+    val base = "Customer#000001234"
+    val variants = (('0' to '9').zipWithIndex.map { case (c, i) =>
+      (i.toLong + 2, base.updated(9 + (i % 9), c))
+    } :+ (1L -> base) :+ (20L -> (base + "X")) :+ (21L -> base.drop(1)))
+      .toDF("id", "s")
+    assert(run(variants, 1) === naive(variants, 1))
+    assert(run(variants, 2) === naive(variants, 2))
+  }
+
+  test("null strings are dropped, not paired") {
+    val rows = Seq((1L, "abc"), (2L, null.asInstanceOf[String]),
+      (3L, "abd")).toDF("id", "s")
+    assert(run(rows, 1) === Set((1L, 3L, 1)))
+  }
+}
