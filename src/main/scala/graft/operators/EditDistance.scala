@@ -33,12 +33,19 @@ import org.apache.spark.storage.StorageLevel
   *
   * 100 TB shape: index = |D|·(k+1) rows, probe ≤ |D|·(k+1)·(2k+1)·
   * (k+1) rows (k ≤ 3 in practice ⇒ small constants), both shuffled by
-  * (segment, i, len) — a hot segment ("Customer#0000" prefixes) is an
-  * AQE skew split, and paying it is what EXACTNESS costs: candidate
-  * volume tracks genuinely-close pairs because a shared segment pins
-  * both position and length. Strings shorter than the segment floor
-  * route through a bounded short-string branch (everything involved has
-  * length ≤ 2k — a finite, tiny set).
+  * (segment, i, len). The degenerate case — a corpus-CONSTANT affix
+  * ("User#…", "https://…") making one segment identical across the
+  * whole corpus and the equi-join all-pairs (the 1 M-name probe
+  * measured exactly that) — is removed EXACTLY by stripping the
+  * corpus-wide common prefix/suffix before segmentation: ed(Px, Py) =
+  * ed(x, y) (the standard DP prefix lemma), and the corpus prefix is
+  * the common prefix of the lexicographic min and max string, two
+  * metadata-sized aggregates. Residual hot segments (shared by a
+  * sub-population) are AQE skew splits, and paying them is what
+  * EXACTNESS costs: a shared segment pins text, position and length,
+  * so candidate volume tracks genuinely-close pairs. Strings whose
+  * core is shorter than the segment floor route through a bounded
+  * short-string branch (everything involved has core length ≤ 2k).
   */
 object EditDistance {
 
@@ -53,13 +60,48 @@ object EditDistance {
                        k: Int): DataFrame =
     editDistanceJoinStage(rows, idCol, strCol, k).result
 
+  private def commonPrefixLen(a: String, b: String): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+    i
+  }
+
   def editDistanceJoinStage(rows: DataFrame, idCol: String, strCol: String,
                             k: Int): EdJoinStage = {
     require(k >= 0 && k <= 8, s"edit-distance threshold must be in [0, 8], got $k")
     val ids = rows.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val strsD = ids.select(col("s")).distinct()
+    val strsD0 = ids.select(col("s")).distinct()
+
+    // ---- corpus-wide common prefix/suffix stripping. ed(Px, Py) =
+    // ed(x, y) when every string shares prefix P (the standard DP
+    // prefix lemma; suffixes by symmetry), so the join runs on the
+    // stripped CORES with identical pairs and distances. This is not a
+    // cosmetic saving: a corpus-constant prefix ("User#…", "https://…")
+    // makes segment 0 IDENTICAL across the whole corpus and the
+    // candidate equi-join degenerates to all-pairs — the 1 M-name probe
+    // hit exactly that (~10¹² candidates) before this step. The corpus
+    // prefix is the common prefix of the lexicographic MIN and MAX
+    // string (every string sorts between them): two metadata-sized
+    // aggregates, each read on the driver as a 2-string model — the
+    // established bounded model-on-driver pattern.
+    val mm = strsD0.agg(min(col("s")), max(col("s"))).head()
+    val lp =
+      if (mm.isNullAt(0)) 0
+      else commonPrefixLen(mm.getString(0), mm.getString(1))
+    val stripped = strsD0
+      .select(col("s"), col("s").substr(lit(lp + 1),
+        length(col("s")) - lp).as("c0"))
+    val mm2 = stripped.agg(min(reverse(col("c0"))),
+      max(reverse(col("c0")))).head()
+    val lsuf =
+      if (mm2.isNullAt(0)) 0
+      else commonPrefixLen(mm2.getString(0), mm2.getString(1))
+    val strsD = stripped
+      .select(col("s"), col("c0").substr(lit(1),
+        length(col("c0")) - lsuf).as("c"))
 
     // ---- segment geometry for a length-lt string: k+1 even segments,
     // the first (k+1−r) of length q, the last r of length q+1
@@ -75,23 +117,25 @@ object EditDistance {
       (i * q + greatest(lit(0), i - (kk + 1 - r))).cast("int")
     }
 
-    // ---- index: (seg, i, lt, t) for every t long enough for k+1
-    // non-empty segments
+    // ---- index over CORES: (seg, i, lt, t) for every core long enough
+    // for k+1 non-empty segments (stripping is a corpus bijection, so
+    // core pairs ↔ string pairs)
     val iIdx = explode(array((0 to k).map(lit): _*)).as("i")
-    val tLong = strsD.filter(length(col("s")) >= k + 1)
-      .select(col("s").as("t"), length(col("s")).as("lt"))
+    val tLong = strsD.filter(length(col("c")) >= k + 1)
+      .select(col("c").as("t"), length(col("c")).as("lt"))
     val index = tLong.select(col("t"), col("lt"), iIdx)
       .select(col("t"), col("lt"), col("i"),
         substring(col("t"), segStart(col("lt"), col("i")) + 1,
           segLen(col("lt"), col("i"))).as("seg"))
 
-    // ---- probe: for every s, every target length in [ls−k, ls+k] and
-    // every segment index, the multi-match-aware substring window
+    // ---- probe: for every core, every target length in [ls−k, ls+k]
+    // and every segment index, the multi-match-aware substring window
     val combos = explode(array((for (d <- -k to k; i <- 0 to k) yield
-      struct(lit(d).as("d"), lit(i).as("i"))): _*)).as("c")
-    val pr0 = strsD.select(col("s"), length(col("s")).as("ls"), combos)
-      .select(col("s"), col("ls"), (col("ls") - col("c.d")).as("lt"),
-        col("c.i").as("i"))
+      struct(lit(d).as("d"), lit(i).as("i"))): _*)).as("cb")
+    val pr0 = strsD.select(col("c").as("ps"), length(col("c")).as("ls"),
+        combos)
+      .select(col("ps"), col("ls"), (col("ls") - col("cb.d")).as("lt"),
+        col("cb.i").as("i"))
       .filter(col("lt") >= k + 1)
     val pi = segStart(col("lt"), col("i"))
     val li = segLen(col("lt"), col("i"))
@@ -99,36 +143,38 @@ object EditDistance {
     val lo = greatest(lit(0), pi - col("i"), pi + delta - (kk - col("i")))
     val hi = least(col("ls") - li, pi + col("i"), pi + delta + (kk - col("i")))
     val probe = pr0
-      .select(col("s"), col("lt"), col("i"), li.as("li"),
+      .select(col("ps"), col("lt"), col("i"), li.as("li"),
         explode(when(hi >= lo, sequence(lo.cast("int"), hi.cast("int")))
           .otherwise(array().cast("array<int>"))).as("p"))
-      .select(col("s"), col("lt"), col("i"),
-        substring(col("s"), col("p") + 1, col("li")).as("seg"))
+      .select(col("ps"), col("lt"), col("i"),
+        substring(col("ps"), col("p") + 1, col("li")).as("seg"))
 
     // ---- candidates: equi-join on (segment text, index, target length);
-    // unordered string pairs, self-pairs excluded (ed=0 expands below)
+    // unordered core pairs, self-pairs excluded (ed=0 expands below)
     val candidates = probe.join(index, Seq("seg", "i", "lt"))
-      .filter(col("s") < col("t"))
-      .select(col("s").as("sa"), col("t").as("sb"))
+      .filter(col("ps") < col("t"))
+      .select(col("ps").as("ca"), col("t").as("cb"))
 
-    // ---- short-string branch: a t shorter than k+1 cannot be
+    // ---- short-string branch: a core shorter than k+1 cannot be
     // segmented; every pair it can reach has both sides ≤ 2k chars
-    val s2k = strsD.filter(length(col("s")) <= 2 * k)
-    val shortCand = s2k.select(col("s").as("sa"))
-      .join(s2k.select(col("s").as("sb")),
-        col("sa") < col("sb") &&
-          least(length(col("sa")), length(col("sb"))) <= k &&
-          abs(length(col("sa")) - length(col("sb"))) <= k)
+    val s2k = strsD.select(col("c")).filter(length(col("c")) <= 2 * k)
+    val shortCand = s2k.select(col("c").as("ca"))
+      .join(s2k.select(col("c").as("cb")),
+        col("ca") < col("cb") &&
+          least(length(col("ca")), length(col("cb"))) <= k &&
+          abs(length(col("ca")) - length(col("cb"))) <= k)
 
+    // levenshtein on cores = levenshtein on originals (prefix lemma)
     val verified = candidates.unionByName(shortCand).distinct()
-      .select(col("sa"), col("sb"),
-        levenshtein(col("sa"), col("sb"), k).as("dist"))
+      .select(col("ca"), col("cb"),
+        levenshtein(col("ca"), col("cb"), k).as("dist"))
       .filter(col("dist") >= 0)
 
     // ---- back to id pairs: cross-string expansion + within-group ed=0
+    val idsC = ids.join(strsD, "s")
     val cross = verified
-      .join(ids.select(col("s").as("sa"), col("id").as("ia")), "sa")
-      .join(ids.select(col("s").as("sb"), col("id").as("ib")), "sb")
+      .join(idsC.select(col("c").as("ca"), col("id").as("ia")), "ca")
+      .join(idsC.select(col("c").as("cb"), col("id").as("ib")), "cb")
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
     val within = ids.join(ids.withColumnRenamed("id", "id2"), "s")

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, EditDistance, Similarity}
 
 /** Round-16 probe: the two new corpus-sized operators priced beyond the
   * gate SF.
@@ -80,6 +80,45 @@ object ProbeRound16 {
         st.unpersist()
       }
       hot.unpersist()
+    }
+
+    if (which == "all" || which == "edjoin") {
+      // 1 M distinct 20-char names ("User#" + 13 hash hex + 2-char
+      // tail); ids with id%10 in {0,1} form twin pairs differing in ONE
+      // char (~100 k planted ed=1 pairs) — hex randomness keeps numeric
+      // neighbors from flooding the output the way sequential ids would.
+      // TWO recorded lessons from earlier cuts: (a) before the operator
+      // stripped the corpus-wide common prefix, the constant "User#"
+      // head made segment 0 identical across the corpus — ~10¹²
+      // candidates, unrunnable; (b) at 14-char names (9-char cores),
+      // k=2 segments are 3 chars and the structured 2-char tail
+      // collapsed the last segment to ~64 distinct values (~10¹⁰
+      // candidates) — segment ENTROPY, core_len/(k+1) chars of it, is
+      // the knob; short strings at high k are inherently
+      // candidate-heavy, which is why the gate's k stays ≤ 3 and the
+      // fixture uses realistic 20-char entity strings
+      val n = 1000000L
+      val isTwin = pmod(col("id"), lit(10)) < 2
+      val seed = when(isTwin, col("id") - pmod(col("id"), lit(2)))
+        .otherwise(col("id"))
+      val hx = concat(
+        lpad(hex(pmod(xxhash64(seed, lit(77)), lit(268435456L))), 7, "0"),
+        lpad(hex(pmod(xxhash64(seed, lit(78)), lit(16777216L))), 6, "0"))
+      val tail = when(isTwin,
+        concat(lit("t"), pmod(col("id"), lit(2)).cast("string")))
+        .otherwise(lit("u0"))
+      val names = spark.range(n).select(col("id"),
+          concat(lit("User#"), hx, tail).as("name"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      names.count()
+      for (k <- Seq(1, 2)) {
+        time(s"edjoin_1000k_k$k") {
+          val st = EditDistance.editDistanceJoinStage(names, "id", "name", k)
+          println("  pairs=" + st.result.count())
+          st.unpersist()
+        }
+      }
+      names.unpersist()
     }
 
     if (which == "all" || which == "knn") {

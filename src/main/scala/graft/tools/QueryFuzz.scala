@@ -387,15 +387,58 @@ object QueryFuzz {
     FuzzQuery(s"fz_$seed", build, sql)
   }
 
+  /** Edit-distance join (r16): the [[graft.operators.EditDistance]]
+    * segment-pigeonhole + early-exit verify pipeline while DuckDB
+    * evaluates the NAIVE quadratic `levenshtein(a, b) <= k` join — a
+    * seeded differential test of the multi-match-aware window's
+    * completeness over arbitrary name corpora slices. Tables rotate
+    * through the three name columns (distinct-heavy customer ids,
+    * dup-heavy part names, tiny supplier set); k ∈ 1..3; a sampled id
+    * class varies the corpus per seed.
+    */
+  private def editJoin(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val (tbl, idc, strc) = Seq(
+      ("part", "p_partkey", "p_name"),
+      ("customer", "c_custkey", "c_name"),
+      ("supplier", "s_suppkey", "s_name"))(rnd.nextInt(3))
+    val k = 1 + rnd.nextInt(3)
+    val m = 1 + rnd.nextInt(3)
+    val r = rnd.nextInt(m)
+    val sql =
+      s"""SELECT CAST(count(*) AS BIGINT) AS a_cnt,
+         |       CAST(sum(id_a + 3 * id_b) AS BIGINT) AS a_chk,
+         |       CAST(sum(dist) AS BIGINT) AS a_dsum
+         |FROM (
+         |  SELECT a.$idc AS id_a, b.$idc AS id_b,
+         |         levenshtein(a.$strc, b.$strc) AS dist
+         |  FROM $tbl a JOIN $tbl b
+         |    ON a.$idc < b.$idc AND levenshtein(a.$strc, b.$strc) <= $k
+         |  WHERE a.$idc % $m = $r AND b.$idc % $m = $r) z""".stripMargin
+    val build = (s: SparkSession, dir: String) => {
+      val base = tbl match {
+        case "part" => Tables.part(s, dir)
+        case "customer" => Tables.customer(s, dir)
+        case _ => Tables.supplier(s, dir)
+      }
+      graft.operators.EditDistance.editDistanceJoin(
+        base.filter(col(idc) % m === r), idc, strc, k)
+        .agg(count(lit(1)).as("a_cnt"),
+          sum(col("id_a") + col("id_b") * 3).cast("long").as("a_chk"),
+          sum(col("dist")).cast("long").as("a_dsum"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
   /** Generate the query for one seed — pure function of the seed.
-    * Kind mix: 3/8 single-table, 1/8 equi-join, 1/8 band self-join,
-    * 1/8 hamming self-join, 1/8 point-in-interval join, 1/8
-    * set-similarity join (the rewrite-rule and prefix-filter input
-    * spaces).
+    * Kind mix: 3/9 single-table, 1/9 equi-join, 1/9 band self-join,
+    * 1/9 hamming self-join, 1/9 point-in-interval join, 1/9
+    * set-similarity join, 1/9 edit-distance join (the rewrite-rule,
+    * prefix-filter and segment-pigeonhole input spaces).
     */
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
-    val kind = rnd.nextInt(8)
+    val kind = rnd.nextInt(9)
+    if (kind == 8) return editJoin(seed, rnd)
     if (kind == 4) return bandJoin(seed, rnd)
     if (kind == 5) return hammingJoin(seed, rnd)
     if (kind == 6) return intervalJoin(seed, rnd)

@@ -79,4 +79,23 @@ class EditDistanceSpec extends SparkSpecBase {
       (3L, "abd")).toDF("id", "s")
     assert(run(rows, 1) === Set((1L, 3L, 1)))
   }
+
+  test("corpus-constant prefix+suffix strip exactly (the probe's hazard)") {
+    val rnd = new scala.util.Random(777)
+    // every string is "User#" + 0..6 random chars + ".com" — the
+    // un-stripped pigeonhole would degenerate on the constant segments
+    val rows = (1L to 60L).map { id =>
+      val len = rnd.nextInt(7)
+      (id, "User#" +
+        Seq.fill(len)(if (rnd.nextBoolean()) 'x' else 'y').mkString + ".com")
+    }.toDF("id", "s")
+    for (k <- 0 to 3)
+      assert(run(rows, k) === naive(rows, k), s"k=$k")
+  }
+
+  test("all-identical corpus: cores strip to empty, only ed=0 pairs") {
+    val rows = (1L to 4L).map(id => (id, "same-name")).toDF("id", "s")
+    assert(run(rows, 2) ===
+      (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b, 0)).toSet)
+  }
 }
