@@ -502,6 +502,15 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |         AS status
         |FROM rpt""".stripMargin,
 
+    // q165: TrustRank replayed — the SAME nd edge CTEs as q52/q152/q162
+    // with the seeded fixed-point iteration (seeds = src0/src1 docs)
+    "q165_trustrank" ->
+      (docCtes.stripSuffix("\n") + ",\n" + ndEdgesCtes +
+        pagerankCtes(3,
+          "SELECT doc_id AS id, (source IN ('src0', 'src1')) AS sd " +
+            "FROM documents", seeded = true).stripSuffix(",\n") +
+        "\nSELECT id AS doc_id, pr AS trust FROM r3"),
+
     // q164: the oracle is the NAIVE quadratic join — the engine's
     // segment-pigeonhole candidates + early-exit verify must reproduce
     // its pair set and distances exactly (completeness of the

@@ -798,6 +798,20 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Validation.lineitemChecks(
         Tables.lineitem(s, dir), Tables.orders(s, dir))),
 
+    // TrustRank over the near-dup graph: teleport mass pinned to docs
+    // from the trusted sources src0/src1 (seeds), trust flows to
+    // structurally nearby docs — promote unlabeled pages clustering
+    // with known-good ones; integer fixed-point like q152, isolated
+    // non-seeds stay at exactly 0
+    "q165_trustrank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nodes = docs.select(col("doc_id").as("id"),
+        col("source").isin("src0", "src1").as("is_seed"))
+      graft.operators.Graph.trustRankOverPairs(
+        nodes, lshPairsShared(s, dir), iters = 3)
+        .select(col("id").as("doc_id"), col("pr").as("trust"))
+    }),
+
     // EXACT edit-distance join (PassJoin segment pigeonhole): every part
     // pair whose names are within 2 edits — typo-tolerant entity
     // matching, the exact ceiling of the n-gram Jaccard approximation;

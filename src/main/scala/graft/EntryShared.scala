@@ -1384,13 +1384,23 @@ private[graft] trait EntryShared {
   protected def pagerankCtes(
       iters: Int,
       nodesSql: String = "SELECT doc_id AS id FROM documents",
-      p: String = ""): String = {
+      p: String = "",
+      seeded: Boolean = false): String = {
+    // seeded = the q165 TrustRank replay: nodesSql must then provide
+    // (id, sd); seeds start at scale and take the base term, non-seeds
+    // start at 0 and receive only propagated mass
+    val init =
+      if (seeded) "CASE WHEN n0.sd THEN CAST(1000000 AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END"
+      else "CAST(1000000 AS BIGINT)"
+    val baseTerm =
+      if (seeded) "(CASE WHEN n.sd THEN 150000 ELSE 0 END)" else "150000"
     val head =
       s"""${p}outdeg AS (
          |  SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY 1),
          |${p}eo AS (SELECT e.src, e.dst, o.od
          |       FROM edges e JOIN ${p}outdeg o ON o.src = e.src),
-         |${p}r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr
+         |${p}r0 AS (SELECT id, $init AS pr
          |       FROM ($nodesSql) n0),
          |""".stripMargin
     val its = (1 to iters).map { i =>
@@ -1399,7 +1409,7 @@ private[graft] trait EntryShared {
          |${p}s$i AS (SELECT id, CAST(sum(c) AS BIGINT) AS insum
          |  FROM ${p}c$i GROUP BY 1),
          |${p}r$i AS (SELECT n.id,
-         |    CAST(150000 + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS pr
+         |    CAST($baseTerm + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS pr
          |  FROM ($nodesSql) n
          |  LEFT JOIN ${p}s$i s ON s.id = n.id),
          |""".stripMargin

@@ -77,6 +77,55 @@ object Graph {
     pageRankIntScaled(nodes, edges, iters)
   }
 
+  /** TrustRank-style seeded propagation (Gyöngyi, Garcia-Molina &
+    * Pedersen, VLDB'04): personalized PageRank whose teleport mass lands
+    * on a SEED set instead of uniformly — the quality-propagation
+    * primitive over the similarity graph: seed documents from
+    * editorially trusted sources and let trust flow to structurally
+    * nearby docs, so a curation run can promote unlabeled pages that
+    * cluster with known-good ones (and, with bad seeds, the dual:
+    * spam-mass estimation). Same integer fixed-point discipline as
+    * [[pageRankIntScaled]] (bit-replayable in any engine at any
+    * summation order): seeds start at `scale` and receive the
+    * per-iteration base term; non-seeds start at 0 and receive ONLY
+    * propagated mass — an isolated non-seed stays at exactly 0, the
+    * in-band "no trust evidence" marker. Plan shape identical to
+    * PageRank: three equi-shuffles per iteration, lineage linear.
+    *
+    * `nodes`: (id, is_seed); `edges`: (src, dst) directed multigraph.
+    */
+  def trustRankIntScaled(nodes: DataFrame, edges: DataFrame, iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(outdeg, "src")
+    val base = scale * (dampDen - dampNum) / dampDen
+    val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
+    var rank = nodes.select(col("id"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+      val inSum = contrib.groupBy("id").agg(sum(col("c")).as("in_sum"))
+      rank = nodes.join(inSum, Seq("id"), "left")
+        .select(col("id"),
+          (seedBase + expr(s"($dampNum * coalesce(in_sum, " +
+            s"CAST(0 AS BIGINT))) div $dampDen")).as("pr"))
+    }
+    rank
+  }
+
+  /** [[trustRankIntScaled]] over an UNDIRECTED pair relation — the
+    * near-dup graph symmetrization [[pageRankOverPairs]] uses.
+    */
+  def trustRankOverPairs(nodes: DataFrame, pairs: DataFrame,
+      iters: Int): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    trustRankIntScaled(nodes, edges, iters)
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected pair relation — the cohesion metric next to the q52
     * component labels and the q152 centrality ranks: a near-dup cluster

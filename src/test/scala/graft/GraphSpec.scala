@@ -79,6 +79,41 @@ class GraphSpec extends SparkSpecBase {
     assert(r.values.toSet === Set(1000000L))
   }
 
+  test("trustRank: seeds take base mass, isolated non-seed stays at 0") {
+    // 1(seed)-2-3 chain, 4 isolated non-seed, 5 isolated seed
+    val ns = Seq((1L, true), (2L, false), (3L, false), (4L, false),
+      (5L, true)).toDF("id", "is_seed")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = Graph.trustRankOverPairs(ns, pairs, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(4L) === 0L, "no path from any seed -> exactly zero trust")
+    assert(r(5L) === 150000L, "isolated seed keeps only its base term")
+    // NOT r(1) > r(2): a degree-1 seed exports its whole mass each
+    // iteration, so on a chain the neighbor legitimately out-ranks it —
+    // what IS guaranteed is decay with distance among non-seeds
+    assert(r(2L) > r(3L), "trust decays with distance from the seed")
+    assert(r(3L) > 0L, "two hops still receive propagated mass")
+  }
+
+  test("trustRank: exact fixed-point recurrence matches a driver fold") {
+    val ns = Seq((1L, true), (2L, false), (3L, false)).toDF("id", "is_seed")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L))
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = Map(1L -> 1000000L, 2L -> 0L, 3L -> 0L)
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => pr(s) / outdeg(s) }.sum).toMap
+      pr = pr.keySet.map(k => k ->
+        ((if (k == 1L) 150000L else 0L) +
+          85L * in.getOrElse(k, 0L) / 100L)).toMap
+    }
+    val got = Graph.trustRankOverPairs(ns, pairs, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === pr)
+  }
+
   private def triMap(pairs: Seq[(Long, Long)]) =
     Graph.triangleStats(pairs.toDF("id_a", "id_b"))
       .collect()
