@@ -140,4 +140,52 @@ object Validation {
       Unique(Seq("l_orderkey", "l_linenumber")),
       ForeignKey("l_orderkey", orders, "o_orderkey", "orders"),
       MinRows(1)))
+
+  /** Continuous/windowed twin of [[report]]: per tumbling event-time
+    * window, violation counts for the ROW-LOCAL constraints (null,
+    * range, pattern) — the live quality monitor next to the batch
+    * promotion gate. Works identically on a batch frame and a watermarked
+    * stream (same aggregate, append mode emits each window's report once
+    * finalized — the §2 row-8 discipline; ValidationSpec pins
+    * batch≡stream). Set-level constraints (unique, FK, min-rows) are
+    * refused loudly: their verdicts are over the whole relation and
+    * belong to the batch gate, not a window.
+    */
+  def windowedReport(df: DataFrame, tsCol: String, windowDur: String,
+                     constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "validation needs at least one constraint")
+    constraints.foreach {
+      case c @ (_: Unique | _: ForeignKey | _: MinRows) =>
+        throw new IllegalArgumentException(
+          s"${label(c)} is a set-level constraint; the windowed report " +
+            "covers row-local constraints only — run it in the batch gate")
+      case _ => ()
+    }
+    val cs = constraints.zipWithIndex
+    val aggCols: Seq[Column] = count(lit(1)).as("_n") +: cs.map {
+      case (NotNull(c), i) =>
+        sum(col(c).isNull.cast("long")).as(s"_v$i")
+      case (InRange(c, lo, hi), i) =>
+        sum((col(c).isNotNull &&
+          (col(c) < lo || col(c) > hi)).cast("long")).as(s"_v$i")
+      case (MatchesPattern(c, re), i) =>
+        sum((col(c).isNotNull && !col(c).rlike(re)).cast("long"))
+          .as(s"_v$i")
+      case (c, _) => throw new IllegalStateException(label(c)) // guarded
+    }
+    val rows = array(cs.map { case (c, i) =>
+      struct(lit(label(c)).as("check_name"),
+        col(s"_v$i").as("violations"))
+    }: _*)
+    df.groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(col("w.start").as("w_start"), explode(rows).as("r"),
+        col("_n"))
+      .select(col("w_start"), col("r.check_name").as("check_name"),
+        col("r.violations").as("violations"), col("_n").as("n_rows"),
+        round(col("r.violations") / nullif(col("_n"), lit(0L)), 4)
+          .as("violation_frac"),
+        when(col("r.violations") === 0L, lit("pass")).otherwise(lit("fail"))
+          .as("status"))
+  }
 }

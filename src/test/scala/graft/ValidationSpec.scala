@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 import graft.operators.Validation
 import graft.operators.Validation._
@@ -69,6 +70,52 @@ class ValidationSpec extends SparkSpecBase {
         ((r.getLong(1), r.getLong(2), r.isNullAt(3), r.getString(4)))).toMap
     assert(out("not_null(id)") === ((0L, 0L, true, "pass")))
     assert(out("min_rows(1)") === ((1L, 0L, true, "fail")))
+  }
+
+  test("windowed report refuses set-level constraints loudly") {
+    val df = Seq((1L, 5.0)).toDF("id", "qty")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    intercept[IllegalArgumentException] {
+      Validation.windowedReport(df, "ts", "1 hour", Seq(Unique(Seq("id"))))
+    }
+    intercept[IllegalArgumentException] {
+      Validation.windowedReport(df, "ts", "1 hour", Seq(MinRows(1)))
+    }
+  }
+
+  test("streaming windowed report equals the batch windowed report") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val data = Seq(
+      (ts("2024-01-01 00:10:00"), Option(5.0)),
+      (ts("2024-01-01 00:20:00"), Option(99.0)), // range violation, w0
+      (ts("2024-01-01 01:05:00"), None: Option[Double]), // null, w1
+      (ts("2024-01-01 01:30:00"), Option(7.0)),
+      (ts("2024-01-01 03:00:00"), Option(1.0)) // watermark pusher
+    )
+    val checks = Seq(NotNull("qty"), InRange("qty", 1, 50))
+    val input = MemoryStream[(Timestamp, Option[Double])]
+    val stream = Validation.windowedReport(
+      input.toDF.toDF("ts", "qty").withWatermark("ts", "0 seconds"),
+      "ts", "1 hour", checks)
+    val q = stream.writeStream.format("memory").queryName("val_win_test")
+      .outputMode("append").start()
+    try {
+      input.addData(data.take(4)); q.processAllAvailable()
+      input.addData(data.drop(4)); q.processAllAvailable()
+      val streamed = spark.table("val_win_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getString(5))).toSet
+      val batch = Validation.windowedReport(
+        data.take(4).toDF("ts", "qty"), "ts", "1 hour", checks)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getString(5))).toSet
+      assert(streamed === batch, "append-mode windows must equal batch")
+      assert(streamed.exists { case (_, n, v, _, st) =>
+        n.startsWith("in_range") && v == 1L && st == "fail" })
+    } finally q.stop()
   }
 
   test("gated battery on the generated lineitem: unique fails, rest pass") {
