@@ -38,6 +38,32 @@ object ProbeGraph {
       f
       println(f"PROBE graph $name sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     }
+    if (args.headOption.contains("triangle")) {
+      // near-dup-shaped pair graph: 2 M nodes in 400 k clusters of 5
+      // (pairwise connected → 10 C(5,3) = 4 M planted triangles) plus
+      // 100 boilerplate HUBS of degree 10,000 — the skew case the
+      // degree-ordered orientation exists for: every hub edge orients
+      // INTO the hub (it is the max-degree endpoint), so hubs generate
+      // ZERO forward wedges instead of deg² ≈ 10⁸ each
+      val n = if (args.length > 1) args(1).toLong else 2000000L
+      val pos = col("id") % 5
+      val clusterPairs = spark.range(n).select(col("id").as("id_a"),
+          explode(when(pos < 4, sequence(lit(1L), lit(4L) - pos))
+            .otherwise(array().cast("array<bigint>"))).as("dj"))
+        .select(col("id_a"), (col("id_a") + col("dj")).as("id_b"))
+      val hubPairs = spark.range(100).select((col("id") + n).as("hub"),
+          explode(sequence(lit(0), lit(9999))).as("k"))
+        .select((((col("hub") - n) * 19997 + col("k") * 199) % n)
+          .as("id_a"), col("hub").as("id_b"))
+      val pairs = clusterPairs.unionByName(hubPairs)
+      time(s"triangles_${n / 1000000}M_nodes_hub10k") {
+        val r = graft.operators.Graph.triangleStats(pairs)
+          .agg(sum(col("n_tri")), max(col("degree")), count(lit(1))).head()
+        println(s"  tri_total=${r.getLong(0) / 3} max_deg=${r.getLong(1)}" +
+          s" nodes=${r.getLong(2)}")
+      }
+      spark.stop(); return
+    }
     val n = if (args.length > 0) args(0).toLong else 2000000L
     val nodes = spark.range(n).select(col("id"))
     val edges = spark.range(n).select(col("id").as("src"),
