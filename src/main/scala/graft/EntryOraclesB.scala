@@ -522,6 +522,15 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |  ON a.p_partkey < b.p_partkey
         | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
+    // q166: the incremental flavor vs the same naive quadratic oracle —
+    // incoming (partkey%4=0) × corpus (rest), no corpus self-pairs
+    "q166_edit_distance_incremental" ->
+      """SELECT a.p_partkey AS id_in, b.p_partkey AS id_corp,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey % 4 = 0 AND b.p_partkey % 4 <> 0
+        | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
     // q153: NOT EXISTS at hamming <= 6, naive — the engine's value-set
     // factored anti join must hash-equal it
     "q153_fuzzy_decontamination" ->

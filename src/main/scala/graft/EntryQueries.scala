@@ -822,6 +822,18 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.EditDistance.editDistanceJoin(
         Tables.part(s, dir), "p_partkey", "p_name", k = 2)),
 
+    // q164's daily-ingestion twin (the q154↔q158 split applied to edit
+    // distance): incoming parts vs the stored corpus — the corpus never
+    // self-joins, cost is |incoming|-proportional; union-affix stripping
+    // keeps the prefix lemma valid across both relations
+    "q166_edit_distance_incremental" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      graft.operators.EditDistance.editDistanceAgainstCorpus(
+        p.filter(col("p_partkey") % 4 =!= 0),
+        p.filter(col("p_partkey") % 4 === 0),
+        "p_partkey", "p_name", k = 2)
+    }),
+
     "q151_interval_join_rewrite" -> ((s, dir) => {
       s.conf.set("spark.graft.bandJoinRewrite.intervalBinWidth", "8")
       val l = Tables.lineitem(s, dir).select(col("l_orderkey"))

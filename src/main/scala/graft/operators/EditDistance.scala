@@ -67,26 +67,24 @@ object EditDistance {
     i
   }
 
-  def editDistanceJoinStage(rows: DataFrame, idCol: String, strCol: String,
-                            k: Int): EdJoinStage = {
-    require(k >= 0 && k <= 8, s"edit-distance threshold must be in [0, 8], got $k")
-    val ids = rows.select(col(idCol).as("id"), col(strCol).as("s"))
-      .filter(col("s").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val strsD0 = ids.select(col("s")).distinct()
-
-    // ---- corpus-wide common prefix/suffix stripping. ed(Px, Py) =
-    // ed(x, y) when every string shares prefix P (the standard DP
-    // prefix lemma; suffixes by symmetry), so the join runs on the
-    // stripped CORES with identical pairs and distances. This is not a
-    // cosmetic saving: a corpus-constant prefix ("User#…", "https://…")
-    // makes segment 0 IDENTICAL across the whole corpus and the
-    // candidate equi-join degenerates to all-pairs — the 1 M-name probe
-    // hit exactly that (~10¹² candidates) before this step. The corpus
-    // prefix is the common prefix of the lexicographic MIN and MAX
-    // string (every string sorts between them): two metadata-sized
-    // aggregates, each read on the driver as a 2-string model — the
-    // established bounded model-on-driver pattern.
+  /** Corpus-wide common prefix/suffix stripping: (s) → (s, c) with c the
+    * stripped core. ed(Px, Py) = ed(x, y) when every string shares
+    * prefix P (the standard DP prefix lemma; suffixes by symmetry), so
+    * downstream runs on cores with identical pairs and distances. This
+    * is not a cosmetic saving: a corpus-constant prefix ("User#…",
+    * "https://…") makes segment 0 IDENTICAL across the whole corpus and
+    * the candidate equi-join degenerates to all-pairs — the 1 M-name
+    * probe hit exactly that (~10¹² candidates) before this step. The
+    * corpus prefix is the common prefix of the lexicographic MIN and
+    * MAX string (every string sorts between them): two metadata-sized
+    * aggregates, each read on the driver as a 2-string model — the
+    * established bounded model-on-driver pattern. NOTE the lemma needs
+    * the affix shared by EVERY string that can enter a pair — for the
+    * incremental form the affix is computed over the UNION of corpus
+    * and incoming, and the (unbounded, affix-unknowable) streaming twin
+    * runs unstripped.
+    */
+  private def stripAffix(strsD0: DataFrame): DataFrame = {
     val mm = strsD0.agg(min(col("s")), max(col("s"))).head()
     val lp =
       if (mm.isNullAt(0)) 0
@@ -99,63 +97,92 @@ object EditDistance {
     val lsuf =
       if (mm2.isNullAt(0)) 0
       else commonPrefixLen(mm2.getString(0), mm2.getString(1))
-    val strsD = stripped
-      .select(col("s"), col("c0").substr(lit(1),
-        length(col("c0")) - lsuf).as("c"))
+    stripped.select(col("s"), col("c0").substr(lit(1),
+      length(col("c0")) - lsuf).as("c"))
+  }
 
-    // ---- segment geometry for a length-lt string: k+1 even segments,
-    // the first (k+1−r) of length q, the last r of length q+1
-    val kk = lit(k)
-    def segLen(lt: Column, i: Column): Column = {
-      val q = floor(lt / (kk + 1)).cast("int")
-      val r = (lt % (kk + 1)).cast("int")
-      q + when(i >= kk + 1 - r, 1).otherwise(0)
-    }
-    def segStart(lt: Column, i: Column): Column = {
-      val q = floor(lt / (kk + 1)).cast("int")
-      val r = (lt % (kk + 1)).cast("int")
-      (i * q + greatest(lit(0), i - (kk + 1 - r))).cast("int")
-    }
+  // ---- segment geometry for a length-lt string: k+1 even segments,
+  // the first (k+1−r) of length q, the last r of length q+1
+  private def segLen(k: Int)(lt: Column, i: Column): Column = {
+    val q = floor(lt / (k + 1)).cast("int")
+    val r = (lt % (k + 1)).cast("int")
+    q + when(i >= lit(k + 1) - r, 1).otherwise(0)
+  }
+  private def segStart(k: Int)(lt: Column, i: Column): Column = {
+    val q = floor(lt / (k + 1)).cast("int")
+    val r = (lt % (k + 1)).cast("int")
+    (i * q + greatest(lit(0), i - (lit(k + 1) - r))).cast("int")
+  }
 
-    // ---- index over CORES: (seg, i, lt, t) for every core long enough
-    // for k+1 non-empty segments (stripping is a corpus bijection, so
-    // core pairs ↔ string pairs)
+  /** Index side: cores (one column `c`) → (seg, i, lt, t) for every
+    * core long enough for k+1 non-empty segments. Package-private so
+    * the streaming twin can build the static index once.
+    */
+  private[graft] def segIndex(cores: DataFrame, k: Int): DataFrame = {
     val iIdx = explode(array((0 to k).map(lit): _*)).as("i")
-    val tLong = strsD.filter(length(col("c")) >= k + 1)
+    cores.filter(length(col("c")) >= k + 1)
       .select(col("c").as("t"), length(col("c")).as("lt"))
-    val index = tLong.select(col("t"), col("lt"), iIdx)
+      .select(col("t"), col("lt"), iIdx)
       .select(col("t"), col("lt"), col("i"),
-        substring(col("t"), segStart(col("lt"), col("i")) + 1,
-          segLen(col("lt"), col("i"))).as("seg"))
+        substring(col("t"), segStart(k)(col("lt"), col("i")) + 1,
+          segLen(k)(col("lt"), col("i"))).as("seg"))
+  }
 
-    // ---- probe: for every core, every target length in [ls−k, ls+k]
-    // and every segment index, the multi-match-aware substring window
-    val combos = explode(array((for (d <- -k to k; i <- 0 to k) yield
-      struct(lit(d).as("d"), lit(i).as("i"))): _*)).as("cb")
-    val pr0 = strsD.select(col("c").as("ps"), length(col("c")).as("ls"),
-        combos)
-      .select(col("ps"), col("ls"), (col("ls") - col("cb.d")).as("lt"),
-        col("cb.i").as("i"))
+  /** Probe side, pass-through form: every column of `rows` is kept and
+    * (seg, i, lt) are appended — for every core in `coreCol`, every
+    * target length in [ls−k, ls+k] and every segment index, the
+    * multi-match-aware substring window. Stateless per row — safe on a
+    * streaming frame (the streaming twin carries ts + id through).
+    */
+  private[graft] def segProbeKeep(rows: DataFrame, coreCol: String,
+                                  k: Int): DataFrame = {
+    val combos = array((for (d <- -k to k; i <- 0 to k) yield
+      struct(lit(d).as("d"), lit(i).as("i"))): _*)
+    val ls = length(col(coreCol))
+    val pr0 = rows
+      .withColumn("_cb", explode(combos))
+      .withColumn("lt", ls - col("_cb.d"))
+      .withColumn("i", col("_cb.i"))
       .filter(col("lt") >= k + 1)
-    val pi = segStart(col("lt"), col("i"))
-    val li = segLen(col("lt"), col("i"))
-    val delta = col("ls") - col("lt")
-    val lo = greatest(lit(0), pi - col("i"), pi + delta - (kk - col("i")))
-    val hi = least(col("ls") - li, pi + col("i"), pi + delta + (kk - col("i")))
-    val probe = pr0
-      .select(col("ps"), col("lt"), col("i"), li.as("li"),
+      .drop("_cb")
+    val pi = segStart(k)(col("lt"), col("i"))
+    val li = segLen(k)(col("lt"), col("i"))
+    val delta = ls - col("lt")
+    val lo = greatest(lit(0), pi - col("i"),
+      pi + delta - (lit(k) - col("i")))
+    val hi = least(ls - li, pi + col("i"),
+      pi + delta + (lit(k) - col("i")))
+    pr0
+      .withColumn("_li", li)
+      .withColumn("_p",
         explode(when(hi >= lo, sequence(lo.cast("int"), hi.cast("int")))
-          .otherwise(array().cast("array<int>"))).as("p"))
-      .select(col("ps"), col("lt"), col("i"),
-        substring(col("ps"), col("p") + 1, col("li")).as("seg"))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("seg",
+        substring(col(coreCol), col("_p") + 1, col("_li")))
+      .drop("_li", "_p")
+  }
 
-    // ---- candidates: equi-join on (segment text, index, target length);
+  /** Probe side, cores-only form: (seg, i, lt, ps). */
+  private[graft] def segProbe(cores: DataFrame, k: Int): DataFrame =
+    segProbeKeep(cores.select(col("c").as("ps")), "ps", k)
+      .select(col("ps"), col("lt"), col("i"), col("seg"))
+
+  def editDistanceJoinStage(rows: DataFrame, idCol: String, strCol: String,
+                            k: Int): EdJoinStage = {
+    require(k >= 0 && k <= 8, s"edit-distance threshold must be in [0, 8], got $k")
+    val ids = rows.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val strsD = stripAffix(ids.select(col("s")).distinct())
+
+    // candidates: equi-join on (segment text, index, target length);
     // unordered core pairs, self-pairs excluded (ed=0 expands below)
-    val candidates = probe.join(index, Seq("seg", "i", "lt"))
+    val candidates = segProbe(strsD.select(col("c")), k)
+      .join(segIndex(strsD.select(col("c")), k), Seq("seg", "i", "lt"))
       .filter(col("ps") < col("t"))
       .select(col("ps").as("ca"), col("t").as("cb"))
 
-    // ---- short-string branch: a core shorter than k+1 cannot be
+    // short-string branch: a core shorter than k+1 cannot be
     // segmented; every pair it can reach has both sides ≤ 2k chars
     val s2k = strsD.select(col("c")).filter(length(col("c")) <= 2 * k)
     val shortCand = s2k.select(col("c").as("ca"))
@@ -170,7 +197,7 @@ object EditDistance {
         levenshtein(col("ca"), col("cb"), k).as("dist"))
       .filter(col("dist") >= 0)
 
-    // ---- back to id pairs: cross-string expansion + within-group ed=0
+    // back to id pairs: cross-string expansion + within-group ed=0
     val idsC = ids.join(strsD, "s")
     val cross = verified
       .join(idsC.select(col("c").as("ca"), col("id").as("ia")), "ca")
@@ -182,5 +209,69 @@ object EditDistance {
       .select(col("id").as("id_a"), col("id2").as("id_b"),
         lit(0).as("dist"))
     EdJoinStage(ids, cross.unionByName(within))
+  }
+
+  /** Handles for the incremental form's two persisted id relations. */
+  case class EdIncStage(corpusIds: DataFrame, incomingIds: DataFrame,
+                        result: DataFrame) {
+    def unpersist(): Unit = {
+      corpusIds.unpersist(); incomingIds.unpersist(); ()
+    }
+  }
+
+  def editDistanceAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                                idCol: String, strCol: String,
+                                k: Int): DataFrame =
+    editDistanceAgainstCorpusStage(corpus, incoming, idCol, strCol, k).result
+
+  /** EXACT incremental edit-distance join — every (incoming, corpus)
+    * pair within Levenshtein distance k; the daily-ingestion twin of
+    * [[editDistanceJoinStage]], mirroring the set-similarity split
+    * (q154 full ↔ q158 incremental): the corpus NEVER self-joins —
+    * candidates are incoming probes × corpus segment index only — so
+    * the daily cost is |incoming|-proportional, not |corpus|². The
+    * common affix is computed over the UNION of both relations (the
+    * prefix lemma needs it shared by every string that can pair).
+    * Identical strings across the relations pair at distance 0 — the
+    * exact-duplicate catch rides the same plan. Output:
+    * (id_in, id_corp, dist).
+    */
+  def editDistanceAgainstCorpusStage(corpus: DataFrame, incoming: DataFrame,
+                                     idCol: String, strCol: String,
+                                     k: Int): EdIncStage = {
+    require(k >= 0 && k <= 8, s"edit-distance threshold must be in [0, 8], got $k")
+    def side(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(strCol).as("s"))
+        .filter(col("s").isNotNull)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpIds = side(corpus)
+    val incIds = side(incoming)
+    val withCore = stripAffix(
+      corpIds.select(col("s")).unionByName(incIds.select(col("s")))
+        .distinct())
+    val corpD = corpIds.select(col("s")).distinct().join(withCore, "s")
+    val incD = incIds.select(col("s")).distinct().join(withCore, "s")
+
+    val candidates = segProbe(incD.select(col("c")), k)
+      .join(segIndex(corpD.select(col("c")), k), Seq("seg", "i", "lt"))
+      .select(col("ps").as("ca"), col("t").as("cb"))
+    val shortCand = incD.select(col("c").as("ca"))
+      .filter(length(col("ca")) <= 2 * k)
+      .join(corpD.select(col("c").as("cb"))
+          .filter(length(col("cb")) <= 2 * k),
+        least(length(col("ca")), length(col("cb"))) <= k &&
+          abs(length(col("ca")) - length(col("cb"))) <= k)
+    val verified = candidates.unionByName(shortCand).distinct()
+      .select(col("ca"), col("cb"),
+        levenshtein(col("ca"), col("cb"), k).as("dist"))
+      .filter(col("dist") >= 0)
+
+    val incC = incIds.join(withCore, "s")
+    val corpC = corpIds.join(withCore, "s")
+    val result = verified
+      .join(incC.select(col("c").as("ca"), col("id").as("id_in")), "ca")
+      .join(corpC.select(col("c").as("cb"), col("id").as("id_corp")), "cb")
+      .select(col("id_in"), col("id_corp"), col("dist"))
+    EdIncStage(corpIds, incIds, result)
   }
 }

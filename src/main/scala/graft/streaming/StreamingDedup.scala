@@ -100,4 +100,70 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("doc_id", "corp_id")
     CorpusProbeStage(corpIdx, result)
   }
+
+  /** [[editDistanceAgainstCorpusStream]]'s handles: the persisted static
+    * corpus relations (segment index + id map), released on query stop.
+    */
+  case class EdCorpusStreamStage(corpusIndex: DataFrame,
+                                 corpusIds: DataFrame, result: DataFrame) {
+    def unpersist(): Unit = {
+      corpusIndex.unpersist(); corpusIds.unpersist(); ()
+    }
+  }
+
+  def editDistanceAgainstCorpusStream(namesStream: DataFrame,
+      corpus: DataFrame, idCol: String, strCol: String, k: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    editDistanceAgainstCorpusStreamStage(namesStream, corpus, idCol,
+      strCol, k, watermarkDelay).result
+
+  /** Streaming twin of [[graft.operators.EditDistance
+    * .editDistanceAgainstCorpus]]: each streamed name's probe substrings
+    * hit a STATIC corpus segment index (stream-static equi-join —
+    * stateless, no store), the exact early-exit levenshtein verifies
+    * candidates, and the only stateful operator is the watermark-bounded
+    * dedup of (incoming id, corpus id) matches (a pair can match several
+    * segment windows). Runs UNSTRIPPED: the common-affix optimization
+    * needs the affix shared by every string that can ever pair, which an
+    * unbounded stream cannot promise — stripping is a pruning
+    * optimization, never a correctness requirement, so the streaming
+    * form trades the pruning for unconditional safety (a
+    * constant-affix-heavy corpus belongs on the batch incremental path).
+    * Corpus strings shorter than k+1 chars ride a broadcast length-band
+    * side branch (a finite ≤ 2k-char set by the same pigeonhole-floor
+    * argument as the batch form).
+    */
+  def editDistanceAgainstCorpusStreamStage(namesStream: DataFrame,
+      corpus: DataFrame, idCol: String, strCol: String, k: Int,
+      watermarkDelay: String = "10 minutes"): EdCorpusStreamStage = {
+    import graft.operators.EditDistance
+    val corpIds = corpus
+      .select(col(idCol).as("id_corp"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpD = corpIds.select(col("s").as("c")).distinct()
+    val corpIdx = EditDistance.segIndex(corpD, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val in = namesStream
+      .select(col("ts"), col(idCol).as("id"), col(strCol).as("c"))
+      .filter(col("c").isNotNull)
+    val segCand = EditDistance.segProbeKeep(in, "c", k)
+      .join(corpIdx, Seq("seg", "i", "lt"))
+      .select(col("ts"), col("id"), col("c"), col("t"))
+    val shortCand = in.filter(length(col("c")) <= 2 * k)
+      .join(broadcast(corpD.select(col("c").as("t"))
+          .filter(length(col("t")) <= 2 * k)),
+        least(length(col("c")), length(col("t"))) <= k &&
+          abs(length(col("c")) - length(col("t"))) <= k)
+      .select(col("ts"), col("id"), col("c"), col("t"))
+    val result = segCand.unionByName(shortCand)
+      .select(col("ts"), col("id"), col("t"),
+        levenshtein(col("c"), col("t"), k).as("dist"))
+      .filter(col("dist") >= 0)
+      .join(corpIds.select(col("s").as("t"), col("id_corp")), "t")
+      .select(col("ts"), col("id"), col("id_corp"), col("dist"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("id", "id_corp")
+    EdCorpusStreamStage(corpIdx, corpIds, result)
+  }
 }

@@ -98,4 +98,85 @@ class EditDistanceSpec extends SparkSpecBase {
     assert(run(rows, 2) ===
       (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b, 0)).toSet)
   }
+
+  private def naiveInc(corpus: DataFrame, incoming: DataFrame,
+                       k: Int): Set[(Long, Long, Int)] = {
+    val a = incoming.select(col("id").as("ii"), col("s").as("sa"))
+    val b = corpus.select(col("id").as("ic"), col("s").as("sb"))
+    a.crossJoin(b)
+      .filter(levenshtein(col("sa"), col("sb")) <= k)
+      .select(col("ii"), col("ic"),
+        levenshtein(col("sa"), col("sb")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("incremental vs corpus equals naive; exact dup crosses at dist 0") {
+    val corpus = Seq((1L, "kitten"), (2L, "banana"), (3L, "ab"),
+      (4L, "shared")).toDF("id", "s")
+    val incoming = Seq((10L, "sitten"), (11L, "bananas"), (12L, "a"),
+      (13L, "shared"), (14L, "unrelated-zzz")).toDF("id", "s")
+    for (k <- 0 to 3) {
+      val st = graft.operators.EditDistance
+        .editDistanceAgainstCorpusStage(corpus, incoming, "id", "s", k)
+      val got = st.result.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      st.unpersist()
+      assert(got === naiveInc(corpus, incoming, k), s"k=$k")
+    }
+  }
+
+  test("incremental seeded sweep: union-affix stripping stays exact") {
+    val rnd = new scala.util.Random(909)
+    // shared "ID-" prefix across BOTH relations; incoming adds strings
+    // that break the corpus-only affix — union-affix must handle it
+    def gen(ids: Range, pfx: String) = ids.map { id =>
+      (id.toLong, pfx +
+        Seq.fill(rnd.nextInt(6))(if (rnd.nextBoolean()) 'p' else 'q').mkString)
+    }
+    val corpus = gen(1 to 40, "ID-").toDF("id", "s")
+    val incoming = (gen(100 to 130, "ID-") ++ Seq((200L, "XD-pq")))
+      .toDF("id", "s")
+    for (k <- 1 to 2) {
+      val st = graft.operators.EditDistance
+        .editDistanceAgainstCorpusStage(corpus, incoming, "id", "s", k)
+      val got = st.result.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      st.unpersist()
+      assert(got === naiveInc(corpus, incoming, k), s"k=$k")
+    }
+  }
+
+  test("streaming twin equals the batch incremental on the same input") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq((1L, "kitten"), (2L, "banana"), (3L, "ab"),
+      (4L, "dup"), (5L, "dup")).toDF("id", "s")
+    val incRows = Seq((10L, "sitten"), (11L, "banana"), (12L, "a"),
+      (13L, "dup"), (14L, "far-away-zzz"))
+    val input = MemoryStream[(Long, String)]
+    val stage = graft.streaming.StreamingDedup
+      .editDistanceAgainstCorpusStreamStage(
+        input.toDF.toDF("id", "s")
+          .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp")),
+        corpus, "id", "s", k = 1)
+    val q = stage.result.writeStream.format("memory")
+      .queryName("ed_stream_test").outputMode("append").start()
+    try {
+      input.addData(incRows.take(2)); q.processAllAvailable()
+      input.addData(incRows.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("ed_stream_test")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val bst = graft.operators.EditDistance.editDistanceAgainstCorpusStage(
+        corpus, incRows.toDF("id", "s"), "id", "s", 1)
+      val batch = bst.result.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      bst.unpersist()
+      assert(streamed === batch,
+        "unstripped streaming pigeonhole must equal the batch incremental")
+      // the duplicated corpus string pairs the incoming 'dup' with BOTH
+      // corpus ids, exactly once each (watermark pair dedup)
+      assert(streamed.count { case (i, _, d) => i == 13L && d == 0 } == 2)
+    } finally { q.stop(); stage.unpersist() }
+  }
 }
