@@ -113,6 +113,25 @@ class CacheHygieneSpec extends SparkSpecBase {
     }
   }
 
+  test("EdJoinStage/EdIncStage release their persisted id relations") {
+    import spark.implicits._
+    val p = Seq((1L, "kitten"), (2L, "sitten"), (3L, "mitten"))
+      .toDF("id", "s")
+    spark.catalog.clearCache()
+    baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val st = graft.operators.EditDistance.editDistanceJoinStage(p, "id", "s", 1)
+    st.result.count()
+    assert(cachedCount > 0)
+    st.unpersist()
+    assert(cachedCount === 0)
+    val inc = graft.operators.EditDistance
+      .editDistanceAgainstCorpusStage(p, p.limit(2), "id", "s", 1)
+    inc.result.count()
+    assert(cachedCount > 0)
+    inc.unpersist()
+    assert(cachedCount === 0)
+  }
+
   test("Dedup near-dup caches are released by NearDupStage.unpersist") {
     spark.catalog.clearCache()
     baselineIds = spark.sparkContext.getPersistentRDDs.keySet.toSet

@@ -228,4 +228,41 @@ class DegenerateInputSpec extends SparkSpecBase {
       .select("cell").as[Int].collect().toSet === Set(0))
     spark.catalog.clearCache()
   }
+
+  test("round-16 operators return cleanly on empty and degenerate inputs") {
+    import java.sql.Timestamp
+    val emptyFeed = spark.emptyDataset[(Long, Timestamp, Long, String)]
+      .toDF("k", "t", "ord", "a")
+    // SCD2 on an empty feed: no versions, no NPE in either window
+    assert(graft.operators.Scd
+      .scd2Build(emptyFeed, "k", "t", "ord", Seq("a")).count() === 0)
+    // point-in-time join with an EMPTY dim keeps every fact, null-padded
+    val facts = Seq((1L, 7L, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("fact_id", "k", "ft")
+    val dim = graft.operators.Scd
+      .scd2Build(emptyFeed, "k", "t", "ord", Seq("a"))
+      .withColumnRenamed("valid_from", "valid_from")
+    val enriched = graft.operators.Scd.pointInTimeJoin(facts, dim, "k", "ft")
+    assert(enriched.count() === 1 && enriched.select("a").head().isNullAt(0))
+    // triangles/trustRank on an empty pair relation
+    val emptyPairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Graph.triangleStats(emptyPairs).count() === 0)
+    assert(graft.operators.Graph.trustRankOverPairs(
+      Seq((1L, true), (2L, false)).toDF("id", "is_seed"),
+      emptyPairs, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 150000L, 2L -> 0L))
+    // edit-distance joins on empty / single-string relations
+    val emptyNames = spark.emptyDataset[(Long, String)].toDF("id", "s")
+    val st = graft.operators.EditDistance
+      .editDistanceJoinStage(emptyNames, "id", "s", 2)
+    assert(st.result.count() === 0); st.unpersist()
+    val inc = graft.operators.EditDistance.editDistanceAgainstCorpusStage(
+      emptyNames, Seq((1L, "abc")).toDF("id", "s"), "id", "s", 2)
+    assert(inc.result.count() === 0); inc.unpersist()
+    val inc2 = graft.operators.EditDistance.editDistanceAgainstCorpusStage(
+      Seq((1L, "abc")).toDF("id", "s"), emptyNames, "id", "s", 2)
+    assert(inc2.result.count() === 0); inc2.unpersist()
+    spark.catalog.clearCache()
+  }
 }

@@ -41,7 +41,15 @@ class PlanShapeSpec extends SparkSpecBase {
     // (q151's lambda sets its bin-width conf; the rules read confs at
     // optimization time, which happens inside queryExecution below)
     "q150_hamming_join_rewrite", "q151_interval_join_rewrite",
-    "q152_pagerank_centrality", "q153_fuzzy_decontamination")
+    "q152_pagerank_centrality", "q153_fuzzy_decontamination",
+    // r16: SCD2 build + broadcast point-in-time join, triangle
+    // compact-forward (all equi), TrustRank (the PageRank shape).
+    // NOT here: q163 (its FK stitch is the documented one-row
+    // crossJoin(broadcast) BNLJ), q164/q166 (the ≤2k-char short-string
+    // branch is a safe-by-construction BNLJ between two finite tiny
+    // sets — empty on the gate fixture but present in the plan)
+    "q160_scd2_build", "q161_scd2_pointintime", "q162_triangle_lcc",
+    "q165_trustrank")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {
