@@ -522,6 +522,15 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |  ON a.p_partkey < b.p_partkey
         | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
+    // q167: 4 generated peeling rounds at k=2 over the SAME symmetric
+    // nd edge CTEs as q52/q152/q162/q165
+    "q167_kcore" ->
+      (docCtes.stripSuffix("\n") + ",\n" + ndEdgesCtes +
+        kcoreCtes(4, 2).stripSuffix(",\n") +
+        """
+          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+          |FROM ke4 GROUP BY 1""".stripMargin),
+
     // q166: the incremental flavor vs the same naive quadratic oracle —
     // incoming (partkey%4=0) × corpus (rest), no corpus self-pairs
     "q166_edit_distance_incremental" ->

@@ -822,6 +822,14 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.EditDistance.editDistanceJoin(
         Tables.part(s, dir), "p_partkey", "p_name", k = 2)),
 
+    // bounded k-core peeling over the near-dup graph (Seidman'83): 4
+    // simultaneous-removal rounds at k=2 — dense template families
+    // survive, chains and hub-stars peel away; converged on this graph
+    // (GraphSpec pins it), so the result IS the exact 2-core
+    "q167_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCorePeel(lshPairsShared(s, dir), k = 2,
+        rounds = 4).withColumnRenamed("id", "doc_id")),
+
     // q164's daily-ingestion twin (the q154↔q158 split applied to edit
     // distance): incoming parts vs the stored corpus — the corpus never
     // self-joins, cost is |incoming|-proportional; union-affix stripping

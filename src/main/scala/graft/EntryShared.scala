@@ -1417,6 +1417,24 @@ private[graft] trait EntryShared {
     head + its
   }
 
+  /** q167's generated peeling rounds over the symmetric `edges` CTE
+    * (the pagerankCtes discipline applied to k-core): round i keeps
+    * nodes whose degree in ke(i−1) is ≥ k and restricts the edge list
+    * to kept endpoints.
+    */
+  protected def kcoreCtes(rounds: Int, k: Int): String = {
+    val head = "ke0 AS (SELECT src, dst FROM edges),\n"
+    val its = (1 to rounds).map { i =>
+      s"""kd$i AS (SELECT src, count(*) AS d FROM ke${i - 1} GROUP BY 1),
+         |kn$i AS (SELECT src AS n FROM kd$i WHERE d >= $k),
+         |ke$i AS (SELECT e.src, e.dst FROM ke${i - 1} e
+         |         JOIN kn$i a ON a.n = e.src
+         |         JOIN kn$i b ON b.n = e.dst),
+         |""".stripMargin
+    }.mkString
+    head + its
+  }
+
   /** q86's band CTEs: the q11/lshCtes construction with `source` carried
     * through so the corpus/incoming split can happen after banding.
     */

@@ -126,6 +126,67 @@ object Graph {
     trustRankIntScaled(nodes, edges, iters)
   }
 
+  /** Bounded k-core peeling (Seidman 1983, the distributed
+    * simultaneous-removal form): `rounds` rounds of "drop every node
+    * whose degree in the CURRENT subgraph is < k" over an undirected
+    * pair relation; returns the surviving (id, core_deg). The true
+    * k-core is the fixpoint; bounding the rounds is what makes the gate
+    * replayable (the PageRank/BPE generated-CTE discipline), and a
+    * converged round is a NO-OP, so rounds ≥ the peel depth returns the
+    * exact core — GraphSpec pins convergence on the gate graph. Why a
+    * curation pipeline cares: the k-core of the near-dup graph isolates
+    * DENSE template families from the chains and hub-stars that
+    * connected components lump into one label — the q162 LCC signal at
+    * subgraph granularity, and the subgraph a keep-one-per-component
+    * policy should treat differently from a loose chain.
+    *
+    * Plan shape: each round is one map-side-combining degree aggregate
+    * + two equi semi-join-shaped reductions of the edge list — 3 hash
+    * shuffles of 16-byte rows. Unlike PageRank's rank relation (one
+    * self-reference per iteration → linear lineage), each round reads
+    * the edge relation THREE times (degrees + both join sides), so an
+    * unchecked plan grows 3^rounds; every round therefore eagerly
+    * `localCheckpoint`s its shrunken edge set and releases the previous
+    * round's blocks through the raw-RDD handle — the starClusters
+    * discipline (`Dedup.scala`). A round that drops no node is the
+    * fixpoint (degrees can only have been ≥ k everywhere), detected by
+    * an edge count over the fresh checkpoint blocks, so converged tail
+    * rounds cost nothing. Edges only ever SHRINK.
+    */
+  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0, s"need k >= 1, rounds >= 0; got $k, $rounds")
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
+    val und = pairs.select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var edgeCount = edges.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("n"))
+      val next = edges
+        .join(keep.select(col("n").as("src")), "src")
+        .join(keep.select(col("n").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true) // eager: materializes and truncates lineage
+      val nextCount = next.count()
+      converged = nextCount == edgeCount // no node dropped → fixpoint
+      ckptRdd(edges).foreach(_.unpersist(false))
+      edges = next
+      edgeCount = nextCount
+      round += 1
+    }
+    edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("id"), col("core_deg"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected pair relation — the cohesion metric next to the q52
     * component labels and the q152 centrality ranks: a near-dup cluster

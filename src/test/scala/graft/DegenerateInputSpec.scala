@@ -247,6 +247,7 @@ class DegenerateInputSpec extends SparkSpecBase {
     // triangles/trustRank on an empty pair relation
     val emptyPairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.Graph.triangleStats(emptyPairs).count() === 0)
+    assert(graft.operators.Graph.kCorePeel(emptyPairs, 2, 4).count() === 0)
     assert(graft.operators.Graph.trustRankOverPairs(
       Seq((1L, true), (2L, false)).toDF("id", "is_seed"),
       emptyPairs, 2).collect()

@@ -159,4 +159,43 @@ class GraphSpec extends SparkSpecBase {
 
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def core(pairs: Seq[(Long, Long)], k: Int, rounds: Int) =
+    Graph.kCorePeel(pairs.toDF("id_a", "id_b"), k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCorePeel: K4 + pendant chain — the chain peels round by round") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L)) // 7 is the loose end
+    val g = k4 ++ chain
+    // round 1 drops only the degree-1 tip (7); the chain unravels one
+    // node per round under SIMULTANEOUS removal
+    assert(core(g, 2, 1).keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(core(g, 2, 2).keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(core(g, 2, 3).keySet === Set(1L, 2L, 3L, 4L))
+    // fixpoint: extra rounds are no-ops; K4 degrees all 3
+    assert(core(g, 2, 4) === core(g, 2, 9))
+    assert(core(g, 2, 4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCorePeel: a cycle is its own 2-core; k=3 dissolves it") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(core(cyc, 2, 3).keySet === Set(1L, 2L, 3L, 4L))
+    assert(core(cyc, 3, 2).isEmpty)
+  }
+
+  test("kCorePeel: rounds=0 returns the full graph with raw degrees") {
+    val g = Seq((1L, 2L), (2L, 3L))
+    assert(core(g, 2, 0) === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("q167's gate graph converges within its 4 rounds") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val pairs = graft.operators.Dedup.minhashNearDups(docs, 0.5)
+      .select($"id_a", $"id_b")
+    def run(r: Int) = Graph.kCorePeel(pairs, 2, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(4) === run(6), "4 rounds must already be the fixpoint")
+  }
 }
