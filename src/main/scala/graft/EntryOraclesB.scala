@@ -522,6 +522,41 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |  ON a.p_partkey < b.p_partkey
         | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
+    // q168: the log-binned quantile sketch replayed end to end — bin()
+    // length, shifts, bucket counts, cumulative rank, integer target
+    // rank, midpoint representative; all integer, no floating log
+    "q168_quantile_sketch" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(l_extendedprice * 100 AS BIGINT) AS v FROM lineitem),
+        |b AS (
+        |  SELECT g, v,
+        |         CASE WHEN v < 0 THEN 0 ELSE length(bin(v)) END AS blen
+        |  FROM base),
+        |sk AS (
+        |  SELECT g, CAST(blen AS INT) AS blen,
+        |         CASE WHEN blen - 5 > 0 THEN v >> (blen - 5) ELSE v END AS sub,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT g, blen, sub, cnt,
+        |         sum(cnt) OVER (PARTITION BY g ORDER BY blen, sub) AS cum,
+        |         sum(cnt) OVER (PARTITION BY g) AS n_rows,
+        |         CASE WHEN blen - 5 > 0
+        |              THEN (sub << (blen - 5)) + (CAST(1 AS BIGINT) << (blen - 6))
+        |              ELSE sub END AS rep
+        |  FROM sk),
+        |qs(qn, qd) AS (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |                      (9, 10), (99, 100)),
+        |tgt AS (
+        |  SELECT c.g, c.rep, c.cum, c.n_rows, q.qn, q.qd,
+        |         (c.n_rows * q.qn + q.qd - 1) // q.qd AS target
+        |  FROM cum c CROSS JOIN qs q)
+        |SELECT g AS l_returnflag, qn, qd,
+        |       CAST(min_by(rep, cum) AS BIGINT) AS est_cents,
+        |       CAST(max(n_rows) AS BIGINT) AS n_rows
+        |FROM tgt WHERE cum >= target GROUP BY 1, 2, 3""".stripMargin,
+
     // q167: 4 generated peeling rounds at k=2 over the SAME symmetric
     // nd edge CTEs as q52/q152/q162/q165
     "q167_kcore" ->

@@ -830,6 +830,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Graph.kCorePeel(lshPairsShared(s, dir), k = 2,
         rounds = 4).withColumnRenamed("id", "doc_id")),
 
+    // mergeable log-binned quantile sketch (DDSketch at base 2, exact
+    // integer binning): per-returnflag p50/p90/p99 price cents from a
+    // ≤1.9k-row-per-group sketch relation — the percentile monitor
+    // shape next to q87's exact two-pass and q157's HLL registers
+    "q168_quantile_sketch" -> ((s, dir) =>
+      graft.operators.Sketches.priceQuantiles(Tables.lineitem(s, dir))),
+
     // q164's daily-ingestion twin (the q154↔q158 split applied to edit
     // distance): incoming parts vs the stored corpus — the corpus never
     // self-joins, cost is |incoming|-proportional; union-affix stripping

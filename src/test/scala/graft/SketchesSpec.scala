@@ -129,4 +129,70 @@ class SketchesSpec extends SparkSpecBase {
     val b = Sketches.tokenAlgebra(corpus).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  // ---- log-binned quantile sketch (q168) ----
+
+  private lazy val li =
+    graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+
+  test("qsketch: merging split sketches equals the whole-corpus sketch") {
+    // the count analogue of the HLL max-merge law: groupBy-sum over the
+    // union of partial sketch relations == one sketch of all the data
+    val price = (col("l_extendedprice") * 100).cast("long")
+    val h1 = Sketches.qsketchBuckets(
+      li.filter(col("l_linenumber") % 2 === 0), col("l_returnflag"), price)
+    val h2 = Sketches.qsketchBuckets(
+      li.filter(col("l_linenumber") % 2 === 1), col("l_returnflag"), price)
+    val merged = h1.union(h2)
+      .groupBy(col("g"), col("blen"), col("sub"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    val direct = Sketches.qsketchBuckets(li, col("l_returnflag"), price)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(merged === direct)
+  }
+
+  test("qsketch estimates sit within the 2^-(r+1) relative-error bound") {
+    val est = Sketches.priceQuantiles(li)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (g, qn, qd, e, _) => (g, qn.toDouble / qd) -> e }.toMap
+    val exact = li
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice") * 100).cast("long").as("v"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, rows) => g -> rows.map(_._2).sorted }
+    for (((g, q), e) <- est) {
+      val vs = exact(g)
+      // the bucket holding rank ceil(q*n): its midpoint is within half a
+      // bucket width of the true rank value → 1/32 relative at r = 4
+      val truth = vs((Math.ceil(q * vs.length) - 1).toInt.max(0))
+      assert(math.abs(e - truth) <= truth / 16.0 + 1,
+        s"($g, $q): est $e vs exact $truth")
+    }
+  }
+
+  test("qsketch bucket key is monotone with the value; 0 and negatives total") {
+    // adjacent values land in (blen, sub) buckets whose lexicographic
+    // order never inverts the value order — the property rank extraction
+    // rests on; 0 shares no bucket with 1; negatives get exact buckets
+    val vals = Seq(-7L, -1L, 0L, 1L, 2L, 3L, 30L, 31L, 32L, 33L,
+      1000L, 1023L, 1024L, Long.MaxValue / 2)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "v")
+    val got = Sketches.qsketchBuckets(rows, lit("x"), col("v"))
+      .as[(String, Int, Long, Long)].collect()
+    // rebuild per-value keys (cnt==1 everywhere except none collide here)
+    val keyed = vals.map { v =>
+      val blen = if (v < 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v).min(63)
+      val blenFixed = if (v == 0) 1 else blen
+      val s = blenFixed - 1 - Sketches.QSubBits
+      val sub = if (v >= 0 && s > 0) v >> s else v
+      (blenFixed, sub)
+    }
+    assert(keyed === keyed.sorted, "bucket keys must be monotone in v")
+    assert(got.map(_._4).sum === vals.length.toLong)
+    // values with <= r+1 bits keep EXACT buckets (sub == v)
+    assert(got.exists { case (_, blen, sub, _) => blen == 1 && sub == 0L })
+    assert(got.exists { case (_, blen, sub, _) => blen == 0 && sub == -7L })
+  }
 }
