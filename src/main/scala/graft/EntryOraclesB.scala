@@ -522,6 +522,30 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |  ON a.p_partkey < b.p_partkey
         | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
+    // q169: the integer EWMA recurrence replayed step for step in a
+    // recursive CTE — same longs, same `div` truncation, same pre-update
+    // deviation/band semantics; rn joins consecutive steps per user
+    "q169_ewma_anomaly" ->
+      """WITH RECURSIVE x AS (
+        |  SELECT event_id, user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS xv,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, rn, event_id,
+        |         xv * 1000000 AS e, CAST(0 AS BIGINT) AS d, false AS anom
+        |  FROM x WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.user_id, x.rn, x.event_id,
+        |         (2 * x.xv * 1000000 + 8 * r.e) // 10,
+        |         (2 * abs(x.xv * 1000000 - r.e) + 8 * r.d) // 10,
+        |         x.rn > 5 AND abs(x.xv * 1000000 - r.e) > 3 * r.d
+        |  FROM rec r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+        |SELECT event_id, user_id, e AS ewma_micro, d AS dev_micro,
+        |       anom AS is_anomaly
+        |FROM rec""".stripMargin,
+
     // q168: the log-binned quantile sketch replayed end to end — bin()
     // length, shifts, bucket counts, cumulative rank, integer target
     // rank, midpoint representative; all integer, no floating log

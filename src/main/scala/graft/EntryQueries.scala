@@ -837,6 +837,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
     "q168_quantile_sketch" -> ((s, dir) =>
       graft.operators.Sketches.priceQuantiles(Tables.lineitem(s, dir))),
 
+    // integer EWMA smoothing + deviation-band anomaly flags per user —
+    // the order-dependent recurrence a window can't express: one shuffle
+    // on the key, per-partition sequential fold, O(1) state per key;
+    // oracle = DuckDB recursive CTE replaying the identical longs
+    "q169_ewma_anomaly" -> ((s, dir) =>
+      graft.operators.TimeSeries.eventEwmaAnomaly(Tables.events(s, dir))),
+
     // q164's daily-ingestion twin (the q154↔q158 split applied to edit
     // distance): incoming parts vs the stored corpus — the corpus never
     // self-joins, cost is |incoming|-proportional; union-affix stripping

@@ -248,6 +248,12 @@ class DegenerateInputSpec extends SparkSpecBase {
     val emptyPairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.Graph.triangleStats(emptyPairs).count() === 0)
     assert(graft.operators.Graph.kCorePeel(emptyPairs, 2, 4).count() === 0)
+    // EWMA on an empty series relation: no rows, no NPE in the fold
+    val emptySeries = spark
+      .emptyDataset[(Long, java.sql.Timestamp, Long, Long)]
+      .toDF("k", "t", "i", "x")
+    assert(graft.operators.TimeSeries
+      .ewmaAnomaly(emptySeries, "k", "t", "i", col("x")).count() === 0)
     assert(graft.operators.Graph.trustRankOverPairs(
       Seq((1L, true), (2L, false)).toDF("id", "is_seed"),
       emptyPairs, 2).collect()
