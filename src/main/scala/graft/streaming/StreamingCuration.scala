@@ -193,4 +193,16 @@ object StreamingCuration {
         col("source"), col("tok"))
       .groupBy(col("g"), col("bucket"))
       .agg(max(col("rho")).as("m"))
+
+  /** Continuous quantile-sketch maintenance — the [[tokenSketchStream]]
+    * story for the log-binned quantile sketch (q168): per-(group, blen,
+    * sub) COUNT over the arriving value stream, again watermark-free
+    * with structurally bounded state (≤ ~1.9k buckets per group — the
+    * sketch's fixed size is the state bound). The bucket relation at
+    * any instant is the batch sketch of everything ingested, and
+    * sum-merges losslessly into a stored sketch artifact. `rows` needs
+    * (g, v) with v an integer-scaled long.
+    */
+  def quantileSketchStream(rows: DataFrame): DataFrame =
+    graft.operators.Sketches.qsketchBuckets(rows, col("g"), col("v"))
 }

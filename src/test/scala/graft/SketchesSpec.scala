@@ -171,6 +171,32 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming qsketch registers equal the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = li.select(col("l_returnflag"),
+        (col("l_extendedprice") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val input = MemoryStream[(String, Long)]
+    val stream = graft.streaming.StreamingCuration.quantileSketchStream(
+      input.toDF.toDF("g", "v"))
+    val q = stream.writeStream.format("memory").queryName("qsk_regs_test")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("qsk_regs_test")
+        .as[(String, Int, Long, Long)].collect().toSet
+      val batch = Sketches.qsketchBuckets(li, col("l_returnflag"),
+          (col("l_extendedprice") * 100).cast("long"))
+        .as[(String, Int, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size <= 3 * (63 - Sketches.QSubBits) *
+        (1 << (Sketches.QSubBits + 1))) // the structural state bound
+    } finally q.stop()
+  }
+
   test("qsketch bucket key is monotone with the value; 0 and negatives total") {
     // adjacent values land in (blen, sub) buckets whose lexicographic
     // order never inverts the value order — the property rank extraction
