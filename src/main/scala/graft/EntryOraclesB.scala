@@ -522,6 +522,24 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |  ON a.p_partkey < b.p_partkey
         | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
+    // q170: the NAIVE containment join, verbatim — needle×corpus pairs,
+    // |Sa∩Sb|/|Sa| against the unrounded quotient (the q154 filter
+    // discipline), display-rounded after the cut
+    "q170_containment_join" ->
+      (docCtes.stripSuffix("\n") + ",\n" +
+        """fpd AS (
+          |  SELECT doc_id,
+          |         list_distinct(list_transform(list_distinct(sh),
+          |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS f
+          |  FROM sh WHERE len(list_distinct(sh)) > 0),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |         len(list_intersect(a.f, b.f)) AS i, len(a.f) AS na
+          |  FROM fpd a JOIN fpd b
+          |    ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
+          |SELECT id_a, id_b, round(i / na, 4) AS containment
+          |FROM pairs WHERE i / na >= 0.35""".stripMargin),
+
     // q169: the integer EWMA recurrence replayed step for step in a
     // recursive CTE — same longs, same `div` truncation, same pre-update
     // deviation/band semantics; rn joins consecutive steps per user

@@ -837,6 +837,19 @@ private[graft] trait EntryQueries { self: EntryShared =>
     "q168_quantile_sketch" -> ((s, dir) =>
       graft.operators.Sketches.priceQuantiles(Tables.lineitem(s, dir))),
 
+    // EXACT containment join (asymmetric: |Sa∩Sb|/|Sa| — the measure
+    // Jaccard structurally misses when a benchmark item sits inside a
+    // 100×-longer page): benchmark docs (doc_id%3=0 — wide enough that
+    // the planted near-dup families cross the split, unlike %101)
+    // probe the training corpus's full shingle index via their rarest-
+    // first prefixes; the graded upgrade of q122's any-shingle flag
+    "q170_containment_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.containmentJoinAgainstCorpus(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), threshold = 0.35)
+    }),
+
     // integer EWMA smoothing + deviation-band anomaly flags per user —
     // the order-dependent recurrence a window can't express: one shuffle
     // on the key, per-partition sequential fold, O(1) state per key;

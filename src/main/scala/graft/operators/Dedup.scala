@@ -1271,4 +1271,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     PrefixIncStage(corpInv, incInv, verifyPairs(cand, incSets, corpSets, t))
   }
+
+  def containmentJoinAgainstCorpus(corpus: DataFrame, needles: DataFrame,
+                                   threshold: Double): DataFrame =
+    containmentJoinAgainstCorpusStage(corpus, needles, threshold).result
+
+  /** EXACT containment-similarity join: every (needle, corpus) pair with
+    * C(a→b) = |Sa∩Sb| / |Sa| >= threshold — the ASYMMETRIC measure the
+    * symmetric Jaccard family (q154/q158) structurally cannot express:
+    * a benchmark item verbatim inside a 100×-longer web page has
+    * containment ~1.0 but Jaccard ~1/100, so a Jaccard sweep at any
+    * usable threshold misses exactly the leak a contamination audit
+    * exists to find. This is the set-theoretic upgrade of the
+    * any-shared-shingle flag (q122's decontamination report): graded
+    * BY the needle's own size, robust to the needle's phrasing
+    * appearing piecemeal.
+    *
+    * Candidate completeness: if |Sa∩Sb| >= ceil(t·|Sa|), then among the
+    * first |Sa| − ceil(t·|Sa|) + 1 elements of Sa under ANY fixed total
+    * order at least one is in Sb (else the intersection fits in the
+    * remaining ceil(t·|Sa|) − 1). So the needle's PREFIX — the same
+    * [[prefixOf]] relation as the Jaccard joins, under the same
+    * (corpus-df asc, fp) order — equi-joins against the corpus FULL
+    * fingerprint relation; there is no corpus-side prefix and no length
+    * filter, because containment constrains nothing about |Sb|.
+    *
+    * Scale shape: the corpus side is an INDEX PROBE, not a self-join —
+    * cost = Σ over needle-prefix fps of their corpus df, and the
+    * df-ascending order puts each needle's RAREST shingles in its
+    * prefix, so global boilerplate never drives the fan-out (it enters
+    * a prefix only for a needle made almost entirely of hot shingles).
+    * Needle sets are benchmark-sized; verification re-enters full sets
+    * by 8-byte id exactly like [[verifyPairs]], dividing by |Sa| only.
+    */
+  def containmentJoinAgainstCorpusStage(corpus: DataFrame, needles: DataFrame,
+                                        threshold: Double): PrefixIncStage = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = lit(threshold)
+    val corpInv = shingleFps(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val needInv = shingleFps(needles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfRel = corpInv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val needSets = orderedSets(needInv, dfRel)
+    val corpSets = orderedSets(corpInv, dfRel)
+    val cand = prefixOf(needSets, t).as("a")
+      .join(corpInv.select(col("doc_id").as("cid"), col("fp")), Seq("fp"))
+      .groupBy(col("doc_id").as("id_a"), col("cid").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_prefix"))
+      .select(col("id_a"), col("id_b"))
+    val inter = size(array_intersect(col("fa"), col("fb"))).cast("long")
+    val verified = cand
+      .join(needSets.select(col("doc_id").as("id_a"), col("fps").as("fa"),
+        col("n").as("na")), "id_a")
+      .join(corpSets.select(col("doc_id").as("id_b"), col("fps").as("fb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), (inter / col("na")).as("c"))
+      .filter(col("c") >= t)
+      .select(col("id_a"), col("id_b"), round(col("c"), 4).as("containment"))
+    PrefixIncStage(corpInv, needInv, verified)
+  }
 }

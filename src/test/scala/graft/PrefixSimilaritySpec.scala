@@ -183,4 +183,76 @@ class PrefixSimilaritySpec extends SparkSpecBase {
     stage.unpersist()
     assert(stage.fps.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
+
+  // ---- containment join (q170) ----
+
+  /** Naive needle×corpus containment reference: |Sa∩Sb|/|Sa| with the
+    * unrounded-quotient filter — the definition q170 must reproduce.
+    */
+  private def bruteContainment(corpus: DataFrame, needles: DataFrame,
+      t: Double): Set[(Long, Long, Double)] = {
+    def sets(d: DataFrame) = d.select(col("doc_id"),
+        array_distinct(transform(
+          array_distinct(Dedup.shingles(col("text"))),
+          s => TextAnalysis.fp60(s))).as("f"))
+      .filter(size(col("f")) > 0)
+    val a = sets(needles).select(col("doc_id").as("id_a"), col("f").as("fa"))
+    val b = sets(corpus).select(col("doc_id").as("id_b"), col("f").as("fb"))
+    val inter = size(array_intersect(col("fa"), col("fb"))).cast("long")
+    a.crossJoin(b)
+      .select(col("id_a"), col("id_b"),
+        (inter / size(col("fa")).cast("long")).as("c"))
+      .filter(col("c") >= lit(t))
+      .select(col("id_a"), col("id_b"), round(col("c"), 4).as("containment"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("containment join equals brute needle×corpus force") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val needles = docs.filter(col("doc_id") % 3 === 0)
+    for (t <- Seq(0.2, 0.35, 0.8)) {
+      val st = Dedup.containmentJoinAgainstCorpusStage(corpus, needles, t)
+      val got = st.result.as[(Long, Long, Double)].collect().toSet
+      st.unpersist()
+      val expected = bruteContainment(corpus, needles, t)
+      assert(got === expected, s"threshold $t")
+      if (t <= 0.35) assert(expected.nonEmpty)
+    }
+  }
+
+  test("containment finds the short-inside-long pair Jaccard misses") {
+    // needle fully contained in a corpus doc ~6x its size: containment
+    // 1.0, Jaccard well under 0.5 — the asymmetric measure's reason to
+    // exist, pinned end to end against both operators
+    val needleText = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((2L, needleText + " " + filler),
+      (4L, "completely different content here entirely"))
+      .toDF("doc_id", "text")
+    val needles = Seq((3L, needleText)).toDF("doc_id", "text")
+    val st = Dedup.containmentJoinAgainstCorpusStage(corpus, needles, 0.9)
+    val got = st.result.as[(Long, Long, Double)].collect().toSet
+    st.unpersist()
+    assert(got.map(p => (p._1, p._2)) === Set((3L, 2L)))
+    assert(got.head._3 === 1.0)
+    // the symmetric join at the same threshold sees nothing
+    val both = Seq((3L, needleText), (2L, needleText + " " + filler))
+      .toDF("doc_id", "text")
+    val sym = Dedup.prefixSimilarityJoinStage(both, 0.9)
+    assert(sym.result.count() === 0)
+    sym.unpersist()
+  }
+
+  test("containment join: empty sides and sub-shingle needles are clean") {
+    val corpus = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val empty = corpus.filter(col("doc_id") < 0)
+    val st1 = Dedup.containmentJoinAgainstCorpusStage(corpus, empty, 0.5)
+    assert(st1.result.count() === 0); st1.unpersist()
+    val st2 = Dedup.containmentJoinAgainstCorpusStage(empty, corpus, 0.5)
+    assert(st2.result.count() === 0); st2.unpersist()
+    val shorty = Seq((9L, "xy")).toDF("doc_id", "text") // below shingle width
+    val st3 = Dedup.containmentJoinAgainstCorpusStage(corpus, shorty, 0.5)
+    assert(st3.result.count() === 0); st3.unpersist()
+  }
 }
