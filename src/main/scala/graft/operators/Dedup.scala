@@ -1301,8 +1301,12 @@ object Dedup {
     * df-ascending order puts each needle's RAREST shingles in its
     * prefix, so global boilerplate never drives the fan-out (it enters
     * a prefix only for a needle made almost entirely of hot shingles).
-    * Needle sets are benchmark-sized; verification re-enters full sets
-    * by 8-byte id exactly like [[verifyPairs]], dividing by |Sa| only.
+    * Verification never folds a corpus doc into an array (unlike the
+    * Jaccard joins, where the ordered sets already exist for BOTH
+    * sides' prefixes): the intersection is COUNTED by an equi-join of
+    * candidate-expanded needle fps against the corpus fp relation on
+    * (doc, fp) — candidates × |Sa| rows, needle sets benchmark-sized —
+    * so no corpus-wide sort_array runs just to check a few pairs.
     */
   def containmentJoinAgainstCorpusStage(corpus: DataFrame, needles: DataFrame,
                                         threshold: Double): PrefixIncStage = {
@@ -1315,19 +1319,20 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfRel = corpInv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val needSets = orderedSets(needInv, dfRel)
-    val corpSets = orderedSets(corpInv, dfRel)
     val cand = prefixOf(needSets, t).as("a")
       .join(corpInv.select(col("doc_id").as("cid"), col("fp")), Seq("fp"))
       .groupBy(col("doc_id").as("id_a"), col("cid").as("id_b"))
       .agg(count(lit(1)).as("n_shared_prefix"))
       .select(col("id_a"), col("id_b"))
-    val inter = size(array_intersect(col("fa"), col("fb"))).cast("long")
+    val na = needInv.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
     val verified = cand
-      .join(needSets.select(col("doc_id").as("id_a"), col("fps").as("fa"),
-        col("n").as("na")), "id_a")
-      .join(corpSets.select(col("doc_id").as("id_b"), col("fps").as("fb")),
-        "id_b")
-      .select(col("id_a"), col("id_b"), (inter / col("na")).as("c"))
+      .join(needInv.select(col("doc_id").as("id_a"), col("fp")), "id_a")
+      .join(corpInv.select(col("doc_id").as("id_b"), col("fp")),
+        Seq("id_b", "fp"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(na.select(col("doc_id").as("id_a"), col("na")), "id_a")
+      .select(col("id_a"), col("id_b"), (col("i") / col("na")).as("c"))
       .filter(col("c") >= t)
       .select(col("id_a"), col("id_b"), round(col("c"), 4).as("containment"))
     PrefixIncStage(corpInv, needInv, verified)

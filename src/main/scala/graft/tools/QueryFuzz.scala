@@ -345,7 +345,12 @@ object QueryFuzz {
     val m = 1 + rnd.nextInt(3)
     val r = rnd.nextInt(m)
     val t = (15 + 5 * rnd.nextInt(13)) / 100.0
-    val incremental = rnd.nextInt(3) == 0
+    // 0 → incremental Jaccard, 1 → containment (the q170 asymmetric
+    // measure), else full all-pairs Jaccard
+    val mode = rnd.nextInt(4)
+    val incremental = mode == 0
+    val containment = mode == 1
+    val simCol = if (containment) "containment" else "jaccard"
     val innerSql = {
       val base =
         s"WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks " +
@@ -355,20 +360,23 @@ object QueryFuzz {
           "fpd AS (SELECT doc_id, list_distinct(list_transform(" +
           "list_distinct(sh), s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) " +
           "AS f FROM sh0 WHERE len(list_distinct(sh)) > 0) "
-      val joinOn = if (incremental)
+      val joinOn = if (incremental || containment)
         "a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"
       else "b.doc_id > a.doc_id"
+      val quotient = if (containment)
+        "len(list_intersect(a.f, b.f)) / len(a.f)"
+      else
+        "len(list_intersect(a.f, b.f)) / (len(a.f) + len(b.f) " +
+          "- len(list_intersect(a.f, b.f)))"
       base +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "round(len(list_intersect(a.f, b.f)) / (len(a.f) + len(b.f) " +
-        "- len(list_intersect(a.f, b.f))), 4) AS jaccard " +
+        s"round($quotient, 4) AS $simCol " +
         s"FROM fpd a JOIN fpd b ON $joinOn " +
-        "WHERE len(list_intersect(a.f, b.f)) / (len(a.f) + len(b.f) " +
-        s"- len(list_intersect(a.f, b.f))) >= ${t}e0"
+        s"WHERE $quotient >= ${t}e0"
     }
     val sql = "SELECT CAST(count(*) AS BIGINT) AS a_cnt, " +
       "CAST(sum(id_a + 3 * id_b) AS BIGINT) AS a_chk, " +
-      "CAST(sum(CAST(round(jaccard * 10000, 0) AS BIGINT)) AS BIGINT) AS a_jsum" +
+      s"CAST(sum(CAST(round($simCol * 10000, 0) AS BIGINT)) AS BIGINT) AS a_jsum" +
       s"\nFROM ($innerSql) z"
     val build = (s: SparkSession, dir: String) => {
       val docs = graft.sources.Tables.documents(s, dir)
@@ -378,10 +386,14 @@ object QueryFuzz {
           graft.operators.Dedup.prefixJoinAgainstCorpus(
             docs.filter(col("doc_id") % 2 === 1), // corpus = odd ids (id_b)
             docs.filter(col("doc_id") % 2 === 0), t)
+        else if (containment)
+          graft.operators.Dedup.containmentJoinAgainstCorpus(
+            docs.filter(col("doc_id") % 2 === 1), // corpus = odd ids (id_b)
+            docs.filter(col("doc_id") % 2 === 0), t)
         else graft.operators.Dedup.prefixSimilarityJoin(docs, t)
       pairs.agg(count(lit(1)).as("a_cnt"),
         sum(col("id_a") + col("id_b") * 3).cast("long").as("a_chk"),
-        sum(round(col("jaccard") * 10000, 0).cast("long")).cast("long")
+        sum(round(col(simCol) * 10000, 0).cast("long")).cast("long")
           .as("a_jsum"))
     }
     FuzzQuery(s"fz_$seed", build, sql)
@@ -432,8 +444,9 @@ object QueryFuzz {
   /** Generate the query for one seed — pure function of the seed.
     * Kind mix: 3/9 single-table, 1/9 equi-join, 1/9 band self-join,
     * 1/9 hamming self-join, 1/9 point-in-interval join, 1/9
-    * set-similarity join, 1/9 edit-distance join (the rewrite-rule,
-    * prefix-filter and segment-pigeonhole input spaces).
+    * set-similarity join (full / incremental / CONTAINMENT — the q170
+    * asymmetric quotient — drawn per seed), 1/9 edit-distance join (the
+    * rewrite-rule, prefix-filter and segment-pigeonhole input spaces).
     */
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
