@@ -540,6 +540,41 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |SELECT id_a, id_b, round(i / na, 4) AS containment
           |FROM pairs WHERE i / na >= 0.35""".stripMargin),
 
+    // q171: PSI over the q168 integer bucket keys — exact counts, the
+    // union bucket set per source, add-one smoothing, round(4) term sum
+    "q171_psi_drift" ->
+      """WITH base AS (
+        |  SELECT source AS g, doc_id % 2 AS side,
+        |         CAST(length(text) AS BIGINT) AS v FROM documents),
+        |b AS (
+        |  SELECT g, side, v,
+        |         CASE WHEN v < 0 THEN 0 ELSE length(bin(v)) END AS blen
+        |  FROM base),
+        |sk AS (
+        |  SELECT g, side, CAST(blen AS INT) AS blen,
+        |         CASE WHEN blen - 5 > 0 THEN v >> (blen - 5) ELSE v END AS sub,
+        |         count(*) AS cnt
+        |  FROM b GROUP BY 1, 2, 3, 4),
+        |m AS (
+        |  SELECT g, blen, sub,
+        |         CAST(sum(CASE WHEN side = 0 THEN cnt ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN side = 1 THEN cnt ELSE 0 END) AS BIGINT) AS cb
+        |  FROM sk GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS n_ref,
+        |         CAST(sum(cb) AS BIGINT) AS n_cur,
+        |         CAST(count(*) AS BIGINT) AS n_buckets
+        |  FROM m GROUP BY 1)
+        |SELECT m.g AS source, t.n_ref, t.n_cur, t.n_buckets,
+        |       round(sum(
+        |         ((m.ca + 1) / CAST(t.n_ref + t.n_buckets AS DOUBLE)
+        |          - (m.cb + 1) / CAST(t.n_cur + t.n_buckets AS DOUBLE))
+        |         * ln(((m.ca + 1) / CAST(t.n_ref + t.n_buckets AS DOUBLE))
+        |              / ((m.cb + 1) / CAST(t.n_cur + t.n_buckets AS DOUBLE)))
+        |       ), 4) AS psi
+        |FROM m JOIN tot t ON t.g = m.g
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
     // q169: the integer EWMA recurrence replayed step for step in a
     // recursive CTE — same longs, same `div` truncation, same pre-update
     // deviation/band semantics; rn joins consecutive steps per user

@@ -850,6 +850,18 @@ private[graft] trait EntryQueries { self: EntryShared =>
         docs.filter(col("doc_id") % 3 === 0), threshold = 0.35)
     }),
 
+    // PSI drift report between two snapshot halves over the q168
+    // log-binned length distribution — the "did the data move?" monitor
+    // next to q163's expectation checks; sketch-sized after two scans
+    "q171_psi_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Validation.psiDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("source"), length(col("text")).cast("long"))
+        .withColumnRenamed("g", "source")
+    }),
+
     // integer EWMA smoothing + deviation-band anomaly flags per user —
     // the order-dependent recurrence a window can't express: one shuffle
     // on the key, per-partition sequential fold, O(1) state per key;

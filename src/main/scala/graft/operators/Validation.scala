@@ -188,4 +188,47 @@ object Validation {
         when(col("r.violations") === 0L, lit("pass")).otherwise(lit("fail"))
           .as("status"))
   }
+
+  /** Population Stability Index drift report between two snapshots of a
+    * value distribution — the monitoring question the expectation checks
+    * above cannot ask ("nothing VIOLATED, but did the data move?"): per
+    * group, PSI = Σ_buckets (p_ref − p_cur)·ln(p_ref/p_cur) over the
+    * log-binned quantile-sketch buckets (q168's binning — exact integer
+    * bucket keys, so both engines histogram identically; the classic
+    * credit-scoring reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted). Probabilities are add-one smoothed over the UNION bucket
+    * set — (c+1)/(n+B) with B the union bucket count — so an empty-side
+    * bucket contributes finite mass and ln never sees 0; counts and B
+    * are exact integers, the only doubles are the per-bucket terms of a
+    * round(4) sum (the q90 source-KL discipline).
+    *
+    * Scale shape: two sketch builds (each one map-side-combining
+    * aggregate to ≤ ~1.9k rows per group), a full-outer equi-join of
+    * SKETCH relations, and a sketch-sized re-aggregate — after the two
+    * scans, everything is sketch-sized; the report never grows with
+    * data volume, and the sketch relations can come straight from the
+    * stored artifacts (q168's merge law) instead of the raw snapshots.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, group: Column,
+      value: Column): DataFrame = {
+    val a = Sketches.qsketchBuckets(ref, group, value)
+      .withColumnRenamed("cnt", "ca")
+    val b = Sketches.qsketchBuckets(cur, group, value)
+      .withColumnRenamed("cnt", "cb")
+    val m = a.join(b, Seq("g", "blen", "sub"), "full_outer")
+      .select(col("g"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = m.groupBy(col("g")).agg(sum(col("ca")).as("n_ref"),
+      sum(col("cb")).as("n_cur"), count(lit(1)).as("n_buckets"))
+    val pa = (col("ca") + lit(1)).cast("double") /
+      (col("n_ref") + col("n_buckets")).cast("double")
+    val pb = (col("cb") + lit(1)).cast("double") /
+      (col("n_cur") + col("n_buckets")).cast("double")
+    m.join(tot, "g")
+      .groupBy(col("g"), col("n_ref"), col("n_cur"), col("n_buckets"))
+      .agg(round(sum((pa - pb) * log(pa / pb)), 4).as("psi"))
+      .select(col("g"), col("n_ref"), col("n_cur"), col("n_buckets"),
+        col("psi"))
+  }
 }

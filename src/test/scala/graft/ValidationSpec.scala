@@ -131,4 +131,38 @@ class ValidationSpec extends SparkSpecBase {
     assert((out - "unique(l_orderkey, l_linenumber)")
       .values.forall(_ == "pass"))
   }
+
+  // ---- PSI drift (q171) ----
+
+  private def psi(ref: Seq[(String, Long)], cur: Seq[(String, Long)]) =
+    Validation.psiDrift(ref.toDF("g", "v"), cur.toDF("g", "v"),
+        org.apache.spark.sql.functions.col("g"),
+        org.apache.spark.sql.functions.col("v"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("psiDrift: identical snapshots score exactly 0") {
+    val rows = (1 to 500).map(i => ("s", (i * 17 % 3000).toLong))
+    val out = psi(rows, rows)
+    assert(out("s")._5 === 0.0)
+    assert(out("s")._2 === 500L && out("s")._3 === 500L)
+  }
+
+  test("psiDrift: a 4x scale shift reads as 'shifted' (> 0.25)") {
+    val ref = (1 to 500).map(i => ("s", (100 + i % 100).toLong))
+    val cur = ref.map { case (g, v) => (g, v * 4) } // blen + 2 everywhere
+    val out = psi(ref, cur)
+    assert(out("s")._5 > 0.25, s"psi = ${out("s")._5}")
+    // and PSI is symmetric under snapshot swap
+    assert(out("s")._5 === psi(cur, ref)("s")._5)
+  }
+
+  test("psiDrift: a group on one side only still gets a finite report") {
+    val out = psi(Seq(("only_ref", 10L), ("both", 10L)),
+      Seq(("both", 10L)))
+    assert(out.keySet === Set("only_ref", "both"))
+    assert(out("only_ref")._3 === 0L) // n_cur
+    assert(!out("only_ref")._5.isNaN && !out("only_ref")._5.isInfinite)
+    assert(out("both")._5 === 0.0)
+  }
 }
