@@ -634,6 +634,14 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |       CAST(max(n_rows) AS BIGINT) AS n_rows
         |FROM tgt WHERE cum >= target GROUP BY 1, 2, 3""".stripMargin,
 
+    // q172: 4 generated label-propagation voting rounds over the SAME
+    // symmetric nd edge CTEs (window-ranked in the oracle, aggregate-
+    // argmaxed in the engine — same (max count, min label) rule)
+    "q172_lpa_communities" ->
+      (docCtes.stripSuffix("\n") + ",\n" + ndEdgesCtes +
+        lpaCtes(4).stripSuffix(",\n") +
+        "\nSELECT id AS doc_id, lbl AS community FROM lp4"),
+
     // q167: 4 generated peeling rounds at k=2 over the SAME symmetric
     // nd edge CTEs as q52/q152/q162/q165
     "q167_kcore" ->

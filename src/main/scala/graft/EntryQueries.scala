@@ -822,6 +822,14 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.EditDistance.editDistanceJoin(
         Tables.part(s, dir), "p_partkey", "p_name", k = 2)),
 
+    // deterministic synchronous label propagation (4 rounds, min
+    // tie-break): community detection over the near-dup graph — splits
+    // connected structure along sparse cuts, where q52 merges it and
+    // q167 thresholds it; the round count is the replayable contract
+    "q172_lpa_communities" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(lshPairsShared(s, dir),
+        rounds = 4)),
+
     // bounded k-core peeling over the near-dup graph (Seidman'83): 4
     // simultaneous-removal rounds at k=2 — dense template families
     // survive, chains and hub-stars peel away; converged on this graph

@@ -1435,6 +1435,25 @@ private[graft] trait EntryShared {
     head + its
   }
 
+  /** q172's generated label-propagation rounds over the symmetric
+    * `edges` CTE: round i votes each node's neighbor labels and keeps
+    * (max count, min label) — the deterministic synchronous LPA the
+    * engine runs; the oracle may use a window (its shape is
+    * unconstrained), the engine votes via a map-side aggregate.
+    */
+  protected def lpaCtes(rounds: Int): String = {
+    val head = "lp0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),\n"
+    val its = (1 to rounds).map { i =>
+      s"""lv$i AS (SELECT e.dst AS id, l.lbl, CAST(count(*) AS BIGINT) AS c
+         |  FROM edges e JOIN lp${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+         |lp$i AS (SELECT id, lbl FROM (
+         |  SELECT id, lbl, row_number() OVER (PARTITION BY id
+         |    ORDER BY c DESC, lbl ASC) AS rn FROM lv$i) WHERE rn = 1),
+         |""".stripMargin
+    }.mkString
+    head + its
+  }
+
   /** q86's band CTEs: the q11/lshCtes construction with `source` carried
     * through so the corpus/incoming split can happen after banding.
     */

@@ -187,6 +187,48 @@ object Graph {
       .select(col("src").as("id"), col("core_deg"))
   }
 
+  /** Bounded-round synchronous label propagation (Raghavan–Albert–Kumara
+    * 2007, the deterministic synchronous form): labels₀(v) = v; each
+    * round every node adopts the most frequent label among its
+    * NEIGHBORS, ties broken toward the SMALLEST label — a total,
+    * engine-replayable rule (the usual random tie-break is what makes
+    * vanilla LPA non-reproducible; min tie-break trades a little merge
+    * aggressiveness for bit-stable output). Communities differ from the
+    * q52 components (which merge anything connected) and the q167 core
+    * (which thresholds density): LPA splits a connected graph along its
+    * sparse cuts — two template families bridged by one shared
+    * boilerplate pair stay two communities. Synchronous LPA can 2-cycle
+    * on bipartite structure, so `rounds` is a CONTRACT, not a
+    * convergence hope: the result is the round-N snapshot, deterministic
+    * at any N (the replayable-gate discipline of the PageRank/BPE/k-core
+    * generated oracles).
+    *
+    * Plan shape per round: edges ⋈ labels on src (equi), a map-side-
+    * combining (dst, label) count, and an argmax-as-aggregate
+    * `max(struct(cnt, −label))` — NEVER a window over a node's neighbor
+    * list (a hub's votes collapse to one partial per map task). Labels
+    * are referenced once per round → lineage linear in rounds, no
+    * checkpoint needed at gate depths.
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"need rounds >= 0, got $rounds")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("community"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected pair relation — the cohesion metric next to the q52
     * component labels and the q152 centrality ranks: a near-dup cluster

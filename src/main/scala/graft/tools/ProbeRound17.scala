@@ -64,6 +64,27 @@ object ProbeRound17 {
       }
     }
 
+    if (which == "all" || which == "lpa") {
+      // same cluster+hub graph as kcore: 4 voting rounds, hub votes
+      // collapse map-side (the no-window claim under real skew)
+      val n = 2000000L
+      val pos = col("id") % 5
+      val clusterPairs = spark.range(n).select(col("id").as("id_a"),
+          explode(when(pos < 4, sequence(lit(1L), lit(4L) - pos))
+            .otherwise(array().cast("array<bigint>"))).as("dj"))
+        .select(col("id_a"), (col("id_a") + col("dj")).as("id_b"))
+      val hubPairs = spark.range(100).select((col("id") + n).as("hub"),
+          explode(sequence(lit(0), lit(9999))).as("k"))
+        .select((((col("hub") - n) * 19997 + col("k") * 199) % n)
+          .as("id_a"), col("hub").as("id_b"))
+      val pairs = clusterPairs.unionByName(hubPairs)
+      time("lpa_4rounds_2M_nodes_hub10k") {
+        val r = graft.operators.Graph.labelPropagation(pairs, 4)
+          .agg(countDistinct(col("community")), count(lit(1))).head()
+        println(s"  communities=${r.getLong(0)} nodes=${r.getLong(1)}")
+      }
+    }
+
     if (which == "all" || which == "ewma") {
       // noisy-but-mostly-smooth series: hash noise in [0,200) so the
       // deviation bands stay live and a real fraction of rows flags

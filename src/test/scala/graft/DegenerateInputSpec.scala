@@ -248,6 +248,7 @@ class DegenerateInputSpec extends SparkSpecBase {
     val emptyPairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.Graph.triangleStats(emptyPairs).count() === 0)
     assert(graft.operators.Graph.kCorePeel(emptyPairs, 2, 4).count() === 0)
+    assert(graft.operators.Graph.labelPropagation(emptyPairs, 4).count() === 0)
     // EWMA on an empty series relation: no rows, no NPE in the fold
     val emptySeries = spark
       .emptyDataset[(Long, java.sql.Timestamp, Long, Long)]

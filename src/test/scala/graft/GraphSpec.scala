@@ -189,6 +189,46 @@ class GraphSpec extends SparkSpecBase {
     assert(core(g, 2, 0) === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  private def lpa(pairs: Seq[(Long, Long)], rounds: Int) =
+    Graph.labelPropagation(pairs.toDF("id_a", "id_b"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: K4 converges to the min label by round 2") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    // round 1: node 1 sees {2,3,4} (all count 1 → min 2); the rest see
+    // label 1 among their votes and adopt it
+    assert(lpa(k4, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(lpa(k4, 2) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(lpa(k4, 4) === lpa(k4, 2)) // stable fixpoint
+  }
+
+  test("labelPropagation: a bridge does NOT merge two cliques (vs CC)") {
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val g = k4a ++ k4b :+ (4L, 5L)
+    val out = lpa(g, 4)
+    assert(Set(1L, 2L, 3L, 4L).map(out) === Set(1L))
+    assert(Set(5L, 6L, 7L, 8L).map(out) === Set(5L))
+    // connected components would label all eight the same — LPA's
+    // sparse-cut split is the point of the operator
+  }
+
+  test("labelPropagation: the synchronous 2-cycle is a deterministic snapshot") {
+    val e = Seq((1L, 2L))
+    assert(lpa(e, 1) === Map(1L -> 2L, 2L -> 1L)) // swapped
+    assert(lpa(e, 2) === Map(1L -> 1L, 2L -> 2L)) // swapped back
+    assert(lpa(e, 3) === lpa(e, 1)) // the documented oscillation
+  }
+
+  test("labelPropagation is invariant to input partitioning") {
+    val g = (0L until 300L).map(i => (i, (i * 7 + 1) % 300))
+    val one = Graph.labelPropagation(g.toDF("id_a", "id_b").repartition(1), 3)
+      .collect().map(_.toSeq).toSet
+    val many = Graph.labelPropagation(g.toDF("id_a", "id_b").repartition(17), 3)
+      .collect().map(_.toSeq).toSet
+    assert(one === many)
+  }
+
   test("q167's gate graph converges within its 4 rounds") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.documents(spark, dir)
