@@ -210,11 +210,18 @@ object Validation {
     * stored artifacts (q168's merge law) instead of the raw snapshots.
     */
   def psiDrift(ref: DataFrame, cur: DataFrame, group: Column,
-      value: Column): DataFrame = {
-    val a = Sketches.qsketchBuckets(ref, group, value)
-      .withColumnRenamed("cnt", "ca")
-    val b = Sketches.qsketchBuckets(cur, group, value)
-      .withColumnRenamed("cnt", "cb")
+      value: Column): DataFrame =
+    psiFromSketches(Sketches.qsketchBuckets(ref, group, value),
+      Sketches.qsketchBuckets(cur, group, value))
+
+  /** [[psiDrift]] taking the (g, blen, sub, cnt) sketch RELATIONS
+    * directly — the artifact form: compare today's live sketch (batch,
+    * stored, or the streaming register state) against a stored
+    * reference without rescanning either snapshot's raw data.
+    */
+  def psiFromSketches(refSketch: DataFrame, curSketch: DataFrame): DataFrame = {
+    val a = refSketch.withColumnRenamed("cnt", "ca")
+    val b = curSketch.withColumnRenamed("cnt", "cb")
     val m = a.join(b, Seq("g", "blen", "sub"), "full_outer")
       .select(col("g"),
         coalesce(col("ca"), lit(0L)).as("ca"),

@@ -49,7 +49,15 @@ class PlanShapeSpec extends SparkSpecBase {
     // branch is a safe-by-construction BNLJ between two finite tiny
     // sets — empty on the gate fixture but present in the plan)
     "q160_scd2_build", "q161_scd2_pointintime", "q162_triangle_lcc",
-    "q165_trustrank")
+    "q165_trustrank",
+    // r17: EWMA (no joins at all), containment (needle-prefix index
+    // probe + overlap-count equi-joins), PSI (full-outer sketch join),
+    // LPA (vote equi-join + argmax aggregate). NOT here: q168 (its
+    // 3-row quantile relation rides a documented crossJoin(broadcast)
+    // BNLJ), q167 (checkpoint-looped like q52 — the interesting plan
+    // lives inside the rounds, pinned by GraphSpec instead)
+    "q169_ewma_anomaly", "q170_containment_join", "q171_psi_drift",
+    "q172_lpa_communities")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {

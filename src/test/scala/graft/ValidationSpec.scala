@@ -157,6 +157,39 @@ class ValidationSpec extends SparkSpecBase {
     assert(out("s")._5 === psi(cur, ref)("s")._5)
   }
 
+  test("psiFromSketches over the streaming register state equals batch psiDrift") {
+    // the monitor-without-rescan composition: reference = a stored batch
+    // sketch; current = the LIVE quantileSketchStream state; PSI off the
+    // two artifacts must equal the end-to-end batch report
+    import org.apache.spark.sql.functions.{col, length}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val cur = docs.filter(col("doc_id") % 2 === 1)
+    val input = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingCuration.quantileSketchStream(
+        input.toDF.toDF("g", "v"))
+      .writeStream.format("memory").queryName("psi_regs_test")
+      .outputMode("complete").start()
+    try {
+      val rows = cur.select(col("source"), length(col("text")).cast("long"))
+        .as[(String, Long)].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamedPsi = Validation.psiFromSketches(
+          graft.operators.Sketches.qsketchBuckets(ref, col("source"),
+            length(col("text")).cast("long")),
+          spark.table("psi_regs_test"))
+        .collect().map(_.toSeq).toSet
+      val batchPsi = Validation.psiDrift(ref, cur, col("source"),
+          length(col("text")).cast("long"))
+        .collect().map(_.toSeq).toSet
+      assert(streamedPsi === batchPsi)
+    } finally q.stop()
+  }
+
   test("psiDrift: a group on one side only still gets a finite report") {
     val out = psi(Seq(("only_ref", 10L), ("both", 10L)),
       Seq(("both", 10L)))
