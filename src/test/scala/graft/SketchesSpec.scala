@@ -197,6 +197,23 @@ class SketchesSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("qsketch handles extreme magnitudes without overflow") {
+    // Long.MaxValue: blen=63, s=58, sub=31 → rep = 31<<58 + 1<<57 must
+    // stay inside a long; quantiles over a set spanning 19 orders of
+    // magnitude stay rank-correct
+    val vals = Seq(0L, 1L, 2L, 1L << 62, Long.MaxValue - 1, Long.MaxValue)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("i", "v")
+    val sk = Sketches.qsketchBuckets(rows, lit("x"), col("v"))
+    val est = Sketches.qsketchQuantiles(sk, Seq(1 -> 2, 99 -> 100))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3) -> r._4).toMap
+    assert(est((1L, 2L)) === 2L) // rank 3 of 6 → the exact small bucket
+    val p99 = est((99L, 100L)) // rank 6 → the top bucket's midpoint
+    assert(p99 > Long.MaxValue / 2 && p99 > 0, s"overflowed: $p99")
+    assert(math.abs(p99 - Long.MaxValue).toDouble / Long.MaxValue <= 1.0 / 16)
+  }
+
   test("qsketch bucket key is monotone with the value; 0 and negatives total") {
     // adjacent values land in (blen, sub) buckets whose lexicographic
     // order never inverts the value order — the property rank extraction

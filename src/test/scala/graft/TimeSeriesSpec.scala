@@ -66,6 +66,42 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(out(8L)._3, "jump after a flat warmup must flag (dev > 3*0)")
   }
 
+  test("seeded sweep: engine matches a reference fold across the param space") {
+    // the differential-fuzz discipline applied in-process: random series
+    // (ties, jumps, flats, negatives) and random (alpha, k, warmup)
+    // against an independent driver-side fold of the recurrence
+    for (seed <- Seq(11, 47, 901)) {
+      val rnd = new scala.util.Random(seed)
+      val aN = 1 + rnd.nextInt(9); val aD = 10
+      val kk = 1 + rnd.nextInt(4); val wu = rnd.nextInt(6)
+      val rows = (0 until 300).map { j =>
+        val key = rnd.nextInt(5).toLong
+        val x = rnd.nextInt(400).toLong - 50 // negatives included
+        (key, t(j), j.toLong, x)
+      }
+      val got = TimeSeries.ewmaAnomaly(rows.toDF("k", "ts", "i", "x"),
+          "k", "ts", "i", col("x"), alphaNum = aN, alphaDen = aD,
+          k = kk, warmup = wu)
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+      val expected = rows.sortBy(r => (r._1, r._2.getTime, r._3))
+        .groupBy(_._1).flatMap { case (_, series) =>
+          var e = 0L; var d = 0L
+          series.zipWithIndex.map { case ((_, _, i, x), idx) =>
+            if (idx == 0) { e = x * 1000000L; d = 0L; i -> ((e, d, false)) }
+            else {
+              val dev = math.abs(x * 1000000L - e)
+              val flag = idx + 1 > wu && dev > kk * d
+              e = (aN * x * 1000000L + (aD - aN) * e) / aD
+              d = (aN * dev + (aD - aN) * d) / aD
+              i -> ((e, d, flag))
+            }
+          }
+        }
+      assert(got === expected, s"seed $seed (aN=$aN k=$kk wu=$wu)")
+    }
+  }
+
   test("streaming twin equals batch on a per-key time-ordered feed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
