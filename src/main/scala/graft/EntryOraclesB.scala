@@ -540,6 +540,17 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |SELECT id_a, id_b, round(i / na, 4) AS containment
           |FROM pairs WHERE i / na >= 0.35""".stripMargin),
 
+    // q173: the k-anonymity/l-diversity audit, verbatim
+    "q173_kanonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS class_size,
+        |       CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS l_diversity,
+        |       count(*) >= 10 AS k_anonymous,
+        |       count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) >= 2
+        |         AS l_diverse
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
     // q171: PSI over the q168 integer bucket keys — exact counts, the
     // union bucket set per source, add-one smoothing, round(4) term sum
     "q171_psi_drift" ->
@@ -2059,6 +2070,51 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |  WHERE doc_id % 5 <> 4
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
+
+    // q174: the q121 score/label chain re-cut as a reliability diagram —
+    // round-then-bin on the probability (crisp edges in both engines),
+    // per (split, bin) mean prediction vs empirical rate
+    "q174_calibration_curve" -> {
+      val w = graft.operators.QualityModel.DefaultWeights
+      val thr = graft.operators.QualityModel.HeuristicLabelThreshold
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""f AS (
+           |  SELECT doc_id,
+           |         least(len(toks) / 100.0, 1.0) AS x1,
+           |         CASE WHEN length(text) > 0
+           |              THEN len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                   / length(text)
+           |              ELSE 0.0e0 END AS x2,
+           |         least($stop / len(toks) * 5.0, 1.0) AS x3,
+           |         round(0.4 * least(len(toks) / 100.0, 1.0)
+           |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                            / NULLIF(length(text), 0))
+           |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+           |  FROM toks),
+           |s AS (
+           |  SELECT doc_id,
+           |         round(1.0e0 / (1.0e0 + exp(-(${w(0)}e0 * 1.0e0
+           |           + ${w(1)}e0 * x1 + ${w(2)}e0 * x2 + ${w(3)}e0 * x3))), 4)
+           |           AS p,
+           |         CASE WHEN quality >= ${thr}e0 THEN 1 ELSE 0 END AS y
+           |  FROM f),
+           |j AS (
+           |  SELECT CASE WHEN b < 10 THEN 'test'
+           |              WHEN b < 20 THEN 'val'
+           |              ELSE 'train' END AS split,
+           |         CAST(least(floor(p * 10), 9) AS INT) AS bin, p, y
+           |  FROM (SELECT p, y,
+           |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+           |            AS b
+           |        FROM s))
+           |SELECT split, bin, CAST(count(*) AS BIGINT) AS n,
+           |       round(avg(p), 4) AS mean_p,
+           |       round(avg(CAST(y AS DOUBLE)), 4) AS pos_rate,
+           |       round(round(avg(p), 4) - round(avg(CAST(y AS DOUBLE)), 4), 4)
+           |         AS gap
+           |FROM j GROUP BY 1, 2""".stripMargin
+    },
 
     // q121: q111's score chain (same weight literals) vs the q104/q18
     // quality label at the labelHeuristic threshold, confusion-counted

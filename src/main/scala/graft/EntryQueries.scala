@@ -858,6 +858,22 @@ private[graft] trait EntryQueries { self: EntryShared =>
         docs.filter(col("doc_id") % 3 === 0), threshold = 0.35)
     }),
 
+    // k-anonymity / l-diversity audit — the pre-release check q156's DP
+    // mechanism presumes: every (nation, segment) equivalence class must
+    // hold >= k customers and >= l distinct sensitive values; failing
+    // classes are the suppression work-list
+    "q173_kanonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymityReport(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+        (col("c_acctbal") < 0).cast("int"), k = 10, l = 2)),
+
+    // calibration curve for the shipped quality classifier — the drift
+    // q121's threshold metrics can't see: per (split, probability bin),
+    // mean predicted vs empirical positive rate; gap = per-bin ECE term
+    "q174_calibration_curve" -> ((s, dir) =>
+      graft.operators.QualityModel.calibrationCurve(
+        Tables.documents(s, dir))),
+
     // PSI drift report between two snapshot halves over the q168
     // log-binned length distribution — the "did the data move?" monitor
     // next to q163's expectation checks; sketch-sized after two scans

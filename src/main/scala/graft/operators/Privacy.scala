@@ -87,4 +87,32 @@ object Privacy {
         concat(col("source"), lit(s":$seed:hi")), epsPer)).as("n_hi_quality_dp"),
       lit(eps).as("epsilon"))
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2006) — the PRE-release check the DP mechanism above presumes:
+    * before any per-group statistic ships, every quasi-identifier
+    * equivalence class must hold at least k individuals (else a row
+    * re-identifies by its group alone) and at least l distinct values
+    * of the sensitive attribute (else membership in a k-large class
+    * still discloses the sensitive value). Report, not filter: one row
+    * per equivalence class with its size, its sensitive-value diversity,
+    * and both verdicts — the release gate is `k_anonymous AND
+    * l_diverse`, and the failing classes are the suppression work-list.
+    *
+    * Scale shape: ONE map-side-combining aggregate over the
+    * quasi-identifier key (the distinct sensitive count plans as
+    * Spark's two-phase Expand — still one scan); output is
+    * equivalence-class-sized, never row-sized.
+    */
+  def kAnonymityReport(rows: DataFrame, quasiIds: Seq[String],
+      sensitive: org.apache.spark.sql.Column, k: Int, l: Int): DataFrame = {
+    require(k >= 1 && l >= 1, s"need k, l >= 1; got $k, $l")
+    rows.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("l_diversity"))
+      .select(quasiIds.map(col) ++ Seq(col("class_size"),
+        col("l_diversity"),
+        (col("class_size") >= k).as("k_anonymous"),
+        (col("l_diversity") >= l).as("l_diverse")): _*)
+  }
 }

@@ -180,6 +180,40 @@ object QualityModel {
             .cast("double"), 4).as("f1"))
   }
 
+  /** Calibration curve (reliability diagram) for the shipped classifier
+    * — the evaluation q121's threshold metrics can't see: a model can
+    * hold its accuracy while its PROBABILITIES drift away from the
+    * empirical rates, which corrupts every downstream consumer that
+    * thresholds at anything other than the evaluated cut (mixture
+    * weighting, temperature sampling, soft filtering). Equal-width bins
+    * over the rounded probability (the same round-then-decide
+    * discipline as the accept rule, so bin edges are crisp in both
+    * engines); per (split, bin): n, mean predicted probability, and the
+    * empirical positive rate under the q121 label — `gap` is the
+    * per-bin calibration error and its n-weighted sum is ECE. One
+    * scan, output bins × splits rows.
+    */
+  def calibrationCurve(docs: DataFrame, w: Seq[Double] = DefaultWeights.toSeq,
+      bins: Int = 10): DataFrame = {
+    require(w.size == Dim, s"weight vector must have $Dim components")
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val z = logitExpr(w, col("text"))
+    val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    val b = Curation.hashBucket(col("doc_id"))
+    val split = when(b < 10, lit("test")).when(b < 20, lit("val"))
+      .otherwise(lit("train"))
+    docs.select(split.as("split"),
+        least(floor(p * bins), lit(bins - 1)).cast("int").as("bin"),
+        p.as("p"), labelHeuristic().cast("int").as("y"))
+      .groupBy(col("split"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 4).as("mean_p"),
+        round(avg(col("y")), 4).as("pos_rate"))
+      .select(col("split"), col("bin"), col("n"), col("mean_p"),
+        col("pos_rate"),
+        round(col("mean_p") - col("pos_rate"), 4).as("gap"))
+  }
+
   /** Labeled feature projection for training: y (from the label column)
     * plus x0..x3 — one kernel pass, ~5 doubles per row.
     */

@@ -77,4 +77,21 @@ class PrivacySpec extends SparkSpecBase {
       Privacy.twoSidedGeometric(lit("k"), eps = -1.0)
     }
   }
+
+  test("kAnonymityReport: class size and diversity verdicts are exact") {
+    import spark.implicits._
+    // class (a): 1 row → fails k; class (b): 3 rows, one sensitive
+    // value → k ok at 3, fails l; class (c): 3 rows, two values → passes
+    val rows = Seq(
+      ("a", "x", 1), ("b", "x", 0), ("b", "x", 0), ("b", "x", 0),
+      ("c", "x", 0), ("c", "x", 1), ("c", "x", 0))
+      .toDF("q1", "q2", "s")
+    val out = Privacy.kAnonymityReport(rows, Seq("q1", "q2"),
+        org.apache.spark.sql.functions.col("s"), k = 3, l = 2)
+      .as[(String, String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", "x", 1L, 1L, false, false)))
+    assert(out("b") === (("b", "x", 3L, 1L, true, false)))
+    assert(out("c") === (("c", "x", 3L, 2L, true, true)))
+  }
 }

@@ -117,4 +117,21 @@ class QualityModelSpec extends SparkSpecBase {
     // test 0.9167)
     assert(rows("test").getAs[Double]("accuracy") > 0.8)
   }
+
+  test("calibration curve: bins partition the corpus and bound their means") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = QualityModel.calibrationCurve(docs).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === docs.count())
+    out.foreach { r =>
+      val bin = r.getAs[Int]("bin"); val mp = r.getAs[Double]("mean_p")
+      assert(bin >= 0 && bin <= 9)
+      // mean of probabilities binned to [bin/10, (bin+1)/10) stays
+      // inside the bin (round4 can sit exactly on an edge)
+      assert(mp >= bin / 10.0 - 1e-9 && mp <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean_p $mp")
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - (mp - rate)) < 1e-3)
+    }
+  }
 }
