@@ -540,6 +540,36 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |SELECT id_a, id_b, round(i / na, 4) AS containment
           |FROM pairs WHERE i / na >= 0.35""".stripMargin),
 
+    // q175: the CDC fold replayed — same derived feed, latest change by
+    // seq (window-ranked in the oracle, aggregate-argmaxed in the
+    // engine), D drops the key, I/U upserts, untouched keys keep base
+    "q175_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, 'X' AS st,
+        |         o_totalprice + 100 AS tp
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, 1, 'I', 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 4),
+        |latest AS (
+        |  SELECT k, op, st, tp FROM (
+        |    SELECT k, op, st, tp,
+        |           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(b.k, l.k) AS o_orderkey,
+        |       CASE WHEN l.k IS NOT NULL THEN l.st ELSE b.st END
+        |         AS o_orderstatus,
+        |       CASE WHEN l.k IS NOT NULL THEN l.tp ELSE b.tp END
+        |         AS o_totalprice
+        |FROM base b FULL OUTER JOIN latest l ON l.k = b.k
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
     // q173: the k-anonymity/l-diversity audit, verbatim
     "q173_kanonymity" ->
       """SELECT c_nationkey, c_mktsegment,

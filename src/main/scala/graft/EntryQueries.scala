@@ -858,6 +858,31 @@ private[graft] trait EntryQueries { self: EntryShared =>
         docs.filter(col("doc_id") % 3 === 0), threshold = 0.35)
     }),
 
+    // CDC apply (last-writer-wins MERGE with deletes — SCD Type 1 next
+    // to q160's Type 2): a deterministic change feed derived from orders
+    // (updates %3, deletes %7 at a later seq, inserts %5=4 under new
+    // keys) folds into the base by one map-side max(struct) + one
+    // full-outer join; a key's whole change history combines map-side
+    "q175_cdc_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val tpType = o.schema("o_totalprice").dataType
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("X").as("o_orderstatus"),
+          (col("o_totalprice") + 100).cast(tpType).as("o_totalprice"))
+      val del = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast(tpType).as("o_totalprice"))
+      val ins = o.filter(col("o_orderkey") % 5 === 4)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          lit(1L).as("seq"), lit("I").as("op"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      graft.operators.Scd.cdcApply(o, upd.unionByName(del).unionByName(ins),
+        "o_orderkey", "seq", "op", Seq("o_orderstatus", "o_totalprice"))
+    }),
+
     // k-anonymity / l-diversity audit — the pre-release check q156's DP
     // mechanism presumes: every (nation, segment) equivalence class must
     // hold >= k customers and >= l distinct sensitive values; failing

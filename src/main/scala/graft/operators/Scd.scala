@@ -87,6 +87,37 @@ object Scd {
     * orders feed — each order is an observation of the customer's state at
     * `o_orderdate`, tiebroken by `o_orderkey`.
     */
+  /** CDC apply — the lakehouse MERGE primitive (SCD Type 1 next to
+    * [[scd2Build]]'s Type 2): fold an ordered change feed (key, seq,
+    * op ∈ I/U/D, attrs) into a base table, last writer wins per key.
+    * Keys untouched by the feed keep their base row; a key whose LATEST
+    * change is I/U takes that change's attributes (insert and update
+    * collapse — upsert semantics); a key whose latest change is D
+    * disappears, whether or not it existed in the base. `seq` must be
+    * unique per key (the CDC log's LSN contract) — it makes the fold
+    * deterministic under any execution order, the hash-gate discipline.
+    *
+    * Scale shape: ONE map-side-combining `max(struct(seq, op, attrs))`
+    * collapses the feed to key-cardinality (a key's million-change
+    * history never sorts, never windows, never leaves its map task
+    * uncombined), then ONE full-outer equi-join against the base.
+    * Change feeds are change-rate-sized; the base is scanned once.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, key: String,
+      seq: String, op: String, attrs: Seq[String]): DataFrame = {
+    val latest = changes
+      .groupBy(col(key))
+      .agg(max(struct(col(seq) +: col(op) +:
+        attrs.map(col): _*)).as("m"))
+      .select(col(key) +: col(s"m.${op}").as("_op") +:
+        attrs.map(a => col(s"m.$a").as(s"_c_$a")): _*)
+    base.join(latest, Seq(key), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col(key) +: attrs.map(a =>
+        when(col("_op").isNotNull, col(s"_c_$a"))
+          .otherwise(col(a)).as(a)): _*)
+  }
+
   def customerStatusDim(orders: DataFrame): DataFrame =
     scd2Build(
       orders.select(col("o_custkey").as("custkey"), col("o_orderdate"),

@@ -101,4 +101,34 @@ class ScdSpec extends SparkSpecBase {
       "point-in-time intervals must partition the timeline: no fact " +
         "duplicated by overlapping versions, none dropped by the left join")
   }
+
+  test("cdcApply: every merge case folds last-writer-wins") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (2L, 1L, "U", "b2"),         // plain update
+      (3L, 1L, "U", "c2"),         // update then delete → gone
+      (3L, 2L, "D", null),
+      (4L, 1L, "D", null),         // delete then REVIVE at a later seq
+      (4L, 2L, "I", "d2"),
+      (5L, 1L, "D", null),         // delete of a key not in base → no-op
+      (6L, 1L, "I", "f"),          // insert of a new key
+      (6L, 2L, "U", null)          // then update TO NULL (null is a value)
+    ).toDF("k", "seq", "op", "v")
+    val out = Scd.cdcApply(base, changes, "k", "seq", "op", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out === Map(1L -> "a", 2L -> "b2", 4L -> "d2", 6L -> null))
+  }
+
+  test("cdcApply: empty feed is identity; empty base is pure insert") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val empty = spark.emptyDataset[(Long, Long, String, String)]
+      .toDF("k", "seq", "op", "v")
+    assert(Scd.cdcApply(base, empty, "k", "seq", "op", Seq("v"))
+      .collect().map(_.toSeq).toSet === Set(Seq(1L, "a")))
+    val feed = Seq((9L, 1L, "I", "z")).toDF("k", "seq", "op", "v")
+    assert(Scd.cdcApply(base.filter($"k" < 0), feed, "k", "seq", "op",
+      Seq("v")).collect().map(_.toSeq).toSet === Set(Seq(9L, "z")))
+  }
 }
