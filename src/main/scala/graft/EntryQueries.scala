@@ -858,6 +858,16 @@ private[graft] trait EntryQueries { self: EntryShared =>
         docs.filter(col("doc_id") % 3 === 0), threshold = 0.35)
     }),
 
+    // TPC-H Q5 shape: six-table join with the correlated
+    // customer-nation = supplier-nation path — the Catalyst
+    // join-ordering stressor, and the first gate touching region/nation
+    "q176_regional_volume" -> ((s, dir) =>
+      graft.operators.Relational.regionalSupplierVolume(
+        Tables.region(s, dir), Tables.nation(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        regionName = "ASIA", dateLo = "1996-01-01", dateHi = "1999-01-01")),
+
     // CDC apply (last-writer-wins MERGE with deletes — SCD Type 1 next
     // to q160's Type 2): a deterministic change feed derived from orders
     // (updates %3, deletes %7 at a later seq, inserts %5=4 under new

@@ -33,6 +33,37 @@ object Relational {
   }
 
   /** Customers with no orders: anti join (NOT EXISTS). */
+  /** The TPC-H Q5 shape — local-supplier volume per nation: six tables,
+    * two join keys on the fact (order AND supplier), the
+    * customer-nation = supplier-nation equality that correlates two
+    * dimension paths, region restriction, a date range, and one
+    * aggregate. The canonical Catalyst join-ordering stressor, and the
+    * first gate to touch region/nation at all. Scale shape: region,
+    * nation, supplier, customer are dimension-sized → AQE/stats
+    * broadcast them down the fact scan (no hint: a forced broadcast of
+    * a 100 TB-scale customer side would OOM); the date filter pushes
+    * into the orders scan; lineitem is the only shuffled relation and
+    * only if the customer side outgrows broadcast.
+    */
+  def regionalSupplierVolume(region: DataFrame, nation: DataFrame,
+      customer: DataFrame, supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, regionName: String,
+      dateLo: String, dateHi: String): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName &&
+        col("o_orderdate") >= lit(dateLo).cast("timestamp") &&
+        col("o_orderdate") < lit(dateHi).cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"))

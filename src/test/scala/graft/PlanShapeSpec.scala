@@ -57,7 +57,7 @@ class PlanShapeSpec extends SparkSpecBase {
     // BNLJ), q167 (checkpoint-looped like q52 — the interesting plan
     // lives inside the rounds, pinned by GraphSpec instead)
     "q169_ewma_anomaly", "q170_containment_join", "q171_psi_drift",
-    "q172_lpa_communities")
+    "q172_lpa_communities", "q175_cdc_apply", "q176_regional_volume")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {
@@ -95,6 +95,24 @@ class PlanShapeSpec extends SparkSpecBase {
         s"hot-bucket cap must not use WindowExec:\n$plan")
       spark.catalog.clearCache()
     }
+
+  test("q176 six-table join: dims broadcast, fact pipelines, one shuffle") {
+    // the TPC-H Q5 shape must plan as lineitem streaming through five
+    // BroadcastHashJoins with the date filter pushed into the orders
+    // scan — the only shuffle is the final aggregate's
+    val qe = SparkEntry.queries("q176_regional_volume")(spark, sfDir)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) === 5)
+    assert(!plan.contains("SortMergeJoin"))
+    val shuffles = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("ReusedExchange"))
+    assert(shuffles <= 2, s"expected only the aggregate exchange:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      "date range must push into the orders scan")
+    spark.catalog.clearCache()
+  }
 
   test("q113 ground-truth window join is the bin-bucket equi-join") {
     // the only nested-loop join allowed is the one-row recall-report
