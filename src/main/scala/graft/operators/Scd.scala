@@ -104,19 +104,36 @@ object Scd {
     * Change feeds are change-rate-sized; the base is scanned once.
     */
   def cdcApply(base: DataFrame, changes: DataFrame, key: String,
-      seq: String, op: String, attrs: Seq[String]): DataFrame = {
-    val latest = changes
+      seq: String, op: String, attrs: Seq[String]): DataFrame =
+    applyLatest(base, cdcLatest(changes, key, seq, op, attrs), key, attrs)
+
+  /** The feed fold alone: latest change per key as (key, _op, _c_attrs…).
+    * Works unchanged on a STREAMING feed (update/complete-mode
+    * aggregation with state structurally bounded at key cardinality —
+    * the q157/q168 register-maintenance story for table state): the
+    * relation at any instant is the batch fold of everything ingested,
+    * and [[applyLatest]] materializes the current table on demand.
+    */
+  def cdcLatest(changes: DataFrame, key: String, seq: String, op: String,
+      attrs: Seq[String]): DataFrame =
+    changes
       .groupBy(col(key))
       .agg(max(struct(col(seq) +: col(op) +:
         attrs.map(col): _*)).as("m"))
       .select(col(key) +: col(s"m.${op}").as("_op") +:
         attrs.map(a => col(s"m.$a").as(s"_c_$a")): _*)
+
+  /** Merge a [[cdcLatest]] relation into the base — the second half of
+    * [[cdcApply]], split out so streaming state and stored artifacts
+    * merge through the identical code path.
+    */
+  def applyLatest(base: DataFrame, latest: DataFrame, key: String,
+      attrs: Seq[String]): DataFrame =
     base.join(latest, Seq(key), "full_outer")
       .filter(col("_op").isNull || col("_op") =!= "D")
       .select(col(key) +: attrs.map(a =>
         when(col("_op").isNotNull, col(s"_c_$a"))
           .otherwise(col(a)).as(a)): _*)
-  }
 
   def customerStatusDim(orders: DataFrame): DataFrame =
     scd2Build(

@@ -121,6 +121,36 @@ class ScdSpec extends SparkSpecBase {
     assert(out === Map(1L -> "a", 2L -> "b2", 4L -> "d2", 6L -> null))
   }
 
+  test("streaming cdcLatest state + applyLatest equals batch cdcApply") {
+    // the materialized-view-maintenance twin: the latest-change relation
+    // is maintained by the SAME aggregate on a stream (state = key
+    // cardinality, no watermark), and merging it with the base goes
+    // through the identical applyLatest path
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val feed = Seq(
+      (2L, 1L, "U", "b2"), (3L, 1L, "U", "c2"),
+      (3L, 2L, "D", null), (6L, 1L, "I", "f"))
+    val input = MemoryStream[(Long, Long, String, String)]
+    val q = Scd.cdcLatest(input.toDF.toDF("k", "seq", "op", "v"),
+        "k", "seq", "op", Seq("v"))
+      .writeStream.format("memory").queryName("cdc_latest_test")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = feed.splitAt(2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = Scd.applyLatest(base,
+          spark.table("cdc_latest_test"), "k", Seq("v"))
+        .collect().map(_.toSeq).toSet
+      val batch = Scd.cdcApply(base,
+          feed.toDF("k", "seq", "op", "v"), "k", "seq", "op", Seq("v"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("cdcApply: empty feed is identity; empty base is pure insert") {
     val base = Seq((1L, "a")).toDF("k", "v")
     val empty = spark.emptyDataset[(Long, Long, String, String)]
