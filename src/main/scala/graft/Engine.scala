@@ -131,6 +131,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the band rule then sees an equi key and stands down.
     ext.injectOptimizerRule(_ => graft.plans.HammingJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    // r17: OR-of-equalities joins (the record-linkage spelling) decompose
+    // into a multiplicity-exact union of hash joins; runs last — its
+    // branch joins carry equi keys, so every rule stands down on them
+    ext.injectOptimizerRule(_ => graft.plans.DisjunctiveJoinRewrite)
   }
 }
 

@@ -540,6 +540,16 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |SELECT id_a, id_b, round(i / na, 4) AS containment
           |FROM pairs WHERE i / na >= 0.35""".stripMargin),
 
+    // q177: the naive OR join, verbatim — the engine runs it THROUGH
+    // the union-of-hash-joins rewrite; semantics preservation is the
+    // thing gated (the q150/q151 discipline for the third rule)
+    "q177_or_join_rewrite" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey % 97 = b.c_custkey % 97
+        |  OR a.c_custkey % 89 = b.c_custkey % 89
+        |WHERE a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1""".stripMargin,
+
     // q176: TPC-H Q5, verbatim six-table join
     "q176_regional_volume" ->
       """SELECT n_name,

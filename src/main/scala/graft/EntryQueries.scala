@@ -858,6 +858,22 @@ private[graft] trait EntryQueries { self: EntryShared =>
         docs.filter(col("doc_id") % 3 === 0), threshold = 0.35)
     }),
 
+    // OR-of-equalities join (the record-linkage spelling) written
+    // NAIVELY — the DisjunctiveJoinRewrite decomposes it into a
+    // multiplicity-exact union of hash joins; pairs matching BOTH keys
+    // must appear exactly once (the exactly-one-branch discipline)
+    "q177_or_join_rewrite" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("id_a"))
+      val b = c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey").as("id_b"))
+      a.join(b,
+        col("id_a") % 97 === col("id_b") % 97 ||
+          col("id_a") % 89 === col("id_b") % 89)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // TPC-H Q5 shape: six-table join with the correlated
     // customer-nation = supplier-nation path — the Catalyst
     // join-ordering stressor, and the first gate touching region/nation

@@ -441,16 +441,60 @@ object QueryFuzz {
     FuzzQuery(s"fz_$seed", build, sql)
   }
 
+  /** OR-of-equalities join (r17): the engine runs the NAIVE disjunctive
+    * spelling through [[graft.plans.DisjunctiveJoinRewrite]] while
+    * DuckDB evaluates it verbatim — a seeded differential test of the
+    * exactly-one-branch decomposition across 2–3 disjuncts, key moduli
+    * with real overlap, and sampled id classes.
+    */
+  private def orJoin(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val (tbl, idc) = Seq(("customer", "c_custkey"),
+      ("orders", "o_orderkey"), ("supplier", "s_suppkey"))(rnd.nextInt(3))
+    val mods = rnd.shuffle(Seq(83L, 89L, 97L, 101L, 103L))
+      .take(2 + rnd.nextInt(2))
+    val m = 2 + rnd.nextInt(2)
+    val r = rnd.nextInt(m)
+    val condSql = mods.map(k => s"a.$idc % $k = b.$idc % $k")
+      .mkString(" OR ")
+    val sql =
+      s"""SELECT CAST(count(*) AS BIGINT) AS a_cnt,
+         |       CAST(sum(id_a + 3 * id_b) AS BIGINT) AS a_chk
+         |FROM (
+         |  SELECT a.$idc AS id_a, b.$idc AS id_b
+         |  FROM $tbl a JOIN $tbl b ON ($condSql)
+         |  WHERE a.$idc % 2 = 0 AND b.$idc % 2 = 1
+         |    AND a.$idc % $m = ${r % m} AND b.$idc % $m = ${r % m}) z""".stripMargin
+    val build = (s: SparkSession, dir: String) => {
+      val base = tbl match {
+        case "customer" => Tables.customer(s, dir)
+        case "orders" => Tables.orders(s, dir)
+        case _ => Tables.supplier(s, dir)
+      }
+      val a = base.filter(col(idc) % 2 === 0 && col(idc) % m === r % m)
+        .select(col(idc).as("id_a"))
+      val b = base.filter(col(idc) % 2 === 1 && col(idc) % m === r % m)
+        .select(col(idc).as("id_b"))
+      val cond = mods.map(k => col("id_a") % k === col("id_b") % k)
+        .reduce(_ || _)
+      a.join(b, cond)
+        .agg(count(lit(1)).as("a_cnt"),
+          sum(col("id_a") + col("id_b") * 3).cast("long").as("a_chk"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
   /** Generate the query for one seed — pure function of the seed.
-    * Kind mix: 3/9 single-table, 1/9 equi-join, 1/9 band self-join,
-    * 1/9 hamming self-join, 1/9 point-in-interval join, 1/9
+    * Kind mix: 3/10 single-table, 1/10 equi-join, 1/10 band self-join,
+    * 1/10 hamming self-join, 1/10 point-in-interval join, 1/10
     * set-similarity join (full / incremental / CONTAINMENT — the q170
-    * asymmetric quotient — drawn per seed), 1/9 edit-distance join (the
-    * rewrite-rule, prefix-filter and segment-pigeonhole input spaces).
+    * asymmetric quotient — drawn per seed), 1/10 edit-distance join,
+    * 1/10 OR-of-equalities join (the rewrite-rule, prefix-filter and
+    * segment-pigeonhole input spaces).
     */
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
-    val kind = rnd.nextInt(9)
+    val kind = rnd.nextInt(10)
+    if (kind == 9) return orJoin(seed, rnd)
     if (kind == 8) return editJoin(seed, rnd)
     if (kind == 4) return bandJoin(seed, rnd)
     if (kind == 5) return hammingJoin(seed, rnd)

@@ -57,7 +57,9 @@ class PlanShapeSpec extends SparkSpecBase {
     // BNLJ), q167 (checkpoint-looped like q52 — the interesting plan
     // lives inside the rounds, pinned by GraphSpec instead)
     "q169_ewma_anomaly", "q170_containment_join", "q171_psi_drift",
-    "q172_lpa_communities", "q175_cdc_apply", "q176_regional_volume")
+    "q172_lpa_communities", "q175_cdc_apply", "q176_regional_volume",
+    // the OR-join gate MUST plan NLJ-free — that is the rule under test
+    "q177_or_join_rewrite")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {
