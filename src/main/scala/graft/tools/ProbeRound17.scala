@@ -64,6 +64,38 @@ object ProbeRound17 {
       }
     }
 
+    if (which == "all" || which == "orjoin") {
+      // DisjunctiveJoinRewrite A/B (the ProbeRewrite discipline): two
+      // linkage keys with ~n/1000-sized match classes, so output stays
+      // ~2n²/1000 and both legs price the JOIN MACHINERY
+      import org.apache.spark.sql.DataFrame
+      def rel(n: Long, pfx: String): DataFrame =
+        spark.range(n).select(col("id").as(s"id_$pfx"),
+          (xxhash64(col("id"), lit(1)) % 1000).as(s"k1_$pfx"),
+          (xxhash64(col("id"), lit(2)) % 1000).as(s"k2_$pfx"))
+      def q(n: Long): DataFrame =
+        rel(n, "a").join(rel(n, "b"),
+          col("k1_a") === col("k1_b") || col("k2_a") === col("k2_b"))
+          .agg(count(lit(1)).as("pairs"))
+      val key = "spark.graft.orJoinRewrite.enabled"
+      q(10000L).head() // warm both code paths
+      spark.conf.set(key, "false"); q(10000L).head()
+      spark.conf.set(key, "true")
+      for (n <- Seq(50000L, 100000L)) {
+        spark.conf.set(key, "false")
+        time(s"orjoin_naive_${n / 1000}k") {
+          println("  pairs=" + q(n).head().getLong(0))
+        }
+        spark.conf.set(key, "true")
+        time(s"orjoin_rewritten_${n / 1000}k") {
+          println("  pairs=" + q(n).head().getLong(0))
+        }
+      }
+      time("orjoin_rewritten_1M") {
+        println("  pairs=" + q(1000000L).head().getLong(0))
+      }
+    }
+
     if (which == "all" || which == "lpa") {
       // same cluster+hub graph as kcore: 4 voting rounds, hub votes
       // collapse map-side (the no-window claim under real skew)
