@@ -540,6 +540,25 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |SELECT id_a, id_b, round(i / na, 4) AS containment
           |FROM pairs WHERE i / na >= 0.35""".stripMargin),
 
+    // q178: lead() over the same (ts, event_id) per-user order — the
+    // oracle may window (its shape is unconstrained); counts exact,
+    // probability the round4 quotient of two exact integers
+    "q178_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |       round(c.n / CAST(t.n_from AS DOUBLE), 4) AS p
+        |FROM c JOIN t ON t.from_type = c.from_type""".stripMargin,
+
     // q177: the naive OR join, verbatim — the engine runs it THROUGH
     // the union-of-hash-joins rewrite; semantics preservation is the
     // thing gated (the q150/q151 discipline for the third rule)

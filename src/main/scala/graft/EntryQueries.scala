@@ -858,6 +858,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
         docs.filter(col("doc_id") % 3 === 0), threshold = 0.35)
     }),
 
+    // first-order Markov transition matrix over per-user event paths —
+    // where users actually GO next, vs q115's prescribed funnel order;
+    // sequencing by the EWMA fold discipline, never a window over a
+    // power user's history
+    "q178_event_transitions" -> ((s, dir) =>
+      graft.operators.EventAnalytics.transitionMatrix(Tables.events(s, dir))),
+
     // OR-of-equalities join (the record-linkage spelling) written
     // NAIVELY — the DisjunctiveJoinRewrite decomposes it into a
     // multiplicity-exact union of hash joins; pairs matching BOTH keys

@@ -128,4 +128,47 @@ object EventAnalytics {
         round(col("n_active") / nullif(col("n_cohort"), lit(0L)), 4)
           .as("retention"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences
+    * — the path-analysis companion to [[funnel]] (which checks ONE
+    * prescribed order; this reports where users actually go next):
+    * per (event_type → next event_type), the transition count and the
+    * row-normalized probability. Sequencing uses the TimeSeries
+    * discipline, not a window: one hash shuffle on the user, a
+    * per-partition sort, and a single sequential pass emitting
+    * consecutive-pair rows — a power user's year of events never
+    * buffers in a WindowExec, and per-key state is one element. Pair
+    * order within a user is (ts, event_id) — the EWMA tiebreak, so the
+    * matrix is deterministic under any execution order.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .select(col("user_id").cast("long").as("_k"), col("ts").as("_t"),
+        col("event_id").cast("long").as("_i"),
+        col("event_type").as("_e"))
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k"), col("_t"), col("_i"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val pairs = prepared.mapPartitions { it =>
+      var cur = 0L
+      var have = false
+      var prev: String = null
+      it.flatMap { case (k, _, _, e) =>
+        val out =
+          if (have && k == cur) Iterator.single((prev, e))
+          else Iterator.empty
+        cur = k; have = true; prev = e
+        out
+      }
+    }.toDF("from_type", "to_type")
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n") / col("n_from").cast("double"), 4).as("p"))
+  }
 }

@@ -166,4 +166,38 @@ class Round11OpsSpec extends SparkSpecBase {
     val docs = Seq((1L, "a b", "src0")).toDF("doc_id", "text", "source")
     assert(Curation.importanceResample(docs, "src0").count() === 0)
   }
+
+  test("transitionMatrix: exact counts, per-key reset, singletons drop") {
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    // user 1: A→B→B→C; user 2: C→A; user 3: lone event (no pair)
+    val events = Seq(
+      (1L, ts(0), 10L, "A"), (1L, ts(1), 11L, "B"),
+      (1L, ts(2), 12L, "B"), (1L, ts(3), 13L, "C"),
+      (2L, ts(0), 20L, "C"), (2L, ts(1), 21L, "A"),
+      (3L, ts(0), 30L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val out = graft.operators.EventAnalytics.transitionMatrix(events)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((1L, 1L, 1.0)),
+      ("B", "B") -> ((1L, 2L, 0.5)),
+      ("B", "C") -> ((1L, 2L, 0.5)),
+      ("C", "A") -> ((1L, 1L, 1.0))))
+    // and the user-boundary pair (1's C → 2's C) must NOT exist: the
+    // fold resets per key, so no ("C","C") row appears above
+  }
+
+  test("transitionMatrix is invariant to input partitioning") {
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val events = (0 until 500).map { j =>
+      (j % 13L, ts(j / 13), j.toLong, "t" + (j * 7 % 4))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val one = graft.operators.EventAnalytics
+      .transitionMatrix(events.repartition(1)).collect().map(_.toSeq).toSet
+    val many = graft.operators.EventAnalytics
+      .transitionMatrix(events.repartition(11)).collect().map(_.toSeq).toSet
+    assert(one === many)
+  }
 }
