@@ -2148,6 +2148,63 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q179: the q121 score/label chain re-cut as the Mann-Whitney rank
+    // statistic — per (split, rounded score) pos/neg counts, integer
+    // 2U accumulation via a cumulative window over that bounded
+    // relation, one exact double division at the end (ties half-credit)
+    "q179_roc_auc" -> {
+      val w = graft.operators.QualityModel.DefaultWeights
+      val thr = graft.operators.QualityModel.HeuristicLabelThreshold
+      val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
+      docCtes.stripSuffix("\n") + ",\n" +
+        s"""f AS (
+           |  SELECT doc_id,
+           |         least(len(toks) / 100.0, 1.0) AS x1,
+           |         CASE WHEN length(text) > 0
+           |              THEN len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                   / length(text)
+           |              ELSE 0.0e0 END AS x2,
+           |         least($stop / len(toks) * 5.0, 1.0) AS x3,
+           |         round(0.4 * least(len(toks) / 100.0, 1.0)
+           |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+           |                            / NULLIF(length(text), 0))
+           |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+           |  FROM toks),
+           |s AS (
+           |  SELECT doc_id,
+           |         round(1.0e0 / (1.0e0 + exp(-(${w(0)}e0 * 1.0e0
+           |           + ${w(1)}e0 * x1 + ${w(2)}e0 * x2 + ${w(3)}e0 * x3))), 4)
+           |           AS p,
+           |         CASE WHEN quality >= ${thr}e0 THEN 1 ELSE 0 END AS y
+           |  FROM f),
+           |j AS (
+           |  SELECT CASE WHEN b < 10 THEN 'test'
+           |              WHEN b < 20 THEN 'val'
+           |              ELSE 'train' END AS split, p, y
+           |  FROM (SELECT p, y,
+           |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100
+           |            AS b
+           |        FROM s)),
+           |g AS (
+           |  SELECT split, p,
+           |         CAST(sum(y) AS BIGINT) AS np,
+           |         CAST(sum(1 - y) AS BIGINT) AS nn
+           |  FROM j GROUP BY 1, 2),
+           |c AS (
+           |  SELECT split, np, nn,
+           |         CAST(coalesce(sum(nn) OVER (PARTITION BY split ORDER BY p
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           AS BIGINT) AS neg_below
+           |  FROM g)
+           |SELECT split,
+           |       CAST(sum(np) AS BIGINT) AS n_pos,
+           |       CAST(sum(nn) AS BIGINT) AS n_neg,
+           |       round(CAST(sum(np * (2 * neg_below + nn)) AS DOUBLE)
+           |         / CAST(NULLIF(2 * sum(np) * sum(nn), 0) AS DOUBLE), 6)
+           |         AS auc
+           |FROM c GROUP BY 1""".stripMargin
+    },
+
     // q174: the q121 score/label chain re-cut as a reliability diagram —
     // round-then-bin on the probability (crisp edges in both engines),
     // per (split, bin) mean prediction vs empirical rate

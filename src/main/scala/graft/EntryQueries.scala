@@ -932,6 +932,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.QualityModel.calibrationCurve(
         Tables.documents(s, dir))),
 
+    // exact ROC AUC per split — the threshold-free ranking metric
+    // completing the eval triple (q121 fixed-cut, q174 calibration):
+    // all-integer Mann-Whitney rank accumulation over the bounded
+    // (split, rounded-score) relation, one corpus scan
+    "q179_roc_auc" -> ((s, dir) =>
+      graft.operators.QualityModel.rocAuc(Tables.documents(s, dir))),
+
     // PSI drift report between two snapshot halves over the q168
     // log-binned length distribution — the "did the data move?" monitor
     // next to q163's expectation checks; sketch-sized after two scans

@@ -249,6 +249,66 @@ object QualityModel {
     } finally { f.unpersist(); () }
   }
 
+  /** Exact ROC AUC per split — the threshold-free ranking metric next to
+    * q121's fixed-cut confusion counts and q174's calibration bins: AUC
+    * is the probability a random positive outscores a random negative
+    * (the Mann–Whitney U statistic), so it measures the model's ORDERING
+    * quality independent of where any consumer later thresholds.
+    *
+    * Exactness under ties: scores are the ROUNDED 4-decimal
+    * probabilities (the same round-then-decide discipline as the accept
+    * rule), so tied scores are crisp in both engines and get the
+    * standard half credit — per distinct score s,
+    * contribution = nPos(s)·(negBelow(s) + ½·nNeg(s)). Doubling keeps
+    * the accumulation ALL-INTEGER until one final division:
+    * 2·U = Σ nPos(s)·(2·negBelow(s) + nNeg(s)), AUC = 2U / (2·P·N) —
+    * exact int64 up to ~10⁹ rows per split (P·N ≤ 2.5·10¹⁷), then one
+    * identical double division in both engines, rounded 6.
+    *
+    * Scale shape: ONE corpus scan collapses to a (split, score)
+    * relation via a map-side-combining aggregate — bounded by
+    * splits × 10,001 distinct rounded scores REGARDLESS of corpus size
+    * — and only that sketch-sized relation enters the cumulative-sum
+    * window (the q168/q171 discipline: windows run over sketches, never
+    * over corpora). A split with no positives or no negatives yields
+    * NULL AUC via nullif (undefined, not a fake 0.5).
+    */
+  def rocAuc(docs: DataFrame, w: Seq[Double] = DefaultWeights.toSeq): DataFrame = {
+    require(w.size == Dim, s"weight vector must have $Dim components")
+    val z = logitExpr(w, col("text"))
+    val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+    val b = Curation.hashBucket(col("doc_id"))
+    val split = when(b < 10, lit("test")).when(b < 20, lit("val"))
+      .otherwise(lit("train"))
+    aucByGroup(docs.select(split.as("split"), p.as("p"),
+      labelHeuristic().cast("long").as("y")), "split")
+  }
+
+  /** AUC core over a (group, p, y∈{0,1}) relation — factored so specs can
+    * pin the rank arithmetic on hand-built scores. One shuffle to the
+    * per-(group, score) counts; the window runs over that bounded
+    * relation only.
+    */
+  private[graft] def aucByGroup(scored: DataFrame, g: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = scored
+      .groupBy(col(g), col("p"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val wsp = Window.partitionBy(g).orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val negBelow = coalesce(sum(col("nn")).over(wsp), lit(0L))
+    perScore
+      .select(col(g), col("np"), col("nn"),
+        (col("np") * (lit(2L) * negBelow + col("nn"))).as("num2"))
+      .groupBy(col(g))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("num2")).as("num2"))
+      .select(col(g), col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          nullif(lit(2L) * col("n_pos") * col("n_neg"), lit(0L))
+            .cast("double"), 6).as("auc"))
+  }
+
   /** The driver-side reference trainer (specs only): the same arithmetic
     * over an in-memory feature matrix, sequential sum order.
     */

@@ -134,4 +134,53 @@ class QualityModelSpec extends SparkSpecBase {
       assert(math.abs(r.getAs[Double]("gap") - (mp - rate)) < 1e-3)
     }
   }
+
+  test("AUC rank arithmetic: hand-traced ties, perfect/inverted/degenerate " +
+       "groups, and agreement with a brute-force pair count") {
+    import spark.implicits._
+    // group a: scores with a TIE straddling the classes.
+    // pairs (pos, neg): pos={0.9, 0.5}, neg={0.5, 0.1}
+    //   0.9>0.5 → 1, 0.9>0.1 → 1, 0.5=0.5 → ½, 0.5>0.1 → 1  ⇒ AUC 3.5/4
+    val a = Seq(("a", 0.9, 1L), ("a", 0.5, 1L), ("a", 0.5, 0L), ("a", 0.1, 0L))
+    // b: perfectly ranked; c: perfectly inverted; d: all one class → NULL
+    val b = Seq(("b", 0.8, 1L), ("b", 0.7, 1L), ("b", 0.2, 0L))
+    val c = Seq(("c", 0.1, 1L), ("c", 0.9, 0L))
+    val d = Seq(("d", 0.4, 1L), ("d", 0.6, 1L))
+    val scored = (a ++ b ++ c ++ d).toDF("g", "p", "y")
+    val out = QualityModel.aucByGroup(scored, "g").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.toString.toDouble)))
+      .toMap
+    assert(out("a") === ((2L, 2L, Some(0.875))))
+    assert(out("b") === ((2L, 1L, Some(1.0))))
+    assert(out("c") === ((1L, 1L, Some(0.0))))
+    assert(out("d") === ((2L, 0L, None)))
+    // brute-force cross-check on a pseudo-random group: AUC must equal
+    // the mean over all (pos, neg) pairs of [p_pos > p_neg] + ½[tie]
+    val rnd = (0 until 200).map { i =>
+      val h = ((i * 2654435761L) >>> 7) & 0xffff
+      ("r", (h % 23).toDouble / 22.0, (h % 5 < 2).compare(false).toLong)
+    }
+    val got = QualityModel.aucByGroup(rnd.toDF("g", "p", "y"), "g")
+      .head().getAs[Double]("auc")
+    val pos = rnd.filter(_._3 == 1L).map(_._2)
+    val neg = rnd.filter(_._3 == 0L).map(_._2)
+    val brute = pos.flatMap(pp => neg.map(nn =>
+      if (pp > nn) 1.0 else if (pp == nn) 0.5 else 0.0)).sum /
+      (pos.size.toDouble * neg.size)
+    assert(math.abs(got - brute) < 5e-7, s"auc $got vs brute $brute")
+  }
+
+  test("rocAuc: one row per split, counts partition the corpus, AUC beats " +
+       "chance for the trained artifact") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = QualityModel.rocAuc(docs).collect()
+    assert(out.map(_.getString(0)).sorted === Seq("test", "train", "val"))
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum === docs.count())
+    out.foreach { r =>
+      val auc = r.getAs[Double]("auc")
+      assert(auc > 0.8, s"split ${r.getString(0)}: trained model should " +
+        s"rank far better than chance, got $auc")
+    }
+  }
 }
