@@ -2148,6 +2148,68 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q180: OLS closed form over exact integer sums — x floors to
+    // seconds past the shared origin, y scales to cents, sums ride
+    // HUGEINT (Spark: decimal(38,0)); doubles only in the final
+    // fixed-order divisions, rounded 6
+    "q180_grouped_trend" ->
+      s"""WITH e AS (
+         |  SELECT event_type AS g,
+         |         CAST(floor(epoch(ts)) AS BIGINT)
+         |           - ${graft.operators.Stats.TrendEpochOrigin} AS x,
+         |         CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events),
+         |s AS (
+         |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         |         sum(CAST(x AS HUGEINT)) AS sx,
+         |         sum(CAST(y AS HUGEINT)) AS sy,
+         |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |         sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM e GROUP BY 1)
+         |SELECT g, CAST(n AS BIGINT) AS n,
+         |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |         / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6)
+         |         AS slope,
+         |       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+         |         / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6)
+         |         AS intercept,
+         |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |           * CAST(n * sxy - sx * sy AS DOUBLE)
+         |         / (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+         |            * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE)), 6)
+         |         AS r2
+         |FROM s""".stripMargin,
+
+    // q181: contingency cells in one pass, marginals over the cells,
+    // chi-square summed per-cell in double over exact integer counts
+    // (round-after-sum over a ~100-cell relation); the grid is the
+    // marginal cross product so UNOBSERVED cells contribute their
+    // (0 − e)²/e term
+    "q181_chi_square" ->
+      s"""WITH cells AS (
+         |  SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS obs
+         |  FROM documents GROUP BY 1, 2),
+         |r AS (SELECT a, CAST(sum(obs) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         |c AS (SELECT b, CAST(sum(obs) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS nn FROM cells),
+         |j AS (
+         |  SELECT a, b, coalesce(obs, 0) AS o, nn,
+         |         CAST(ra AS DOUBLE) * cb / nn AS e
+         |  FROM r CROSS JOIN c
+         |  LEFT JOIN cells USING (a, b)
+         |  CROSS JOIN tot)
+         |SELECT CAST(count(DISTINCT a) AS BIGINT) AS a_card,
+         |       CAST(count(DISTINCT b) AS BIGINT) AS b_card,
+         |       max(nn) AS n,
+         |       round(sum((o - e) * (o - e) / e), 4) AS chi2,
+         |       (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+         |       round(sqrt(sum((o - e) * (o - e) / e)
+         |         / (max(nn) * least(count(DISTINCT a) - 1,
+         |                            count(DISTINCT b) - 1))), 4)
+         |         AS cramers_v
+         |FROM j""".stripMargin,
+
     // q179: the q121 score/label chain re-cut as the Mann-Whitney rank
     // statistic — per (split, rounded score) pos/neg counts, integer
     // 2U accumulation via a cumulative window over that bounded

