@@ -2148,6 +2148,29 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q182: the reconciliation SEMANTICS as one direct full join — the
+    // engine's two-stage bucket-fingerprint path must surface exactly
+    // the rows a naive full-outer compare would
+    "q182_table_diff" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+         |m AS (
+         |  SELECT o_orderkey, o_custkey,
+         |         CASE WHEN o_orderkey % 89 = 3 THEN 'Z'
+         |              ELSE o_orderstatus END AS o_orderstatus
+         |  FROM o WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus
+         |  FROM o WHERE o_orderkey % 101 = 5)
+         |SELECT coalesce(o.o_orderkey, m.o_orderkey) AS o_orderkey,
+         |       CASE WHEN m.o_orderkey IS NULL THEN 'only_left'
+         |            WHEN o.o_orderkey IS NULL THEN 'only_right'
+         |            ELSE 'changed' END AS status
+         |FROM o FULL JOIN m ON o.o_orderkey = m.o_orderkey
+         |WHERE m.o_orderkey IS NULL OR o.o_orderkey IS NULL
+         |   OR o.o_custkey IS DISTINCT FROM m.o_custkey
+         |   OR o.o_orderstatus IS DISTINCT FROM m.o_orderstatus""".stripMargin,
+
     // q180: OLS closed form over exact integer sums — x floors to
     // seconds past the shared origin, y scales to cents, sums ride
     // HUGEINT (Spark: decimal(38,0)); doubles only in the final

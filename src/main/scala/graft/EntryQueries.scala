@@ -954,6 +954,25 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // anti-entropy table reconciliation — orders vs a mutated copy
+    // (dropped %97, re-statused %89=3, inserted %101=5 under fresh
+    // keys): Merkle-style per-bucket fingerprints find the dirty
+    // buckets, only those re-enter the key-level full-outer compare;
+    // the oracle replays the SEMANTICS as a direct full join
+    "q182_table_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val mutated = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 89 === 3, lit("Z"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(o.filter(col("o_orderkey") % 101 === 5)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus")))
+      graft.operators.Validation.tableDiff(o, mutated, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus"))
+    }),
+
     // PSI drift report between two snapshot halves over the q168
     // log-binned length distribution — the "did the data move?" monitor
     // next to q163's expectation checks; sketch-sized after two scans

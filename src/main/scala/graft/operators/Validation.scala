@@ -238,4 +238,108 @@ object Validation {
       .select(col("g"), col("n_ref"), col("n_cur"), col("n_buckets"),
         col("psi"))
   }
+
+  /** Default bucket count for [[tableDiff]] — coarse enough that the
+    * stage-1 checksum relation is always driver-trivial, fine enough
+    * that sparse diffs prune most of stage 2.
+    */
+  val DiffBuckets = 1024
+
+  /** Anti-entropy table reconciliation: find every row-level difference
+    * between two versions of a keyed table WITHOUT shuffling either
+    * table in full — the "did the migration/backfill/replica corrupt
+    * anything, and where" audit that a 100 TB copy makes impossible to
+    * answer by direct comparison (a full-outer join on the key shuffles
+    * 200 TB to find what is usually a handful of rows).
+    *
+    * Merkle-style two stages (the Dynamo/Cassandra anti-entropy shape,
+    * flattened to one level because Spark aggregates a billion buckets
+    * as easily as a tree walk):
+    *
+    *  1. Both tables collapse to per-bucket fingerprints in ONE
+    *     map-side-combining aggregate each: bucket = content hash of the
+    *     KEY (so a changed row lands in the same bucket on both sides
+    *     and dirties exactly one bucket), fingerprint = (count,
+    *     Σ rowHash) with the 60-bit row hash summed as DECIMAL(38,0) —
+    *     commutative, so no sort; exact, so no false negatives from
+    *     overflow wrap. A full-outer join of the two nBuckets-row
+    *     relations yields the dirty-bucket set.
+    *  2. Only rows whose key-bucket is dirty re-enter: each side
+    *     broadcast-semi-joins against the dirty set (a scan-and-filter,
+    *     NO table-sized shuffle), and the full-outer key join + hash
+    *     compare runs over that slice alone, classifying `only_left` /
+    *     `only_right` / `changed`. With d dirty buckets the join input
+    *     is ~(d/nBuckets) of each table — for the sparse diffs
+    *     reconciliation exists to find, effectively the diff rows plus
+    *     their bucket-mates.
+    *
+    * Columns participate via an explicit null-sentinel string repr
+    * (\\u0001 separator, \\u0002 for NULL — distinct from the empty
+    * string), so `cols` should be integer/string-typed columns with
+    * engine-portable casts. Identical tables produce an EMPTY result
+    * from stage 1 alone.
+    */
+  def tableDiff(left: DataFrame, right: DataFrame, key: String,
+                cols: Seq[String], nBuckets: Int = DiffBuckets): DataFrame = {
+    require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
+    val bucket = diffBucket(col(key), nBuckets)
+    val rowHash = diffRowHash(col(key), cols.map(col))
+    val dirty = dirtyBuckets(
+      fingerprintRegisters(left, key, cols, nBuckets),
+      fingerprintRegisters(right, key, cols, nBuckets))
+    def slice(df: DataFrame, side: String): DataFrame =
+      df.select(col(key), bucket.as("bucket"), rowHash.as(s"h_$side"))
+        .join(broadcast(dirty), Seq("bucket"), "left_semi")
+        .drop("bucket")
+    slice(left, "l").join(slice(right, "r"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("h_r").isNull, lit("only_left"))
+          .when(col("h_l").isNull, lit("only_right"))
+          .when(col("h_l") =!= col("h_r"), lit("changed"))
+          .as("status"))
+      .filter(col("status").isNotNull)
+  }
+
+  /** The key-content bucket both sides of a reconciliation agree on. */
+  private def diffBucket(key: Column, nBuckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int") % nBuckets
+
+  /** 60-bit row-content hash over the null-sentinel repr (\\u0001
+    * separator, \\u0002 for NULL).
+    */
+  private def diffRowHash(key: Column, cols: Seq[Column]): Column = {
+    val repr = concat_ws("\u0001",
+      (key +: cols.map(c => coalesce(c.cast("string"),
+        lit("\u0002")))).map(_.cast("string")): _*)
+    conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+  }
+
+  /** [[tableDiff]] stage 1 as a standalone relation: per-bucket
+    * (cnt, hsum) fingerprint registers. Runs UNCHANGED on a streaming
+    * feed (update-mode aggregation, state = nBuckets rows, no
+    * watermark) — the register-maintenance story q157 (HLL) and q168
+    * (quantile sketch) establish, applied to reconciliation: maintain
+    * the live table's fingerprints continuously, diff against a stored
+    * snapshot's registers on demand without rescanning either table.
+    */
+  def fingerprintRegisters(df: DataFrame, key: String, cols: Seq[String],
+                           nBuckets: Int = DiffBuckets): DataFrame =
+    df.select(diffBucket(col(key), nBuckets).as("bucket"),
+        diffRowHash(col(key), cols.map(col)).as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("h").cast("decimal(38,0)")).as("hsum"))
+
+  /** Buckets whose fingerprints disagree between two register
+    * relations — the work-list [[tableDiff]] stage 2 drills into.
+    */
+  def dirtyBuckets(left: DataFrame, right: DataFrame): DataFrame =
+    left.select(col("bucket"), col("cnt").as("cnt_l"),
+        col("hsum").as("hsum_l"))
+      .join(right.select(col("bucket"), col("cnt").as("cnt_r"),
+        col("hsum").as("hsum_r")), Seq("bucket"), "full_outer")
+      .filter(col("cnt_l").isNull || col("cnt_r").isNull ||
+        col("cnt_l") =!= col("cnt_r") || col("hsum_l") =!= col("hsum_r"))
+      .select(col("bucket"))
 }

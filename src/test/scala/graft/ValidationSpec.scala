@@ -198,4 +198,87 @@ class ValidationSpec extends SparkSpecBase {
     assert(!out("only_ref")._5.isNaN && !out("only_ref")._5.isInfinite)
     assert(out("both")._5 === 0.0)
   }
+
+  private def diffMap(out: DataFrame): Map[Long, String] =
+    out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("tableDiff: identical tables diff empty; each status classifies " +
+       "its own mutation") {
+    val left = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Some("c"), 30L), (4L, None: Option[String], 40L))
+      .toDF("k", "s", "v")
+    assert(Validation.tableDiff(left, left, "k", Seq("s", "v")).count() === 0)
+    val right = Seq( // 1 unchanged, 2 value-changed, 3 dropped, 5 inserted,
+      (1L, Some("a"), 10L), (2L, Some("B"), 20L),
+      (4L, None: Option[String], 40L), (5L, Some("e"), 50L))
+      .toDF("k", "s", "v")
+    val d = diffMap(Validation.tableDiff(left, right, "k", Seq("s", "v")))
+    assert(d === Map(2L -> "changed", 3L -> "only_left", 5L -> "only_right"))
+  }
+
+  test("tableDiff: null-sentinel repr separates NULL from empty string " +
+       "and values from column shifts, even with all keys in ONE bucket") {
+    // nBuckets = 1 forces every key into the same dirty bucket: the
+    // stage-2 compare must still emit ONLY genuinely differing keys
+    // (bucket-mates with equal rows filter out)
+    val left = Seq((1L, Some(""), Some("x")), (2L, Some("ab"), Some("c")),
+      (3L, Some("same"), Some("same")))
+      .toDF("k", "a", "b")
+    val right = Seq((1L, None: Option[String], Some("x")),
+      (2L, Some("a"), Some("bc")),
+      (3L, Some("same"), Some("same")))
+      .toDF("k", "a", "b")
+    val d = diffMap(Validation.tableDiff(left, right, "k", Seq("a", "b"),
+      nBuckets = 1))
+    assert(d === Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("streaming fingerprint registers equal the batch registers and " +
+       "find the planted dirty buckets against a stored snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val snapshot = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "s")
+    // the live feed: key 7 re-valued, key 201 new, key 50 absent
+    val liveRows = (1L to 200L).filterNot(_ == 50L)
+      .map(k => (k, if (k == 7L) "CHANGED" else s"v$k")) :+ (201L, "v201")
+    val input = MemoryStream[(Long, String)]
+    val q = Validation.fingerprintRegisters(
+        input.toDF.toDF("k", "s"), "k", Seq("s"), nBuckets = 32)
+      .writeStream.format("memory").queryName("fp_regs_test")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = liveRows.splitAt(liveRows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("fp_regs_test")
+      // register law: incremental state == one-shot batch fold
+      val batch = Validation.fingerprintRegisters(
+        liveRows.toDF("k", "s"), "k", Seq("s"), nBuckets = 32)
+      assert(streamed.collect().map(_.toSeq).toSet ===
+        batch.collect().map(_.toSeq).toSet)
+      // diffing the LIVE registers against the stored snapshot's finds
+      // exactly the buckets of the three planted differences
+      val dirty = Validation.dirtyBuckets(
+          Validation.fingerprintRegisters(snapshot, "k", Seq("s"),
+            nBuckets = 32), streamed)
+        .collect().map(_.getInt(0)).toSet
+      val expect = Validation.tableDiff(snapshot, liveRows.toDF("k", "s"),
+        "k", Seq("s"), nBuckets = 32)
+      assert(expect.collect().map(r => r.getLong(0) -> r.getString(1))
+        .toMap === Map(7L -> "changed", 50L -> "only_left",
+          201L -> "only_right"))
+      assert(dirty.size <= 3 && dirty.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("tableDiff plan: stage 2 gates both scans behind a broadcast " +
+       "semi-join on the dirty-bucket set") {
+    val t = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val plan = Validation.tableDiff(t, t, "k", Seq("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join gate in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"dirty-bucket set should broadcast in:\n$plan")
+  }
 }
