@@ -2148,6 +2148,22 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q183: the evolved-read semantics replayed from the base table —
+    // generation 1 rows (doc_id even) carry NULL lang (the column did
+    // not exist in their files), generation 2 rows carry the real value
+    "q183_schema_evolution" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source, n_chars, NULL AS lang
+         |  FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars, lang
+         |  FROM documents WHERE doc_id % 2 = 1)
+         |SELECT source, lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc
+         |FROM u GROUP BY 1, 2""".stripMargin,
+
     // q182: the reconciliation SEMANTICS as one direct full join — the
     // engine's two-stage bucket-fingerprint path must surface exactly
     // the rows a naive full-outer compare would

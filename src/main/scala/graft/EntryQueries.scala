@@ -973,6 +973,19 @@ private[graft] trait EntryQueries { self: EntryShared =>
         Seq("o_custkey", "o_orderstatus"))
     }),
 
+    // schema-evolution read — one logical table over two layout
+    // generations (v2 added `lang`): mergeSchema fuses the footers,
+    // NULL-fills the pre-evolution rows, and the aggregate must see
+    // both generations as one relation
+    "q183_schema_evolution" -> ((s, dir) => {
+      val root = evoLayoutShared(s, dir)
+      graft.sources.Writers.readEvolved(s, Seq(s"$root/v1", s"$root/v2"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          min(col("doc_id")).as("min_doc"))
+    }),
+
     // PSI drift report between two snapshot halves over the q168
     // log-binned length distribution — the "did the data move?" monitor
     // next to q163's expectation checks; sketch-sized after two scans

@@ -314,6 +314,31 @@ private[graft] trait EntryShared {
     })._2
   }
 
+  // Two layout GENERATIONS of the documents table for q183: v1 wrote
+  // (doc_id, source, n_chars); a later pipeline release added `lang`.
+  // Built once per (session, dir); the evolved read must fuse both
+  // generations with NULL-fill for the pre-evolution rows.
+  protected val evoLayoutMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  protected def evoLayoutShared(s: SparkSession, dir: String): String = {
+    val it = evoLayoutMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    evoLayoutMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_evo_").toString
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$root/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "source", "n_chars", "lang")
+        .write.mode("overwrite").parquet(s"$root/v2")
+      (s, root)
+    })._2
+  }
+
   // Compacted event layout for q125: a deliberately FRAGMENTED
   // partitioned write (16 tasks per date — streaming-ingest debris)
   // rewritten by Writers.compactPartitioned to one file per partition.

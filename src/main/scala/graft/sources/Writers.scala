@@ -127,6 +127,48 @@ object Writers {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Schema-evolution read across layout GENERATIONS — the lakehouse
+    * reality that a long-lived table's files were written by different
+    * pipeline releases: later generations add columns, earlier files
+    * simply lack them. `mergeSchema` unions the footers' schemas at
+    * planning time and NULL-fills absent columns per file — so one
+    * logical table spans every generation without a rewrite (the
+    * parquet analog of DuckDB's `union_by_name`). Scale note: footer
+    * merging is metadata-only (driver-side, one footer per file — pair
+    * with [[compactPartitioned]] to keep file counts sane); the data
+    * path stays a plain pruned columnar scan, and columns missing from
+    * a file cost ZERO bytes there. Incompatible type changes across
+    * generations fail loudly at plan time — that is a table REWRITE
+    * (or a cast view), not an evolution, and silently coercing it would
+    * corrupt the narrower files' values.
+    */
+  def readEvolved(spark: org.apache.spark.sql.SparkSession,
+                  paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Column-level diff of two schema generations: one row per column
+    * that was `added`, `removed`, or `type_changed` between `from` and
+    * `to` — the review artifact a schema-evolution commit gate (q163's
+    * promotion step) would attach. Name-keyed, order-insensitive
+    * (column ORDER is presentation, not schema identity in parquet).
+    */
+  def schemaDiff(spark: org.apache.spark.sql.SparkSession,
+                 from: org.apache.spark.sql.types.StructType,
+                 to: org.apache.spark.sql.types.StructType): DataFrame = {
+    val f = from.fields.map(x => x.name -> x.dataType.sql).toMap
+    val t = to.fields.map(x => x.name -> x.dataType.sql).toMap
+    val rows =
+      t.keySet.diff(f.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, t(c))) ++
+      f.keySet.diff(t.keySet).toSeq.sorted.map(c =>
+        (c, "removed", f(c), null: String)) ++
+      f.keySet.intersect(t.keySet).toSeq.sorted
+        .filter(c => f(c) != t(c))
+        .map(c => (c, "type_changed", f(c), t(c)))
+    import spark.implicits._
+    rows.toDF("column", "status", "from_type", "to_type")
+  }
+
   /** Small-file compaction of a hive-partitioned parquet layout — the
     * standing maintenance job of a 100 TB lakehouse: streaming ingest and
     * fine-grained batch writes leave hundreds of small files per

@@ -207,4 +207,36 @@ class WritersSpec extends SparkSpecBase {
     assert(back.select(col("z_file")).distinct().collect()
       .forall(r => (r.getInt(0) & 0x15) === 0))
   }
+
+  test("evolved read fuses layout generations with NULL-fill; schemaDiff " +
+       "reports the delta; incompatible generations fail loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_evo_spec_").toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val v2 = Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "s", "extra")
+    v1.write.parquet(s"$root/v1")
+    v2.write.parquet(s"$root/v2")
+    val evolved = Writers.readEvolved(spark, Seq(s"$root/v1", s"$root/v2"))
+    assert(evolved.columns.sorted === Array("extra", "k", "s"))
+    val byK = evolved.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(byK === Map(1L -> None, 2L -> None,
+      3L -> Some(30L), 4L -> Some(40L)))
+    val d = Writers.schemaDiff(spark, v1.schema, v2.schema).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d === Map("extra" -> "added"))
+    val d2 = Writers.schemaDiff(spark, v2.schema,
+        Seq((1L, 2, "x")).toDF("k", "extra", "added2").schema).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d2 === Map("s" -> "removed", "extra" -> "type_changed",
+      "added2" -> "added"))
+    // a STRING k generation conflicts with the LONG k generations:
+    // evolution must refuse, not coerce
+    Seq(("oops", "z")).toDF("k", "s").write.parquet(s"$root/v3")
+    val err = intercept[Exception] {
+      Writers.readEvolved(spark,
+        Seq(s"$root/v1", s"$root/v3")).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
