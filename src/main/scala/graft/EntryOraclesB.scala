@@ -787,6 +787,14 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         "\nSELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, " +
         "round(cos, 4) AS cos FROM ranked WHERE rank <= 5"),
 
+    // q184: q155's replay with the hard-negative label-mismatch
+    // predicate at the candidate stage
+    "q184_hard_negatives" ->
+      (kmeansCtes.stripSuffix("\n") + ",\n" +
+        knnRankedCtes("AND c.label <> q.label") +
+        "\nSELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, " +
+        "round(cos, 4) AS cos FROM ranked WHERE rank <= 5"),
+
     // q159: PageRank centrality over the q155 kNN graph — the composed
     // "most representative vectors" query; edges are the top-5 directed
     // kNN pairs symmetrized with multigraph semantics (mutual pairs

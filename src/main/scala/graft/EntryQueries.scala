@@ -113,6 +113,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
       Similarity.knnJoin(embs, embs, kmeansShared(s, dir), k = 5, nProbe = 2)
     }),
 
+    // hard-negative mining for contrastive training — q155's IVF join
+    // with the label-mismatch predicate at the CANDIDATE stage, so the
+    // top-5 fills with genuinely different-label near-confusions
+    "q184_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir),
+        kmeansShared(s, dir), k = 5, nProbe = 2)),
+
     // ε-DP per-source release (two-sided geometric mechanism, seeded
     // md5 noise stream — reproducible AND oracle-replayable): the
     // publishable form of the q124 data card; no un-noised count leaves

@@ -1383,7 +1383,14 @@ private[graft] trait EntryShared {
     * (round(cos,6) desc, vec_id). Ends in `ranked` (q_id, vec_id, cos,
     * rank). Requires [[kmeansCtes]] (v, c$KmeansIters, cells) upstream.
     */
-  protected def knnRankedCtes: String =
+  protected def knnRankedCtes: String = knnRankedCtes("")
+
+  /** `extraPred` narrows the candidate stage (e.g. q184's hard-negative
+    * label mismatch `AND c.label <> q.label`) — applied exactly where
+    * the engine applies it, BEFORE ranking, so the top-k fills with
+    * qualifying candidates.
+    */
+  protected def knnRankedCtes(extraPred: String): String =
     s"""qprobe AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT v.vec_id, cc.cell,
@@ -1399,7 +1406,8 @@ private[graft] trait EntryShared {
        |  FROM embeddings q
        |  JOIN qprobe qp ON qp.vec_id = q.vec_id
        |  JOIN cells cc ON cc.cell = qp.cell
-       |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id),
+       |  JOIN embeddings c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id
+       |    $extraPred),
        |ranked AS (
        |  SELECT q_id, vec_id, cos,
        |         ROW_NUMBER() OVER (PARTITION BY q_id

@@ -358,6 +358,37 @@ object Similarity {
       vec_cosine(col("q_emb"), col("emb")).as("cos")), k)
   }
 
+  /** Hard-negative mining for contrastive training — per query vector,
+    * the top-k most-similar vectors with a DIFFERENT label (the
+    * DPR/sentence-encoder curriculum: random negatives are too easy;
+    * the negatives that teach are the ones the current embedding space
+    * confuses with the positives). Same symmetric-shuffle IVF plan as
+    * [[knnJoin]] with the label-mismatch predicate applied AT THE
+    * CANDIDATE STAGE — same-label candidates drop before the heap, so
+    * k genuinely different-label negatives survive per query (a
+    * post-filter on a top-k result would under-fill: the nearest
+    * neighbors of a vector are usually its OWN label). State stays
+    * O(queries × k) via the bounded heap; the mismatch filter only
+    * shrinks the candidate stream.
+    */
+  def hardNegatives(embeddings: DataFrame, model: KmeansModel,
+                    k: Int, nProbe: Int): DataFrame = {
+    val c = embeddings.select(col("vec_id"), col("label").as("c_label"),
+      col("embedding").as("emb"),
+      element_at(graft.functions.VectorFunctions.nearest_cells(
+        col("embedding"), model.centroids.toIndexedSeq, 1), 1).as("cell"))
+    val q = embeddings.select(col("vec_id").as("q_id"),
+      col("label").as("q_label"),
+      col("embedding").as("q_emb"),
+      explode(graft.functions.VectorFunctions.nearest_cells(
+        col("embedding"), model.centroids.toIndexedSeq, nProbe)).as("cell"))
+    val candidates = c.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("c_label") =!= col("q_label"))
+    rankTopK(candidates.select(col("q_id"), col("vec_id"),
+      vec_cosine(col("q_emb"), col("emb")).as("cos")), k)
+  }
+
   /** Embedding-space near-duplicate pairs: cosine >= threshold within a
     * vec_id window. Correctness demo only — the id-window predicate is
     * non-equi (nested-loop join); the scale path is [[cellNearDupPairs]].

@@ -68,4 +68,27 @@ class KnnJoinSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("Generate")) // the nProbe cell explode
   }
+
+  test("hardNegatives: no pair shares a label, and the candidate-stage " +
+       "filter out-fills a post-filtered knnJoin") {
+    val labels = embs.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val hard = Similarity.hardNegatives(embs, model, k = 5, nProbe = 2)
+      .select("q_id", "vec_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(hard.nonEmpty)
+    hard.foreach { case (q, v, _, _) =>
+      assert(labels(q) !== labels(v), s"pair ($q, $v) shares a label")
+    }
+    // filtering AFTER a top-k would under-fill: nearest neighbors are
+    // mostly same-label, so per-query hard-negative counts must be >=
+    // the post-filter's everywhere and > somewhere
+    val post = rows(Similarity.knnJoin(embs, embs, model, k = 5, nProbe = 2))
+      .toSeq.filter { case (q, v, _, _) => labels(q) != labels(v) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val hardCnt = hard.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(hardCnt.keySet.forall(q =>
+      hardCnt(q) >= post.getOrElse(q, 0)))
+    assert(hardCnt.exists { case (q, n) => n > post.getOrElse(q, 0) })
+  }
 }
