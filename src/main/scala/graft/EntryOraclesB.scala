@@ -787,6 +787,47 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         "\nSELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, " +
         "round(cos, 4) AS cos FROM ranked WHERE rank <= 5"),
 
+    // q185: q155's ranked replay re-cut as NDCG@5 — the same integer
+    // discount literals as the engine (generated from ndcgDiscounts),
+    // binary same-label relevance, IDCG from the label census
+    "q185_retrieval_ndcg" -> {
+      val k = 5
+      val d = graft.operators.Similarity.ndcgDiscounts(k)
+      val cum = d.scanLeft(0L)(_ + _).tail
+      kmeansCtes.stripSuffix("\n") + ",\n" + knnRankedCtes("") + ",\n" +
+        s"""disc AS (
+           |  SELECT unnest([${(1 to k).mkString(", ")}]) AS rank,
+           |         unnest([${d.mkString(", ")}]) AS d,
+           |         unnest([${cum.mkString(", ")}]) AS cumd),
+           |labs AS (SELECT vec_id, label FROM embeddings),
+           |reld AS (
+           |  SELECT r.q_id, ql.label AS q_label, r.rank,
+           |         CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel
+           |  FROM ranked r
+           |  JOIN labs ql ON ql.vec_id = r.q_id
+           |  JOIN labs cl ON cl.vec_id = r.vec_id
+           |  WHERE r.rank <= $k),
+           |dcg AS (
+           |  SELECT q_id, q_label, CAST(sum(rel * dd.d) AS BIGINT) AS dcg
+           |  FROM reld JOIN disc dd ON dd.rank = reld.rank GROUP BY 1, 2),
+           |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+           |       FROM embeddings GROUP BY 1),
+           |perq AS (
+           |  SELECT g.q_label, g.dcg,
+           |         CASE WHEN lc.n_label > 1
+           |              THEN CAST(g.dcg AS DOUBLE) / CAST(dc.cumd AS DOUBLE)
+           |         END AS ndcg
+           |  FROM dcg g
+           |  JOIN lc ON lc.label = g.q_label
+           |  JOIN disc dc
+           |    ON dc.rank = greatest(least(lc.n_label - 1, $k), 1))
+           |SELECT q_label AS label,
+           |       CAST(count(ndcg) AS BIGINT) AS n_q,
+           |       CAST(sum(dcg) AS BIGINT) AS dcg_total,
+           |       round(avg(ndcg), 4) AS mean_ndcg
+           |FROM perq GROUP BY 1""".stripMargin
+    },
+
     // q184: q155's replay with the hard-negative label-mismatch
     // predicate at the candidate stage
     "q184_hard_negatives" ->

@@ -120,6 +120,14 @@ private[graft] trait EntryQueries { self: EntryShared =>
       Similarity.hardNegatives(Tables.embeddings(s, dir),
         kmeansShared(s, dir), k = 5, nProbe = 2)),
 
+    // retrieval-quality NDCG@5 of the IVF index (binary same-label
+    // relevance) — the ranking-aware companion to q99's recall@k:
+    // integer discount DCG via heap-payload labels, IDCG from the
+    // broadcast label census, one double division per query
+    "q185_retrieval_ndcg" -> ((s, dir) =>
+      Similarity.retrievalNdcg(Tables.embeddings(s, dir),
+        kmeansShared(s, dir), k = 5, nProbe = 2)),
+
     // ε-DP per-source release (two-sided geometric mechanism, seeded
     // md5 noise stream — reproducible AND oracle-replayable): the
     // publishable form of the q124 data card; no un-noised count leaves

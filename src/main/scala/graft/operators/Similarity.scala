@@ -389,6 +389,79 @@ object Similarity {
       vec_cosine(col("q_emb"), col("emb")).as("cos")), k)
   }
 
+  /** Integer NDCG discount weights: d_i = round(10⁶ / log₂(i+1)).
+    * Folding the discounts to integer literals makes per-query DCG an
+    * EXACT integer sum both engines replay bit-for-bit — the q179
+    * all-integer-until-one-division discipline applied to ranking
+    * evaluation (the 10⁻⁶ quantization is ~10 orders below any
+    * decision NDCG feeds).
+    */
+  private[graft] def ndcgDiscounts(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Retrieval-quality evaluation of the IVF index: per label, mean
+    * NDCG@k of [[knnJoin]] retrieval with binary relevance "same label
+    * as the query" — the ranking-aware companion to q99's recall@k
+    * (recall counts hits anywhere in the top-k; NDCG pays MORE for
+    * hits at the TOP, which is what a retrieval consumer actually
+    * sees). IDCG normalizes by the best achievable prefix: min(R, k)
+    * relevant results, R = the query's label population minus itself —
+    * so a label with only 3 other members can still score NDCG 1.
+    *
+    * Scale shape: the [[knnJoin]] candidate plan with the candidate's
+    * label riding the top-k heap PAYLOAD (no corpus-sized join-back to
+    * recover labels after ranking); per-query DCG is an exact integer
+    * sum of [[ndcgDiscounts]] literals, IDCG an element_at into their
+    * prefix-sum literal array keyed by the broadcast label census.
+    * One double division per query, means rounded 4. Queries whose
+    * probed cells hold no other vector drop out (no retrieval, no
+    * score — q155 semantics); a query whose label has no other member
+    * has undefined NDCG (null) and is excluded from n_q.
+    */
+  def retrievalNdcg(embeddings: DataFrame, model: KmeansModel,
+                    k: Int, nProbe: Int): DataFrame = {
+    val d = ndcgDiscounts(k)
+    val cum = d.scanLeft(0L)(_ + _).tail
+    val c = embeddings.select(col("vec_id"), col("label").as("c_label"),
+      col("embedding").as("emb"),
+      element_at(graft.functions.VectorFunctions.nearest_cells(
+        col("embedding"), model.centroids.toIndexedSeq, 1), 1).as("cell"))
+    val q = embeddings.select(col("vec_id").as("q_id"),
+      col("label").as("q_label"),
+      col("embedding").as("q_emb"),
+      explode(graft.functions.VectorFunctions.nearest_cells(
+        col("embedding"), model.centroids.toIndexedSeq, nProbe)).as("cell"))
+    val ranked = c.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        vec_cosine(col("q_emb"), col("emb")).as("cos"), col("c_label"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(graft.functions.AggFunctions.top_k_by_score(
+        round(col("cos"), 6), col("vec_id"),
+        array(col("cos"), col("c_label").cast("double")), k).as("tk"))
+      .select(col("q_id"), col("q_label"), posexplode(col("tk")))
+      .select(col("q_id"), col("q_label"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (element_at(col("col.payload"), 2) ===
+          col("q_label").cast("double")).cast("long").as("rel"))
+    val dArr = array(d.map(lit): _*)
+    val dcg = ranked.groupBy(col("q_id"), col("q_label"))
+      .agg(sum(col("rel") * element_at(dArr, col("rank"))).as("dcg"))
+    val labCnt = embeddings.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val cumArr = array(cum.map(lit): _*)
+    val idcg = element_at(cumArr,
+      greatest(least(col("n_label") - 1, lit(k.toLong)), lit(1L)).cast("int"))
+    dcg.join(broadcast(labCnt), "q_label")
+      .select(col("q_label"), col("dcg"),
+        when(col("n_label") > 1,
+          col("dcg").cast("double") / idcg.cast("double")).as("ndcg"))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(col("ndcg")).as("n_q"),
+        sum(col("dcg")).cast("long").as("dcg_total"),
+        round(avg(col("ndcg")), 4).as("mean_ndcg"))
+  }
+
   /** Embedding-space near-duplicate pairs: cosine >= threshold within a
     * vec_id window. Correctness demo only — the id-window predicate is
     * non-equi (nested-loop join); the scale path is [[cellNearDupPairs]].

@@ -69,6 +69,40 @@ class KnnJoinSpec extends SparkSpecBase {
     assert(plan.contains("Generate")) // the nProbe cell explode
   }
 
+  test("retrievalNdcg: hand-traced geometry — perfect, zero, and " +
+       "tie-broken partial rankings") {
+    // 2-D fixture, ONE cell (k=1 quantizer) so ranking is exact:
+    //   ids 0,1 label 0 at [1,0];  id 2 label 0 at [0.6,0.8]
+    //   ids 3,4 label 1 at [0,1];  id 5 label 1 at [0.6,0.8]
+    // k=3. Hand NDCG (d = 1000000, 630930, 500000; cum = 1000000,
+    // 1630930, 2130930):
+    //   q0/q1: top3 = (twin 1.0 rel1), (id2 0.6 rel1), (id5 0.6 rel0)
+    //          → dcg d1+d2, R=2 → idcg d1+d2 → ndcg 1
+    //   q2:    top3 = id5 (1.0 rel0), id3, id4 (0.8 rel0) → ndcg 0
+    //   q3/q4: top3 = (twin 1.0 rel1), id2 (0.8 rel0, id-tiebreak over
+    //          id5), id5 (0.8 rel1) → (d1+d3)/(d1+d2) = 0.9197…
+    //   q5:    top3 = id2 (1.0 rel0), id3+id4 (0.8 rel1) →
+    //          (d2+d3)/(d1+d2) = 0.6934…
+    val fix = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.6f, 0.8f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.6f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val d = Similarity.ndcgDiscounts(3)
+    assert(d === Seq(1000000L, 630930L, 500000L))
+    val m1 = Similarity.kmeansFit(fix, k = 1, iters = 1)
+    val out = Similarity.retrievalNdcg(fix, m1, k = 3, nProbe = 1)
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val n1 = math.rint(2e4 * 1500000.0 / 1630930 +
+      1e4 * 1130930.0 / 1630930) / 3e4 // mean of the three, round 4
+    assert(out(0) === ((3L, 2L * 1630930L, math.rint(2e4 / 3) / 1e4)))
+    assert(out(1)._1 === 3L)
+    assert(out(1)._2 === 2L * 1500000L + 1130930L)
+    assert(math.abs(out(1)._3 - n1) < 2e-4, s"got ${out(1)._3} want ~$n1")
+  }
+
   test("hardNegatives: no pair shares a label, and the candidate-stage " +
        "filter out-fills a post-filtered knnJoin") {
     val labels = embs.select(col("vec_id"), col("label")).as[(Long, Int)]
