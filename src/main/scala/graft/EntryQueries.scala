@@ -969,6 +969,14 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // robust per-event-type outlier screen — lower-median + MAD over
+    // the integer-cents histogram, all-integer outlier rule
+    // dev·10000 > MAD·44478; windows run over the resolution-bounded
+    // histogram, never the event stream
+    "q186_robust_outliers" -> ((s, dir) =>
+      graft.operators.Stats.robustOutliers(Tables.events(s, dir),
+        col("event_type"), col("value"))),
+
     // anti-entropy table reconciliation — orders vs a mutated copy
     // (dropped %97, re-statused %89=3, inserted %101=5 under fresh
     // keys): Merkle-style per-bucket fingerprints find the dirty

@@ -93,6 +93,60 @@ object Stats {
     * cell count ~10², double associativity noise ~10⁻¹² of magnitude).
     * Output is one row: cardinalities, N, chi2, dof, Cramér's V.
     */
+  /** Robust per-group outlier report: median, MAD (median absolute
+    * deviation), and the count of |y − med| > 3σ-equivalent outliers
+    * under the MAD-consistent scale (σ ≈ 1.4826·MAD for a normal core)
+    * — the anomaly screen that, unlike the q169 EWMA bands or a
+    * mean/stddev z-score, a few extreme values cannot drag: the
+    * breakdown point is 50%, so the screen still works when the
+    * contamination IS what you are hunting.
+    *
+    * Exactness: values scale to integer cents; both medians are the
+    * LOWER median (smallest y with cumulative count ≥ ⌊(n+1)/2⌋ —
+    * crisp in both engines, no midpoint averaging); the outlier rule
+    * dev > 4.4478·MAD is evaluated as the EXACT integer comparison
+    * dev·10000 > MAD·44478 (3·1.4826 = 4.4478 exactly). No doubles
+    * anywhere in the output.
+    *
+    * Scale shape: ONE row scan collapses to the per-(group, cents)
+    * histogram — bounded by the measure's RESOLUTION, not the row
+    * count (the q179 rounded-score discipline; an unbounded-domain
+    * measure belongs to the q168 sketch instead). Both median
+    * extractions and the outlier count run over histogram relations:
+    * cumulative windows partition by group over value-resolution rows,
+    * never over the corpus.
+    */
+  def robustOutliers(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val y = round(value * 100).cast("long")
+    val hist = df.select(group.as("g"), y.as("y"))
+      .groupBy(col("g"), col("y")).agg(count(lit(1)).as("cnt"))
+    def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
+      val cumW = Window.partitionBy("g").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h.select(col("g"), col(v), col("cnt"),
+          sum(col("cnt")).over(cumW).as("cum"),
+          sum(col("cnt")).over(Window.partitionBy("g")).as("n"))
+        .filter(col("cum") >= floor((col("n") + 1) / 2))
+        .groupBy(col("g"), col("n")).agg(min(col(v)).as(out))
+    }
+    val med = lowerMedian(hist, "y", "med")
+    val devHist = hist.join(med, "g")
+      .groupBy(col("g"), col("n"), col("med"),
+        abs(col("y") - col("med")).as("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = lowerMedian(devHist.select(col("g"), col("dev"), col("cnt")),
+      "dev", "mad").drop("n")
+    val outliers = devHist.join(mad, "g")
+      .groupBy(col("g"))
+      .agg(sum(when(col("dev") * 10000 > col("mad") * 44478, col("cnt"))
+        .otherwise(0L)).as("n_outliers"))
+    devHist.select(col("g"), col("n"), col("med")).distinct()
+      .join(mad, "g").join(outliers, "g")
+      .select(col("g"), col("n"), col("med").as("median_cents"),
+        col("mad").as("mad_cents"), col("n_outliers"))
+  }
+
   def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
     val observed = df.groupBy(a.as("a"), b.as("b"))
       .agg(count(lit(1)).as("obs"))

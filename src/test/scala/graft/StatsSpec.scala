@@ -61,6 +61,32 @@ class StatsSpec extends SparkSpecBase {
     assert(!sums.isNullAt(sums.fieldIndex("slope")))
   }
 
+  test("robustOutliers: hand-traced lower medians, MAD, exact outlier " +
+       "rule, and the MAD=0 degenerate") {
+    import spark.implicits._
+    // g1 cents: 100 200 300 400 10000 → n=5, K=3 → med 300;
+    //   devs 0(1) 100(2) 200(1) 9700(1) → mad 100;
+    //   outlier rule dev·10⁴ > 100·44478 → dev > 444.78 → only 9700
+    // g2 cents: 500 500 500 700 → n=4, K=2 → med 500 (LOWER median);
+    //   devs 0(3) 200(1) → mad 0 → any dev > 0 is an outlier → 1
+    val rows = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g1", 4.0),
+      ("g1", 100.0), ("g2", 5.0), ("g2", 5.0), ("g2", 5.0), ("g2", 7.0))
+    val out = Stats.robustOutliers(rows.toDF("g", "v"), col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("g1") === ((5L, 300L, 100L, 1L)))
+    assert(out("g2") === ((4L, 500L, 0L, 1L)))
+    // boundary: dev exactly AT 4.4478·MAD is NOT an outlier (strict >)
+    // mad=10000 → threshold dev = 44478 exactly
+    val edge = Seq.fill(2)(("e", 0.0)) ++
+      Seq(("e", 100.0), ("e", -100.0), ("e", 444.78))
+    val oe = Stats.robustOutliers(edge.toDF("g", "v"), col("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // cents: 0 0 10000 -10000 44478 → med 0, devs 0(2) 10000(2) 44478
+    // → K=3 → mad 10000; 44478·10⁴ = 44478·10⁴ → NOT >, so 0 outliers
+    assert((oe._2, oe._3, oe._4, oe._5) === ((5L, 0L, 10000L, 0L)))
+  }
+
   test("chiSquare: textbook 2x2 cells, independence → 0, perfect " +
        "association → V = 1") {
     import spark.implicits._
