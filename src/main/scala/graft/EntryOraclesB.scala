@@ -2197,6 +2197,47 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q187: attribution replayed with windows — segment id = count of
+    // prior purchases per user under the same (ts, event_id) order;
+    // first/last touch per (user, segment) via row_number bookends
+    "q187_attribution" ->
+      s"""WITH e AS (
+         |  SELECT user_id AS u, ts, event_id AS i, event_type AS t
+         |  FROM events WHERE event_type <> 'error'),
+         |s AS (
+         |  SELECT u, ts, i, t,
+         |         count(CASE WHEN t = 'purchase' THEN 1 END) OVER
+         |           (PARTITION BY u ORDER BY ts, i
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS seg
+         |  FROM e),
+         |conv AS (SELECT u, seg FROM s WHERE t = 'purchase'),
+         |touch AS (SELECT u, seg, ts, i, t FROM s WHERE t <> 'purchase'),
+         |f AS (SELECT u, seg, t FROM (
+         |        SELECT u, seg, t, row_number() OVER
+         |          (PARTITION BY u, seg ORDER BY ts, i) AS rn FROM touch)
+         |      WHERE rn = 1),
+         |l AS (SELECT u, seg, t FROM (
+         |        SELECT u, seg, t, row_number() OVER
+         |          (PARTITION BY u, seg ORDER BY ts DESC, i DESC) AS rn
+         |        FROM touch)
+         |      WHERE rn = 1),
+         |cr AS (
+         |  SELECT coalesce(f.t, '(direct)') AS ft,
+         |         coalesce(l.t, '(direct)') AS lt
+         |  FROM conv c
+         |  LEFT JOIN f ON f.u = c.u AND f.seg = c.seg
+         |  LEFT JOIN l ON l.u = c.u AND l.seg = c.seg)
+         |SELECT touch_type,
+         |       CAST(sum(CASE WHEN which = 'f' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS first_credits,
+         |       CAST(sum(CASE WHEN which = 'l' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS last_credits
+         |FROM (SELECT ft AS touch_type, 'f' AS which FROM cr
+         |      UNION ALL
+         |      SELECT lt, 'l' FROM cr)
+         |GROUP BY 1""".stripMargin,
+
     // q186: the same histogram → cumulative-window → lower-median
     // construction over integer cents; the outlier rule is the exact
     // integer comparison dev·10000 > MAD·44478

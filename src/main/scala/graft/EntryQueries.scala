@@ -969,6 +969,12 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // first/last-touch conversion attribution — the q178 fold
+    // discipline segmenting each user's path at purchases; O(1) state
+    // per user, credit aggregate is touch-type-sized
+    "q187_attribution" -> ((s, dir) =>
+      graft.operators.EventAnalytics.attribution(Tables.events(s, dir))),
+
     // robust per-event-type outlier screen — lower-median + MAD over
     // the integer-cents histogram, all-integer outlier rule
     // dev·10000 > MAD·44478; windows run over the resolution-bounded

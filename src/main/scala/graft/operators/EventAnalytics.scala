@@ -171,4 +171,63 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         round(col("n") / col("n_from").cast("double"), 4).as("p"))
   }
+
+  /** Conversion attribution — per touch type, how many conversions it
+    * gets credited under the FIRST-touch and LAST-touch models (the
+    * two bookends every marketing/growth stack reports): each
+    * `conversionType` event closes a path segment made of the touches
+    * since the user's previous conversion (or stream start); the
+    * segment's earliest touch takes first-touch credit, its latest
+    * last-touch credit, and a conversion with no preceding touch
+    * credits `(direct)` under both. `ignoreTypes` events (telemetry
+    * noise like errors) neither earn credit nor break a path.
+    *
+    * Plan: the [[transitionMatrix]] fold discipline, not a window —
+    * one hash shuffle on the user, per-partition (user, ts, event_id)
+    * sort, a single sequential pass carrying O(1) state (the open
+    * segment's first/last touch), then a touch-type-sized aggregate.
+    * A user's thousand-touch path never buffers; determinism comes
+    * from the (ts, event_id) total order.
+    */
+  def attribution(events: DataFrame, conversionType: String = "purchase",
+                  ignoreTypes: Set[String] = Set("error")): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .select(col("user_id").cast("long").as("_k"), col("ts").as("_t"),
+        col("event_id").cast("long").as("_i"),
+        col("event_type").as("_e"))
+      .filter(!col("_e").isInCollection(ignoreTypes))
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k"), col("_t"), col("_i"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val credits = prepared.mapPartitions { it =>
+      var cur = 0L
+      var have = false
+      var first: String = null
+      var last: String = null
+      it.flatMap { case (k, _, _, e) =>
+        if (!have || k != cur) { cur = k; have = true; first = null; last = null }
+        if (e == conversionType) {
+          val out = Iterator.single(
+            (if (first == null) "(direct)" else first,
+             if (last == null) "(direct)" else last))
+          first = null; last = null
+          out
+        } else {
+          if (first == null) first = e
+          last = e
+          Iterator.empty
+        }
+      }
+    }.toDF("ft", "lt")
+    credits.select(explode(array(
+        struct(col("ft").as("touch_type"), lit("f").as("which")),
+        struct(col("lt").as("touch_type"), lit("l").as("which")))).as("c"))
+      .groupBy(col("c.touch_type").as("touch_type"))
+      .agg(sum(when(col("c.which") === "f", 1L).otherwise(0L))
+          .as("first_credits"),
+        sum(when(col("c.which") === "l", 1L).otherwise(0L))
+          .as("last_credits"))
+  }
 }

@@ -200,4 +200,36 @@ class Round11OpsSpec extends SparkSpecBase {
       .transitionMatrix(events.repartition(11)).collect().map(_.toSeq).toSet
     assert(one === many)
   }
+
+  test("attribution: hand-traced first/last credits with purchase reset, " +
+       "direct conversions, ignored noise, and user boundaries") {
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    // user 1: view click [purchase] click [purchase] — seg1 f=view
+    //   l=click; seg2 f=l=click
+    // user 2: [purchase] (direct, no touch), then error view [purchase]
+    //   — error ignored so seg2 f=l=view
+    // user 3: view click, NO purchase → no credits at all
+    val events = Seq(
+      (1L, ts(0), 10L, "view"), (1L, ts(1), 11L, "click"),
+      (1L, ts(2), 12L, "purchase"), (1L, ts(3), 13L, "click"),
+      (1L, ts(4), 14L, "purchase"),
+      (2L, ts(0), 20L, "purchase"), (2L, ts(1), 21L, "error"),
+      (2L, ts(2), 22L, "view"), (2L, ts(3), 23L, "purchase"),
+      (3L, ts(0), 30L, "view"), (3L, ts(1), 31L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val out = graft.operators.EventAnalytics.attribution(events)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      "view" -> ((2L, 1L)),      // first: u1 seg1 + u2 seg2; last: u2 seg2
+      "click" -> ((1L, 2L)),     // first: u1 seg2; last: u1 seg1 + seg2
+      "(direct)" -> ((1L, 1L)))) // u2's untouched first purchase
+    // partition invariance (the fold's determinism claim)
+    val one = graft.operators.EventAnalytics
+      .attribution(events.repartition(1)).collect().map(_.toSeq).toSet
+    val many = graft.operators.EventAnalytics
+      .attribution(events.repartition(7)).collect().map(_.toSeq).toSet
+    assert(one === many)
+  }
 }
