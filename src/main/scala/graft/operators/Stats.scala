@@ -119,8 +119,13 @@ object Stats {
   def robustOutliers(df: DataFrame, group: Column, value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val y = round(value * 100).cast("long")
+    // the histogram feeds the median chain, the deviation histogram, the
+    // outlier count, and the report row — eagerly checkpointed (the q119
+    // discipline) so the ROW-SCALED scan runs exactly once and every
+    // downstream reference replays the resolution-bounded relation
     val hist = df.select(group.as("g"), y.as("y"))
       .groupBy(col("g"), col("y")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
       val cumW = Window.partitionBy("g").orderBy(v)
         .rowsBetween(Window.unboundedPreceding, 0)

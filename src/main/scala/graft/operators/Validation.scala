@@ -239,11 +239,16 @@ object Validation {
         col("psi"))
   }
 
-  /** Default bucket count for [[tableDiff]] — coarse enough that the
-    * stage-1 checksum relation is always driver-trivial, fine enough
-    * that sparse diffs prune most of stage 2.
+  /** Default bucket count for [[tableDiff]] — the stage-1 checksum
+    * relation stays driver-trivial at 65536 rows, and the dirty-bucket
+    * fraction (≈ diffs/nBuckets for scattered diffs) stays small for
+    * the sparse diffs reconciliation exists to find. Sizing rule:
+    * nBuckets ≫ expected diff count, or stage 2 degenerates to a full
+    * compare (the r18 probe measured exactly that: 3k scattered diffs
+    * over 1024 buckets dirtied every bucket — 60.8 s; at 65536 the
+    * same diff pruned stage 2 to ~5% of rows).
     */
-  val DiffBuckets = 1024
+  val DiffBuckets = 65536
 
   /** Anti-entropy table reconciliation: find every row-level difference
     * between two versions of a keyed table WITHOUT shuffling either
@@ -284,9 +289,13 @@ object Validation {
     require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
     val bucket = diffBucket(col(key), nBuckets)
     val rowHash = diffRowHash(col(key), cols.map(col))
+    // both slices consume the dirty set; eagerly checkpointed (65536
+    // rows max) so the four row-scaled fingerprint scans behind it run
+    // ONCE, not once per slice
     val dirty = dirtyBuckets(
       fingerprintRegisters(left, key, cols, nBuckets),
       fingerprintRegisters(right, key, cols, nBuckets))
+      .localCheckpoint(true)
     def slice(df: DataFrame, side: String): DataFrame =
       df.select(col(key), bucket.as("bucket"), rowHash.as(s"h_$side"))
         .join(broadcast(dirty), Seq("bucket"), "left_semi")
@@ -300,10 +309,15 @@ object Validation {
       .filter(col("status").isNotNull)
   }
 
-  /** The key-content bucket both sides of a reconciliation agree on. */
+  /** The key-content bucket both sides of a reconciliation agree on.
+    * xxhash64, not md5: neither the bucket nor the row hash is
+    * oracle-replayed (the q182 oracle verifies SEMANTICS with a direct
+    * full join), so the fingerprint scans use the codegen'd hash —
+    * md5-based fingerprints measured 4x slower over 10 M rows (r18
+    * probe). Full 64-bit entropy keeps any practical nBuckets uniform.
+    */
   private def diffBucket(key: Column, nBuckets: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
-      .cast("int") % nBuckets
+    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
 
   /** 60-bit row-content hash over the null-sentinel repr (\\u0001
     * separator, \\u0002 for NULL).
@@ -312,7 +326,7 @@ object Validation {
     val repr = concat_ws("\u0001",
       (key +: cols.map(c => coalesce(c.cast("string"),
         lit("\u0002")))).map(_.cast("string")): _*)
-    conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+    xxhash64(repr)
   }
 
   /** [[tableDiff]] stage 1 as a standalone relation: per-bucket
