@@ -135,6 +135,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // into a multiplicity-exact union of hash joins; runs last — its
     // branch joins carry equi keys, so every rule stands down on them
     ext.injectOptimizerRule(_ => graft.plans.DisjunctiveJoinRewrite)
+    // r18: aggregations over a base relation a registered materialized
+    // summary can answer exactly roll up from the summary instead —
+    // self-quiescing (a rewritten aggregate reads the VIEW relation,
+    // which is never a registered base)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }
 

@@ -2197,6 +2197,16 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q188: the MV rollup's SEMANTICS recomputed from the base table —
+    // the engine answers from the registered summary (plan-pinned);
+    // values must be identical either way
+    "q188_mv_rollup" ->
+      s"""SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars,
+         |       CAST(max(doc_id) AS BIGINT) AS max_doc
+         |FROM documents GROUP BY 1""".stripMargin,
+
     // q187: attribution replayed with windows — segment id = count of
     // prior purchases per user under the same (ts, event_id) order;
     // first/last touch per (user, segment) via row_number bookends

@@ -969,6 +969,19 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // materialized-view rollup — the query is written against the BASE
+    // table; the registered (source, lang) summary answers it through
+    // the MvRewrite rule (plan pinned by MvRewriteSpec), and the oracle
+    // recomputes from the base, so the rewrite is hash-gated exact
+    "q188_mv_rollup" -> ((s, dir) => {
+      mvShared(s, dir)
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
     // first/last-touch conversion attribution — the q178 fold
     // discipline segmenting each user's path at purchases; O(1) state
     // per user, credit aggregate is touch-type-sized

@@ -314,6 +314,45 @@ private[graft] trait EntryShared {
     })._2
   }
 
+  // Materialized (source, lang) summary of documents for q188: written
+  // once per (session, dir) and registered with the MvRewrite catalog —
+  // the gate's coarser GROUP BY source must then answer from the
+  // summary scan (MvRewriteSpec pins the plan; the oracle recomputes
+  // from the base table, so the rewrite is also hash-gated exact).
+  protected val mvStoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  protected def mvShared(s: SparkSession, dir: String): String = {
+    val it = mvStoreMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._1.sparkContext.isStopped) {
+        graft.plans.MvCatalog.unregister(e.getKey)
+        it.remove()
+      }
+    }
+    val key = ccKey(s, dir)
+    mvStoreMemo.computeIfAbsent(key, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv_").toString
+      val mvPath = s"$root/docs_by_source_lang"
+      Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .write.mode("overwrite").parquet(mvPath)
+      graft.plans.MvCatalog.registerParquet(s, key,
+        s"$dir/documents.parquet", mvPath,
+        groupCols = Set("source", "lang"), cntCol = "cnt",
+        sumCols = Map("n_chars" -> "sum_chars"),
+        minCols = Map("doc_id" -> "min_doc"),
+        maxCols = Map("doc_id" -> "max_doc"))
+      (s, root)
+    })._2
+  }
+
   // Two layout GENERATIONS of the documents table for q183: v1 wrote
   // (doc_id, source, n_chars); a later pipeline release added `lang`.
   // Built once per (session, dir); the evolved read must fuse both

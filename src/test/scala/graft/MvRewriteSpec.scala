@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvCatalog
+
+/** Pins the materialized-view rollup rule (q188): exactness vs the base
+  * computation, the plan actually reading the VIEW files, preserved
+  * output ids/types (the count coalesce), and every documented
+  * stand-down. The catalog is cleaned per test — a leaked registration
+  * would silently rewrite other suites' aggregates.
+  */
+class MvRewriteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def scannedFiles(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def withMv[T](f: (String, String) => T): T = {
+    val root = Files.createTempDirectory("graft_mv_spec_").toString
+    val base = s"$root/base"
+    val mv = s"$root/mv"
+    // base: (g, sub, x) with a group ("b", "v") that sums to null-free
+    // longs and one value column
+    Seq(("a", "u", 1L), ("a", "u", 2L), ("a", "v", 3L),
+      ("b", "v", 10L), ("b", "v", 20L))
+      .toDF("g", "sub", "x").write.parquet(base)
+    spark.read.parquet(base)
+      .groupBy(col("g"), col("sub"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .write.parquet(mv)
+    MvCatalog.registerParquet(spark, "spec_mv", base, mv,
+      groupCols = Set("g", "sub"), cntCol = "cnt",
+      sumCols = Map("x" -> "sum_x"), minCols = Map("x" -> "min_x"),
+      maxCols = Map("x" -> "max_x"))
+    try f(base, mv) finally MvCatalog.unregister("spec_mv")
+  }
+
+  test("rollup fires: reads the view, not the base, and is exact") {
+    withMv { (base, mv) =>
+      val q = spark.read.parquet(base).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val plan = scannedFiles(q)
+      assert(plan.contains(mv), s"expected view scan in:\n$plan")
+      assert(!plan.contains(base), s"base must not be scanned:\n$plan")
+      val out = q.as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(out === Set(("a", 3L, 6L, 1L, 3L), ("b", 2L, 30L, 10L, 20L)))
+    }
+  }
+
+  test("exact-grouping query (all view group cols) also rolls up") {
+    withMv { (base, mv) =>
+      val q = spark.read.parquet(base).groupBy(col("g"), col("sub"))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedFiles(q).contains(mv))
+      assert(q.as[(String, String, Long)].collect().toSet ===
+        Set(("a", "u", 2L), ("a", "v", 1L), ("b", "v", 2L)))
+    }
+  }
+
+  test("stand-downs: filter, avg, distinct, global aggregate, and " +
+       "non-view grouping all fall through to the base scan") {
+    withMv { (base, _) =>
+      val b = spark.read.parquet(base)
+      val cases = Seq(
+        b.filter(col("x") > 1).groupBy(col("g")).agg(count(lit(1)).as("n")),
+        b.groupBy(col("g")).agg(avg(col("x")).as("a")),
+        b.groupBy(col("g")).agg(countDistinct(col("x")).as("d")),
+        b.agg(count(lit(1)).as("n")),
+        b.groupBy(col("x")).agg(count(lit(1)).as("n")))
+      cases.foreach { q =>
+        assert(scannedFiles(q).contains(base),
+          s"stand-down case must scan base:\n${scannedFiles(q)}")
+      }
+      // and each still computes correctly
+      assert(cases(0).collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap === Map("a" -> 2L, "b" -> 2L))
+      assert(cases(3).head().getLong(0) === 5L)
+    }
+  }
+
+  test("two rollups of the same view in one query get fresh instances") {
+    withMv { (base, mv) =>
+      val b = spark.read.parquet(base)
+      val l = b.groupBy(col("g")).agg(sum(col("x")).as("sx"))
+      val r = b.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val j = l.join(r, "g")
+      val plan = scannedFiles(j)
+      assert(plan.contains(mv) && !plan.contains(base))
+      assert(j.as[(String, Long, Long)].collect().toSet ===
+        Set(("a", 6L, 3L), ("b", 30L, 2L)))
+    }
+  }
+
+  test("q188's gate query reads the registered documents summary") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q188_mv_rollup")(spark, dir)
+    val plan = scannedFiles(q)
+    assert(plan.contains("graft_mv_"), s"expected summary scan in:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"base documents must not be scanned:\n$plan")
+    // and the rollup equals the base recomputation exactly
+    val baseAgg = graft.sources.Tables.documents(spark, dir)
+      .filter(lit(true)) // a filter blocks the rewrite: forces base path
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        max(col("doc_id")).as("max_doc"))
+    assert(q.collect().map(_.toSeq).toSet ===
+      baseAgg.collect().map(_.toSeq).toSet)
+  }
+}
