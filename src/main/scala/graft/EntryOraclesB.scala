@@ -2197,6 +2197,16 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q189: the incremental merge must equal the one-shot recompute
+    // over the whole table — the strongest form of the merge laws
+    "q189_summary_delta" ->
+      s"""SELECT source, lang,
+         |       CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS max_doc
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+
     // q188: the MV rollup's SEMANTICS recomputed from the base table —
     // the engine answers from the registered summary (plan-pinned);
     // values must be identical either way

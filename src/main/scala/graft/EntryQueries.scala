@@ -969,6 +969,22 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // incremental summary maintenance — the q188 view's daily job: the
+    // stored summary merges with the append batch's own rollup (merge
+    // laws: additive count/sum with SQL null semantics, null-skipping
+    // least/greatest); must hash-equal the full recompute
+    "q189_summary_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val prior = docs.filter(col("doc_id") % 5 =!= 4)
+      val delta = docs.filter(col("doc_id") % 5 === 4)
+      val summary = prior.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      graft.operators.Relational.summaryApplyDelta(summary, delta,
+        Seq("source", "lang"), "cnt", Map("n_chars" -> "sum_chars"),
+        Map("doc_id" -> "min_doc"), Map("doc_id" -> "max_doc"))
+    }),
+
     // materialized-view rollup — the query is written against the BASE
     // table; the registered (source, lang) summary answers it through
     // the MvRewrite rule (plan pinned by MvRewriteSpec), and the oracle

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -622,5 +622,61 @@ object Relational {
       .select(col("c_custkey"), col("is_member"),
         when(col("is_member") === 1, might.cast("int"))
           .otherwise(lit(1)).as("no_false_neg"))
+  }
+
+  /** Incremental maintenance of a pre-aggregated summary (the q188
+    * materialized view) from an APPEND batch — the daily-job companion
+    * to the MvRewrite rule, and the q128/q134 incremental-artifact
+    * discipline applied to relational summaries: the new summary is the
+    * old ARTIFACT merged with the delta's own rollup, so corpus-sized
+    * data enters the plan exactly once (the delta scan); the stored
+    * summary rides as group-cardinality rows.
+    *
+    * Merge laws, exact by construction for APPEND deltas:
+    *  - count: additive, absent side contributes 0;
+    *  - sum:   additive with SQL null semantics — null iff every value
+    *    on BOTH sides was null (an absent side and an all-null side
+    *    both arrive as null and must stay null only together);
+    *  - min/max: least/greatest with null-skip (nulls mean "no values
+    *    on that side", never "smaller than everything").
+    *
+    * DELETES are deliberately out of scope: count and sum are
+    * decrementable, min/max are NOT (retracting the current minimum
+    * needs the base data) — a delete-bearing feed routes to the q175
+    * CDC apply against the base and a summary REBUILD of the touched
+    * groups. Refusing here keeps the exactness claim honest.
+    */
+  def summaryApplyDelta(summary: DataFrame, delta: DataFrame,
+                        groupCols: Seq[String], cntCol: String,
+                        sumCols: Map[String, String],
+                        minCols: Map[String, String] = Map.empty,
+                        maxCols: Map[String, String] = Map.empty): DataFrame = {
+    val gcs = groupCols.map(col)
+    val dRoll = delta.groupBy(gcs: _*).agg(
+      count(lit(1)).as(cntCol),
+      (sumCols.map { case (b, m) => sum(col(b)).as(m) } ++
+        minCols.map { case (b, m) => min(col(b)).as(m) } ++
+        maxCols.map { case (b, m) => max(col(b)).as(m) }).toSeq: _*)
+    def side(df: DataFrame, tag: String): DataFrame =
+      (Seq(cntCol) ++ sumCols.values ++ minCols.values ++ maxCols.values)
+        .foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${c}_$tag"))
+    def merged(c: String, add: Boolean): Column = {
+      val (l, r) = (col(s"${c}_s"), col(s"${c}_d"))
+      if (add)
+        when(l.isNull && r.isNull, lit(null))
+          .otherwise(coalesce(l, lit(0L)) + coalesce(r, lit(0L))).as(c)
+      else when(l.isNull, r).when(r.isNull, l).otherwise(least(l, r)).as(c)
+    }
+    def mergedMax(c: String): Column = {
+      val (l, r) = (col(s"${c}_s"), col(s"${c}_d"))
+      when(l.isNull, r).when(r.isNull, l).otherwise(greatest(l, r)).as(c)
+    }
+    side(summary, "s").join(side(dRoll, "d"), groupCols, "full_outer")
+      .select(gcs ++
+        Seq(coalesce(col(s"${cntCol}_s"), lit(0L)) +
+          coalesce(col(s"${cntCol}_d"), lit(0L))).map(_.as(cntCol)) ++
+        sumCols.values.map(c => merged(c, add = true)) ++
+        minCols.values.map(c => merged(c, add = false)) ++
+        maxCols.values.map(mergedMax): _*)
   }
 }

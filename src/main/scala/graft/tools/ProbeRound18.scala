@@ -84,6 +84,37 @@ object ProbeRound18 {
       }
     }
 
+    if (which == "all" || which == "mvdelta") {
+      // the incremental-artifact claim: applying a 100k delta to a
+      // STORED summary must price like the delta, not like the corpus
+      val n = 100000000L
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_probe_mv_").toString
+      def rows(from: Long, cnt: Long) = spark.range(from, from + cnt)
+        .select(concat(lit("s"), (col("id") % 40).cast("string")).as("g"),
+          concat(lit("l"), (col("id") % 5).cast("string")).as("l"),
+          (col("id") % 997).as("x"), col("id").as("k"))
+      def summarize(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("g"), col("l")).agg(count(lit(1)).as("cnt"),
+          sum(col("x")).as("sum_x"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+      rows(0, n).write.mode("overwrite").parquet(s"$root/base")
+      summarize(spark.read.parquet(s"$root/base"))
+        .write.mode("overwrite").parquet(s"$root/summary")
+      rows(n, 100000).write.mode("overwrite").parquet(s"$root/delta")
+      time("mv_delta_apply_100M_base_100k_delta") {
+        graft.operators.Relational.summaryApplyDelta(
+          spark.read.parquet(s"$root/summary"),
+          spark.read.parquet(s"$root/delta"),
+          Seq("g", "l"), "cnt", Map("x" -> "sum_x"),
+          Map("k" -> "min_k"), Map("k" -> "max_k")).collect()
+      }
+      time("mv_recompute_100M") {
+        summarize(spark.read.parquet(s"$root/base")
+          .unionByName(spark.read.parquet(s"$root/delta"))).collect()
+      }
+    }
+
     if (which == "all" || which == "attribution") {
       val n = 10000000L
       val types = array(lit("view"), lit("click"), lit("signup"),

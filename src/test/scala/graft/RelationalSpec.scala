@@ -276,4 +276,37 @@ class RelationalSpec extends SparkSpecBase {
       .as[(Long, Double)].collect().toSet
     assert(out === Set((2L, 3.0), (1L, 3.0)))
   }
+
+  test("summaryApplyDelta: merge laws incl. null semantics equal the " +
+       "one-shot recompute on every group shape") {
+    import org.apache.spark.sql.functions._
+    // group shapes: a = both sides; b = summary-only; c = delta-only;
+    // n = all-null sums on one side, values on the other;
+    // z = all-null on BOTH sides (sum must STAY null)
+    val prior = Seq(
+      ("a", Some(1L), 10L), ("a", Some(2L), 20L),
+      ("b", Some(5L), 50L),
+      ("n", None: Option[Long], 70L),
+      ("z", None: Option[Long], 90L)).toDF("g", "x", "k")
+    val delta = Seq(
+      ("a", Some(3L), 5L),
+      ("c", Some(7L), 60L),
+      ("n", Some(4L), 80L),
+      ("z", None: Option[Long], 95L)).toDF("g", "x", "k")
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("cnt"),
+        sum(col("x")).as("sum_x"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+    val merged = graft.operators.Relational.summaryApplyDelta(
+        summarize(prior), delta, Seq("g"), "cnt",
+        Map("x" -> "sum_x"), Map("k" -> "min_k"), Map("k" -> "max_k"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val full = summarize(prior.unionByName(delta))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged === full)
+    // the laws, spelled out: z's sum stays NULL; n's sum is 4 (the
+    // all-null side contributes nothing, not a fake 0)
+    assert(merged("z")(1) == null)
+    assert(merged("n") === Seq(2L, 4L, 70L, 80L))
+  }
 }
