@@ -22,5 +22,13 @@ object SparkEntry extends EntryShared with EntryQueries
   def entry(spark: SparkSession): DataFrame =
     queries("q08_flagship_anomalies")(spark, "/root/testdata/sf0.001")
 
+  /** Public hook for the fuzzer's MV kind: build + register the q188
+    * documents summary for this (session, dir) so generated rollups run
+    * THROUGH the MvRewrite rule.
+    */
+  def ensureMvRegistered(spark: SparkSession, dir: String): Unit = {
+    mvShared(spark, dir); ()
+  }
+
   def oracleSql: Map[String, String] = oraclesA ++ oraclesB
 }

@@ -491,9 +491,55 @@ object QueryFuzz {
     * 1/10 OR-of-equalities join (the rewrite-rule, prefix-filter and
     * segment-pigeonhole input spaces).
     */
+  /** MV-rewrite differential (kind 10): a rollup over `documents` with
+    * the q188 summary REGISTERED — the engine side runs through
+    * MvRewrite (firing on clean rollups, standing down when the seed
+    * draws a filter), DuckDB recomputes from the base table; a
+    * divergence is a rewrite-exactness finding. Grouping, aggregate
+    * subset, and the optional stand-down filter are all seed-drawn.
+    */
+  private def mvRollup(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val groups = rnd.nextInt(3) match {
+      case 0 => Seq("source")
+      case 1 => Seq("lang")
+      case _ => Seq("source", "lang")
+    }
+    val pool = Seq[(String, Column)](
+      ("CAST(count(*) AS BIGINT) AS a_cnt", count(lit(1)).as("a_cnt")),
+      ("CAST(sum(n_chars) AS BIGINT) AS a_sum",
+        sum(col("n_chars")).as("a_sum")),
+      ("CAST(min(doc_id) AS BIGINT) AS a_min",
+        min(col("doc_id")).as("a_min")),
+      ("CAST(max(doc_id) AS BIGINT) AS a_max",
+        max(col("doc_id")).as("a_max")))
+    val mask = 1 + rnd.nextInt(15)
+    val aggs = pool.zipWithIndex.collect {
+      case (a, i) if (mask & (1 << i)) != 0 => a
+    }
+    // a third of the seeds draw a doc_id filter: the rule must STAND
+    // DOWN (a predicate below the aggregate) and still answer exactly
+    val filt = if (rnd.nextInt(3) == 0) Some(2 + rnd.nextInt(7)) else None
+    val gs = groups.zipWithIndex.map { case (c, i) => (c, s"g${i + 1}") }
+    val whereSql = filt.fold("")(k => s"\nWHERE doc_id % $k = 0")
+    val sql = s"SELECT ${gs.map { case (c, a) => s"$c AS $a" }
+        .mkString(", ")}, ${aggs.map(_._1).mkString(", ")}" +
+      s"\nFROM documents$whereSql" +
+      s"\nGROUP BY ${gs.indices.map(_ + 1).mkString(", ")}"
+    val build = (s: SparkSession, dir: String) => {
+      graft.SparkEntry.ensureMvRegistered(s, dir)
+      var df = Tables.documents(s, dir)
+      filt.foreach(k => df = df.filter(col("doc_id") % k === 0))
+      gs.foreach { case (c, a) => df = df.withColumn(a, col(c)) }
+      df.groupBy(gs.map(g => col(g._2)): _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2): _*)
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
-    val kind = rnd.nextInt(10)
+    val kind = rnd.nextInt(11)
+    if (kind == 10) return mvRollup(seed, rnd)
     if (kind == 9) return orJoin(seed, rnd)
     if (kind == 8) return editJoin(seed, rnd)
     if (kind == 4) return bandJoin(seed, rnd)
