@@ -969,6 +969,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // q115's funnel with a 12-hour conversion window — stage i counts
+    // only within the window of stage i−1 (first-touch anchoring);
+    // same window-free aggregate cascade
+    "q190_funnel_within" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnelWithin(
+        Tables.events(s, dir), maxGapHours = 12)),
+
     // incremental summary maintenance — the q188 view's daily job: the
     // stored summary merges with the append batch's own rollup (merge
     // laws: additive count/sum with SQL null semantics, null-skipping

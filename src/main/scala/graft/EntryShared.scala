@@ -1453,6 +1453,50 @@ private[graft] trait EntryShared {
        |           ORDER BY round(cos, 6) DESC, vec_id ASC) AS rank
        |  FROM scored)""".stripMargin
 
+  /** Funnel oracle generator shared by q115 (no bound) and q190
+    * (conversion window): the engine's aggregate cascade replayed as
+    * chained windowed-min CASEs, with the gap bound spelled inside the
+    * same CASE the strictly-after predicate lives in.
+    */
+  protected def funnelOracleSql(st: Seq[String],
+                                maxGapMicros: Option[Long]): String = {
+    val chain = st.zipWithIndex.map { case (name, i) =>
+      if (i == 0)
+        s"""s0 AS (
+           |  SELECT user_id, t, event_type,
+           |         min(CASE WHEN event_type = '$name' THEN t END)
+           |           OVER (PARTITION BY user_id) AS t_0
+           |  FROM e)""".stripMargin
+      else {
+        val within = maxGapMicros.fold("")(g =>
+          s" AND t <= t_${i - 1} + $g")
+        s"""s$i AS (
+           |  SELECT *, min(CASE WHEN event_type = '$name'
+           |                      AND t > t_${i - 1}$within THEN t END)
+           |              OVER (PARTITION BY user_id) AS t_$i
+           |  FROM s${i - 1})""".stripMargin
+      }
+    }.mkString(",\n")
+    val uCols = st.indices.map(i => s"any_value(t_$i) AS t_$i").mkString(", ")
+    val aCols = (st.indices.map(i => s"count(t_$i) AS n_$i") ++
+      st.indices.drop(1).map(i =>
+        s"round(avg((t_$i - t_${i - 1}) / 3.6e9), 4) AS h_$i")).mkString(", ")
+    val branches = st.zipWithIndex.map { case (name, i) =>
+      val conv = if (i == 0) "CAST(NULL AS DOUBLE)"
+        else s"round(n_$i / NULLIF(n_${i - 1}, 0), 4)"
+      val hrs = if (i == 0) "CAST(NULL AS DOUBLE)" else s"h_$i"
+      s"""SELECT CAST($i AS INTEGER) AS stage_idx, '$name' AS stage,
+         |       CAST(n_$i AS BIGINT) AS n_users,
+         |       $conv AS conv_from_prev,
+         |       $hrs AS avg_hours_from_prev FROM a""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       |$chain,
+       |u AS (SELECT user_id, $uCols FROM s${st.length - 1} GROUP BY 1),
+       |a AS (SELECT $aCols FROM u)
+       |$branches""".stripMargin
+  }
+
   protected def pagerankCtes(
       iters: Int,
       nodesSql: String = "SELECT doc_id AS id FROM documents",

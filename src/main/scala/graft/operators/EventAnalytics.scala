@@ -54,7 +54,27 @@ object EventAnalytics {
     * plan.
     */
   def funnel(events: DataFrame,
-             stages: Seq[String] = DefaultFunnelStages): DataFrame = {
+             stages: Seq[String] = DefaultFunnelStages): DataFrame =
+    funnelCore(events, stages, None)
+
+  /** [[funnel]] with a CONVERSION WINDOW: stage i counts only within
+    * `maxGapHours` of the user's stage-(i−1) timestamp — the product
+    * question every funnel tool actually asks ("signed up within 24 h
+    * of the click"), and the difference between measuring a flow and
+    * measuring coincidence over a long history. Anchoring stays
+    * first-touch (the earliest qualifying event at every stage, like
+    * [[funnel]]) — the deterministic industry semantics; a user who
+    * misses the window at stage i is NOT re-anchored at a later
+    * stage-(i−1) event. Same window-free cascade plan.
+    */
+  def funnelWithin(events: DataFrame, maxGapHours: Double,
+                   stages: Seq[String] = DefaultFunnelStages): DataFrame = {
+    require(maxGapHours > 0, s"need maxGapHours > 0, got $maxGapHours")
+    funnelCore(events, stages, Some((maxGapHours * 3.6e9).toLong))
+  }
+
+  private def funnelCore(events: DataFrame, stages: Seq[String],
+                         maxGapMicros: Option[Long]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val base = events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("t"))
@@ -64,9 +84,11 @@ object EventAnalytics {
         base.filter(col("event_type") === st)
           .groupBy(col("user_id")).agg(min(col("t")).as("t_0"))
       case (prev, (st, i)) =>
+        val within = maxGapMicros.fold(lit(true))(g =>
+          col("t") <= col(s"t_${i - 1}") + g)
         base.filter(col("event_type") === st)
           .join(prev.select(col("user_id"), col(s"t_${i - 1}")), "user_id")
-          .filter(col("t") > col(s"t_${i - 1}"))
+          .filter(col("t") > col(s"t_${i - 1}") && within)
           .groupBy(col("user_id")).agg(min(col("t")).as(s"t_$i"))
     }.drop(1)
     // stage-i users are a subset of stage-i−1 users, so left joins at

@@ -77,6 +77,31 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(got(2) === ((2, "purchase", 1L, Some(1.0), Some(2.0))))
   }
 
+  test("funnelWithin: the conversion window drops late stages without " +
+       "re-anchoring, boundary is inclusive, wide window equals funnel") {
+    // u1: view 10:00 → click 11:30 (1.5 h) → purchase 13:30 (2 h after
+    // click). A 1.75-hour window keeps the click but drops the purchase.
+    val got = EventAnalytics.funnelWithin(funnelEvents, maxGapHours = 1.75)
+      .select("stage_idx", "n_users")
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(got === Seq(3L, 1L, 0L))
+    // inclusive boundary: exactly 1.5 h still converts the click
+    val edge = EventAnalytics.funnelWithin(funnelEvents, maxGapHours = 1.5)
+      .select("stage_idx", "n_users")
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(edge === Seq(3L, 1L, 0L))
+    // just under: the click is outside the window
+    val under = EventAnalytics.funnelWithin(funnelEvents, maxGapHours = 1.49)
+      .select("stage_idx", "n_users")
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(under === Seq(3L, 0L, 0L))
+    // a window wider than every gap reproduces the unbounded funnel
+    val wide = EventAnalytics.funnelWithin(funnelEvents, maxGapHours = 1e6)
+      .collect().map(_.toSeq).toSet
+    assert(wide === EventAnalytics.funnel(funnelEvents)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("funnel on an empty event stream reports zero users and NULL rates") {
     val empty = Seq.empty[(Long, Timestamp, String)]
       .toDF("user_id", "ts", "event_type")
