@@ -2168,6 +2168,44 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q191: the round-unrolled generalization chain — per round, safe
+    // classes release at that level (EXISTS), the rest carry to the
+    // next level (NOT EXISTS); root leftovers suppress at level -1
+    "q191_kanonymize" ->
+      s"""WITH j AS (
+         |  SELECT c_custkey, n_name, r_name, c_mktsegment
+         |  FROM customer
+         |  JOIN nation ON n_nationkey = c_nationkey
+         |  JOIN region ON r_regionkey = n_regionkey),
+         |c0 AS (SELECT n_name, c_mktsegment FROM j
+         |       GROUP BY 1, 2 HAVING count(*) >= 15),
+         |ok0 AS (
+         |  SELECT c_custkey, n_name AS geo, 0 AS level, c_mktsegment
+         |  FROM j WHERE EXISTS (SELECT 1 FROM c0
+         |    WHERE c0.n_name = j.n_name
+         |      AND c0.c_mktsegment = j.c_mktsegment)),
+         |p1 AS (
+         |  SELECT * FROM j WHERE NOT EXISTS (SELECT 1 FROM c0
+         |    WHERE c0.n_name = j.n_name
+         |      AND c0.c_mktsegment = j.c_mktsegment)),
+         |c1 AS (SELECT r_name, c_mktsegment FROM p1
+         |       GROUP BY 1, 2 HAVING count(*) >= 15),
+         |ok1 AS (
+         |  SELECT c_custkey, r_name AS geo, 1 AS level, c_mktsegment
+         |  FROM p1 WHERE EXISTS (SELECT 1 FROM c1
+         |    WHERE c1.r_name = p1.r_name
+         |      AND c1.c_mktsegment = p1.c_mktsegment)),
+         |p2 AS (
+         |  SELECT * FROM p1 WHERE NOT EXISTS (SELECT 1 FROM c1
+         |    WHERE c1.r_name = p1.r_name
+         |      AND c1.c_mktsegment = p1.c_mktsegment))
+         |SELECT c_custkey, geo, CAST(level AS INTEGER) AS level,
+         |       c_mktsegment
+         |FROM (SELECT * FROM ok0
+         |      UNION ALL SELECT * FROM ok1
+         |      UNION ALL SELECT c_custkey, '*' AS geo, -1 AS level,
+         |                       c_mktsegment FROM p2)""".stripMargin,
+
     // q189: the incremental merge must equal the one-shot recompute
     // over the whole table — the strongest form of the merge laws
     "q189_summary_delta" ->

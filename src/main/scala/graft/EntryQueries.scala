@@ -969,6 +969,24 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // k-anonymity enforcement — q173's audit followed by the fix:
+    // local generalization up the nation→region→'*' hierarchy with
+    // per-round safety judged on rows still in flight; suppressed rows
+    // kept with level = -1 so row conservation is gate-checkable
+    "q191_kanonymize" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name"))
+      val joined = c.join(broadcast(n),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      graft.operators.Privacy.kAnonymize(joined, "c_custkey",
+        Seq("n_name", "r_name"), Seq("c_mktsegment"), k = 15)
+    }),
+
     // q115's funnel with a 12-hour conversion window — stage i counts
     // only within the window of stage i−1 (first-touch anchoring);
     // same window-free aggregate cascade

@@ -115,4 +115,62 @@ object Privacy {
         (col("class_size") >= k).as("k_anonymous"),
         (col("l_diversity") >= l).as("l_diverse")): _*)
   }
+
+  /** k-anonymity ENFORCEMENT by local hierarchy generalization — the
+    * step after [[kAnonymityReport]]'s audit: rows whose
+    * quasi-identifier class is smaller than k have their geography
+    * generalized one hierarchy level at a time (level 0 value →
+    * level 1 → … → the root '*'), and rows still re-identifiable at
+    * the root are SUPPRESSED. Local recoding (Sweeney'02 §5 shape):
+    * each class generalizes independently, so well-populated classes
+    * keep full granularity instead of paying for the rare ones (the
+    * full-domain alternative generalizes everyone to the worst class's
+    * level).
+    *
+    * Semantics is round-unrolled and deterministic: round i groups the
+    * STILL-UNSAFE rows by (level-i geography × fixed QIs) and releases
+    * the classes that now hold ≥ k rows; rounds = hierarchy depth, so
+    * the oracle replays the same fixed CTE chain. Note the subtlety the
+    * spec pins: a class can be < k at level i yet its level-(i+1)
+    * UNSAFE-ROW union ≥ k — safety is always judged on the rows still
+    * in flight, never on the original population (rows already released
+    * at a finer level do not lend their count upward).
+    *
+    * Scale shape: one aggregate + one row-level broadcast semi/anti
+    * join per hierarchy level (levels are 2–4 in practice); class
+    * relations are QI-cardinality-sized, and only the still-unsafe
+    * slice carries forward (monotonically shrinking, usually a tiny
+    * tail after round 0).
+    *
+    * Output: one row per input row — `(rowId, geo, level, fixed QIs…)`
+    * with `level` = the released hierarchy level, and `level = -1`,
+    * `geo = '*'` for suppressed rows (kept, not dropped: the consumer
+    * decides whether suppressed rows are filtered or imputed, and row
+    * conservation stays checkable).
+    */
+  def kAnonymize(rows: DataFrame, rowId: String, hierarchy: Seq[String],
+                 fixedQis: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(hierarchy.nonEmpty, "need at least one hierarchy level")
+    val fixed = fixedQis.map(col)
+    var pending = rows.select(
+      (col(rowId) +: hierarchy.map(col)) ++ fixed: _*)
+    var released = Seq.empty[DataFrame]
+    hierarchy.zipWithIndex.foreach { case (lvl, i) =>
+      val classes = pending.groupBy((col(lvl) +: fixed): _*)
+        .agg(count(lit(1)).as("_n"))
+      val safe = broadcast(classes.filter(col("_n") >= k)
+        .select((col(lvl) +: fixed): _*))
+      val keyCols = lvl +: fixedQis
+      val ok = pending.join(safe, keyCols, "left_semi")
+        .select((col(rowId) +: Seq(col(lvl).as("geo"),
+          lit(i).as("level"))) ++ fixed: _*)
+      released = released :+ ok
+      pending = pending.join(safe, keyCols, "left_anti")
+    }
+    val suppressed = pending.select(
+      (col(rowId) +: Seq(lit("*").as("geo"), lit(-1).as("level"))) ++
+        fixed: _*)
+    (released :+ suppressed).reduce(_.unionByName(_))
+  }
 }

@@ -94,4 +94,33 @@ class PrivacySpec extends SparkSpecBase {
     assert(out("b") === (("b", "x", 3L, 1L, true, false)))
     assert(out("c") === (("c", "x", 3L, 2L, true, true)))
   }
+
+  test("kAnonymize: per-level release, pooled-unsafe promotion, " +
+       "suppression, and row conservation (k = 3)") {
+    // hierarchy nation → region. Classes (seg fixed at 's'):
+    //   n1/rA ×3  → safe at level 0
+    //   n2/rA ×2, n3/rA ×2 → unsafe alone, but their POOLED 4 rows make
+    //     rA safe at level 1 (the in-flight-rows subtlety: n1's released
+    //     3 rows must NOT be what rescues them)
+    //   n4/rB ×2 → unsafe at level 0 AND level 1 (rB pool = 2) → '*'
+    //     … and the '*' pool (2 rows) is still < k → suppressed
+    val rows = (
+      (1 to 3).map(i => (i.toLong, "n1", "rA", "s")) ++
+      Seq((4L, "n2", "rA", "s"), (5L, "n2", "rA", "s")) ++
+      Seq((6L, "n3", "rA", "s"), (7L, "n3", "rA", "s")) ++
+      Seq((8L, "n4", "rB", "s"), (9L, "n4", "rB", "s"))
+    ).toDF("id", "nation", "region", "seg")
+    val out = Privacy.kAnonymize(rows, "id", Seq("nation", "region"),
+        Seq("seg"), k = 3)
+      .as[(Long, String, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size === 9) // row conservation
+    (1L to 3L).foreach(i => assert(out(i) === (("n1", 0))))
+    (4L to 7L).foreach(i => assert(out(i) === (("rA", 1))))
+    (8L to 9L).foreach(i => assert(out(i) === (("*", -1))))
+    // and every RELEASED class in the output really holds >= k rows
+    val classes = out.values.filter(_._2 >= 0).groupBy(identity)
+      .view.mapValues(_.size)
+    assert(classes.forall(_._2 >= 3), s"undersized release: $classes")
+  }
 }
