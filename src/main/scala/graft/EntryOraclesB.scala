@@ -35,6 +35,48 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
       |  FROM marked WHERE first_obs OR changed),
       |""".stripMargin
 
+  /** q186's oracle, shared verbatim with q192 (artifact path): both
+    * gates must hash-equal the same full-scan DuckDB computation.
+    */
+  protected val Q186RobustOutliersSql: String =
+    s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS y
+         |  FROM events),
+         |h AS (SELECT g, y, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM e GROUP BY 1, 2),
+         |hc AS (
+         |  SELECT g, y, cnt,
+         |         sum(cnt) OVER (PARTITION BY g ORDER BY y
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(cnt) OVER (PARTITION BY g) AS n
+         |  FROM h),
+         |med AS (
+         |  SELECT g, CAST(max(n) AS BIGINT) AS n,
+         |         CAST(min(y) AS BIGINT) AS med
+         |  FROM hc WHERE cum >= floor((n + 1) / 2) GROUP BY g),
+         |dh AS (
+         |  SELECT h.g, m.n, m.med, abs(h.y - m.med) AS dev,
+         |         CAST(sum(h.cnt) AS BIGINT) AS cnt
+         |  FROM h JOIN med m ON m.g = h.g GROUP BY 1, 2, 3, 4),
+         |dhc AS (
+         |  SELECT g, n, med, dev, cnt,
+         |         sum(cnt) OVER (PARTITION BY g ORDER BY dev
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM dh),
+         |mad AS (
+         |  SELECT g, CAST(max(n) AS BIGINT) AS n,
+         |         CAST(max(med) AS BIGINT) AS med,
+         |         CAST(min(dev) AS BIGINT) AS mad
+         |  FROM dhc WHERE cum >= floor((n + 1) / 2) GROUP BY g),
+         |outl AS (
+         |  SELECT d.g,
+         |         CAST(coalesce(sum(CASE WHEN d.dev * 10000 > m.mad * 44478
+         |           THEN d.cnt ELSE 0 END), 0) AS BIGINT) AS n_outliers
+         |  FROM dh d JOIN mad m ON m.g = d.g GROUP BY 1)
+         |SELECT m.g, m.n, m.med AS median_cents, m.mad AS mad_cents,
+         |       o.n_outliers
+         |FROM mad m JOIN outl o ON o.g = m.g""".stripMargin
+
   protected def oraclesB: Map[String, String] = Map(
     // corpus band index capped like lshStage (QUALIFY); the incoming batch
     // is never self-joined and the corpus never pairs with itself
@@ -2270,44 +2312,12 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
     // q186: the same histogram → cumulative-window → lower-median
     // construction over integer cents; the outlier rule is the exact
     // integer comparison dev·10000 > MAD·44478
-    "q186_robust_outliers" ->
-      s"""WITH e AS (
-         |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS y
-         |  FROM events),
-         |h AS (SELECT g, y, CAST(count(*) AS BIGINT) AS cnt
-         |      FROM e GROUP BY 1, 2),
-         |hc AS (
-         |  SELECT g, y, cnt,
-         |         sum(cnt) OVER (PARTITION BY g ORDER BY y
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         |         sum(cnt) OVER (PARTITION BY g) AS n
-         |  FROM h),
-         |med AS (
-         |  SELECT g, CAST(max(n) AS BIGINT) AS n,
-         |         CAST(min(y) AS BIGINT) AS med
-         |  FROM hc WHERE cum >= floor((n + 1) / 2) GROUP BY g),
-         |dh AS (
-         |  SELECT h.g, m.n, m.med, abs(h.y - m.med) AS dev,
-         |         CAST(sum(h.cnt) AS BIGINT) AS cnt
-         |  FROM h JOIN med m ON m.g = h.g GROUP BY 1, 2, 3, 4),
-         |dhc AS (
-         |  SELECT g, n, med, dev, cnt,
-         |         sum(cnt) OVER (PARTITION BY g ORDER BY dev
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM dh),
-         |mad AS (
-         |  SELECT g, CAST(max(n) AS BIGINT) AS n,
-         |         CAST(max(med) AS BIGINT) AS med,
-         |         CAST(min(dev) AS BIGINT) AS mad
-         |  FROM dhc WHERE cum >= floor((n + 1) / 2) GROUP BY g),
-         |outl AS (
-         |  SELECT d.g,
-         |         CAST(coalesce(sum(CASE WHEN d.dev * 10000 > m.mad * 44478
-         |           THEN d.cnt ELSE 0 END), 0) AS BIGINT) AS n_outliers
-         |  FROM dh d JOIN mad m ON m.g = d.g GROUP BY 1)
-         |SELECT m.g, m.n, m.med AS median_cents, m.mad AS mad_cents,
-         |       o.n_outliers
-         |FROM mad m JOIN outl o ON o.g = m.g""".stripMargin,
+    "q186_robust_outliers" -> Q186RobustOutliersSql,
+
+    // q192: the report computed from the STORED histogram artifact —
+    // the oracle is q186's VERBATIM (shared constant): the artifact
+    // path must hash-equal the full-scan computation
+    "q192_robust_outliers_artifact" -> Q186RobustOutliersSql,
 
     // q183: the evolved-read semantics replayed from the base table —
     // generation 1 rows (doc_id even) carry NULL lang (the column did

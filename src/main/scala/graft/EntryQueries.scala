@@ -1029,6 +1029,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
     "q187_attribution" -> ((s, dir) =>
       graft.operators.EventAnalytics.attribution(Tables.events(s, dir))),
 
+    // q186's report computed from the STORED histogram artifact —
+    // corpus rows enter the plan nowhere; gated against q186's
+    // verbatim full-scan oracle (the q134/q137 artifact discipline)
+    "q192_robust_outliers_artifact" -> ((s, dir) =>
+      graft.operators.Stats.robustOutliersFromHist(
+        s.read.parquet(eventHistShared(s, dir)))),
+
     // robust per-event-type outlier screen — lower-median + MAD over
     // the integer-cents histogram, all-integer outlier rule
     // dev·10000 > MAD·44478; windows run over the resolution-bounded

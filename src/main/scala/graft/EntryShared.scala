@@ -314,6 +314,27 @@ private[graft] trait EntryShared {
     })._2
   }
 
+  // Stored cents-histogram artifact of events for q192 (the q186
+  // register relation persisted): the report computed FROM THE ARTIFACT
+  // must hash-equal q186's full-scan oracle — the q134/q137 discipline
+  // applied to robust statistics.
+  protected val eventHistMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  protected def eventHistShared(s: SparkSession, dir: String): String = {
+    val it = eventHistMemo.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue._1.sparkContext.isStopped) it.remove()
+    eventHistMemo.computeIfAbsent(ccKey(s, dir), _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ehist_").toString
+      graft.operators.Stats.centsHistogram(Tables.events(s, dir),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$root/hist")
+      (s, s"$root/hist")
+    })._2
+  }
+
   // Materialized (source, lang) summary of documents for q188: written
   // once per (session, dir) and registered with the MvRewrite catalog —
   // the gate's coarser GROUP BY source must then answer from the

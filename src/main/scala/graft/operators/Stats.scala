@@ -78,21 +78,6 @@ object Stats {
       round(num * num / (denx * deny), 6).as("r2"))
   }
 
-  /** Pearson chi-square test of independence between two categorical
-    * columns, plus Cramér's V effect size — the "are these dimensions
-    * related at all" question upstream of q90's KL (which assumes a
-    * reference) and q171's PSI (which assumes a baseline window).
-    *
-    * Scale shape: ONE scan collapses to the a×b contingency relation
-    * (bounded by category-cardinality product, independent of row
-    * count); marginals come from two broadcast-sized aggregations OVER
-    * THE CELLS, never a second corpus pass. The statistic is
-    * Σ (o − e)²/e with e = rowTotal·colTotal/N — per-cell terms are
-    * doubles over exact integer counts, summed over the tiny cell
-    * relation and rounded 4 (the repo-wide round-after-sum discipline;
-    * cell count ~10², double associativity noise ~10⁻¹² of magnitude).
-    * Output is one row: cardinalities, N, chi2, dof, Cramér's V.
-    */
   /** Robust per-group outlier report: median, MAD (median absolute
     * deviation), and the count of |y − med| > 3σ-equivalent outliers
     * under the MAD-consistent scale (σ ≈ 1.4826·MAD for a normal core)
@@ -116,16 +101,33 @@ object Stats {
     * cumulative windows partition by group over value-resolution rows,
     * never over the corpus.
     */
-  def robustOutliers(df: DataFrame, group: Column, value: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val y = round(value * 100).cast("long")
+  def robustOutliers(df: DataFrame, group: Column, value: Column): DataFrame =
     // the histogram feeds the median chain, the deviation histogram, the
     // outlier count, and the report row — eagerly checkpointed (the q119
     // discipline) so the ROW-SCALED scan runs exactly once and every
     // downstream reference replays the resolution-bounded relation
-    val hist = df.select(group.as("g"), y.as("y"))
+    robustOutliersFromHist(
+      centsHistogram(df, group, value).localCheckpoint(true))
+
+  /** [[robustOutliers]] stage 1 as a standalone relation: per-(group,
+    * integer-cents) counts — the register form. Runs UNCHANGED on a
+    * streaming feed (update-mode aggregation, state = group ×
+    * value-resolution rows, no watermark): the q157/q168/q182
+    * register-maintenance story applied to robust statistics — maintain
+    * the live histogram continuously, compute medians/MAD/outliers on
+    * demand from the registers (or from a STORED histogram artifact)
+    * without rescanning any rows.
+    */
+  def centsHistogram(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.select(group.as("g"), round(value * 100).cast("long").as("y"))
       .groupBy(col("g"), col("y")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+
+  /** The [[robustOutliers]] report computed from a (g, y, cnt) histogram
+    * relation — live registers or a stored artifact; nothing row-scaled
+    * enters the plan.
+    */
+  def robustOutliersFromHist(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def lowerMedian(h: DataFrame, v: String, out: String): DataFrame = {
       val cumW = Window.partitionBy("g").orderBy(v)
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -152,6 +154,21 @@ object Stats {
         col("mad").as("mad_cents"), col("n_outliers"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V effect size — the "are these dimensions
+    * related at all" question upstream of q90's KL (which assumes a
+    * reference) and q171's PSI (which assumes a baseline window).
+    *
+    * Scale shape: ONE scan collapses to the a×b contingency relation
+    * (bounded by category-cardinality product, independent of row
+    * count); marginals come from two broadcast-sized aggregations OVER
+    * THE CELLS, never a second corpus pass. The statistic is
+    * Σ (o − e)²/e with e = rowTotal·colTotal/N — per-cell terms are
+    * doubles over exact integer counts, summed over the tiny cell
+    * relation and rounded 4 (the repo-wide round-after-sum discipline;
+    * cell count ~10², double associativity noise ~10⁻¹² of magnitude).
+    * Output is one row: cardinalities, N, chi2, dof, Cramér's V.
+    */
   def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
     val observed = df.groupBy(a.as("a"), b.as("b"))
       .agg(count(lit(1)).as("obs"))

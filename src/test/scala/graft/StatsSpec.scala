@@ -87,6 +87,41 @@ class StatsSpec extends SparkSpecBase {
     assert((oe._2, oe._3, oe._4, oe._5) === ((5L, 0L, 10000L, 0L)))
   }
 
+  test("streaming cents-histogram registers equal the batch fold, and " +
+       "the report over the streamed state equals batch robustOutliers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0 until 500).map(i =>
+      (s"g${i % 3}", ((i * 37) % 200) / 10.0 +
+        (if (i % 50 == 0) 500.0 else 0.0)))
+    val input = MemoryStream[(String, Double)]
+    val q = Stats.centsHistogram(input.toDF.toDF("g", "v"),
+        col("g"), col("v"))
+      .writeStream.format("memory").queryName("cents_regs_test")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamedRows = spark.table("cents_regs_test")
+        .as[(String, Long, Long)].collect()
+      val batchHist = Stats.centsHistogram(rows.toDF("g", "v"),
+        col("g"), col("v"))
+      assert(streamedRows.toSet ===
+        batchHist.as[(String, Long, Long)].collect().toSet)
+      // the register law's payoff: the report off the drained state
+      // equals the end-to-end batch operator (state re-framed as a
+      // plain relation — the multi-reference report self-joins, which
+      // a memory-sink VIEW cannot serve directly)
+      val stateRel = streamedRows.toSeq.toDF("g", "y", "cnt")
+      assert(Stats.robustOutliersFromHist(stateRel)
+        .collect().map(_.toSeq).toSet ===
+        Stats.robustOutliers(rows.toDF("g", "v"), col("g"), col("v"))
+          .collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("chiSquare: textbook 2x2 cells, independence → 0, perfect " +
        "association → V = 1") {
     import spark.implicits._
