@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -15,9 +15,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Matching is deliberately conservative — a rewrite fires only when it
   * is PROVABLY exact:
   *  - the aggregate's child is the registered base relation (same file
-  *    roots), optionally under attribute-only Projects (column pruning);
-  *    any Filter blocks the rewrite (a predicate over non-grouped
-  *    columns cannot be answered from group-level sums);
+  *    roots), optionally under attribute-only Projects (column pruning)
+  *    and deterministic Filters over the view's GROUPING columns only —
+  *    those commute with the rollup (every row of a view cell shares
+  *    the group values, so filtering cells equals filtering rows) and
+  *    re-apply over the view; a predicate touching any other column
+  *    blocks the rewrite (group-level sums cannot answer it);
   *  - every grouping expression is a bare base column contained in the
   *    view's grouping set (the view's grouping SUBSUMES the query's —
   *    rollup re-aggregates the finer cells);
@@ -49,12 +52,17 @@ object MvRewrite extends Rule[LogicalPlan] {
         tryRewrite(g, a, child).getOrElse(agg)
     }
 
-  /** Base-relation file roots under attribute-only projections. */
-  private def baseRoots(p: LogicalPlan): Option[Set[String]] = p match {
+  /** Base-relation file roots under attribute-only projections and
+    * deterministic filters (collected for the commute check below).
+    */
+  private def stripToBase(
+      p: LogicalPlan): Option[(Set[String], Seq[Expression])] = p match {
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      baseRoots(c)
+      stripToBase(c)
+    case Filter(cond, c) if cond.deterministic =>
+      stripToBase(c).map { case (r, fs) => (r, cond +: fs) }
     case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
-      Some(h.location.rootPaths.map(_.toString).toSet)
+      Some((h.location.rootPaths.map(_.toString).toSet, Nil))
     case _ => None
   }
 
@@ -62,8 +70,14 @@ object MvRewrite extends Rule[LogicalPlan] {
                          child: LogicalPlan): Option[LogicalPlan] = {
     if (g.isEmpty) return None // global aggregate: empty-input semantics
                                // (count=0 vs null sums) differ — stand down
-    val roots = baseRoots(child).getOrElse(return None)
+    val (roots, filters) = stripToBase(child).getOrElse(return None)
     val mv = MvCatalog.forBase(roots).getOrElse(return None)
+    // a filter COMMUTES with the rollup iff it touches only the view's
+    // grouping columns: every row of a view cell shares those values,
+    // so filtering cells equals filtering rows. Anything else (a
+    // predicate over an aggregated column) stands down.
+    if (!filters.forall(_.references.forall(r => mv.groupCols(r.name))))
+      return None
     val gAttrs = g.map {
       case ar: AttributeReference if mv.groupCols(ar.name) => ar
       case _ => return None
@@ -101,7 +115,11 @@ object MvRewrite extends Rule[LogicalPlan] {
         Alias(mvOut(ar.name), ar.name)(exprId = ar.exprId)
       case _ => return None
     }
-    Some(Aggregate(gAttrs.map(ar => mvOut(ar.name)), newA, fresh))
+    val filtered = filters.foldLeft(fresh: LogicalPlan)((c, f) =>
+      Filter(f.transform {
+        case ar: AttributeReference => mvOut(ar.name)
+      }, c))
+    Some(Aggregate(gAttrs.map(ar => mvOut(ar.name)), newA, filtered))
   }
 }
 

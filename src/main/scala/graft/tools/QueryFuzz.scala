@@ -516,11 +516,21 @@ object QueryFuzz {
     val aggs = pool.zipWithIndex.collect {
       case (a, i) if (mask & (1 << i)) != 0 => a
     }
-    // a third of the seeds draw a doc_id filter: the rule must STAND
-    // DOWN (a predicate below the aggregate) and still answer exactly
-    val filt = if (rnd.nextInt(3) == 0) Some(2 + rnd.nextInt(7)) else None
+    // filter modes: none (fires) / doc_id modulo (the rule must STAND
+    // DOWN — a predicate over a non-grouped column) / source IN subset
+    // (a GROUP-column predicate: commutes, fires, re-applies over the
+    // view) — all three must answer exactly
+    val mode = rnd.nextInt(3)
+    val filt = if (mode == 1) Some(2 + rnd.nextInt(7)) else None
+    val srcs = if (mode == 2)
+      Some(rnd.shuffle((0 until 20).toList).take(1 + rnd.nextInt(6))
+        .map(i => s"src$i").sorted)
+    else None
     val gs = groups.zipWithIndex.map { case (c, i) => (c, s"g${i + 1}") }
-    val whereSql = filt.fold("")(k => s"\nWHERE doc_id % $k = 0")
+    val whereSql = filt.map(k => s"\nWHERE doc_id % $k = 0")
+      .orElse(srcs.map(v =>
+        s"\nWHERE source IN (${v.map(x => s"'$x'").mkString(", ")})"))
+      .getOrElse("")
     val sql = s"SELECT ${gs.map { case (c, a) => s"$c AS $a" }
         .mkString(", ")}, ${aggs.map(_._1).mkString(", ")}" +
       s"\nFROM documents$whereSql" +
@@ -529,6 +539,7 @@ object QueryFuzz {
       graft.SparkEntry.ensureMvRegistered(s, dir)
       var df = Tables.documents(s, dir)
       filt.foreach(k => df = df.filter(col("doc_id") % k === 0))
+      srcs.foreach(v => df = df.filter(col("source").isInCollection(v)))
       gs.foreach { case (c, a) => df = df.withColumn(a, col(c)) }
       df.groupBy(gs.map(g => col(g._2)): _*)
         .agg(aggs.head._2, aggs.tail.map(_._2): _*)

@@ -63,8 +63,22 @@ class MvRewriteSpec extends SparkSpecBase {
     }
   }
 
-  test("stand-downs: filter, avg, distinct, global aggregate, and " +
-       "non-view grouping all fall through to the base scan") {
+  test("a filter over GROUPING columns commutes: fires and re-applies " +
+       "over the view") {
+    withMv { (base, mv) =>
+      val q = spark.read.parquet(base)
+        .filter(col("sub") === "u" || col("g") === "b")
+        .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val plan = scannedFiles(q)
+      assert(plan.contains(mv) && !plan.contains(base),
+        s"group-col filter should commute:\n$plan")
+      assert(q.as[(String, Long, Long)].collect().toSet ===
+        Set(("a", 2L, 3L), ("b", 2L, 30L)))
+    }
+  }
+
+  test("stand-downs: filter on an AGGREGATED column, avg, distinct, " +
+       "global aggregate, and non-view grouping all fall through") {
     withMv { (base, _) =>
       val b = spark.read.parquet(base)
       val cases = Seq(
