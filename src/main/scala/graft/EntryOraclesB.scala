@@ -2210,6 +2210,30 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q193: the profile replayed one UNION branch per column (DuckDB
+    // pays p scans; the engine's one-Expand-pass is the plan under
+    // gate, the VALUES are what must agree)
+    "q193_table_profile" -> {
+      def branch(c: String, num: Boolean): String = {
+        val minN = if (num) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val maxN = if (num) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val minS = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(min($c) AS VARCHAR)"
+        val maxS = if (num) "CAST(NULL AS VARCHAR)" else s"CAST(max($c) AS VARCHAR)"
+        s"""SELECT '$c' AS col_name,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+           |       $minN AS min_num, $maxN AS max_num,
+           |       $minS AS min_str, $maxS AS max_str
+           |FROM orders""".stripMargin
+      }
+      Seq(branch("o_orderkey", num = true),
+        branch("o_custkey", num = true),
+        branch("o_orderstatus", num = false),
+        branch("o_totalprice", num = true))
+        .mkString("\nUNION ALL\n")
+    },
+
     // q191: the round-unrolled generalization chain — per round, safe
     // classes release at that level (EXISTS), the rest carry to the
     // next level (NOT EXISTS); root leftovers suppress at level -1

@@ -969,6 +969,13 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // ANALYZE-style column profile of orders — one scan (one Expand
+    // for the mixed distinct/plain aggregate set), exact NDV, per-type
+    // min/max families
+    "q193_table_profile" -> ((s, dir) =>
+      graft.operators.Validation.tableProfile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+
     // k-anonymity enforcement — q173's audit followed by the fix:
     // local generalization up the nation→region→'*' hierarchy with
     // per-round safety judged on rows still in flight; suppressed rows

@@ -239,6 +239,54 @@ object Validation {
         col("psi"))
   }
 
+  /** ANALYZE-style column profile — the stats-collection pass every
+    * warehouse runs before trusting a table (and the CBO's food): per
+    * column, row count, null count, EXACT distinct count, and min/max
+    * (numeric columns report doubles, string columns lexicographic
+    * bounds — each family NULL for the other, so one report schema
+    * serves both).
+    *
+    * Scale shape: ONE scan — all per-column aggregates fold into a
+    * single Aggregate; the mixed distinct/non-distinct set plans as one
+    * Expand pass (the [[report]] note), so a p-column profile costs one
+    * corpus read with a ×p row expansion feeding map-side-combining
+    * partials, never p separate scans. Exact NDV is a deliberate
+    * choice: the q157 HLL registers are the approximate/mergeable path
+    * when p × cardinality makes exact counting too hot.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val fields = cols.map(c => df.schema(c))
+    def isNum(f: org.apache.spark.sql.types.StructField): Boolean =
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val aggs = count(lit(1)).as("_n") +: fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        coalesce(sum(c.isNull.cast("long")), lit(0L))
+          .as(s"_nulls_${f.name}"),
+        countDistinct(c).as(s"_ndv_${f.name}"),
+        (if (isNum(f)) min(c).cast("double")
+         else lit(null).cast("double")).as(s"_minn_${f.name}"),
+        (if (isNum(f)) max(c).cast("double")
+         else lit(null).cast("double")).as(s"_maxn_${f.name}"),
+        (if (isNum(f)) lit(null).cast("string")
+         else min(c).cast("string")).as(s"_mins_${f.name}"),
+        (if (isNum(f)) lit(null).cast("string")
+         else max(c).cast("string")).as(s"_maxs_${f.name}"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(fields.map { f =>
+      struct(lit(f.name).as("col_name"), col("_n").as("n_rows"),
+        col(s"_nulls_${f.name}").as("n_nulls"),
+        col(s"_ndv_${f.name}").as("ndv"),
+        col(s"_minn_${f.name}").as("min_num"),
+        col(s"_maxn_${f.name}").as("max_num"),
+        col(s"_mins_${f.name}").as("min_str"),
+        col(s"_maxs_${f.name}").as("max_str"))
+    }: _*)
+    one.select(explode(rows).as("r")).select(col("r.*"))
+  }
+
   /** Default bucket count for [[tableDiff]] — the stage-1 checksum
     * relation stays driver-trivial at 65536 rows, and the dirty-bucket
     * fraction (≈ diffs/nBuckets for scattered diffs) stays small for

@@ -199,6 +199,30 @@ class ValidationSpec extends SparkSpecBase {
     assert(out("both")._5 === 0.0)
   }
 
+  test("tableProfile: exact counts/ndv/min-max per type family, nulls " +
+       "counted not profiled, one-scan plan (single Expand)") {
+    val t = Seq((1L, Some("a"), Some(2.5)), (2L, Some("a"), Some(-1.0)),
+      (3L, None: Option[String], None: Option[Double]),
+      (3L, Some("z"), Some(2.5)))
+      .toDF("k", "s", "v")
+    val prof = Validation.tableProfile(t, Seq("k", "s", "v"))
+    val out = prof.collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(out("k") === Seq(4L, 0L, 3L, 1.0, 3.0, null, null))
+    assert(out("s") === Seq(4L, 1L, 2L, null, null, "a", "z"))
+    assert(out("v") === Seq(4L, 1L, 2L, -1.0, 2.5, null, null))
+    // one corpus read: the mixed distinct/plain set plans via Expand
+    // over ONE scan, never a scan per column (Expand may appear once
+    // per aggregation phase in the plan text; the scan count is the
+    // contract)
+    // (AQE's toString repeats the plan as "Initial Plan" — count scans
+    // in the final section only)
+    val plan = prof.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), s"expected Expand:\n$plan")
+    assert(plan.split("LocalTableScan").length - 1 <= 1,
+      s"expected a single scan:\n$plan")
+  }
+
   private def diffMap(out: DataFrame): Map[Long, String] =
     out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
