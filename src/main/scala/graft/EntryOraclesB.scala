@@ -2210,6 +2210,41 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q194: trigram replay with two leads over the same per-user order;
+    // the LIMIT selection is deterministic via the full tie-break
+    "q194_top_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id AS u, ts, event_id AS i, event_type AS ty
+         |  FROM events),
+         |s AS (
+         |  SELECT ty AS a,
+         |         lead(ty) OVER (PARTITION BY u ORDER BY ts, i) AS b,
+         |         lead(ty, 2) OVER (PARTITION BY u ORDER BY ts, i) AS c
+         |  FROM e)
+         |SELECT a, b, c, CAST(count(*) AS BIGINT) AS n
+         |FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY n DESC, a, b, c
+         |LIMIT 10""".stripMargin,
+
+    // q195: pair gaps via lead over the same order; exact integer micro
+    // sums, the identical double division chain, rounded 4
+    "q195_transition_timing" ->
+      s"""WITH e AS (
+         |  SELECT user_id AS u, epoch_us(ts) AS tt, ts, event_id AS i,
+         |         event_type AS ty
+         |  FROM events),
+         |s AS (
+         |  SELECT ty AS from_type,
+         |         lead(ty) OVER (PARTITION BY u ORDER BY ts, i) AS to_type,
+         |         lead(tt) OVER (PARTITION BY u ORDER BY ts, i) - tt AS gap
+         |  FROM e)
+         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+         |       round(CAST(sum(gap) AS DOUBLE) / count(*) / 1e6, 4)
+         |         AS mean_gap_sec
+         |FROM s WHERE to_type IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
+
     // q193: the profile replayed one UNION branch per column (DuckDB
     // pays p scans; the engine's one-Expand-pass is the plan under
     // gate, the VALUES are what must agree)

@@ -969,6 +969,18 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // top-10 most frequent 3-step event paths — q178's fold widened to
+    // trigrams (O(2) state), type³-bounded count relation, TakeOrdered
+    // selection with a full tie-break
+    "q194_top_paths" -> ((s, dir) =>
+      graft.operators.EventAnalytics.topPaths(Tables.events(s, dir))),
+
+    // mean seconds between consecutive events per (from → to) pair —
+    // the timing companion of q178; exact integer micro sums, one
+    // double division, rounded 4
+    "q195_transition_timing" -> ((s, dir) =>
+      graft.operators.EventAnalytics.transitionTiming(Tables.events(s, dir))),
+
     // ANALYZE-style column profile of orders — one scan (one Expand
     // for the mixed distinct/plain aggregate set), exact NDV, per-type
     // min/max families

@@ -194,6 +194,83 @@ object EventAnalytics {
         round(col("n") / col("n_from").cast("double"), 4).as("p"))
   }
 
+  /** Top-k most frequent 3-step paths — the sequence-mining extension of
+    * [[transitionMatrix]]'s pair counts: per (a → b → c) trigram of
+    * consecutive events within a user, exact counts, top-k by
+    * (count DESC, path ASC) so the selection is deterministic under
+    * ties. Same fold discipline with O(2) state per key (the previous
+    * two event types); the ranking runs over the type³-bounded count
+    * relation via a TakeOrdered heap, never a corpus-sized sort.
+    */
+  def topPaths(events: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .select(col("user_id").cast("long").as("_k"), col("ts").as("_t"),
+        col("event_id").cast("long").as("_i"),
+        col("event_type").as("_e"))
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k"), col("_t"), col("_i"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val triples = prepared.mapPartitions { it =>
+      var cur = 0L
+      var have = false
+      var p1: String = null // previous
+      var p2: String = null // before previous
+      it.flatMap { case (kk, _, _, e) =>
+        if (!have || kk != cur) { cur = kk; have = true; p1 = null; p2 = null }
+        val out =
+          if (p2 != null) Iterator.single((p2, p1, e))
+          else Iterator.empty
+        p2 = p1; p1 = e
+        out
+      }
+    }.toDF("a", "b", "c")
+    triples.groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a").asc, col("b").asc, col("c").asc)
+      .limit(k)
+  }
+
+  /** Transition timing — [[transitionMatrix]]'s companion question
+    * "how LONG do users take between steps": per (from → to) pair of
+    * consecutive events, exact counts and the mean gap in seconds
+    * (exact integer micro-second sums, one double division, rounded 4).
+    * Same one-shuffle fold, O(1) state.
+    */
+  def transitionTiming(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .select(col("user_id").cast("long").as("_k"),
+        unix_micros(col("ts")).as("_t"),
+        col("event_id").cast("long").as("_i"),
+        col("event_type").as("_e"))
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k"), col("_t"), col("_i"))
+      .as[(Long, Long, Long, String)]
+    val pairs = prepared.mapPartitions { it =>
+      var cur = 0L
+      var have = false
+      var prevT = 0L
+      var prevE: String = null
+      it.flatMap { case (kk, t, _, e) =>
+        val out =
+          if (have && kk == cur) Iterator.single((prevE, e, t - prevT))
+          else Iterator.empty
+        cur = kk; have = true; prevE = e; prevT = t
+        out
+      }
+    }.toDF("from_type", "to_type", "gap_us")
+    pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap_us")).as("sum_us"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("sum_us").cast("double") / col("n") / 1e6, 4)
+          .as("mean_gap_sec"))
+  }
+
   /** Conversion attribution — per touch type, how many conversions it
     * gets credited under the FIRST-touch and LAST-touch models (the
     * two bookends every marketing/growth stack reports): each

@@ -226,6 +226,34 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(one === many)
   }
 
+  test("topPaths and transitionTiming: hand-traced trigrams, per-key " +
+       "reset, exact mean gaps, partition invariance") {
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    // user 1: A(0s) B(10s) B(40s) C(100s) → trigrams ABB, BBC;
+    //   pairs A→B 10s, B→B 30s, B→C 60s
+    // user 2: C(0s) A(5s) → pair C→A 5s, no trigram
+    val events = Seq(
+      (1L, ts(0), 10L, "A"), (1L, ts(10), 11L, "B"),
+      (1L, ts(40), 12L, "B"), (1L, ts(100), 13L, "C"),
+      (2L, ts(0), 20L, "C"), (2L, ts(5), 21L, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val paths = graft.operators.EventAnalytics.topPaths(events, k = 5)
+      .as[(String, String, String, Long)].collect().toSet
+    assert(paths === Set(("A", "B", "B", 1L), ("B", "B", "C", 1L)))
+    val timing = graft.operators.EventAnalytics.transitionTiming(events)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(timing === Map(
+      ("A", "B") -> ((1L, 10.0)), ("B", "B") -> ((1L, 30.0)),
+      ("B", "C") -> ((1L, 60.0)), ("C", "A") -> ((1L, 5.0))))
+    val one = graft.operators.EventAnalytics
+      .topPaths(events.repartition(1), 5).collect().map(_.toSeq).toSet
+    val many = graft.operators.EventAnalytics
+      .topPaths(events.repartition(7), 5).collect().map(_.toSeq).toSet
+    assert(one === many)
+  }
+
   test("attribution: hand-traced first/last credits with purchase reset, " +
        "direct conversions, ignored noise, and user boundaries") {
     def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
