@@ -2210,6 +2210,40 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |    AND doc_id NOT IN (SELECT doc_id FROM incoming)),
          |""".stripMargin + datacardOracleBody("merged")),
 
+    // q196: the spliced rebuild must equal the one-shot post-delete
+    // recompute — the delete-path law, strongest form
+    "q196_summary_delete_rebuild" ->
+      s"""SELECT source, lang,
+         |       CAST(count(*) AS BIGINT) AS cnt,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+         |       CAST(max(doc_id) AS BIGINT) AS max_doc
+         |FROM documents WHERE doc_id % 7 <> 3
+         |GROUP BY 1, 2""".stripMargin,
+
+    // q197: per-table exact purge accounting over the same forget set
+    "q197_forget_receipt" ->
+      s"""WITH ids AS (
+         |  SELECT DISTINCT user_id AS fid FROM events
+         |  WHERE user_id % 101 = 5)
+         |SELECT 'events' AS table_name,
+         |       CAST(count(*) AS BIGINT) AS rows_before,
+         |       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ids
+         |         WHERE fid = user_id) THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS rows_deleted,
+         |       CAST(count(*) - sum(CASE WHEN EXISTS (SELECT 1 FROM ids
+         |         WHERE fid = user_id) THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS rows_after
+         |FROM events
+         |UNION ALL
+         |SELECT 'orders',
+         |       CAST(count(*) AS BIGINT),
+         |       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM ids
+         |         WHERE fid = o_custkey) THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(count(*) - sum(CASE WHEN EXISTS (SELECT 1 FROM ids
+         |         WHERE fid = o_custkey) THEN 1 ELSE 0 END) AS BIGINT)
+         |FROM orders""".stripMargin,
+
     // q194: trigram replay with two leads over the same per-user order;
     // the LIMIT selection is deterministic via the full tie-break
     "q194_top_paths" ->

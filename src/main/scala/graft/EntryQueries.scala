@@ -969,6 +969,35 @@ private[graft] trait EntryQueries { self: EntryShared =>
       graft.operators.Stats.chiSquareIndependence(
         Tables.documents(s, dir), col("source"), col("lang"))),
 
+    // delete-path summary maintenance — the case q189's append merge
+    // refuses: touched groups rebuild from the post-delete base slice
+    // (broadcast semi gate), untouched groups ride the artifact; must
+    // hash-equal the full post-delete recompute
+    "q196_summary_delete_rebuild" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val remaining = docs.filter(col("doc_id") % 7 =!= 3)
+      val summary = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      val touched = docs.filter(col("doc_id") % 7 === 3)
+        .select("source", "lang")
+      graft.operators.Relational.summaryRebuildGroups(remaining, summary,
+        touched, Seq("source", "lang"), "cnt",
+        Map("n_chars" -> "sum_chars"), Map("doc_id" -> "min_doc"),
+        Map("doc_id" -> "max_doc"))
+    }),
+
+    // right-to-be-forgotten receipt — exact per-table before/deleted/
+    // after counts for a broadcast forget set spanning events (by user)
+    // and orders (by customer)
+    "q197_forget_receipt" -> ((s, dir) => {
+      val ids = Tables.events(s, dir)
+        .filter(col("user_id") % 101 === 5).select("user_id")
+      graft.operators.Privacy.forgetReceipt(Seq(
+        ("events", Tables.events(s, dir), "user_id"),
+        ("orders", Tables.orders(s, dir), "o_custkey")), ids)
+    }),
+
     // top-10 most frequent 3-step event paths — q178's fold widened to
     // trigrams (O(2) state), type³-bounded count relation, TakeOrdered
     // selection with a full tie-break

@@ -173,4 +173,38 @@ object Privacy {
         fixed: _*)
     (released :+ suppressed).reduce(_.unionByName(_))
   }
+
+  /** Right-to-be-forgotten purge of one keyed table: every row whose key
+    * is in the (broadcast-sized) forget set drops via an anti join — at
+    * 100 TB this is one scan per table, no shuffle of the table itself.
+    * Downstream summaries rebuild their touched groups only
+    * ([[Relational.summaryRebuildGroups]] — deletes are exactly the
+    * case its append-only twin refuses).
+    */
+  def forget(df: DataFrame, key: String, ids: DataFrame): DataFrame =
+    df.join(broadcast(ids.select(col(ids.columns.head).as(key)).distinct()),
+      Seq(key), "left_anti")
+
+  /** The deletion RECEIPT a forget job files: per table, exact
+    * rows-before / rows-deleted / rows-after — the audit artifact that
+    * proves the purge without retaining the purged keys. One
+    * broadcast-join + one-row aggregate per table; `rows_after` derives
+    * from the two counts, so the receipt is internally consistent by
+    * construction.
+    */
+  def forgetReceipt(tables: Seq[(String, DataFrame, String)],
+                    ids: DataFrame): DataFrame = {
+    require(tables.nonEmpty, "receipt needs at least one table")
+    val idsB = broadcast(ids.select(col(ids.columns.head).as("_fid"))
+      .distinct().withColumn("_hit", lit(1L)))
+    tables.map { case (name, df, key) =>
+      df.select(col(key).as("_fid"))
+        .join(idsB, Seq("_fid"), "left")
+        .agg(count(lit(1)).as("rows_before"),
+          coalesce(sum(col("_hit")), lit(0L)).as("rows_deleted"))
+        .select(lit(name).as("table_name"), col("rows_before"),
+          col("rows_deleted"),
+          (col("rows_before") - col("rows_deleted")).as("rows_after"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -646,17 +646,49 @@ object Relational {
     * CDC apply against the base and a summary REBUILD of the touched
     * groups. Refusing here keeps the exactness claim honest.
     */
+  /** The summary rollup shared by [[summaryApplyDelta]] (append path)
+    * and [[summaryRebuildGroups]] (delete path).
+    */
+  private def summaryRollup(df: DataFrame, groupCols: Seq[String],
+                            cntCol: String, sumCols: Map[String, String],
+                            minCols: Map[String, String],
+                            maxCols: Map[String, String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as(cntCol),
+      (sumCols.map { case (b, m) => sum(col(b)).as(m) } ++
+        minCols.map { case (b, m) => min(col(b)).as(m) } ++
+        maxCols.map { case (b, m) => max(col(b)).as(m) }).toSeq: _*)
+
+  /** The DELETE path [[summaryApplyDelta]] refuses, done the only way
+    * min/max allow — recompute, but ONLY where something changed: the
+    * groups named by `touched` (the delete set's distinct group keys, a
+    * broadcast-sized relation) rebuild from the post-delete base slice
+    * (a broadcast semi-join gate, so with partition/cluster keys among
+    * the group columns the scan prunes to the touched slice); every
+    * untouched group rides the stored artifact untouched. A group whose
+    * rows were all deleted is absent from the rebuild and anti-joined
+    * out of the artifact — it disappears, exactly like a recompute.
+    */
+  def summaryRebuildGroups(base: DataFrame, summary: DataFrame,
+                           touched: DataFrame, groupCols: Seq[String],
+                           cntCol: String, sumCols: Map[String, String],
+                           minCols: Map[String, String] = Map.empty,
+                           maxCols: Map[String, String] = Map.empty): DataFrame = {
+    val t = broadcast(touched.select(groupCols.map(col): _*).distinct())
+    val rebuilt = summaryRollup(
+      base.join(t, groupCols, "left_semi"),
+      groupCols, cntCol, sumCols, minCols, maxCols)
+    summary.join(t, groupCols, "left_anti").unionByName(rebuilt)
+  }
+
   def summaryApplyDelta(summary: DataFrame, delta: DataFrame,
                         groupCols: Seq[String], cntCol: String,
                         sumCols: Map[String, String],
                         minCols: Map[String, String] = Map.empty,
                         maxCols: Map[String, String] = Map.empty): DataFrame = {
     val gcs = groupCols.map(col)
-    val dRoll = delta.groupBy(gcs: _*).agg(
-      count(lit(1)).as(cntCol),
-      (sumCols.map { case (b, m) => sum(col(b)).as(m) } ++
-        minCols.map { case (b, m) => min(col(b)).as(m) } ++
-        maxCols.map { case (b, m) => max(col(b)).as(m) }).toSeq: _*)
+    val dRoll = summaryRollup(delta, groupCols, cntCol, sumCols,
+      minCols, maxCols)
     def side(df: DataFrame, tag: String): DataFrame =
       (Seq(cntCol) ++ sumCols.values ++ minCols.values ++ maxCols.values)
         .foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${c}_$tag"))

@@ -123,4 +123,21 @@ class PrivacySpec extends SparkSpecBase {
       .view.mapValues(_.size)
     assert(classes.forall(_._2 >= 3), s"undersized release: $classes")
   }
+
+  test("forget + forgetReceipt: purge drops exactly the keyed rows and " +
+       "the receipt's arithmetic matches; unknown ids delete nothing") {
+    val t = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("uid", "payload")
+    val ids = Seq(2L, 99L).toDF("the_id") // 99 matches nothing
+    val purged = Privacy.forget(t, "uid", ids)
+    assert(purged.select("uid").as[Long].collect().sorted === Seq(1L, 3L))
+    val receipt = Privacy.forgetReceipt(Seq(("t", t, "uid")), ids).head()
+    assert((receipt.getString(0), receipt.getLong(1), receipt.getLong(2),
+      receipt.getLong(3)) === (("t", 4L, 2L, 2L)))
+    assert(receipt.getLong(3) === purged.count())
+    val none = Privacy.forgetReceipt(Seq(("t", t, "uid")),
+      Seq(77L).toDF("x")).head()
+    assert((none.getLong(1), none.getLong(2), none.getLong(3)) ===
+      ((4L, 0L, 4L)))
+  }
 }

@@ -309,4 +309,31 @@ class RelationalSpec extends SparkSpecBase {
     assert(merged("z")(1) == null)
     assert(merged("n") === Seq(2L, 4L, 70L, 80L))
   }
+
+  test("summaryRebuildGroups: touched groups recompute (incl. a " +
+       "min/max retraction), a fully-deleted group disappears, " +
+       "untouched groups ride the artifact") {
+    import org.apache.spark.sql.functions._
+    val base = Seq(("a", 1L), ("a", 9L), ("b", 5L), ("b", 6L), ("c", 3L))
+      .toDF("g", "x")
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("cnt"),
+        sum(col("x")).as("sum_x"), min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+    val artifact = summarize(base)
+    // delete a's max (9 — the retraction q189 cannot do) and ALL of c
+    val remaining = base.filter(!(col("g") === "a" && col("x") === 9L) &&
+      col("g") =!= "c")
+    val touched = Seq(("a", 0L), ("c", 0L)).toDF("g", "x").select("g")
+    val out = graft.operators.Relational.summaryRebuildGroups(
+        remaining, artifact, touched, Seq("g"), "cnt",
+        Map("x" -> "sum_x"), Map("x" -> "min_x"), Map("x" -> "max_x"))
+      .collect().map(_.toSeq).toSet
+    assert(out === summarize(remaining).collect().map(_.toSeq).toSet)
+    // spelled out: a's max retracted to 1, c gone, b untouched
+    val m = out.map(s => s.head -> s.tail).toMap
+    assert(m("a") === Seq(1L, 1L, 1L, 1L))
+    assert(m("b") === Seq(2L, 11L, 5L, 6L))
+    assert(!m.contains("c"))
+  }
 }
