@@ -273,4 +273,65 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(inc2.result.count() === 0); inc2.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("round-18 operators return cleanly on empty inputs") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val emptyGV = Seq.empty[(String, Double)].toDF("g", "v")
+    val emptyEvents = Seq.empty[(Long, Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val emptyKS = Seq.empty[(Long, String)].toDF("k", "s")
+    // stats family: empty in, empty (or cleanly-null) out — never a throw
+    assert(graft.operators.Stats.robustOutliers(emptyGV,
+      col("g"), col("v")).count() === 0)
+    assert(graft.operators.Stats.groupedTrend(
+      Seq.empty[(String, Timestamp, Double)].toDF("g", "ts", "v"),
+      col("g"), col("ts"), col("v")).count() === 0)
+    val chi = graft.operators.Stats.chiSquareIndependence(
+      Seq.empty[(String, String)].toDF("a", "b"), col("a"), col("b"))
+      .head()
+    assert(chi.getLong(0) === 0L) // a_card 0, no exception
+    // reconciliation: empty vs empty diffs empty; empty vs non-empty
+    // reports every row one-sided
+    assert(graft.operators.Validation.tableDiff(emptyKS, emptyKS,
+      "k", Seq("s")).count() === 0)
+    assert(graft.operators.Validation.tableDiff(emptyKS,
+        Seq((1L, "a")).toDF("k", "s"), "k", Seq("s"))
+      .head().getString(1) === "only_right")
+    // event folds: no events, no credits/paths/pairs/funnel users
+    assert(graft.operators.EventAnalytics.attribution(emptyEvents)
+      .count() === 0)
+    assert(graft.operators.EventAnalytics.topPaths(emptyEvents)
+      .count() === 0)
+    assert(graft.operators.EventAnalytics.transitionTiming(emptyEvents)
+      .count() === 0)
+    assert(graft.operators.EventAnalytics
+      .funnelWithin(emptyEvents, maxGapHours = 1)
+      .select("n_users").as[Long].collect().forall(_ === 0L))
+    // maintenance merges: empty sides are identities / pure inserts
+    val s0 = Seq.empty[(String, Long, Long)].toDF("g", "cnt", "sum_x")
+    assert(graft.operators.Relational.summaryApplyDelta(s0,
+      Seq.empty[(String, Long)].toDF("g", "x"), Seq("g"), "cnt",
+      Map("x" -> "sum_x")).count() === 0)
+    assert(graft.operators.Relational.summaryRebuildGroups(
+      Seq.empty[(String, Long)].toDF("g", "x"), s0,
+      Seq.empty[(String, Long)].toDF("g", "x").select("g"),
+      Seq("g"), "cnt", Map("x" -> "sum_x")).count() === 0)
+    // privacy: empty table yields an all-suppressed-nothing output and
+    // a zero receipt
+    assert(graft.operators.Privacy.kAnonymize(
+      Seq.empty[(Long, String, String, String)]
+        .toDF("id", "n", "r", "seg"),
+      "id", Seq("n", "r"), Seq("seg"), k = 2).count() === 0)
+    val rec = graft.operators.Privacy.forgetReceipt(
+      Seq(("t", emptyKS, "k")), Seq(1L).toDF("x")).head()
+    assert((rec.getLong(1), rec.getLong(2), rec.getLong(3)) ===
+      ((0L, 0L, 0L)))
+    // profile of an empty table: zero rows, zero ndv, null bounds
+    val prof = graft.operators.Validation.tableProfile(emptyKS,
+      Seq("k", "s")).collect()
+    assert(prof.length === 2)
+    assert(prof.forall(r => r.getLong(1) === 0L && r.getLong(3) === 0L))
+  }
 }

@@ -59,7 +59,23 @@ class PlanShapeSpec extends SparkSpecBase {
     "q169_ewma_anomaly", "q170_containment_join", "q171_psi_drift",
     "q172_lpa_communities", "q175_cdc_apply", "q176_regional_volume",
     // the OR-join gate MUST plan NLJ-free — that is the rule under test
-    "q177_or_join_rewrite")
+    "q177_or_join_rewrite",
+    // r18: rank/stat aggregates over sketch-sized relations (q179/q186/
+    // q192), the reconciliation semi/anti chain (q182), IVF candidate
+    // equi-joins (q184/q185), the MV rollup + its maintenance merges
+    // (q188/q189/q196), per-level broadcast generalization (q191), the
+    // funnel cascade (q190), folds (q187/q194/q195), profile Expand
+    // (q193), purge receipt (q197). NOT here: q181 (its one-row totals
+    // and the marginal-grid cross join are documented
+    // safe-by-construction broadcast BNLJs), q180/q183 (scan-only —
+    // included anyway costs nothing, so they are in)
+    "q179_roc_auc", "q180_grouped_trend", "q182_table_diff",
+    "q183_schema_evolution", "q184_hard_negatives", "q185_retrieval_ndcg",
+    "q186_robust_outliers", "q187_attribution", "q188_mv_rollup",
+    "q189_summary_delta", "q190_funnel_within", "q191_kanonymize",
+    "q192_robust_outliers_artifact", "q193_table_profile",
+    "q194_top_paths", "q195_transition_timing",
+    "q196_summary_delete_rebuild", "q197_forget_receipt")
 
   for (name <- scaleShaped)
     test(s"$name plan has no nested-loop join and no cartesian product") {
