@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.{EventAnalytics, Stats, Validation}
 
 /** Round-18 probe: the session's new operator families priced at
-  * 10 M–20 M rows — reconciliation, grouped statistics, and the
-  * attribution fold.
+  * 10 M–100 M rows — reconciliation, grouped statistics, summary
+  * maintenance, and the attribution fold.
   *
   * 1. tableDiff (q182) on two 10 M-row / 3-column tables with a sparse
   *    planted diff (1 k changed + 1 k dropped + 1 k inserted): stage 1
