@@ -84,11 +84,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     val gIds = gAttrs.map(_.exprId).toSet
     val fresh = mv.freshPlan()
-    val mvOut = fresh.output.map(o => o.name -> o).toMap
+    val mvOutMap = fresh.output.map(o => o.name -> o).toMap
+    // a misregistered view (column name not in the view's schema) must
+    // stand down at plan time, never throw inside the optimizer — the
+    // register-time validation in MvCatalog makes this unreachable for
+    // views built through registerParquet, but defs can be handcrafted
+    val referenced = Iterator(mv.cntCol) ++ gAttrs.iterator.map(_.name) ++
+      filters.iterator.flatMap(_.references.map(_.name)) ++
+      mv.sumCols.valuesIterator ++ mv.minCols.valuesIterator ++
+      mv.maxCols.valuesIterator
+    if (!referenced.forall(mvOutMap.contains)) return None
+    val mvOut = mvOutMap
 
     def rollup(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
+      val rewritten: Option[Expression] = ae.aggregateFunction match {
         case Count(Seq(Literal(_, _))) =>
           Some(Coalesce(Seq(
             ae.copy(aggregateFunction = Sum(mvOut(mv.cntCol))),
@@ -104,6 +114,15 @@ object MvRewrite extends Rule[LogicalPlan] {
             ae.copy(aggregateFunction = m.copy(child = mvOut(c))))
         case _ => None
       }
+      // re-aggregating a partial can WIDEN the result type (Sum over
+      // decimal(p,s) yields decimal(p+10,s), so sum-of-view-sums would be
+      // decimal(p+20,s)): parents resolved against the original attribute,
+      // and past precision 18 the unsafe-row layout itself flips from
+      // long-backed to byte-backed. Exactness requires the rewritten
+      // expression to keep the original type bit-for-bit — stand down
+      // otherwise (all shipped summaries aggregate longs, which Sum maps
+      // to long, so this guard only bites general decimal registrations).
+      rewritten.filter(_.dataType == ae.dataType)
     }
 
     val newA: Seq[NamedExpression] = a.map {
@@ -113,6 +132,13 @@ object MvRewrite extends Rule[LogicalPlan] {
           explicitMetadata = al.explicitMetadata)
       case ar: AttributeReference if gIds.contains(ar.exprId) =>
         Alias(mvOut(ar.name), ar.name)(exprId = ar.exprId)
+      // a renaming Project collapsed into the Aggregate (CollapseProject
+      // runs before user rules) leaves group columns as Alias(attr, name)
+      // — still a bare view group column, so the rewrite stays exact
+      case al @ Alias(ar: AttributeReference, name)
+          if gIds.contains(ar.exprId) =>
+        Alias(mvOut(ar.name), name)(exprId = al.exprId,
+          qualifier = al.qualifier, explicitMetadata = al.explicitMetadata)
       case _ => return None
     }
     val filtered = filters.foldLeft(fresh: LogicalPlan)((c, f) =>
@@ -174,6 +200,16 @@ object MvCatalog {
           h.location.rootPaths.map(_.toString)
       }.flatten.toSet
     val mvPlan = spark.read.parquet(mvPath).queryExecution.analyzed
+    // fail at REGISTER time, not plan time: a view column name that does
+    // not exist would otherwise surface as every matching query standing
+    // down silently (the rule's lookup guard), hiding the misregistration
+    val viewCols = mvPlan.output.map(_.name).toSet
+    val missing = (Iterator(cntCol) ++ groupCols.iterator ++
+      sumCols.valuesIterator ++ minCols.valuesIterator ++
+      maxCols.valuesIterator).filterNot(viewCols).toSeq.distinct
+    require(missing.isEmpty,
+      s"MV '$name': columns ${missing.mkString(", ")} not in view schema " +
+        s"[${mvPlan.output.map(_.name).mkString(", ")}] at $mvPath")
     register(MvDef(name, roots(basePath), groupCols, cntCol, sumCols,
       minCols, maxCols,
       () => mvPlan.transformUp {

@@ -540,9 +540,16 @@ object QueryFuzz {
       var df = Tables.documents(s, dir)
       filt.foreach(k => df = df.filter(col("doc_id") % k === 0))
       srcs.foreach(v => df = df.filter(col("source").isInCollection(v)))
-      gs.foreach { case (c, a) => df = df.withColumn(a, col(c)) }
-      df.groupBy(gs.map(g => col(g._2)): _*)
+      // group by the RAW columns and apply the g1/g2 renames in a select
+      // ABOVE the aggregate: a withColumn-before-groupBy leaves an
+      // Alias-bearing Project under the Aggregate, which MvRewrite's
+      // stripToBase rejects — the rewrite would stand down in ALL three
+      // filter modes and the differential would compare base vs base
+      val agged = df.groupBy(groups.map(col): _*)
         .agg(aggs.head._2, aggs.tail.map(_._2): _*)
+      val aggNames = aggs.map(_._1.split(" AS ").last)
+      agged.select(gs.map { case (c, a) => col(c).as(a) } ++
+        aggNames.map(col): _*)
     }
     FuzzQuery(s"fz_$seed", build, sql)
   }

@@ -27,6 +27,36 @@ class FuzzSpec extends SparkSpecBase {
     }
   }
 
+  test("kind-10 MV seeds actually exercise BOTH rule paths: fire modes " +
+       "scan the view, the stand-down mode scans the base") {
+    // scan a seed range for the three filter modes of the MV kind — the
+    // differential is only meaningful if the 'fires' path really fires
+    // (an Alias-bearing Project under the Aggregate used to suppress it)
+    val dir = "/root/testdata/sf0.001"
+    val mvSeeds = (1L to 300L).map(s => s -> QueryFuzz.generate(s))
+      .filter(_._2.sql.contains("FROM documents"))
+    def plan(q: graft.tools.QueryFuzz.FuzzQuery): String = {
+      val df = q.build(spark, dir)
+      df.queryExecution.executedPlan.toString
+    }
+    val fires = mvSeeds.filter { case (_, q) =>
+      !q.sql.contains("WHERE doc_id") }
+    val stands = mvSeeds.filter { case (_, q) =>
+      q.sql.contains("WHERE doc_id") }
+    assert(fires.nonEmpty && stands.nonEmpty,
+      s"seed range must cover fire and stand-down modes (${mvSeeds.size} MV seeds)")
+    fires.take(4).foreach { case (s, q) =>
+      val p = plan(q)
+      assert(p.contains("graft_mv_") && !p.contains("documents.parquet"),
+        s"seed $s (fire mode) must read the view, not the base:\n$p")
+    }
+    stands.take(2).foreach { case (s, q) =>
+      val p = plan(q)
+      assert(p.contains("documents.parquet"),
+        s"seed $s (stand-down mode) must read the base:\n$p")
+    }
+  }
+
   test("every fixed seed executes and the set exercises rows") {
     val counts = seeds.map { s =>
       QueryFuzz.generate(s).build(spark, "/root/testdata/sf0.001").count()

@@ -118,13 +118,81 @@ class MvRewriteSpec extends SparkSpecBase {
     assert(plan.contains("graft_mv_"), s"expected summary scan in:\n$plan")
     assert(!plan.contains("documents.parquet"),
       s"base documents must not be scanned:\n$plan")
-    // and the rollup equals the base recomputation exactly
+    // and the rollup equals the base recomputation exactly. A filter over
+    // a NON-GROUP column forces the stand-down path (lit(true) would be
+    // pruned before the rule and, even surviving, vacuously passes the
+    // group-column commute check — it does NOT force the base); doc_id is
+    // a non-null key, so isNotNull is the identity predicate.
     val baseAgg = graft.sources.Tables.documents(spark, dir)
-      .filter(lit(true)) // a filter blocks the rewrite: forces base path
+      .filter(col("doc_id").isNotNull)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
         max(col("doc_id")).as("max_doc"))
+    val basePlan = scannedFiles(baseAgg)
+    assert(basePlan.contains("documents.parquet"),
+      s"stand-down comparator must scan the base table:\n$basePlan")
     assert(q.collect().map(_.toSeq).toSet ===
       baseAgg.collect().map(_.toSeq).toSet)
+  }
+
+  test("renamed group columns (select above the aggregate) still roll up") {
+    withMv { (base, mv) =>
+      // the fuzzer's kind-10 shape: groupBy raw columns, rename above —
+      // CollapseProject merges the rename into the Aggregate's output
+      // list as Alias(attr, name), which the rule must accept
+      val q = spark.read.parquet(base).groupBy(col("g"), col("sub"))
+        .agg(count(lit(1)).as("a_cnt"), sum(col("x")).as("a_sum"))
+        .select(col("g").as("g1"), col("sub").as("g2"),
+          col("a_cnt"), col("a_sum"))
+      val plan = scannedFiles(q)
+      assert(plan.contains(mv) && !plan.contains(base),
+        s"renamed-group rollup should fire:\n$plan")
+      assert(q.as[(String, String, Long, Long)].collect().toSet ===
+        Set(("a", "u", 2L, 3L), ("a", "v", 1L, 3L), ("b", "v", 2L, 30L)))
+    }
+  }
+
+  test("registerParquet rejects column names missing from the view schema") {
+    withMv { (base, mv) =>
+      val e = intercept[IllegalArgumentException] {
+        MvCatalog.registerParquet(spark, "spec_mv_bad", base, mv,
+          groupCols = Set("g", "sub"), cntCol = "cnt",
+          sumCols = Map("x" -> "sum_nope"))
+      }
+      assert(e.getMessage.contains("sum_nope"))
+      assert(MvCatalog.isEmpty === false) // the good registration survives
+    }
+  }
+
+  test("type-widening rollup stands down: decimal sums fall through to base") {
+    val root = Files.createTempDirectory("graft_mv_dec_").toString
+    val base = s"$root/base"
+    val mv = s"$root/mv"
+    Seq(("a", BigDecimal("1.50")), ("a", BigDecimal("2.25")),
+      ("b", BigDecimal("10.00")))
+      .toDF("g", "d").withColumn("d", col("d").cast("decimal(12,2)"))
+      .write.parquet(base)
+    spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), sum(col("d")).as("sum_d"))
+      .write.parquet(mv)
+    MvCatalog.registerParquet(spark, "spec_mv_dec", base, mv,
+      groupCols = Set("g"), cntCol = "cnt", sumCols = Map("d" -> "sum_d"))
+    try {
+      // sum(decimal(12,2)) resolves to decimal(22,2); the view partial is
+      // already decimal(22,2), so the rewritten sum would widen to
+      // decimal(32,2) — a silent dataType change under resolved parents.
+      // The rule must stand down on the sum (count alone still fires).
+      val q = spark.read.parquet(base).groupBy(col("g"))
+        .agg(sum(col("d")).as("sd"))
+      val plan = scannedFiles(q)
+      assert(plan.contains(base),
+        s"decimal sum rollup must stand down to the base scan:\n$plan")
+      assert(q.collect().map(r => r.getString(0) -> r.getDecimal(1).toString)
+        .toMap === Map("a" -> "3.75", "b" -> "10.00"))
+      val qc = spark.read.parquet(base).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"))
+      assert(scannedFiles(qc).contains(mv),
+        "count-only rollup keeps firing on the decimal view")
+    } finally MvCatalog.unregister("spec_mv_dec")
   }
 }

@@ -69,5 +69,18 @@ class StreamingSummarySpec extends SparkSpecBase {
     assert(StreamingSummary.head(spark, root) === ((v, lastId)))
     assert(StreamingSummary.current(spark, root)
       .collect().map(_.toSeq).toSet === before)
+
+    // crash-window recovery: a lost _HEAD (the delete-then-rename gap on
+    // filesystems without overwrite-rename, or manual damage) must not
+    // brick the store — head() recovers version AND replay cursor from
+    // the newest version's _GRAFT_META twin, so current() still reads
+    // the complete artifact and a resumed maintain() keeps deduping
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_HEAD"), false)
+    assert(StreamingSummary.head(spark, root) === ((v, lastId)),
+      "head() must recover (version, batchId) from _GRAFT_META")
+    assert(StreamingSummary.current(spark, root)
+      .collect().map(_.toSeq).toSet === before)
   }
 }
