@@ -45,11 +45,17 @@ object SolarStreaming {
   /** Kafka source (SURVEY §2 row 1): subscribe and decode. The event time
     * is the Kafka record timestamp, as in the reference (default timestamp
     * extractor, `SolarConsumer.java:110`).
+    *
+    * `format` defaults to the real connector; the in-JVM twin
+    * (`"kafka-bus"`, [[graft.sources.v2.BusDataSource]]) exposes the
+    * identical wire schema and options, so the end-to-end suite drives
+    * THIS function — not a test-only fork of it (`BusEndToEndSpec`).
     */
   def fromKafka(spark: SparkSession, bootstrapServers: String,
-                topic: String = "solar-module-raw"): DataFrame =
+                topic: String = "solar-module-raw",
+                format: String = "kafka"): DataFrame =
     decode(spark.readStream
-      .format("kafka")
+      .format(format)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .load())
@@ -395,6 +401,34 @@ object SolarStreaming {
         col("squares_sum"), col("variance"), col("deviance"))
   }
 
+  /** LITERAL `suppress(untilTimeLimit(30 s, unbounded()))` twin
+    * (`SolarConsumer.java:114`) — the update-mode rate-limit semantics,
+    * as opposed to the append-mode emit-once-final the deployed topology
+    * uses (SURVEY §2 row 8 argues append is the topology's intended
+    * barrier; this twin closes the remaining semantic delta for users
+    * who want the reference's literal behavior).
+    *
+    * Kafka Streams' untilTimeLimit buffers updates per key and emits the
+    * LATEST buffered value at most once per 30 s. Here: update output
+    * mode emits, per trigger, one row per key whose aggregate changed in
+    * that trigger — the latest value, at most once per key per trigger
+    * interval. `Trigger.ProcessingTime("30 seconds")` makes the interval
+    * the reference's 30 s wall-clock limit; tests drive discrete
+    * triggers with the default micro-batch trigger instead (the per-
+    * trigger contract is identical, pinned in SuppressAndLatenessSpec).
+    */
+  def startModuleAggUpdateQuery(normalized: DataFrame, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("30 seconds"))
+      (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    moduleAggStream(normalized)
+      .writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(sink)
+      .start()
+
   /** Finalized module aggregates → anomalies, batch stages reused verbatim
     * (rows 10-16). Runs inside foreachBatch on append-mode output.
     */
@@ -464,9 +498,10 @@ object SolarStreaming {
     */
   def toKafka(encoded: DataFrame, bootstrapServers: String,
               topic: String = "solar-module-anomalies",
-              checkpointDir: String): StreamingQuery =
+              checkpointDir: String,
+              format: String = "kafka"): StreamingQuery =
     encoded.writeStream
-      .format("kafka")
+      .format(format)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
