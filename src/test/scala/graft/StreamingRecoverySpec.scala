@@ -218,4 +218,101 @@ class StreamingRecoverySpec extends SparkSpecBase {
     assert(run2.filter(_._1 == w2).map(_._3) === List(2L, 2L),
       s"restored 00:02 window must alarm its 2 shingles once each: $run2")
   }
+
+  test("dedupWithinWatermark fingerprint state survives a restart") {
+    val srcDir = Files.createTempDirectory("graft_ddw_src").toString
+    val ckptDir = Files.createTempDirectory("graft_ddw_ckpt").toString
+    val docSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val emitted = mutable.Buffer[Long]()
+
+    def writeBatch(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("ts", "doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runUntilIdle(): Unit = {
+      val stream = spark.readStream.schema(docSchema).parquet(srcDir)
+      val q = graft.streaming.StreamingDedup
+        .dedupWithinWatermark(stream, watermarkDelay = "10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted ++= b.select("doc_id").collect().map(_.getLong(0)); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val text = "identical payload for the fingerprint"
+    // run 1: original emits; a same-batch duplicate is dropped
+    writeBatch(Seq(
+      (ts("2024-01-01 00:00:05"), 1L, text),
+      (ts("2024-01-01 00:00:20"), 2L, text)))
+    runUntilIdle()
+    assert(emitted.toList === List(1L))
+
+    // run 2 (fresh query, same checkpoint): a duplicate arriving inside
+    // the watermark must hit the RESTORED fp state and drop; new content
+    // still flows — if the dedup store were lost, doc 3 would re-emit
+    writeBatch(Seq(
+      (ts("2024-01-01 00:02:00"), 3L, text),
+      (ts("2024-01-01 00:02:30"), 4L, "a different payload entirely")))
+    runUntilIdle()
+    assert(emitted.toList.sorted === List(1L, 4L),
+      s"restored dedup state failed: ${emitted.toList}")
+  }
+
+  test("StreamingSummary.maintain resumes from its OWN checkpoint: batch " +
+       "ids continue, versions advance, artifact equals full recompute") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingSummary
+    val root = Files.createTempDirectory("graft_sum_resume_").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_sum_resume_ckpt_").toString
+    val srcDir = Files.createTempDirectory("graft_sum_resume_src").toString
+    val rowSchema = StructType(Seq(
+      StructField("g", StringType), StructField("x", LongType)))
+
+    def summarize(df: DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("cnt"),
+        sum(col("x")).as("sum_x"))
+
+    def writeBatch(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("g", "x").coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runUntilIdle(): Unit = {
+      val stream = spark.readStream.schema(rowSchema).parquet(srcDir)
+      val q = StreamingSummary.maintain(stream, root,
+          Seq("g"), "cnt", Map("x" -> "sum_x"))
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val base = Seq(("a", 1L), ("b", 10L))
+    StreamingSummary.init(spark, root, summarize(base.toDF("g", "x")))
+
+    // run 1: one delta folds in
+    writeBatch(Seq(("a", 4L), ("c", 7L)))
+    runUntilIdle()
+    val (v1, id1) = StreamingSummary.head(spark, root)
+    assert(v1 === 2L && id1 === 0L)
+
+    // run 2 (RESUMED query, same checkpoint): the restart must continue
+    // the batch-id lineage (1, not a replayed 0), advance the version,
+    // and keep the artifact exact — the kill-and-resume path a crashed
+    // maintenance job takes in production
+    writeBatch(Seq(("b", 2L), ("c", 3L)))
+    runUntilIdle()
+    val (v2, id2) = StreamingSummary.head(spark, root)
+    assert(v2 === 3L && id2 === 1L,
+      s"resume must continue lineage, got (v=$v2, batch=$id2)")
+    val all = base ++ Seq(("a", 4L), ("c", 7L), ("b", 2L), ("c", 3L))
+    assert(StreamingSummary.current(spark, root)
+      .collect().map(_.toSeq).toSet ===
+      summarize(all.toDF("g", "x")).collect().map(_.toSeq).toSet)
+
+    // run 3: nothing new — a pure resume must not write a version
+    runUntilIdle()
+    assert(StreamingSummary.head(spark, root) === ((v2, id2)))
+  }
 }
