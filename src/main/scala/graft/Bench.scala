@@ -59,13 +59,26 @@ object Bench {
         if (ok) dt else -1.0
       }
       // a crashed query must not masquerade as a fast success
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) Seq(-1.0, -1.0, -1.0) else times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def j(v: Double): String = (math.rint(v * 1e6) / 1e6).toString
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + j(ts.min) }
       .mkString("{", ",", "}")
+    // per-query raw samples: jitter-vs-regression is decidable from the
+    // record itself (this VM's spread for identical code is 1.2-3×, so a
+    // single min moving round-over-round proves nothing on its own)
+    val samples = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(j).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // total sums successful queries only (-1.0 failure markers excluded)
-    val total = results.map(_._2.max(0.0)).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.map(_._2.min.max(0.0)).sum
+    val totalMedian = results.map(_._2.sorted.apply(1).max(0.0)).sum
+    // noise_ratio = sum(median)/sum(min): ~1 on a quiet host; >>1 says
+    // the non-min samples absorbed VM stalls and the min is the signal
+    val noise = if (total > 0) totalMedian / total else 1.0
+    val line = s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
+      s""""total_median":${j(totalMedian)},"noise_ratio":${j(noise)},""" +
+      s""""queries":$qs,"samples":$samples,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the JSON goes to bare stdout
     // (build.sbt sets run/outputStrategy := StdoutOutput so sbt adds no
     // "[info] " prefix) AND to a file.
