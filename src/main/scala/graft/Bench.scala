@@ -12,6 +12,68 @@ import org.apache.spark.sql.SparkSession
   * isn't charged for JVM warmup.
   */
 object Bench {
+
+  private def j(v: Double): String = (math.rint(v * 1e6) / 1e6).toString
+
+  /** Fixed headline subset for the stdout line: the 9 reference-topology
+    * queries + 13 flagship scale queries, chosen once so the numbers are
+    * comparable round over round.
+    */
+  val HeadlineQueries: Seq[String] = Seq(
+    "q01_scan_project", "q02_module_window_agg", "q03_panel_agg",
+    "q04_join_panel_module", "q05_variance_deviance", "q06_join_module_panel",
+    "q07_anomaly_filter", "q08_flagship_anomalies", "q09_json_roundtrip",
+    "q10_dedup_exact", "q11_dedup_minhash_lsh", "q12_dedup_simhash",
+    "q51_ann_ivf_multiprobe", "q52_dedup_clusters", "q83_span_dedup",
+    "q84_lm_perplexity", "q98_bpe_train", "q100_bm25_topk",
+    "q129_pq_frontier", "q136_semantic_dedup", "q155_knn_join",
+    "q184_hard_negatives")
+
+  /** Full record — file only: at 197 queries this line is ~12 KB. */
+  private[graft] def fullLine(results: Seq[(String, Seq[Double])],
+                              sfDir: String): String = {
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + j(ts.min) }
+      .mkString("{", ",", "}")
+    val samples = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(j).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val (total, totalMedian, noise) = totals(results)
+    s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
+      s""""total_median":${j(totalMedian)},"noise_ratio":${j(noise)},""" +
+      s""""queries":$qs,"samples":$samples,"sf":"$sfDir"}"""
+  }
+
+  /** Compact stdout line: the harness that collects this output keeps
+    * only the last ~2 KB of the run log, so a line carrying all 197
+    * per-query timings gets its head truncated and parses as nothing
+    * (observed rounds 4-15). `value` still totals ALL queries;
+    * BENCH_OUT.json (`detail`) carries the complete per-query record.
+    */
+  private[graft] def stdoutLine(results: Seq[(String, Seq[Double])],
+                                outPath: String, sfDir: String): String = {
+    val (total, totalMedian, noise) = totals(results)
+    val byName = results.toMap
+    val headQs = HeadlineQueries
+      .flatMap(k => byName.get(k).map(ts => "\"" + k + "\":" + j(ts.min)))
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
+      s""""total_median":${j(totalMedian)},"noise_ratio":${j(noise)},""" +
+      s""""n_queries":${results.size},"queries":$headQs,""" +
+      s""""detail":"$outPath","sf":"$sfDir"}"""
+  }
+
+  /** (sum of per-query minima, sum of medians, noise ratio). Failure
+    * markers (-1.0) are excluded from the sums; noise_ratio =
+    * sum(median)/sum(min) is ~1 on a quiet host, >>1 when the non-min
+    * samples absorbed VM stalls (the min is the signal).
+    */
+  private def totals(
+      results: Seq[(String, Seq[Double])]): (Double, Double, Double) = {
+    val total = results.map(_._2.min.max(0.0)).sum
+    val totalMedian = results.map(_._2.sorted.apply(1).max(0.0)).sum
+    (total, totalMedian, if (total > 0) totalMedian / total else 1.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -61,32 +123,17 @@ object Bench {
       // a crashed query must not masquerade as a fast success
       name -> (if (times.exists(_ < 0)) Seq(-1.0, -1.0, -1.0) else times)
     }
-    def j(v: Double): String = (math.rint(v * 1e6) / 1e6).toString
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + j(ts.min) }
-      .mkString("{", ",", "}")
-    // per-query raw samples: jitter-vs-regression is decidable from the
-    // record itself (this VM's spread for identical code is 1.2-3×, so a
-    // single min moving round-over-round proves nothing on its own)
-    val samples = results.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(j).mkString(",") + "]"
-    }.mkString("{", ",", "}")
-    // total sums successful queries only (-1.0 failure markers excluded)
-    val total = results.map(_._2.min.max(0.0)).sum
-    val totalMedian = results.map(_._2.sorted.apply(1).max(0.0)).sum
-    // noise_ratio = sum(median)/sum(min): ~1 on a quiet host; >>1 says
-    // the non-min samples absorbed VM stalls and the min is the signal
-    val noise = if (total > 0) totalMedian / total else 1.0
-    val line = s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
-      s""""total_median":${j(totalMedian)},"noise_ratio":${j(noise)},""" +
-      s""""queries":$qs,"samples":$samples,"sf":"$sfDir"}"""
-    // Belt and braces for the driver's parser: the JSON goes to bare stdout
-    // (build.sbt sets run/outputStrategy := StdoutOutput so sbt adds no
-    // "[info] " prefix) AND to a file.
+    // per-query raw samples ride the file record: jitter-vs-regression is
+    // decidable from the record itself (this VM's spread for identical
+    // code is 1.2-3×, so a single min moving round-over-round proves
+    // nothing on its own)
     val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case NonFatal(_) => () } // stdout line below is the fallback
-    println(line)
+      (fullLine(results, sfDir) + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(_) => () } // stdout line below still has the totals
+    // bare stdout: build.sbt sets run/outputStrategy := StdoutOutput so sbt
+    // adds no "[info] " prefix
+    println(stdoutLine(results, outPath, sfDir))
     spark.stop()
   }
 }

@@ -36,4 +36,22 @@ class ContractSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
     spark.catalog.clearCache()
   }
+
+  test("bench stdout line fits the collector's 2 KB tail at worst-case widths") {
+    // The harness parsing BENCH output keeps only the last ~2000 chars of
+    // the run log (observed: every full-surface line since round 4 had its
+    // head truncated → parsed as nothing). Budget: 2000 minus ~100 for
+    // sbt's trailing "[success] Total time: ..." line. Worst-case widths:
+    // every query at a 4-digit-second timing with full 6-decimal precision.
+    val worst = SparkEntry.queries.keys.toSeq.sorted
+      .map(k => k -> Seq(1234.567891, 2345.678912, 3456.789123))
+    val line = Bench.stdoutLine(worst, "BENCH_OUT.json", "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"stdout bench line too long: ${line.length}")
+    assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+    assert(line.contains("\"n_queries\":" + worst.size))
+    // headline names must stay real gated queries (a rename would silently
+    // drop the entry from the line)
+    val missing = Bench.HeadlineQueries.filterNot(SparkEntry.queries.keySet)
+    assert(missing.isEmpty, s"headline queries not in the gated surface: $missing")
+  }
 }
