@@ -315,4 +315,121 @@ class StreamingRecoverySpec extends SparkSpecBase {
     runUntilIdle()
     assert(StreamingSummary.head(spark, root) === ((v2, id2)))
   }
+
+  test("ewmaAnomalyStream carries its keyed recurrence state across a restart") {
+    // the EWMA twin's state is the (e, d, n) recurrence per key: a restart
+    // that lost it would re-enter warmup (n resets), so the post-restart
+    // anomaly below would NOT flag and the means would re-seed — equality
+    // with the batch fold over the full feed is only reachable if the
+    // checkpoint restored the exact state
+    val srcDir = Files.createTempDirectory("graft_ewma_src").toString
+    val ckptDir = Files.createTempDirectory("graft_ewma_ckpt").toString
+    val emitted = mutable.Buffer[(Long, Long, Long, Long, Boolean)]()
+    val ewmaSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+
+    def writeBatch(rows: Seq[(Long, Timestamp, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts", "event_id", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runUntilIdle(): Unit = {
+      val stream = spark.readStream.schema(ewmaSchema).parquet(srcDir)
+      val q = graft.streaming.StreamingTimeSeries.ewmaAnomalyStream(stream)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted ++= b.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getBoolean(4)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // run 1: user 1 settles at a flat 10.00 (d collapses toward 0),
+    // user 2 interleaved so keyed state isolation is also exercised
+    val run1 = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, 10.0),
+      (2L, ts("2024-01-01 00:00:01"), 2L, 70.0),
+      (1L, ts("2024-01-01 00:00:02"), 3L, 10.0),
+      (1L, ts("2024-01-01 00:00:03"), 4L, 10.0),
+      (2L, ts("2024-01-01 00:00:04"), 5L, 70.0),
+      (1L, ts("2024-01-01 00:00:05"), 6L, 10.0))
+    writeBatch(run1)
+    runUntilIdle()
+    assert(emitted.size === run1.size)
+
+    // run 2 (fresh query, same checkpoint): user 1's n crosses warmup and
+    // event 9 breaks the settled band — flaggable ONLY with restored state
+    val run2 = Seq(
+      (1L, ts("2024-01-01 00:00:06"), 7L, 10.0),
+      (1L, ts("2024-01-01 00:00:07"), 8L, 10.0),
+      (1L, ts("2024-01-01 00:00:08"), 9L, 50.0),
+      (2L, ts("2024-01-01 00:00:09"), 10L, 70.0))
+    writeBatch(run2)
+    runUntilIdle()
+
+    assert(emitted.size === run1.size + run2.size, // one row per event, no replays
+      s"duplicated/lost rows across restart: $emitted")
+    assert(emitted.exists(r => r._1 == 9L && r._5),
+      s"post-restart anomaly must flag against pre-restart state: $emitted")
+    val batch = graft.operators.TimeSeries.eventEwmaAnomaly(
+        (run1 ++ run2).toDF("user_id", "ts", "event_id", "value"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(emitted.toSet === batch,
+      "streamed fold across the restart must equal the batch fold")
+  }
+
+  test("imageDedupStream emits each arrival exactly once across a restart") {
+    // stateless stream-static join: the exactly-once story is carried
+    // entirely by source offsets + sink idempotence, which is exactly what
+    // a restart exercises — run 1's arrivals must not re-emit when run 2
+    // resumes from the checkpoint
+    import graft.functions.ImageKernels
+    val srcDir = Files.createTempDirectory("graft_img_src").toString
+    val ckptDir = Files.createTempDirectory("graft_img_ckpt").toString
+    val emitted = mutable.Buffer[(Long, Option[Long], Int)]()
+    val known = Seq(0L, 2L).map(id => (id,
+      ImageKernels.dhash64(ImageKernels.decodePng(
+        ImageKernels.synthPng(id))).longValue))
+      .toDF("known_id", "hash")
+    val imgSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+
+    def writeBatch(rows: Seq[(Timestamp, Long, Array[Byte])]): Unit =
+      rows.toDF("ts", "media_id", "payload")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runUntilIdle(): Unit = {
+      val stream = spark.readStream.schema(imgSchema).parquet(srcDir)
+      val q = graft.streaming.StreamingMedia.imageDedupStream(stream, known)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted ++= b.select("media_id", "dup_of", "is_dup").collect()
+            .map(r => (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // run 1: a brightness twin of known 0 (dup) and an unknown (not a dup)
+    writeBatch(Seq(
+      (ts("2024-01-01 00:00:01"), 1L, ImageKernels.synthPng(1L)),
+      (ts("2024-01-01 00:00:02"), 5L, ImageKernels.synthPng(5L))))
+    runUntilIdle()
+    assert(emitted.toSet === Set((1L, Some(0L), 1), (5L, None, 0)))
+
+    // run 2 (fresh query, same checkpoint): only the new arrival emits
+    writeBatch(Seq(
+      (ts("2024-01-01 00:00:03"), 2L, ImageKernels.synthPng(2L))))
+    runUntilIdle()
+    assert(emitted.size === 3, s"run-1 arrivals re-emitted: $emitted")
+    assert(emitted.toSet === Set((1L, Some(0L), 1), (5L, None, 0),
+      (2L, Some(2L), 1)))
+  }
 }
