@@ -554,9 +554,113 @@ object QueryFuzz {
     FuzzQuery(s"fz_$seed", build, sql)
   }
 
+  /** Unique row key per table (total ordering for window fuzz): ties in
+    * a window ORDER BY make `row_number` engine-dependent, so the
+    * ranking kind either appends this key (total order — any rank
+    * function is deterministic) or restricts the output columns to the
+    * ORDER BY columns themselves (tied rows are then indistinguishable
+    * in the output, so the emitted multiset is assignment-invariant).
+    */
+  private val uniqueKeys = Map(
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders" -> Seq("o_orderkey"),
+    "customer" -> Seq("c_custkey"),
+    "events" -> Seq("event_id"))
+
+  /** Window-ranking fuzz (kind 11): top-k per category through
+    * `row_number`/`rank`/`dense_rank` — the WindowGroupLimit planning
+    * path (q42/q45/q114's shape) sampled across tables, order
+    * directions, and tie structures. `row_number` rides the table's
+    * unique key for a provably total order; `rank`/`dense_rank` order by
+    * the (tie-prone) numeric alone — deterministic under ties by
+    * definition — with the output restricted to partition + order + rank
+    * columns so the comparison stays assignment-invariant.
+    */
+  private def windowRank(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tables(rnd.nextInt(tables.length))
+    val part = t.cats(rnd.nextInt(t.cats.length)).name
+    val num = t.nums(rnd.nextInt(t.nums.length)).name
+    val desc = rnd.nextBoolean()
+    val k = 1 + rnd.nextInt(4)
+    val nPred = rnd.nextInt(2)
+    val preds = Seq.fill(nPred)(predicate(rnd, t, qualify = false))
+    val whereSql = if (preds.isEmpty) ""
+      else s" WHERE (${preds.map(_.sql).mkString(") AND (")})"
+    val fn = rnd.nextInt(3) match {
+      case 0 => "row_number"
+      case 1 => "rank"
+      case _ => "dense_rank"
+    }
+    val uids = if (fn == "row_number") uniqueKeys(t.name) else Seq.empty
+    val vDir = if (desc) "DESC" else "ASC"
+    val orderSql = (s"v $vDir" +: uids.indices.map(i => s"u${i + 1}"))
+      .mkString(", ")
+    val selAliases = Seq("g1", "v") ++ uids.indices.map(i => s"u${i + 1}")
+    val innerSel = (Seq(s"$part AS g1", s"$num AS v") ++
+      uids.zipWithIndex.map { case (u, i) => s"$u AS u${i + 1}" })
+      .mkString(", ")
+    val sql = s"SELECT ${selAliases.map(a => s"$a AS $a").mkString(", ")}, " +
+      s"rn AS rn" +
+      s"\nFROM (SELECT $innerSel, $fn() OVER (PARTITION BY $part " +
+      s"ORDER BY $orderSql) AS rn FROM ${t.name}$whereSql) sub " +
+      s"WHERE rn <= $k"
+    val build = (s: SparkSession, dir: String) => {
+      var df = t.load(s, dir)
+      if (preds.nonEmpty) df = df.filter(preds.map(_.col).reduce(_ && _))
+      df = df.select(col(part).as("g1") +: col(num).as("v") +:
+        uids.zipWithIndex.map { case (u, i) => col(u).as(s"u${i + 1}") }: _*)
+      val v = if (desc) col("v").desc else col("v").asc
+      val w = Window.partitionBy(col("g1"))
+        .orderBy(v +: uids.indices.map(i => col(s"u${i + 1}").asc): _*)
+      val rankCol = fn match {
+        case "row_number" => row_number()
+        case "rank" => rank()
+        case _ => dense_rank()
+      }
+      df.withColumn("rn", rankCol.over(w)).filter(col("rn") <= k)
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
+  /** Rollup/cube fuzz (kind 12): multi-level aggregation over one
+    * categorical and one DERIVED (int modulo) group column — subtotal
+    * rows null-mark group keys in both engines, and the derived key
+    * exercises expression (not bare-attribute) grouping through the
+    * grouping-set expansion (q25/q37's shape, sampled).
+    */
+  private def rollupAgg(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val t = tables(rnd.nextInt(tables.length))
+    val cat = t.cats(rnd.nextInt(t.cats.length)).name
+    val ic = t.ints(rnd.nextInt(t.ints.length))
+    val m = 2 + rnd.nextInt(5)
+    val cube = rnd.nextBoolean()
+    val nPred = rnd.nextInt(2)
+    val preds = Seq.fill(nPred)(predicate(rnd, t, qualify = false))
+    val aggs = aggregates(rnd, Seq(t))
+    val whereSql = if (preds.isEmpty) ""
+      else s"\nWHERE (${preds.map(_.sql).mkString(") AND (")})"
+    val op = if (cube) "CUBE" else "ROLLUP"
+    val sql = s"SELECT $cat AS g1, $ic % $m AS g2, " +
+      s"${aggs.map(_.sql).mkString(", ")}" +
+      s"\nFROM ${t.name}$whereSql" +
+      s"\nGROUP BY $op($cat, $ic % $m)"
+    val build = (s: SparkSession, dir: String) => {
+      var df = t.load(s, dir)
+      if (preds.nonEmpty) df = df.filter(preds.map(_.col).reduce(_ && _))
+      df = df.withColumn("g1", col(cat)).withColumn("g2", col(ic) % m)
+      val g = if (cube) df.cube(col("g1"), col("g2"))
+        else df.rollup(col("g1"), col("g2"))
+      g.agg(aggs.head.col, aggs.tail.map(_.col): _*)
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
-    val kind = rnd.nextInt(11)
+    val kind = rnd.nextInt(13)
+    if (kind == 12) return rollupAgg(seed, rnd)
+    if (kind == 11) return windowRank(seed, rnd)
     if (kind == 10) return mvRollup(seed, rnd)
     if (kind == 9) return orJoin(seed, rnd)
     if (kind == 8) return editJoin(seed, rnd)

@@ -3,11 +3,13 @@ package graft
 import graft.tools.QueryFuzz
 
 /** Differential-fuzz harness spec. The DuckDB leg runs out-of-process
-  * (`runMain graft.tools.Fuzz` + `tools/check_oracle.py` — 200 seeds at
-  * sf0.01 recorded ALL OK this round); in-suite we pin what must hold
-  * for that comparison to stay meaningful: generation is a pure function
-  * of the seed, every generated plan executes, aliases match between the
-  * two renderings, and the fixed seed set keeps producing rows.
+  * (`runMain graft.tools.Fuzz` + `tools/check_oracle.py` — recorded
+  * batteries: 200 seeds at base 0, then 300 at base 1000 and 300 at
+  * base 2000 after the 13-kind extension, all ALL OK at sf0.01);
+  * in-suite we pin what must hold for that comparison to stay
+  * meaningful: generation is a pure function of the seed, every
+  * generated plan executes, aliases match between the two renderings,
+  * and the fixed seed set keeps producing rows.
   */
 class FuzzSpec extends SparkSpecBase {
 
