@@ -245,7 +245,8 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
       """WITH b AS (
         |  SELECT user_id,
         |         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b_start,
-        |         round(avg(value), 4) AS v
+        |         round(sum(CAST(round(value * 1000000.0) AS BIGINT))
+        |               / (1000000.0 * count(value)), 4) AS v
         |  FROM events GROUP BY 1, 2),
         |grid AS (
         |  SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS b_start

@@ -231,7 +231,8 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |       max(value) AS high, min(value) AS low,
         |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
         |       count(*) AS n_events,
-        |       round(avg(value), 4) AS mean_value
+        |       round(sum(CAST(round(value * 1000000.0) AS BIGINT))
+        |             / (1000000.0 * count(value)), 4) AS mean_value
         |FROM r GROUP BY 1, 2""".stripMargin,
 
     // same hash coin as q54's stratified sampling; split thresholds
@@ -866,7 +867,8 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |SELECT q_label AS label,
            |       CAST(count(ndcg) AS BIGINT) AS n_q,
            |       CAST(sum(dcg) AS BIGINT) AS dcg_total,
-           |       round(avg(ndcg), 4) AS mean_ndcg
+           |       round(sum(CAST(round(ndcg * 1000000.0) AS BIGINT))
+           |             / (1000000.0 * count(ndcg)), 4) AS mean_ndcg
            |FROM perq GROUP BY 1""".stripMargin
     },
 
@@ -1090,7 +1092,8 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |         $predLangCaseSql AS pred_lang
            |  FROM enr0)
            |SELECT cells.cell, enr.pred_lang, count(*) AS n_docs,
-           |       round(avg(enr.quality), 4) AS avg_quality
+           |       round(sum(CAST(round(enr.quality * 1000000.0) AS BIGINT))
+           |             / (1000000.0 * count(enr.quality)), 4) AS avg_quality
            |FROM cells JOIN enr ON enr.doc_id = cells.vec_id
            |GROUP BY 1, 2""".stripMargin),
 
@@ -2608,9 +2611,14 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |            AS b
            |        FROM s))
            |SELECT split, bin, CAST(count(*) AS BIGINT) AS n,
-           |       round(avg(p), 4) AS mean_p,
-           |       round(avg(CAST(y AS DOUBLE)), 4) AS pos_rate,
-           |       round(round(avg(p), 4) - round(avg(CAST(y AS DOUBLE)), 4), 4)
+           |       round(sum(CAST(round(p * 1000000.0) AS BIGINT))
+           |             / (1000000.0 * count(p)), 4) AS mean_p,
+           |       round(sum(CAST(round(y * 1000000.0) AS BIGINT))
+           |             / (1000000.0 * count(y)), 4) AS pos_rate,
+           |       round(round(sum(CAST(round(p * 1000000.0) AS BIGINT))
+           |                   / (1000000.0 * count(p)), 4)
+           |             - round(sum(CAST(round(y * 1000000.0) AS BIGINT))
+           |                     / (1000000.0 * count(y)), 4), 4)
            |         AS gap
            |FROM j GROUP BY 1, 2""".stripMargin
     },

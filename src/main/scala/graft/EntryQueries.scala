@@ -1203,7 +1203,7 @@ private[graft] trait EntryQueries { self: EntryShared =>
       cells.join(docs, cells("vec_id") === docs("doc_id"))
         .groupBy(col("cell"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("quality")), 4).as("avg_quality"))
+          graft.functions.AggFunctions.mean4(col("quality")).as("avg_quality"))
     }),
 
     // q138: the two-level (hierarchical) cell assignment hash-gated

@@ -1501,7 +1501,9 @@ private[graft] trait EntryShared {
     val uCols = st.indices.map(i => s"any_value(t_$i) AS t_$i").mkString(", ")
     val aCols = (st.indices.map(i => s"count(t_$i) AS n_$i") ++
       st.indices.drop(1).map(i =>
-        s"round(avg((t_$i - t_${i - 1}) / 3.6e9), 4) AS h_$i")).mkString(", ")
+        s"round(sum(CAST(round((t_$i - t_${i - 1}) / 3.6e9 * 1000000.0) " +
+          s"AS BIGINT)) / (1000000.0 * count(t_$i - t_${i - 1})), 4) " +
+          s"AS h_$i")).mkString(", ")
     val branches = st.zipWithIndex.map { case (name, i) =>
       val conv = if (i == 0) "CAST(NULL AS DOUBLE)"
         else s"round(n_$i / NULLIF(n_${i - 1}, 0), 4)"

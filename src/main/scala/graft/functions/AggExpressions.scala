@@ -467,6 +467,30 @@ final class TopKBuf(val k: Int) {
 }
 
 object AggFunctions {
+
+  /** Order-insensitive 4-decimal mean. `round(avg(x), 4)` is NOT
+    * aggregation-order-insensitive: the double sum differs by ulps
+    * between Spark's parallel partial-sum order and a sequential oracle
+    * fold, and a mean within an ulp of a .00005 boundary flips the 4th
+    * decimal — found LIVE by the differential fuzzer (seed 3153:
+    * avg(c_acctbal) = 6446.38835 → 6446.3884 vs 6446.3883). Here the
+    * input is quantized to integer micros per row (identical doubles in
+    * both engines → identical micros; exact — no quantization at all —
+    * when the input carries ≤ 6 fractional decimals, which covers the
+    * 2-dp testdata measures and the pre-rounded quality/probability
+    * columns), the micros SUM is an exact integer under ANY order, and
+    * ONE double division feeds the final round. Nulls drop from both
+    * sum and count, exactly like `avg`.
+    *
+    * Oracle replay: `round(sum(CAST(round(x * 1000000.0) AS BIGINT)) /
+    * (1000000.0 * count(x)), 4)`.
+    */
+  def mean4(c: Column): Column = {
+    import org.apache.spark.sql.functions.{count, lit, round, sum}
+    round(sum(round(c * lit(1000000.0)).cast("long")) /
+      (lit(1000000.0) * count(c)), 4)
+  }
+
   /** Histogram of a long-valued column: `nBuckets` buckets of `width`,
     * last bucket open-ended, negatives clamped into bucket 0.
     */

@@ -97,7 +97,8 @@ object EventAnalytics {
     val perUser = stageMins.reduce((a, b) => a.join(b, Seq("user_id"), "left"))
     val sumCols = stages.indices.map(i => count(col(s"t_$i")).as(s"n_$i")) ++
       stages.indices.drop(1).map(i =>
-        round(avg((col(s"t_$i") - col(s"t_${i - 1}")) / lit(3.6e9)), 4)
+        graft.functions.AggFunctions
+          .mean4((col(s"t_$i") - col(s"t_${i - 1}")) / lit(3.6e9))
           .as(s"h_$i"))
     val summary = perUser.agg(sumCols.head, sumCols.tail: _*)
     // one-row wide summary → long format via ONE explode (re-selecting the

@@ -207,8 +207,8 @@ object QualityModel {
         p.as("p"), labelHeuristic().cast("int").as("y"))
       .groupBy(col("split"), col("bin"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("p")), 4).as("mean_p"),
-        round(avg(col("y")), 4).as("pos_rate"))
+        graft.functions.AggFunctions.mean4(col("p")).as("mean_p"),
+        graft.functions.AggFunctions.mean4(col("y")).as("pos_rate"))
       .select(col("split"), col("bin"), col("n"), col("mean_p"),
         col("pos_rate"),
         round(col("mean_p") - col("pos_rate"), 4).as("gap"))

@@ -459,7 +459,7 @@ object Similarity {
       .groupBy(col("q_label").as("label"))
       .agg(count(col("ndcg")).as("n_q"),
         sum(col("dcg")).cast("long").as("dcg_total"),
-        round(avg(col("ndcg")), 4).as("mean_ndcg"))
+        graft.functions.AggFunctions.mean4(col("ndcg")).as("mean_ndcg"))
   }
 
   /** Embedding-space near-duplicate pairs: cosine >= threshold within a

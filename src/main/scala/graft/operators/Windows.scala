@@ -56,7 +56,7 @@ object Windows {
         min(col("value")).as("low"),
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("n_events"),
-        round(avg(col("value")), 4).as("mean_value"))
+        graft.functions.AggFunctions.mean4(col("value")).as("mean_value"))
       .select(col("user_id"), col("w.start").cast("long").as("w_start"),
         col("open"), col("high"), col("low"), col("close"),
         col("n_events"), col("mean_value"))
@@ -84,7 +84,7 @@ object Windows {
     val b = events
       .groupBy(col("user_id"),
         window(col("ts"), s"$bucketSec seconds").as("w"))
-      .agg(round(avg(col("value")), 4).as("v"))
+      .agg(graft.functions.AggFunctions.mean4(col("value")).as("v"))
       .select(col("user_id"), col("w.start").cast("long").as("b_start"),
         col("v"))
     // Dense-grid generation is CHUNKED (ADVICE r13): a single

@@ -134,7 +134,7 @@ object SolarStreaming {
         min(col("value")).as("low"),
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("n_events"),
-        round(avg(col("value")), 4).as("mean_value"))
+        graft.functions.AggFunctions.mean4(col("value")).as("mean_value"))
       .select(col("user_id"), col("w.start").cast("long").as("w_start"),
         col("open"), col("high"), col("low"), col("close"),
         col("n_events"), col("mean_value"))

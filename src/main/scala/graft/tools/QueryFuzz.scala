@@ -128,10 +128,16 @@ object QueryFuzz {
             picks += Both(round(sum(col(c)), 4).as(s"a_sum_$c"),
               s"round(sum($c), 4) AS a_sum_$c")
         case 1 =>
+          // mean4, not round(avg(x), 4): seed 3153 found the mean of a
+          // parallel double sum within an ulp of a .00005 boundary —
+          // the 4th decimal flipped between engines (see AggFunctions
+          // .mean4; the 2-dp measures make the micros quantization exact)
           val c = nums(rnd.nextInt(nums.length))
           if (used.add(s"avg_$c"))
-            picks += Both(round(avg(col(c)), 4).as(s"a_avg_$c"),
-              s"round(avg($c), 4) AS a_avg_$c")
+            picks += Both(
+              graft.functions.AggFunctions.mean4(col(c)).as(s"a_avg_$c"),
+              s"round(sum(CAST(round($c * 1000000.0) AS BIGINT)) / " +
+                s"(1000000.0 * count($c)), 4) AS a_avg_$c")
         case 2 =>
           val c = ints(rnd.nextInt(ints.length))
           val mx = rnd.nextBoolean()
@@ -656,9 +662,81 @@ object QueryFuzz {
     FuzzQuery(s"fz_$seed", build, sql)
   }
 
+  /** Set-operation fuzz (kind 13): UNION / UNION ALL / INTERSECT /
+    * EXCEPT between two predicate-sliced projections of one table, over
+    * a deliberately SMALL value domain (categorical × modulo) so the
+    * set semantics actually bite — distinct-vs-multiset behavior,
+    * overlap elimination, difference — then aggregated per value so the
+    * compared output stays bounded.
+    */
+  private def setOp(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val t = tables(rnd.nextInt(tables.length))
+    val cat = t.cats(rnd.nextInt(t.cats.length)).name
+    val ic = t.ints(rnd.nextInt(t.ints.length))
+    val m = 2 + rnd.nextInt(4)
+    val p1 = predicate(rnd, t, qualify = false)
+    val p2 = predicate(rnd, t, qualify = false)
+    val (opSql, opF) = rnd.nextInt(4) match {
+      case 0 => ("UNION", (a: DataFrame, b: DataFrame) => a.union(b).distinct())
+      case 1 => ("UNION ALL", (a: DataFrame, b: DataFrame) => a.union(b))
+      case 2 => ("INTERSECT", (a: DataFrame, b: DataFrame) => a.intersect(b))
+      case _ => ("EXCEPT", (a: DataFrame, b: DataFrame) => a.except(b))
+    }
+    val leg = (p: Both) =>
+      s"SELECT $cat AS s1, $ic % $m AS s2 FROM ${t.name} WHERE ${p.sql}"
+    val sql = s"SELECT s1 AS s1, s2 AS s2, " +
+      s"CAST(count(*) AS BIGINT) AS a_cnt" +
+      s"\nFROM (${leg(p1)}\n$opSql\n${leg(p2)}) u" +
+      s"\nGROUP BY s1, s2"
+    val build = (s: SparkSession, dir: String) => {
+      def slice(p: Both) = t.load(s, dir).filter(p.col)
+        .select(col(cat).as("s1"), (col(ic) % m).as("s2"))
+      opF(slice(p1), slice(p2))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("a_cnt"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
+  /** Conditional-aggregation fuzz (kind 14): CASE WHEN inside the
+    * aggregate — the pivot/cohort spelling (sum-if, count-if) whose
+    * predicate evaluates per row BEFORE null-skipping aggregation; the
+    * branches are literal 0-defaults, so both engines fold the same
+    * arithmetic.
+    */
+  private def condAgg(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val t = tables(rnd.nextInt(tables.length))
+    val g = t.cats(rnd.nextInt(t.cats.length)).name
+    val num = t.nums(rnd.nextInt(t.nums.length)).name
+    val c1 = predicate(rnd, t, qualify = false)
+    val c2 = predicate(rnd, t, qualify = false)
+    val nPred = rnd.nextInt(2)
+    val preds = Seq.fill(nPred)(predicate(rnd, t, qualify = false))
+    val whereSql = if (preds.isEmpty) ""
+      else s"\nWHERE (${preds.map(_.sql).mkString(") AND (")})"
+    val sql = s"SELECT $g AS g1, CAST(count(*) AS BIGINT) AS a_cnt, " +
+      s"round(sum(CASE WHEN ${c1.sql} THEN $num ELSE 0 END), 4) " +
+      s"AS a_cond_sum, " +
+      s"CAST(sum(CASE WHEN ${c2.sql} THEN 1 ELSE 0 END) AS BIGINT) " +
+      s"AS a_cond_n" +
+      s"\nFROM ${t.name}$whereSql\nGROUP BY g1"
+    val build = (s: SparkSession, dir: String) => {
+      var df = t.load(s, dir)
+      if (preds.nonEmpty) df = df.filter(preds.map(_.col).reduce(_ && _))
+      df.withColumn("g1", col(g)).groupBy(col("g1"))
+        .agg(count(lit(1)).as("a_cnt"),
+          round(sum(when(c1.col, col(num)).otherwise(lit(0))), 4)
+            .as("a_cond_sum"),
+          sum(when(c2.col, lit(1)).otherwise(lit(0))).cast("long")
+            .as("a_cond_n"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
-    val kind = rnd.nextInt(13)
+    val kind = rnd.nextInt(15)
+    if (kind == 14) return condAgg(seed, rnd)
+    if (kind == 13) return setOp(seed, rnd)
     if (kind == 12) return rollupAgg(seed, rnd)
     if (kind == 11) return windowRank(seed, rnd)
     if (kind == 10) return mvRollup(seed, rnd)

@@ -4,8 +4,11 @@ import graft.tools.QueryFuzz
 
 /** Differential-fuzz harness spec. The DuckDB leg runs out-of-process
   * (`runMain graft.tools.Fuzz` + `tools/check_oracle.py` — recorded
-  * batteries: 200 seeds at base 0, then 300 at base 1000 and 300 at
-  * base 2000 after the 13-kind extension, all ALL OK at sf0.01);
+  * batteries: 200 seeds at base 0; 300 at base 1000; 300 at base 2000
+  * after the 13-kind extension; then a 700-seed battery at base 3000
+  * caught the avg-rounding-boundary divergence (seed 3153 — see
+  * `AggFunctions.mean4`) and re-ran ALL OK at sf0.01 once the mean was
+  * respelled order-insensitively);
   * in-suite we pin what must hold for that comparison to stay
   * meaningful: generation is a pure function of the seed, every
   * generated plan executes, aliases match between the two renderings,
