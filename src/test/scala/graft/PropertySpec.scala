@@ -265,4 +265,37 @@ class PropertySpec extends SparkSpecBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("mean4 is partitioning-invariant and exact on micros-grid values") {
+    // the property round(avg(x), 4) LACKS (fuzz seed 3153): the result
+    // must not depend on how rows are split across partitions, and for
+    // inputs on the 1e-6 grid it must equal the exact rational mean
+    // rounded at 4 — computed here in BigDecimal, no doubles in the
+    // expected path
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(200)
+      // cents-scale values, the 2-dp testdata shape (exact on the grid)
+      val cents = Seq.fill(n)(rnd.nextInt(2000000) - 500000)
+      val xs = cents.map(c => c / 100.0)
+      val expected = cents.map(c => BigDecimal(c))
+        .sum./(BigDecimal(100) * n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val results = Seq(1, 3, 32).map { p =>
+        xs.toDF("x").repartition(p)
+          .agg(graft.functions.AggFunctions.mean4(col("x")).as("m"))
+          .head().getDouble(0)
+      }
+      assert(results.distinct.size === 1,
+        s"trial $trial: partitioning changed mean4: $results")
+      assert(results.head === expected,
+        s"trial $trial: mean4=${results.head} exact=$expected")
+    }
+    // nulls drop from numerator and denominator, exactly like avg
+    val withNulls = Seq(Some(1.0), None, Some(2.0), None)
+      .toDF("x")
+      .agg(graft.functions.AggFunctions.mean4(col("x"))).head().getDouble(0)
+    assert(withNulls === 1.5)
+    spark.catalog.clearCache()
+  }
 }
