@@ -8,8 +8,9 @@ import graft.tools.QueryFuzz
   * after the 13-kind extension; then a 700-seed battery at base 3000
   * caught the avg-rounding-boundary divergence (seed 3153 — see
   * `AggFunctions.mean4`) and re-ran ALL OK at sf0.01 once the mean was
-  * respelled order-insensitively, followed by 1500 more at base 5000,
-  * ALL OK — 3,500 differential queries total, one finding, fixed);
+  * respelled order-insensitively, followed by 1500 at base 5000 and
+  * 1000 at base 10000, ALL OK — 4,500 differential queries total, one
+  * finding, fixed);
   * in-suite we pin what must hold for that comparison to stay
   * meaningful: generation is a pure function of the seed, every
   * generated plan executes, aliases match between the two renderings,
