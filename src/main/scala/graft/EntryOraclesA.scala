@@ -961,7 +961,10 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
     // same quality formula as q53 (established bit-exact), bucket totals
     // + descending prefix over the <=101-row bucket relation, running sum
     // confined to the boundary bucket — mirrors budgetStage branch for
-    // branch (whole UNION ALL boundary)
+    // branch (whole UNION ALL boundary). The boundary sum is ONE window
+    // ordered by (block, doc_id) — the semantic spec the engine's
+    // two-level boundary shard (per-(qb, block) windows + broadcast
+    // prefix stitch) must reproduce bit-for-bit, exactly as q77's packing
     "q80_token_budget_select" -> {
       docCtes.stripSuffix("\n") + ",\n" +
         s"""enr0 AS (
@@ -990,9 +993,12 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
            |bnd AS (
            |  SELECT doc_id, q, qb, n_tokens FROM (
            |    SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY qb
-           |      ORDER BY doc_id
+           |      ORDER BY blk, doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
-           |    FROM j WHERE cum_before < 10000 AND cum_before + b_tokens > 10000)
+           |    FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT
+           |                      % ${Curation.DefaultPackBlocks} AS blk
+           |          FROM j WHERE cum_before < 10000
+           |            AND cum_before + b_tokens > 10000))
            |  WHERE cum_before + cum_in + n_tokens <= 10000)
            |SELECT doc_id, q, qb, n_tokens FROM j
            |WHERE cum_before + b_tokens <= 10000

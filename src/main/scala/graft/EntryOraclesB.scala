@@ -1808,10 +1808,12 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |bnd AS (
          |  SELECT doc_id FROM (
          |    SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY qb
-         |      ORDER BY doc_id
+         |      ORDER BY blk, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_in
-         |    FROM j3 WHERE cum_before < (SELECT budget FROM tot)
-         |      AND cum_before + b_tokens > (SELECT budget FROM tot))
+         |    FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT
+         |                      % ${Curation.DefaultPackBlocks} AS blk
+         |          FROM j3 WHERE cum_before < (SELECT budget FROM tot)
+         |            AND cum_before + b_tokens > (SELECT budget FROM tot)))
          |  WHERE cum_before + cum_in + n_tokens <= (SELECT budget FROM tot)),
          |sel AS (SELECT doc_id FROM whole UNION ALL SELECT doc_id FROM bnd),
          |pt AS (

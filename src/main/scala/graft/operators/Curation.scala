@@ -284,10 +284,13 @@ object Curation {
     *     construction) carries per-bucket token totals, and a prefix sum
     *     in DESCENDING bucket order finds the boundary bucket — every
     *     better bucket is taken whole, every worse bucket dropped whole;
-    *  3. only the boundary bucket pays a running sum (doc_id order,
-    *     deterministic), and it holds ~1/#buckets of the corpus — at a
-    *     finer budget resolution, re-bucket the boundary bucket by the
-    *     next two quality decimals and recurse; one level suffices here.
+    *  3. only the boundary bucket pays a running sum, and even that sum
+    *     is two-level (the [[packStage]] pattern, VERDICT r16 #1): the
+    *     bucket shards into [[DefaultPackBlocks]] md5 blocks of doc_id,
+    *     each block runs its own partitioned window, and block-local
+    *     offsets stitch with a broadcast ≤#blocks-row prefix aggregate —
+    *     bit-identical to ONE window ordered by (block, doc_id), but no
+    *     task ever owns more than ~1/(#buckets·#blocks) of the corpus.
     *
     * Documents with NULL quality (empty text) are never selected. All
     * cumulative arithmetic is integer token counts — bit-stable under any
@@ -320,33 +323,55 @@ object Curation {
     */
   private[graft] def budgetFromEnriched(enriched: DataFrame,
                                         budgetTokens: Long): DataFrame = {
-    // #buckets rows (<= ~101): the descending-order prefix window over it
-    // is trivial, and the join back broadcasts — safe by construction
-    val wBuckets = Window.orderBy(col("qb").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val buckets = enriched.groupBy(col("qb"))
+    // #buckets rows (<= ~101): the descending prefix is computed INSIDE
+    // one collected array via higher-order functions — O(#buckets²)
+    // scalar work on a single bounded row, no unpartitioned WindowExec
+    // (its "moving all data to a single partition" warning was benign
+    // here but buried real warnings in the bench tail — VERDICT r16 #6)
+    val bucketArr = enriched.groupBy(col("qb"))
       .agg(sum(col("n_tokens")).as("b_tokens"))
-      .withColumn("cum_before",
-        coalesce(sum(col("b_tokens")).over(wBuckets), lit(0L)))
+      .agg(collect_list(struct(col("qb"), col("b_tokens"))).as("bs"))
+    val buckets = bucketArr
+      .select(explode(col("bs")).as("x"), col("bs"))
+      .select(col("x.qb").as("qb"), col("x.b_tokens").as("b_tokens"),
+        aggregate(
+          filter(col("bs"), b => b.getField("qb") > col("x.qb")),
+          lit(0L), (acc, b) => acc + b.getField("b_tokens"))
+          .as("cum_before"))
     val joined = enriched.join(broadcast(buckets), "qb")
     // better buckets are taken whole — NO window touches them
     val whole = joined
       .filter(col("cum_before") + col("b_tokens") <= budgetTokens)
-    // only the boundary bucket (~1/#buckets of the corpus) pays a running
-    // sum; the filters sit BELOW the window in the built plan, so the
-    // window's input really is just that bucket
-    val wInBucket = Window.partitionBy(col("qb")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val boundary = joined
+    // only the boundary bucket pays a running sum, and it is two-level
+    // (the packFromBase pattern): per-(qb, block) partitioned windows
+    // stitched by a broadcast blocks-row prefix — bit-identical to one
+    // window ordered by (block, doc_id) inside the bucket, with the
+    // filters BELOW the windows so their input really is just the
+    // boundary bucket's ~1/#buckets slice, split ~1/#blocks per task
+    val bounded = joined
       .filter(col("cum_before") < budgetTokens &&
         col("cum_before") + col("b_tokens") > budgetTokens)
-      .withColumn("cum_in_bucket",
-        coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L)))
-      .filter(col("cum_before") + col("cum_in_bucket") + col("n_tokens")
-        <= budgetTokens)
-      .drop("cum_in_bucket")
-    whole.union(boundary)
+      .select(joined.columns.map(col) :+ packBlock(DefaultPackBlocks): _*)
+    val wInBlock = Window.partitionBy(col("qb"), col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBlk = Window.partitionBy(col("qb")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤ #blocks rows per boundary bucket — broadcast by construction
+    val blkOffsets = bounded.groupBy(col("qb"), col("block"))
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_before",
+        coalesce(sum(col("blk_tokens")).over(wBlk), lit(0L)))
+      .select(col("qb"), col("block"), col("blk_before"))
+    val boundary = bounded
+      .withColumn("cum_in_block",
+        coalesce(sum(col("n_tokens")).over(wInBlock), lit(0L)))
+      .join(broadcast(blkOffsets), Seq("qb", "block"))
+      .filter(col("cum_before") + col("blk_before") + col("cum_in_block")
+        + col("n_tokens") <= budgetTokens)
       .select(col("doc_id"), col("q"), col("qb"), col("n_tokens"))
+    whole.select(col("doc_id"), col("q"), col("qb"), col("n_tokens"))
+      .union(boundary)
   }
 
   /** [[budgetStage]]'s result; release the shared scored projection via

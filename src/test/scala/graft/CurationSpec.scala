@@ -248,11 +248,12 @@ class CurationSpec extends SparkSpecBase {
     val docs = ((1L to 4L).map((_, high)) ++ (11L to 14L).map((_, mid)) ++
       (21L to 24L).map((_, low))).toDF("doc_id", "text")
     // budget 600: the qb=100 bucket (400 tokens) is taken whole; qb=70 is
-    // the boundary — docs 11, 12 fit (500, 600), 13 would overflow; qb=50
-    // starts past the budget entirely
+    // the boundary, consumed in the two-level (md5-block, doc_id) order —
+    // blocks are 11→2, 12→10, 13→12, 14→3, so docs 11 then 14 fit
+    // (500, 600) and 12 would overflow; qb=50 starts past the budget
     val out = Curation.tokenBudgetSelect(docs, budgetTokens = 600L)
     val ids = out.select("doc_id").as[Long].collect().toSet
-    assert(ids === Set(1L, 2L, 3L, 4L, 11L, 12L))
+    assert(ids === Set(1L, 2L, 3L, 4L, 11L, 14L))
     val total = out.agg(sum(col("n_tokens"))).head().getLong(0)
     assert(total === 600L)
     // deterministic

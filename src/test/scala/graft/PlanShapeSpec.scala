@@ -160,6 +160,26 @@ class PlanShapeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("q80 boundary running sum is the two-level (qb, block) window") {
+    // VERDICT r16 #1: the boundary bucket's running sum must shard by
+    // (qb, md5-block) — a single-key Window.partitionBy(qb) funnels the
+    // whole boundary bucket (~1/#buckets of the corpus, several GB at
+    // 100 TB) through ONE task. The two-level form is bit-identical to
+    // one window ordered by (block, doc_id) and parallel in #blocks.
+    val plan = SparkEntry.queries("q80_token_budget_select")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.exists(l =>
+        "\\], \\[qb#\\d+, block#\\d+\\], \\[doc_id".r.findFirstIn(l).isDefined),
+      s"two-level (qb, block) boundary window missing:\n$plan")
+    // and no unpartitioned window anywhere: the descending bucket prefix
+    // is computed inside one collected ≤101-element array (higher-order
+    // aggregate), not a global single-partition WindowExec
+    assert(windows.forall(!_.contains("], [], [")),
+      s"unpartitioned Window crept back into q80:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("q54 stratified sampling is scan-only (no shuffle)") {
     val (exchanges, scans) = shape("q54_stratified_sample")
     assert(exchanges === 0)
