@@ -995,18 +995,26 @@ private[graft] trait EntryShared {
   // DuckDB oracles — same math, same names, same rounding.
   // ---------------------------------------------------------------------
 
-  /** Shared CTE chain mirroring [[Solar]] stage for stage. */
+  /** Shared CTE chain mirroring [[Solar]] stage for stage. The rounded
+    * means replay [[graft.functions.AggFunctions.meanQ]]'s quantized
+    * spelling (exact integer micros sum — BIGINT promotes to HUGEINT
+    * here, decimal(38,0) on the Spark side — one double division, round
+    * 1): `round(avg(x), 1)` itself is aggregation-order-sensitive at
+    * ulp-of-.05 boundaries (the seed-3153 class, ADVICE r16).
+    */
   protected val solarCtes: String =
     """WITH module_agg AS (
       |  SELECT CAST(floor(epoch(ts)/30)*30 AS BIGINT) AS w_start,
       |         event_type AS panel, CAST(user_id AS VARCHAR) AS module,
       |         count(*) AS m_cnt, sum(value) AS m_sum_power,
-      |         round(avg(value), 1) AS m_avg_power
+      |         round(sum(CAST(round(value * 1000000.0) AS BIGINT))
+      |               / (1000000.0 * count(value)), 1) AS m_avg_power
       |  FROM events GROUP BY 1, 2, 3),
       |panel_agg AS (
       |  SELECT w_start, panel, count(*) AS p_cnt,
       |         sum(m_sum_power) AS p_sum_power,
-      |         round(avg(m_sum_power), 1) AS p_avg_power
+      |         round(sum(CAST(round(m_sum_power * 1000000.0) AS BIGINT))
+      |               / (1000000.0 * count(m_sum_power)), 1) AS p_avg_power
       |  FROM module_agg GROUP BY 1, 2),
       |j1 AS (
       |  SELECT m.w_start, m.panel, m.module, m.m_cnt, m.m_sum_power,

@@ -482,13 +482,33 @@ object AggFunctions {
     * ONE double division feeds the final round. Nulls drop from both
     * sum and count, exactly like `avg`.
     *
+    * The micros sum runs through decimal(38,0), not long (ADVICE r16):
+    * DuckDB promotes a BIGINT sum to HUGEINT, so a long-typed Spark sum
+    * would silently WRAP where the oracle keeps going — reachable at
+    * real scale (|x|≈1e5 → 1e11 micros/row wraps past ~9e7 rows in one
+    * group). decimal(38,0) is exact to 1e38 (the same headroom class as
+    * HUGEINT's 1.7e38), and both engines convert the exact integer to
+    * the nearest double for the one final division identically.
+    *
     * Oracle replay: `round(sum(CAST(round(x * 1000000.0) AS BIGINT)) /
     * (1000000.0 * count(x)), 4)`.
     */
-  def mean4(c: Column): Column = {
+  def mean4(c: Column): Column = meanQ(c, 4)
+
+  /** [[mean4]] generalized to `decimals` final decimals (same micros
+    * quantization, same decimal(38,0) exact sum, one double division).
+    * `meanQ(_, 1)` replaces the reference topology's order-sensitive
+    * `round(avg(power), 1)` sites — identical except at ulp-of-.05
+    * boundaries, where this is order-insensitive and `round(avg)` flips
+    * with partitioning (the seed-3153 class at 1000× sparser boundaries).
+    *
+    * Oracle replay: `round(sum(CAST(round(x * 1000000.0) AS BIGINT)) /
+    * (1000000.0 * count(x)), d)`.
+    */
+  def meanQ(c: Column, decimals: Int): Column = {
     import org.apache.spark.sql.functions.{count, lit, round, sum}
-    round(sum(round(c * lit(1000000.0)).cast("long")) /
-      (lit(1000000.0) * count(c)), 4)
+    round(sum(round(c * lit(1000000.0)).cast("decimal(38,0)"))
+        .cast("double") / (lit(1000000.0) * count(c)), decimals)
   }
 
   /** Histogram of a long-valued column: `nBuckets` buckets of `width`,

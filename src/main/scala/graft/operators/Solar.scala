@@ -71,7 +71,11 @@ object Solar {
       .agg(
         count(lit(1)).as("m_cnt"),
         sum(col("power")).as("m_sum_power"),
-        round(avg(col("power")), 1).as("m_avg_power"))
+        // meanQ, not round(avg, 1): the reference's rounded mean, made
+        // aggregation-order-insensitive (ADVICE r16 — same seed-3153 ulp
+        // class as the round-4 sites, .05 boundaries instead of .00005)
+        graft.functions.AggFunctions.meanQ(col("power"), 1)
+          .as("m_avg_power"))
       .select(
         col("w.start").cast("long").as("w_start"),
         col("panel"), col("module"),
@@ -87,7 +91,8 @@ object Solar {
       .agg(
         count(lit(1)).as("p_cnt"),
         sum(col("m_sum_power")).as("p_sum_power"),
-        round(avg(col("m_sum_power")), 1).as("p_avg_power"))
+        graft.functions.AggFunctions.meanQ(col("m_sum_power"), 1)
+          .as("p_avg_power"))
 
   /** Windowed inner join #1 (`SolarConsumer.java:142-147`): each panel
     * aggregate paired with each of its module aggregates on the exact

@@ -113,7 +113,8 @@ object SolarStreaming {
       .agg(
         count(lit(1)).as("m_cnt"),
         sum(col("power")).as("m_sum_power"),
-        round(avg(col("power")), 1).as("m_avg_power"))
+        graft.functions.AggFunctions.meanQ(col("power"), 1)
+          .as("m_avg_power"))
       .select(col("w.start").cast("long").as("w_start"),
         col("panel"), col("module"),
         col("m_cnt"), col("m_sum_power"), col("m_avg_power"))
@@ -177,7 +178,8 @@ object SolarStreaming {
       .agg(
         count(lit(1)).as("p_cnt"),
         sum(col("m_sum_power")).as("p_sum_power"),
-        round(avg(col("m_sum_power")), 1).as("p_avg_power"))
+        graft.functions.AggFunctions.meanQ(col("m_sum_power"), 1)
+          .as("p_avg_power"))
       .select(col("pw.start").cast("long").as("w_start"), col("panel"),
         col("p_cnt"), col("p_sum_power"), col("p_avg_power"))
 
@@ -208,7 +210,8 @@ object SolarStreaming {
       .agg(
         count(lit(1)).as("m_cnt"),
         sum(col("power")).as("m_sum_power"),
-        round(avg(col("power")), 1).as("m_avg_power"))
+        graft.functions.AggFunctions.meanQ(col("power"), 1)
+          .as("m_avg_power"))
     val p = normalized
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDuration).as("w"),
@@ -218,7 +221,8 @@ object SolarStreaming {
       .agg(
         count(lit(1)).as("p_cnt"),
         sum(col("ms")).as("p_sum_power"),
-        round(avg(col("ms")), 1).as("p_avg_power"))
+        graft.functions.AggFunctions.meanQ(col("ms"), 1)
+          .as("p_avg_power"))
     m.join(p, Seq("w", "panel"))
       .select(col("w").getField("start").cast("long").as("w_start"),
         col("panel"), col("module"),
@@ -371,7 +375,8 @@ object SolarStreaming {
       .agg(
         count(lit(1)).as("m_cnt"),
         sum(col("power")).as("m_sum_power"),
-        round(avg(col("power")), 1).as("m_avg_power"))
+        graft.functions.AggFunctions.meanQ(col("power"), 1)
+          .as("m_avg_power"))
     val panelAggW = normalized
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDuration).as("w"),
@@ -381,7 +386,8 @@ object SolarStreaming {
       .agg(
         count(lit(1)).as("p_cnt"),
         sum(col("ms")).as("p_sum_power"),
-        round(avg(col("ms")), 1).as("p_avg_power"))
+        graft.functions.AggFunctions.meanQ(col("ms"), 1)
+          .as("p_avg_power"))
     val j1 = moduleAggW.join(panelAggW, Seq("w", "panel"))
     val panelFinalW = j1
       .groupBy(window(col("w"), windowDuration).as("w"), col("panel"))

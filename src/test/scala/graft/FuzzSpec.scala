@@ -5,12 +5,15 @@ import graft.tools.QueryFuzz
 /** Differential-fuzz harness spec. The DuckDB leg runs out-of-process
   * (`runMain graft.tools.Fuzz` + `tools/check_oracle.py` — recorded
   * batteries: 200 seeds at base 0; 300 at base 1000; 300 at base 2000
-  * after the 13-kind extension; then a 700-seed battery at base 3000
-  * caught the avg-rounding-boundary divergence (seed 3153 — see
+  * after the 13-kind extension; then the generator widened to 15 kinds
+  * (kind 13 setOp: UNION/INTERSECT/EXCEPT [ALL]; kind 14 condAgg:
+  * CASE-guarded conditional aggregates) and a 700-seed battery at base
+  * 3000 — the first to exercise kinds 13–14 — caught the
+  * avg-rounding-boundary divergence (seed 3153 — see
   * `AggFunctions.mean4`) and re-ran ALL OK at sf0.01 once the mean was
   * respelled order-insensitively, followed by 1500 at base 5000 and
-  * 1000 at base 10000, ALL OK — 4,500 differential queries total, one
-  * finding, fixed);
+  * 1000 at base 10000 (both 15-kind), ALL OK — 4,500 differential
+  * queries total, one finding, fixed);
   * in-suite we pin what must hold for that comparison to stay
   * meaningful: generation is a pure function of the seed, every
   * generated plan executes, aliases match between the two renderings,
