@@ -31,7 +31,7 @@ object Bench {
 
   /** Full record — file only: at 197 queries this line is ~12 KB. */
   private[graft] def fullLine(results: Seq[(String, Seq[Double])],
-                              sfDir: String): String = {
+                              sfDir: String, diff: String = ""): String = {
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + j(ts.min) }
       .mkString("{", ",", "}")
     val samples = results.map { case (k, ts) =>
@@ -40,8 +40,50 @@ object Bench {
     val (total, totalMedian, noise) = totals(results)
     s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
       s""""total_median":${j(totalMedian)},"noise_ratio":${j(noise)},""" +
-      s""""queries":$qs,"samples":$samples,"sf":"$sfDir"}"""
+      s""""queries":$qs,"samples":$samples$diff,"sf":"$sfDir"}"""
   }
+
+  /** `,"diff_vs_prev":{...}` — the jitter-vs-regression verdict against
+    * the previous round's full record (VERDICT r16 #5: the bench gate,
+    * made mechanical IN the bench output). Compares this run's minima to
+    * the prior BENCH_OUT.json via [[tools.BenchDiff.movers]]: a mover is
+    * a `REGRESSION?`/`improved` only when it escapes the other record's
+    * full 3-sample noise envelope, `jitter` otherwise. Empty string when
+    * no prior record exists or it fails to parse — the bench must never
+    * die on its own telemetry.
+    */
+  private[graft] def diffBlock(results: Seq[(String, Seq[Double])],
+                               prevPath: String): String =
+    try {
+      val p = java.nio.file.Paths.get(prevPath)
+      if (!java.nio.file.Files.exists(p)) ""
+      else {
+        val old = tools.BenchDiff.parse(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        if (old.mins.isEmpty) ""
+        else {
+          val (total, _, noise) = totals(results)
+          val neu = tools.BenchDiff.Rec(
+            results.map { case (k, ts) => k -> ts.min }.toMap,
+            results.toMap, total, noise)
+          val m = tools.BenchDiff.movers(old, neu)
+          // movers arrive ratio-desc; name at most 6 per category so a
+          // pathological round can't push the stdout line past the
+          // collector's 2 KB tail (ContractSpec pins the worst case)
+          def named(v: String) = m.filter(_._5 == v).take(6)
+            .map { case (q, _, n, r, _) =>
+              "\"" + q + "\":{\"ratio\":" + j(math.rint(r * 100) / 100) +
+                ",\"sec\":" + j(n) + "}"
+            }.mkString("{", ",", "}")
+          s""","diff_vs_prev":{"prev_total":${j(old.total)},""" +
+            s""""n_regressions":${m.count(_._5 == "REGRESSION?")},""" +
+            s""""regressions":${named("REGRESSION?")},""" +
+            s""""n_improved":${m.count(_._5 == "improved")},""" +
+            s""""improved":${named("improved")},""" +
+            s""""jitter_movers":${m.count(_._5 == "jitter")}}"""
+        }
+      }
+    } catch { case NonFatal(_) => "" }
 
   /** Compact stdout line: the harness that collects this output keeps
     * only the last ~2 KB of the run log, so a line carrying all 197
@@ -50,7 +92,8 @@ object Bench {
     * BENCH_OUT.json (`detail`) carries the complete per-query record.
     */
   private[graft] def stdoutLine(results: Seq[(String, Seq[Double])],
-                                outPath: String, sfDir: String): String = {
+                                outPath: String, sfDir: String,
+                                diff: String = ""): String = {
     val (total, totalMedian, noise) = totals(results)
     val byName = results.toMap
     val headQs = HeadlineQueries
@@ -58,7 +101,7 @@ object Bench {
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${j(total)},"unit":"sec",""" +
       s""""total_median":${j(totalMedian)},"noise_ratio":${j(noise)},""" +
-      s""""n_queries":${results.size},"queries":$headQs,""" +
+      s""""n_queries":${results.size},"queries":$headQs$diff,""" +
       s""""detail":"$outPath","sf":"$sfDir"}"""
   }
 
@@ -128,12 +171,21 @@ object Bench {
     // code is 1.2-3×, so a single min moving round-over-round proves
     // nothing on its own)
     val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
+    // the pre-overwrite BENCH_OUT.json is the PREVIOUS round's committed
+    // full record — diff against it before clobbering
+    val diff = diffBlock(results, outPath)
+    val full = fullLine(results, sfDir, diff)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fullLine(results, sfDir) + "\n").getBytes("UTF-8"))
-    catch { case NonFatal(_) => () } // stdout line below still has the totals
+      (full + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(_) =>
+      // a failed file write must not lose the only complete per-query
+      // record (ADVICE r16) — stderr keeps it recoverable without
+      // breaking the one-JSON-line stdout contract
+      System.err.println(full)
+    }
     // bare stdout: build.sbt sets run/outputStrategy := StdoutOutput so sbt
     // adds no "[info] " prefix
-    println(stdoutLine(results, outPath, sfDir))
+    println(stdoutLine(results, outPath, sfDir, diff))
     spark.stop()
   }
 }

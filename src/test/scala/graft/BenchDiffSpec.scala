@@ -58,4 +58,29 @@ class BenchDiffSpec extends AnyFunSuite {
     val neu = BenchDiff.Rec(Map("q" -> 1.0), Map.empty, 1.0, 1.0)
     assert(BenchDiff.movers(old, neu).isEmpty)
   }
+
+  test("diffBlock embeds the envelope verdict against the prior record") {
+    val prev = java.nio.file.Files.createTempFile("bench_prev_", ".json")
+    try {
+      // prior record: q01 min 1.0 (envelope to 2.0), q84 min 0.25
+      java.nio.file.Files.write(prev,
+        (Bench.fullLine(results, "/tmp/sf") + "\n").getBytes("UTF-8"))
+      // new run: q01 5x slower beyond the old envelope (REGRESSION?),
+      // q84 1.6x slower but inside the old 0.9 max sample (jitter)
+      val now = Seq(
+        "q01_scan_project" -> Seq(5.0, 5.0, 5.0),
+        "q84_lm_perplexity" -> Seq(0.4, 0.4, 0.4))
+      val d = Bench.diffBlock(now, prev.toString)
+      assert(d.startsWith(""","diff_vs_prev":{"prev_total":1.25,"""), d)
+      assert(d.contains(""""regressions":{"q01_scan_project":{"ratio":5"""), d)
+      assert(d.contains(""""improved":{}"""), d)
+      assert(d.contains(""""jitter_movers":1"""), d)
+      // the block must itself survive a fullLine round-trip as valid
+      // parse input (scalars only — no new array shapes)
+      val rec = BenchDiff.parse(Bench.fullLine(now, "/tmp/sf", d))
+      assert(rec.mins("q01_scan_project") === 5.0)
+      // no prior record → no block, never a throw
+      assert(Bench.diffBlock(now, "/nonexistent/bench.json") === "")
+    } finally java.nio.file.Files.deleteIfExists(prev)
+  }
 }

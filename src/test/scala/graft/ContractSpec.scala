@@ -45,7 +45,19 @@ class ContractSpec extends SparkSpecBase {
     // every query at a 4-digit-second timing with full 6-decimal precision.
     val worst = SparkEntry.queries.keys.toSeq.sorted
       .map(k => k -> Seq(1234.567891, 2345.678912, 3456.789123))
-    val line = Bench.stdoutLine(worst, "BENCH_OUT.json", "/root/testdata/sf0.1")
+    // worst-case diff_vs_prev: every query 10x slower than a prior record
+    // → the block must cap its named movers (6 per category) and stay
+    // inside the budget alongside the headline map
+    val prev = java.nio.file.Files.createTempFile("bench_prev_", ".json")
+    val diff = try {
+      java.nio.file.Files.write(prev, (Bench.fullLine(
+        worst.map { case (k, ts) => k -> ts.map(_ / 10) }, "/tmp/sf") + "\n")
+        .getBytes("UTF-8"))
+      Bench.diffBlock(worst, prev.toString)
+    } finally java.nio.file.Files.deleteIfExists(prev)
+    assert(diff.contains("\"n_regressions\":" + worst.size), diff)
+    val line = Bench.stdoutLine(worst, "BENCH_OUT.json",
+      "/root/testdata/sf0.1", diff)
     assert(line.length <= 1900, s"stdout bench line too long: ${line.length}")
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
     assert(line.contains("\"n_queries\":" + worst.size))
