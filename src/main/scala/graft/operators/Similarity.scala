@@ -334,19 +334,42 @@ object Similarity {
     * — cells must stay bounded, so k grows with the corpus (the SemDeDup
     * cell contract; the two-level assignment of q138 keeps large k
     * affordable). A viral cell (similarity-defined skew) is an AQE
-    * skew-join split, not a straggler by construction. Self-pairs are
-    * excluded by id equality — callers mining ACROSS relations with
-    * overlapping id spaces should disable `excludeSameId`.
+    * skew-join split — but ONLY if the cell's rows span many map-output
+    * blocks: AQE splits a skewed reduce partition at MAP-BLOCK
+    * granularity, so a viral cluster stored CONTIGUOUSLY (sorted or
+    * clustered ingest — exactly how a near-dup burst lands when files
+    * are written in crawl order) is unsplittable and the straggler
+    * survives (ProbeSkewIvf, measured: split fired, +1 task, straggler
+    * unchanged). `scatter` (default ON) closes that hole in-engine: the
+    * corpus side takes one uniform hash(vec_id) exchange before the
+    * cell-keyed join exchange, spreading every cell across all map
+    * blocks so the skew split always has cut points. Cost is one extra
+    * embedding-wide shuffle of the corpus — disable it when the input's
+    * lineage already ends in a shuffle (any repartition/join/agg), which
+    * scatters for free. Self-pairs are excluded by id equality — callers
+    * mining ACROSS relations with overlapping id spaces should disable
+    * `excludeSameId`.
     */
+  /** The sorted-ingest scatter guard: one uniform hash(vec_id) exchange
+    * so that every IVF cell's rows span ALL map blocks of the downstream
+    * cell-keyed join exchange — the precondition for AQE's skew-join
+    * split, which cuts a skewed reduce partition only at map-output
+    * boundaries (ProbeSkewIvf's contiguous-layout caveat, made engine
+    * behavior — VERDICT r16 #2). No-op when `on` is false.
+    */
+  private def scattered(df: DataFrame, on: Boolean): DataFrame =
+    if (on) df.repartition(col("vec_id")) else df
+
   def knnJoin(left: DataFrame, right: DataFrame, model: KmeansModel,
-              k: Int, nProbe: Int, excludeSameId: Boolean = true): DataFrame = {
-    val c = right.select(col("vec_id"),
+              k: Int, nProbe: Int, excludeSameId: Boolean = true,
+              scatter: Boolean = true): DataFrame = {
+    val c = scattered(right, scatter).select(col("vec_id"),
       col("embedding").as("emb"),
       element_at(graft.functions.VectorFunctions.nearest_cells(
         col("embedding"), model.centroids.toIndexedSeq, 1), 1).as("cell"))
     // probe explode fused into the scan projection (embedding carried —
     // no (q_id → embedding) join-back; the left side is scanned once)
-    val q = left.select(col("vec_id").as("q_id"),
+    val q = scattered(left, scatter).select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
       explode(graft.functions.VectorFunctions.nearest_cells(
         col("embedding"), model.centroids.toIndexedSeq, nProbe)).as("cell"))
@@ -369,15 +392,18 @@ object Similarity {
     * post-filter on a top-k result would under-fill: the nearest
     * neighbors of a vector are usually its OWN label). State stays
     * O(queries × k) via the bounded heap; the mismatch filter only
-    * shrinks the candidate stream.
+    * shrinks the candidate stream. `scatter` is [[knnJoin]]'s
+    * sorted-ingest guard (default ON, same cost/disable contract).
     */
   def hardNegatives(embeddings: DataFrame, model: KmeansModel,
-                    k: Int, nProbe: Int): DataFrame = {
-    val c = embeddings.select(col("vec_id"), col("label").as("c_label"),
+                    k: Int, nProbe: Int, scatter: Boolean = true): DataFrame = {
+    val c = scattered(embeddings, scatter)
+      .select(col("vec_id"), col("label").as("c_label"),
       col("embedding").as("emb"),
       element_at(graft.functions.VectorFunctions.nearest_cells(
         col("embedding"), model.centroids.toIndexedSeq, 1), 1).as("cell"))
-    val q = embeddings.select(col("vec_id").as("q_id"),
+    val q = scattered(embeddings, scatter)
+      .select(col("vec_id").as("q_id"),
       col("label").as("q_label"),
       col("embedding").as("q_emb"),
       explode(graft.functions.VectorFunctions.nearest_cells(

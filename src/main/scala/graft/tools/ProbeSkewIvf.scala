@@ -148,11 +148,10 @@ object ProbeSkewIvf {
     // viral cluster (ids < viralN) would land CONTIGUOUSLY in one parquet
     // file — and AQE skew-split works at map-output-block granularity, so
     // a viral cell fed by a single map block is UNSPLITTABLE (measured:
-    // split fired, +1 task, 370 s straggler unchanged). Real ingest
-    // scatters a near-dup cluster across arrival files; the scattered
-    // layout is what the operators' skew claim is conditioned on, and the
-    // contiguous-layout failure is documented in SURVEY.md as the
-    // sorted-storage caveat (scatter or salt before a cell join).
+    // split fired, +1 task, 370 s straggler unchanged). This scattered
+    // layout is the r16 baseline scenario; the sorted-ingest scenario
+    // below writes WITHOUT the scatter and measures knnJoin's own
+    // `scatter` guard closing exactly that hole in-engine.
     corpus(spark, corpusN, corpusN / 50, nCells, dim)
       .repartition(128, col("vec_id"))
       .write.mode("overwrite").parquet(s"$tmp/corpus")
@@ -176,9 +175,32 @@ object ProbeSkewIvf {
       knnModel, 10, 2).count()
     println("CHECKPOINT knn warmup done")
 
+    // scatter=false here: these two runs measure AQE alone on
+    // hash-scattered STORAGE (the r16 baseline scenario); the engine
+    // guard gets its own sorted-ingest scenario below
     for (split <- Seq(false, true))
       run("knnJoin(q155)", split)(
-        Similarity.knnJoin(queries, corpusDf, knnModel, k = 10, nProbe = 2))
+        Similarity.knnJoin(queries, corpusDf, knnModel, k = 10, nProbe = 2,
+          scatter = false))
+
+    // ---- sorted-ingest scenario: the r16 caveat, then the engine guard -
+    // written WITHOUT the vec_id scatter: spark.range emits ids in order,
+    // so the viral cluster (ids < viralN = 2%) lands contiguously in the
+    // first range partition's parquet output — ONE map block feeds the
+    // viral reduce partition, and AQE's map-block-granularity split has
+    // no cut points (r16 measured: split fired, +1 task, straggler
+    // unchanged). scatter=true is knnJoin's in-engine fix: a uniform
+    // hash(vec_id) exchange ahead of the cell join gives the split its
+    // cut points regardless of storage layout.
+    corpus(spark, corpusN, corpusN / 50, nCells, dim)
+      .write.mode("overwrite").parquet(s"$tmp/corpus_sorted")
+    println("CHECKPOINT sorted corpus written")
+    def sortedDf = spark.read.parquet(s"$tmp/corpus_sorted")
+    def sortedQ = sortedDf.filter(pmod(col("vec_id"), lit(200)) === 0)
+    for (sc <- Seq(false, true))
+      run(s"knnJoin(sorted,sc=$sc)", split = true)(
+        Similarity.knnJoin(sortedQ, sortedDf, knnModel, k = 10, nProbe = 2,
+          scatter = sc))
 
     // ---- q184 shape: self-join hardNegatives ---------------------------
     // quadratic-in-cell workload: viral cell = 3% of the corpus (~8× the
@@ -207,7 +229,8 @@ object ProbeSkewIvf {
 
     for (split <- Seq(false, true))
       run("hardNegatives(q184)", split)(
-        Similarity.hardNegatives(hnDf, hnModel, k = 10, nProbe = 2))
+        Similarity.hardNegatives(hnDf, hnModel, k = 10, nProbe = 2,
+          scatter = false))
 
     spark.stop()
   }

@@ -69,6 +69,27 @@ class KnnJoinSpec extends SparkSpecBase {
     assert(plan.contains("Generate")) // the nProbe cell explode
   }
 
+  test("scatter guard: hash(vec_id) exchange present by default, gone " +
+       "when disabled, results identical either way") {
+    // the sorted-ingest guard (ProbeSkewIvf's contiguous-layout caveat
+    // made engine behavior): AQE's skew split cuts a viral cell's reduce
+    // partition only at map-block boundaries, so the corpus must be
+    // hash-scattered BEFORE the cell-keyed exchange
+    val on = Similarity.knnJoin(embs, embs, model, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(vec_id".r.findFirstIn(on).isDefined,
+      s"scatter exchange missing with scatter=true:\n$on")
+    val off = Similarity.knnJoin(embs, embs, model, k = 5, nProbe = 2,
+        scatter = false)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(vec_id".r.findFirstIn(off).isEmpty,
+      s"unexpected vec_id exchange with scatter=false:\n$off")
+    // pure layout change: the answer must not move
+    assert(rows(Similarity.knnJoin(embs, embs, model, k = 5, nProbe = 2,
+        scatter = false)) ===
+      rows(Similarity.knnJoin(embs, embs, model, k = 5, nProbe = 2)))
+  }
+
   test("retrievalNdcg: hand-traced geometry — perfect, zero, and " +
        "tie-broken partial rankings") {
     // 2-D fixture, ONE cell (k=1 quantizer) so ranking is exact:
