@@ -2226,6 +2226,36 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |FROM documents WHERE doc_id % 7 <> 3
          |GROUP BY 1, 2""".stripMargin,
 
+    // q198: the decimal rollup recomputed from lineitem with the same
+    // decimal(12,2) casts — the gated query reads the derived decimal
+    // base (bit-identical rows: same cast of the same doubles), and
+    // MvRewrite's sum-widening stand-down means BOTH engines aggregate
+    // base rows with exact decimal arithmetic (integer cents under the
+    // hood; string-compared at scale 2)
+    "q198_decimal_rollup" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_items,
+        |       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+        |       min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+        |       max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // q199: decimal multiply/subtract (scale 2→4, exact both engines);
+    // the mean replays the integer-cents spelling — decimal→double casts
+    // are only bit-identical for INTEGER-valued decimals, so the sum is
+    // taken over cents (BIGINT→HUGEINT here, decimal(38,0) in Spark)
+    "q199_decimal_revenue" ->
+      """SELECT l_linestatus,
+        |       count(*) AS n_items,
+        |       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+        |       sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2))
+        |              - CAST(l_discount AS DECIMAL(12,2)))) AS sum_revenue,
+        |       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                          * 100 AS BIGINT)) AS DOUBLE)
+        |             / (100.0 * count(*)), 4) AS avg_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     // q197: per-table exact purge accounting over the same forget set
     "q197_forget_receipt" ->
       s"""WITH ids AS (

@@ -987,6 +987,42 @@ private[graft] trait EntryQueries { self: EntryShared =>
         Map("doc_id" -> "max_doc"))
     }),
 
+    // decimal money rollup over the registered decimal base — the exact
+    // q188 MV shape, but the decimal(12,2) sum partial would WIDEN under
+    // re-aggregation, so MvRewrite's type guard must stand down and the
+    // answer must come from the base with exact decimal arithmetic,
+    // hash-equal to DuckDB's decimal engine (VERDICT r16 #4; plan pinned
+    // base-scanning in MvRewriteSpec)
+    "q198_decimal_rollup" -> ((s, dir) => {
+      val base = s.read.parquet(decimalBaseShared(s, dir))
+      base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_d")).as("sum_price"),
+          min(col("price_d")).as("min_price"),
+          max(col("price_d")).as("max_price"))
+    }),
+
+    // decimal revenue arithmetic — price·(1−disc) in pure decimal
+    // multiply/subtract (scale grows 2→4, exact in both engines); the
+    // mean goes through exact integer CENTS (decimal→double casts are
+    // NOT bit-identical across engines — DuckDB multiplies the int128 by
+    // 10^-scale in double, two roundings — but an integer-valued sum
+    // casts identically), one double division, round 4 — the TPC-H Q1
+    // discipline on the decimal plane
+    "q199_decimal_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+          col("l_linestatus"),
+          col("l_extendedprice").cast("decimal(12,2)").as("p"),
+          col("l_discount").cast("decimal(12,2)").as("d"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("p")).as("sum_price"),
+          sum(col("p") * (lit(1).cast("decimal(12,2)") - col("d")))
+            .as("sum_revenue"),
+          round(sum((col("p") * lit(100)).cast("decimal(38,0)"))
+              .cast("double") / (lit(100.0) * count(lit(1))), 4)
+            .as("avg_price"))),
+
     // right-to-be-forgotten receipt — exact per-table before/deleted/
     // after counts for a broadcast forget set spanning events (by user)
     // and orders (by customer)

@@ -374,6 +374,54 @@ private[graft] trait EntryShared {
     })._2
   }
 
+  // Decimal-typed base + summary for q198/q199 (VERDICT r16 #4): the
+  // lineitem measures re-priced as decimal(12,2) — the money type every
+  // warehouse schema actually ships — written once per (session, dir)
+  // and REGISTERED with the MvRewrite catalog. q198's rollup is exactly
+  // the shape the rule would love to answer from the summary, but the
+  // decimal sum partial is decimal(22,2) and re-summing would widen to
+  // decimal(32,2) ≠ the query's type — so the rule's sum-widening
+  // stand-down (MvRewrite rollup type guard) must fire and the query
+  // must answer from the BASE, hash-equal to DuckDB's own decimal
+  // arithmetic (MvRewriteSpec pins the plan; the gate pins the values).
+  protected val decStoreMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String)]()
+
+  protected def decimalBaseShared(s: SparkSession, dir: String): String = {
+    val it = decStoreMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._1.sparkContext.isStopped) {
+        graft.plans.MvCatalog.unregister(e.getKey)
+        it.remove()
+      }
+    }
+    val key = ccKey(s, dir) + "#dec"
+    decStoreMemo.computeIfAbsent(key, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dec_").toString
+      val basePath = s"$root/lineitem_dec"
+      Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price_d"),
+          col("l_discount").cast("decimal(12,2)").as("disc_d"))
+        .write.mode("overwrite").parquet(basePath)
+      s.read.parquet(basePath)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_d")).as("sum_price"),
+          min(col("price_d")).as("min_price"),
+          max(col("price_d")).as("max_price"))
+        .write.mode("overwrite").parquet(s"$root/dec_summary")
+      graft.plans.MvCatalog.registerParquet(s, key, basePath,
+        s"$root/dec_summary",
+        groupCols = Set("l_returnflag", "l_linestatus"), cntCol = "cnt",
+        sumCols = Map("price_d" -> "sum_price"),
+        minCols = Map("price_d" -> "min_price"),
+        maxCols = Map("price_d" -> "max_price"))
+      (s, basePath)
+    })._2
+  }
+
   // Two layout GENERATIONS of the documents table for q183: v1 wrote
   // (doc_id, source, n_chars); a later pipeline release added `lang`.
   // Built once per (session, dir); the evolved read must fuse both

@@ -195,4 +195,30 @@ class MvRewriteSpec extends SparkSpecBase {
         "count-only rollup keeps firing on the decimal view")
     } finally MvCatalog.unregister("spec_mv_dec")
   }
+
+  test("q198's GATED decimal rollup answers from the base; the count-only " +
+       "twin proves the registration was live") {
+    // VERDICT r16 #4: the stand-down as driver-gated behavior, not just a
+    // handcrafted fixture — q198 is exactly the q188 MV shape over the
+    // registered decimal(12,2) base, and the sum partial's widening must
+    // push it to the base scan (DuckDB recomputes with its own decimal
+    // engine, so the gate also pins cross-engine decimal arithmetic)
+    val q = SparkEntry.queries("q198_decimal_rollup")(
+      spark, "/root/testdata/sf0.001")
+    val plan = scannedFiles(q)
+    assert(plan.contains("lineitem_dec"),
+      s"expected the decimal BASE scan:\n$plan")
+    assert(!plan.contains("dec_summary"),
+      s"decimal sum must not answer from the summary:\n$plan")
+    // control on the very same registered base: a count-only rollup has
+    // no widening and must fire — proving the catalog entry was live
+    // when q198 stood down
+    val basePath = "[^\\s,\\[\\]]*lineitem_dec".r.findFirstIn(plan)
+      .getOrElse(fail(s"base path not found in plan:\n$plan"))
+    val qc = spark.read.parquet(basePath).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    assert(scannedFiles(qc).contains("dec_summary"),
+      s"count-only twin should roll up to the summary:\n${scannedFiles(qc)}")
+    spark.catalog.clearCache()
+  }
 }
