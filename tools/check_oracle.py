@@ -1,8 +1,16 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 gate: for each query output parquet in
 outDir, run the oracle SQL in DuckDB over the sf tables, sort columns by
-name, sort rows, and compare values exactly (with a small float report)."""
-import sys, json, glob, os
+name, sort rows, and compare values exactly (with a small float report).
+
+Oracle replay cache (VERDICT r16 #7): DuckDB results are memoized on
+(sha256 of the oracle SQL, corpus fingerprint) under $ORACLE_CACHE
+(default target/oracle_cache, gitignored). A verify loop that edits one
+query re-runs ONE oracle instead of 197; any SQL edit or testdata
+regeneration changes the key and misses cleanly. Learned-artifact oracles
+(PCA basis, BPE merges) embed their learned values in the SQL text, so
+the SQL hash covers them too. Disable with ORACLE_CACHE=off."""
+import sys, json, glob, os, hashlib
 import duckdb
 import pandas as pd
 import numpy as np
@@ -17,6 +25,45 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+cache_dir = os.environ.get(
+    "ORACLE_CACHE", os.path.join(os.path.dirname(__file__), "..",
+                                 "target", "oracle_cache"))
+use_cache = cache_dir != "off"
+if use_cache:
+    os.makedirs(cache_dir, exist_ok=True)
+
+def corpus_fingerprint(d):
+    # size+mtime of every table file: cheap, and any regeneration moves it
+    parts = []
+    for p in sorted(glob.glob(f"{d}/*.parquet")):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+corpus_fp = corpus_fingerprint(sf_dir)
+cache_hits = cache_misses = 0
+
+def run_oracle(sql):
+    """DuckDB result for sql, through the replay cache."""
+    global cache_hits, cache_misses
+    if not use_cache:
+        return con.sql(sql).arrow().to_pandas(types_mapper=pd.ArrowDtype)
+    key = hashlib.sha256((sql + "\x00" + corpus_fp).encode()).hexdigest()
+    path = os.path.join(cache_dir, key + ".parquet")
+    if os.path.exists(path):
+        cache_hits += 1
+        return pd.read_parquet(path, dtype_backend="pyarrow")
+    df = con.sql(sql).arrow().to_pandas(types_mapper=pd.ArrowDtype)
+    cache_misses += 1
+    try:
+        df.to_parquet(path, index=False)
+    except Exception:
+        # uncacheable result shape (exotic arrow type): stay correct,
+        # just unmemoized
+        try: os.unlink(path)
+        except OSError: pass
+    return df
 
 def normalize(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -37,7 +84,7 @@ for name, sql in sorted(oracle.items()):
         spark_df = pd.concat([pd.read_parquet(p, dtype_backend="pyarrow")
                               for p in glob.glob(f"{path}/*.parquet")],
                              ignore_index=True)
-        duck_df = con.sql(sql).arrow().to_pandas(types_mapper=pd.ArrowDtype)
+        duck_df = run_oracle(sql)
     except Exception as e:
         print(f"{name}: ERROR {e}"); fails += 1; continue
     s, d = normalize(spark_df), normalize(duck_df)
@@ -77,4 +124,7 @@ for name, sql in sorted(oracle.items()):
                 ok = False
     print(f"{name}: {'OK' if ok else 'FAIL'} rows={len(s)}")
     fails += 0 if ok else 1
+if use_cache:
+    print(f"ORACLE_CACHE: {cache_hits} hits / {cache_misses} misses "
+          f"({cache_dir})")
 print("RESULT:", "ALL OK" if fails == 0 else f"{fails} FAILURES")
