@@ -1,0 +1,237 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch ↔ streaming differential fuzzer (VERDICT r16 #3): seeded
+  * windowed-aggregation/join/dedup plans run TWICE over identical data —
+  * once through Structured Streaming (MemoryStream micro-batches +
+  * watermark, append mode) and once as a plain batch plan — and the two
+  * answers must be row-for-row identical, the way `QueryFuzz`'s 4,500-seed
+  * battery pins batch-vs-DuckDB. This is the generated-plan generalization
+  * of the hand-written equivalence specs (StreamingSpec,
+  * StreamStreamJoinSpec): one builder function produces BOTH legs
+  * (`withWatermark` is a no-op in batch), so any divergence is the
+  * streaming ENGINE's incremental state semantics, never a re-spelling.
+  *
+  * Equivalence is only well-defined under two disciplines the generator
+  * enforces by construction:
+  *
+  *  - **No beyond-watermark late data.** Rows feed in ts-contiguous
+  *    micro-batch chunks, with seeded IN-watermark disorder (a bounded
+  *    suffix of each chunk is deferred into the next one — late, but
+  *    never later than the delay). Beyond-watermark drop is a documented
+  *    batch/stream DIVERGENCE, pinned separately in
+  *    SuppressAndLatenessSpec — fuzzing it would just fuzz the fixture.
+  *  - **Order-insensitive aggregates.** Sums run over exact integer
+  *    cents (`value` is 2-dp by construction), means divide an exact
+  *    cents sum once — a raw double `sum` can differ by ulps between the
+  *    batch partial-sum tree and the streaming state fold (the mean4
+  *    lesson applied before the fuzzer could rediscover it here).
+  *
+  * Append mode only emits windows the watermark has passed, so every
+  * seed appends three far-future FLUSH rows (key = −1, dropped by the
+  * builder's own filter AFTER the watermark is applied) in three
+  * separate micro-batches: watermark eviction uses the PREVIOUS batch's
+  * maximum, and chained stateful operators (dedup→agg, agg→join) need
+  * one extra batch per level to drain.
+  *
+  * Six plan kinds: tumbling agg, sliding agg, session windows, tumbling
+  * agg + post-aggregation filter, the two-aggregate stream-stream join
+  * (the SolarStreaming.streamStreamJoin shape), and
+  * exact-duplicate drop → windowed agg. Run standalone:
+  * `sbt "runMain graft.tools.StreamFuzz <fromSeed> <toSeed>"`;
+  * StreamFuzzSpec runs the recorded battery in-suite.
+  */
+object StreamFuzz {
+
+  type Ev = (Timestamp, Long, String, Double)
+
+  /** One generated differential case: micro-batch chunks (main data),
+    * flush batches, and the single builder both legs share.
+    */
+  final case class SFQuery(name: String, chunks: Seq[Seq[Ev]],
+                           flush: Seq[Ev], build: DataFrame => DataFrame) {
+    def allRows: Seq[Ev] = chunks.flatten ++ flush
+  }
+
+  private val Base = 1704067200L // 2024-01-01 00:00:00 UTC, epoch seconds
+
+  /** Pure function of the seed (battery reproducibility — same contract
+    * as `QueryFuzz.generate`).
+    */
+  def generate(seed: Long): SFQuery = {
+    val rnd = new scala.util.Random(seed)
+    val horizon = 300 + rnd.nextInt(600)
+    val n = 150 + rnd.nextInt(250)
+    val nKeys = 1 + rnd.nextInt(8)
+    val cats = Seq("a", "b", "c", "d").take(1 + rnd.nextInt(4))
+    val delay = 5 + rnd.nextInt(56)
+    val win = 10 + rnd.nextInt(111)
+
+    val rows0: Seq[Ev] = (0 until n).map { _ =>
+      (new Timestamp((Base + rnd.nextInt(horizon)) * 1000L),
+        rnd.nextInt(nKeys).toLong,
+        cats(rnd.nextInt(cats.length)),
+        rnd.nextInt(20000) / 100.0)
+    }
+    // exact duplicates (same ts ⇒ adjacent in the sorted feed, so the
+    // dedup kind's state is never evicted between copies)
+    val dups = Seq.fill(rnd.nextInt(10))(rows0(rnd.nextInt(rows0.size)))
+    val rows = (rows0 ++ dups).sortBy(_._1.getTime)
+
+    // ts-contiguous chunks + bounded in-watermark disorder: rows within
+    // delay/2 of a chunk's max may defer into the next chunk — late for
+    // the stream, but above the watermark by construction
+    val nChunks = 1 + rnd.nextInt(4)
+    val cut = rows.grouped(math.max(1, rows.size / nChunks)).toSeq
+    val chunks = scala.collection.mutable.ArrayBuffer
+      .from(cut.map(scala.collection.mutable.ArrayBuffer.from(_)))
+    for (i <- 0 until chunks.size - 1) {
+      val mx = chunks(i).map(_._1.getTime).max
+      val (stay, defer) = chunks(i).partition(r =>
+        r._1.getTime <= mx - delay * 500L || rnd.nextBoolean())
+      if (stay.nonEmpty) { // never leave a chunk empty (batch feed order)
+        chunks(i) = stay
+        chunks(i + 1) = defer ++ chunks(i + 1)
+      }
+    }
+    val maxTs = rows.map(_._1.getTime).max
+    // three flush batches: each advances the watermark past everything
+    // the previous batch could still hold; chained stateful operators
+    // drain one level per batch
+    val flush = (1 to 3).map(i =>
+      (new Timestamp(maxTs + i * (delay + 2L * win + horizon) * 1000L),
+        -1L, "zz_flush", 0.0))
+    // the flush filter must reference the EVENT-TIME column: a predicate
+    // that doesn't (e.g. key >= 0) is pushed BELOW the EventTimeWatermark
+    // node by PushPredicateThroughNonJoin, and the flush rows then never
+    // reach the watermark accumulator — found live by this fuzzer's first
+    // 10 seeds (every streaming leg missing its tail windows)
+    val cutoff = new Timestamp(maxTs)
+
+    // (name, column) pairs: the names drive the post-agg flatten, so no
+    // alias is ever parsed back out of a Column rendering
+    val aggDefs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "a_cnt" -> count(lit(1)),
+      "a_cents" -> sum((col("value") * 100).cast("long")),
+      "a_min" -> min(col("value")),
+      "a_max" -> max(col("value")),
+      "a_mean" -> round(sum((col("value") * 100).cast("long")) /
+        (lit(100.0) * count(lit(1))), 4))
+    val picked = aggDefs.take(2 + rnd.nextInt(aggDefs.size - 1))
+    val pickCols = picked.map { case (nm, c) => c.as(nm) }
+    val pickNames = picked.map(_._1)
+    val wdur = s"$win seconds"
+
+    val kind = rnd.nextInt(6)
+    // every seeded parameter draws HERE: the build closure runs once per
+    // LEG, so a draw inside it would desynchronize the two plans (and
+    // break generate's purity)
+    val slide = math.max(5, win / (1 + rnd.nextInt(3)))
+    val gap = 5 + rnd.nextInt(60)
+    val havingK = 1 + rnd.nextInt(3)
+    val build: DataFrame => DataFrame = { df =>
+      // watermark FIRST, then the flush filter: flush rows advance the
+      // clock but never reach an operator (ts-referencing, so it stays
+      // ABOVE the watermark node — see `cutoff`)
+      val w = df.withWatermark("ts", s"$delay seconds")
+        .filter(col("ts") <= lit(cutoff))
+      def flat(d: DataFrame, extra: Seq[String]) =
+        d.select((Seq(col("w.start").cast("long").as("w_start")) ++
+          extra.map(col) ++ pickNames.map(col)): _*)
+      kind match {
+        case 0 => // tumbling, per-category
+          flat(w.groupBy(window(col("ts"), wdur).as("w"), col("cat"))
+            .agg(pickCols.head, pickCols.tail: _*), Seq("cat"))
+        case 1 => // sliding
+          flat(w.groupBy(
+            window(col("ts"), wdur, s"$slide seconds").as("w"), col("cat"))
+            .agg(pickCols.head, pickCols.tail: _*), Seq("cat"))
+        case 2 => // session windows per key
+          w.groupBy(session_window(col("ts"), s"$gap seconds")
+              .as("w"), col("key"))
+            .agg(pickCols.head, pickCols.tail: _*)
+            .select((Seq(col("w.start").cast("long").as("s_start"),
+              col("w.end").cast("long").as("s_end"), col("key")) ++
+              pickNames.map(col)): _*)
+        case 3 => // tumbling + post-aggregation filter
+          flat(w.groupBy(window(col("ts"), wdur).as("w"), col("cat"))
+            .agg(pickCols.head, pickCols.tail: _*), Seq("cat"))
+            .filter(col("a_cnt") > lit(havingK))
+        case 4 => // two windowed aggregates stream-stream joined on the window
+          val a = w.groupBy(window(col("ts"), wdur).as("w"), col("cat"))
+            .agg(count(lit(1)).as("a_cnt"),
+              sum((col("value") * 100).cast("long")).as("a_cents"))
+          val b = w.groupBy(window(col("ts"), wdur).as("w"))
+            .agg(count(lit(1)).as("t_cnt"),
+              sum((col("value") * 100).cast("long")).as("t_cents"))
+          a.join(b, Seq("w"))
+            .select(col("w.start").cast("long").as("w_start"), col("cat"),
+              col("a_cnt"), col("a_cents"), col("t_cnt"), col("t_cents"))
+        case _ => // exact-duplicate drop, then the windowed aggregate
+          flat(w.dropDuplicates(Seq("ts", "key", "cat", "value"))
+            .groupBy(window(col("ts"), wdur).as("w"), col("cat"))
+            .agg(pickCols.head, pickCols.tail: _*), Seq("cat"))
+      }
+    }
+    SFQuery(s"sfz_$seed", chunks.map(_.toSeq).toSeq, flush, build)
+  }
+
+  /** Canonical row rendering: null-safe stringification sorted — the
+    * compare is set-like with multiplicity.
+    */
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().toSeq
+      .map(_.toSeq.map(v => String.valueOf(v)).mkString("|")).sorted
+
+  /** Runs both legs; returns (streamed, batch) canonical rows. */
+  def runOne(spark: SparkSession, q: SFQuery): (Seq[String], Seq[String]) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val name = q.name + "_t"
+    val sq = q.build(input.toDF().toDF("ts", "key", "cat", "value"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      q.chunks.foreach { c => input.addData(c: _*); sq.processAllAvailable() }
+      q.flush.foreach { f => input.addData(f); sq.processAllAvailable() }
+      val streamed = canon(spark.table(name))
+      val batch = canon(
+        q.build(q.allRows.toDF("ts", "key", "cat", "value")))
+      (streamed, batch)
+    } finally {
+      sq.stop()
+      spark.catalog.dropTempView(name)
+      ()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val from = if (args.length > 0) args(0).toLong else 1L
+    val to = if (args.length > 1) args(1).toLong else 200L
+    val spark = graft.Engine.builder("graft-streamfuzz")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var fails = 0
+    (from to to).foreach { seed =>
+      val q = generate(seed)
+      val (s, b) = runOne(spark, q)
+      if (s != b) {
+        fails += 1
+        println(s"SEED $seed DIVERGED: streamed=${s.size} batch=${b.size}")
+        (s.diff(b) ++ b.diff(s)).take(6).foreach(r => println(s"  $r"))
+      } else if (seed % 25 == 0) println(s"seed $seed ok (${s.size} rows)")
+    }
+    println(if (fails == 0) s"STREAMFUZZ ALL OK (${to - from + 1} seeds)"
+    else s"STREAMFUZZ $fails FAILURES")
+    spark.stop()
+  }
+}
