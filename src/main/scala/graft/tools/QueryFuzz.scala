@@ -732,9 +732,50 @@ object QueryFuzz {
     FuzzQuery(s"fz_$seed", build, sql)
   }
 
+  /** Decimal-aggregate fuzz (kind 15): the q198/q199 decimal(12,2)
+    * discipline generalized — sums/min/max over CAST(num AS
+    * DECIMAL(12,2)) and optionally a scale-growing decimal product sum.
+    * Exactness argument: both engines cast from the IDENTICAL binary
+    * double, and round-to-nearest-cent has no representable ties, so the
+    * per-row decimals agree; decimal aggregation is then exact integer
+    * arithmetic in both engines (HUGEINT-backed in DuckDB, int128/
+    * Decimal in Spark), string-compared at the same scale.
+    */
+  private def decAgg(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val t = tables(rnd.nextInt(tables.length))
+    val g = t.cats(rnd.nextInt(t.cats.length)).name
+    val n1 = t.nums(rnd.nextInt(t.nums.length)).name
+    val n2 = t.nums(rnd.nextInt(t.nums.length)).name
+    val withProduct = rnd.nextBoolean()
+    val preds = Seq.fill(rnd.nextInt(2))(predicate(rnd, t, qualify = false))
+    val whereSql = if (preds.isEmpty) ""
+      else s"\nWHERE (${preds.map(_.sql).mkString(") AND (")})"
+    def d(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val prodSql = if (withProduct)
+      s",\n  sum(${d(n1)} * ${d(n2)}) AS a_dprod" else ""
+    val sql = s"SELECT $g AS g1, CAST(count(*) AS BIGINT) AS a_cnt,\n" +
+      s"  sum(${d(n1)}) AS a_dsum, min(${d(n1)}) AS a_dmin, " +
+      s"max(${d(n1)}) AS a_dmax$prodSql" +
+      s"\nFROM ${t.name}$whereSql\nGROUP BY g1"
+    val build = (s: SparkSession, dir: String) => {
+      var df = t.load(s, dir)
+      if (preds.nonEmpty) df = df.filter(preds.map(_.col).reduce(_ && _))
+      val dv = col(n1).cast("decimal(12,2)")
+      val base = df.withColumn("g1", col(g)).groupBy(col("g1"))
+      val aggs = Seq(count(lit(1)).as("a_cnt"), sum(dv).as("a_dsum"),
+        min(dv).as("a_dmin"), max(dv).as("a_dmax")) ++
+        (if (withProduct)
+          Seq(sum(dv * col(n2).cast("decimal(12,2)")).as("a_dprod"))
+        else Nil)
+      base.agg(aggs.head, aggs.tail: _*)
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
   def generate(seed: Long): FuzzQuery = {
     val rnd = new scala.util.Random(seed)
-    val kind = rnd.nextInt(15)
+    val kind = rnd.nextInt(16)
+    if (kind == 15) return decAgg(seed, rnd)
     if (kind == 14) return condAgg(seed, rnd)
     if (kind == 13) return setOp(seed, rnd)
     if (kind == 12) return rollupAgg(seed, rnd)
