@@ -39,11 +39,15 @@ import org.apache.spark.sql.functions._
   * maximum, and chained stateful operators (dedup→agg, agg→join) need
   * one extra batch per level to drain.
   *
-  * Six plan kinds: tumbling agg, sliding agg, session windows, tumbling
-  * agg + post-aggregation filter, the two-aggregate stream-stream join
-  * (the SolarStreaming.streamStreamJoin shape), and
-  * exact-duplicate drop → windowed agg. Run standalone:
-  * `sbt "runMain graft.tools.StreamFuzz <fromSeed> <toSeed>"`;
+  * Eight plan kinds: tumbling agg, sliding agg, session windows,
+  * tumbling agg + post-aggregation filter, the two-aggregate
+  * stream-stream join (the SolarStreaming.streamStreamJoin shape),
+  * exact-duplicate drop → windowed agg, the RAW stream-stream
+  * time-range join (the join state machine itself — even keys left,
+  * odd keys right, ±tol interval condition), and the stream-static
+  * broadcast dimension join re-aggregated per (window, tier). Run
+  * standalone: `sbt "runMain graft.tools.StreamFuzz <fromSeed>
+  * <toSeed>"` (STREAM_FUZZ_VERBOSE=1 prints every seed's kind/rows);
   * StreamFuzzSpec runs the recorded battery in-suite.
   */
 object StreamFuzz {
@@ -127,13 +131,17 @@ object StreamFuzz {
     val pickNames = picked.map(_._1)
     val wdur = s"$win seconds"
 
-    val kind = rnd.nextInt(6)
+    val kind = rnd.nextInt(8)
     // every seeded parameter draws HERE: the build closure runs once per
     // LEG, so a draw inside it would desynchronize the two plans (and
     // break generate's purity)
     val slide = math.max(5, win / (1 + rnd.nextInt(3)))
     val gap = 5 + rnd.nextInt(60)
     val havingK = 1 + rnd.nextInt(3)
+    val tol = 5 + rnd.nextInt(46) // raw join time-range tolerance, seconds
+    // seed-built dimension relation for the stream-static kind
+    val dim = (0 until nKeys).map(k => (k.toLong,
+      Seq("gold", "silver", "bronze")(rnd.nextInt(3))))
     val build: DataFrame => DataFrame = { df =>
       // watermark FIRST, then the flush filter: flush rows advance the
       // clock but never reach an operator (ts-referencing, so it stays
@@ -172,13 +180,41 @@ object StreamFuzz {
           a.join(b, Seq("w"))
             .select(col("w.start").cast("long").as("w_start"), col("cat"),
               col("a_cnt"), col("a_cents"), col("t_cnt"), col("t_cents"))
-        case _ => // exact-duplicate drop, then the windowed aggregate
+        case 5 => // exact-duplicate drop, then the windowed aggregate
           flat(w.dropDuplicates(Seq("ts", "key", "cat", "value"))
             .groupBy(window(col("ts"), wdur).as("w"), col("cat"))
             .agg(pickCols.head, pickCols.tail: _*), Seq("cat"))
+        case 6 =>
+          // RAW stream-stream inner join with a time-range condition —
+          // the join STATE MACHINE itself (the agg-join of kind 4 only
+          // exercises finalized windows): even keys left, odd keys
+          // right, equi on key/2, right row within ±tol of the left.
+          // Both sides carry the one watermark; state evicts as it
+          // passes ts+tol. Exact-value columns only.
+          val l = w.filter(col("key") % 2 === 0)
+            .select(col("ts").as("lts"), (col("key") / 2).as("jk"),
+              (col("value") * 100).cast("long").as("lcents"))
+          val r = w.filter(col("key") % 2 === 1)
+            .select(col("ts").as("rts"), ((col("key") - 1) / 2).as("jk2"),
+              (col("value") * 100).cast("long").as("rcents"))
+          l.join(r, col("jk") === col("jk2") &&
+            col("rts") >= col("lts") - expr(s"INTERVAL $tol SECONDS") &&
+            col("rts") <= col("lts") + expr(s"INTERVAL $tol SECONDS"))
+            .select(col("jk"), col("lts").cast("long").as("l_sec"),
+              col("rts").cast("long").as("r_sec"), col("lcents"),
+              col("rcents"))
+        case _ =>
+          // stream-static dimension join: the broadcast-enrich class —
+          // the static side is a seed-built (key → tier) relation, the
+          // enriched stream re-aggregates per (window, tier)
+          val dimDf = df.sparkSession.createDataFrame(dim)
+            .toDF("key", "tier")
+          flat(w.join(broadcast(dimDf), Seq("key"))
+            .groupBy(window(col("ts"), wdur).as("w"), col("tier"))
+            .agg(pickCols.head, pickCols.tail: _*), Seq("tier"))
       }
     }
-    SFQuery(s"sfz_$seed", chunks.map(_.toSeq).toSeq, flush, build)
+    SFQuery(s"sfz_${seed}_k$kind", chunks.map(_.toSeq).toSeq, flush, build)
   }
 
   /** Canonical row rendering: null-safe stringification sorted — the
@@ -226,9 +262,11 @@ object StreamFuzz {
       val (s, b) = runOne(spark, q)
       if (s != b) {
         fails += 1
-        println(s"SEED $seed DIVERGED: streamed=${s.size} batch=${b.size}")
+        println(s"SEED $seed (${q.name}) DIVERGED: " +
+          s"streamed=${s.size} batch=${b.size}")
         (s.diff(b) ++ b.diff(s)).take(6).foreach(r => println(s"  $r"))
-      } else if (seed % 25 == 0) println(s"seed $seed ok (${s.size} rows)")
+      } else if (seed % 25 == 0 || sys.env.contains("STREAM_FUZZ_VERBOSE"))
+        println(s"seed $seed ok (${q.name}, ${s.size} rows)")
     }
     println(if (fails == 0) s"STREAMFUZZ ALL OK (${to - from + 1} seeds)"
     else s"STREAMFUZZ $fails FAILURES")

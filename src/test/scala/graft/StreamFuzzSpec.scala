@@ -3,16 +3,17 @@ package graft
 import graft.tools.StreamFuzz
 
 /** Batch ↔ streaming differential-fuzz spec (VERDICT r16 #3). The big
-  * batteries run out-of-process (`runMain graft.tools.StreamFuzz 1 500`
-  * — recorded: 500 seeds ALL OK, after the fuzzer's FIRST TEN seeds
+  * batteries run out-of-process — recorded: 500 seeds (1–500, 6-kind
+  * generator) ALL OK, then 500 more (2001–2500) under the 8-kind
+  * generator that adds the RAW stream-stream time-range join and the
+  * stream-static dimension join, ALL OK. The fuzzer's FIRST TEN seeds
   * caught a real harness-level trap: a flush filter that does not
   * reference the event-time column is pushed BELOW the
   * EventTimeWatermark node, so flush rows never advance the clock and
   * every streaming leg loses its tail windows — see
-  * `StreamFuzz.cutoff`). In-suite: generation purity, the feed-order
+  * `StreamFuzz.cutoff`. In-suite: generation purity, the feed-order
   * invariants the equivalence argument depends on, and a 50-seed
-  * battery spanning all six plan kinds so the differential keeps
-  * running on every `sbt test`.
+  * battery so the differential keeps running on every `sbt test`.
   */
 class StreamFuzzSpec extends SparkSpecBase {
 
