@@ -773,7 +773,14 @@ object QueryFuzz {
   }
 
   def generate(seed: Long): FuzzQuery = {
-    val rnd = new scala.util.Random(seed)
+    // double-seeded: java.util.Random's FIRST draw is heavily correlated
+    // across adjacent seeds, and kind is the first draw — measured: 700
+    // sequential seeds at one base drew ZERO kind-15 queries while
+    // another base drew 30% — so sequential batteries were silently
+    // lopsided per base. Seeding from the first output of a seed-keyed
+    // generator decorrelates the stream; past batteries remain valid
+    // records of the generator version that produced them.
+    val rnd = new scala.util.Random(new scala.util.Random(seed).nextLong())
     val kind = rnd.nextInt(16)
     if (kind == 15) return decAgg(seed, rnd)
     if (kind == 14) return condAgg(seed, rnd)
