@@ -68,7 +68,12 @@ object StreamFuzz {
     * as `QueryFuzz.generate`).
     */
   def generate(seed: Long): SFQuery = {
-    val rnd = new scala.util.Random(seed)
+    // double-seeded like QueryFuzz.generate: java.util.Random's first
+    // draws correlate across adjacent seeds, so sequential batteries
+    // would sweep correlated horizons/delays (the kind itself sat deep
+    // enough in the draw stream to spread, but the data-shape params
+    // did not)
+    val rnd = new scala.util.Random(new scala.util.Random(seed).nextLong())
     val horizon = 300 + rnd.nextInt(600)
     val n = 150 + rnd.nextInt(250)
     val nKeys = 1 + rnd.nextInt(8)
