@@ -28,6 +28,10 @@ class DegenerateInputSpec extends SparkSpecBase {
     assert(Dedup.dedupAgainstCorpus(empty, empty).count() === 0)
     assert(Relational.exactQuantilesTwoPass(
       empty.toDF("g", "v"), "g", "v", Seq(0.5)).count() === 0)
+    // the r17 two-level budget rework collects the bucket histogram into
+    // ONE array row — on an empty corpus that row carries an empty array
+    // and must explode to nothing, not throw
+    assert(Curation.tokenBudgetSelect(empty, 100L).count() === 0)
     spark.catalog.clearCache()
   }
 
