@@ -4,9 +4,12 @@ import graft.tools.StreamFuzz
 
 /** Batch ↔ streaming differential-fuzz spec (VERDICT r16 #3). The big
   * batteries run out-of-process — recorded: 500 seeds (1–500, 6-kind
-  * generator) ALL OK, then 500 more (2001–2500) under the 8-kind
-  * generator that adds the RAW stream-stream time-range join and the
-  * stream-static dimension join, ALL OK. The fuzzer's FIRST TEN seeds
+  * generator) ALL OK, 500 more (2001–2500) under the 8-kind generator
+  * that adds the RAW stream-stream time-range join and the
+  * stream-static dimension join, ALL OK, and 500 more (3001–3500)
+  * after the double-seeding decorrelation, ALL OK — 1,500 streaming
+  * differential queries, one harness finding (the watermark pushdown
+  * trap below), zero engine findings. The fuzzer's FIRST TEN seeds
   * caught a real harness-level trap: a flush filter that does not
   * reference the event-time column is pushed BELOW the
   * EventTimeWatermark node, so flush rows never advance the clock and
