@@ -48,12 +48,21 @@ object Bench {
     * made mechanical IN the bench output). Compares this run's minima to
     * the prior BENCH_OUT.json via [[tools.BenchDiff.movers]]: a mover is
     * a `REGRESSION?`/`improved` only when it escapes the other record's
-    * full 3-sample noise envelope, `jitter` otherwise. Empty string when
-    * no prior record exists or it fails to parse — the bench must never
-    * die on its own telemetry.
+    * full 3-sample noise envelope, `jitter` otherwise. `cap` bounds how
+    * many movers are NAMED per category: the stdout line keeps 6 so a
+    * pathological round can't push it past the collector's 2 KB tail
+    * (ContractSpec pins the worst case), while the file record names
+    * EVERY mover (cap = MaxValue) — a capped work-list in the only
+    * complete record would hide most of its own findings (VERDICT r17
+    * #2). Regressions are named worst-ratio first; improved are named
+    * best-win first (ratio ascending — the descending ratio order that
+    * regressions want would name the LEAST-improved queries). Empty
+    * string when no prior record exists or it fails to parse — the
+    * bench must never die on its own telemetry.
     */
   private[graft] def diffBlock(results: Seq[(String, Seq[Double])],
-                               prevPath: String): String =
+                               prevPath: String,
+                               cap: Int = Int.MaxValue): String =
     try {
       val p = java.nio.file.Paths.get(prevPath)
       if (!java.nio.file.Files.exists(p)) ""
@@ -67,14 +76,16 @@ object Bench {
             results.map { case (k, ts) => k -> ts.min }.toMap,
             results.toMap, total, noise)
           val m = tools.BenchDiff.movers(old, neu)
-          // movers arrive ratio-desc; name at most 6 per category so a
-          // pathological round can't push the stdout line past the
-          // collector's 2 KB tail (ContractSpec pins the worst case)
-          def named(v: String) = m.filter(_._5 == v).take(6)
-            .map { case (q, _, n, r, _) =>
-              "\"" + q + "\":{\"ratio\":" + j(math.rint(r * 100) / 100) +
-                ",\"sec\":" + j(n) + "}"
-            }.mkString("{", ",", "}")
+          def named(v: String) = {
+            val sel = m.filter(_._5 == v)
+            // movers arrive ratio-desc = worst regression first; flip
+            // for improved so the biggest wins survive the cap
+            (if (v == "improved") sel.sortBy(_._4) else sel).take(cap)
+              .map { case (q, _, n, r, _) =>
+                "\"" + q + "\":{\"ratio\":" + j(math.rint(r * 100) / 100) +
+                  ",\"sec\":" + j(n) + "}"
+              }.mkString("{", ",", "}")
+          }
           s""","diff_vs_prev":{"prev_total":${j(old.total)},""" +
             s""""n_regressions":${m.count(_._5 == "REGRESSION?")},""" +
             s""""regressions":${named("REGRESSION?")},""" +
@@ -172,8 +183,10 @@ object Bench {
     // nothing on its own)
     val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
     // the pre-overwrite BENCH_OUT.json is the PREVIOUS round's committed
-    // full record — diff against it before clobbering
+    // full record — diff against it before clobbering; the file record
+    // names EVERY mover, stdout at most 6 per category (width budget)
     val diff = diffBlock(results, outPath)
+    val stdoutDiff = diffBlock(results, outPath, cap = 6)
     val full = fullLine(results, sfDir, diff)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
@@ -185,7 +198,7 @@ object Bench {
     }
     // bare stdout: build.sbt sets run/outputStrategy := StdoutOutput so sbt
     // adds no "[info] " prefix
-    println(stdoutLine(results, outPath, sfDir, diff))
+    println(stdoutLine(results, outPath, sfDir, stdoutDiff))
     spark.stop()
   }
 }

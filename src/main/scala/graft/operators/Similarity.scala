@@ -344,21 +344,54 @@ object Similarity {
     * corpus side takes one uniform hash(vec_id) exchange before the
     * cell-keyed join exchange, spreading every cell across all map
     * blocks so the skew split always has cut points. Cost is one extra
-    * embedding-wide shuffle of the corpus — disable it when the input's
-    * lineage already ends in a shuffle (any repartition/join/agg), which
-    * scatters for free. Self-pairs are excluded by id equality — callers
+    * embedding-wide shuffle of the corpus — skipped automatically when
+    * the input's lineage already ends in a uniform repartition
+    * ([[alreadyScattered]]), which scatters for free. Self-pairs are
+    * excluded by id equality — callers
     * mining ACROSS relations with overlapping id spaces should disable
     * `excludeSameId`.
     */
+  /** True when `df`'s plan already ends in a shuffle that spreads rows
+    * uniformly across map blocks — a hash repartition on the uniform
+    * `vec_id` key or a round-robin repartition, possibly under
+    * partitioning-preserving projections/filters/aliases. In that case
+    * [[scattered]]'s re-scatter would be a purely redundant exchange:
+    * the skew-split precondition (every cell spanning all map blocks)
+    * already holds.
+    */
+  private[graft] def alreadyScattered(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, LogicalPlan, Project, Repartition,
+      RepartitionByExpression, SubqueryAlias}
+    @annotation.tailrec
+    def walk(p: LogicalPlan): Boolean = p match {
+      case Project(_, child)         => walk(child)
+      case LFilter(_, child)         => walk(child)
+      case SubqueryAlias(_, child)   => walk(child)
+      case r: Repartition            => r.shuffle // round-robin = uniform
+      case r: RepartitionByExpression => r.partitionExpressions match {
+        case Seq(a: AttributeReference) => a.name == "vec_id"
+        case _                          => false
+      }
+      case _ => false
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   /** The sorted-ingest scatter guard: one uniform hash(vec_id) exchange
     * so that every IVF cell's rows span ALL map blocks of the downstream
     * cell-keyed join exchange — the precondition for AQE's skew-join
     * split, which cuts a skewed reduce partition only at map-output
     * boundaries (ProbeSkewIvf's contiguous-layout caveat, made engine
-    * behavior — VERDICT r16 #2). No-op when `on` is false.
+    * behavior — VERDICT r16 #2). No-op when `on` is false, and skipped
+    * when [[alreadyScattered]] shows the input's lineage already ends in
+    * a uniform shuffle — the caller's own exchange scatters for free, so
+    * re-scattering would only add a redundant embedding-wide shuffle
+    * (VERDICT r17 #8).
     */
   private def scattered(df: DataFrame, on: Boolean): DataFrame =
-    if (on) df.repartition(col("vec_id")) else df
+    if (on && !alreadyScattered(df)) df.repartition(col("vec_id")) else df
 
   def knnJoin(left: DataFrame, right: DataFrame, model: KmeansModel,
               k: Int, nProbe: Int, excludeSameId: Boolean = true,
@@ -397,12 +430,16 @@ object Similarity {
     */
   def hardNegatives(embeddings: DataFrame, model: KmeansModel,
                     k: Int, nProbe: Int, scatter: Boolean = true): DataFrame = {
-    val c = scattered(embeddings, scatter)
+    // scatter ONCE and derive both join legs from it: the two legs then
+    // share one canonical exchange subtree, which ReuseExchange executes
+    // a single time — one embedding-wide shuffle, not two (ADVICE r17)
+    val e = scattered(embeddings, scatter)
+    val c = e
       .select(col("vec_id"), col("label").as("c_label"),
       col("embedding").as("emb"),
       element_at(graft.functions.VectorFunctions.nearest_cells(
         col("embedding"), model.centroids.toIndexedSeq, 1), 1).as("cell"))
-    val q = scattered(embeddings, scatter)
+    val q = e
       .select(col("vec_id").as("q_id"),
       col("label").as("q_label"),
       col("embedding").as("q_emb"),

@@ -43,8 +43,15 @@ object BenchSubset {
         spark.catalog.clearCache()
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      println(f"SUBSET $n%-28s min=${ts.min}%7.3f " +
-        f"med=${ts.sorted.apply(2)}%7.3f samples=${ts.map(t => f"$t%.3f").mkString(",")}")
+      // failure markers (-1.0) must not pose as a fast min or skew the
+      // median — report them as an explicit fail count instead
+      val ok = ts.filter(_ >= 0)
+      val fails = ts.size - ok.size
+      val minS = if (ok.isEmpty) "   FAIL" else f"${ok.min}%7.3f"
+      val medS = if (ok.isEmpty) "   FAIL"
+        else f"${ok.sorted.apply(ok.size / 2)}%7.3f"
+      println(f"SUBSET $n%-28s min=$minS med=$medS fails=$fails " +
+        f"samples=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

@@ -736,10 +736,12 @@ object QueryFuzz {
     * discipline generalized — sums/min/max over CAST(num AS
     * DECIMAL(12,2)) and optionally a scale-growing decimal product sum.
     * Exactness argument: both engines cast from the IDENTICAL binary
-    * double, and round-to-nearest-cent has no representable ties, so the
-    * per-row decimals agree; decimal aggregation is then exact integer
-    * arithmetic in both engines (HUGEINT-backed in DuckDB, int128/
-    * Decimal in Spark), string-compared at the same scale.
+    * double, and both round half away from zero on the double→decimal
+    * cast (Spark HALF_UP, DuckDB half-away-from-zero) — so even the
+    * representable exact ties (0.125, 1.625, …) land on the same cent
+    * and the per-row decimals agree; decimal aggregation is then exact
+    * integer arithmetic in both engines (HUGEINT-backed in DuckDB,
+    * int128/Decimal in Spark), string-compared at the same scale.
     */
   private def decAgg(seed: Long, rnd: scala.util.Random): FuzzQuery = {
     val t = tables(rnd.nextInt(tables.length))

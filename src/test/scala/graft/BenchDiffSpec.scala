@@ -83,4 +83,46 @@ class BenchDiffSpec extends AnyFunSuite {
       assert(Bench.diffBlock(now, "/nonexistent/bench.json") === "")
     } finally java.nio.file.Files.deleteIfExists(prev)
   }
+
+  test("file record names EVERY mover; stdout cap keeps 6; improved cap " +
+       "keeps the biggest wins") {
+    // synthetic all-regressed round: 10 queries, every one 5x slower and
+    // beyond its old envelope — the r17 driver round flagged 19 movers
+    // but named only 6, hiding most of its own work-list (VERDICT r17 #2)
+    val regressed = (1 to 10).map(i => f"q$i%02d_syn" -> Seq(5.0, 5.0, 5.0))
+    val prevRec = (1 to 10).map(i => f"q$i%02d_syn" -> Seq(1.0, 1.0, 1.0))
+    // plus 10 improved queries at DISTINCT win factors (2x..11x faster)
+    // so the cap's ordering is observable: biggest wins must survive it
+    val improved = (1 to 10).map(i =>
+      f"q$i%02d_imp" -> Seq(1.0 / (i + 1), 1.0 / (i + 1), 1.0 / (i + 1)))
+    val prevImp = (1 to 10).map(i => f"q$i%02d_imp" -> Seq(1.0, 1.0, 1.0))
+    val prev = java.nio.file.Files.createTempFile("bench_prev_", ".json")
+    try {
+      java.nio.file.Files.write(prev,
+        (Bench.fullLine(prevRec ++ prevImp, "/tmp/sf") + "\n")
+          .getBytes("UTF-8"))
+      val full = Bench.diffBlock(regressed ++ improved, prev.toString)
+      val capped = Bench.diffBlock(regressed ++ improved, prev.toString,
+        cap = 6)
+      def namedIn(block: String, suffix: String) =
+        ("\"(q\\d\\d_" + suffix + ")\":\\{\"ratio\"").r
+          .findAllMatchIn(block).map(_.group(1)).toSeq
+      // uncapped: all 10 regressions AND all 10 improvements named
+      assert(namedIn(full, "syn").toSet ===
+        (1 to 10).map(i => f"q$i%02d_syn").toSet)
+      assert(namedIn(full, "imp").toSet ===
+        (1 to 10).map(i => f"q$i%02d_imp").toSet)
+      assert(full.contains("\"n_regressions\":10"))
+      // capped: exactly 6 per category, counts still report the full 10
+      assert(namedIn(capped, "syn").size === 6)
+      assert(namedIn(capped, "imp").size === 6)
+      assert(capped.contains("\"n_regressions\":10"))
+      assert(capped.contains("\"n_improved\":10"))
+      // improved cap keeps the BIGGEST wins (q05..q10, ratios 1/6..1/11),
+      // not the least-improved (ADVICE r17: ratio-desc take(6) named the
+      // movers closest to the band)
+      assert(namedIn(capped, "imp").toSet ===
+        (5 to 10).map(i => f"q$i%02d_imp").toSet)
+    } finally java.nio.file.Files.deleteIfExists(prev)
+  }
 }

@@ -46,14 +46,15 @@ class ContractSpec extends SparkSpecBase {
     val worst = SparkEntry.queries.keys.toSeq.sorted
       .map(k => k -> Seq(1234.567891, 2345.678912, 3456.789123))
     // worst-case diff_vs_prev: every query 10x slower than a prior record
-    // → the block must cap its named movers (6 per category) and stay
-    // inside the budget alongside the headline map
+    // → the STDOUT block (cap = 6, what main passes to stdoutLine) must
+    // cap its named movers and stay inside the budget alongside the
+    // headline map; the uncapped file-record block is exempt by design
     val prev = java.nio.file.Files.createTempFile("bench_prev_", ".json")
     val diff = try {
       java.nio.file.Files.write(prev, (Bench.fullLine(
         worst.map { case (k, ts) => k -> ts.map(_ / 10) }, "/tmp/sf") + "\n")
         .getBytes("UTF-8"))
-      Bench.diffBlock(worst, prev.toString)
+      Bench.diffBlock(worst, prev.toString, cap = 6)
     } finally java.nio.file.Files.deleteIfExists(prev)
     assert(diff.contains("\"n_regressions\":" + worst.size), diff)
     val line = Bench.stdoutLine(worst, "BENCH_OUT.json",

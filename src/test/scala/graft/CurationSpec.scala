@@ -387,6 +387,55 @@ class CurationSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("decontaminateStream broadcast regime (fp set past the literal " +
+    "threshold) ≡ literal regime ≡ batch; plan shape per regime") {
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "x alpha beta gamma delta epsilon y z w v u t"),
+      (3L, "eta zeta epsilon delta gamma beta alpha"),
+      (4L, "alpha beta gamma")) // sub-n: zero shingles, must still emit
+    val batch = graft.operators.Dedup
+      .decontaminationReport(pool.toDF("doc_id", "text"), benchmark, n = 5)
+      .select("doc_id", "n_shingles", "n_hits", "contaminated")
+      .as[(Long, Int, Long, Int)].collect().toSet
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    // fpLiteralMax = 0 forces the broadcast-relation regime on the same
+    // tiny benchmark, so literal-vs-broadcast is the ONLY variable
+    val stream = StreamingCuration.decontaminateStream(
+      input.toDF().toDF("ts", "doc_id", "text"), benchmark, n = 5,
+      fpLiteralMax = 0, watermarkDelay = "0 seconds")
+    // plan shape: broadcast regime is a stream-static join; the literal
+    // regime carries the fp set in-row and has NO join node
+    def nJoins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(nJoins(stream) === 1, "broadcast regime must join the fp relation")
+    assert(nJoins(StreamingCuration.decontaminateStream(
+      input.toDF().toDF("ts", "doc_id", "text"), benchmark, n = 5)) === 0,
+      "literal regime must stay join-free")
+    val q = stream.writeStream.format("memory").queryName("decontam_b")
+      .outputMode("append").start()
+    input.addData(pool.map { case (id, t) =>
+      (new Timestamp(id * 1000L), id, t)
+    }: _*)
+    q.processAllAvailable()
+    // append mode emits a (ts, doc) group only once the watermark passes
+    // it — a far-future sentinel advances it past every pool row (the
+    // sentinel emits too at delay 0; it is not part of the comparison)
+    input.addData((new Timestamp(1e12.toLong), 999L, "sentinel text here"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("decontam_b")
+      .filter(col("doc_id") < 900)
+      .select("doc_id", "n_shingles", "n_hits", "contaminated")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("mergeClassifyStream ≡ the incremental merge's classification at " +
     "ingest time (stateless stream-static join)") {
     val existing = Seq(
