@@ -2240,6 +2240,18 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |       max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // q200: the FIRING decimal rollup recomputed from lineitem — Spark
+    // answers from the registered (l_returnflag, l_linestatus) decimal
+    // summary (count re-sums, min/max re-extremize, no type widening),
+    // DuckDB recomputes from every base row; hash equality pins the
+    // rewrite exact on the decimal plane
+    "q200_decimal_mv_fire" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_items,
+        |       min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+        |       max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     // q199: decimal multiply/subtract (scale 2→4, exact both engines);
     // the mean replays the integer-cents spelling — decimal→double casts
     // are only bit-identical for INTEGER-valued decimals, so the sum is

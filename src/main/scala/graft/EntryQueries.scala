@@ -1002,6 +1002,21 @@ private[graft] trait EntryQueries { self: EntryShared =>
           max(col("price_d")).as("max_price"))
     }),
 
+    // the decimal FIRE path q198 deliberately avoids (VERDICT r17 #3):
+    // count/min/max are self-decomposable WITHOUT widening (count rolls
+    // up long→long, min/max keep decimal(12,2) bit-for-bit), so this
+    // rollup over the same registered decimal base must answer from the
+    // SUMMARY scan (plan pinned in MvRewriteSpec) while the oracle
+    // recomputes from lineitem — the rewrite itself is hash-gated exact
+    // on the decimal plane
+    "q200_decimal_mv_fire" -> ((s, dir) => {
+      val base = s.read.parquet(decimalBaseShared(s, dir))
+      base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          min(col("price_d")).as("min_price"),
+          max(col("price_d")).as("max_price"))
+    }),
+
     // decimal revenue arithmetic — price·(1−disc) in pure decimal
     // multiply/subtract (scale grows 2→4, exact in both engines); the
     // mean goes through exact integer CENTS (decimal→double casts are

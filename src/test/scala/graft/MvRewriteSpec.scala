@@ -221,4 +221,35 @@ class MvRewriteSpec extends SparkSpecBase {
       s"count-only twin should roll up to the summary:\n${scannedFiles(qc)}")
     spark.catalog.clearCache()
   }
+
+  test("q200's GATED decimal count/min/max rollup FIRES: view scanned, " +
+       "base not, values equal the base recompute") {
+    // VERDICT r17 #3: q198 gates the stand-down; this gates the decimal
+    // FIRE path — count rolls up long→long and min/max keep decimal(12,2)
+    // bit-for-bit, so the rewrite is legal and must answer from the
+    // summary (the driver's oracle recomputes from lineitem, hash-gating
+    // the rewritten plan's decimal values cross-engine)
+    val q = SparkEntry.queries("q200_decimal_mv_fire")(
+      spark, "/root/testdata/sf0.001")
+    val plan = scannedFiles(q)
+    assert(plan.contains("dec_summary"),
+      s"expected the decimal SUMMARY scan:\n$plan")
+    assert(!plan.contains("lineitem_dec"),
+      s"base must not be scanned when the rollup fires:\n$plan")
+    // exactness vs a forced base recompute (non-group filter blocks the
+    // rewrite; l_orderkey is a non-null key so the predicate is identity)
+    val basePath = "[^\\s,\\[\\]]*lineitem_dec".r
+      .findFirstIn(scannedFiles(SparkEntry.queries("q198_decimal_rollup")(
+        spark, "/root/testdata/sf0.001")))
+      .getOrElse(fail("decimal base path not found"))
+    val baseAgg = spark.read.parquet(basePath)
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), min(col("price_d")).as("min_price"),
+        max(col("price_d")).as("max_price"))
+    assert(scannedFiles(baseAgg).contains("lineitem_dec"))
+    assert(q.collect().map(_.toSeq).toSet ===
+      baseAgg.collect().map(_.toSeq).toSet)
+    spark.catalog.clearCache()
+  }
 }
