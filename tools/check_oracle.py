@@ -34,35 +34,72 @@ if use_cache:
     os.makedirs(cache_dir, exist_ok=True)
 
 def corpus_fingerprint(d):
-    # size+mtime of every table file: cheap, and any regeneration moves it
+    # relpath+size+mtime of EVERY file under the corpus dir (a table may
+    # be a single .parquet file or a directory of part files, any
+    # extension): cheap, and any regeneration moves it (ADVICE r17: the
+    # old top-level *.parquet glob missed directory-backed tables)
     parts = []
-    for p in sorted(glob.glob(f"{d}/*.parquet")):
-        st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
-    return "|".join(parts)
+    for root, _, files in os.walk(d):
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            parts.append(
+                f"{os.path.relpath(p, d)}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(sorted(parts))
 
 corpus_fp = corpus_fingerprint(sf_dir)
 cache_hits = cache_misses = 0
 
+def _file_sha(path):
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
 def run_oracle(sql):
-    """DuckDB result for sql, through the replay cache."""
+    """DuckDB result for sql, through the replay cache.
+
+    A stale or corrupt hit would be a silent false-green in the round's
+    central correctness signal, so an entry is only trusted when (a) its
+    payload checksum matches the sidecar written at memoization time,
+    and (b) at write time the parquet round-trip reproduced the live
+    frame exactly, dtypes included — exotic arrow types that survive
+    to_parquet but change on read (tz metadata, intervals) stay
+    unmemoized rather than make cached and uncached runs compare
+    differently. tools/test_oracle_cache.py exercises every
+    invalidation path.
+    """
     global cache_hits, cache_misses
     if not use_cache:
         return con.sql(sql).arrow().to_pandas(types_mapper=pd.ArrowDtype)
     key = hashlib.sha256((sql + "\x00" + corpus_fp).encode()).hexdigest()
     path = os.path.join(cache_dir, key + ".parquet")
-    if os.path.exists(path):
-        cache_hits += 1
-        return pd.read_parquet(path, dtype_backend="pyarrow")
+    sha_path = path + ".sha256"
+    if os.path.exists(path) and os.path.exists(sha_path):
+        if _file_sha(path) == open(sha_path).read().strip():
+            cache_hits += 1
+            return pd.read_parquet(path, dtype_backend="pyarrow")
+        # poisoned/corrupt payload: never trust it — evict, re-run live
+        print(f"ORACLE_CACHE: rejected corrupt entry {key[:16]}…")
+        for p in (path, sha_path):
+            try: os.unlink(p)
+            except OSError: pass
     df = con.sql(sql).arrow().to_pandas(types_mapper=pd.ArrowDtype)
     cache_misses += 1
     try:
         df.to_parquet(path, index=False)
+        rt = pd.read_parquet(path, dtype_backend="pyarrow")
+        if list(rt.columns) != list(df.columns) or not rt.equals(df):
+            raise ValueError("parquet round-trip not faithful")
+        with open(sha_path, "w") as f:
+            f.write(_file_sha(path))
     except Exception:
-        # uncacheable result shape (exotic arrow type): stay correct,
-        # just unmemoized
-        try: os.unlink(path)
-        except OSError: pass
+        # uncacheable or round-trip-unfaithful result shape: stay
+        # correct, just unmemoized
+        for p in (path, sha_path):
+            try: os.unlink(p)
+            except OSError: pass
     return df
 
 def normalize(df):
