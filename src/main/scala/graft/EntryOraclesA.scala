@@ -150,11 +150,11 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
       val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
       docCtes +
         s"""SELECT doc_id, n_chars_m, n_words, n_punct, n_stop,
-           |       round(n_punct / NULLIF(n_chars_m, 0), 4) AS punct_ratio,
-           |       round(n_stop / n_words, 4) AS stop_ratio,
-           |       round(0.4 * least(n_words / 100.0, 1.0)
-           |           + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
-           |           + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality
+           |       ${graft.functions.AggFunctions
+                      .ratioQSql("n_punct", "n_chars_m", 4)} AS punct_ratio,
+           |       ${graft.functions.AggFunctions
+                      .ratioQSql("n_stop", "n_words", 4)} AS stop_ratio,
+           |       ${graft.operators.TextAnalysis.qualitySqlOf("n_chars_m", "n_words", "n_punct", "n_stop")} AS quality
            |FROM (SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_words,
            |        len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
            |        $stop AS n_stop
@@ -245,8 +245,7 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
       """WITH b AS (
         |  SELECT user_id,
         |         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b_start,
-        |         round(sum(CAST(round(value * 1000000.0) AS BIGINT))
-        |               / (1000000.0 * count(value)), 4) AS v
+        |         MEAN4_VALUE AS v
         |  FROM events GROUP BY 1, 2),
         |grid AS (
         |  SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS b_start
@@ -259,7 +258,9 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
         |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
         |         ORDER BY b_start ROWS UNBOUNDED PRECEDING) AS v_filled,
         |       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
-        |FROM j""".stripMargin,
+        |FROM j""".stripMargin
+        .replace("MEAN4_VALUE",
+          graft.functions.AggFunctions.mean4Sql("value")),
 
     "q29_quantiles" ->
       """SELECT l_returnflag,
@@ -518,9 +519,7 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
            |  FROM toks),
            |enr AS (
            |  SELECT doc_id, fp64, n_words,
-           |         round(0.4 * least(n_words / 100.0, 1.0)
-           |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
-           |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality,
+           |         ${graft.operators.TextAnalysis.qualitySqlOf("n_chars_m", "n_words", "n_punct", "n_stop")} AS quality,
            |         $predLangCaseSql AS pred_lang
            |  FROM enr0),
            |kept AS (
@@ -797,15 +796,13 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
         |  GROUP BY 1)
         |SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
         |       coalesce(s.n_hit, 0) AS n_hit,
-        |       CASE WHEN s.n_grams > 0
-        |            THEN round(s.n_hit / CAST(s.n_grams AS DOUBLE), 4)
-        |       END AS contam_frac,
-        |       CAST(CASE WHEN s.n_grams > 0
-        |                  AND round(s.n_hit / CAST(s.n_grams AS DOUBLE), 4)
-        |                      >= 0.2
+        |       RATIOQ_CONTAM AS contam_frac,
+        |       CAST(CASE WHEN RATIOQ_CONTAM >= 0.2
         |                 THEN 1 ELSE 0 END AS INT) AS flagged
         |FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
-        |WHERE d.source <> 'src0'""".stripMargin,
+        |WHERE d.source <> 'src0'""".stripMargin
+        .replace("RATIOQ_CONTAM", graft.functions.AggFunctions
+          .ratioQSql("s.n_hit", "s.n_grams", 4)),
 
     // the oracle replays withSyntheticPii's construction, then applies
     // the same ordered pattern list (counts on PRE-redaction text;
@@ -974,9 +971,7 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
            |  FROM toks),
            |enr AS (
            |  SELECT doc_id, n_words AS n_tokens,
-           |         round(0.4 * least(n_words / 100.0, 1.0)
-           |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
-           |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS q
+           |         ${graft.operators.TextAnalysis.qualitySqlOf("n_chars_m", "n_words", "n_punct", "n_stop")} AS q
            |  FROM enr0),
            |e2 AS (SELECT doc_id, n_tokens, q, CAST(floor(q * 100) AS INT) AS qb
            |       FROM enr WHERE q IS NOT NULL),
@@ -1072,11 +1067,13 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
           |               CAST(sum(n) AS BIGINT) AS total_bg
           |        FROM bgc GROUP BY 1)
           |SELECT t.doc_id, len(ltoks) AS n_words,
-          |       round(1.0 - len(list_distinct(ltoks)) / len(ltoks), 4)
-          |         AS dup_word_frac,
-          |       round(bga.top_n / CAST(bga.total_bg AS DOUBLE), 4)
-          |         AS top_bigram_frac
-          |FROM toks t LEFT JOIN bga ON bga.doc_id = t.doc_id""".stripMargin),
+          |       RATIOQ_DUPWORD AS dup_word_frac,
+          |       RATIOQ_TOPBG AS top_bigram_frac
+          |FROM toks t LEFT JOIN bga ON bga.doc_id = t.doc_id""".stripMargin
+          .replace("RATIOQ_DUPWORD", graft.functions.AggFunctions.ratioQSql(
+            "len(ltoks) - len(list_distinct(ltoks))", "len(ltoks)", 4))
+          .replace("RATIOQ_TOPBG", graft.functions.AggFunctions.ratioQSql(
+            "bga.top_n", "bga.total_bg", 4))),
 
     // same integer tf/df/N on both sides; the ln/division formula text is
     // identical and the rank orders by round(raw, 6) with a term
@@ -1178,11 +1175,12 @@ private[graft] trait EntryOraclesA { self: EntryShared =>
         |SELECT p.doc_id, count(*) AS n_spans,
         |       CAST(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS dup_spans,
-        |       round(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END)
-        |             / count(*), 4) AS dup_frac,
+        |       RATIOQ_DUPFRAC AS dup_frac,
         |       CAST(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END)
         |            / count(*) <= 0.5 AS INT) AS keep
-        |FROM p JOIN d USING (span_fp) GROUP BY 1""".stripMargin,
+        |FROM p JOIN d USING (span_fp) GROUP BY 1""".stripMargin
+        .replace("RATIOQ_DUPFRAC", graft.functions.AggFunctions.ratioQSql(
+          "sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END)", "count(*)", 4)),
 
     // same tf/cnt/N/V integers on both sides; the Laplace-smoothed
     // -ln((cnt+1)/(N+V)) formula text is identical, outputs rounded at 4

@@ -169,11 +169,13 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT)
         |         AS rank,
         |       tok, cnt,
-        |       round(sum(cnt) OVER (ORDER BY cnt DESC, tok
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |             / t.n_total, 4) AS cum_cov,
+        |       RATIOQ_CUMCOV AS cum_cov,
         |       vocab
-        |FROM top CROSS JOIN t""".stripMargin,
+        |FROM top CROSS JOIN t""".stripMargin
+        .replace("RATIOQ_CUMCOV", graft.functions.AggFunctions.ratioQSql(
+          "sum(cnt) OVER (ORDER BY cnt DESC, tok " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+          "t.n_total", 4)),
 
     // identical factored formula on both sides: present-token sums from
     // the pair join, absent-token mass via the closed form from the
@@ -231,9 +233,10 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |       max(value) AS high, min(value) AS low,
         |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
         |       count(*) AS n_events,
-        |       round(sum(CAST(round(value * 1000000.0) AS BIGINT))
-        |             / (1000000.0 * count(value)), 4) AS mean_value
-        |FROM r GROUP BY 1, 2""".stripMargin,
+        |       MEAN4_VALUE AS mean_value
+        |FROM r GROUP BY 1, 2""".stripMargin
+        .replace("MEAN4_VALUE",
+          graft.functions.AggFunctions.mean4Sql("value")),
 
     // same hash coin as q54's stratified sampling; split thresholds
     // replay splitAssign(valPct=10, testPct=10)
@@ -262,11 +265,15 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |tk AS (SELECT max(c) AS top1, CAST(sum(c) AS BIGINT) AS topk
         |       FROM (SELECT c FROM c ORDER BY c DESC, k LIMIT 10))
         |SELECT t.n, t.n_distinct,
-        |       round(tk.top1 / CAST(t.n AS DOUBLE), 4) AS top1_frac,
-        |       round(tk.topk / CAST(t.n AS DOUBLE), 4) AS topk_frac,
+        |       RATIOQ_TOP1 AS top1_frac,
+        |       RATIOQ_TOPK AS topk_frac,
         |       round(ln(CAST(t.n AS DOUBLE)) - t.clogc / t.n, 4)
         |         AS entropy_nats
-        |FROM t CROSS JOIN tk""".stripMargin,
+        |FROM t CROSS JOIN tk""".stripMargin
+        .replace("RATIOQ_TOP1",
+          graft.functions.AggFunctions.ratioQSql("tk.top1", "t.n", 4))
+        .replace("RATIOQ_TOPK",
+          graft.functions.AggFunctions.ratioQSql("tk.topk", "t.n", 4)),
 
     // whole-token membership via the shared stopword-count formulation
     "q95_blocklist_filter" ->
@@ -494,8 +501,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |SELECT d.id AS doc_id, d.degree,
           |       COALESCE(t.n_tri, 0) AS n_tri,
           |       CASE WHEN d.degree >= 2
-          |            THEN round(2.0 * COALESCE(t.n_tri, 0)
-          |                       / (d.degree * (d.degree - 1)), 4)
+          |            THEN (CASE WHEN ((2 * COALESCE(t.n_tri, 0)) < 0) != ((d.degree * (d.degree - 1)) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(2 * COALESCE(t.n_tri, 0)) + abs(d.degree * (d.degree - 1))) // (2 * abs(d.degree * (d.degree - 1)))) / 10000.0)
           |       END AS lcc
           |FROM deg d LEFT JOIN tcnt t USING (id)""".stripMargin),
 
@@ -540,10 +546,12 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |                   CASE WHEN n < 1 THEN 1 ELSE 0 END, n FROM m)
         |SELECT check_name, CAST(violations AS BIGINT) AS violations,
         |       n AS n_rows,
-        |       round(violations / nullif(n, 0), 4) AS violation_frac,
+        |       RATIOQ_VIOL AS violation_frac,
         |       CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END
         |         AS status
-        |FROM rpt""".stripMargin,
+        |FROM rpt""".stripMargin
+        .replace("RATIOQ_VIOL",
+          graft.functions.AggFunctions.ratioQSql("violations", "n", 4)),
 
     // q165: TrustRank replayed — the SAME nd edge CTEs as q52/q152/q162
     // with the seeded fixed-point iteration (seeds = src0/src1 docs)
@@ -580,7 +588,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |         len(list_intersect(a.f, b.f)) AS i, len(a.f) AS na
           |  FROM fpd a JOIN fpd b
           |    ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
-          |SELECT id_a, id_b, round(i / na, 4) AS containment
+          |SELECT id_a, id_b, (CASE WHEN ((i) < 0) != ((na) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(i) + abs(na)) // (2 * abs(na))) / 10000.0) AS containment
           |FROM pairs WHERE i / na >= 0.35""".stripMargin),
 
     // q178: lead() over the same (ts, event_id) per-user order — the
@@ -599,8 +607,10 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
         |  FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, c.n, t.n_from,
-        |       round(c.n / CAST(t.n_from AS DOUBLE), 4) AS p
-        |FROM c JOIN t ON t.from_type = c.from_type""".stripMargin,
+        |       RATIOQ_TRANSP AS p
+        |FROM c JOIN t ON t.from_type = c.from_type""".stripMargin
+        .replace("RATIOQ_TRANSP",
+          graft.functions.AggFunctions.ratioQSql("c.n", "t.n_from", 4)),
 
     // q177: the naive OR join, verbatim — the engine runs it THROUGH
     // the union-of-hash-joins rewrite; semantics preservation is the
@@ -819,8 +829,10 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |         len(list_intersect(a.f, b.f)) AS i,
           |         len(a.f) AS na, len(b.f) AS nb
           |  FROM fpd a JOIN fpd b ON b.doc_id > a.doc_id)
-          |SELECT id_a, id_b, round(i / (na + nb - i), 4) AS jaccard
-          |FROM pairs WHERE i / (na + nb - i) >= 0.5""".stripMargin),
+          |SELECT id_a, id_b, RATIOQ_JAC AS jaccard
+          |FROM pairs WHERE i / (na + nb - i) >= 0.5""".stripMargin
+          .replace("RATIOQ_JAC", graft.functions.AggFunctions
+            .ratioQSql("i", "na + nb - i", 4))),
 
     // q155: the q51 multi-probe replay with the query-sample filter
     // DROPPED — every vector probes its top-2 cells and ranks its top-5
@@ -867,8 +879,8 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |SELECT q_label AS label,
            |       CAST(count(ndcg) AS BIGINT) AS n_q,
            |       CAST(sum(dcg) AS BIGINT) AS dcg_total,
-           |       round(sum(CAST(round(ndcg * 1000000.0) AS BIGINT))
-           |             / (1000000.0 * count(ndcg)), 4) AS mean_ndcg
+           |       ${graft.functions.AggFunctions.mean4Sql("ndcg")}
+           |         AS mean_ndcg
            |FROM perq GROUP BY 1""".stripMargin
     },
 
@@ -961,10 +973,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |  FROM documents),
          |q AS (
          |  SELECT source,
-         |         round(0.4 * least(len(toks) / 100.0, 1.0)
-         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-         |                            / NULLIF(length(text), 0))
-         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+         |         ${graft.operators.TextAnalysis.qualitySqlOf("length(text)", "len(toks)", "len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))", stop)} AS quality
          |  FROM t),
          |c AS (
          |  SELECT source, count(*) AS n_docs,
@@ -1054,8 +1063,10 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |         len(i.f) AS na, len(c.f) AS nb
           |  FROM fpd i JOIN fpd c
           |    ON i.doc_id % 4 = 0 AND c.doc_id % 4 <> 0)
-          |SELECT id_a, id_b, round(iv / (na + nb - iv), 4) AS jaccard
-          |FROM pairs WHERE iv / (na + nb - iv) >= 0.5""".stripMargin),
+          |SELECT id_a, id_b, RATIOQ_JAC AS jaccard
+          |FROM pairs WHERE iv / (na + nb - iv) >= 0.5""".stripMargin
+          .replace("RATIOQ_JAC", graft.functions.AggFunctions
+            .ratioQSql("iv", "na + nb - iv", 4))),
 
     // q151: the NAIVE point-in-interval join, verbatim (DuckDB plans it
     // as an IEJoin); the engine's width-8 bin rewrite must hash-equal it
@@ -1085,15 +1096,13 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |  FROM toksq),
            |enr AS (
            |  SELECT doc_id,
-           |         round(0.4 * least(n_words / 100.0, 1.0)
-           |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
-           |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4)
+           |         ${graft.operators.TextAnalysis.qualitySqlOf("n_chars_m", "n_words", "n_punct", "n_stop")}
            |           AS quality,
            |         $predLangCaseSql AS pred_lang
            |  FROM enr0)
            |SELECT cells.cell, enr.pred_lang, count(*) AS n_docs,
-           |       round(sum(CAST(round(enr.quality * 1000000.0) AS BIGINT))
-           |             / (1000000.0 * count(enr.quality)), 4) AS avg_quality
+           |       ${graft.functions.AggFunctions.mean4Sql("enr.quality")}
+           |         AS avg_quality
            |FROM cells JOIN enr ON enr.doc_id = cells.vec_id
            |GROUP BY 1, 2""".stripMargin),
 
@@ -1175,9 +1184,10 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |      FROM bt JOIN iv USING (q_id, vec_id) GROUP BY 1)
            |SELECT t.q_id, CAST(t.n_truth AS BIGINT) AS n_truth,
            |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-           |       round(coalesce(h.n_hit, 0)
-           |             / CAST(t.n_truth AS DOUBLE), 4) AS recall
-           |FROM t LEFT JOIN h USING (q_id)""".stripMargin),
+           |       RATIOQ_RECALL AS recall
+           |FROM t LEFT JOIN h USING (q_id)""".stripMargin
+           .replace("RATIOQ_RECALL", graft.functions.AggFunctions
+             .ratioQSql("coalesce(h.n_hit, 0)", "t.n_truth", 4))),
 
     // literals in e-notation (0.5e0, …) are DOUBLE in DuckDB — decimal
     // literals would pull the score into DECIMAL arithmetic and off the
@@ -1261,10 +1271,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
       s"""WITH lab AS (SELECT * FROM ($clusterLabelsSql)),
          |tq AS (
          |  SELECT doc_id,
-         |         round(0.4 * least(len(toks) / 100.0, 1.0)
-         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-         |                            / NULLIF(length(text), 0))
-         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+         |         ${graft.operators.TextAnalysis.qualitySqlOf("length(text)", "len(toks)", "len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))", stop)} AS quality
          |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks,
          |               string_split(lower(text), ' ') AS ltoks
          |        FROM documents)),
@@ -1288,10 +1295,11 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |SELECT doc_id, count(*) AS n_shingles,
           |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
           |         AS n_unique,
-          |       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
-          |             / count(*), 4) AS novelty
+          |       RATIOQ_NOVELTY AS novelty
           |FROM f JOIN dfr USING (s_fp)
-          |GROUP BY 1""".stripMargin),
+          |GROUP BY 1""".stripMargin
+          .replace("RATIOQ_NOVELTY", graft.functions.AggFunctions.ratioQSql(
+            "sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)", "count(*)", 4))),
 
     // quality replayed from the q18/q53 expressions; the cumulative
     // window runs over the (source, quality) histogram only
@@ -1299,10 +1307,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
       val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
       s"""WITH q0 AS (
          |  SELECT doc_id, source,
-         |         round(0.4 * least(len(toks) / 100.0, 1.0)
-         |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-         |                            / NULLIF(length(text), 0))
-         |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+         |         ${graft.operators.TextAnalysis.qualitySqlOf("length(text)", "len(toks)", "len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))", stop)} AS quality
          |  FROM (SELECT doc_id, source, text,
          |               string_split(text, ' ') AS toks,
          |               string_split(lower(text), ' ') AS ltoks
@@ -1318,7 +1323,8 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM h)
          |SELECT q.doc_id, q.source, q.quality,
-         |       round((hh.cum - 0.5e0 * hh.cnt) / n.n, 4) AS pctl
+         |       ${graft.functions.AggFunctions.ratioQSql(
+                    "2 * hh.cum - hh.cnt", "2 * n.n", 4)} AS pctl
          |FROM q JOIN hh USING (source, quality) JOIN n USING (source)""".stripMargin
     },
 
@@ -1381,9 +1387,11 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
           |  ORDER BY df DESC, s_fp LIMIT 20),
           |n AS (SELECT count(*) AS n_docs FROM documents)
           |SELECT min(f.s) AS shingle, CAST(top.df AS BIGINT) AS df,
-          |       round(top.df / n.n_docs, 4) AS doc_share
+          |       RATIOQ_DOCSHARE AS doc_share
           |FROM f JOIN top USING (s_fp) CROSS JOIN n
-          |GROUP BY top.s_fp, top.df, n.n_docs""".stripMargin),
+          |GROUP BY top.s_fp, top.df, n.n_docs""".stripMargin
+          .replace("RATIOQ_DOCSHARE", graft.functions.AggFunctions
+            .ratioQSql("top.df", "n.n_docs", 4))),
 
     // both pair pipelines replayed (q11's nd + q31's block join), counts
     // as scalar one-row CTEs; NULLIF guards the 0/0 (NaN-vs-NULL) edge
@@ -1417,7 +1425,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
            |       CAST(n_simhash AS BIGINT) AS n_simhash,
            |       CAST(n_both AS BIGINT) AS n_both,
-           |       round(n_both / NULLIF(n_minhash + n_simhash - n_both, 0), 4)
+           |       (CASE WHEN ((n_both) < 0) != ((n_minhash + n_simhash - n_both) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(n_both) + abs(n_minhash + n_simhash - n_both)) // (2 * abs(n_minhash + n_simhash - n_both))) / 10000.0)
            |         AS pair_jaccard
            |FROM nm CROSS JOIN ns CROSS JOIN nb""".stripMargin),
 
@@ -1554,7 +1562,8 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |       FROM truth JOIN caught USING (id_a, id_b))
            |SELECT CAST(n_truth AS BIGINT) AS n_truth,
            |       CAST(n_caught AS BIGINT) AS n_caught,
-           |       round(n_caught / NULLIF(n_truth, 0), 4) AS recall
+           |       ${graft.functions.AggFunctions.ratioQSql(
+                      "n_caught", "n_truth", 4)} AS recall
            |FROM nt CROSS JOIN nc""".stripMargin),
 
     // q114: the q11 verified-pair chain, symmetrized, then a per-doc
@@ -1608,8 +1617,10 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         |  FROM active JOIN fd USING (user_id) GROUP BY 1, 2),
         |sz AS (SELECT cohort_day, count(*) AS n_cohort FROM fd GROUP BY 1)
         |SELECT cohort_day, day_offset, n_active, n_cohort,
-        |       round(n_active / NULLIF(n_cohort, 0), 4) AS retention
-        |FROM act JOIN sz USING (cohort_day)""".stripMargin,
+        |       RATIOQ_RET AS retention
+        |FROM act JOIN sz USING (cohort_day)""".stripMargin
+        .replace("RATIOQ_RET", graft.functions.AggFunctions
+          .ratioQSql("n_active", "n_cohort", 4)),
 
     // q117: the q84 md5-fp + Laplace chain, two distributions folded from
     // one tf relation with conditional sums; selection replays the
@@ -1707,10 +1718,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
     "q119_curation_dag" -> {
       val stop = stopCountSql("ltoks", TextAnalysis.StopwordDicts.head._2)
       val qual =
-        s"""round(0.4 * least(len(toks) / 100.0, 1.0)
-           |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-           |                            / NULLIF(length(text), 0))
-           |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4)""".stripMargin
+        s"""${graft.operators.TextAnalysis.qualitySqlOf("length(text)", "len(toks)", "len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))", stop)}""".stripMargin
       val bandSelects = (0 until Dedup.LshBands).map { b =>
         val idx = (1 to Dedup.LshRows).map(r => s"sig[${b * Dedup.LshRows + r}]")
         s"SELECT doc_id, $b AS band_idx, md5(${idx.mkString(" || '|' || ")}) AS band_hash FROM sig"
@@ -1885,8 +1893,8 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |      FROM bt JOIN iv USING (q_id, vec_id) GROUP BY 1, 2)
            |SELECT l.n_probe, t.q_id, CAST(t.n_truth AS BIGINT) AS n_truth,
            |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-           |       round(coalesce(h.n_hit, 0)
-           |             / CAST(t.n_truth AS DOUBLE), 4) AS recall,
+           |       ${graft.functions.AggFunctions.ratioQSql(
+                      "coalesce(h.n_hit, 0)", "t.n_truth", 4)} AS recall,
            |       coalesce(ns.n_scored, 0) AS n_scored
            |FROM lv l CROSS JOIN t
            |LEFT JOIN h ON h.n_probe = l.n_probe AND h.q_id = t.q_id
@@ -2155,9 +2163,11 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
         s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            |       CAST(sum(n_words) AS BIGINT) AS n_words,
            |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
-           |       round(sum(n_pieces) / CAST(NULLIF(sum(n_words), 0) AS DOUBLE), 4)
+           |       ${graft.functions.AggFunctions.ratioQSql(
+                      "sum(n_pieces)", "sum(n_words)", 4)}
            |         AS fertility,
-           |       round(sum(n_chars) / CAST(NULLIF(sum(n_pieces), 0) AS DOUBLE), 4)
+           |       ${graft.functions.AggFunctions.ratioQSql(
+                      "sum(n_chars)", "sum(n_pieces)", 4)}
            |         AS chars_per_piece
            |FROM (
            |  SELECT source, len(words) AS n_words,
@@ -2321,7 +2331,8 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |         lead(tt) OVER (PARTITION BY u ORDER BY ts, i) - tt AS gap
          |  FROM e)
          |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
-         |       round(CAST(sum(gap) AS DOUBLE) / count(*) / 1e6, 4)
+         |       ${graft.functions.AggFunctions.ratioQSql(
+                    "sum(gap)", "count(*) * 1000000", 4)}
          |         AS mean_gap_sec
          |FROM s WHERE to_type IS NOT NULL
          |GROUP BY 1, 2""".stripMargin,
@@ -2518,11 +2529,9 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
          |         sum(CAST(y AS HUGEINT) * y) AS syy
          |  FROM e GROUP BY 1)
          |SELECT g, CAST(n AS BIGINT) AS n,
-         |       round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |         / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6)
+         |       (CASE WHEN ((n * sxy - sx * sy) < 0) != ((n * sxx - sx * sx) < 0) THEN -1 ELSE 1 END * ((2 * 1000000 * abs(n * sxy - sx * sy) + abs(n * sxx - sx * sx)) // (2 * abs(n * sxx - sx * sx))) / 1000000.0)
          |         AS slope,
-         |       round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-         |         / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6)
+         |       (CASE WHEN ((sy * sxx - sx * sxy) < 0) != ((n * sxx - sx * sx) < 0) THEN -1 ELSE 1 END * ((2 * 1000000 * abs(sy * sxx - sx * sxy) + abs(n * sxx - sx * sx)) // (2 * abs(n * sxx - sx * sx))) / 1000000.0)
          |         AS intercept,
          |       round(CAST(n * sxy - sx * sy AS DOUBLE)
          |           * CAST(n * sxy - sx * sy AS DOUBLE)
@@ -2577,10 +2586,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |                   / length(text)
            |              ELSE 0.0e0 END AS x2,
            |         least($stop / len(toks) * 5.0, 1.0) AS x3,
-           |         round(0.4 * least(len(toks) / 100.0, 1.0)
-           |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-           |                            / NULLIF(length(text), 0))
-           |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+           |         ${graft.operators.TextAnalysis.qualitySqlOf("length(text)", "len(toks)", "len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))", stop)} AS quality
            |  FROM toks),
            |s AS (
            |  SELECT doc_id,
@@ -2611,8 +2617,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |SELECT split,
            |       CAST(sum(np) AS BIGINT) AS n_pos,
            |       CAST(sum(nn) AS BIGINT) AS n_neg,
-           |       round(CAST(sum(np * (2 * neg_below + nn)) AS DOUBLE)
-           |         / CAST(NULLIF(2 * sum(np) * sum(nn), 0) AS DOUBLE), 6)
+           |       (CASE WHEN ((sum(np * (2 * neg_below + nn))) < 0) != ((2 * sum(np) * sum(nn)) < 0) THEN -1 ELSE 1 END * ((2 * 1000000 * abs(sum(np * (2 * neg_below + nn))) + abs(2 * sum(np) * sum(nn))) // (2 * abs(2 * sum(np) * sum(nn)))) / 1000000.0)
            |         AS auc
            |FROM c GROUP BY 1""".stripMargin
     },
@@ -2633,10 +2638,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |                   / length(text)
            |              ELSE 0.0e0 END AS x2,
            |         least($stop / len(toks) * 5.0, 1.0) AS x3,
-           |         round(0.4 * least(len(toks) / 100.0, 1.0)
-           |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-           |                            / NULLIF(length(text), 0))
-           |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+           |         ${graft.operators.TextAnalysis.qualitySqlOf("length(text)", "len(toks)", "len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))", stop)} AS quality
            |  FROM toks),
            |s AS (
            |  SELECT doc_id,
@@ -2655,14 +2657,10 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |            AS b
            |        FROM s))
            |SELECT split, bin, CAST(count(*) AS BIGINT) AS n,
-           |       round(sum(CAST(round(p * 1000000.0) AS BIGINT))
-           |             / (1000000.0 * count(p)), 4) AS mean_p,
-           |       round(sum(CAST(round(y * 1000000.0) AS BIGINT))
-           |             / (1000000.0 * count(y)), 4) AS pos_rate,
-           |       round(round(sum(CAST(round(p * 1000000.0) AS BIGINT))
-           |                   / (1000000.0 * count(p)), 4)
-           |             - round(sum(CAST(round(y * 1000000.0) AS BIGINT))
-           |                     / (1000000.0 * count(y)), 4), 4)
+           |       ${graft.functions.AggFunctions.mean4Sql("p")} AS mean_p,
+           |       ${graft.functions.AggFunctions.mean4Sql("y")} AS pos_rate,
+           |       round(${graft.functions.AggFunctions.mean4Sql("p")}
+           |             - ${graft.functions.AggFunctions.mean4Sql("y")}, 4)
            |         AS gap
            |FROM j GROUP BY 1, 2""".stripMargin
     },
@@ -2683,10 +2681,7 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |                   / length(text)
            |              ELSE 0.0e0 END AS x2,
            |         least($stop / len(toks) * 5.0, 1.0) AS x3,
-           |         round(0.4 * least(len(toks) / 100.0, 1.0)
-           |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-           |                            / NULLIF(length(text), 0))
-           |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality
+           |         ${graft.operators.TextAnalysis.qualitySqlOf("length(text)", "len(toks)", "len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))", stop)} AS quality
            |  FROM toks),
            |s AS (
            |  SELECT doc_id,
@@ -2713,10 +2708,14 @@ private[graft] trait EntryOraclesB { self: EntryShared =>
            |         CAST(sum(CASE WHEN accept = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
            |  FROM j GROUP BY 1)
            |SELECT split, n, tp, fp, tn, fn,
-           |       round((tp + tn) / CAST(n AS DOUBLE), 4) AS accuracy,
-           |       round(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 4) AS precision,
-           |       round(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 4) AS recall,
-           |       round(2 * tp / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE), 4)
+           |       ${graft.functions.AggFunctions.ratioQSql(
+                      "tp + tn", "n", 4)} AS accuracy,
+           |       ${graft.functions.AggFunctions.ratioQSql(
+                      "tp", "tp + fp", 4)} AS precision,
+           |       ${graft.functions.AggFunctions.ratioQSql(
+                      "tp", "tp + fn", 4)} AS recall,
+           |       ${graft.functions.AggFunctions.ratioQSql(
+                      "2 * tp", "2 * tp + fp + fn", 4)}
            |         AS f1
            |FROM c""".stripMargin
     },

@@ -987,25 +987,25 @@ private[graft] trait EntryShared {
          |       FROM bt JOIN itop USING (q_id, vec_id) GROUP BY 1, 2),
          |ntot AS (SELECT CAST(count(*) AS BIGINT) - 1 AS n FROM embeddings)
          |SELECT 'float' AS variant, t.q_id, t.n_truth, t.n_truth AS n_hit,
-         |       round(t.n_truth / CAST(t.n_truth AS DOUBLE), 4) AS recall,
+         |       (CASE WHEN ((t.n_truth) < 0) != ((t.n_truth) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(t.n_truth) + abs(t.n_truth)) // (2 * abs(t.n_truth))) / 10000.0) AS recall,
          |       ntot.n AS n_scored
          |FROM tcnt t CROSS JOIN ntot
          |UNION ALL
          |SELECT 'int8', t.q_id, t.n_truth,
          |       CAST(coalesce(i8h.n_hit, 0) AS BIGINT),
-         |       round(coalesce(i8h.n_hit, 0) / CAST(t.n_truth AS DOUBLE), 4),
+         |       (CASE WHEN ((coalesce(i8h.n_hit, 0)) < 0) != ((t.n_truth) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(coalesce(i8h.n_hit, 0)) + abs(t.n_truth)) // (2 * abs(t.n_truth))) / 10000.0),
          |       i8n.n
          |FROM tcnt t LEFT JOIN i8h USING (q_id) CROSS JOIN i8n
          |UNION ALL
          |SELECT 'pq', t.q_id, t.n_truth,
          |       CAST(coalesce(ph.n_hit, 0) AS BIGINT),
-         |       round(coalesce(ph.n_hit, 0) / CAST(t.n_truth AS DOUBLE), 4),
+         |       (CASE WHEN ((coalesce(ph.n_hit, 0)) < 0) != ((t.n_truth) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(coalesce(ph.n_hit, 0)) + abs(t.n_truth)) // (2 * abs(t.n_truth))) / 10000.0),
          |       ntot.n
          |FROM tcnt t LEFT JOIN ph USING (q_id) CROSS JOIN ntot
          |UNION ALL
          |SELECT 'ivfpq_p' || CAST(l.n_probe AS VARCHAR), t.q_id, t.n_truth,
          |       CAST(coalesce(ih.n_hit, 0) AS BIGINT),
-         |       round(coalesce(ih.n_hit, 0) / CAST(t.n_truth AS DOUBLE), 4),
+         |       (CASE WHEN ((coalesce(ih.n_hit, 0)) < 0) != ((t.n_truth) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(coalesce(ih.n_hit, 0)) + abs(t.n_truth)) // (2 * abs(t.n_truth))) / 10000.0),
          |       coalesce(ins.n_scored, 0)
          |FROM lv l CROSS JOIN tcnt t
          |LEFT JOIN ih ON ih.n_probe = l.n_probe AND ih.q_id = t.q_id
@@ -1013,7 +1013,7 @@ private[graft] trait EntryShared {
          |UNION ALL
          |SELECT 'ivfpq_res_p' || CAST(l.n_probe AS VARCHAR), t.q_id, t.n_truth,
          |       CAST(coalesce(rih.n_hit, 0) AS BIGINT),
-         |       round(coalesce(rih.n_hit, 0) / CAST(t.n_truth AS DOUBLE), 4),
+         |       (CASE WHEN ((coalesce(rih.n_hit, 0)) < 0) != ((t.n_truth) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(coalesce(rih.n_hit, 0)) + abs(t.n_truth)) // (2 * abs(t.n_truth))) / 10000.0),
          |       coalesce(ins.n_scored, 0)
          |FROM lv l CROSS JOIN tcnt t
          |LEFT JOIN rih ON rih.n_probe = l.n_probe AND rih.q_id = t.q_id
@@ -1046,23 +1046,24 @@ private[graft] trait EntryShared {
   /** Shared CTE chain mirroring [[Solar]] stage for stage. The rounded
     * means replay [[graft.functions.AggFunctions.meanQ]]'s quantized
     * spelling (exact integer micros sum — BIGINT promotes to HUGEINT
-    * here, decimal(38,0) on the Spark side — one double division, round
-    * 1): `round(avg(x), 1)` itself is aggregation-order-sensitive at
-    * ulp-of-.05 boundaries (the seed-3153 class, ADVICE r16).
+    * here, decimal(38,0) on the Spark side — and the HALF_UP rounding
+    * done in exact integer arithmetic, `AggFunctions.meanQSql`):
+    * `round(avg(x), 1)` itself is aggregation-order-sensitive at
+    * ulp-of-.05 boundaries (the seed-3153 class, ADVICE r16), and
+    * round-of-double is cross-engine-undefined at exact half
+    * boundaries (fuzz seed 7249, round 18).
     */
   protected val solarCtes: String =
     """WITH module_agg AS (
       |  SELECT CAST(floor(epoch(ts)/30)*30 AS BIGINT) AS w_start,
       |         event_type AS panel, CAST(user_id AS VARCHAR) AS module,
       |         count(*) AS m_cnt, sum(value) AS m_sum_power,
-      |         round(sum(CAST(round(value * 1000000.0) AS BIGINT))
-      |               / (1000000.0 * count(value)), 1) AS m_avg_power
+      |         MEANQ1_VALUE AS m_avg_power
       |  FROM events GROUP BY 1, 2, 3),
       |panel_agg AS (
       |  SELECT w_start, panel, count(*) AS p_cnt,
       |         sum(m_sum_power) AS p_sum_power,
-      |         round(sum(CAST(round(m_sum_power * 1000000.0) AS BIGINT))
-      |               / (1000000.0 * count(m_sum_power)), 1) AS p_avg_power
+      |         MEANQ1_MSUM AS p_avg_power
       |  FROM module_agg GROUP BY 1, 2),
       |j1 AS (
       |  SELECT m.w_start, m.panel, m.module, m.m_cnt, m.m_sum_power,
@@ -1085,6 +1086,10 @@ private[graft] trait EntryShared {
       |  FROM module_agg m JOIN panel_final2 p
       |    ON m.w_start = p.w_start AND m.panel = p.panel)
       |""".stripMargin
+      .replace("MEANQ1_VALUE",
+        graft.functions.AggFunctions.meanQSql("value", 1))
+      .replace("MEANQ1_MSUM",
+        graft.functions.AggFunctions.meanQSql("m_sum_power", 1))
 
   /** Shared document CTEs: tokenization and word-3-gram shingles, mirroring
     * [[TextAnalysis.tokens]] / [[Dedup.shingles]]. DuckDB `range(a, b)` is
@@ -1222,10 +1227,7 @@ private[graft] trait EntryShared {
        |dc_pl AS (SELECT doc_id, $predLangCaseSql AS pred_lang FROM dc_scored),
        |dc_enr AS (
        |  SELECT doc_id, source, len(toks) AS n_words,
-       |         round(0.4 * least(len(toks) / 100.0, 1.0)
-       |             + 0.3 * (1.0 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-       |                            / NULLIF(length(text), 0))
-       |             + 0.3 * least($stop / len(toks) * 5.0, 1.0), 4) AS quality,
+       |         ${graft.operators.TextAnalysis.qualitySqlOf("length(text)", "len(toks)", "len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))", stop)} AS quality,
        |         ('0x' || substr($fpSql, 1, 15))::BIGINT AS fp64
        |  FROM (SELECT d.doc_id, d.source, d.text, t.toks, t.ltoks
        |        FROM $src d JOIN dc_toks t USING (doc_id))),
@@ -1246,15 +1248,15 @@ private[graft] trait EntryShared {
        |                                AND dc_lc.lc = dc_lm.mc
        |          GROUP BY 1, 2)
        |SELECT dc_b.source, dc_b.n_docs, dc_b.n_tokens,
-       |       round(dc_b.n_tokens / CAST(dc_b.n_docs AS DOUBLE), 4)
+       |       (CASE WHEN ((dc_b.n_tokens) < 0) != ((dc_b.n_docs) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(dc_b.n_tokens) + abs(dc_b.n_docs)) // (2 * abs(dc_b.n_docs))) / 10000.0)
        |         AS mean_doc_tokens,
        |       dc_b.n_dup_docs,
-       |       round(dc_b.n_dup_docs / CAST(dc_b.n_docs AS DOUBLE), 4) AS pct_dup,
+       |       (CASE WHEN ((dc_b.n_dup_docs) < 0) != ((dc_b.n_docs) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(dc_b.n_dup_docs) + abs(dc_b.n_docs)) // (2 * abs(dc_b.n_docs))) / 10000.0) AS pct_dup,
        |       dc_b.n_hi_quality,
-       |       round(dc_b.n_hi_quality / CAST(dc_b.n_docs AS DOUBLE), 4)
+       |       (CASE WHEN ((dc_b.n_hi_quality) < 0) != ((dc_b.n_docs) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(dc_b.n_hi_quality) + abs(dc_b.n_docs)) // (2 * abs(dc_b.n_docs))) / 10000.0)
        |         AS pct_hi_quality,
        |       dc_tl.top_lang,
-       |       round(dc_tl.mc / CAST(dc_b.n_docs AS DOUBLE), 4) AS top_lang_share
+       |       (CASE WHEN ((dc_tl.mc) < 0) != ((dc_b.n_docs) < 0) THEN -1 ELSE 1 END * ((2 * 10000 * abs(dc_tl.mc) + abs(dc_b.n_docs)) // (2 * abs(dc_b.n_docs))) / 10000.0) AS top_lang_share
        |FROM dc_b JOIN dc_tl USING (source)""".stripMargin
   }
   /** The q130 ingestion-chain replay, shared VERBATIM by q137 (the
@@ -1285,9 +1287,7 @@ private[graft] trait EntryShared {
        |  FROM ct),
        |cenr AS (
        |  SELECT doc_id, fp64,
-       |         round(0.4 * least(n_words / 100.0, 1.0)
-       |             + 0.3 * (1.0 - n_punct / NULLIF(n_chars_m, 0))
-       |             + 0.3 * least(n_stop / n_words * 5.0, 1.0), 4) AS quality,
+       |         ${graft.operators.TextAnalysis.qualitySqlOf("n_chars_m", "n_words", "n_punct", "n_stop")} AS quality,
        |         $predLangCaseSql AS pred_lang
        |  FROM cenr0),
        |ckept AS (
@@ -1346,7 +1346,8 @@ private[graft] trait EntryShared {
     */
   protected def jaccardSql(a: String, b: String): String = {
     val inter = s"len(list_intersect($a, $b))"
-    s"round($inter / (len($a) + len($b) - $inter), 4)"
+    graft.functions.AggFunctions.ratioQSql(inter,
+      s"len($a) + len($b) - $inter", 4)
   }
 
   /** 16-bit SimHash SQL mirroring [[Dedup.simhash]]: per-token 16-bit hash
@@ -1557,12 +1558,11 @@ private[graft] trait EntryShared {
     val uCols = st.indices.map(i => s"any_value(t_$i) AS t_$i").mkString(", ")
     val aCols = (st.indices.map(i => s"count(t_$i) AS n_$i") ++
       st.indices.drop(1).map(i =>
-        s"round(sum(CAST(round((t_$i - t_${i - 1}) / 3.6e9 * 1000000.0) " +
-          s"AS BIGINT)) / (1000000.0 * count(t_$i - t_${i - 1})), 4) " +
-          s"AS h_$i")).mkString(", ")
+        graft.functions.AggFunctions.mean4Sql(
+          s"(t_$i - t_${i - 1}) / 3.6e9") + s" AS h_$i")).mkString(", ")
     val branches = st.zipWithIndex.map { case (name, i) =>
       val conv = if (i == 0) "CAST(NULL AS DOUBLE)"
-        else s"round(n_$i / NULLIF(n_${i - 1}, 0), 4)"
+        else graft.functions.AggFunctions.ratioQSql(s"n_$i", s"n_${i - 1}", 4)
       val hrs = if (i == 0) "CAST(NULL AS DOUBLE)" else s"h_$i"
       s"""SELECT CAST($i AS INTEGER) AS stage_idx, '$name' AS stage,
          |       CAST(n_$i AS BIGINT) AS n_users,

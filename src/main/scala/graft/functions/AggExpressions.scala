@@ -468,47 +468,140 @@ final class TopKBuf(val k: Int) {
 
 object AggFunctions {
 
-  /** Order-insensitive 4-decimal mean. `round(avg(x), 4)` is NOT
-    * aggregation-order-insensitive: the double sum differs by ulps
-    * between Spark's parallel partial-sum order and a sequential oracle
-    * fold, and a mean within an ulp of a .00005 boundary flips the 4th
-    * decimal — found LIVE by the differential fuzzer (seed 3153:
-    * avg(c_acctbal) = 6446.38835 → 6446.3884 vs 6446.3883). Here the
-    * input is quantized to integer micros per row (identical doubles in
-    * both engines → identical micros; exact — no quantization at all —
-    * when the input carries ≤ 6 fractional decimals, which covers the
-    * 2-dp testdata measures and the pre-rounded quality/probability
-    * columns), the micros SUM is an exact integer under ANY order, and
-    * ONE double division feeds the final round. Nulls drop from both
-    * sum and count, exactly like `avg`.
+  /** Order-insensitive, EXACTLY-rounded 4-decimal mean. `round(avg(x),
+    * 4)` is NOT aggregation-order-insensitive: the double sum differs
+    * by ulps between Spark's parallel partial-sum order and a
+    * sequential oracle fold, and a mean within an ulp of a .00005
+    * boundary flips the 4th decimal — found LIVE by the differential
+    * fuzzer (seed 3153: avg(c_acctbal) = 6446.38835 → 6446.3884 vs
+    * 6446.3883). Here the input is quantized to integer micros per row
+    * (identical doubles in both engines → identical micros; exact — no
+    * quantization at all — when the input carries ≤ 6 fractional
+    * decimals, which covers the 2-dp testdata measures and the
+    * pre-rounded quality/probability columns), the micros SUM is an
+    * exact integer under ANY order, and the final rounding is EXACT
+    * INTEGER arithmetic. Nulls drop from both sum and count, exactly
+    * like `avg`.
     *
     * The micros sum runs through decimal(38,0), not long (ADVICE r16):
     * DuckDB promotes a BIGINT sum to HUGEINT, so a long-typed Spark sum
     * would silently WRAP where the oracle keeps going — reachable at
     * real scale (|x|≈1e5 → 1e11 micros/row wraps past ~9e7 rows in one
-    * group). decimal(38,0) is exact to 1e38 (the same headroom class as
-    * HUGEINT's 1.7e38), and both engines convert the exact integer to
-    * the nearest double for the one final division identically.
+    * group). decimal(38,0) is exact to 1e38 (headroom halves to ~5e37
+    * for the 2·|S| below — still ~15 orders past any physical corpus).
     *
-    * Oracle replay: `round(sum(CAST(round(x * 1000000.0) AS BIGINT)) /
-    * (1000000.0 * count(x)), 4)`.
+    * Oracle replay (see [[meanQ]] for why round-of-double is banned):
+    * {{{
+    * CASE WHEN S < 0 THEN -1 ELSE 1 END
+    *   * ((2*abs(S) + P*n) // (2*P*n)) / 10000.0
+    * -- S = sum(CAST(round(x * 1000000.0) AS BIGINT)), n = count(x),
+    * -- P = 100 (= 10^(6-4))
+    * }}}
     */
   def mean4(c: Column): Column = meanQ(c, 4)
 
-  /** [[mean4]] generalized to `decimals` final decimals (same micros
-    * quantization, same decimal(38,0) exact sum, one double division).
-    * `meanQ(_, 1)` replaces the reference topology's order-sensitive
-    * `round(avg(power), 1)` sites — identical except at ulp-of-.05
-    * boundaries, where this is order-insensitive and `round(avg)` flips
-    * with partitioning (the seed-3153 class at 1000× sparser boundaries).
+  /** [[mean4]] generalized to `decimals` ∈ [0, 6] final decimals (same
+    * micros quantization, same decimal(38,0) exact sum). `meanQ(_, 1)`
+    * replaces the reference topology's order-sensitive
+    * `round(avg(power), 1)` sites.
     *
-    * Oracle replay: `round(sum(CAST(round(x * 1000000.0) AS BIGINT)) /
-    * (1000000.0 * count(x)), d)`.
+    * The final HALF_UP rounding is computed in EXACT integer
+    * arithmetic — `q = sgn(S) · ((2|S| + P·n) intdiv (2·P·n))` with
+    * `P = 10^(6-decimals)`, result `q / 10^decimals` — never as
+    * `round(double, d)`. Fuzz seed 7249 (round 18) proved the
+    * round-of-double spelling has a cross-engine-UNDEFINED edge even
+    * over an identical division result: when the true rational mean
+    * sits exactly ON a half boundary (S = 40054270000, n = 8 →
+    * 5006.78375 exactly), the nearest double is BELOW it, Spark's
+    * `round` rounds the double's shortest decimal representation
+    * (`BigDecimal.valueOf` → "5006.78375" → HALF_UP → .7838) while
+    * DuckDB rounds the binary value (→ .7837). The integer spelling
+    * rounds the true rational on both engines — .7838, bit-equal by
+    * construction, with `q/10^d` a single exact-integer-by-power-of-ten
+    * division both engines perform identically in IEEE double.
     */
   def meanQ(c: Column, decimals: Int): Column = {
-    import org.apache.spark.sql.functions.{count, lit, round, sum}
-    round(sum(round(c * lit(1000000.0)).cast("decimal(38,0)"))
-        .cast("double") / (lit(1000000.0) * count(c)), decimals)
+    import org.apache.spark.sql.functions.{abs, count, lit, sum, when}
+    require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
+    val p = math.pow(10, 6 - decimals).toLong
+    val s = sum(org.apache.spark.sql.functions.round(c * lit(1000000.0))
+      .cast("decimal(38,0)"))
+    // count = 0 ⇒ the sum is already null and the result null-propagates;
+    // the denominator clamps to 1 so ANSI integral division never sees a
+    // zero divisor on the empty/all-null group
+    val n = count(c)
+    val den = lit(p).cast("decimal(38,0)") *
+      when(n > 0, n).otherwise(lit(1L))
+    val qAbs = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(abs(s) * 2 + den),
+        Bridge.expression(den * 2)))
+    (when(s < 0, lit(-1L)).otherwise(lit(1L)) * qAbs).cast("double") /
+      lit(math.pow(10, decimals))
+  }
+
+  /** The DuckDB replay of [[meanQ]] — kept NEXT TO the Spark expression
+    * because the two are a serialization pair (an edit to one without
+    * the other is a silent gate divergence). Same exact-integer HALF_UP
+    * arithmetic: DuckDB's `sum(BIGINT)` is HUGEINT (no wrap), `//` is
+    * floor division over the non-negative operands, and the one final
+    * `/ 10^d.0` is the identical exact-integer-by-power-of-ten IEEE
+    * division Spark performs.
+    */
+  def meanQSql(x: String, decimals: Int): String = {
+    require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
+    val p = math.pow(10, 6 - decimals).toLong
+    val tenD = math.pow(10, decimals).toLong
+    val s = s"sum(CAST(round(($x) * 1000000.0) AS BIGINT))"
+    s"(CASE WHEN $s < 0 THEN -1 ELSE 1 END * " +
+      s"((2 * abs($s) + $p * count($x)) // (2 * $p * count($x))) " +
+      s"/ $tenD.0)"
+  }
+
+  /** [[meanQSql]] at 4 decimals — the [[mean4]] twin. */
+  def mean4Sql(x: String): String = meanQSql(x, 4)
+
+  /** Exactly-rounded ratio of two INTEGER-VALUED expressions —
+    * `round(a/b, d)` without the round-of-double step. The fuzz-seed-
+    * 7249 mechanism (see [[meanQ]]) applies to every count ratio too:
+    * a/b lands exactly ON a d-decimal half boundary whenever the
+    * lowest-terms denominator divides 2·10^d into an odd cofactor
+    * (b = 160, 800, 4000, 20000 at d = 4 — cohort/funnel-sized numbers,
+    * not exotica), and there Spark's shortest-repr round and DuckDB's
+    * binary-value round part ways. Here the HALF_UP (away-from-zero)
+    * rounding is exact integer arithmetic:
+    * `q = sgn(a)·sgn(b) · ((2·10^d·|a| + |b|) intdiv (2·|b|))`, result
+    * `q / 10^d`; null when `b = 0` (the `NULLIF` discipline) or either
+    * input is null. Operands run through decimal(38,0) for sums-of-
+    * counts headroom; the divisor clamps to 1 under the b = 0 branch so
+    * ANSI integral division never sees a zero.
+    */
+  def ratioQ(a: Column, b: Column, decimals: Int): Column = {
+    import org.apache.spark.sql.functions.{abs, lit, when}
+    require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
+    val tenD = math.pow(10, decimals).toLong
+    val aD = a.cast("decimal(38,0)")
+    val bD = b.cast("decimal(38,0)")
+    val sign = when((aD < 0) =!= (bD < 0), lit(-1L)).otherwise(lit(1L))
+    val q = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(abs(aD) * lit(2L * tenD) + abs(bD)),
+        Bridge.expression(
+          when(bD === 0, lit(1L).cast("decimal(38,0)"))
+            .otherwise(abs(bD)) * 2)))
+    when(bD === 0, lit(null).cast("double"))
+      .otherwise((sign * q).cast("double") / lit(tenD.toDouble))
+  }
+
+  /** The DuckDB replay of [[ratioQ]] — serialization pair, kept
+    * adjacent. DuckDB's `// 0` is NULL (verified v1.0), so the b = 0
+    * case needs no guard; `sum(BIGINT)` operands arrive as HUGEINT.
+    */
+  def ratioQSql(a: String, b: String, decimals: Int): String = {
+    require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
+    val tenD = math.pow(10, decimals).toLong
+    s"(CASE WHEN (($a) < 0) != (($b) < 0) THEN -1 ELSE 1 END * " +
+      s"((2 * $tenD * abs($a) + abs($b)) // (2 * abs($b))) / $tenD.0)"
   }
 
   /** Histogram of a long-valued column: `nBuckets` buckets of `width`,

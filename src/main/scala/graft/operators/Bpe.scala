@@ -368,9 +368,9 @@ object Bpe {
         sum(col("n_pieces")).as("n_pieces"),
         sum(col("n_chars")).as("n_chars"))
       .select(col("source"), col("n_docs"), col("n_words"), col("n_pieces"),
-        round(col("n_pieces") / nullif(col("n_words"), lit(0L)).cast("double"), 4)
-          .as("fertility"),
-        round(col("n_chars") / nullif(col("n_pieces"), lit(0L)).cast("double"), 4)
-          .as("chars_per_piece"))
+        graft.functions.AggFunctions.ratioQ(
+          col("n_pieces"), col("n_words"), 4).as("fertility"),
+        graft.functions.AggFunctions.ratioQ(
+          col("n_chars"), col("n_pieces"), 4).as("chars_per_piece"))
   }
 }

@@ -171,8 +171,8 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        when(col("n_grams") > 0,
-          round(col("n_hit") / col("n_grams"), 4)).as("contam_frac"))
+        graft.functions.AggFunctions.ratioQ(
+          col("n_hit"), col("n_grams"), 4).as("contam_frac"))
       .withColumn("flagged",
         when(col("contam_frac") >= flagThreshold, 1).otherwise(0))
   }
@@ -531,7 +531,10 @@ object Curation {
     val hh = h.withColumn("cum", sum(col("cnt")).over(w)).join(n, "source")
     scored.join(hh, Seq("source", "quality"))
       .select(col("doc_id"), col("source"), col("quality"),
-        round((col("cum") - lit(0.5) * col("cnt")) / col("n"), 4).as("pctl"))
+        // (cum - cnt/2)/n respelled (2·cum - cnt)/(2n): exact integer
+        // rounding (ratioQ), same rational
+        graft.functions.AggFunctions.ratioQ(
+          col("cum") * 2 - col("cnt"), col("n") * 2, 4).as("pctl"))
   }
 
   /** [[curationDag]]'s handle: `dropIds` is the checkpointed dropped-id
@@ -975,17 +978,17 @@ object Curation {
       .agg(min(col("pred_lang")).as("top_lang"))
     val result = base.join(topLang, "source")
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens") / col("n_docs").cast("double"), 4)
-          .as("mean_doc_tokens"),
+        graft.functions.AggFunctions.ratioQ(
+          col("n_tokens"), col("n_docs"), 4).as("mean_doc_tokens"),
         col("n_dup_docs"),
-        round(col("n_dup_docs") / col("n_docs").cast("double"), 4)
-          .as("pct_dup"),
+        graft.functions.AggFunctions.ratioQ(
+          col("n_dup_docs"), col("n_docs"), 4).as("pct_dup"),
         col("n_hi_quality"),
-        round(col("n_hi_quality") / col("n_docs").cast("double"), 4)
-          .as("pct_hi_quality"),
+        graft.functions.AggFunctions.ratioQ(
+          col("n_hi_quality"), col("n_docs"), 4).as("pct_hi_quality"),
         col("top_lang"),
-        round(col("mc") / col("n_docs").cast("double"), 4)
-          .as("top_lang_share"))
+        graft.functions.AggFunctions.ratioQ(
+          col("mc"), col("n_docs"), 4).as("top_lang_share"))
     result
   }
 

@@ -74,6 +74,19 @@ object Dedup {
     inter / (size(shA) + size(shB) - inter)
   }
 
+  /** [[jaccard]] rounded at 4 in EXACT integer arithmetic — the
+    * `round(jaccard(a, b), 4)` spelling every reporting site uses,
+    * routed through [[graft.functions.AggFunctions.ratioQ]] so the
+    * rounding never passes through a double (fuzz seed 7249's
+    * round-of-double boundary class; set sizes are exactly the small
+    * denominators that land ON 4-dp half boundaries).
+    */
+  def jaccardQ(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB))
+    graft.functions.AggFunctions.ratioQ(inter,
+      size(shA) + size(shB) - inter, 4)
+  }
+
   /** MinHash LSH near-dup detection with exact-Jaccard verification of the
     * candidates (the classic two-phase LSH dedup): candidates from band
     * collisions, then keep pairs with true Jaccard >= threshold.
@@ -135,7 +148,7 @@ object Dedup {
       .join(idx.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(idx.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        jaccardQ(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     NearDupStage(idx, capped, result)
   }
@@ -209,9 +222,9 @@ object Dedup {
     // one-row relations — broadcast safe by construction
     nM.crossJoin(broadcast(nS)).crossJoin(broadcast(nB))
       .select(col("n_minhash"), col("n_simhash"), col("n_both"),
-        round(col("n_both") /
-          nullif(col("n_minhash") + col("n_simhash") - col("n_both"), lit(0L)),
-          4).as("pair_jaccard"))
+        graft.functions.AggFunctions.ratioQ(col("n_both"),
+          col("n_minhash") + col("n_simhash") - col("n_both"), 4)
+          .as("pair_jaccard"))
   }
 
   /** MinHash calibration report: for every LSH candidate pair, the
@@ -283,7 +296,7 @@ object Dedup {
         col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(agree / lit(MinhashK.toDouble), 4).as("est_jaccard"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        jaccardQ(col("sh_a"), col("sh_b")).as("jaccard"))
       .withColumn("abs_err",
         round(abs(col("est_jaccard") - col("jaccard")), 4))
     CalibrationStage(idx, result)
@@ -347,7 +360,7 @@ object Dedup {
     val truth = a.join(b, "blk")
       .filter(col("id_b") > col("id_a") &&
         col("id_b") <= col("id_a") + idWindow &&
-        round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
+        jaccardQ(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
     val caught = pairs
       .filter(col("id_b") - col("id_a") <= idWindow)
@@ -357,8 +370,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_caught"))
     nT.crossJoin(broadcast(nC))
       .select(col("n_truth"), col("n_caught"),
-        round(col("n_caught") / nullif(col("n_truth"), lit(0L)), 4)
-          .as("recall"))
+        graft.functions.AggFunctions.ratioQ(
+          col("n_caught"), col("n_truth"), 4).as("recall"))
   }
 
   /** Default neighbor count for [[similarTopK]], mirrored in the q114
@@ -466,7 +479,8 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
+        graft.functions.AggFunctions.ratioQ(col("inter"),
+          col("n_a") + col("n_b") - col("inter"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     JaccardStage(inv, result)
   }
@@ -865,7 +879,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("span_df") > 1, 1L).otherwise(0L)).as("dup_spans"))
       .select(col("doc_id"), col("n_spans"), col("dup_spans"),
-        round(col("dup_spans") / col("n_spans"), 4).as("dup_frac"),
+        graft.functions.AggFunctions.ratioQ(
+          col("dup_spans"), col("n_spans"), 4).as("dup_frac"),
         (col("dup_spans") / col("n_spans") <= maxDupFrac)
           .cast("int").as("keep"))
     SpanDedupStage(spans, result)
@@ -1017,7 +1032,7 @@ object Dedup {
       .join(corp.select(col("doc_id").as("corp_id"), col("sh").as("sh_corp")),
         "corp_id")
       .select(col("doc_id"),
-        round(jaccard(col("sh_in"), col("sh_corp")), 4).as("j"))
+        jaccardQ(col("sh_in"), col("sh_corp")).as("j"))
       .filter(col("j") >= threshold)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
     val result = inc.select(col("doc_id"), col("fp64"))
@@ -1218,9 +1233,11 @@ object Dedup {
       .join(setsB.select(col("doc_id").as("id_b"), col("fps").as("fb"),
         col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (inter / (col("na") + col("nb") - inter)).as("j"))
-      .filter(col("j") >= t)
-      .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"))
+        (inter / (col("na") + col("nb") - inter)).as("j"),
+        graft.functions.AggFunctions.ratioQ(inter,
+          col("na") + col("nb") - inter, 4).as("jq"))
+      .filter(col("j") >= t) // selection on the raw ratio, like the oracle
+      .select(col("id_a"), col("id_b"), col("jq").as("jaccard"))
   }
 
   /** [[prefixJoinAgainstCorpusStage]]'s handles: both sides' fingerprint
@@ -1332,9 +1349,11 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("i"))
       .join(na.select(col("doc_id").as("id_a"), col("na")), "id_a")
-      .select(col("id_a"), col("id_b"), (col("i") / col("na")).as("c"))
-      .filter(col("c") >= t)
-      .select(col("id_a"), col("id_b"), round(col("c"), 4).as("containment"))
+      .select(col("id_a"), col("id_b"), (col("i") / col("na")).as("c"),
+        graft.functions.AggFunctions.ratioQ(
+          col("i"), col("na"), 4).as("cq"))
+      .filter(col("c") >= t) // selection on the raw ratio, like the oracle
+      .select(col("id_a"), col("id_b"), col("cq").as("containment"))
     PrefixIncStage(corpInv, needInv, verified)
   }
 }

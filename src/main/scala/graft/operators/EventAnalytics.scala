@@ -109,7 +109,8 @@ object EventAnalytics {
         lit(st).as("stage"),
         col(s"n_$i").as("n_users"),
         (if (i == 0) lit(null).cast("double")
-         else round(col(s"n_$i") / nullif(col(s"n_${i - 1}"), lit(0L)), 4))
+         else graft.functions.AggFunctions.ratioQ(
+           col(s"n_$i"), col(s"n_${i - 1}"), 4))
           .as("conv_from_prev"),
         (if (i == 0) lit(null).cast("double") else col(s"h_$i"))
           .as("avg_hours_from_prev"))
@@ -148,8 +149,8 @@ object EventAnalytics {
     activity.join(broadcast(sizes), "cohort_day")
       .select(col("cohort_day"), col("day_offset"), col("n_active"),
         col("n_cohort"),
-        round(col("n_active") / nullif(col("n_cohort"), lit(0L)), 4)
-          .as("retention"))
+        graft.functions.AggFunctions.ratioQ(
+          col("n_active"), col("n_cohort"), 4).as("retention"))
   }
 
   /** First-order Markov transition matrix over per-user event sequences
@@ -192,7 +193,8 @@ object EventAnalytics {
       .agg(sum(col("n")).as("n_from"))
     counts.join(totals, "from_type")
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
-        round(col("n") / col("n_from").cast("double"), 4).as("p"))
+        graft.functions.AggFunctions.ratioQ(
+          col("n"), col("n_from"), 4).as("p"))
   }
 
   /** Top-k most frequent 3-step paths — the sequence-mining extension of
@@ -268,7 +270,9 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"),
         sum(col("gap_us")).as("sum_us"))
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("sum_us").cast("double") / col("n") / 1e6, 4)
+        // sum_us/(n·1e6) as one exact integer ratio (ratioQ)
+        graft.functions.AggFunctions.ratioQ(
+          col("sum_us"), col("n") * lit(1000000L), 4)
           .as("mean_gap_sec"))
   }
 

@@ -289,7 +289,8 @@ object Graph {
       .select(col("id"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(col("degree") >= 2,
-          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
-            (col("degree") * (col("degree") - lit(1L))), 4)).as("lcc"))
+          graft.functions.AggFunctions.ratioQ(
+            lit(2L) * coalesce(col("n_tri"), lit(0L)),
+            col("degree") * (col("degree") - lit(1L)), 4)).as("lcc"))
   }
 }

@@ -169,15 +169,15 @@ object QualityModel {
         sum(when(col("accept") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"),
         sum(when(col("accept") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"))
       .select(col("split"), col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
-        round((col("tp") + col("tn")) / col("n").cast("double"), 4)
-          .as("accuracy"),
-        round(col("tp") / nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 4)
-          .as("precision"),
-        round(col("tp") / nullif(col("tp") + col("fn"), lit(0L)).cast("double"), 4)
-          .as("recall"),
-        round(lit(2L) * col("tp") /
-          nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L))
-            .cast("double"), 4).as("f1"))
+        graft.functions.AggFunctions.ratioQ(
+          col("tp") + col("tn"), col("n"), 4).as("accuracy"),
+        graft.functions.AggFunctions.ratioQ(
+          col("tp"), col("tp") + col("fp"), 4).as("precision"),
+        graft.functions.AggFunctions.ratioQ(
+          col("tp"), col("tp") + col("fn"), 4).as("recall"),
+        graft.functions.AggFunctions.ratioQ(
+          lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn"), 4).as("f1"))
   }
 
   /** Calibration curve (reliability diagram) for the shipped classifier
@@ -304,9 +304,8 @@ object QualityModel {
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("num2")).as("num2"))
       .select(col(g), col("n_pos"), col("n_neg"),
-        round(col("num2").cast("double") /
-          nullif(lit(2L) * col("n_pos") * col("n_neg"), lit(0L))
-            .cast("double"), 6).as("auc"))
+        graft.functions.AggFunctions.ratioQ(col("num2"),
+          lit(2L) * col("n_pos") * col("n_neg"), 6).as("auc"))
   }
 
   /** The driver-side reference trainer (specs only): the same arithmetic

@@ -143,8 +143,10 @@ object Relational {
       .agg(max(col("c")).as("top1"), sum(col("c")).as("topk"))
     val result = totals.crossJoin(broadcast(top))
       .select(col("n"), col("n_distinct"),
-        round(col("top1") / col("n"), 4).as("top1_frac"),
-        round(col("topk") / col("n"), 4).as("topk_frac"),
+        graft.functions.AggFunctions.ratioQ(
+          col("top1"), col("n"), 4).as("top1_frac"),
+        graft.functions.AggFunctions.ratioQ(
+          col("topk"), col("n"), 4).as("topk_frac"),
         round(log(col("n").cast("double")) - col("clogc") / col("n"), 4)
           .as("entropy_nats"))
     TextAnalysis.CachedStage(counts, result)

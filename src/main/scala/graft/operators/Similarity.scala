@@ -746,8 +746,8 @@ object Similarity {
     nT.join(nH, Seq("q_id"), "left")
       .select(col("q_id"), col("n_truth"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)) /
-          col("n_truth").cast("double"), 4).as("recall"))
+        graft.functions.AggFunctions.ratioQ(
+          coalesce(col("n_hit"), lit(0L)), col("n_truth"), 4).as("recall"))
   }
 
   /** Recall-vs-cost frontier of the IVF index (VERDICT r11 #5): one row

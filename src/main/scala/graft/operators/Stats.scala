@@ -64,18 +64,22 @@ object Stats {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("y") * col("y")).as("syy"))
     // exact integer numerators/denominators, then double at the brink
-    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
-      .cast("double")
-    val denx = nullif(col("n") * col("sxx") - col("sx") * col("sx"),
+    val numI = col("n") * col("sxy") - col("sx") * col("sy")
+    val denxI = col("n") * col("sxx") - col("sx") * col("sx")
+    val denyI = nullif(col("n") * col("syy") - col("sy") * col("sy"),
       lit(0).cast(dec)).cast("double")
-    val deny = nullif(col("n") * col("syy") - col("sy") * col("sy"),
-      lit(0).cast(dec)).cast("double")
-    val inum = (col("sy") * col("sxx") - col("sx") * col("sxy"))
-      .cast("double")
+    val inumI = col("sy") * col("sxx") - col("sx") * col("sxy")
+    // slope/intercept: exact integer HALF_UP at 6 (ratioQ — b = 0, the
+    // vertical/constant-x group, stays NULL). r² keeps the double form:
+    // its exact numerator num² overflows decimal(38,0) at real
+    // timestamps, and its operands don't reduce to the tiny lowest-term
+    // denominators the boundary class needs
     sums.select(col("g"), col("n").cast("long").as("n"),
-      round(num / denx, 6).as("slope"),
-      round(inum / denx, 6).as("intercept"),
-      round(num * num / (denx * deny), 6).as("r2"))
+      graft.functions.AggFunctions.ratioQ(numI, denxI, 6).as("slope"),
+      graft.functions.AggFunctions.ratioQ(inumI, denxI, 6).as("intercept"),
+      round(numI.cast("double") * numI.cast("double") /
+        (nullif(denxI, lit(0).cast(dec)).cast("double") * denyI), 6)
+        .as("r2"))
   }
 
   /** Robust per-group outlier report: median, MAD (median absolute

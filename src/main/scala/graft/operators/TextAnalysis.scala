@@ -71,14 +71,44 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column = {
     val nChars = length(text)
-    val charsNz = when(nChars > 0, nChars)
     val nWords = size(tokens(text))
     val nPunct = graft.functions.TextFunctions.punct_count(lower(text))
     val nStop = stopwordCount(tokens(lower(text)), StopwordDicts.head._2)
-    round(
-      lit(0.4) * least(nWords / lit(100.0), lit(1.0)) +
-        lit(0.3) * (lit(1.0) - nPunct / charsNz) +
-        lit(0.3) * least(nStop / nWords * 5.0, lit(1.0)), 4)
+    qualityExpr(nChars, nWords, nPunct, nStop)
+  }
+
+  /** The quality formula 0.4·min(w/100, 1) + 0.3·(1 − p/c) +
+    * 0.3·min(5s/w, 1) rounded at 4 in EXACT integer arithmetic: one
+    * rational N/D with D = 1000·c·w and N = 4·min(w,100)·c·w +
+    * 300·(c−p)·w + 300·min(5s,w)·c, through
+    * [[graft.functions.AggFunctions.ratioQ]] — never a double round
+    * (fuzz-seed-7249 class: per-document word/char counts are exactly
+    * the small denominators that land ON 4-dp half boundaries). c = 0 →
+    * D = 0 → NULL, the old charsNz guard's semantics; w ≥ 1 always
+    * (split semantics). The long intermediates hold to c·w ≤ 2.3e16 —
+    * any physical document. Oracle twin: [[qualitySqlOf]].
+    */
+  private[graft] def qualityExpr(nChars: Column, nWords: Column,
+                                 nPunct: Column, nStop: Column): Column = {
+    val c = nChars.cast("long")
+    val w = nWords.cast("long")
+    val p = nPunct.cast("long")
+    val s = nStop.cast("long")
+    val n = least(w, lit(100L)) * c * w * 4 +
+      (c - p) * w * 300 + least(s * 5, w) * c * 300
+    graft.functions.AggFunctions.ratioQ(n, c * w * 1000, 4)
+  }
+
+  /** The DuckDB replay of [[qualityExpr]] — serialization pair, kept
+    * adjacent. Operands cast to HUGEINT so the 2·10⁴·N term in the
+    * ratio spelling can never wrap BIGINT on a pathological document.
+    */
+  def qualitySqlOf(c: String, w: String, p: String, s: String): String = {
+    val n = s"CAST(4 * least($w, 100) * ($c) * ($w) + " +
+      s"300 * (($c) - ($p)) * ($w) + " +
+      s"300 * least(5 * ($s), $w) * ($c) AS HUGEINT)"
+    val d = s"CAST(1000 * ($c) * ($w) AS HUGEINT)"
+    graft.functions.AggFunctions.ratioQSql(n, d, 4)
   }
 
   /** The 60-bit content-fingerprint long as a single expression (the
@@ -117,23 +147,28 @@ object TextAnalysis {
   def quality(docs: DataFrame): DataFrame = {
     val txt = lower(col("text"))
     val toks = tokens(col("text"))
-    // Zero-length guard: for an empty document 0/0 would be NaN in Spark
-    // but NULL in DuckDB (x/0 → NULL there) — divide by NULLIF(n,0) in both
-    // engines so both yield NULL and the hash gate can't diverge.
+    // Zero-length guard: an empty document's ratios are NULL in both
+    // engines (ratioQ's b = 0 rule here, // 0 → NULL in DuckDB).
     // n_words needs no guard: split("", " ") is [""], so n_words >= 1.
-    val charsNz = when(col("n_chars_m") > 0, col("n_chars_m"))
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars_m"),
       size(toks).as("n_words"),
       graft.functions.TextFunctions.punct_count(txt).as("n_punct"),
       stopwordCount(tokens(txt), StopwordDicts.head._2).as("n_stop"))
-      .withColumn("punct_ratio", round(col("n_punct") / charsNz, 4))
-      .withColumn("stop_ratio", round(col("n_stop") / col("n_words"), 4))
-      .withColumn("quality", round(
-        lit(0.4) * least(col("n_words") / lit(100.0), lit(1.0)) +
-          lit(0.3) * (lit(1.0) - col("n_punct") / charsNz) +
-          lit(0.3) * least(col("n_stop") / col("n_words") * 5.0, lit(1.0)), 4))
+      // ratioQ, not round(a/b, 4): integer ratios land exactly ON
+      // 4-dp half boundaries at cohort-sized denominators, where
+      // round-of-double is cross-engine-undefined (fuzz seed 7249 —
+      // see AggFunctions.ratioQ); b = 0 → null keeps the NULLIF
+      // discipline the old charsNz guard provided
+      .withColumn("punct_ratio",
+        graft.functions.AggFunctions.ratioQ(
+          col("n_punct"), col("n_chars_m"), 4))
+      .withColumn("stop_ratio",
+        graft.functions.AggFunctions.ratioQ(
+          col("n_stop"), col("n_words"), 4))
+      .withColumn("quality", qualityExpr(col("n_chars_m"), col("n_words"),
+        col("n_punct"), col("n_stop")))
   }
 
   /** Whitespace token count + BPE-ish regex token count. */
@@ -282,7 +317,10 @@ object TextAnalysis {
     val ltoks = tokens(lower(col("text")))
     val base = docs.select(col("doc_id"),
       size(ltoks).as("n_words"),
-      round(lit(1.0) - size(array_distinct(ltoks)) / size(ltoks), 4)
+      // 1 - distinct/total respelled (total-distinct)/total so the
+      // exact-integer rounding applies (ratioQ; n_words >= 1 always)
+      graft.functions.AggFunctions.ratioQ(
+        size(ltoks) - size(array_distinct(ltoks)), size(ltoks), 4)
         .as("dup_word_frac"))
     val bgStats = docs
       .select(col("doc_id"),
@@ -294,7 +332,8 @@ object TextAnalysis {
     // left join: docs with < 2 tokens have no bigrams -> null fraction
     base.join(bgStats, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
-        round(col("top_n") / col("total_bg"), 4).as("top_bigram_frac"))
+        graft.functions.AggFunctions.ratioQ(
+          col("top_n"), col("total_bg"), 4).as("top_bigram_frac"))
   }
 
   /** TF-IDF top-k terms per document: tf = in-document term count, df =
@@ -670,7 +709,8 @@ object TextAnalysis {
       // one-row corpus-totals relation — broadcast safe by construction
       .crossJoin(broadcast(totals))
       .select(row_number().over(ord).as("rank"), col("tok"), col("cnt"),
-        round(sum(col("cnt")).over(cum) / col("n_total"), 4).as("cum_cov"),
+        graft.functions.AggFunctions.ratioQ(
+          sum(col("cnt")).over(cum), col("n_total"), 4).as("cum_cov"),
         col("vocab"))
     CachedStage(counts, result)
   }
@@ -941,7 +981,8 @@ object TextAnalysis {
       .join(uniqueOwned, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        round(coalesce(col("n_unique"), lit(0L)) / col("n_shingles"), 4)
+        graft.functions.AggFunctions.ratioQ(
+          coalesce(col("n_unique"), lit(0L)), col("n_shingles"), 4)
           .as("novelty"))
     CachedStage(perDoc, result)
   }
@@ -980,7 +1021,8 @@ object TextAnalysis {
       // one-row corpus-size relation — broadcast safe by construction
       .crossJoin(broadcast(nDocs))
       .select(col("shingle"), col("df"),
-        round(col("df") / col("n_docs"), 4).as("doc_share"))
+        graft.functions.AggFunctions.ratioQ(
+          col("df"), col("n_docs"), 4).as("doc_share"))
     CachedStage(pd, result)
   }
 }

@@ -120,8 +120,8 @@ object Validation {
       .select(col("r.check_name").as("check_name"),
         col("r.violations").as("violations"),
         col("_n").as("n_rows"),
-        round(col("r.violations") / nullif(col("_n"), lit(0L)), 4)
-          .as("violation_frac"),
+        graft.functions.AggFunctions.ratioQ(
+          col("r.violations"), col("_n"), 4).as("violation_frac"),
         when(col("r.violations") === 0L, lit("pass")).otherwise(lit("fail"))
           .as("status"))
   }
@@ -183,8 +183,8 @@ object Validation {
         col("_n"))
       .select(col("w_start"), col("r.check_name").as("check_name"),
         col("r.violations").as("violations"), col("_n").as("n_rows"),
-        round(col("r.violations") / nullif(col("_n"), lit(0L)), 4)
-          .as("violation_frac"),
+        graft.functions.AggFunctions.ratioQ(
+          col("r.violations"), col("_n"), 4).as("violation_frac"),
         when(col("r.violations") === 0L, lit("pass")).otherwise(lit("fail"))
           .as("status"))
   }

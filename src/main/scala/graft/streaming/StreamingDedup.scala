@@ -94,7 +94,7 @@ object StreamingDedup {
       .join(corpBands, Seq("band_idx", "band_hash"))
       .join(corpSh, "corp_id")
       .select(col("ts"), col("doc_id"), col("corp_id"),
-        round(Dedup.jaccard(col("sh_in"), col("sh_corp")), 4).as("jaccard"))
+        Dedup.jaccardQ(col("sh_in"), col("sh_corp")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("doc_id", "corp_id")

@@ -130,14 +130,16 @@ object QueryFuzz {
         case 1 =>
           // mean4, not round(avg(x), 4): seed 3153 found the mean of a
           // parallel double sum within an ulp of a .00005 boundary —
-          // the 4th decimal flipped between engines (see AggFunctions
-          // .mean4; the 2-dp measures make the micros quantization exact)
+          // the 4th decimal flipped between engines; and seed 7249
+          // found round-of-double itself cross-engine-undefined when
+          // the TRUE rational mean sits exactly ON the boundary, so
+          // both renderings now round in exact integer arithmetic
+          // (see AggFunctions.mean4/mean4Sql — a serialization pair)
           val c = nums(rnd.nextInt(nums.length))
           if (used.add(s"avg_$c"))
             picks += Both(
               graft.functions.AggFunctions.mean4(col(c)).as(s"a_avg_$c"),
-              s"round(sum(CAST(round($c * 1000000.0) AS BIGINT)) / " +
-                s"(1000000.0 * count($c)), 4) AS a_avg_$c")
+              graft.functions.AggFunctions.mean4Sql(c) + s" AS a_avg_$c")
         case 2 =>
           val c = ints(rnd.nextInt(ints.length))
           val mx = rnd.nextBoolean()
@@ -774,6 +776,84 @@ object QueryFuzz {
     FuzzQuery(s"fz_$seed", build, sql)
   }
 
+  /** Decimal-join fuzz (kind 16): the decimal plane pushed into JOIN
+    * KEYS (VERDICT r17 #7) — the equi-join runs on CAST(intKey AS
+    * DECIMAL(12,2)) against either a decimal twin or a DOUBLE cast of
+    * the other side's key (the mixed-type coercion path). Both key
+    * families are integer-valued, so every cast is exact in both
+    * engines and the join's type-coercion semantics are differentially
+    * testable without representability noise; measures aggregate as
+    * exact decimal sums/extremes per a left-table category.
+    */
+  private def decJoin(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val (li, ri, lk, rk) = joins(rnd.nextInt(joins.length))
+    val lt = tables(li); val rt = tables(ri)
+    val la = lt.name.take(1); val ra = rt.name.take(1)
+    val mixed = rnd.nextBoolean() // decimal = double vs decimal = decimal
+    val g = lt.cats(rnd.nextInt(lt.cats.length)).name
+    val numT = if (rnd.nextBoolean()) lt else rt
+    val num = numT.nums(rnd.nextInt(numT.nums.length)).name
+    val predT = Seq.fill(rnd.nextInt(2))(if (rnd.nextBoolean()) lt else rt)
+    val preds = predT.map(t => predicate(rnd, t, qualify = true))
+    val whereSql = if (preds.isEmpty) ""
+      else s"\nWHERE (${preds.map(_.sql).mkString(") AND (")})"
+    def d(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val rKeySql = if (mixed) s"CAST($ra.$rk AS DOUBLE)" else d(s"$ra.$rk")
+    val sql = s"SELECT $la.$g AS g1, CAST(count(*) AS BIGINT) AS a_cnt,\n" +
+      s"  sum(${d(num)}) AS a_dsum, min(${d(num)}) AS a_dmin\n" +
+      s"FROM ${lt.name} $la JOIN ${rt.name} $ra" +
+      s"\n  ON ${d(s"$la.$lk")} = $rKeySql$whereSql" +
+      s"\nGROUP BY g1"
+    val build = (s: SparkSession, dir: String) => {
+      val rKey = if (mixed) col(rk).cast("double")
+        else col(rk).cast("decimal(12,2)")
+      var df = lt.load(s, dir).join(rt.load(s, dir),
+        col(lk).cast("decimal(12,2)") === rKey)
+      if (preds.nonEmpty) df = df.filter(preds.map(_.col).reduce(_ && _))
+      val dv = col(num).cast("decimal(12,2)")
+      df.withColumn("g1", col(g)).groupBy(col("g1"))
+        .agg(count(lit(1)).as("a_cnt"), sum(dv).as("a_dsum"),
+          min(dv).as("a_dmin"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
+  /** Decimal-rollup fuzz (kind 17): ROLLUP/CUBE over decimal measures
+    * (VERDICT r17 #7) — kind 12's grouping-set expansion with kind 15's
+    * exact decimal sum/min/max riding through the subtotal rows, so the
+    * null-marked grouping levels exercise decimal aggregation state in
+    * both engines.
+    */
+  private def decRollup(seed: Long, rnd: scala.util.Random): FuzzQuery = {
+    val t = tables(rnd.nextInt(tables.length))
+    val cat = t.cats(rnd.nextInt(t.cats.length)).name
+    val ic = t.ints(rnd.nextInt(t.ints.length))
+    val m = 2 + rnd.nextInt(5)
+    val cube = rnd.nextBoolean()
+    val n1 = t.nums(rnd.nextInt(t.nums.length)).name
+    val preds = Seq.fill(rnd.nextInt(2))(predicate(rnd, t, qualify = false))
+    val whereSql = if (preds.isEmpty) ""
+      else s"\nWHERE (${preds.map(_.sql).mkString(") AND (")})"
+    def d(c: String) = s"CAST($c AS DECIMAL(12,2))"
+    val op = if (cube) "CUBE" else "ROLLUP"
+    val sql = s"SELECT $cat AS g1, $ic % $m AS g2, " +
+      s"CAST(count(*) AS BIGINT) AS a_cnt,\n" +
+      s"  sum(${d(n1)}) AS a_dsum, min(${d(n1)}) AS a_dmin, " +
+      s"max(${d(n1)}) AS a_dmax" +
+      s"\nFROM ${t.name}$whereSql\nGROUP BY $op($cat, $ic % $m)"
+    val build = (s: SparkSession, dir: String) => {
+      var df = t.load(s, dir)
+      if (preds.nonEmpty) df = df.filter(preds.map(_.col).reduce(_ && _))
+      df = df.withColumn("g1", col(cat)).withColumn("g2", col(ic) % m)
+      val dv = col(n1).cast("decimal(12,2)")
+      val g = if (cube) df.cube(col("g1"), col("g2"))
+        else df.rollup(col("g1"), col("g2"))
+      g.agg(count(lit(1)).as("a_cnt"), sum(dv).as("a_dsum"),
+        min(dv).as("a_dmin"), max(dv).as("a_dmax"))
+    }
+    FuzzQuery(s"fz_$seed", build, sql)
+  }
+
   def generate(seed: Long): FuzzQuery = {
     // double-seeded: java.util.Random's FIRST draw is heavily correlated
     // across adjacent seeds, and kind is the first draw — measured: 700
@@ -783,7 +863,9 @@ object QueryFuzz {
     // generator decorrelates the stream; past batteries remain valid
     // records of the generator version that produced them.
     val rnd = new scala.util.Random(new scala.util.Random(seed).nextLong())
-    val kind = rnd.nextInt(16)
+    val kind = rnd.nextInt(18)
+    if (kind == 17) return decRollup(seed, rnd)
+    if (kind == 16) return decJoin(seed, rnd)
     if (kind == 15) return decAgg(seed, rnd)
     if (kind == 14) return condAgg(seed, rnd)
     if (kind == 13) return setOp(seed, rnd)

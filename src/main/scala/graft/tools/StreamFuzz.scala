@@ -39,26 +39,37 @@ import org.apache.spark.sql.functions._
   * maximum, and chained stateful operators (dedup→agg, agg→join) need
   * one extra batch per level to drain.
   *
-  * Eight plan kinds: tumbling agg, sliding agg, session windows,
+  * Ten plan kinds: tumbling agg, sliding agg, session windows,
   * tumbling agg + post-aggregation filter, the two-aggregate
   * stream-stream join (the SolarStreaming.streamStreamJoin shape),
   * exact-duplicate drop → windowed agg, the RAW stream-stream
   * time-range join (the join state machine itself — even keys left,
-  * odd keys right, ±tol interval condition), and the stream-static
-  * broadcast dimension join re-aggregated per (window, tier). Run
-  * standalone: `sbt "runMain graft.tools.StreamFuzz <fromSeed>
-  * <toSeed>"` (STREAM_FUZZ_VERBOSE=1 prints every seed's kind/rows);
-  * StreamFuzzSpec runs the recorded battery in-suite.
+  * odd keys right, ±tol interval condition), the stream-static
+  * broadcast dimension join re-aggregated per (window, tier), and two
+  * non-append kinds (VERDICT r17 #5): UPDATE-mode tumbling aggregation
+  * (per-key update history reduced to finals by the strictly-monotone
+  * `a_cnt`, compared against BOTH the batch fold and the append-mode
+  * suppress twin on the same feed) and KILL-AND-RESUME (a file-source
+  * feed checkpointed across a mid-feed stop/start — the accumulated
+  * emissions must equal the batch fold exactly once, no replays, no
+  * losses). Run standalone: `sbt "runMain graft.tools.StreamFuzz
+  * <fromSeed> <toSeed>"` (STREAM_FUZZ_VERBOSE=1 prints every seed's
+  * kind/rows); StreamFuzzSpec runs the recorded battery in-suite.
   */
 object StreamFuzz {
 
   type Ev = (Timestamp, Long, String, Double)
 
   /** One generated differential case: micro-batch chunks (main data),
-    * flush batches, and the single builder both legs share.
+    * flush batches, and the single builder both legs share. `mode`
+    * selects the streaming harness: "append" (memory sink, emit-once),
+    * "update" (memory sink in update mode, finals extracted by the
+    * strictly-monotone a_cnt and ALSO compared to the append twin), or
+    * "restart" (file source + checkpoint, killed and resumed mid-feed).
     */
   final case class SFQuery(name: String, chunks: Seq[Seq[Ev]],
-                           flush: Seq[Ev], build: DataFrame => DataFrame) {
+                           flush: Seq[Ev], build: DataFrame => DataFrame,
+                           mode: String = "append") {
     def allRows: Seq[Ev] = chunks.flatten ++ flush
   }
 
@@ -136,7 +147,7 @@ object StreamFuzz {
     val pickNames = picked.map(_._1)
     val wdur = s"$win seconds"
 
-    val kind = rnd.nextInt(8)
+    val kind = rnd.nextInt(10)
     // every seeded parameter draws HERE: the build closure runs once per
     // LEG, so a draw inside it would desynchronize the two plans (and
     // break generate's purity)
@@ -189,6 +200,26 @@ object StreamFuzz {
           flat(w.dropDuplicates(Seq("ts", "key", "cat", "value"))
             .groupBy(window(col("ts"), wdur).as("w"), col("cat"))
             .agg(pickCols.head, pickCols.tail: _*), Seq("cat"))
+        case 8 =>
+          // UPDATE-mode tumbling aggregation (harness differs: the
+          // memory sink accumulates every per-batch update; the runner
+          // reduces the history to finals by max a_cnt, which is
+          // strictly monotone across one key's updates). a_cnt leads so
+          // the extraction key always exists.
+          val u = Seq("a_cnt" -> count(lit(1))) ++
+            picked.filterNot(_._1 == "a_cnt")
+          w.groupBy(window(col("ts"), wdur).as("w"), col("cat"))
+            .agg(u.map { case (nm, c) => c.as(nm) }.head,
+              u.map { case (nm, c) => c.as(nm) }.tail: _*)
+            .select((Seq(col("w.start").cast("long").as("w_start"),
+              col("cat")) ++ u.map(_._1).map(col)): _*)
+        case 9 =>
+          // KILL-AND-RESUME: the kind-0 plan, but the runner feeds it
+          // through a checkpointed file source stopped and restarted
+          // mid-feed — the plan under test is the recovery path, not a
+          // new operator shape
+          flat(w.groupBy(window(col("ts"), wdur).as("w"), col("cat"))
+            .agg(pickCols.head, pickCols.tail: _*), Seq("cat"))
         case 6 =>
           // RAW stream-stream inner join with a time-range condition —
           // the join STATE MACHINE itself (the agg-join of kind 4 only
@@ -219,7 +250,12 @@ object StreamFuzz {
             .agg(pickCols.head, pickCols.tail: _*), Seq("tier"))
       }
     }
-    SFQuery(s"sfz_${seed}_k$kind", chunks.map(_.toSeq).toSeq, flush, build)
+    SFQuery(s"sfz_${seed}_k$kind", chunks.map(_.toSeq).toSeq, flush, build,
+      mode = kind match {
+        case 8 => "update"
+        case 9 => "restart"
+        case _ => "append"
+      })
   }
 
   /** Canonical row rendering: null-safe stringification sorted — the
@@ -229,26 +265,135 @@ object StreamFuzz {
     df.collect().toSeq
       .map(_.toSeq.map(v => String.valueOf(v)).mkString("|")).sorted
 
-  /** Runs both legs; returns (streamed, batch) canonical rows. */
+  /** Runs both legs; returns (streamed, batch) canonical rows. For
+    * mode = "update" the streamed leg is the per-key FINAL update (and a
+    * divergence from the append-mode suppress twin on the same feed is
+    * reported as a marker row, so it can never pass silently); for
+    * mode = "restart" the streamed leg is the emission history of a
+    * checkpointed query killed and resumed mid-feed.
+    */
   def runOne(spark: SparkSession, q: SFQuery): (Seq[String], Seq[String]) = {
+    val batch = {
+      import spark.implicits._
+      canon(q.build(q.allRows.toDF("ts", "key", "cat", "value")))
+    }
+    val streamed = q.mode match {
+      case "update"  => runUpdate(spark, q)
+      case "restart" => runRestart(spark, q)
+      case _         => runAppend(spark, q)
+    }
+    (streamed, batch)
+  }
+
+  private def runAppend(spark: SparkSession, q: SFQuery,
+                        suffix: String = "_t"): Seq[String] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Ev]
-    val name = q.name + "_t"
+    val name = q.name + suffix
     val sq = q.build(input.toDF().toDF("ts", "key", "cat", "value"))
       .writeStream.format("memory").queryName(name).outputMode("append")
       .start()
     try {
       q.chunks.foreach { c => input.addData(c: _*); sq.processAllAvailable() }
       q.flush.foreach { f => input.addData(f); sq.processAllAvailable() }
-      val streamed = canon(spark.table(name))
-      val batch = canon(
-        q.build(q.allRows.toDF("ts", "key", "cat", "value")))
-      (streamed, batch)
+      canon(spark.table(name))
     } finally {
       sq.stop()
       spark.catalog.dropTempView(name)
       ()
+    }
+  }
+
+  /** Update-mode leg: the memory sink accumulates every per-batch
+    * update; the FINAL row per (w_start, cat) is the one at max a_cnt
+    * (strictly monotone — every update to a key adds rows, so its count
+    * grows). The finals must equal the batch fold AND the append-mode
+    * suppress twin over the same feed — the twin check rides along as a
+    * marker row on divergence.
+    */
+  private def runUpdate(spark: SparkSession, q: SFQuery): Seq[String] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val name = q.name + "_u"
+    val sq = q.build(input.toDF().toDF("ts", "key", "cat", "value"))
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .start()
+    val finals = try {
+      q.chunks.foreach { c => input.addData(c: _*); sq.processAllAvailable() }
+      q.flush.foreach { f => input.addData(f); sq.processAllAvailable() }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("w_start", "cat").orderBy(col("a_cnt").desc)
+      canon(spark.table(name)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn"))
+    } finally {
+      sq.stop()
+      spark.catalog.dropTempView(name)
+      ()
+    }
+    val twin = runAppend(spark, q, suffix = "_u_twin")
+    if (twin == finals) finals
+    else finals :+ s"UPDATE_VS_APPEND_TWIN_DIVERGED: twin=${twin.size} " +
+      s"finals=${finals.size} firstDiff=${
+        (twin.diff(finals) ++ finals.diff(twin)).headOption.getOrElse("?")}"
+  }
+
+  /** Kill-and-resume leg: the feed lands in a parquet directory read by
+    * a checkpointed file-source query that is STOPPED after the first
+    * half of the chunks and resumed as a fresh query on the same
+    * checkpoint (the StreamingRecoverySpec discipline, seeded). The
+    * accumulated foreachBatch emissions must equal the batch fold —
+    * exactly once across the restart boundary, no replays, no losses.
+    */
+  private def runRestart(spark: SparkSession, q: SFQuery): Seq[String] = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_sfz_src_").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_sfz_ckpt_").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cat",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val emitted = scala.collection.mutable.Buffer[String]()
+    def writeBatch(rows: Seq[Ev]): Unit =
+      rows.toDF("ts", "key", "cat", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runUntilIdle(): Unit = {
+      val sq = q.build(spark.readStream.schema(schema).parquet(srcDir))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted.synchronized { emitted ++= canon(b) }
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+    }
+    try {
+      val splitAt = math.max(1, q.chunks.size / 2)
+      q.chunks.take(splitAt).foreach(writeBatch)
+      runUntilIdle() // run 1, killed mid-feed
+      q.chunks.drop(splitAt).foreach(writeBatch)
+      q.flush.foreach(f => writeBatch(Seq(f)))
+      runUntilIdle() // run 2 resumes from the checkpoint
+      emitted.sorted.toSeq
+    } finally {
+      def rm(p: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rm(srcDir); rm(ckptDir)
     }
   }
 

@@ -16,7 +16,12 @@ import graft.tools.QueryFuzz
   * queries total, one finding, fixed. Round 17 added kind 15 decAgg —
   * decimal(12,2) cast sums/min/max/product sums, the q198/q199
   * discipline generalized — making generate() draw nextInt(16); its
-  * batteries are recorded in SURVEY's round-20 table);
+  * batteries are recorded in SURVEY's round-20 table. Round 18 added
+  * kind 16 decJoin — decimal-cast equi-join keys, half the draws MIXED
+  * decimal-vs-double on integer-valued keys so the cross-type coercion
+  * is exact in both engines — and kind 17 decRollup — ROLLUP/CUBE over
+  * decimal sum/min/max — making generate() draw nextInt(18); battery in
+  * SURVEY's round-21 table);
   * in-suite we pin what must hold for that comparison to stay
   * meaningful: generation is a pure function of the seed, every
   * generated plan executes, aliases match between the two renderings,

@@ -9,7 +9,14 @@ import graft.tools.StreamFuzz
   * stream-static dimension join, ALL OK, and 500 more (3001–3500)
   * after the double-seeding decorrelation, ALL OK — 1,500 streaming
   * differential queries, one harness finding (the watermark pushdown
-  * trap below), zero engine findings. The fuzzer's FIRST TEN seeds
+  * trap below), zero engine findings. Round 18 (VERDICT r17 #5) widened
+  * the generator to 10 kinds: kind 8 UPDATE-mode aggregation (per-key
+  * update history reduced to finals by the strictly-monotone a_cnt,
+  * checked against BOTH the batch fold and the append-mode suppress
+  * twin) and kind 9 KILL-AND-RESUME (a checkpointed file-source query
+  * stopped after half the chunks and resumed — emissions must equal the
+  * batch fold exactly once across the restart); its battery is recorded
+  * in SURVEY's round-21 table. The fuzzer's FIRST TEN seeds
   * caught a real harness-level trap: a flush filter that does not
   * reference the event-time column is pushed BELOW the
   * EventTimeWatermark node, so flush rows never advance the clock and
