@@ -593,6 +593,40 @@ object AggFunctions {
       .otherwise((sign * q).cast("double") / lit(tenD.toDouble))
   }
 
+  /** [[ratioQ]] restricted to NON-NEGATIVE operands (count/size
+    * ratios): references `a` exactly ONCE — the sign/abs machinery that
+    * makes the general form reference it three times would re-evaluate
+    * an expensive operand (an array_intersect, a kernel composite)
+    * per reference, which benched q113 at 2.4× and q104 at 2.2×. Use
+    * this whenever `a` is an unmaterialized expression and both
+    * operands are provably ≥ 0; same null/zero-denominator rules.
+    */
+  def ratioQNN(a: Column, b: Column, decimals: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
+    val tenD = math.pow(10, decimals).toLong
+    val aD = a.cast("decimal(38,0)")
+    val bD = b.cast("decimal(38,0)")
+    val q = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(aD * lit(2L * tenD) + bD),
+        Bridge.expression(
+          when(bD === 0, lit(1L).cast("decimal(38,0)"))
+            .otherwise(bD) * 2)))
+    when(bD === 0, lit(null).cast("double"))
+      .otherwise(q.cast("double") / lit(tenD.toDouble))
+  }
+
+  /** Raw integral division as a Column — for call sites that hand-tune
+    * operand reference counts around expensive child expressions (see
+    * `Dedup.jaccardQ`) instead of going through [[ratioQ]]'s generic
+    * spelling.
+    */
+  def intDiv(a: Column, b: Column): Column =
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(a), Bridge.expression(b)))
+
   /** The DuckDB replay of [[ratioQ]] — serialization pair, kept
     * adjacent. DuckDB's `// 0` is NULL (verified v1.0), so the b = 0
     * case needs no guard; `sum(BIGINT)` operands arrive as HUGEINT.

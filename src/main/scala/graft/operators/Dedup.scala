@@ -82,9 +82,21 @@ object Dedup {
     * denominators that land ON 4-dp half boundaries).
     */
   def jaccardQ(shA: Column, shB: Column): Column = {
-    val inter = size(array_intersect(shA, shB))
-    graft.functions.AggFunctions.ratioQ(inter,
-      size(shA) + size(shB) - inter, 4)
+    // jaccard = i/(u−i) with u = |A|+|B| (sizes — cheap) and i the
+    // array_intersect (expensive): the HALF_UP-at-4 integer rounding is
+    // spelled q = ⌊((2·10⁴−1)·i + u) / (2(u−i))⌋ so `i` is referenced
+    // exactly TWICE — the same intersect count as the old
+    // round(i/(u−i), 4) spelling (a generic ratioQ referenced it 3-4×
+    // and benched the q113 truth sweep at 2.4×). u − i = 0 ⟺ u = 0
+    // (i ≤ min(|A|,|B|) forces u − i ≥ max(|A|,|B|)), so the null/ANSI
+    // guards ride the cheap u.
+    val i = size(array_intersect(shA, shB)).cast("decimal(38,0)")
+    val u = (size(shA) + size(shB)).cast("decimal(38,0)")
+    val q = graft.functions.AggFunctions.intDiv(
+      i * lit(19999L) + u,
+      when(u === 0, lit(2L).cast("decimal(38,0)")).otherwise((u - i) * 2))
+    when(u === 0, lit(null).cast("double"))
+      .otherwise(q.cast("double") / lit(1e4))
   }
 
   /** MinHash LSH near-dup detection with exact-Jaccard verification of the
@@ -1234,7 +1246,7 @@ object Dedup {
         col("n").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (inter / (col("na") + col("nb") - inter)).as("j"),
-        graft.functions.AggFunctions.ratioQ(inter,
+        graft.functions.AggFunctions.ratioQNN(inter,
           col("na") + col("nb") - inter, 4).as("jq"))
       .filter(col("j") >= t) // selection on the raw ratio, like the oracle
       .select(col("id_a"), col("id_b"), col("jq").as("jaccard"))

@@ -96,7 +96,9 @@ object TextAnalysis {
     val s = nStop.cast("long")
     val n = least(w, lit(100L)) * c * w * 4 +
       (c - p) * w * 300 + least(s * 5, w) * c * 300
-    graft.functions.AggFunctions.ratioQ(n, c * w * 1000, 4)
+    // ratioQNN: every term is >= 0 (punct count <= char count) and N is
+    // a kernel composite the general form would evaluate three times
+    graft.functions.AggFunctions.ratioQNN(n, c * w * 1000, 4)
   }
 
   /** The DuckDB replay of [[qualityExpr]] — serialization pair, kept
@@ -319,7 +321,7 @@ object TextAnalysis {
       size(ltoks).as("n_words"),
       // 1 - distinct/total respelled (total-distinct)/total so the
       // exact-integer rounding applies (ratioQ; n_words >= 1 always)
-      graft.functions.AggFunctions.ratioQ(
+      graft.functions.AggFunctions.ratioQNN(
         size(ltoks) - size(array_distinct(ltoks)), size(ltoks), 4)
         .as("dup_word_frac"))
     val bgStats = docs
@@ -709,7 +711,7 @@ object TextAnalysis {
       // one-row corpus-totals relation — broadcast safe by construction
       .crossJoin(broadcast(totals))
       .select(row_number().over(ord).as("rank"), col("tok"), col("cnt"),
-        graft.functions.AggFunctions.ratioQ(
+        graft.functions.AggFunctions.ratioQNN(
           sum(col("cnt")).over(cum), col("n_total"), 4).as("cum_cov"),
         col("vocab"))
     CachedStage(counts, result)

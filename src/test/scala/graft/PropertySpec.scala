@@ -298,4 +298,68 @@ class PropertySpec extends SparkSpecBase {
     assert(withNulls === 1.5)
     spark.catalog.clearCache()
   }
+
+  test("meanQ rounds the TRUE rational at exact half boundaries " +
+       "(fuzz seed 7249's fixture)") {
+    // eight c_acctbal values summing to 40054270000 micros: the true
+    // mean is 5006.78375 EXACTLY (on the 4-dp half boundary) while the
+    // nearest double is below it — round-of-double answered .7837 or
+    // .7838 depending on the engine's round definition; the exact
+    // integer spelling must give the rational's HALF_UP, .7838, under
+    // any partitioning
+    val vals = Seq(5006.78, 5006.78, 5006.78, 5006.78,
+      5006.78, 5006.78, 5006.80, 5006.79) // sum 40054.27 → mean 5006.78375
+    assert(vals.map(v => math.round(v * 100).toLong).sum * 10000L ===
+      40054270000L) // fixture sanity: the seed's exact micros sum
+    Seq(1, 3, 8).foreach { p =>
+      val m = vals.toDF("x").repartition(p)
+        .agg(graft.functions.AggFunctions.mean4(col("x")))
+        .head().getDouble(0)
+      assert(m === 5006.7838, s"partitions=$p")
+    }
+    // the d=1 twin at a .05 boundary: mean 7.25 → 7.3 (away from zero),
+    // and -7.25 → -7.3
+    val up = Seq(7.2, 7.3).toDF("x")
+      .agg(graft.functions.AggFunctions.meanQ(col("x"), 1))
+      .head().getDouble(0)
+    assert(up === 7.3)
+    val dn = Seq(-7.2, -7.3).toDF("x")
+      .agg(graft.functions.AggFunctions.meanQ(col("x"), 1))
+      .head().getDouble(0)
+    assert(dn === -7.3)
+    spark.catalog.clearCache()
+  }
+
+  test("ratioQ: exact HALF_UP at boundary rationals, sign, zero and " +
+       "null denominators") {
+    import graft.functions.AggFunctions.ratioQ
+    // 1/160 = 0.00625 exactly on the 4-dp boundary but NOT binary-
+    // representable — the double-round class the exact spelling closes
+    val rows = Seq[(Long, Long)]((1L, 160L), (-1L, 160L), (1L, -160L),
+      (3L, 8L), (7L, 0L)).toDF("a", "b")
+      .select(ratioQ(col("a"), col("b"), 4).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows(0) === Some(0.0063)) // half up
+    assert(rows(1) === Some(-0.0063)) // away from zero
+    assert(rows(2) === Some(-0.0063)) // sign from either operand
+    assert(rows(3) === Some(0.375)) // binary-exact stays exact
+    assert(rows(4) === None) // b = 0 → null (the NULLIF discipline)
+    // null operands propagate
+    val n = Seq[(Option[Long], Option[Long])]((None, Some(2L)),
+      (Some(2L), None)).toDF("a", "b")
+      .select(ratioQ(col("a"), col("b"), 4)).collect()
+    assert(n.forall(_.isNullAt(0)))
+    // agrees with BigDecimal HALF_UP of the exact rational on a sweep
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(300)((rnd.nextInt(20001) - 10000).toLong ->
+      (1L + rnd.nextInt(25000)))
+    val got = cases.toDF("a", "b")
+      .select(ratioQ(col("a"), col("b"), 4)).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b), g) =>
+      val exact = (BigDecimal(a) / BigDecimal(b))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(g === exact, s"$a/$b")
+    }
+    spark.catalog.clearCache()
+  }
 }
