@@ -83,6 +83,101 @@ case class HistogramAgg(
     copy(child = newChild)
 }
 
+/** Exact Σ round_half_away(x·10⁶) as decimal(38,0) — [[AggFunctions.meanQ]]'s
+  * micros sum as ONE imperative aggregate over a two-long signed int128
+  * accumulator. The declarative spelling (`sum(round(x·1e6).cast(
+  * decimal(38,0)))`) pays per-row Decimal128 construction and decimal
+  * addition, which `ProbeRound21` priced at **14×** a plain double avg on
+  * a scan-bound 100 M-row aggregate; here the per-row work is one double
+  * multiply, one `Math.round`, and a three-instruction 128-bit add, with
+  * the Decimal materialized once per GROUP at eval.
+  *
+  * Semantics match the declarative spelling on its documented domain
+  * (finite inputs, |x| < 9.2e12 so x·10⁶ fits a long): the quantization
+  * is half away from zero on the binary double (`Math.round` for
+  * positives, mirrored for negatives) — for ≤6-decimal inputs x·10⁶ is
+  * within an ulp of an integer, where this, Spark's `round`, and
+  * DuckDB's `round` all agree. NaN inputs are SKIPPED exactly like the
+  * declarative form (round(NaN) → null → sum skips); all-null/all-NaN
+  * groups yield null like `sum`. Overflow headroom is int128 (±1.7e38),
+  * the same class as the decimal(38,0) it replaces. Buffer: (hi, lo,
+  * seen) — 24 bytes per group on the shuffle, partial-merge-safe in
+  * batch and streaming state.
+  */
+case class MicrosSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "micros_sum"
+  override def nullable: Boolean = true
+  override def dataType: DataType = DecimalType(38, 0)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](3)
+
+  // signed-int128 add of a long addend: lo is the unsigned low word,
+  // v sign-extends into the high word; carry via the standard
+  // unsigned-overflow predicate
+  private def add128(buf: Array[Long], v: Long): Unit = {
+    val lo = buf(1)
+    val newLo = lo + v
+    val carry = ((lo & v) | ((lo | v) & ~newLo)) >>> 63
+    buf(0) += (v >> 63) + carry
+    buf(1) = newLo
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      if (!x.isNaN) {
+        val d = x * 1000000.0
+        add128(buf, if (d >= 0) Math.round(d) else -Math.round(-d))
+        buf(2) = 1L
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    val lo1 = b1(1); val lo2 = b2(1)
+    val newLo = lo1 + lo2
+    val carry = ((lo1 & lo2) | ((lo1 | lo2) & ~newLo)) >>> 63
+    b1(0) += b2(0) + carry
+    b1(1) = newLo
+    b1(2) |= b2(2)
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    if (buf(2) == 0L) null
+    else {
+      val bi = java.math.BigInteger.valueOf(buf(0)).shiftLeft(64)
+        .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(buf(1))))
+      Decimal(new java.math.BigDecimal(bi), 38, 0)
+    }
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(24)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array(bb.getLong, bb.getLong, bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MicrosSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MicrosSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): MicrosSumAgg =
+    copy(child = newChild)
+}
+
 /** FNV-1a 64-bit over UTF-8 bytes with a per-row seed — the row hashes of
   * [[CountMinAgg]]/[[CmsQuery]]. Cheap (no allocation), and parity is a
   * non-issue: the oracle never replays the sketch, it checks the sketch's
@@ -524,8 +619,12 @@ object AggFunctions {
     import org.apache.spark.sql.functions.{abs, count, lit, sum, when}
     require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
     val p = math.pow(10, 6 - decimals).toLong
-    val s = sum(org.apache.spark.sql.functions.round(c * lit(1000000.0))
-      .cast("decimal(38,0)"))
+    // the micros sum runs through [[MicrosSumAgg]] (int128 accumulator)
+    // rather than sum(round(c·1e6).cast(decimal(38,0))): identical value
+    // on the documented domain, ~5× cheaper per row (ProbeRound21)
+    val s = Bridge.column(
+      MicrosSumAgg(Bridge.expression(c.cast("double")))
+        .toAggregateExpression())
     // count = 0 ⇒ the sum is already null and the result null-propagates;
     // the denominator clamps to 1 so ANSI integral division never sees a
     // zero divisor on the empty/all-null group

@@ -50,9 +50,12 @@ import org.apache.spark.sql.functions._
   * (per-key update history reduced to finals by the strictly-monotone
   * `a_cnt`, compared against BOTH the batch fold and the append-mode
   * suppress twin on the same feed) and KILL-AND-RESUME (a file-source
-  * feed checkpointed across a mid-feed stop/start — the accumulated
+  * feed checkpointed across a mid-feed stop/start, itself running in
+  * append OR update mode by a seeded coin — append: the accumulated
   * emissions must equal the batch fold exactly once, no replays, no
-  * losses). Run standalone: `sbt "runMain graft.tools.StreamFuzz
+  * losses; update: the per-key finals must show a_cnt CONTINUING
+  * through the checkpoint, i.e. exact state restoration under update
+  * semantics). Run standalone: `sbt "runMain graft.tools.StreamFuzz
   * <fromSeed> <toSeed>"` (STREAM_FUZZ_VERBOSE=1 prints every seed's
   * kind/rows); StreamFuzzSpec runs the recorded battery in-suite.
   */
@@ -158,6 +161,10 @@ object StreamFuzz {
     // seed-built dimension relation for the stream-static kind
     val dim = (0 until nKeys).map(k => (k.toLong,
       Seq("gold", "silver", "bronze")(rnd.nextInt(3))))
+    // kind 9's restart harness runs in append OR update mode — drawn
+    // LAST so every earlier draw (data, windows, aggs) stays
+    // byte-identical to the recorded batteries' generator version
+    val restartUpdate = rnd.nextBoolean()
     val build: DataFrame => DataFrame = { df =>
       // watermark FIRST, then the flush filter: flush rows advance the
       // clock but never reach an operator (ts-referencing, so it stays
@@ -213,13 +220,26 @@ object StreamFuzz {
               u.map { case (nm, c) => c.as(nm) }.tail: _*)
             .select((Seq(col("w.start").cast("long").as("w_start"),
               col("cat")) ++ u.map(_._1).map(col)): _*)
-        case 9 =>
-          // KILL-AND-RESUME: the kind-0 plan, but the runner feeds it
-          // through a checkpointed file source stopped and restarted
-          // mid-feed — the plan under test is the recovery path, not a
-          // new operator shape
+        case 9 if !restartUpdate =>
+          // KILL-AND-RESUME (append): the kind-0 plan, but the runner
+          // feeds it through a checkpointed file source stopped and
+          // restarted mid-feed — the plan under test is the recovery
+          // path, not a new operator shape
           flat(w.groupBy(window(col("ts"), wdur).as("w"), col("cat"))
             .agg(pickCols.head, pickCols.tail: _*), Seq("cat"))
+        case 9 =>
+          // KILL-AND-RESUME (update): the kind-8 plan across a restart
+          // boundary — restored state must CONTINUE the per-key update
+          // lineage (a_cnt stays monotone through the checkpoint), so
+          // the post-restart finals equal the batch fold only if the
+          // aggregation state was restored exactly
+          val u = Seq("a_cnt" -> count(lit(1))) ++
+            picked.filterNot(_._1 == "a_cnt")
+          w.groupBy(window(col("ts"), wdur).as("w"), col("cat"))
+            .agg(u.map { case (nm, c) => c.as(nm) }.head,
+              u.map { case (nm, c) => c.as(nm) }.tail: _*)
+            .select((Seq(col("w.start").cast("long").as("w_start"),
+              col("cat")) ++ u.map(_._1).map(col)): _*)
         case 6 =>
           // RAW stream-stream inner join with a time-range condition —
           // the join STATE MACHINE itself (the agg-join of kind 4 only
@@ -253,7 +273,7 @@ object StreamFuzz {
     SFQuery(s"sfz_${seed}_k$kind", chunks.map(_.toSeq).toSeq, flush, build,
       mode = kind match {
         case 8 => "update"
-        case 9 => "restart"
+        case 9 => if (restartUpdate) "restart_update" else "restart"
         case _ => "append"
       })
   }
@@ -278,9 +298,10 @@ object StreamFuzz {
       canon(q.build(q.allRows.toDF("ts", "key", "cat", "value")))
     }
     val streamed = q.mode match {
-      case "update"  => runUpdate(spark, q)
-      case "restart" => runRestart(spark, q)
-      case _         => runAppend(spark, q)
+      case "update"         => runUpdate(spark, q)
+      case "restart"        => runRestart(spark, q)
+      case "restart_update" => runRestart(spark, q, update = true)
+      case _                => runAppend(spark, q)
     }
     (streamed, batch)
   }
@@ -343,11 +364,18 @@ object StreamFuzz {
   /** Kill-and-resume leg: the feed lands in a parquet directory read by
     * a checkpointed file-source query that is STOPPED after the first
     * half of the chunks and resumed as a fresh query on the same
-    * checkpoint (the StreamingRecoverySpec discipline, seeded). The
-    * accumulated foreachBatch emissions must equal the batch fold —
-    * exactly once across the restart boundary, no replays, no losses.
+    * checkpoint (the StreamingRecoverySpec discipline, seeded). In
+    * append mode the accumulated foreachBatch emissions must equal the
+    * batch fold — exactly once across the restart boundary, no replays,
+    * no losses. With `update = true` the same harness runs the kind-8
+    * update plan: the emission history reduces to per-key finals by the
+    * monotone a_cnt (which must CONTINUE through the checkpoint —
+    * restored state, not a re-seeded count), and an at-least-once
+    * replay of the last uncommitted batch re-emits only byte-identical
+    * rows, which the finals extraction absorbs.
     */
-  private def runRestart(spark: SparkSession, q: SFQuery): Seq[String] = {
+  private def runRestart(spark: SparkSession, q: SFQuery,
+                         update: Boolean = false): Seq[String] = {
     import spark.implicits._
     val srcDir = java.nio.file.Files
       .createTempDirectory("graft_sfz_src_").toString
@@ -362,16 +390,20 @@ object StreamFuzz {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value",
         org.apache.spark.sql.types.DoubleType)))
-    val emitted = scala.collection.mutable.Buffer[String]()
+    val emitted = scala.collection.mutable.Buffer[org.apache.spark.sql.Row]()
+    var outSchema: org.apache.spark.sql.types.StructType = null
     def writeBatch(rows: Seq[Ev]): Unit =
       rows.toDF("ts", "key", "cat", "value")
         .coalesce(1).write.mode("append").parquet(srcDir)
     def runUntilIdle(): Unit = {
       val sq = q.build(spark.readStream.schema(schema).parquet(srcDir))
-        .writeStream.outputMode("append")
+        .writeStream.outputMode(if (update) "update" else "append")
         .option("checkpointLocation", ckptDir)
         .foreachBatch { (b: DataFrame, _: Long) =>
-          emitted.synchronized { emitted ++= canon(b) }
+          emitted.synchronized {
+            outSchema = b.schema
+            emitted ++= b.collect()
+          }
           ()
         }
         .start()
@@ -384,7 +416,18 @@ object StreamFuzz {
       q.chunks.drop(splitAt).foreach(writeBatch)
       q.flush.foreach(f => writeBatch(Seq(f)))
       runUntilIdle() // run 2 resumes from the checkpoint
-      emitted.sorted.toSeq
+      val all =
+        if (emitted.isEmpty) spark.emptyDataFrame
+        else spark.createDataFrame(
+          spark.sparkContext.parallelize(emitted.toSeq, 1), outSchema)
+      if (!update) canon(all)
+      else if (emitted.isEmpty) Seq.empty
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("w_start", "cat").orderBy(col("a_cnt").desc)
+        canon(all.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn"))
+      }
     } finally {
       def rm(p: String): Unit = {
         import scala.jdk.CollectionConverters._

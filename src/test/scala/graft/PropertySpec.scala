@@ -330,6 +330,29 @@ class PropertySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("MicrosSumAgg (meanQ's int128 micros sum): carry across the long " +
+       "boundary, negative sums, NaN skip, all-null groups") {
+    // two 8e12 values: the micros sum is 1.6e19 > Long.MaxValue — only a
+    // correct 128-bit carry gives the exact mean back
+    def m4(xs: Seq[java.lang.Double], parts: Int = 3): Option[Double] = {
+      val r = xs.toDF("x").repartition(parts)
+        .agg(graft.functions.AggFunctions.mean4(col("x"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    Seq(1, 7, 32).foreach { p =>
+      assert(m4(Seq(8e12, 8e12), p) === Some(8e12), s"parts=$p")
+      assert(m4(Seq(-8e12, -8e12), p) === Some(-8e12), s"parts=$p")
+      assert(m4(Seq(8e12, -8e12), p) === Some(0.0), s"parts=$p")
+    }
+    // NaN rows are skipped by the SUM but counted by count(c) — the
+    // declarative round(NaN)→null→sum-skip semantics, replicated
+    assert(m4(Seq(1.5, Double.NaN, 1.5)) === Some(1.0))
+    // all-null and all-NaN groups yield null, like sum
+    assert(m4(Seq(null, null)) === None)
+    assert(m4(Seq(Double.NaN)) === None)
+    spark.catalog.clearCache()
+  }
+
   test("ratioQ: exact HALF_UP at boundary rationals, sign, zero and " +
        "null denominators") {
     import graft.functions.AggFunctions.ratioQ

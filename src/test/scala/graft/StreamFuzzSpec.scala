@@ -14,8 +14,10 @@ import graft.tools.StreamFuzz
   * update history reduced to finals by the strictly-monotone a_cnt,
   * checked against BOTH the batch fold and the append-mode suppress
   * twin) and kind 9 KILL-AND-RESUME (a checkpointed file-source query
-  * stopped after half the chunks and resumed — emissions must equal the
-  * batch fold exactly once across the restart); its battery is recorded
+  * stopped after half the chunks and resumed, in append OR update mode
+  * by a seeded coin — append: emissions equal the batch fold exactly
+  * once across the restart; update: the per-key finals prove the
+  * restored state CONTINUED the a_cnt lineage); batteries are recorded
   * in SURVEY's round-21 table. The fuzzer's FIRST TEN seeds
   * caught a real harness-level trap: a flush filter that does not
   * reference the event-time column is pushed BELOW the
