@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   * maximum, and chained stateful operators (dedup→agg, agg→join) need
   * one extra batch per level to drain.
   *
-  * Ten plan kinds: tumbling agg, sliding agg, session windows,
+  * Eleven plan kinds: tumbling agg, sliding agg, session windows,
   * tumbling agg + post-aggregation filter, the two-aggregate
   * stream-stream join (the SolarStreaming.streamStreamJoin shape),
   * exact-duplicate drop → windowed agg, the RAW stream-stream
@@ -55,7 +55,11 @@ import org.apache.spark.sql.functions._
   * emissions must equal the batch fold exactly once, no replays, no
   * losses; update: the per-key finals must show a_cnt CONTINUING
   * through the checkpoint, i.e. exact state restoration under update
-  * semantics). Run standalone: `sbt "runMain graft.tools.StreamFuzz
+  * semantics). Kind 10 seeds the `transformWithState` operator itself:
+  * the mapped feed runs through the REAL `SolarTws.moduleAggTws`
+  * processor (ListState buffers + event-time timers) against the exact
+  * batch fold — see [[runTws]] for the kind's disciplines. Run
+  * standalone: `sbt "runMain graft.tools.StreamFuzz
   * <fromSeed> <toSeed>"` (STREAM_FUZZ_VERBOSE=1 prints every seed's
   * kind/rows); StreamFuzzSpec runs the recorded battery in-suite.
   */
@@ -150,7 +154,7 @@ object StreamFuzz {
     val pickNames = picked.map(_._1)
     val wdur = s"$win seconds"
 
-    val kind = rnd.nextInt(10)
+    val kind = rnd.nextInt(11)
     // every seeded parameter draws HERE: the build closure runs once per
     // LEG, so a draw inside it would desynchronize the two plans (and
     // break generate's purity)
@@ -240,6 +244,25 @@ object StreamFuzz {
               u.map { case (nm, c) => c.as(nm) }.tail: _*)
             .select((Seq(col("w.start").cast("long").as("w_start"),
               col("cat")) ++ u.map(_._1).map(col)): _*)
+        case 10 =>
+          // transformWithState differential (the one streaming surface
+          // the fuzzer had not seeded): this BATCH leg is the exact fold
+          // of SolarTws.moduleAggTws's output over the mapped feed —
+          // fixed 30 s tumbling windows per (cat → panel, key → module).
+          // The processor's m_avg_power is EXCLUDED (it rounds a
+          // sequential-fold double sum at 1 — order-sensitive at .05
+          // boundaries by design, wire parity); the double sum is
+          // compared at round 4, where the 2-dp value grid sits 5e-3
+          // from any half boundary so batch-tree-vs-state-fold ulps
+          // cannot flip it
+          w.groupBy(window(col("ts"), "30 seconds").as("w"),
+              col("cat"), col("key"))
+            .agg(count(lit(1)).as("m_cnt"),
+              round(sum(col("value")), 4).as("m_sum4"))
+            .select(col("w.start").cast("long").as("w_start"),
+              col("cat").as("panel"),
+              col("key").cast("string").as("module"),
+              col("m_cnt"), col("m_sum4"))
         case 6 =>
           // RAW stream-stream inner join with a time-range condition —
           // the join STATE MACHINE itself (the agg-join of kind 4 only
@@ -272,9 +295,10 @@ object StreamFuzz {
     }
     SFQuery(s"sfz_${seed}_k$kind", chunks.map(_.toSeq).toSeq, flush, build,
       mode = kind match {
-        case 8 => "update"
-        case 9 => if (restartUpdate) "restart_update" else "restart"
-        case _ => "append"
+        case 8  => "update"
+        case 9  => if (restartUpdate) "restart_update" else "restart"
+        case 10 => "tws"
+        case _  => "append"
       })
   }
 
@@ -301,9 +325,53 @@ object StreamFuzz {
       case "update"         => runUpdate(spark, q)
       case "restart"        => runRestart(spark, q)
       case "restart_update" => runRestart(spark, q, update = true)
+      case "tws"            => runTws(spark, q)
       case _                => runAppend(spark, q)
     }
     (streamed, batch)
+  }
+
+  /** transformWithState leg: the mapped feed runs through the REAL
+    * `SolarTws.moduleAggTws` processor (ListState window buffers +
+    * event-time timers) and must equal the batch fold in `q.build`.
+    * Disciplines specific to this kind: the processor carries a FIXED
+    * 30 s watermark, smaller than some seeds' disorder bound, so the
+    * feed is deterministically re-sorted and re-chunked (no late data
+    * at all — the generator's in-watermark disorder contract can't be
+    * promised against a delay it didn't draw); flush rows form their
+    * own (zz_flush) groups and are filtered from the OUTPUT (their job
+    * — advancing the watermark — is done upstream of the filter); the
+    * order-sensitive derived avg is projected away and the sum compared
+    * at round 4 (see the kind-10 generator note).
+    */
+  private def runTws(spark: SparkSession, q: SFQuery): Seq[String] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val name = q.name + "_tws"
+    val readings = input.toDF().toDF("ts", "key", "cat", "value")
+      .select(col("ts"), col("cat").as("panel"),
+        col("key").cast("string").as("module"), col("value").as("power"))
+      .as[graft.streaming.SolarStateful.Reading]
+    val out = graft.streaming.SolarTws.moduleAggTws(spark, readings).toDF()
+      .filter(col("panel") =!= "zz_flush")
+      .select(col("w_start"), col("panel"), col("module"), col("m_cnt"),
+        round(col("m_sum_power"), 4).as("m_sum4"))
+    val sq = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val sorted = q.chunks.flatten.sortBy(_._1.getTime)
+      val per = math.max(1, sorted.size / math.max(1, q.chunks.size))
+      sorted.grouped(per).foreach { c =>
+        input.addData(c: _*); sq.processAllAvailable()
+      }
+      q.flush.foreach { f => input.addData(f); sq.processAllAvailable() }
+      canon(spark.table(name))
+    } finally {
+      sq.stop()
+      spark.catalog.dropTempView(name)
+      ()
+    }
   }
 
   private def runAppend(spark: SparkSession, q: SFQuery,

@@ -17,8 +17,14 @@ import graft.tools.StreamFuzz
   * stopped after half the chunks and resumed, in append OR update mode
   * by a seeded coin — append: emissions equal the batch fold exactly
   * once across the restart; update: the per-key finals prove the
-  * restored state CONTINUED the a_cnt lineage); batteries are recorded
-  * in SURVEY's round-21 table. The fuzzer's FIRST TEN seeds
+  * restored state CONTINUED the a_cnt lineage); kind 10 seeds the
+  * transformWithState operator itself — the real SolarTws.moduleAggTws
+  * processor (ListState + event-time timers) against the exact batch
+  * fold over a deterministically sorted feed (its watermark is a fixed
+  * 30 s the generator's disorder bound can exceed), derived avg
+  * projected away, sums compared at round 4 where the 2-dp grid makes
+  * fold-order ulps harmless. Batteries are recorded in SURVEY's
+  * round-21 table. The fuzzer's FIRST TEN seeds
   * caught a real harness-level trap: a flush filter that does not
   * reference the event-time column is pushed BELOW the
   * EventTimeWatermark node, so flush rows never advance the clock and
