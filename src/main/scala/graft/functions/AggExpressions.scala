@@ -97,9 +97,15 @@ case class HistogramAgg(
   * is half away from zero on the binary double (`Math.round` for
   * positives, mirrored for negatives) — for ≤6-decimal inputs x·10⁶ is
   * within an ulp of an integer, where this, Spark's `round`, and
-  * DuckDB's `round` all agree. NaN inputs are SKIPPED exactly like the
-  * declarative form (round(NaN) → null → sum skips); all-null/all-NaN
-  * groups yield null like `sum`. Overflow headroom is int128 (±1.7e38),
+  * DuckDB's `round` all agree. NaN and ±Infinity inputs are SKIPPED
+  * exactly like the declarative form (round(NaN) → null, cast(±∞ as
+  * decimal) → null → sum skips); all-null/all-non-finite groups yield
+  * null like `sum`. The domain is ENFORCED, not just documented: a
+  * finite |x·10⁶| ≥ 2⁶³ — where `Math.round` would silently saturate at
+  * ±Long.MaxValue while the replaced decimal spelling stayed exact and
+  * the DuckDB twin (`CAST(round(x*1e6) AS BIGINT)`) errors loudly —
+  * raises ArithmeticException instead of accumulating a wrong sum.
+  * Overflow headroom of the accumulator itself is int128 (±1.7e38),
   * the same class as the decimal(38,0) it replaces. Buffer: (hi, lo,
   * seen) — 24 bytes per group on the shuffle, partial-merge-safe in
   * batch and streaming state.
@@ -131,8 +137,15 @@ case class MicrosSumAgg(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Double]
-      if (!x.isNaN) {
+      // non-finite skips like the declarative form; finite out-of-domain
+      // raises rather than letting Math.round saturate at ±Long.MaxValue
+      if (!x.isNaN && !x.isInfinite) {
         val d = x * 1000000.0
+        if (d >= MicrosSumAgg.DomainEdge || d <= -MicrosSumAgg.DomainEdge)
+          throw new ArithmeticException(
+            s"micros_sum domain overflow: |x * 1e6| >= 2^63 for x = $x " +
+              "(domain is |x| < 9.2e12); use the declarative " +
+              "sum(round(x*1e6).cast(decimal(38,0))) spelling instead")
         add128(buf, if (d >= 0) Math.round(d) else -Math.round(-d))
         buf(2) = 1L
       }
@@ -176,6 +189,14 @@ case class MicrosSumAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(newChild: Expression): MicrosSumAgg =
     copy(child = newChild)
+}
+
+object MicrosSumAgg {
+  /** 2⁶³ as a double — the first magnitude where `Math.round` saturates
+    * instead of rounding exactly (the largest representable double BELOW
+    * it, 2⁶³−1024, still fits a long).
+    */
+  val DomainEdge: Double = 9.223372036854776e18
 }
 
 /** FNV-1a 64-bit over UTF-8 bytes with a per-row seed — the row hashes of

@@ -352,31 +352,56 @@ object Similarity {
     * `excludeSameId`.
     */
   /** True when `df`'s plan already ends in a shuffle that spreads rows
-    * uniformly across map blocks — a hash repartition on the uniform
-    * `vec_id` key or a round-robin repartition, possibly under
-    * partitioning-preserving projections/filters/aliases. In that case
-    * [[scattered]]'s re-scatter would be a purely redundant exchange:
-    * the skew-split precondition (every cell spanning all map blocks)
-    * already holds.
+    * uniformly across map blocks — a hash repartition on THE SAME
+    * attribute [[scattered]] would shuffle on (the output's `vec_id`,
+    * resolved by exprId and chased down through pass-through
+    * projections/filters/aliases) or a round-robin repartition. In that
+    * case the re-scatter would be a purely redundant exchange: the
+    * skew-split precondition (every cell spanning all map blocks)
+    * already holds. Matching by exprId, not name (ADVICE r18), means a
+    * join-derived or merely-renamed column that happens to be CALLED
+    * `vec_id` at the repartition — a different, possibly skewed
+    * attribute — does NOT suppress the scatter; and a shuffle narrower
+    * than half the session's shuffle parallelism is not accepted either,
+    * since it leaves too few map-block cut points for the skew split.
     */
   private[graft] def alreadyScattered(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, ExprId}
     import org.apache.spark.sql.catalyst.plans.logical.{
       Filter => LFilter, LogicalPlan, Project, Repartition,
       RepartitionByExpression, SubqueryAlias}
+    val analyzed = df.queryExecution.analyzed
+    val minParts = math.max(2,
+      df.sparkSession.sessionState.conf.numShufflePartitions / 2)
     @annotation.tailrec
-    def walk(p: LogicalPlan): Boolean = p match {
-      case Project(_, child)         => walk(child)
-      case LFilter(_, child)         => walk(child)
-      case SubqueryAlias(_, child)   => walk(child)
-      case r: Repartition            => r.shuffle // round-robin = uniform
-      case r: RepartitionByExpression => r.partitionExpressions match {
-        case Seq(a: AttributeReference) => a.name == "vec_id"
-        case _                          => false
-      }
+    def walk(p: LogicalPlan, target: Option[ExprId]): Boolean = p match {
+      case Project(exprs, child) =>
+        // chase the target through the projection: pass-through
+        // attribute keeps its exprId, a pure-rename Alias retargets to
+        // its child's, anything computed loses the chain (round-robin
+        // below can still prove uniformity)
+        val next = target.flatMap { t =>
+          exprs.collectFirst {
+            case a: AttributeReference if a.exprId == t => Some(a.exprId)
+            case al @ Alias(ar: AttributeReference, _) if al.exprId == t =>
+              Some(ar.exprId)
+          }.flatten
+        }
+        walk(child, next)
+      case LFilter(_, child)       => walk(child, target)
+      case SubqueryAlias(_, child) => walk(child, target)
+      case r: Repartition          => // round-robin = uniform by definition
+        r.shuffle && r.numPartitions >= minParts
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.forall(_ >= minParts) &&
+          (r.partitionExpressions match {
+            case Seq(a: AttributeReference) => target.contains(a.exprId)
+            case _                          => false
+          })
       case _ => false
     }
-    walk(df.queryExecution.analyzed)
+    walk(analyzed, analyzed.output.find(_.name == "vec_id").map(_.exprId))
   }
 
   /** The sorted-ingest scatter guard: one uniform hash(vec_id) exchange

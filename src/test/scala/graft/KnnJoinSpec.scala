@@ -105,6 +105,30 @@ class KnnJoinSpec extends SparkSpecBase {
     assert(!Similarity.alreadyScattered(embs), "raw scan is not scattered")
     assert(!Similarity.alreadyScattered(embs.repartition(col("label"))),
       "a skew-prone key is not the uniform guard")
+    // exprId semantics (ADVICE r18): a repartition on a DIFFERENT
+    // attribute that merely shares the name "vec_id" at the shuffle —
+    // here the (possibly skewed) label aliased to vec_id — must NOT
+    // suppress the scatter once the REAL id is re-exposed as vec_id
+    val nameTrap = embs
+      .select(col("label").as("vec_id"), col("vec_id").as("real_id"),
+        col("embedding"))
+      .repartition(col("vec_id"))
+      .select(col("real_id").as("vec_id"), col("embedding"))
+    assert(!Similarity.alreadyScattered(nameTrap),
+      "name-only vec_id match must not skip the scatter")
+    // but a pure RENAME of the shuffled attribute is still the same
+    // values — redundant to re-scatter
+    val renamed = embs.repartition(col("vec_id"))
+      .select(col("vec_id").as("tmp"), col("embedding"))
+      .select(col("tmp").as("vec_id"), col("embedding"))
+    assert(Similarity.alreadyScattered(renamed),
+      "alias chain back to the shuffled attribute is still scattered")
+    // a 1-partition shuffle leaves no map-block cut points for the
+    // skew split — not accepted as scattered
+    assert(!Similarity.alreadyScattered(embs.repartition(1)),
+      "single-partition round-robin is not splittable")
+    assert(!Similarity.alreadyScattered(embs.repartition(1, col("vec_id"))),
+      "single-partition hash shuffle is not splittable")
     def nRepart(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.catalyst.plans.logical

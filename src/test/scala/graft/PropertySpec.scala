@@ -353,6 +353,36 @@ class PropertySpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("MicrosSumAgg domain edge: in-domain magnitudes stay exact, " +
+       "out-of-domain raises instead of saturating, infinities skip") {
+    def m4(xs: Seq[java.lang.Double]): Option[Double] = {
+      val r = xs.toDF("x").repartition(3)
+        .agg(graft.functions.AggFunctions.mean4(col("x"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // just INSIDE the domain on both sides: |x·1e6| = 9.2e18 < 2^63
+    assert(m4(Seq(9.2e12, 9.2e12)) === Some(9.2e12))
+    assert(m4(Seq(-9.2e12, -9.2e12)) === Some(-9.2e12))
+    // just OUTSIDE: |x·1e6| ≥ 2^63 — Math.round would silently clamp at
+    // ±Long.MaxValue where the replaced decimal spelling stayed exact;
+    // the guard must raise, not accumulate a wrong sum
+    Seq(1e13, -1e13, 9.3e12, -9.3e12).foreach { bad =>
+      val e = intercept[org.apache.spark.SparkException] {
+        m4(Seq(bad, 1.0))
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] &&
+        c.getMessage.contains("micros_sum domain overflow")), s"x=$bad: $e")
+    }
+    // ±Infinity skips like NaN (declarative: cast(∞ as decimal) → null →
+    // sum skips, count still counts the row)
+    assert(m4(Seq(1.5, Double.PositiveInfinity, 1.5)) === Some(1.0))
+    assert(m4(Seq(1.5, Double.NegativeInfinity, 1.5)) === Some(1.0))
+    assert(m4(Seq(Double.PositiveInfinity, Double.NegativeInfinity)) === None)
+    spark.catalog.clearCache()
+  }
+
   test("ratioQ: exact HALF_UP at boundary rationals, sign, zero and " +
        "null denominators") {
     import graft.functions.AggFunctions.ratioQ
