@@ -4,8 +4,8 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -83,120 +83,250 @@ case class HistogramAgg(
     copy(child = newChild)
 }
 
-/** Exact Σ round_half_away(x·10⁶) as decimal(38,0) — [[AggFunctions.meanQ]]'s
-  * micros sum as ONE imperative aggregate over a two-long signed int128
-  * accumulator. The declarative spelling (`sum(round(x·1e6).cast(
-  * decimal(38,0)))`) pays per-row Decimal128 construction and decimal
-  * addition, which `ProbeRound21` priced at **14×** a plain double avg on
-  * a scan-bound 100 M-row aggregate; here the per-row work is one double
-  * multiply, one `Math.round`, and a three-instruction 128-bit add, with
-  * the Decimal materialized once per GROUP at eval.
+/** [[AggFunctions.meanQ]] — the exact quantized mean — as ONE
+  * declarative aggregate: Σ round_half_away(x·10⁶) accumulates in a
+  * two-long signed int128, the non-null count rides a third long, and
+  * the exact-integer HALF_UP rounding `q = sgn(S)·((2|S| + P·n) intdiv
+  * (2·P·n))` happens ONCE per group in plain long arithmetic
+  * ([[MicrosMath.meanQ128]], BigInteger only past the long-overflow
+  * edge). Three generations of spelling, each priced:
   *
-  * Semantics match the declarative spelling on its documented domain
-  * (finite inputs, |x| < 9.2e12 so x·10⁶ fits a long): the quantization
-  * is half away from zero on the binary double (`Math.round` for
-  * positives, mirrored for negatives) — for ≤6-decimal inputs x·10⁶ is
-  * within an ulp of an integer, where this, Spark's `round`, and
-  * DuckDB's `round` all agree. NaN and ±Infinity inputs are SKIPPED
-  * exactly like the declarative form (round(NaN) → null, cast(±∞ as
-  * decimal) → null → sum skips); all-null/all-non-finite groups yield
-  * null like `sum`. The domain is ENFORCED, not just documented: a
-  * finite |x·10⁶| ≥ 2⁶³ — where `Math.round` would silently saturate at
-  * ±Long.MaxValue while the replaced decimal spelling stayed exact and
-  * the DuckDB twin (`CAST(round(x*1e6) AS BIGINT)`) errors loudly —
-  * raises ArithmeticException instead of accumulating a wrong sum.
-  * Overflow headroom of the accumulator itself is int128 (±1.7e38),
+  *  - `round(sum(round(x·1e6).cast(decimal(38,0))).cast(double)/…, d)`
+  *    (r17): declarative, codegen'd, but pays per-row Decimal128
+  *    construction + decimal adds — 14× a plain double avg on a
+  *    scan-bound 100 M-row aggregate (ProbeRound21).
+  *  - `TypedImperativeAggregate` int128 sum + decimal(38,0)
+  *    IntegralDivide final projection (r18): per-row cost gone, but a
+  *    typed-imperative agg forces the WHOLE aggregation onto
+  *    ObjectHashAggregate and disables whole-stage codegen
+  *    (`AggregateCodegenSupport.supportCodegen`), and the per-GROUP
+  *    decimal rounding chain costs ~1.5 µs/group interpreted — the
+  *    r18→r19 adjudication measured the two together at 1.45× on q08,
+  *    the only gated consumers that force the mean's evaluation.
+  *  - This form (r19): fixed-width long buffers keep HashAggregateExec
+  *    + whole-stage codegen; the int128 carry chain is wrapping
+  *    (LEGACY-mode) long adds + bitwise ops; the per-row quantization
+  *    ([[MicrosMath.micros]]: one multiply, the domain guard, one
+  *    `Math.round`) and the per-group rounding are `StaticInvoke`s —
+  *    direct static calls under codegen. ProbeRound22: 1.28× the
+  *    inexact `round(avg(x),4)` at 100 M rows; q08 back to its r17
+  *    time.
+  *
+  * Semantics match the r17 declarative spelling on its documented
+  * domain (finite inputs, |x| < 9.2e12 so x·10⁶ fits a long): the
+  * quantization is half away from zero on the binary double
+  * (`Math.round` for positives, mirrored for negatives) — for
+  * ≤6-decimal inputs x·10⁶ is within an ulp of an integer, where this,
+  * Spark's `round`, and DuckDB's `round` all agree. NaN and ±Infinity
+  * inputs are SKIPPED by the sum exactly like the declarative form
+  * (round(NaN) → null, cast(±∞ as decimal) → null → sum skips) while
+  * still counting toward n (they are non-null — `count(c)` semantics);
+  * all-null/all-non-finite groups yield null. The domain is ENFORCED,
+  * not just documented: a finite |x·10⁶| ≥ 2⁶³ — where `Math.round`
+  * would silently saturate at ±Long.MaxValue while the replaced decimal
+  * spelling stayed exact and the DuckDB twin (`CAST(round(x*1e6) AS
+  * BIGINT)`) errors loudly — raises ArithmeticException instead of
+  * accumulating a wrong sum. Accumulator headroom is int128 (±1.7e38),
   * the same class as the decimal(38,0) it replaces. Buffer: (hi, lo,
-  * seen) — 24 bytes per group on the shuffle, partial-merge-safe in
+  * n, seen) — 25 bytes per group on the shuffle, partial-merge-safe in
   * batch and streaming state.
   */
-case class MicrosSumAgg(
-    child: Expression,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+case class MicrosMeanQAgg(child: Expression, decimals: Int)
+  extends DeclarativeAggregate with UnaryLike[Expression] {
+  require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
+  import org.apache.spark.sql.catalyst.expressions.{
+    Add, And, BitwiseAnd, BitwiseNot, BitwiseOr, Coalesce, EqualTo,
+    EvalMode, If, IsNaN, IsNotNull, Literal, Not, NumericEvalContext, Or,
+    ShiftRight, ShiftRightUnsigned}
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 
-  override def prettyName: String = "micros_sum"
+  override def prettyName: String = "micros_meanq"
   override def nullable: Boolean = true
-  override def dataType: DataType = DecimalType(38, 0)
+  override def dataType: DataType = DoubleType
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](3)
+  private lazy val hi =
+    AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo =
+    AttributeReference("lo", LongType, nullable = false)()
+  private lazy val n =
+    AttributeReference("n", LongType, nullable = false)()
+  private lazy val seen =
+    AttributeReference("seen", BooleanType, nullable = false)()
 
-  // signed-int128 add of a long addend: lo is the unsigned low word,
-  // v sign-extends into the high word; carry via the standard
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(hi, lo, n, seen)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(0L), Literal(false))
+
+  // the int128 adds must WRAP (the carry chain is unsigned low-word
+  // arithmetic) — under the session default ANSI mode a long overflow
+  // would raise, so every add is pinned to LEGACY eval explicitly
+  private def addW(l: Expression, r: Expression): Expression =
+    Add(l, r, NumericEvalContext(EvalMode.LEGACY))
+
+  // signed-int128 add of addend `m` to (h, l): lo is the unsigned low
+  // word, m sign-extends into the high word; carry via the standard
   // unsigned-overflow predicate
-  private def add128(buf: Array[Long], v: Long): Unit = {
-    val lo = buf(1)
-    val newLo = lo + v
-    val carry = ((lo & v) | ((lo | v) & ~newLo)) >>> 63
-    buf(0) += (v >> 63) + carry
-    buf(1) = newLo
+  private def add128(h: Expression, l: Expression, m: Expression)
+      : (Expression, Expression) = {
+    val newLo = addW(l, m)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(l, m),
+        BitwiseAnd(BitwiseOr(l, m), BitwiseNot(newLo))), Literal(63))
+    val newHi = addW(addW(h, ShiftRight(m, Literal(63))), carry)
+    (newHi, newLo)
   }
 
-  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val x = v.asInstanceOf[Double]
-      // non-finite skips like the declarative form; finite out-of-domain
-      // raises rather than letting Math.round saturate at ±Long.MaxValue
-      if (!x.isNaN && !x.isInfinite) {
-        val d = x * 1000000.0
-        if (d >= MicrosSumAgg.DomainEdge || d <= -MicrosSumAgg.DomainEdge)
-          throw new ArithmeticException(
-            s"micros_sum domain overflow: |x * 1e6| >= 2^63 for x = $x " +
-              "(domain is |x| < 9.2e12); use the declarative " +
-              "sum(round(x*1e6).cast(decimal(38,0))) spelling instead")
-        add128(buf, if (d >= 0) Math.round(d) else -Math.round(-d))
-        buf(2) = 1L
-      }
-    }
-    buf
+  override lazy val updateExpressions: Seq[Expression] = {
+    // non-finite skips like the replaced declarative form (round(NaN) →
+    // null, cast(±∞ as decimal) → null → sum skips); MicrosMath.micros
+    // itself raises on finite out-of-domain inputs and is total on the
+    // rest, so a hoisted evaluation on a skipped row is harmless
+    val valid = And(IsNotNull(child),
+      Not(Or(IsNaN(child), Or(
+        EqualTo(child, Literal(Double.PositiveInfinity)),
+        EqualTo(child, Literal(Double.NegativeInfinity))))))
+    val m = StaticInvoke(MicrosMath.getClass, LongType, "micros",
+      Seq(child), Seq(DoubleType), returnNullable = false)
+    val (newHi, newLo) = add128(hi, lo, m)
+    // Coalesce pins the slot expressions non-nullable (m is nullable via
+    // propagateNull; the guarded branch never actually yields null)
+    Seq(
+      Coalesce(Seq(If(valid, newHi, hi), Literal(0L))),
+      Coalesce(Seq(If(valid, newLo, lo), Literal(0L))),
+      // n replicates count(child): every NON-NULL input counts, NaN/∞
+      // included — only the sum skips them
+      If(IsNotNull(child), addW(n, Literal(1L)), n),
+      Or(seen, valid))
   }
 
-  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-    val lo1 = b1(1); val lo2 = b2(1)
-    val newLo = lo1 + lo2
-    val carry = ((lo1 & lo2) | ((lo1 | lo2) & ~newLo)) >>> 63
-    b1(0) += b2(0) + carry
-    b1(1) = newLo
-    b1(2) |= b2(2)
-    b1
+  override lazy val mergeExpressions: Seq[Expression] = {
+    // two full int128s: low words add with carry, high words add the
+    // carry (no sign extension — the right high word IS hi.right)
+    val newLo = addW(lo.left, lo.right)
+    val carry = ShiftRightUnsigned(
+      BitwiseOr(BitwiseAnd(lo.left, lo.right),
+        BitwiseAnd(BitwiseOr(lo.left, lo.right), BitwiseNot(newLo))),
+      Literal(63))
+    val mergedHi = addW(addW(hi.left, hi.right), carry)
+    Seq(mergedHi, newLo, addW(n.left, n.right),
+      Or(seen.left, seen.right))
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    if (buf(2) == 0L) null
-    else {
-      val bi = java.math.BigInteger.valueOf(buf(0)).shiftLeft(64)
-        .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(buf(1))))
-      Decimal(new java.math.BigDecimal(bi), 38, 0)
-    }
-  }
+  override lazy val evaluateExpression: Expression =
+    If(seen,
+      StaticInvoke(MicrosMath.getClass, DoubleType, "meanQ128",
+        Seq(hi, lo, n,
+          Literal(math.pow(10, 6 - decimals).toLong),
+          Literal(math.pow(10, decimals))),
+        Seq(LongType, LongType, LongType, LongType, DoubleType),
+        returnNullable = false),
+      Literal(null, DoubleType))
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(24)
-    buf.foreach(bb.putLong)
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    Array(bb.getLong, bb.getLong, bb.getLong)
-  }
-
-  override def withNewMutableAggBufferOffset(o: Int): MicrosSumAgg =
-    copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): MicrosSumAgg =
-    copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(newChild: Expression): MicrosSumAgg =
+  override protected def withNewChildInternal(newChild: Expression): MicrosMeanQAgg =
     copy(child = newChild)
 }
 
-object MicrosSumAgg {
+/** Static kernels for [[MicrosSumAgg]] — a standalone object (no
+  * companion class) so scalac emits mirror-class static forwarders that
+  * `StaticInvoke` codegen can call directly.
+  */
+object MicrosMath {
   /** 2⁶³ as a double — the first magnitude where `Math.round` saturates
     * instead of rounding exactly (the largest representable double BELOW
     * it, 2⁶³−1024, still fits a long).
     */
   val DomainEdge: Double = 9.223372036854776e18
+
+  /** round_half_away(x·10⁶) as a long. Total on non-finite inputs (the
+    * caller's validity predicate skips them; returning 0 here keeps a
+    * speculatively hoisted evaluation harmless); raises on finite
+    * out-of-domain inputs where `Math.round` would silently saturate at
+    * ±Long.MaxValue.
+    */
+  def micros(x: Double): Long = {
+    if (x != x || x == Double.PositiveInfinity ||
+        x == Double.NegativeInfinity) 0L
+    else {
+      val d = x * 1000000.0
+      if (d >= DomainEdge || d <= -DomainEdge)
+        throw new ArithmeticException(
+          s"micros_sum domain overflow: |x * 1e6| >= 2^63 for x = $x " +
+            "(domain is |x| < 9.2e12); use the declarative " +
+            "sum(round(x*1e6).cast(decimal(38,0))) spelling instead")
+      if (d >= 0) Math.round(d) else -Math.round(-d)
+    }
+  }
+
+  /** The exact-integer HALF_UP ratio `round(a/b, d)` without the
+    * round-of-double step, in LONG arithmetic: `q = sgn(a)·sgn(b) ·
+    * ((2·10^d·|a| + |b|) intdiv (2·|b|))`, result `q / 10^d`. The caller
+    * guards b ≠ 0 and nulls. Fast path is four multiplies and one
+    * division; past the long-overflow edge (|a| > (2⁶³−|b|)/(2·10^d) —
+    * sums-of-counts headroom territory) it falls to exact BigInteger.
+    * Replaces the decimal(38,0) IntegralDivide spelling of
+    * [[AggFunctions.ratioQ]]: same value everywhere (decimal division
+    * truncates toward zero = long division on the non-negative
+    * operands; the final toDouble/÷10^d is the identical
+    * nearest-double + one IEEE division), ~10× cheaper per row — the
+    * r19 q104 adjudication found the per-row decimal chain was the
+    * real cost behind the driver-r18 quality-query movers.
+    */
+  def ratioQ128(a: Long, b: Long, tenD: Long): Double = {
+    val neg = (a < 0) != (b < 0)
+    val aa = Math.abs(a)
+    val ab = Math.abs(b)
+    // aa/ab < 0 only at Long.MinValue, which falls through to BigInteger
+    if (aa >= 0 && ab >= 0 && ab <= (Long.MaxValue >> 1) &&
+        aa <= (Long.MaxValue - ab) / (2L * tenD)) {
+      val q = (2L * tenD * aa + ab) / (2L * ab)
+      (if (neg) -q else q).toDouble / tenD
+    } else {
+      val aBI = java.math.BigInteger.valueOf(a).abs()
+      val bBI = java.math.BigInteger.valueOf(b).abs()
+      val q = aBI.multiply(java.math.BigInteger.valueOf(2L * tenD))
+        .add(bBI).divide(bBI.shiftLeft(1))
+      val qd = new java.math.BigDecimal(q).doubleValue()
+      (if (neg) -qd else qd) / tenD
+    }
+  }
+
+  /** [[ratioQ128]] specialized to the quantized Jaccard:
+    * `round(i/(u−i), 4)` from the intersect count and the size sum —
+    * one argument reference for the expensive intersect.
+    */
+  def jaccardQ128(i: Long, u: Long): Double = ratioQ128(i, u - i, 10000L)
+
+  /** The exact-integer HALF_UP mean, once per group:
+    * `q = sgn(S) · ((2·|S| + p·n) intdiv (2·p·n))`, result `q / tenD`,
+    * with S the (hi, lo) signed-int128 micros sum and n ≥ 1 the non-null
+    * count. Long arithmetic on the fast path (covers |S| < (2⁶³−p·n)/2 —
+    * every physically real group); exact BigInteger past it. The final
+    * `toDouble / tenD` is the same nearest-double conversion + one IEEE
+    * division the decimal spelling performed (`cast(q as double) /
+    * 10^d`), so results are bit-identical to it everywhere.
+    */
+  def meanQ128(hi: Long, lo: Long, n: Long, p: Long, tenD: Double): Double = {
+    val neg = hi < 0
+    // |S| as (ahi, alo): two's-complement negate when negative
+    var ahi = hi; var alo = lo
+    if (neg) { ahi = ~hi + (if (lo == 0L) 1L else 0L); alo = -lo }
+    val pnOk = p <= Long.MaxValue / n // n >= 1: seen gate
+    if (pnOk && (p * n) <= (Long.MaxValue >> 1) &&
+        ahi == 0L && alo >= 0L && alo <= ((Long.MaxValue - p * n) >> 1)) {
+      val pn = p * n
+      val q = (2L * alo + pn) / (2L * pn)
+      (if (neg) -q else q).toDouble / tenD
+    } else {
+      val absS = java.math.BigInteger.valueOf(ahi).shiftLeft(64)
+        .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(alo)))
+      val pn = java.math.BigInteger.valueOf(p)
+        .multiply(java.math.BigInteger.valueOf(n))
+      val q = absS.shiftLeft(1).add(pn).divide(pn.shiftLeft(1))
+      val qd = new java.math.BigDecimal(q).doubleValue()
+      (if (neg) -qd else qd) / tenD
+    }
+  }
 }
 
 /** FNV-1a 64-bit over UTF-8 bytes with a per-row seed — the row hashes of
@@ -637,27 +767,15 @@ object AggFunctions {
     * division both engines perform identically in IEEE double.
     */
   def meanQ(c: Column, decimals: Int): Column = {
-    import org.apache.spark.sql.functions.{abs, count, lit, sum, when}
     require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
-    val p = math.pow(10, 6 - decimals).toLong
-    // the micros sum runs through [[MicrosSumAgg]] (int128 accumulator)
-    // rather than sum(round(c·1e6).cast(decimal(38,0))): identical value
-    // on the documented domain, ~5× cheaper per row (ProbeRound21)
-    val s = Bridge.column(
-      MicrosSumAgg(Bridge.expression(c.cast("double")))
+    // ONE aggregate ([[MicrosMeanQAgg]]): int128 micros sum + non-null
+    // count in one fixed-width buffer, the exact HALF_UP rounding once
+    // per group in long arithmetic — identical value to the decimal
+    // IntegralDivide spelling on the documented domain, codegen-friendly
+    // where it was not (the r19 q08 adjudication; ProbeRound22)
+    Bridge.column(
+      MicrosMeanQAgg(Bridge.expression(c.cast("double")), decimals)
         .toAggregateExpression())
-    // count = 0 ⇒ the sum is already null and the result null-propagates;
-    // the denominator clamps to 1 so ANSI integral division never sees a
-    // zero divisor on the empty/all-null group
-    val n = count(c)
-    val den = lit(p).cast("decimal(38,0)") *
-      when(n > 0, n).otherwise(lit(1L))
-    val qAbs = Bridge.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        Bridge.expression(abs(s) * 2 + den),
-        Bridge.expression(den * 2)))
-    (when(s < 0, lit(-1L)).otherwise(lit(1L)) * qAbs).cast("double") /
-      lit(math.pow(10, decimals))
   }
 
   /** The DuckDB replay of [[meanQ]] — kept NEXT TO the Spark expression
@@ -697,6 +815,36 @@ object AggFunctions {
     * ANSI integral division never sees a zero.
     */
   def ratioQ(a: Column, b: Column, decimals: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
+    val tenD = math.pow(10, decimals).toLong
+    // long operands + the MicrosMath.ratioQ128 kernel (exact long
+    // arithmetic, BigInteger past the overflow edge), NOT decimal(38,0)
+    // IntegralDivide: identical value — Spark-side integer operands are
+    // long-typed by construction (sum(long) is long) and the kernel
+    // widens exactly — at ~10× less per-row cost (the r19 q104
+    // adjudication), and `a` is referenced exactly ONCE so expensive
+    // composites are never re-evaluated (the old ratioQNN motivation)
+    val aL = a.cast("long")
+    val bL = b.cast("long")
+    val q = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        MicrosMath.getClass, DoubleType, "ratioQ128",
+        Seq(Bridge.expression(aL), Bridge.expression(bL),
+          org.apache.spark.sql.catalyst.expressions.Literal(tenD)),
+        Seq(LongType, LongType, LongType), returnNullable = false))
+    when(bL === 0, lit(null).cast("double")).otherwise(q)
+  }
+
+  /** [[ratioQ]] for operands that may EXCEED long — decimal(38,0)
+    * products of sums (the grouped-trend regression numerators, where
+    * n·Σxy − Σx·Σy reaches ~1e22 at real timestamps). The original
+    * decimal IntegralDivide spelling: exact to the full decimal(38,0)
+    * range, ~10× the per-row cost of the long kernel — use [[ratioQ]]
+    * everywhere operands are counts/sums that fit a long (ANSI raises
+    * loudly on a wrong guess), and this only where they provably don't.
+    */
+  def ratioQWide(a: Column, b: Column, decimals: Int): Column = {
     import org.apache.spark.sql.functions.{abs, lit, when}
     require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
     val tenD = math.pow(10, decimals).toLong
@@ -713,39 +861,37 @@ object AggFunctions {
       .otherwise((sign * q).cast("double") / lit(tenD.toDouble))
   }
 
-  /** [[ratioQ]] restricted to NON-NEGATIVE operands (count/size
-    * ratios): references `a` exactly ONCE — the sign/abs machinery that
-    * makes the general form reference it three times would re-evaluate
-    * an expensive operand (an array_intersect, a kernel composite)
-    * per reference, which benched q113 at 2.4× and q104 at 2.2×. Use
-    * this whenever `a` is an unmaterialized expression and both
-    * operands are provably ≥ 0; same null/zero-denominator rules.
+  /** [[ratioQ]] for NON-NEGATIVE operands (count/size ratios).
+    * Historically a separate single-`a`-reference spelling (the general
+    * form's sign/abs machinery referenced `a` three times, which
+    * benched q113 at 2.4× and q104 at 2.2× on expensive composites);
+    * the ratioQ128 kernel references `a` once in BOTH forms now, so
+    * this is the same expression — kept because call sites using it
+    * document their non-negativity invariant.
     */
-  def ratioQNN(a: Column, b: Column, decimals: Int): Column = {
-    import org.apache.spark.sql.functions.{lit, when}
-    require(decimals >= 0 && decimals <= 6, s"decimals=$decimals")
-    val tenD = math.pow(10, decimals).toLong
-    val aD = a.cast("decimal(38,0)")
-    val bD = b.cast("decimal(38,0)")
-    val q = Bridge.column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        Bridge.expression(aD * lit(2L * tenD) + bD),
-        Bridge.expression(
-          when(bD === 0, lit(1L).cast("decimal(38,0)"))
-            .otherwise(bD) * 2)))
-    when(bD === 0, lit(null).cast("double"))
-      .otherwise(q.cast("double") / lit(tenD.toDouble))
-  }
+  def ratioQNN(a: Column, b: Column, decimals: Int): Column =
+    ratioQ(a, b, decimals)
 
   /** Raw integral division as a Column — for call sites that hand-tune
-    * operand reference counts around expensive child expressions (see
-    * `Dedup.jaccardQ`) instead of going through [[ratioQ]]'s generic
-    * spelling.
+    * operand reference counts around expensive child expressions
+    * instead of going through [[ratioQ]]'s generic spelling.
     */
   def intDiv(a: Column, b: Column): Column =
     Bridge.column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         Bridge.expression(a), Bridge.expression(b)))
+
+  /** `round(i/(u−i), 4)` exactly — the quantized Jaccard given the
+    * intersect count `i` and the size sum `u = |A|+|B|`, one kernel
+    * call so the expensive intersect column is referenced ONCE (see
+    * `Dedup.jaccardQ`). Caller guards u ≠ 0.
+    */
+  def jaccardQ128(i: Column, u: Column): Column =
+    Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        MicrosMath.getClass, DoubleType, "jaccardQ128",
+        Seq(Bridge.expression(i), Bridge.expression(u)),
+        Seq(LongType, LongType), returnNullable = false))
 
   /** The DuckDB replay of [[ratioQ]] — serialization pair, kept
     * adjacent. DuckDB's `// 0` is NULL (verified v1.0), so the b = 0

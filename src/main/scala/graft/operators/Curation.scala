@@ -509,8 +509,21 @@ object Curation {
     * persisted scored projection is released via `unpersist()`).
     */
   def qualityPercentileStage(docs: DataFrame): TextAnalysis.CachedStage = {
-    val scored = docs.select(col("doc_id"), col("source"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
+    // kernel counts materialize as attributes BEFORE the quality
+    // formula so each text kernel runs exactly once per row —
+    // CollapseProject will not re-inline non-cheap expressions the
+    // formula references several times (same discipline as
+    // Dedup.verifyPairs, ADVICE r18)
+    val txt = lower(col("text"))
+    val counts = docs.select(col("doc_id"), col("source"),
+      length(col("text")).as("c"),
+      size(TextAnalysis.tokens(col("text"))).as("w"),
+      graft.functions.TextFunctions.punct_count(txt).as("p"),
+      TextAnalysis.stopwordCount(TextAnalysis.tokens(txt),
+        TextAnalysis.StopwordDicts.head._2).as("s"))
+    val scored = counts.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityExpr(col("c"), col("w"), col("p"), col("s"))
+        .as("quality"))
       .filter(col("quality").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TextAnalysis.CachedStage(scored, percentileFromScored(scored))

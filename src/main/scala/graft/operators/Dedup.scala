@@ -83,20 +83,19 @@ object Dedup {
     */
   def jaccardQ(shA: Column, shB: Column): Column = {
     // jaccard = i/(u−i) with u = |A|+|B| (sizes — cheap) and i the
-    // array_intersect (expensive): the HALF_UP-at-4 integer rounding is
-    // spelled q = ⌊((2·10⁴−1)·i + u) / (2(u−i))⌋ so `i` is referenced
-    // exactly TWICE — the same intersect count as the old
-    // round(i/(u−i), 4) spelling (a generic ratioQ referenced it 3-4×
-    // and benched the q113 truth sweep at 2.4×). u − i = 0 ⟺ u = 0
-    // (i ≤ min(|A|,|B|) forces u − i ≥ max(|A|,|B|)), so the null/ANSI
-    // guards ride the cheap u.
-    val i = size(array_intersect(shA, shB)).cast("decimal(38,0)")
-    val u = (size(shA) + size(shB)).cast("decimal(38,0)")
-    val q = graft.functions.AggFunctions.intDiv(
-      i * lit(19999L) + u,
-      when(u === 0, lit(2L).cast("decimal(38,0)")).otherwise((u - i) * 2))
-    when(u === 0, lit(null).cast("double"))
-      .otherwise(q.cast("double") / lit(1e4))
+    // array_intersect (expensive): the whole HALF_UP-at-4 rounding is
+    // ONE long-arithmetic kernel call ([[graft.functions.MicrosMath
+    // .jaccardQ128]] — q = (2·10⁴·i + (u−i)) div (2(u−i)), identical to
+    // the old (19999·i + u) div (2(u−i)) decimal spelling), so `i` is
+    // referenced exactly ONCE and no decimal(38,0) ops run per pair
+    // (the decimal IntegralDivide chain cost ~1.5 µs/row interpreted —
+    // the r19 adjudication of the driver-r18 movers). u − i = 0 ⟺
+    // u = 0 (i ≤ min(|A|,|B|) forces u − i ≥ max(|A|,|B|)), so the
+    // null guard rides the cheap u.
+    val i = size(array_intersect(shA, shB)).cast("long")
+    val u = (size(shA) + size(shB)).cast("long")
+    val q = graft.functions.AggFunctions.jaccardQ128(i, u)
+    when(u === 0, lit(null).cast("double")).otherwise(q)
   }
 
   /** MinHash LSH near-dup detection with exact-Jaccard verification of the
@@ -1237,20 +1236,26 @@ object Dedup {
     * emitted `jaccard` is display-rounded.
     */
   private def verifyPairs(cand: DataFrame, setsA: DataFrame,
-                          setsB: DataFrame, t: Column): DataFrame = {
-    val inter = size(array_intersect(col("fa"), col("fb"))).cast("long")
+                          setsB: DataFrame, t: Column): DataFrame =
     cand
       .join(setsA.select(col("doc_id").as("id_a"), col("fps").as("fa"),
         col("n").as("na")), "id_a")
       .join(setsB.select(col("doc_id").as("id_b"), col("fps").as("fb"),
         col("n").as("nb")), "id_b")
+      // the expensive intersect materializes ONCE as an attribute here;
+      // CollapseProject will not re-inline a non-cheap expression that
+      // the next projection references twice (ADVICE r18 — the old
+      // spelling re-evaluated it for the threshold filter and the
+      // rounded output)
       .select(col("id_a"), col("id_b"),
-        (inter / (col("na") + col("nb") - inter)).as("j"),
-        graft.functions.AggFunctions.ratioQNN(inter,
-          col("na") + col("nb") - inter, 4).as("jq"))
+        size(array_intersect(col("fa"), col("fb"))).cast("long").as("i"),
+        (col("na") + col("nb")).as("u"))
+      .select(col("id_a"), col("id_b"),
+        (col("i") / (col("u") - col("i"))).as("j"),
+        graft.functions.AggFunctions.ratioQNN(col("i"),
+          col("u") - col("i"), 4).as("jq"))
       .filter(col("j") >= t) // selection on the raw ratio, like the oracle
       .select(col("id_a"), col("id_b"), col("jq").as("jaccard"))
-  }
 
   /** [[prefixJoinAgainstCorpusStage]]'s handles: both sides' fingerprint
     * relations persist (each corpus is shingled once).

@@ -75,8 +75,8 @@ object Stats {
     // timestamps, and its operands don't reduce to the tiny lowest-term
     // denominators the boundary class needs
     sums.select(col("g"), col("n").cast("long").as("n"),
-      graft.functions.AggFunctions.ratioQ(numI, denxI, 6).as("slope"),
-      graft.functions.AggFunctions.ratioQ(inumI, denxI, 6).as("intercept"),
+      graft.functions.AggFunctions.ratioQWide(numI, denxI, 6).as("slope"),
+      graft.functions.AggFunctions.ratioQWide(inumI, denxI, 6).as("intercept"),
       round(numI.cast("double") * numI.cast("double") /
         (nullif(denxI, lit(0).cast(dec)).cast("double") * denyI), 6)
         .as("r2"))

@@ -85,8 +85,10 @@ object TextAnalysis {
     * (fuzz-seed-7249 class: per-document word/char counts are exactly
     * the small denominators that land ON 4-dp half boundaries). c = 0 →
     * D = 0 → NULL, the old charsNz guard's semantics; w ≥ 1 always
-    * (split semantics). The long intermediates hold to c·w ≤ 2.3e16 —
-    * any physical document. Oracle twin: [[qualitySqlOf]].
+    * (split semantics). The long intermediates hold to c·w ≤ 9.2e15
+    * (N ≤ 1000·c·w — ADVICE r18 corrected the earlier 2.3e16 figure) —
+    * still any physical document; past it Spark's ANSI multiply raises
+    * rather than wrapping. Oracle twin: [[qualitySqlOf]].
     */
   private[graft] def qualityExpr(nChars: Column, nWords: Column,
                                  nPunct: Column, nStop: Column): Column = {
@@ -102,14 +104,18 @@ object TextAnalysis {
   }
 
   /** The DuckDB replay of [[qualityExpr]] — serialization pair, kept
-    * adjacent. Operands cast to HUGEINT so the 2·10⁴·N term in the
-    * ratio spelling can never wrap BIGINT on a pathological document.
+    * adjacent. An OPERAND casts to HUGEINT before any multiplication
+    * (not the finished product after BIGINT multiplies — ADVICE r18:
+    * the post-hoc cast let DuckDB raise a BIGINT overflow on a
+    * pathological document where the claim was "never wraps"), so the
+    * N/D terms and ratioQSql's 2·10⁴·N all evaluate in HUGEINT.
     */
   def qualitySqlOf(c: String, w: String, p: String, s: String): String = {
-    val n = s"CAST(4 * least($w, 100) * ($c) * ($w) + " +
-      s"300 * (($c) - ($p)) * ($w) + " +
-      s"300 * least(5 * ($s), $w) * ($c) AS HUGEINT)"
-    val d = s"CAST(1000 * ($c) * ($w) AS HUGEINT)"
+    val cH = s"CAST($c AS HUGEINT)"
+    val n = s"(4 * least($w, 100) * $cH * ($w) + " +
+      s"300 * ($cH - ($p)) * ($w) + " +
+      s"300 * least(5 * ($s), $w) * $cH)"
+    val d = s"(1000 * $cH * ($w))"
     graft.functions.AggFunctions.ratioQSql(n, d, 4)
   }
 
