@@ -113,10 +113,65 @@ class ThresholdAlertProcessor(threshold: Long)
   }
 }
 
+/** Per-key category tallies on [[org.apache.spark.sql.streaming.MapState]]
+  * — the multi-sub-key shape [[ThresholdAlertProcessor]]'s single
+  * ValueState can't express: one RocksDB map entry per (key, category),
+  * point-updated per row (no read-modify-write of a whole blob). Emits
+  * `(key, cat)` the FIRST time that category's count reaches
+  * `threshold` for the key — at most once per pair, and the emitted SET
+  * is a pure function of the data (crossed ⟺ total ≥ threshold),
+  * independent of micro-batch boundaries, which is what makes the
+  * processor differentially fuzz-able (StreamFuzz kind 14) against the
+  * batch `groupBy(key, cat).count() >= threshold` fold.
+  *
+  * `ttl`, when set, is the state-eviction posture for unbounded key
+  * universes: a pair idle past the TTL re-arms, which is the documented
+  * semantics for a monitoring alert (fire again if the condition
+  * re-accumulates after the idle window), NOT exactly-once-ever
+  * ([[ThresholdAlertProcessor]] keeps that contract, TTL-free). TTL
+  * requires processing-time mode, under which Spark constructs
+  * micro-batches CONTINUOUSLY to advance the state clock — the query
+  * never reports idle, so `processAllAvailable()` never returns (found
+  * live by StreamFuzz kind 14's first battery: the fuzz harness hung on
+  * the first k14 seed). The fuzz differential therefore drives the
+  * TTL-free mode, and the TTL/re-arm semantics are pinned by the
+  * deadline-polling `TwsTtlSpec` instead.
+  */
+class CatCrossProcessor(threshold: Long,
+                        ttl: Option[java.time.Duration] = None)
+    extends StatefulProcessor[Long, (Long, String), SolarTws.CatAlert] {
+
+  @transient private var tallies:
+    org.apache.spark.sql.streaming.MapState[String, SolarTws.AlertState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    tallies = getHandle.getMapState[String, SolarTws.AlertState]("tallies",
+      Encoders.STRING, Encoders.product[SolarTws.AlertState],
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                               timerValues: TimerValues): Iterator[SolarTws.CatAlert] = {
+    val perCat = rows.foldLeft(Map.empty[String, Long]) { (m, r) =>
+      m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+    }
+    perCat.iterator.flatMap { case (cat, add) =>
+      val prev =
+        if (tallies.containsKey(cat)) tallies.getValue(cat)
+        else SolarTws.AlertState(0L, fired = false)
+      val cnt = prev.cnt + add
+      val crossing = !prev.fired && cnt >= threshold
+      tallies.updateValue(cat, SolarTws.AlertState(cnt, prev.fired || crossing))
+      if (crossing) Iterator.single(SolarTws.CatAlert(key, cat))
+      else Iterator.empty
+    }
+  }
+}
+
 object SolarTws {
 
   case class AlertState(cnt: Long, fired: Boolean)
   case class Alert(tok: String, cnt: Long)
+  case class CatAlert(key: Long, cat: String)
 
   /** Streaming query fragment: normalized readings → suppressed-style
     * per-module window aggregates via the TWS processor. RocksDB state
@@ -139,5 +194,24 @@ object SolarTws {
     toks.groupByKey(identity)
       .transformWithState(new ThresholdAlertProcessor(threshold),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** (key, cat) stream → per-category first-crossing alerts on MapState
+    * (see [[CatCrossProcessor]]). Batch twin:
+    * `groupBy(key, cat).count() >= threshold`. With `ttl` set the query
+    * runs in processing-time mode (TTL is only assignable under a
+    * clock — STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), and
+    * processing-time mode triggers micro-batches continuously, so the
+    * query never reports idle: synchronize by polling the sink, never
+    * `processAllAvailable()`.
+    */
+  def catCrossAlerts(spark: SparkSession, rows: Dataset[(Long, String)],
+                     threshold: Long,
+                     ttl: Option[java.time.Duration] = None): Dataset[CatAlert] = {
+    import spark.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new CatCrossProcessor(threshold, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 }

@@ -58,10 +58,29 @@ import org.apache.spark.sql.functions._
   * semantics). Kind 10 seeds the `transformWithState` operator itself:
   * the mapped feed runs through the REAL `SolarTws.moduleAggTws`
   * processor (ListState buffers + event-time timers) against the exact
-  * batch fold — see [[runTws]] for the kind's disciplines. Run
-  * standalone: `sbt "runMain graft.tools.StreamFuzz
-  * <fromSeed> <toSeed>"` (STREAM_FUZZ_VERBOSE=1 prints every seed's
-  * kind/rows); StreamFuzzSpec runs the recorded battery in-suite.
+  * batch fold — see [[runTws]] for the kind's disciplines.
+  *
+  * Round-22 kinds (VERDICT r18 #3/#7) widen that to FIFTEEN: kind 11
+  * fuzzes DECIMAL measures through the streaming state store (exact
+  * decimal(12,2) sum/min/max + the decimal-division avg, append or
+  * update by a seeded coin — the batch grammar's decimal plane, kinds
+  * 15-17, finally has a streaming twin); kind 12 feeds
+  * `moduleAggTws` UNSORTED (disorder bounded at 14 s under the
+  * processor's fixed 30 s watermark — the late-arrival merge into a
+  * still-open window and the timer re-arm path, which the sorted kind
+  * 10 never exercises); kind 13 runs the same processor ACROSS a
+  * kill-and-resume checkpoint boundary (kinds 9+10 composed — ListState
+  * and armed timers must restore exactly); kind 14 drives the MapState
+  * `CatCrossProcessor` (per-(key, cat) first-crossing set,
+  * chunking-invariant by construction) against the batch
+  * `count >= threshold` fold — TTL-free: TTL forces processing-time
+  * mode, whose continuous clock-advancing micro-batches never report
+  * idle and hang `processAllAvailable` (found live by this kind's first
+  * battery); the TTL/re-arm path is pinned by TwsTtlSpec's
+  * deadline-polling harness instead. Run standalone: `sbt "runMain
+  * graft.tools.StreamFuzz <fromSeed> <toSeed>"` (STREAM_FUZZ_VERBOSE=1
+  * prints every seed's kind/rows); StreamFuzzSpec runs the recorded
+  * battery in-suite.
   */
 object StreamFuzz {
 
@@ -76,7 +95,7 @@ object StreamFuzz {
     */
   final case class SFQuery(name: String, chunks: Seq[Seq[Ev]],
                            flush: Seq[Ev], build: DataFrame => DataFrame,
-                           mode: String = "append") {
+                           mode: String = "append", param: Long = 0L) {
     def allRows: Seq[Ev] = chunks.flatten ++ flush
   }
 
@@ -154,7 +173,7 @@ object StreamFuzz {
     val pickNames = picked.map(_._1)
     val wdur = s"$win seconds"
 
-    val kind = rnd.nextInt(11)
+    val kind = rnd.nextInt(15)
     // every seeded parameter draws HERE: the build closure runs once per
     // LEG, so a draw inside it would desynchronize the two plans (and
     // break generate's purity)
@@ -169,6 +188,34 @@ object StreamFuzz {
     // LAST so every earlier draw (data, windows, aggs) stays
     // byte-identical to the recorded batteries' generator version
     val restartUpdate = rnd.nextBoolean()
+    // round-22 kind params, drawn after everything above for the same
+    // battery-stability reason
+    val decUpdate = rnd.nextBoolean() // kind 11: update OR append mode
+    val crossK = 2L + rnd.nextInt(5)  // kind 14: crossing threshold
+    // kind 12 feeds the TWS processor UNSORTED: re-chunk with disorder
+    // bounded at 14 s — under the processor's FIXED 30 s watermark, a
+    // row deferred from chunk i (ts > max_i − 14 s) stays above the
+    // watermark Spark computes from the PREVIOUS batch max (max_i −
+    // 30 s), so it exercises the late-arrival merge into a still-open
+    // window and the timer re-arm, never the beyond-watermark drop
+    val twsChunks: Seq[Seq[Ev]] =
+      if (kind != 12) Seq.empty
+      else {
+        val sorted = (rows).sortBy(_._1.getTime)
+        val cut2 = sorted.grouped(math.max(1, sorted.size / nChunks)).toSeq
+        val cs = scala.collection.mutable.ArrayBuffer
+          .from(cut2.map(scala.collection.mutable.ArrayBuffer.from(_)))
+        for (i <- 0 until cs.size - 1) {
+          val mx = cs(i).map(_._1.getTime).max
+          val (stay, defer) = cs(i).partition(r =>
+            r._1.getTime <= mx - 14000L || rnd.nextBoolean())
+          if (stay.nonEmpty) {
+            cs(i) = stay
+            cs(i + 1) = defer ++ cs(i + 1)
+          }
+        }
+        cs.map(_.toSeq).toSeq
+      }
     val build: DataFrame => DataFrame = { df =>
       // watermark FIRST, then the flush filter: flush rows advance the
       // clock but never reach an operator (ts-referencing, so it stays
@@ -263,6 +310,60 @@ object StreamFuzz {
               col("cat").as("panel"),
               col("key").cast("string").as("module"),
               col("m_cnt"), col("m_sum4"))
+        case 11 =>
+          // DECIMAL-measure tumbling aggregation (VERDICT r18 #7): the
+          // batch grammar fuzzes decimal sums/joins/rollups (QueryFuzz
+          // kinds 15-17) but the streaming state store had never
+          // serialized a decimal buffer under the differential gate.
+          // Exact decimal(12,2) sum/min/max + the decimal-division avg
+          // (deterministic function of exact sum and count), running in
+          // append OR update mode by the decUpdate coin — a_cnt leads
+          // for the update-finals extraction.
+          val dv = col("value").cast("decimal(12,2)")
+          w.groupBy(window(col("ts"), wdur).as("w"), col("cat"))
+            .agg(count(lit(1)).as("a_cnt"), sum(dv).as("d_sum"),
+              min(dv).as("d_min"), max(dv).as("d_max"),
+              avg(dv).as("d_avg"))
+            .select(col("w.start").cast("long").as("w_start"), col("cat"),
+              col("a_cnt"), col("d_sum"), col("d_min"), col("d_max"),
+              col("d_avg"))
+        case 12 =>
+          // transformWithState under UNSORTED feeds (VERDICT r18 #3):
+          // same batch fold as kind 10 — the streaming leg runs the
+          // REAL processor over the disorder-bounded twsChunks without
+          // the kind-10 re-sort, exercising late-row merges into open
+          // windows and timer re-arms
+          w.groupBy(window(col("ts"), "30 seconds").as("w"),
+              col("cat"), col("key"))
+            .agg(count(lit(1)).as("m_cnt"),
+              round(sum(col("value")), 4).as("m_sum4"))
+            .select(col("w.start").cast("long").as("w_start"),
+              col("cat").as("panel"),
+              col("key").cast("string").as("module"),
+              col("m_cnt"), col("m_sum4"))
+        case 13 =>
+          // transformWithState ACROSS A RESTART (VERDICT r18 #3, kinds
+          // 9+10 composed): the kind-10 fold, streamed through a
+          // checkpointed file source killed and resumed mid-feed — the
+          // ListState buffers and armed timers must restore exactly
+          w.groupBy(window(col("ts"), "30 seconds").as("w"),
+              col("cat"), col("key"))
+            .agg(count(lit(1)).as("m_cnt"),
+              round(sum(col("value")), 4).as("m_sum4"))
+            .select(col("w.start").cast("long").as("w_start"),
+              col("cat").as("panel"),
+              col("key").cast("string").as("module"),
+              col("m_cnt"), col("m_sum4"))
+        case 14 =>
+          // MapState processor (VERDICT r18 #3): the batch twin of
+          // CatCrossProcessor's first-crossing set — crossed ⟺ the
+          // (key, cat) total reaches the threshold, independent of
+          // chunking. No watermark (no timers); flush rows drop on key
+          df.filter(col("key") >= 0)
+            .groupBy(col("key"), col("cat"))
+            .agg(count(lit(1)).as("c"))
+            .filter(col("c") >= lit(crossK))
+            .select(col("key"), col("cat"))
         case 6 =>
           // RAW stream-stream inner join with a time-range condition —
           // the join STATE MACHINE itself (the agg-join of kind 4 only
@@ -293,13 +394,20 @@ object StreamFuzz {
             .agg(pickCols.head, pickCols.tail: _*), Seq("tier"))
       }
     }
-    SFQuery(s"sfz_${seed}_k$kind", chunks.map(_.toSeq).toSeq, flush, build,
+    SFQuery(s"sfz_${seed}_k$kind",
+      if (kind == 12) twsChunks else chunks.map(_.toSeq).toSeq,
+      flush, build,
       mode = kind match {
         case 8  => "update"
         case 9  => if (restartUpdate) "restart_update" else "restart"
         case 10 => "tws"
+        case 11 => if (decUpdate) "update" else "append"
+        case 12 => "tws2"
+        case 13 => "restart_tws"
+        case 14 => "twsmap"
         case _  => "append"
-      })
+      },
+      param = if (kind == 14) crossK else 0L)
   }
 
   /** Canonical row rendering: null-safe stringification sorted — the
@@ -326,6 +434,9 @@ object StreamFuzz {
       case "restart"        => runRestart(spark, q)
       case "restart_update" => runRestart(spark, q, update = true)
       case "tws"            => runTws(spark, q)
+      case "tws2"           => runTws(spark, q, sorted = false)
+      case "restart_tws"    => runRestartTws(spark, q)
+      case "twsmap"         => runTwsMap(spark, q)
       case _                => runAppend(spark, q)
     }
     (streamed, batch)
@@ -344,7 +455,8 @@ object StreamFuzz {
     * order-sensitive derived avg is projected away and the sum compared
     * at round 4 (see the kind-10 generator note).
     */
-  private def runTws(spark: SparkSession, q: SFQuery): Seq[String] = {
+  private def runTws(spark: SparkSession, q: SFQuery,
+                     sorted: Boolean = true): Seq[String] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Ev]
@@ -360,9 +472,14 @@ object StreamFuzz {
     val sq = out.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      val sorted = q.chunks.flatten.sortBy(_._1.getTime)
-      val per = math.max(1, sorted.size / math.max(1, q.chunks.size))
-      sorted.grouped(per).foreach { c =>
+      val feed: Seq[Seq[Ev]] =
+        if (!sorted) q.chunks // kind 12: generator-bounded disorder
+        else {
+          val s = q.chunks.flatten.sortBy(_._1.getTime)
+          val per = math.max(1, s.size / math.max(1, q.chunks.size))
+          s.grouped(per).toSeq
+        }
+      feed.foreach { c =>
         input.addData(c: _*); sq.processAllAvailable()
       }
       q.flush.foreach { f => input.addData(f); sq.processAllAvailable() }
@@ -371,6 +488,111 @@ object StreamFuzz {
       sq.stop()
       spark.catalog.dropTempView(name)
       ()
+    }
+  }
+
+  /** MapState leg (kind 14): the (key, cat) feed runs through the REAL
+    * `SolarTws.catCrossAlerts` processor (MapState tallies, TTL-free —
+    * TimeMode.None, so the query goes idle and `processAllAvailable`
+    * synchronizes; no watermark, so no flush choreography) and the
+    * emitted first-crossing set must equal the batch
+    * `count >= threshold` fold; the seeded threshold rides
+    * `SFQuery.param` so both legs share it.
+    */
+  private def runTwsMap(spark: SparkSession, q: SFQuery): Seq[String] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val name = q.name + "_twsmap"
+    val thr = q.param
+    val pairs = input.toDF().toDF("ts", "key", "cat", "value")
+      .filter(col("key") >= 0)
+      .select(col("key"), col("cat")).as[(Long, String)]
+    val out = graft.streaming.SolarTws.catCrossAlerts(spark, pairs, thr).toDF()
+    val sq = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.chunks.foreach { c => input.addData(c: _*); sq.processAllAvailable() }
+      q.flush.foreach { f => input.addData(f); sq.processAllAvailable() }
+      canon(spark.table(name))
+    } finally {
+      sq.stop()
+      spark.catalog.dropTempView(name)
+      ()
+    }
+  }
+
+  /** transformWithState ACROSS A RESTART (kind 13): the kind-10 plan
+    * fed from a checkpointed parquet file source that is stopped after
+    * the first half of the (sorted) chunks and resumed — open ListState
+    * window buffers and armed timers must restore exactly, so the
+    * accumulated append emissions equal the batch fold with no replays
+    * and no losses.
+    */
+  private def runRestartTws(spark: SparkSession, q: SFQuery): Seq[String] = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_sfz_twssrc_").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_sfz_twsckpt_").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cat",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val emitted = scala.collection.mutable.Buffer[org.apache.spark.sql.Row]()
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    def writeBatch(rows: Seq[Ev]): Unit =
+      rows.toDF("ts", "key", "cat", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runUntilIdle(): Unit = {
+      val readings = spark.readStream.schema(schema).parquet(srcDir)
+        .select(col("ts"), col("cat").as("panel"),
+          col("key").cast("string").as("module"), col("value").as("power"))
+        .as[graft.streaming.SolarStateful.Reading]
+      val sq = graft.streaming.SolarTws.moduleAggTws(spark, readings).toDF()
+        .filter(col("panel") =!= "zz_flush")
+        .select(col("w_start"), col("panel"), col("module"), col("m_cnt"),
+          round(col("m_sum_power"), 4).as("m_sum4"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted.synchronized {
+            outSchema = b.schema
+            emitted ++= b.collect()
+          }
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+    }
+    try {
+      // the fixed 30 s watermark demands the kind-10 sorted feed
+      val sorted = q.chunks.flatten.sortBy(_._1.getTime)
+      val per = math.max(1, sorted.size / math.max(1, q.chunks.size))
+      val chunks = sorted.grouped(per).toSeq
+      val splitAt = math.max(1, chunks.size / 2)
+      chunks.take(splitAt).foreach(writeBatch)
+      runUntilIdle() // run 1, killed mid-feed
+      chunks.drop(splitAt).foreach(writeBatch)
+      q.flush.foreach(f => writeBatch(Seq(f)))
+      runUntilIdle() // run 2 resumes from the checkpoint
+      if (emitted.isEmpty) Seq.empty
+      else canon(spark.createDataFrame(
+        spark.sparkContext.parallelize(emitted.toSeq, 1), outSchema))
+    } finally {
+      def rm(p: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rm(srcDir); rm(ckptDir)
     }
   }
 
