@@ -181,15 +181,17 @@ object StreamingCuration {
         graft.functions.TextFunctions.word_shingles(col("text"), n))).as("s"))
       .select(TextAnalysis.fp60(col("s")).as("fp"))
       .distinct()
-    // one bounded job decides the regime: collect at most threshold+1
-    // fps — below it they ARE the literal; above it only the overflow
-    // fact is needed, never the full set on the driver
-    val fps = fpsDf.as[java.lang.Long](org.apache.spark.sql.Encoders.LONG)
-      .limit(fpLiteralMax + 1).collect().map(Long.unbox).toSeq.sorted
+    // one bounded COUNT decides the regime (VERDICT r18 #6): the
+    // driver materializes the fp list only when the literal regime is
+    // actually taken — above the threshold just the overflow fact is
+    // computed, never the set
+    val nFps = fpsDf.limit(fpLiteralMax + 1).count()
     val shingled = docsStream
       .select(col("ts"), col("doc_id"), array_distinct(
         graft.functions.TextFunctions.word_shingles(col("text"), n)).as("sh"))
-    if (fps.size <= fpLiteralMax) {
+    if (nFps <= fpLiteralMax) {
+      val fps = fpsDf.as[java.lang.Long](org.apache.spark.sql.Encoders.LONG)
+        .collect().map(Long.unbox).toSeq.sorted
       val bench = typedlit(fps)
       shingled
         .select(col("ts"), col("doc_id"),
