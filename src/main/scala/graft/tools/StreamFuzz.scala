@@ -60,7 +60,7 @@ import org.apache.spark.sql.functions._
   * processor (ListState buffers + event-time timers) against the exact
   * batch fold — see [[runTws]] for the kind's disciplines.
   *
-  * Round-22 kinds (VERDICT r18 #3/#7) widen that to FIFTEEN: kind 11
+  * Round-22 kinds (VERDICT r18 #3/#7) widen that to SIXTEEN: kind 11
   * fuzzes DECIMAL measures through the streaming state store (exact
   * decimal(12,2) sum/min/max + the decimal-division avg, append or
   * update by a seeded coin — the batch grammar's decimal plane, kinds
@@ -77,7 +77,10 @@ import org.apache.spark.sql.functions._
   * mode, whose continuous clock-advancing micro-batches never report
   * idle and hang `processAllAvailable` (found live by this kind's first
   * battery); the TTL/re-arm path is pinned by TwsTtlSpec's
-  * deadline-polling harness instead. Run standalone: `sbt "runMain
+  * deadline-polling harness instead. Kind 15 runs the same MapState
+  * differential ACROSS a kill-and-resume checkpoint boundary — tallies
+  * and fired flags must restore exactly, the MapState twin of kind
+  * 13's ListState/timer restore. Run standalone: `sbt "runMain
   * graft.tools.StreamFuzz <fromSeed> <toSeed>"` (STREAM_FUZZ_VERBOSE=1
   * prints every seed's kind/rows); StreamFuzzSpec runs the recorded
   * battery in-suite.
@@ -173,7 +176,7 @@ object StreamFuzz {
     val pickNames = picked.map(_._1)
     val wdur = s"$win seconds"
 
-    val kind = rnd.nextInt(15)
+    val kind = rnd.nextInt(16)
     // every seeded parameter draws HERE: the build closure runs once per
     // LEG, so a draw inside it would desynchronize the two plans (and
     // break generate's purity)
@@ -354,11 +357,14 @@ object StreamFuzz {
               col("cat").as("panel"),
               col("key").cast("string").as("module"),
               col("m_cnt"), col("m_sum4"))
-        case 14 =>
+        case 14 | 15 =>
           // MapState processor (VERDICT r18 #3): the batch twin of
           // CatCrossProcessor's first-crossing set — crossed ⟺ the
           // (key, cat) total reaches the threshold, independent of
-          // chunking. No watermark (no timers); flush rows drop on key
+          // chunking (kind 15 runs the same fold but streams through a
+          // kill-and-resume checkpoint: MapState entries — tallies AND
+          // fired flags — must restore exactly). No watermark (no
+          // timers); flush rows drop on key
           df.filter(col("key") >= 0)
             .groupBy(col("key"), col("cat"))
             .agg(count(lit(1)).as("c"))
@@ -405,9 +411,10 @@ object StreamFuzz {
         case 12 => "tws2"
         case 13 => "restart_tws"
         case 14 => "twsmap"
+        case 15 => "restart_twsmap"
         case _  => "append"
       },
-      param = if (kind == 14) crossK else 0L)
+      param = if (kind == 14 || kind == 15) crossK else 0L)
   }
 
   /** Canonical row rendering: null-safe stringification sorted — the
@@ -437,6 +444,7 @@ object StreamFuzz {
       case "tws2"           => runTws(spark, q, sorted = false)
       case "restart_tws"    => runRestartTws(spark, q)
       case "twsmap"         => runTwsMap(spark, q)
+      case "restart_twsmap" => runRestartTwsMap(spark, q)
       case _                => runAppend(spark, q)
     }
     (streamed, batch)
@@ -580,6 +588,75 @@ object StreamFuzz {
       runUntilIdle() // run 1, killed mid-feed
       chunks.drop(splitAt).foreach(writeBatch)
       q.flush.foreach(f => writeBatch(Seq(f)))
+      runUntilIdle() // run 2 resumes from the checkpoint
+      if (emitted.isEmpty) Seq.empty
+      else canon(spark.createDataFrame(
+        spark.sparkContext.parallelize(emitted.toSeq, 1), outSchema))
+    } finally {
+      def rm(p: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .reverseIterator.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rm(srcDir); rm(ckptDir)
+    }
+  }
+
+  /** MapState ACROSS A RESTART (kind 15): the kind-14 differential fed
+    * from a checkpointed parquet file source stopped after the first
+    * half of the chunks and resumed — the MapState entries (per-cat
+    * tallies AND fired flags) must restore exactly, so the accumulated
+    * first-crossing emissions equal the batch fold with no replays
+    * (a lost tally under-counts and misses crossings; a lost fired
+    * flag re-alerts) — the MapState twin of [[runRestartTws]]'s
+    * ListState/timer restore. No watermark, so no flush choreography;
+    * flush rows drop on the key filter inside the plan.
+    */
+  private def runRestartTwsMap(spark: SparkSession, q: SFQuery): Seq[String] = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_sfz_twsmsrc_").toString
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_sfz_twsmckpt_").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cat",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val emitted = scala.collection.mutable.Buffer[org.apache.spark.sql.Row]()
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    def writeBatch(rows: Seq[Ev]): Unit =
+      rows.toDF("ts", "key", "cat", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runUntilIdle(): Unit = {
+      val pairs = spark.readStream.schema(schema).parquet(srcDir)
+        .filter(col("key") >= 0)
+        .select(col("key"), col("cat")).as[(Long, String)]
+      val sq = graft.streaming.SolarTws
+        .catCrossAlerts(spark, pairs, q.param).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          emitted.synchronized {
+            outSchema = b.schema
+            emitted ++= b.collect()
+          }
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+    }
+    try {
+      val splitAt = math.max(1, q.chunks.size / 2)
+      q.chunks.take(splitAt).foreach(writeBatch)
+      runUntilIdle() // run 1, killed mid-feed
+      q.chunks.drop(splitAt).foreach(writeBatch)
       runUntilIdle() // run 2 resumes from the checkpoint
       if (emitted.isEmpty) Seq.empty
       else canon(spark.createDataFrame(
