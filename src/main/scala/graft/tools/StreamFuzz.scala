@@ -60,7 +60,7 @@ import org.apache.spark.sql.functions._
   * processor (ListState buffers + event-time timers) against the exact
   * batch fold — see [[runTws]] for the kind's disciplines.
   *
-  * Round-22 kinds (VERDICT r18 #3/#7) widen that to SIXTEEN: kind 11
+  * Round-22 kinds (VERDICT r18 #3/#7) widen that to SEVENTEEN: kind 11
   * fuzzes DECIMAL measures through the streaming state store (exact
   * decimal(12,2) sum/min/max + the decimal-division avg, append or
   * update by a seeded coin — the batch grammar's decimal plane, kinds
@@ -80,7 +80,11 @@ import org.apache.spark.sql.functions._
   * deadline-polling harness instead. Kind 15 runs the same MapState
   * differential ACROSS a kill-and-resume checkpoint boundary — tallies
   * and fired flags must restore exactly, the MapState twin of kind
-  * 13's ListState/timer restore. Run standalone: `sbt "runMain
+  * 13's ListState/timer restore. Kind 16 is the decimal plane of the
+  * kind-6 RAW stream-stream time-range join: the buffered rows carry
+  * decimal(12,2) measures, so the JOIN state store serializes and
+  * restores decimals (kind 11 covers only aggregation state), plus an
+  * exact decimal sum across the two sides. Run standalone: `sbt "runMain
   * graft.tools.StreamFuzz <fromSeed> <toSeed>"` (STREAM_FUZZ_VERBOSE=1
   * prints every seed's kind/rows); StreamFuzzSpec runs the recorded
   * battery in-suite.
@@ -176,7 +180,7 @@ object StreamFuzz {
     val pickNames = picked.map(_._1)
     val wdur = s"$win seconds"
 
-    val kind = rnd.nextInt(16)
+    val kind = rnd.nextInt(17)
     // every seeded parameter draws HERE: the build closure runs once per
     // LEG, so a draw inside it would desynchronize the two plans (and
     // break generate's purity)
@@ -370,23 +374,39 @@ object StreamFuzz {
             .agg(count(lit(1)).as("c"))
             .filter(col("c") >= lit(crossK))
             .select(col("key"), col("cat"))
-        case 6 =>
+        case 6 | 16 =>
           // RAW stream-stream inner join with a time-range condition —
           // the join STATE MACHINE itself (the agg-join of kind 4 only
           // exercises finalized windows): even keys left, odd keys
           // right, equi on key/2, right row within ±tol of the left.
           // Both sides carry the one watermark; state evicts as it
-          // passes ts+tol. Exact-value columns only.
+          // passes ts+tol. Exact-value columns only. Kind 16 is the
+          // DECIMAL plane of the same join: the buffered rows carry
+          // decimal(12,2) measures, so the join state store serializes
+          // and restores decimals (kind 11 covers only AGG state), and
+          // the output adds the exact decimal(13,2) sum of the two
+          // sides — deterministic in both engines.
+          val dec16 = kind == 16
+          val lval =
+            if (dec16) col("value").cast("decimal(12,2)").as("l_dec")
+            else (col("value") * 100).cast("long").as("lcents")
+          val rval =
+            if (dec16) col("value").cast("decimal(12,2)").as("r_dec")
+            else (col("value") * 100).cast("long").as("rcents")
           val l = w.filter(col("key") % 2 === 0)
-            .select(col("ts").as("lts"), (col("key") / 2).as("jk"),
-              (col("value") * 100).cast("long").as("lcents"))
+            .select(col("ts").as("lts"), (col("key") / 2).as("jk"), lval)
           val r = w.filter(col("key") % 2 === 1)
             .select(col("ts").as("rts"), ((col("key") - 1) / 2).as("jk2"),
-              (col("value") * 100).cast("long").as("rcents"))
-          l.join(r, col("jk") === col("jk2") &&
+              rval)
+          val joined = l.join(r, col("jk") === col("jk2") &&
             col("rts") >= col("lts") - expr(s"INTERVAL $tol SECONDS") &&
             col("rts") <= col("lts") + expr(s"INTERVAL $tol SECONDS"))
-            .select(col("jk"), col("lts").cast("long").as("l_sec"),
+          if (dec16)
+            joined.select(col("jk"), col("lts").cast("long").as("l_sec"),
+              col("rts").cast("long").as("r_sec"), col("l_dec"),
+              col("r_dec"), (col("l_dec") + col("r_dec")).as("lr_sum"))
+          else
+            joined.select(col("jk"), col("lts").cast("long").as("l_sec"),
               col("rts").cast("long").as("r_sec"), col("lcents"),
               col("rcents"))
         case _ =>

@@ -23,11 +23,11 @@ import graft.tools.StreamFuzz
   * fold over a deterministically sorted feed (its watermark is a fixed
   * 30 s the generator's disorder bound can exceed), derived avg
   * projected away, sums compared at round 4 where the 2-dp grid makes
-  * fold-order ulps harmless. Round 19 widened the grammar to 16 kinds
-  * (decimal state-store measures, unsorted-TWS, TWS-through-restart,
-  * MapState first-crossing, MapState-through-restart — see the
-  * StreamFuzz scaladoc) and found the processing-time/TTL never-idle
-  * harness trap documented there. Batteries are recorded in SURVEY's
+  * fold-order ulps harmless. Round 19 widened the grammar to 17 kinds
+  * (decimal measures through aggregation AND join state stores,
+  * unsorted-TWS, TWS-through-restart, MapState first-crossing,
+  * MapState-through-restart — see the StreamFuzz scaladoc) and found
+  * the processing-time/TTL never-idle harness trap documented there. Batteries are recorded in SURVEY's
   * round-21/22 tables. The fuzzer's FIRST TEN seeds
   * caught a real harness-level trap: a flush filter that does not
   * reference the event-time column is pushed BELOW the
