@@ -282,7 +282,7 @@ private[graft] trait EntryQueries { self: EntryShared =>
     "q32_dedup_embedding_cells" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.cellNearDupPairs(e,
-        kmeansShared(s, dir).cells, threshold = 0.35)
+        kmeansShared(s, dir).cells, threshold = 0.35, nCells = KmeansK)
     }),
 
     // ANN index build: IVF over cells learned by deterministic seeded

@@ -135,7 +135,29 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** [[MinHashSig]]'s row kernel — null for an empty shingle array. */
+  /** Unsigned lexicographic byte order — for equal-length md5 digests
+    * this IS the hex-string order (hex digits ascend with nibble value),
+    * so comparing digests raw skips the per-hash hex materialization.
+    */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    false
+  }
+
+  /** [[MinHashSig]]'s row kernel — null for an empty shingle array.
+    * r19: the argmin tracks raw digest BYTES (hex order ≡ unsigned byte
+    * order for the equal-length digests) and feeds the digest
+    * incrementally (`update(prefix); update(shingle)`), so the former
+    * per-(perm, shingle) concat buffer + 32-char hex string + String
+    * compare collapse to one md5 and a byte compare; only the k winners
+    * are hex-encoded. Output bit-identical (MinHashSpec + the q11-family
+    * oracle gates).
+    */
   def minHashSig(arr: ArrayData, k: Int): ArrayData = {
     val m = arr.numElements()
     if (m == 0) return null
@@ -146,22 +168,21 @@ object TextKernels {
       shingleBytes(i) = arr.getUTF8String(i).getBytes
       i += 1
     }
+    val dig = md5.get()
     val out = new Array[Any](k)
     var j = 0
     while (j < k) {
       val prefix = (j.toString + "|").getBytes("UTF-8")
-      var best: String = null
+      var best: Array[Byte] = null
       i = 0
       while (i < m) {
-        val s = shingleBytes(i)
-        val buf = new Array[Byte](prefix.length + s.length)
-        System.arraycopy(prefix, 0, buf, 0, prefix.length)
-        System.arraycopy(s, 0, buf, prefix.length, s.length)
-        val h = md5Hex(buf)
-        if (best == null || h.compareTo(best) < 0) best = h
+        dig.update(prefix)
+        dig.update(shingleBytes(i))
+        val h = dig.digest() // returns the digest and resets the instance
+        if (best == null || unsignedLess(h, best)) best = h
         i += 1
       }
-      out(j) = UTF8String.fromString(best)
+      out(j) = UTF8String.fromString(toHex(best))
       j += 1
     }
     new GenericArrayData(out)

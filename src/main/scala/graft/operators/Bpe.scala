@@ -162,17 +162,159 @@ object Bpe {
 
   def train(docs: DataFrame, nMerges: Int,
             batchK: Int = DefaultBatchK): BpeModel = {
-    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.logical.collectFirst {
-        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-      }
     val base = docs
       .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
       .withColumn("sym", split(col("word"), ""))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Training cost scales with the VOCABULARY, not the corpus — and a
+    // sub-threshold vocabulary is driver-sized, where the whole fixpoint
+    // is a hash-map loop instead of ~2 Spark jobs per batch round, each
+    // re-evaluating the stacked bpe_apply projections over the vocab
+    // relation (r19, guide §5: ProbeJobs measured q118 at 98 jobs /
+    // 70 task-seconds, nearly all of it this loop). The driver trainer
+    // replays the distributed loop operation for operation (same counts,
+    // same (cnt desc, pair asc-by-UTF-8-bytes) order, same acceptBatch,
+    // same left-to-right merge application), so the learned table is
+    // bit-identical — BpeLocalSpec pins driver ≡ distributed, BpeSpec's
+    // seq-vs-batch and encode pins run through it unchanged. The
+    // threshold is session-configurable (`graft.bpe.driverMaxVocab`;
+    // 0 forces the distributed path) — a 100 TB corpus vocabulary blows
+    // past it and trains distributed exactly as before.
+    val driverMax = docs.sparkSession.conf
+      .getOption("graft.bpe.driverMaxVocab").map(_.toLong).getOrElse(1L << 21)
+    // the count also materializes the persist both paths re-read
+    if (base.count() <= driverMax) trainLocal(docs.sparkSession, base,
+      nMerges, batchK)
+    else trainDistributed(docs.sparkSession, base, nMerges, batchK)
+  }
 
+  /** One UTF-8 character per element — `split(word, "")`'s empty-pattern
+    * special case (UTF8String.split emits numChars elements, one per
+    * code point; no trailing empty), which is also exactly how
+    * [[graft.functions.BpeEncode]] seeds.
+    */
+  private def splitChars(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** UTF-8 binary order — UTF8String.compareTo, the order the
+    * distributed `orderBy(col("pair").asc)` tie-break sorts by.
+    */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** [[graft.functions.BpeApply]]'s single left-to-right non-overlapping
+    * pass, on a driver-side symbol array.
+    */
+  private def bpeApplyLocal(syms: Array[String], a: String,
+                            b: String): Array[String] = {
+    val out = new Array[String](syms.length)
+    var i = 0
+    var o = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out(o) = a + b; i += 2
+      } else { out(o) = syms(i); i += 1 }
+      o += 1
+    }
+    if (o == syms.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  /** The driver-side trainer: the distributed batch loop's arithmetic
+    * twin over the collected (word, wcount) vocabulary.
+    */
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+                         base: DataFrame, nMerges: Int,
+                         batchK: Int): BpeModel = {
+    import spark.implicits._
+    val rows = base.select(col("word"), col("wcount")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val wcounts = rows.map(_._2)
+    val syms: Array[Array[String]] = rows.map { case (w, _) => splitChars(w) }
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var mintedSymbols = Set.empty[String]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val counts = new java.util.HashMap[String, Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        if (s.length >= 2) {
+          val c = wcounts(wi)
+          var i = 0
+          while (i < s.length - 1) {
+            counts.merge(s(i) + " " + s(i + 1), c, (x, y) => x + y)
+            i += 1
+          }
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val entries = new Array[(String, Long)](counts.size)
+        val it = counts.entrySet().iterator()
+        var n = 0
+        while (it.hasNext) {
+          val e = it.next(); entries(n) = (e.getKey, e.getValue); n += 1
+        }
+        // (cnt desc, pair asc in UTF-8 binary order) — the distributed
+        // orderBy's exact total order, truncated to the batch window
+        val top = entries.sortWith { case ((pa, ca), (pb, cb)) =>
+          if (ca != cb) ca > cb else utf8Less(pa, pb)
+        }.take(batchK + 1).toSeq
+        val batch = acceptBatch(top, batchK, mintedSymbols)
+          .take(nMerges - r + 1)
+        batch.foreach { case (pair, cnt) =>
+          val Array(a, b) = pair.split(" ", 2)
+          merges += ((r, a, b, a + b, cnt))
+          mintedSymbols += a + b
+          r += 1
+          var i = 0
+          while (i < syms.length) {
+            syms(i) = bpeApplyLocal(syms(i), a, b)
+            i += 1
+          }
+        }
+      }
+    }
+    val vocab = rows.indices
+      .map(i => (rows(i)._1, rows(i)._2, syms(i).toSeq))
+      .toDF("word", "wcount", "segmentation")
+    BpeModel(
+      merges.result().toDF("rank", "left", "right", "merged", "pair_count"),
+      vocab, base)
+  }
+
+  /** The pre-r19 distributed batch loop — the >threshold path, and the
+    * reference the BpeLocalSpec equivalence pins against.
+    */
+  private def trainDistributed(spark: org.apache.spark.sql.SparkSession,
+                               base: DataFrame, nMerges: Int,
+                               batchK: Int): BpeModel = {
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
     var tab = base
     var lastCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var sinceCkpt = 0
@@ -218,7 +360,6 @@ object Bpe {
         }
       }
     }
-    val spark = docs.sparkSession
     import spark.implicits._
     BpeModel(
       merges.result()

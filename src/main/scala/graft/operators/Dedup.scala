@@ -70,7 +70,10 @@ object Dedup {
     * |A∪B| = |A|+|B|−|A∩B|.
     */
   def jaccard(shA: Column, shB: Column): Column = {
-    val inter = size(array_intersect(shA, shB))
+    // count-only intersect kernel: same count as size(array_intersect),
+    // no boxed hash set and no materialized intersection per pair
+    // (r19 — IntersectCountSpec pins the equivalence)
+    val inter = graft.functions.SetFunctions.set_intersect_count(shA, shB)
     inter / (size(shA) + size(shB) - inter)
   }
 
@@ -92,7 +95,8 @@ object Dedup {
     // the r19 adjudication of the driver-r18 movers). u − i = 0 ⟺
     // u = 0 (i ≤ min(|A|,|B|) forces u − i ≥ max(|A|,|B|)), so the
     // null guard rides the cheap u.
-    val i = size(array_intersect(shA, shB)).cast("long")
+    val i = graft.functions.SetFunctions.set_intersect_count(shA, shB)
+      .cast("long")
     val u = (size(shA) + size(shB)).cast("long")
     val q = graft.functions.AggFunctions.jaccardQ128(i, u)
     when(u === 0, lit(null).cast("double")).otherwise(q)
@@ -575,6 +579,45 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var edgeCount = edges.count() // cheap: a count over the checkpoint blocks
+    // Sub-threshold graphs label on the DRIVER (r19, guide §5: the
+    // driver should do almost no data work — a few hundred thousand
+    // 16-byte edges is no data work, while the star fixpoint it replaces
+    // is 3+ actions and ~6 shuffles PER ROUND, pure scheduling latency
+    // at this size; ProbeJobs measured the CC consumers at 87–100 jobs
+    // each). Union-find with min-id roots produces the IDENTICAL label
+    // set — every node reachable through pairs, labeled with the
+    // smallest id in its component (CcEquivalenceSpec pins driver ≡ star
+    // on random graphs). The threshold is session-configurable
+    // (`graft.cc.driverMaxEdges`; 0 forces the distributed path) and a
+    // 100 TB near-dup graph sails past it into the unchanged star loop.
+    val driverMax = pairs.sparkSession.conf
+      .getOption("graft.cc.driverMaxEdges").map(_.toLong).getOrElse(1000000L)
+    if (edgeCount <= driverMax) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      ckptRdd(edges).foreach(_.unpersist(false))
+      val root = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (root.get(r) != r) r = root.get(r)
+        var c = x
+        while (root.get(c) != c) { val n = root.get(c); root.put(c, r); c = n }
+        r
+      }
+      es.foreach { case (u, v) =>
+        if (!root.containsKey(u)) root.put(u, u)
+        if (!root.containsKey(v)) root.put(v, v)
+        val ru = find(u); val rv = find(v)
+        // min-id root: the star fixpoint's component label
+        if (ru < rv) root.put(rv, ru)
+        else if (rv < ru) root.put(ru, rv)
+      }
+      val labels = root.keySet().toArray(Array.empty[java.lang.Long])
+        .map(n => (n.toLong, find(n)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return CcResult(
+        labels.toSeq.toDF("doc_id", "cluster"), rounds = 0)
+    }
     // Neighborhood minima are a map-side-combining groupBy + join back on
     // the center id, NOT `min(v).over(partitionBy(u))` (VERDICT r6 #3):
     // the min-root of a giant near-dup component accumulates degree ≈
@@ -1119,8 +1162,11 @@ object Dedup {
     * per-doc ordered-set fold both consume the persisted (doc_id, fp)
     * relation, so the corpus is shingled exactly once.
     */
-  case class PrefixJoinStage(fps: DataFrame, result: DataFrame) {
-    def unpersist(): Unit = { fps.unpersist(); () }
+  case class PrefixJoinStage(fps: DataFrame, result: DataFrame,
+                             cached: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = {
+      fps.unpersist(); cached.foreach(_.unpersist()); ()
+    }
   }
 
   def prefixSimilarityJoin(docs: DataFrame, threshold: Double): DataFrame =
@@ -1181,7 +1227,13 @@ object Dedup {
     val inv = shingleFps(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfRel = inv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    // persisted (r19): the ordered-set fold — the df join + per-doc
+    // sort_array, the single most CPU-expensive projection of the
+    // pipeline — feeds THREE consumers (the prefix relation and both
+    // verify legs); ReuseExchange dedups only the underlying shuffle,
+    // so without the cache the post-shuffle fold ran three times
     val sets = orderedSets(inv, dfRel)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pref = prefixOf(sets, t)
     // equi-join on the prefix fp; length filter prunes (never decides)
     val cand = pref.as("a")
@@ -1193,7 +1245,7 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared_prefix"))
       .select(col("id_a"), col("id_b"))
-    PrefixJoinStage(inv, verifyPairs(cand, sets, sets, t))
+    PrefixJoinStage(inv, verifyPairs(cand, sets, sets, t), Seq(sets))
   }
 
   /** Distinct 60-bit shingle fps per doc; fp-level distinct so a same-doc
@@ -1248,7 +1300,8 @@ object Dedup {
       // spelling re-evaluated it for the threshold filter and the
       // rounded output)
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("fa"), col("fb"))).cast("long").as("i"),
+        graft.functions.SetFunctions.set_intersect_count(
+          col("fa"), col("fb")).cast("long").as("i"),
         (col("na") + col("nb")).as("u"))
       .select(col("id_a"), col("id_b"),
         (col("i") / (col("u") - col("i"))).as("j"),
@@ -1261,8 +1314,12 @@ object Dedup {
     * relations persist (each corpus is shingled once).
     */
   case class PrefixIncStage(corpusFps: DataFrame, incomingFps: DataFrame,
-                            result: DataFrame) {
-    def unpersist(): Unit = { corpusFps.unpersist(); incomingFps.unpersist(); () }
+                            result: DataFrame,
+                            cached: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = {
+      corpusFps.unpersist(); incomingFps.unpersist()
+      cached.foreach(_.unpersist()); ()
+    }
   }
 
   def prefixJoinAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
@@ -1293,8 +1350,12 @@ object Dedup {
     val incInv = shingleFps(incoming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfRel = corpInv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    // persisted (r19): each side's ordered-set fold feeds its prefix
+    // relation AND its verify leg — see prefixSimilarityJoinStage
     val corpSets = orderedSets(corpInv, dfRel)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incSets = orderedSets(incInv, dfRel)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefixOf(incSets, t).as("a")
       .join(prefixOf(corpSets, t).as("b"),
         col("a.fp") === col("b.fp") &&
@@ -1303,7 +1364,8 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared_prefix"))
       .select(col("id_a"), col("id_b"))
-    PrefixIncStage(corpInv, incInv, verifyPairs(cand, incSets, corpSets, t))
+    PrefixIncStage(corpInv, incInv, verifyPairs(cand, incSets, corpSets, t),
+      Seq(corpSets, incSets))
   }
 
   def containmentJoinAgainstCorpus(corpus: DataFrame, needles: DataFrame,

@@ -117,57 +117,87 @@ object Similarity {
     */
   def kmeansFit(embeddings: DataFrame, k: Int, iters: Int,
                 trainN: Int = DefaultTrainN): KmeansModel = {
-    val v = embeddings
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
-    val train = v.orderBy(col("vec_id")).limit(trainN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids: Array[Seq[Double]] = train.limit(k)
-      .select(col("emb")).collect().map(_.getSeq[Double](0))
-
-    // dist_j ∝ |c_j|² − 2·(emb·c_j); argmin with (dist, cell) tie-break —
-    // one fused NearestCells pass (k stacked literal-dot columns are
-    // identical arithmetic but fall off the JIT cliff as k grows; see the
-    // expression's scaladoc)
-    def assign(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("emb"),
-        element_at(graft.functions.VectorFunctions.nearest_cells(
-          col("emb"), centroids.toIndexedSeq, nProbe = 1), 1).as("cell"))
-
-    for (_ <- 1 to iters) {
-      // Deterministic centroid mean: values are collected per (cell, dim),
-      // SORTED, and summed by a sequential left-to-right fold — the exact
-      // same IEEE addition sequence an oracle replay performs
-      // (list_sum(list_sort(list(v)))), so the pre-rounding double is
-      // bit-identical in both engines and round(·, 6) cannot straddle a
-      // rounding boundary (with plain avg, Spark's parallel partial-sum
-      // order could land on the opposite side of the boundary from a
-      // sequential oracle sum).
-      val means = assign(train)
-        .select(col("cell"), posexplode(col("emb")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(collect_list(col("col")).as("vs"))
-        .select(col("cell"), col("pos"),
-          round(aggregate(array_sort(col("vs")), lit(0.0d), (a, x) => a + x)
-            / size(col("vs")), 6).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
-        .select(col("cell"), col("ms.m").as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      centroids = centroids.indices
-        .map(j => means.getOrElse(j, centroids(j))).toArray
-    }
-    // training is finished (driven eagerly by the collects above); the
-    // returned plan depends only on the corpus + centroid literals, so the
-    // sample cache can be released before the caller's action
-    train.unpersist()
+    // ONE bounded-sample collect, then Lloyd on the driver (r19,
+    // guide §5 division of labor: the fit was already sample-bounded —
+    // trainN×dim doubles — but ran `2 + iters·2` Spark jobs per fit,
+    // pure scheduling overhead; pqFit paid it ×m subspaces, and every
+    // job's TakeOrdered re-scanned the corpus. Centroids are
+    // bit-identical to the distributed loop: assignment calls the SAME
+    // [[graft.functions.VectorKernels.nearestCells]] kernel the
+    // distributed expression called, and the mean step replays the same
+    // sorted left-to-right IEEE fold + HALF_UP round-6 the
+    // `aggregate(array_sort(...))`/`round(·,6)` spelling evaluated —
+    // KMeansSpec/SimilaritySpec pin the values, the 200-query gate pins
+    // every consumer.)
+    val sample = collectTrainSample(embeddings, trainN)
+    val centroids = kmeansFitLocal(sample, k, iters)
     // full-corpus assignment reads the RAW float embedding — NearestCells
-    // widens per element exactly as the double-cast path did, and skipping
-    // the interpreted transform() lambda removes a per-element dispatch
-    // from the one corpus-sized stage of the build (the training loop above
-    // keeps the cast: its mean step needs double arrays, on trainN rows)
+    // widens per element exactly as the double-cast path did
     KmeansModel(centroids, embeddings.select(col("vec_id"),
       element_at(graft.functions.VectorFunctions.nearest_cells(
         col("embedding"), centroids.toIndexedSeq, nProbe = 1), 1).as("cell")))
+  }
+
+  /** The deterministic bounded training sample (the `trainN` lowest
+    * vec_ids, elements widened to double) as driver-side arrays — one
+    * TakeOrdered job, shared by every local fit that slices it.
+    */
+  private[graft] def collectTrainSample(embeddings: DataFrame,
+                                        trainN: Int): Array[Array[Double]] =
+    embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .orderBy(col("vec_id")).limit(trainN)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Driver-side Lloyd over an already-collected sample — the arithmetic
+    * twin of the former distributed loop, operation for operation:
+    *  - init: the first k sample rows (the k lowest vec_ids);
+    *  - assign: `|c_j|² − 2·(x·c_j)` argmin with (dist, j) tie-break via
+    *    the SAME [[graft.functions.VectorKernels.nearestCells]] kernel
+    *    (norms pre-folded left-to-right, exactly as the expression's
+    *    constructor folded them);
+    *  - means: per (cell, dim), values sorted ascending and summed by a
+    *    sequential left-to-right double fold, divided by the count, then
+    *    HALF_UP-rounded at 6 via the shortest-decimal BigDecimal — the
+    *    `round(aggregate(array_sort(vs), 0.0, _+_) / size(vs), 6)`
+    *    semantics (Spark's Round on double is
+    *    `BigDecimal.decimal(d).setScale(6, HALF_UP)`, which is [[round6]]);
+    *  - empty cells keep their previous centroid.
+    */
+  private[graft] def kmeansFitLocal(sample: Array[Array[Double]], k: Int,
+                                    iters: Int): Array[Seq[Double]] = {
+    var centroids: Array[Seq[Double]] =
+      sample.take(k).map(v => v.toIndexedSeq: Seq[Double])
+    for (_ <- 1 to iters) {
+      val mat = centroids.map(_.toArray)
+      val norms = centroids.map(_.map(x => x * x).sum)
+      val cells = sample.map { v =>
+        graft.functions.VectorKernels.nearestCells(
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray(v),
+          false, mat, norms, 1)(0)
+      }
+      centroids = centroids.indices.map { j =>
+        val members = sample.indices.filter(cells(_) == j)
+        if (members.isEmpty) centroids(j)
+        else {
+          val dim = members.map(i => sample(i).length).max
+          (0 until dim).map { d =>
+            // ragged-length guard mirrors posexplode: a vector
+            // contributes to dimension d only if it HAS a d-th element
+            val vs = members.iterator.map(i => sample(i))
+              .filter(_.length > d).map(_(d)).toArray
+            java.util.Arrays.sort(vs)
+            var s = 0.0
+            var i = 0
+            while (i < vs.length) { s += vs(i); i += 1 }
+            round6(s / vs.length)
+          }
+        }
+      }.toArray
+    }
+    centroids
   }
 
   /** A two-level assignment index over a fitted quantizer: the k cell
@@ -418,20 +448,73 @@ object Similarity {
   private def scattered(df: DataFrame, on: Boolean): DataFrame =
     if (on && !alreadyScattered(df)) df.repartition(col("vec_id")) else df
 
+  /** Fragment-replicate salt factor for the cell-keyed candidate joins:
+    * the smallest S with nCells·S ≥ the session's shuffle parallelism.
+    * A cell-keyed exchange has at most nCells non-empty partitions, and
+    * when nCells < parallelism the candidate-scoring stage — the one
+    * stage whose cost is per CANDIDATE PAIR, orders of magnitude more
+    * work per byte than the exchange that feeds it — runs nearly serial
+    * no matter how many cores the cluster has; AQE's byte-based
+    * coalescing cannot see the compute amplification and makes it worse
+    * (guide §2.5 synthetic keys / §3.3 exploding joins; ProbeJobs r19
+    * measured q155/q184/q185 at ONE task per stage on local[32]).
+    * S is derived from conf and the model (never from data, no extra
+    * job), so it scales itself: a production index with cells ≥
+    * parallelism gets S = 1 and the plan is unchanged from r18.
+    */
+  private def cellSalt(df: DataFrame, nCells: Int): Int = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(1, (p + nCells - 1) / nCells)
+  }
+
+  /** The cell-keyed candidate join with an S-way fragment-replicate
+    * salt: the corpus side carries ONE deterministic salt per row
+    * (hash(vec_id) mod S), the query side replicates each probe row S
+    * ways, and both sides hash-partition EXPLICITLY on (cell, salt)
+    * into the session's shuffle parallelism — a user-specified
+    * partitioning AQE must not coalesce, so the per-pair scoring stage
+    * keeps nCells·S ≥ parallelism workers. Every (query, candidate)
+    * pair still meets exactly once (the corpus row's single salt value
+    * matches exactly one of the S query replicas), so the candidate
+    * stream — and everything ranked from it — is row-identical to the
+    * unsalted join. At S = 1 this IS the plain cell join, exchanges
+    * included; the salted regime also subsumes the scatter guard (the
+    * salt spreads every cell across the full parallelism
+    * deterministically — stronger than the AQE skew split the scatter
+    * exists to enable), so callers skip [[scattered]] when S > 1.
+    */
+  private def cellSaltedJoin(corpus: DataFrame, probes: DataFrame,
+                             s: Int, idCol: String = "vec_id"): DataFrame =
+    if (s <= 1) corpus.join(probes, Seq("cell"))
+    else {
+      val p = corpus.sparkSession.sessionState.conf.numShufflePartitions
+      val c = corpus
+        .withColumn("salt", pmod(xxhash64(col(idCol)), lit(s.toLong)).cast("int"))
+        .repartition(p, col("cell"), col("salt"))
+      val q = probes
+        .withColumn("salt", explode(typedLit((0 until s).toArray)))
+        .repartition(p, col("cell"), col("salt"))
+      c.join(q, Seq("cell", "salt")).drop("salt")
+    }
+
   def knnJoin(left: DataFrame, right: DataFrame, model: KmeansModel,
               k: Int, nProbe: Int, excludeSameId: Boolean = true,
               scatter: Boolean = true): DataFrame = {
-    val c = scattered(right, scatter).select(col("vec_id"),
+    // the salted regime (S > 1: small index, cells < parallelism) spreads
+    // every cell deterministically, which is what the scatter exists for —
+    // so the vec_id pre-shuffle only runs in the S = 1 production regime
+    val s = cellSalt(right, model.centroids.length)
+    val c = scattered(right, scatter && s <= 1).select(col("vec_id"),
       col("embedding").as("emb"),
       element_at(graft.functions.VectorFunctions.nearest_cells(
         col("embedding"), model.centroids.toIndexedSeq, 1), 1).as("cell"))
     // probe explode fused into the scan projection (embedding carried —
     // no (q_id → embedding) join-back; the left side is scanned once)
-    val q = scattered(left, scatter).select(col("vec_id").as("q_id"),
+    val q = scattered(left, scatter && s <= 1).select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
       explode(graft.functions.VectorFunctions.nearest_cells(
         col("embedding"), model.centroids.toIndexedSeq, nProbe)).as("cell"))
-    val joined = c.join(q, Seq("cell"))
+    val joined = cellSaltedJoin(c, q, s)
     val candidates =
       if (excludeSameId) joined.filter(col("vec_id") =!= col("q_id"))
       else joined
@@ -457,8 +540,11 @@ object Similarity {
                     k: Int, nProbe: Int, scatter: Boolean = true): DataFrame = {
     // scatter ONCE and derive both join legs from it: the two legs then
     // share one canonical exchange subtree, which ReuseExchange executes
-    // a single time — one embedding-wide shuffle, not two (ADVICE r17)
-    val e = scattered(embeddings, scatter)
+    // a single time — one embedding-wide shuffle, not two (ADVICE r17).
+    // In the salted regime (S > 1) the salt spreads the cells itself, so
+    // the scatter is skipped, as in [[knnJoin]].
+    val s = cellSalt(embeddings, model.centroids.length)
+    val e = scattered(embeddings, scatter && s <= 1)
     val c = e
       .select(col("vec_id"), col("label").as("c_label"),
       col("embedding").as("emb"),
@@ -470,7 +556,7 @@ object Similarity {
       col("embedding").as("q_emb"),
       explode(graft.functions.VectorFunctions.nearest_cells(
         col("embedding"), model.centroids.toIndexedSeq, nProbe)).as("cell"))
-    val candidates = c.join(q, Seq("cell"))
+    val candidates = cellSaltedJoin(c, q, s)
       .filter(col("vec_id") =!= col("q_id") &&
         col("c_label") =!= col("q_label"))
     rankTopK(candidates.select(col("q_id"), col("vec_id"),
@@ -510,6 +596,7 @@ object Similarity {
                     k: Int, nProbe: Int): DataFrame = {
     val d = ndcgDiscounts(k)
     val cum = d.scanLeft(0L)(_ + _).tail
+    val s = cellSalt(embeddings, model.centroids.length)
     val c = embeddings.select(col("vec_id"), col("label").as("c_label"),
       col("embedding").as("emb"),
       element_at(graft.functions.VectorFunctions.nearest_cells(
@@ -519,7 +606,7 @@ object Similarity {
       col("embedding").as("q_emb"),
       explode(graft.functions.VectorFunctions.nearest_cells(
         col("embedding"), model.centroids.toIndexedSeq, nProbe)).as("cell"))
-    val ranked = c.join(q, Seq("cell"))
+    val ranked = cellSaltedJoin(c, q, s)
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("q_label"), col("vec_id"),
         vec_cosine(col("q_emb"), col("emb")).as("cos"), col("c_label"))
@@ -588,12 +675,16 @@ object Similarity {
     * threshold) is identical to [[nearDupPairs]].
     */
   def cellNearDupPairs(embeddings: DataFrame, cells: DataFrame,
-                       threshold: Double): DataFrame = {
+                       threshold: Double, nCells: Int = 0): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("embedding").as("emb"))
       .join(cells, "vec_id")
     val a = v.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val b = v.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
-    a.join(b, Seq("cell"))
+    // with a known cell count, the within-cell pair stream takes the
+    // salted fragment-replicate join — same pairs, parallelism floored
+    // at the session's shuffle width (see [[cellSaltedJoin]])
+    val s = if (nCells > 0) cellSalt(embeddings, nCells) else 1
+    cellSaltedJoin(b, a, s, idCol = "id_b")
       .filter(col("id_b") > col("id_a"))
       .select(col("id_a"), col("id_b"),
         round(vec_cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
@@ -632,7 +723,8 @@ object Similarity {
                          threshold: Double): graft.operators.TextAnalysis.CachedStage = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val pairs = cellNearDupPairs(embeddings, model.cells, threshold)
+    val pairs = cellNearDupPairs(embeddings, model.cells, threshold,
+      nCells = model.centroids.length)
     val labels = graft.operators.Dedup.starClusters(pairs).labels
       .withColumnRenamed("doc_id", "vec_id")
     val cents = model.centroids.toSeq.zipWithIndex
@@ -874,10 +966,17 @@ object Similarity {
             iters: Int = PqIters, trainN: Int = DefaultTrainN): PqModel = {
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val sub = dim / m
+    // ONE sample collect for all m subspace fits (r19): the former
+    // per-subspace `kmeansFit(slice(...))` ran m independent corpus-wide
+    // TakeOrdered scans plus m distributed Lloyd loops — m·(2+2·iters)
+    // jobs for a model whose training is corpus-size-independent by
+    // construction. Slicing the collected sample is the same arithmetic
+    // (element cast and slice commute), so the codebooks are unchanged.
+    val sample = collectTrainSample(embeddings, trainN)
     PqModel((0 until m).map { mi =>
-      kmeansFit(embeddings.select(col("vec_id"),
-        slice(col("embedding"), mi * sub + 1, sub).as("embedding")),
-        k, iters, trainN).centroids.map(_.toSeq).toIndexedSeq
+      kmeansFitLocal(sample.map(v =>
+        v.slice(mi * sub, mi * sub + sub)), k, iters)
+        .map(_.toSeq).toIndexedSeq
     }, sub)
   }
 
@@ -936,11 +1035,35 @@ object Similarity {
   def pqFitResidual(embeddings: DataFrame, coarse: KmeansModel, dim: Int,
                     m: Int = PqM, k: Int = PqK, iters: Int = PqIters,
                     trainN: Int = DefaultTrainN): PqModel = {
-    val cell = element_at(graft.functions.VectorFunctions.nearest_cells(
-      col("embedding"), coarse.centroids.toIndexedSeq, 1), 1)
-    pqFit(embeddings.select(col("vec_id"),
-      residualVec(col("embedding"), cell, coarse).as("embedding")),
-      dim, m, k, iters, trainN)
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val sub = dim / m
+    // residuals computed driver-side over the same one-collect sample
+    // (r19, as [[pqFit]]): cell = the same nearestCells kernel the fused
+    // expression ran (float→double widening is exact, so assigning from
+    // the double-cast sample is bit-identical), residual_d = x_d −
+    // centroid_d — the residualVec arithmetic on the sampled rows.
+    val sample = collectTrainSample(embeddings, trainN)
+    val mat = coarse.centroids.map(_.toArray)
+    val norms = coarse.centroids.map(_.map(x => x * x).sum).toArray
+    val res = sample.map { v =>
+      val cell = graft.functions.VectorKernels.nearestCells(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(v),
+        false, mat, norms, 1)(0)
+      val c = mat(cell)
+      val r = new Array[Double](v.length)
+      var d = 0
+      while (d < v.length) {
+        r(d) = v(d) - (if (d < c.length) c(d) else 0.0)
+        d += 1
+      }
+      r
+    }
+    PqModel((0 until m).map { mi =>
+      kmeansFitLocal(res.map(v =>
+        v.slice(mi * sub, mi * sub + sub)), k, iters)
+        .map(_.toSeq).toIndexedSeq
+    }, sub)
   }
 
   /** IVF-PQ recall-vs-cost frontier (VERDICT r12 #5) — the q120 table

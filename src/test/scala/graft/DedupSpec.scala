@@ -124,7 +124,12 @@ class DedupSpec extends SparkSpecBase {
     // in the block manager (each round releases its predecessor).
     val before = spark.sparkContext.getPersistentRDDs.size
     val pairs = (100L to 111L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val res = Dedup.starClusters(pairs)
+    // force the distributed star loop: this test pins ITS convergence and
+    // lineage hygiene, which the r19 driver-side small-graph path would
+    // otherwise bypass (CcEquivalenceSpec pins the two paths agree)
+    spark.conf.set("graft.cc.driverMaxEdges", "0")
+    val res = try Dedup.starClusters(pairs)
+      finally spark.conf.unset("graft.cc.driverMaxEdges")
     assert(res.labels.as[(Long, Long)].collect().toMap ===
       (100L to 112L).map(_ -> 100L).toMap)
     // ⌈log₂ 12⌉ + 2 = 6 (the +2: final fixpoint-confirming round and
