@@ -70,6 +70,24 @@ object TextKernels {
     ((d(0) & 0xff) << 8) | (d(1) & 0xff)
   }
 
+  /** First 60 bits of md5 as a non-negative long — the value of
+    * `conv(substring(md5(x), 1, 15), 16, 10)::long` (15 hex nibbles =
+    * the first 8 digest bytes big-endian, shifted right one nibble)
+    * without materializing the 32-char hex string, the substring, or
+    * conv's decimal string (r19 — three string allocations per token on
+    * every fp60 consumer; Fp60Spec pins the equivalence).
+    */
+  def md5Prefix60(bytes: Array[Byte]): Long = {
+    val d = md5Bytes(bytes)
+    var out = 0L
+    var i = 0
+    while (i < 8) {
+      out = (out << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    out >>> 4
+  }
+
   /** First 64 bits of md5 as a big-endian long — the high 32 bits match
     * `('0x' || substr(md5(t),1,8))::BIGINT` and the low 32 bits
     * `('0x' || substr(md5(t),9,8))::BIGINT`, so a DuckDB oracle can replay
@@ -522,6 +540,35 @@ case class LangPredict(child: Expression, dicts: Seq[Seq[String]],
   * multibyte sequences count as one without decoding. Callers pass the
   * LOWERCASED text, exactly like the regex form.
   */
+/** `conv(substring(md5(x), 1, 15), 16, 10)::long` in one fused kernel
+  * call — the engine-wide 60-bit fingerprint ([[TextKernels.md5Prefix60]]).
+  */
+case class Fp60(child: Expression)
+    extends UnaryExpression {
+
+  override def prettyName: String = "fp60"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.md5Prefix60(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.md5Prefix60($x.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PunctCount(child: Expression)
     extends UnaryExpression {
 
@@ -669,6 +716,10 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 object TextFunctions {
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** Fused 60-bit md5 fingerprint (see [[Fp60]]). */
+  def fp60_long(c: Column): Column =
+    Bridge.column(Fp60(Bridge.expression(c)))
 
   def bpe_apply(symbols: Column, a: String, b: String): Column =
     Bridge.column(BpeApply(Bridge.expression(symbols), a, b))

@@ -131,7 +131,10 @@ object TextAnalysis {
     * oracles as `('0x' || substr(md5(x), 1, 15))::BIGINT`.
     */
   def fp60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // one fused kernel call (r19): same value as
+    // conv(substring(md5(c), 1, 15), 16, 10).cast("long") without the
+    // hex/substring/decimal string allocations per token (Fp60Spec)
+    graft.functions.TextFunctions.fp60_long(c)
 
   /** doc_id, per-language scores, predicted language (argmax with fixed
     * priority order, "und" when all scores are zero — the prediction is

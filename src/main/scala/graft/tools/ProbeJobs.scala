@@ -42,15 +42,31 @@ object ProbeJobs {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskMs = new AtomicLong(0L)
+    // per-stage task-time attribution: stageId -> (name, ms, tasks)
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         { jobs.incrementAndGet(); () }
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-        { stages.incrementAndGet(); () }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val ops = e.stageInfo.rddInfos
+          .flatMap(ri => ri.scope.map(_.name)).distinct
+        stageName.put(e.stageInfo.stageId,
+          (if (ops.nonEmpty) ops.mkString("|")
+           else e.stageInfo.name.linesIterator.next()).take(160))
+        ()
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
-        if (e.taskInfo != null)
+        if (e.taskInfo != null) {
           taskMs.addAndGet(e.taskInfo.duration)
+          stageMs.computeIfAbsent(e.stageId, _ => new AtomicLong(0L))
+            .addAndGet(e.taskInfo.duration)
+          stageTasks.computeIfAbsent(e.stageId, _ => new AtomicInteger(0))
+            .incrementAndGet()
+        }
         ()
       }
     })
@@ -64,6 +80,7 @@ object ProbeJobs {
       // private[spark]; a short sleep is enough for a profiler)
       Thread.sleep(500)
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L)
+      stageName.clear(); stageMs.clear(); stageTasks.clear()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -71,6 +88,13 @@ object ProbeJobs {
       println(f"PROBEJOBS $name rows=$n wall=$wall%.3f jobs=${jobs.get}" +
         f" stages=${stages.get} tasks=${tasks.get}" +
         f" taskSec=${taskMs.get / 1e3}%.2f")
+      import scala.jdk.CollectionConverters._
+      stageMs.asScala.toSeq.sortBy(-_._2.get()).take(8).foreach {
+        case (sid, ms) =>
+          val nm = Option(stageName.get(sid)).getOrElse("?")
+          val nt = Option(stageTasks.get(sid)).map(_.get()).getOrElse(0)
+          println(f"  STAGE $sid%5d ${ms.get() / 1e3}%8.2f s tasks=$nt%-4d $nm")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
