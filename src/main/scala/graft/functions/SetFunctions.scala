@@ -17,9 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * away — per candidate pair, on the hottest path of q154/q158/q11/q119
   * (guide §4: prefer expressions that do only the work the query needs).
   * These kernels compute the same count with zero per-element boxing and
-  * zero result materialization: copy the non-null elements to primitive
-  * (long) / reference (UTF8String) arrays, sort, and two-pointer over
-  * the distinct values.
+  * zero result materialization: the SMALLER side builds a linear-probe
+  * hash table (primitive-long open addressing for fingerprints, a
+  * UTF8String hash set for shingles), the larger side probes, and a
+  * per-slot matched flag counts each distinct common value once.
   *
   * Equivalence contract (`IntersectCountSpec`): for any two arrays,
   * `set_intersect_count(a, b) === size(array_intersect(a, b))` —
@@ -51,8 +52,14 @@ object SetKernels {
       if (a.numElements() <= b.numElements()) (a, b, aHasNulls, bHasNulls)
       else (b, a, bHasNulls, aHasNulls)
     val ns = s.numElements()
-    var cap = 8
-    while (cap < ns * 2) cap <<= 1
+    // long arithmetic + clamp (ADVICE r19): `ns * 2` overflowed Int at
+    // ns ≥ 2^30 (an 8-slot table whose insert loop spins forever), and
+    // Int doubling itself wraps at 2^31; 2^30 slots is the largest
+    // power-of-two table a JVM array can hold anyway (a row with ≥ 2^29
+    // set elements OOMs long before probing quality matters)
+    var capL = 8L
+    while (capL < ns.toLong * 2 && capL < (1L << 30)) capL <<= 1
+    val cap = capL.toInt
     val mask = cap - 1
     val table = new Array[Long](cap) // 0 = empty (0L tracked separately)
     val matched = new Array[Boolean](cap)

@@ -88,6 +88,36 @@ object TextKernels {
     out >>> 4
   }
 
+  /** The fused HLL register update (r20): bucket and rho of one md5
+    * digest, packed `(bucket << 6) | rho` (bucket < 256, rho ≤ 53 < 64).
+    * Value-identical to the conv/substring spelling the sketch family
+    * used (HllRegSpec pins it):
+    *  - bucket = `conv(substring(md5(x),1,2),16,10)::int` — the first
+    *    digest byte unsigned;
+    *  - v = `conv(substring(md5(x),3,13),16,10)::long` — hex nibbles
+    *    3..15 (1-based) = digest bytes 1..7 big-endian shifted right one
+    *    nibble, a 52-bit value;
+    *  - rho = 53 − (1-based MSB position of v), i.e. 53 when v = 0 else
+    *    `numberOfLeadingZeros(v) − 11` (v < 2^52 ⇒ nlz ≥ 12) — exactly
+    *    the 53-way `greatest(when(shiftright(v, j) > 0, j+1)...)` chain.
+    * One digest per value instead of two, no hex string, no substring
+    * copies, no conv decimal round-trips, no 53-expression comparison
+    * ladder per token.
+    */
+  def hllReg(bytes: Array[Byte]): Int = {
+    val d = md5Bytes(bytes)
+    val bucket = d(0) & 0xff
+    var v56 = 0L
+    var i = 1
+    while (i < 8) {
+      v56 = (v56 << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    val v = v56 >>> 4
+    val rho = if (v == 0L) 53 else java.lang.Long.numberOfLeadingZeros(v) - 11
+    (bucket << 6) | rho
+  }
+
   /** First 64 bits of md5 as a big-endian long — the high 32 bits match
     * `('0x' || substr(md5(t),1,8))::BIGINT` and the low 32 bits
     * `('0x' || substr(md5(t),9,8))::BIGINT`, so a DuckDB oracle can replay
@@ -569,6 +599,35 @@ case class Fp60(child: Expression)
     copy(child = newChild)
 }
 
+/** The HLL (bucket, rho) register update in one fused kernel call —
+  * packed `(bucket << 6) | rho` (see [[TextKernels.hllReg]]).
+  */
+case class HllReg(child: Expression)
+    extends UnaryExpression {
+
+  override def prettyName: String = "hll_reg"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.hllReg(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextKernels.hllReg($x.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PunctCount(child: Expression)
     extends UnaryExpression {
 
@@ -751,4 +810,10 @@ object TextFunctions {
 
   def punct_count(loweredText: Column): Column =
     Bridge.column(PunctCount(Bridge.expression(loweredText)))
+
+  /** Fused HLL register update, packed `(bucket << 6) | rho` (see
+    * [[HllReg]]).
+    */
+  def hll_reg(value: Column): Column =
+    Bridge.column(HllReg(Bridge.expression(value)))
 }

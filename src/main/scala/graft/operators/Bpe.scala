@@ -182,11 +182,27 @@ object Bpe {
     // threshold is session-configurable (`graft.bpe.driverMaxVocab`;
     // 0 forces the distributed path) — a 100 TB corpus vocabulary blows
     // past it and trains distributed exactly as before.
-    val driverMax = docs.sparkSession.conf
-      .getOption("graft.bpe.driverMaxVocab").map(_.toLong).getOrElse(1L << 21)
+    def longConf(key: String, dflt: Long): Long = {
+      val raw = docs.sparkSession.conf.getOption(key)
+      try raw.map(_.toLong).getOrElse(dflt)
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a long, got '${raw.get}'")
+      }
+    }
+    val driverMax = longConf("graft.bpe.driverMaxVocab", 1L << 21)
+    // the driver loop costs O(vocab × nMerges) merge applications, so the
+    // gate also bounds the WORK PRODUCT (ADVICE r19): a vocabulary just
+    // under the size threshold with production-scale merge counts
+    // (30k–100k) would be far slower single-threaded than the distributed
+    // path it replaces — default 2^27 keeps every benched shape (≤ ~10^5
+    // vocab × ≤ 64 merges) on the driver and routes 2M-word × 30k-merge
+    // production fits distributed
+    val workMax = longConf("graft.bpe.driverMaxWork", 1L << 27)
     // the count also materializes the persist both paths re-read
-    if (base.count() <= driverMax) trainLocal(docs.sparkSession, base,
-      nMerges, batchK)
+    val vocabN = base.count()
+    if (vocabN <= driverMax && vocabN * math.max(1L, nMerges.toLong) <= workMax)
+      trainLocal(docs.sparkSession, base, nMerges, batchK)
     else trainDistributed(docs.sparkSession, base, nMerges, batchK)
   }
 

@@ -214,13 +214,14 @@ object Curation {
     */
   def packStage(docs: DataFrame, ctxTokens: Int = 256,
                 nBlocks: Int = DefaultPackBlocks): PackStage = {
-    // persisted: the window branch and the block-total branch both consume
-    // it, and recomputing would re-tokenize the corpus twice (Catalyst
-    // does not reuse diamond subplans)
-    val base = docs.select(col("doc_id"), col("lang"),
+    // materialized (r20, was lazily persisted): the window branch and the
+    // block-total branch both consume it in ONE action, and a lazy cache
+    // is raced by the two concurrent stages — each re-tokenizing the
+    // corpus (see [[Stages.materialized]])
+    val base = Stages.materialized(
+      docs.select(col("doc_id"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
-        packBlock(nBlocks))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        packBlock(nBlocks)))
     PackStage(base, packFromBase(base, ctxTokens))
   }
 
@@ -306,12 +307,16 @@ object Curation {
   }
 
   def budgetStage(docs: DataFrame, budgetTokens: Long): BudgetStage = {
-    val enriched = docs.select(col("doc_id"),
+    // materialized (r20): the bucket histogram, the whole-bucket branch
+    // and the boundary branch consume it in one action — a lazy persist
+    // was raced, re-running the text kernels per consumer (see
+    // [[Stages.materialized]])
+    val enriched = Stages.materialized(
+      docs.select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
         TextAnalysis.qualityScore(col("text")).as("q"))
       .filter(col("q").isNotNull)
-      .withColumn("qb", floor(col("q") * 100).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("qb", floor(col("q") * 100).cast("int")))
     BudgetStage(enriched, budgetFromEnriched(enriched, budgetTokens))
   }
 
@@ -521,11 +526,14 @@ object Curation {
       graft.functions.TextFunctions.punct_count(txt).as("p"),
       TextAnalysis.stopwordCount(TextAnalysis.tokens(txt),
         TextAnalysis.StopwordDicts.head._2).as("s"))
-    val scored = counts.select(col("doc_id"), col("source"),
-      TextAnalysis.qualityExpr(col("c"), col("w"), col("p"), col("s"))
-        .as("quality"))
-      .filter(col("quality").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized (r20): the histogram fold and the join probe consume
+    // it in one action — a lazy persist was raced, running the text
+    // kernels twice (see [[Stages.materialized]])
+    val scored = Stages.materialized(
+      counts.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityExpr(col("c"), col("w"), col("p"), col("s"))
+          .as("quality"))
+      .filter(col("quality").isNotNull))
     TextAnalysis.CachedStage(scored, percentileFromScored(scored))
   }
 
@@ -542,7 +550,12 @@ object Curation {
     val w = Window.partitionBy(col("source")).orderBy(col("quality"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hh = h.withColumn("cum", sum(col("cnt")).over(w)).join(n, "source")
-    scored.join(hh, Seq("source", "quality"))
+    // broadcast by construction (r20): hh is the (source, quality)
+    // HISTOGRAM — ≤ #sources × 10⁴ rows (quality is rounded to 4
+    // decimals) — so the corpus-sized probe side picks up its percentile
+    // map-side instead of shuffling on (source, quality); size estimates
+    // under the window/join made the planner miss this on its own
+    scored.join(broadcast(hh), Seq("source", "quality"))
       .select(col("doc_id"), col("source"), col("quality"),
         // (cum - cnt/2)/n respelled (2·cum - cnt)/(2n): exact integer
         // rounding (ratioQ), same rational
@@ -600,14 +613,24 @@ object Curation {
     // pay the quality kernels three times and tokenize twice — at 100 TB
     // that is two avoidable corpus scans). The only other text pass is
     // the LSH shingling, which genuinely needs the text.
-    val scored = docs.select(col("doc_id"), col("source"), col("lang"),
+    // materialized (r20, was lazily persisted): inside the first action
+    // the percentile histogram and its join probe race the fresh cache,
+    // re-running the kernel scan (see [[Stages.materialized]])
+    val scored = Stages.materialized(
+      docs.select(col("doc_id"), col("source"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
-        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keptIds = percentileFromScored(
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens")))
+    // keptIds is consumed by the LSH input join (first action) AND the
+    // deduped-corpus build (every later action) — uncached, the whole
+    // percentile subtree (histogram aggregate + cumulative window + join
+    // probe) re-executed per consumer; the 8-byte-id relation
+    // materializes once and falls to the session cache clear like the
+    // shared projection (r20)
+    val keptIds = Stages.materialized(
+      percentileFromScored(
         scored.filter(col("quality").isNotNull)
           .select(col("doc_id"), col("source"), col("quality")))
-      .filter(col("pctl") >= 0.5).select("doc_id")
+      .filter(col("pctl") >= 0.5).select("doc_id"))
     val st = Dedup.minhashNearDupsStage(docs.join(keptIds, "doc_id"),
       threshold = 0.5)
     val labels = Dedup.nearDupClusters(st.result)
@@ -637,10 +660,13 @@ object Curation {
           .withColumn("qb", floor(col("q") * 100).cast("int")),
         total / 2)
       .select("doc_id")
-    val base = dd.join(selected, "doc_id")
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        packBlock(DefaultPackBlocks))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized (r20): packFromBase's window leg and block-total leg
+    // consume it concurrently in the result action — lazily persisted,
+    // both recomputed the budget-selection subtree under the join
+    val base = Stages.materialized(
+      dd.join(selected, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          packBlock(DefaultPackBlocks)))
     CurationDagStage(drop, packFromBase(base, ctxTokens))
   }
 
@@ -886,10 +912,16 @@ object Curation {
   def sourceDatacard(docs: DataFrame): DataFrame =
     sourceDatacardStage(docs).result
 
-  /** [[sourceDatacard]] with its cache handle. */
+  /** [[sourceDatacard]] with its cache handle. The stats projection is
+    * MATERIALIZED, not just persisted (r20): it fans out into the dup-fp
+    * aggregate, the base-counts join leg, and the language census — three
+    * exchange subtrees of one action that AQE submits concurrently, so a
+    * lazy cache was raced and the whole upstream chain (text kernels —
+    * and in q130's composition the WARC read + curate + merge) recomputed
+    * per consumer (see [[Stages.materialized]]).
+    */
   def sourceDatacardStage(docs: DataFrame): TextAnalysis.CachedStage = {
-    val enr = docCardStats(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val enr = Stages.materialized(docCardStats(docs))
     TextAnalysis.CachedStage(enr, datacardFromStats(enr))
   }
 
@@ -960,8 +992,9 @@ object Curation {
     */
   def sourceDatacardIncrementalStage(incoming: DataFrame,
                                      priorStats: DataFrame): TextAnalysis.CachedStage = {
-    val enr = docCardStatsIncremental(incoming, priorStats)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized like the bootstrap path (r20): same three-branch
+    // fan-out, raced identically when lazily persisted
+    val enr = Stages.materialized(docCardStatsIncremental(incoming, priorStats))
     TextAnalysis.CachedStage(enr, datacardFromStats(enr))
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{min_hash_sig, sim_hash64, word_shingles}
+import graft.operators.Stages.materialized
 
 /** Deduplication operators over the `documents` table: exact, MinHash+LSH,
   * SimHash, and windowed n-gram Jaccard. Embedding-space near-dup lives in
@@ -1169,6 +1170,13 @@ object Dedup {
     }
   }
 
+  /** Result-only convenience over [[prefixSimilarityJoinStage]]. NOTE
+    * (ADVICE r19): the stage's internal relations stay persisted after
+    * the caller's action — one-shot sessions that clear the catalog cache
+    * afterwards (Bench/Verify) may use this form; long-lived callers must
+    * use the Stage form and release the handle. Same contract for
+    * [[prefixJoinAgainstCorpus]] and [[containmentJoinAgainstCorpus]].
+    */
   def prefixSimilarityJoin(docs: DataFrame, threshold: Double): DataFrame =
     prefixSimilarityJoinStage(docs, threshold).result
 
@@ -1224,16 +1232,20 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = lit(threshold)
-    val inv = shingleFps(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized, not just persisted (r20): the fp relation feeds the
+    // df aggregate AND the ordered-set fold, the fold feeds the prefix
+    // relation and both verify legs — all exchange subtrees of ONE
+    // action, which AQE submits concurrently, so a lazily-persisted
+    // cache was raced and its child plan recomputed per consumer (see
+    // [[Stages.materialized]])
+    val inv = materialized(shingleFps(docs))
     val dfRel = inv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     // persisted (r19): the ordered-set fold — the df join + per-doc
     // sort_array, the single most CPU-expensive projection of the
     // pipeline — feeds THREE consumers (the prefix relation and both
     // verify legs); ReuseExchange dedups only the underlying shuffle,
     // so without the cache the post-shuffle fold ran three times
-    val sets = orderedSets(inv, dfRel)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = materialized(orderedSets(inv, dfRel))
     val pref = prefixOf(sets, t)
     // equi-join on the prefix fp; length filter prunes (never decides)
     val cand = pref.as("a")
@@ -1345,17 +1357,17 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = lit(threshold)
-    val corpInv = shingleFps(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val incInv = shingleFps(incoming)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized, not just persisted (r20): both fp relations and both
+    // ordered-set folds fan out into several exchange subtrees of one
+    // action — a lazily-persisted cache was raced and recomputed per
+    // consumer (see [[Stages.materialized]])
+    val corpInv = materialized(shingleFps(corpus))
+    val incInv = materialized(shingleFps(incoming))
     val dfRel = corpInv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     // persisted (r19): each side's ordered-set fold feeds its prefix
     // relation AND its verify leg — see prefixSimilarityJoinStage
-    val corpSets = orderedSets(corpInv, dfRel)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val incSets = orderedSets(incInv, dfRel)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpSets = materialized(orderedSets(corpInv, dfRel))
+    val incSets = materialized(orderedSets(incInv, dfRel))
     val cand = prefixOf(incSets, t).as("a")
       .join(prefixOf(corpSets, t).as("b"),
         col("a.fp") === col("b.fp") &&
@@ -1409,10 +1421,23 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = lit(threshold)
-    val corpInv = shingleFps(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val needInv = shingleFps(needles)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val needInv = materialized(shingleFps(needles))
+    // needle-fp semi filter (r20, guide §3.1/§6): EVERY consumer of the
+    // corpus fp relation joins on fps that occur in some needle — the df
+    // aggregate orders only needle shingles (orderedSets looks up needle
+    // fps; absent ones coalesce to 0 either way), the candidate probe
+    // equi-joins the needle prefix, and the verify join's fp comes from
+    // the needle side — so corpus rows carrying any other fp can never
+    // contribute and are dropped BEFORE the corpus-side shuffles. The
+    // broadcast is the distinct needle fp set: 8 bytes per distinct
+    // needle shingle, audit-sized by the operator's contract (the same
+    // posture as decontaminationReport's broadcast(bfp)). Retained fps
+    // keep their EXACT corpus df (the filter drops no row of a retained
+    // fp), so the prefix order — and the output — is unchanged.
+    val corpInv = materialized(
+      shingleFps(corpus)
+        .join(broadcast(needInv.select(col("fp")).distinct()),
+          Seq("fp"), "left_semi"))
     val dfRel = corpInv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val needSets = orderedSets(needInv, dfRel)
     val cand = prefixOf(needSets, t).as("a")

@@ -52,8 +52,11 @@ object EditDistance {
   /** Handles for the shared distinct-string relation; release via
     * [[EdJoinStage.unpersist]] or the session cache, as Bench/Verify do.
     */
-  case class EdJoinStage(strings: DataFrame, result: DataFrame) {
-    def unpersist(): Unit = { strings.unpersist(); () }
+  case class EdJoinStage(strings: DataFrame, result: DataFrame,
+                         cached: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = {
+      strings.unpersist(); cached.foreach(_.unpersist()); ()
+    }
   }
 
   def editDistanceJoin(rows: DataFrame, idCol: String, strCol: String,
@@ -173,7 +176,14 @@ object EditDistance {
     val ids = rows.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val strsD = stripAffix(ids.select(col("s")).distinct())
+    // materialized (r20): the distinct-string relation is read by the
+    // two stripAffix driver actions and the stripped form fans out into
+    // the probe/index/short/id-join subtrees of one action — unpersisted
+    // (or lazily persisted) each consumer recomputed the distinct and
+    // the affix projection (see [[Stages.materialized]]); both relations
+    // are distinct-string-sized and released via the stage handle
+    val strsD0 = Stages.materialized(ids.select(col("s")).distinct())
+    val strsD = Stages.materialized(stripAffix(strsD0))
 
     // candidates: equi-join on (segment text, index, target length);
     // unordered core pairs, self-pairs excluded (ed=0 expands below)
@@ -208,14 +218,15 @@ object EditDistance {
       .filter(col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b"),
         lit(0).as("dist"))
-    EdJoinStage(ids, cross.unionByName(within))
+    EdJoinStage(ids, cross.unionByName(within), Seq(strsD0, strsD))
   }
 
   /** Handles for the incremental form's two persisted id relations. */
   case class EdIncStage(corpusIds: DataFrame, incomingIds: DataFrame,
-                        result: DataFrame) {
+                        result: DataFrame, cached: Seq[DataFrame] = Nil) {
     def unpersist(): Unit = {
-      corpusIds.unpersist(); incomingIds.unpersist(); ()
+      corpusIds.unpersist(); incomingIds.unpersist()
+      cached.foreach(_.unpersist()); ()
     }
   }
 
@@ -246,11 +257,19 @@ object EditDistance {
         .persist(StorageLevel.MEMORY_AND_DISK)
     val corpIds = side(corpus)
     val incIds = side(incoming)
-    val withCore = stripAffix(
+    // materialized (r20): the union-distinct feeds stripAffix's two
+    // driver actions, and the stripped form feeds both per-side core
+    // relations plus both verify id-joins — lazily persisted each
+    // consumer recomputed them (see [[Stages.materialized]])
+    val strsD0 = Stages.materialized(
       corpIds.select(col("s")).unionByName(incIds.select(col("s")))
         .distinct())
-    val corpD = corpIds.select(col("s")).distinct().join(withCore, "s")
-    val incD = incIds.select(col("s")).distinct().join(withCore, "s")
+    val withCore = Stages.materialized(stripAffix(strsD0))
+    // per-side distinct strings with cores: withCore is already distinct
+    // on s, so a semi-join against the side's (persisted) strings keeps
+    // exactly the side's distinct rows — no per-side re-distinct shuffle
+    val corpD = withCore.join(corpIds.select(col("s")), Seq("s"), "left_semi")
+    val incD = withCore.join(incIds.select(col("s")), Seq("s"), "left_semi")
 
     val candidates = segProbe(incD.select(col("c")), k)
       .join(segIndex(corpD.select(col("c")), k), Seq("seg", "i", "lt"))
@@ -272,6 +291,6 @@ object EditDistance {
       .join(incC.select(col("c").as("ca"), col("id").as("id_in")), "ca")
       .join(corpC.select(col("c").as("cb"), col("id").as("id_corp")), "cb")
       .select(col("id_in"), col("id_corp"), col("dist"))
-    EdIncStage(corpIds, incIds, result)
+    EdIncStage(corpIds, incIds, result, Seq(strsD0, withCore))
   }
 }

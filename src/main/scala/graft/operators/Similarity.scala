@@ -461,10 +461,21 @@ object Similarity {
     * S is derived from conf and the model (never from data, no extra
     * job), so it scales itself: a production index with cells ≥
     * parallelism gets S = 1 and the plan is unchanged from r18.
+    *
+    * S is CAPPED at `graft.cell.salt.maxReplicate` (default 16 — r20,
+    * VERDICT r19 #5): the probe side replicates ×S, so an uncapped
+    * S = ⌈parallelism/nCells⌉ turns a tiny index on a big cluster
+    * (16 cells, parallelism 2000 ⇒ S = 125) into a 125× shuffle-volume
+    * multiplier on a possibly corpus-sized probe leg. At the cap the
+    * scoring stage still fans out nCells·16 ways — the volume/parallelism
+    * trade is bounded on both sides (CellSaltCapSpec pins meet-exactly-
+    * once and the cap under a high-parallelism conf).
     */
   private def cellSalt(df: DataFrame, nCells: Int): Int = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    math.max(1, (p + nCells - 1) / nCells)
+    val cap = df.sparkSession.conf
+      .getOption("graft.cell.salt.maxReplicate").map(_.toInt).getOrElse(16)
+    math.max(1, math.min(cap, (p + nCells - 1) / nCells))
   }
 
   /** The cell-keyed candidate join with an S-way fragment-replicate

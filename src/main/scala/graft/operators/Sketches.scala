@@ -49,24 +49,26 @@ object Sketches {
 
   private val TwoTo53 = 9007199254740992.0 // 2^53, exact in a double
 
-  /** rho of a 52-bit hash field: leading zeros + 1 (53 when v = 0).
-    * Integer-exact — h is the 1-based MSB position via 53 shifts, so the
-    * oracle replay shares every intermediate value.
-    */
-  private def rho(v: Column): Column = {
-    val h = greatest((0 until 53).map(j =>
-      when(shiftright(v, j) > 0, lit(j + 1)).otherwise(lit(0))): _*)
-    (lit(53) - h).cast("int")
-  }
-
   /** (g, bucket, rho) register-update projection for one string value
-    * column: bucket from the first 2 md5 hex digits, rho from the next
-    * 13 (52 bits). Scan-fused; the downstream max IS the sketch build.
+    * column: bucket from the first 2 md5 hex digits, rho (leading zeros
+    * of the next 52 bits + 1; 53 when the field is 0) from the next 13.
+    * Scan-fused; the downstream max IS the sketch build.
+    *
+    * Computed by the fused [[graft.functions.HllReg]] kernel (r20, guide
+    * §4 expression choice): the conv/substring spelling materialized the
+    * 32-char md5 hex TWICE per value (bucket and rho fields), two
+    * substring copies, two conv decimal round-trips, and a 53-expression
+    * `greatest(when(shiftright ...))` ladder per token — the only
+    * corpus-sized stage of every HLL consumer. The kernel is one digest
+    * + integer shifts, value-identical by HllRegSpec's random sweep
+    * against the literal conv spelling (the oracle replays conv/shift
+    * arithmetic unchanged — only the engine-side evaluation is fused).
     */
   def registerUpdates(rows: DataFrame, group: Column, value: Column): DataFrame =
     rows.select(group.as("g"),
-      conv(substring(md5(value), 1, 2), 16, 10).cast("int").as("bucket"),
-      rho(conv(substring(md5(value), 3, 13), 16, 10).cast("long")).as("rho"))
+        graft.functions.TextFunctions.hll_reg(value).as("br"))
+      .select(col("g"), shiftright(col("br"), 6).as("bucket"),
+        col("br").bitwiseAND(lit(63)).as("rho"))
 
   /** Per-group HLL sketch relation (g, bucket, m), m = max rho over the
     * group's values. Merging two sketch relations is this same aggregate
@@ -120,23 +122,64 @@ object Sketches {
     * ≤ #sources × 256 rows.
     */
   def tokenAlgebra(docs: DataFrame): DataFrame = {
-    val sk = tokenSketches(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized (r20): the sketch feeds the per-source estimates, the
+    // per-source scalars, and the self-join's two legs in one action —
+    // a lazy persist was raced (see [[Stages.materialized]])
+    val sk = Stages.materialized(tokenSketches(docs))
     val est = hllEstimate(sk)
-    val sources = sk.select(col("g")).distinct()
-    val pairs = sources.select(col("g").as("sa"))
-      .join(sources.select(col("g").as("sb")), col("sa") < col("sb"))
-    // union registers: each side's sketch rows tagged with the pair key,
-    // merged by the same (key, bucket) max aggregate as the build
-    val aRegs = pairs.join(sk, col("g") === col("sa"))
-      .select(col("sa"), col("sb"), col("bucket"), col("m"))
-    val bRegs = pairs.join(sk, col("g") === col("sb"))
-      .select(col("sa"), col("sb"), col("bucket"), col("m"))
-    val unionSk = aRegs.union(bRegs)
-      .groupBy(col("sa"), col("sb"), col("bucket"))
-      .agg(max(col("m")).as("m"))
-    val estU = hllEstimate(unionSk, Seq("sa", "sb"))
-      .withColumnRenamed("est", "est_union")
+    // r20 restructure (VERDICT r19 #3): the pair algebra previously
+    // REPLICATED every sketch row once per pair it joins (aRegs/bRegs ×
+    // #pairs, a union, and a (sa, sb, bucket) max aggregate — O(pairs ×
+    // m) rows through two joins and two exchanges). The union estimate
+    // only needs two LONG scalars per pair — Σ 2^(53−M_union) over
+    // present buckets and the present-bucket count — and both decompose
+    // over ONE self-join of the sketch on bucket:
+    //   Σ_union = Σ_a + Σ_b − Σ_common (2^(53−ma) + 2^(53−mb)
+    //             − 2^(53−max(ma,mb)))      [union register = max]
+    //   n_union = n_a + n_b − n_common
+    // Every term is exact integer arithmetic — the same register sums
+    // the (sa, sb, bucket) aggregate fed hllEstimate, reassociated — so
+    // the one double division and the estimator branches below replay
+    // hllEstimate's arithmetic bit-for-bit (TokenAlgebraSpec pins the
+    // respelling against the replicate-merge form; the q157 oracle
+    // replays the register algebra unchanged).
+    val per = sk.groupBy(col("g"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).as("sp"),
+        count(lit(1)).as("np"))
+    val common = sk.as("a")
+      .join(sk.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("sa"), col("b.g").as("sb"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - a.m)") +
+          expr("shiftleft(CAST(1 AS BIGINT), 53 - b.m)") -
+          expr("shiftleft(CAST(1 AS BIGINT), 53 - greatest(a.m, b.m))"))
+          .as("dup"),
+        count(lit(1)).as("nc"))
+    // pair frame from the per-source scalars (sources sharing no bucket
+    // keep dup = nc = 0); ≤ #sources² rows, broadcast-sized
+    val pairs = per.select(col("g").as("sa"), col("sp").as("sp_a"),
+        col("np").as("np_a"))
+      .join(per.select(col("g").as("sb"), col("sp").as("sp_b"),
+        col("np").as("np_b")), col("sa") < col("sb"))
+      .join(common, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"),
+        (col("sp_a") + col("sp_b") - coalesce(col("dup"), lit(0L)))
+          .as("s_present"),
+        (col("np_a") + col("np_b") - coalesce(col("nc"), lit(0L)))
+          .as("n_present"))
+    // hllEstimate's estimator body over the pair scalars — identical
+    // literals, identical operand types, one double division
+    val s = pairs.select(col("sa"), col("sb"),
+      ((col("s_present") +
+        (lit(HllM) - col("n_present")) * lit(TwoTo53.toLong)) /
+        lit(TwoTo53)).as("s"),
+      (lit(HllM) - col("n_present")).as("zeros"))
+    val raw = lit(HllAlpha) * lit(HllM.toDouble * HllM) / col("s")
+    val estU = s.select(col("sa"), col("sb"),
+      round(
+        when(raw <= lit(2.5 * HllM) && col("zeros") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros")))
+          .otherwise(raw), 4).as("est_union"))
     estU
       .join(est.select(col("g").as("sa"), col("est").as("est_a")), "sa")
       .join(est.select(col("g").as("sb"), col("est").as("est_b")), "sb")
