@@ -307,16 +307,16 @@ object Curation {
   }
 
   def budgetStage(docs: DataFrame, budgetTokens: Long): BudgetStage = {
-    // materialized (r20): the bucket histogram, the whole-bucket branch
-    // and the boundary branch consume it in one action — a lazy persist
-    // was raced, re-running the text kernels per consumer (see
-    // [[Stages.materialized]])
-    val enriched = Stages.materialized(
-      docs.select(col("doc_id"),
+    // lazily persisted: budgetFromEnriched's whole-bucket and boundary
+    // branches both wait on the BROADCAST bucket histogram, whose own
+    // aggregate is the single leaf exchange over this relation — the
+    // first action populates the cache with no racing consumer
+    val enriched = docs.select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
         TextAnalysis.qualityScore(col("text")).as("q"))
       .filter(col("q").isNotNull)
-      .withColumn("qb", floor(col("q") * 100).cast("int")))
+      .withColumn("qb", floor(col("q") * 100).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     BudgetStage(enriched, budgetFromEnriched(enriched, budgetTokens))
   }
 
@@ -526,14 +526,16 @@ object Curation {
       graft.functions.TextFunctions.punct_count(txt).as("p"),
       TextAnalysis.stopwordCount(TextAnalysis.tokens(txt),
         TextAnalysis.StopwordDicts.head._2).as("s"))
-    // materialized (r20): the histogram fold and the join probe consume
-    // it in one action — a lazy persist was raced, running the text
-    // kernels twice (see [[Stages.materialized]])
-    val scored = Stages.materialized(
-      counts.select(col("doc_id"), col("source"),
+    // lazily persisted: with the histogram join-back BROADCAST (r20),
+    // the join probe waits on the broadcast built from the histogram, so
+    // the histogram's exchange is the single leaf over this relation —
+    // the first action populates the cache with no racing consumer and
+    // no extra count job is needed
+    val scored = counts.select(col("doc_id"), col("source"),
         TextAnalysis.qualityExpr(col("c"), col("w"), col("p"), col("s"))
           .as("quality"))
-      .filter(col("quality").isNotNull))
+      .filter(col("quality").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TextAnalysis.CachedStage(scored, percentileFromScored(scored))
   }
 
@@ -613,19 +615,22 @@ object Curation {
     // pay the quality kernels three times and tokenize twice — at 100 TB
     // that is two avoidable corpus scans). The only other text pass is
     // the LSH shingling, which genuinely needs the text.
-    // materialized (r20, was lazily persisted): inside the first action
-    // the percentile histogram and its join probe race the fresh cache,
-    // re-running the kernel scan (see [[Stages.materialized]])
-    val scored = Stages.materialized(
-      docs.select(col("doc_id"), col("source"), col("lang"),
+    // lazily persisted, populated by keptIds' count below: that job's
+    // ONLY leaf exchange over this relation is the percentile histogram
+    // (the join probe waits on the broadcast built from it), so the one
+    // count fills both caches with zero racing — where the first action
+    // used to race the histogram leaf against the survivor argmax leaf,
+    // re-running the kernel scan (r20, see [[Stages.materialized]])
+    val scored = docs.select(col("doc_id"), col("source"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
-        size(TextAnalysis.tokens(col("text"))).as("n_tokens")))
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // keptIds is consumed by the LSH input join (first action) AND the
     // deduped-corpus build (every later action) — uncached, the whole
     // percentile subtree (histogram aggregate + cumulative window + join
     // probe) re-executed per consumer; the 8-byte-id relation
-    // materializes once and falls to the session cache clear like the
-    // shared projection (r20)
+    // materializes once (also populating `scored`, see above) and falls
+    // to the session cache clear like the shared projection (r20)
     val keptIds = Stages.materialized(
       percentileFromScored(
         scored.filter(col("quality").isNotNull)

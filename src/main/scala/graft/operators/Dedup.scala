@@ -1421,7 +1421,11 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = lit(threshold)
-    val needInv = materialized(shingleFps(needles))
+    // lazily persisted: the broadcast needle-fp build inside corpInv's
+    // count below is the first (single) consumer and populates the
+    // cache; the later needle-side subtrees read it
+    val needInv = shingleFps(needles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // needle-fp semi filter (r20, guide §3.1/§6): EVERY consumer of the
     // corpus fp relation joins on fps that occur in some needle — the df
     // aggregate orders only needle shingles (orderedSets looks up needle

@@ -176,13 +176,16 @@ object EditDistance {
     val ids = rows.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialized (r20): the distinct-string relation is read by the
-    // two stripAffix driver actions and the stripped form fans out into
-    // the probe/index/short/id-join subtrees of one action — unpersisted
-    // (or lazily persisted) each consumer recomputed the distinct and
-    // the affix projection (see [[Stages.materialized]]); both relations
-    // are distinct-string-sized and released via the stage handle
-    val strsD0 = Stages.materialized(ids.select(col("s")).distinct())
+    // cached (r20): the distinct-string relation is read by the two
+    // stripAffix driver actions and again by the stripped projection —
+    // unpersisted, each recomputed the distinct shuffle. stripAffix's
+    // first head() populates it (a single-consumer job, no racing), so
+    // a lazy persist suffices; the stripped form fans out into the
+    // probe/index/short/id-join subtrees of ONE action and must
+    // materialize eagerly (see [[Stages.materialized]]). Both relations
+    // are distinct-string-sized and released via the stage handle.
+    val strsD0 = ids.select(col("s")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val strsD = Stages.materialized(stripAffix(strsD0))
 
     // candidates: equi-join on (segment text, index, target length);
@@ -257,13 +260,14 @@ object EditDistance {
         .persist(StorageLevel.MEMORY_AND_DISK)
     val corpIds = side(corpus)
     val incIds = side(incoming)
-    // materialized (r20): the union-distinct feeds stripAffix's two
-    // driver actions, and the stripped form feeds both per-side core
-    // relations plus both verify id-joins — lazily persisted each
-    // consumer recomputed them (see [[Stages.materialized]])
-    val strsD0 = Stages.materialized(
-      corpIds.select(col("s")).unionByName(incIds.select(col("s")))
-        .distinct())
+    // cached (r20): the union-distinct feeds stripAffix's two driver
+    // actions (the first populates it — single-consumer job, no racing,
+    // so a lazy persist suffices); the stripped form feeds both per-side
+    // core relations plus both verify id-joins in one action and must
+    // materialize eagerly (see [[Stages.materialized]])
+    val strsD0 = corpIds.select(col("s")).unionByName(incIds.select(col("s")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val withCore = Stages.materialized(stripAffix(strsD0))
     // per-side distinct strings with cores: withCore is already distinct
     // on s, so a semi-join against the side's (persisted) strings keeps
