@@ -1443,25 +1443,40 @@ object Dedup {
         .join(broadcast(needInv.select(col("fp")).distinct()),
           Seq("fp"), "left_semi"))
     val dfRel = corpInv.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    val needSets = orderedSets(needInv, dfRel)
+    // materialized: the fold feeds the prefix relation AND the verify's
+    // needle leg — independent leaves of one action (see
+    // [[Stages.materialized]])
+    val needSets = materialized(orderedSets(needInv, dfRel))
     val cand = prefixOf(needSets, t).as("a")
       .join(corpInv.select(col("doc_id").as("cid"), col("fp")), Seq("fp"))
       .groupBy(col("doc_id").as("id_a"), col("cid").as("id_b"))
       .agg(count(lit(1)).as("n_shared_prefix"))
       .select(col("id_a"), col("id_b"))
-    val na = needInv.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+    // Verification (r20): per-pair set_intersect_count over the folded
+    // sets, the q154 verify shape — the fp-level spelling expanded every
+    // candidate by |Sa| (candidates × needle-set rows through two joins
+    // and a pair groupBy). |Sa ∩ Sb| = |Sa ∩ (Sb ∩ needleFps)| because
+    // Sa ⊆ needleFps, so counting against the FILTERED corpus fold is
+    // exact; and the corpus-side fold this operator's contract forbids
+    // at corpus scale is now over the needle-MATCHED rows only (the
+    // semi-filtered relation — audit-overlap-sized by construction, and
+    // only docs sharing a prefix fp ever reach the join). na = |Sa| is
+    // the fold's own n — the separate needle-count aggregate is gone.
+    val corpSets = corpInv.groupBy(col("doc_id"))
+      .agg(collect_list(col("fp")).as("fb"))
     val verified = cand
-      .join(needInv.select(col("doc_id").as("id_a"), col("fp")), "id_a")
-      .join(corpInv.select(col("doc_id").as("id_b"), col("fp")),
-        Seq("id_b", "fp"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("i"))
-      .join(na.select(col("doc_id").as("id_a"), col("na")), "id_a")
+      .join(needSets.select(col("doc_id").as("id_a"), col("fps").as("fa"),
+        col("n").as("na")), "id_a")
+      .join(corpSets.select(col("doc_id").as("id_b"), col("fb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SetFunctions.set_intersect_count(
+          col("fa"), col("fb")).cast("long").as("i"),
+        col("na"))
       .select(col("id_a"), col("id_b"), (col("i") / col("na")).as("c"),
         graft.functions.AggFunctions.ratioQ(
           col("i"), col("na"), 4).as("cq"))
       .filter(col("c") >= t) // selection on the raw ratio, like the oracle
       .select(col("id_a"), col("id_b"), col("cq").as("containment"))
-    PrefixIncStage(corpInv, needInv, verified)
+    PrefixIncStage(corpInv, needInv, verified, Seq(needSets))
   }
 }
