@@ -155,6 +155,16 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // NOTE (r20, measured and REJECTED):
+      // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+      // lets AQE coalesce cached-plan partitions by bytes — it collapsed
+      // the 32-near-empty-task overhead of every tiny fp/sketch/stats
+      // cache (q154 327 -> 36 tasks, q158 summed task-s 69 -> 1.9) but
+      // ALSO coalesced CPU-dense caches to one partition, serializing
+      // the map work above them (full-bench A/B: q119 5.4 -> 14.4 s,
+      // q11 1.6 -> 3.1 s — the LSH shingle/band compute ran one-task).
+      // Byte-based coalescing cannot see compute amplification (the r19
+      // cellSalt lesson), so the conf stays at its default (false).
       .config("spark.sql.session.timeZone", "UTC")
       // let DSv2 scans report keyed partitioning (SupportsReportPartitioning
       // + HasPartitionKey): a connector whose partitions ARE the grouping
